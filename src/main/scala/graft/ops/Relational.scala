@@ -1,0 +1,566 @@
+package graft.ops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Star-schema analytics — the extension layer of SURVEY §2 (§2.3-§2.6).
+  *
+  * The reference's own relational surface is tiny (filter / project /
+  * broadcast-equi-join / count — see `catalog.Discovery` and
+  * `catalog.Audit` for the parity queries). This module supplies the
+  * full query surface a user of a real engine expects, expressed as
+  * declarative DataFrame plans so Catalyst drives pushdown, pruning,
+  * join selection (broadcast under the threshold) and AQE at scale.
+  *
+  * Scale notes (100 TB design intent):
+  *  - joins are written dimension-last so Catalyst broadcast-joins the
+  *    small sides (region/nation/supplier/part fit in memory at any SF;
+  *    customer/orders shuffle-hash or sort-merge as AQE decides);
+  *  - aggregations are all partial+final (map-side combine) built-ins;
+  *  - window queries partition on high-cardinality keys (custkey,
+  *    suppkey) so per-partition state stays bounded;
+  *  - every filter is a plain column predicate → parquet pushdown.
+  */
+object Relational {
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val revSql = "l_extendedprice * (1.0 - l_discount)"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- Q1-style pricing summary (flagship; scan→filter→agg→sort) ----
+    QuerySpec(
+      "q01_pricing_summary",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(rev).as("sum_disc_price"),
+            dsum(rev * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        ${dsumSql("l_extendedprice")} AS sum_base_price,
+        ${dsumSql(revSql)} AS sum_disc_price,
+        ${dsumSql(s"$revSql * (1.0 + l_tax)")} AS sum_charge,
+        ${davgSql("l_quantity")} AS avg_qty,
+        ${davgSql("l_discount")} AS avg_disc,
+        COUNT(1) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- filter + projection with computed column (pushdown check) ----
+    QuerySpec(
+      "q02_filter_project",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 45.0 && col("l_discount") >= 0.08 &&
+            col("l_shipdate") >= ts("1999-01-01 00:00:00"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_discount"), rev.as("disc_price"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        $revSql AS disc_price
+      FROM lineitem
+      WHERE l_quantity >= 45.0 AND l_discount >= 0.08
+        AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- Q3-style: 3-way join, agg, top-10 ----
+    QuerySpec(
+      "q03_shipping_priority",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(dsum(rev).as("revenue"))
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        o_orderpriority, ${dsumSql(revSql)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")),
+
+    // ---- Q4-style: EXISTS semi-join, count by priority ----
+    QuerySpec(
+      "q04_order_priority",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(1) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
+
+    // ---- Q5-style: 6-way star join (broadcast dims), agg by nation ----
+    QuerySpec(
+      "q05_local_supplier_volume",
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, d)
+        val c = Tables.customer(s, d)
+        val sup = Tables.supplier(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1999-01-01 00:00:00"))
+        val l = Tables.lineitem(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(rev).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some(s"""SELECT n_name, ${dsumSql(revSql)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")),
+
+    // ---- Q6-style: scalar aggregate ----
+    QuerySpec(
+      "q06_forecast_revenue",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24.0)
+          .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+        COUNT(1) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24.0""")),
+
+    // ---- global top-k with join (order by + limit) ----
+    QuerySpec(
+      "q07_topk_orders",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_name"), col("o_totalprice"),
+            col("o_orderdate").cast("date").as("orderdate"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(25)
+      },
+      Some("""SELECT o_orderkey, c_name, o_totalprice,
+        CAST(o_orderdate AS DATE) AS orderdate
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 25""")),
+
+    // ---- window: rank within group (top-3 orders per customer) ----
+    QuerySpec(
+      "q08_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn""")),
+
+    // ---- window: running (cumulative) revenue per supplier ----
+    QuerySpec(
+      "q09_running_revenue",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("2000-01-01 00:00:00"))
+          .withColumn("running_qty",
+            sum(col("l_quantity").cast(DecimalType(18, 2))).over(w).cast("double"))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("running_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // ---- window: lag (days since customer's previous order) ----
+    QuerySpec(
+      "q10_order_gaps",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .withColumn("gap_days",
+            datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")))
+          .filter(col("gap_days").isNotNull)
+          .select(col("o_custkey"), col("o_orderkey"), col("gap_days"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, gap_days FROM (
+        SELECT o_custkey, o_orderkey,
+          DATE_DIFF('day',
+            CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS DATE),
+            CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders) t
+      WHERE gap_days IS NOT NULL
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- rollup over region/nation hierarchy ----
+    QuerySpec(
+      "q11_rollup_revenue",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+          .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("total"), col("n_orders"))
+          .orderBy("region", "nation")
+      },
+      Some(s"""SELECT COALESCE(r_name, 'ALL') AS region,
+        COALESCE(n_name, 'ALL') AS nation,
+        ${dsumSql("o_totalprice")} AS total, COUNT(1) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region, nation""")),
+
+    // ---- cube over two low-cardinality dims ----
+    QuerySpec(
+      "q12_cube_flags",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n"), col("qty"))
+          .orderBy("returnflag", "linestatus")
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        COALESCE(l_linestatus, 'ALL') AS linestatus,
+        COUNT(1) AS n, ${dsumSql("l_quantity")} AS qty
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus""")),
+
+    // ---- left-semi: customers having orders, per segment ----
+    QuerySpec(
+      "q13_active_customers",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).select(col("o_custkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(1) AS n_active
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+
+    // ---- left-anti: customers with no orders ----
+    QuerySpec(
+      "q14_inactive_customers",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < ts("1996-01-01 00:00:00"))
+          .select(col("o_custkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      ORDER BY c_custkey""")),
+
+    // ---- union all + group on branch tag ----
+    QuerySpec(
+      "q15_union_price_bands",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val hi = l.filter(col("l_extendedprice") >= 90000.0)
+          .select(lit("high").as("band"), col("l_extendedprice"))
+        val lo = l.filter(col("l_extendedprice") <= 2000.0)
+          .select(lit("low").as("band"), col("l_extendedprice"))
+        hi.unionAll(lo)
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+          .orderBy("band")
+      },
+      Some(s"""SELECT band, COUNT(1) AS n, ${dsumSql("l_extendedprice")} AS total
+      FROM (
+        SELECT 'high' AS band, l_extendedprice FROM lineitem
+          WHERE l_extendedprice >= 90000.0
+        UNION ALL
+        SELECT 'low' AS band, l_extendedprice FROM lineitem
+          WHERE l_extendedprice <= 2000.0) t
+      GROUP BY band
+      ORDER BY band""")),
+
+    // ---- exact distinct counting ----
+    QuerySpec(
+      "q16_distinct_parts",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand""")),
+
+    // ---- HAVING ----
+    QuerySpec(
+      "q17_big_nations",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            davg(col("c_acctbal")).as("avg_bal"))
+          .filter(col("n_customers") > 50)
+          .orderBy("n_name")
+      },
+      Some(s"""SELECT n_name, COUNT(1) AS n_customers,
+        ${davgSql("c_acctbal")} AS avg_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      HAVING COUNT(1) > 50
+      ORDER BY n_name""")),
+
+    // ---- CASE WHEN bucketing + conditional aggregation ----
+    QuerySpec(
+      "q18_price_buckets",
+      (s, d) => {
+        val bucket = when(col("o_totalprice") < 50000.0, "small")
+          .when(col("o_totalprice") < 150000.0, "medium")
+          .otherwise("large")
+        Tables.orders(s, d)
+          .withColumn("bucket", bucket)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("total"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"))
+          .orderBy("bucket")
+      },
+      Some(s"""SELECT bucket, COUNT(1) AS n, ${dsumSql("o_totalprice")} AS total,
+        SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled
+      FROM (SELECT o_totalprice, o_orderstatus,
+        CASE WHEN o_totalprice < 50000.0 THEN 'small'
+             WHEN o_totalprice < 150000.0 THEN 'medium'
+             ELSE 'large' END AS bucket FROM orders) t
+      GROUP BY bucket
+      ORDER BY bucket""")),
+
+    // ---- string functions (F1/F4/F5/F6 analogues over part) ----
+    QuerySpec(
+      "q19_string_funcs",
+      (s, d) => {
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            length(col("p_name")).as("name_len"),
+            substring_index(col("p_name"), " ", 1).as("first_word"),
+            substring_index(col("p_name"), " ", -1).as("last_word"),
+            substring(col("p_type"), 1, 3).as("type_pfx"),
+            concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+            translate(col("p_name"), "'", "_").as("sanitized"),
+            instr(col("p_name"), "red").as("red_pos"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, UPPER(p_name) AS uname,
+        LENGTH(p_name) AS name_len,
+        STR_SPLIT(p_name, ' ')[1] AS first_word,
+        STR_SPLIT(p_name, ' ')[-1] AS last_word,
+        SUBSTR(p_type, 1, 3) AS type_pfx,
+        CONCAT_WS('/', p_brand, p_type) AS brand_type,
+        REPLACE(p_name, '''', '_') AS sanitized,
+        CAST(INSTR(p_name, 'red') AS INT) AS red_pos
+      FROM part
+      ORDER BY p_partkey""")),
+
+    // ---- date functions ----
+    QuerySpec(
+      "q20_date_funcs",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            quarter(col("o_orderdate")).as("qtr"),
+            last_day(col("o_orderdate")).as("month_end"),
+            date_add(col("o_orderdate").cast("date"), 30).as("due_date"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        CAST(YEAR(o_orderdate) AS INT) AS yr,
+        CAST(MONTH(o_orderdate) AS INT) AS mo,
+        CAST(DAY(o_orderdate) AS INT) AS dom,
+        CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+        CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        CAST(o_orderdate AS DATE) + 30 AS due_date
+      FROM orders
+      ORDER BY o_orderkey""")),
+
+    // ---- revenue by year x brand (join + derived group key) ----
+    QuerySpec(
+      "q21_brand_yearly",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(year(col("l_shipdate")).as("yr"), col("p_brand"))
+          .agg(dsum(rev).as("revenue"))
+          .orderBy("yr", "p_brand")
+      },
+      Some(s"""SELECT CAST(YEAR(l_shipdate) AS INT) AS yr, p_brand,
+        ${dsumSql(revSql)} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+      ORDER BY yr, p_brand""")),
+
+    // ---- exact median / quantiles ----
+    QuerySpec(
+      "q22_quantity_median",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+        QUANTILE_CONT(l_quantity, 0.9) AS p90_qty,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+
+    // ---- approx distinct (HLL) — algorithm differs from DuckDB's, so
+    //      rows-only check; the exact-distinct twin is q16. ----
+    QuerySpec(
+      "q23_approx_distinct",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
+    // ---- correlated scalar-subquery style: orders above their
+    //      customer's average (expressed as join vs grouped avg) ----
+    QuerySpec(
+      "q24_above_avg_orders",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val avgByCust = o.groupBy(col("o_custkey").as("k"))
+          .agg(davg(col("o_totalprice")).as("avg_price"))
+        o.join(avgByCust, col("o_custkey") === col("k"))
+          .filter(col("o_totalprice") > col("avg_price") * 1.5)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      JOIN (SELECT o_custkey AS k, ${davgSql("o_totalprice")} AS avg_price
+            FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
+      WHERE o_totalprice > avg_price * 1.5
+      ORDER BY o_orderkey"""))
+  )
+}

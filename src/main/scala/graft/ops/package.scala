@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for oracle-comparable operators.
+  *
+  * Numeric parity strategy (SURVEY §7.4, "non-determinism vs the DuckDB
+  * oracle"): per-row double arithmetic (`*`, `-`, `+`) is IEEE-754
+  * deterministic and bitwise identical across engines, but SUM over
+  * doubles is order-dependent. Every oracle-compared aggregate therefore
+  * casts the per-row double to an exact decimal BEFORE the sum, sums in
+  * decimal (exact, order-independent), and casts the total back to
+  * double — both engines then produce the identical double.
+  */
+package object ops {
+
+  /** Order-independent sum: decimal-exact accumulate, double out. */
+  def dsum(c: Column, precision: Int = 28, scale: Int = 10): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast("double")
+
+  /** Matching DuckDB SQL fragment for [[dsum]]. The VARCHAR hop matters:
+    * DuckDB's decimal→double cast is two-step (int128→double, then
+    * ÷10^scale — two roundings) while Spark's BigDecimal conversion is
+    * correctly rounded once; parsing the exact decimal string gives
+    * DuckDB the same single correctly-rounded conversion.
+    */
+  def dsumSql(expr: String, precision: Int = 28, scale: Int = 10): String =
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL($precision,$scale))) AS VARCHAR) AS DOUBLE)"
+
+  /** Order-independent average: exact decimal sum / count, in double. */
+  def davg(c: Column, precision: Int = 28, scale: Int = 10): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast("double") / count(c)
+
+  def davgSql(expr: String, precision: Int = 28, scale: Int = 10): String =
+    s"(CAST(CAST(SUM(CAST($expr AS DECIMAL($precision,$scale))) AS VARCHAR) AS DOUBLE) / COUNT($expr))"
+
+  /** Timestamp literal resolved in the session time zone (pinned UTC). */
+  def ts(s: String): Column = to_timestamp(lit(s))
+}
+
+/** One driver-checkable operator: a Spark query plus (optionally) the
+  * equivalent ANSI SQL the driver's DuckDB oracle runs over the same
+  * parquet tables. `oracle == None` downgrades to a rows-only check.
+  */
+final case class QuerySpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String]) {
+  def run(spark: SparkSession, dir: String): DataFrame = fn(spark, dir)
+}
