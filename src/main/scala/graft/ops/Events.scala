@@ -1,0 +1,237 @@
+package graft.ops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Event-stream analytics over the `events` table (FIXTURES.md §A) —
+  * the batch half of the streaming surface (see `graft.streaming` for
+  * the Structured Streaming variants of the same computations).
+  *
+  * Maps the reference's only time logic (wall-clock formatting,
+  * `sharepoint_to_bronze_delta.py:121-123,189-191`) onto the full
+  * time-series surface a real engine needs: tumbling windows,
+  * gap-based sessionization, JSON property extraction
+  * (`props` exercises the Graph-JSON access patterns of
+  * `utility_sp_grant_siteselected.py:69-75`), funnels and rates.
+  *
+  * Scale notes (100 TB):
+  *  - every query groups/partitions on (user_id | event_type | bucketed
+  *    time), all high-cardinality or bounded keys — shuffles hash on
+  *    those keys and AQE coalesces;
+  *  - sessionization state per user is bounded by that user's events;
+  *    the window sort is per-partition after the shuffle, no global sort;
+  *  - JSON extraction is a codegen'd expression on the scan, pushed
+  *    alongside column pruning (only `props` is read for it).
+  */
+object Events {
+
+  /** Microsecond-precision event time — both Spark (`unix_micros`) and
+    * DuckDB (`epoch_us`) agree exactly; second-precision casts would
+    * truncate and misclassify boundary gaps. */
+  private val tsUs = unix_micros(col("ts"))
+
+  private val sessionGapUs = 30L * 60 * 1000000 // 30 min in micros
+
+  /** Sessionize: new session when the gap to the previous event of the
+    * same user exceeds the gap parameter (classic lag + running-sum). */
+  private def sessionized(df: org.apache.spark.sql.DataFrame) = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    df.withColumn("prev_us", lag(tsUs, 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          tsUs - col("prev_us") > sessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private val sessionizedSql =
+    """SELECT user_id, ts, event_id, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       FROM (
+         SELECT *, CASE WHEN prev_us IS NULL
+             OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+         FROM (
+           SELECT user_id, ts, event_id, value,
+             LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_us
+           FROM events) a) b"""
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- per-type global stats ----
+    QuerySpec(
+      "e01_type_stats",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value")).as("total_value"),
+            davg(col("value")).as("avg_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(1) AS n,
+        ${dsumSql("value")} AS total_value,
+        ${davgSql("value")} AS avg_value,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- tumbling 1-hour windows (batch window()) ----
+    QuerySpec(
+      "e02_hourly_windows",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .select(col("w.start").as("hour_start"), col("n"), col("total_value"))
+          .orderBy("hour_start")
+      },
+      Some(s"""SELECT date_trunc('hour', ts) AS hour_start, COUNT(1) AS n,
+        ${dsumSql("value")} AS total_value
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- gap-based sessionization (lag + running sum) ----
+    QuerySpec(
+      "e03_sessionization",
+      (s, d) => {
+        sessionized(Tables.events(s, d))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            ((max(tsUs) - min(tsUs)) / 1000000.0).as("duration_sec"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""SELECT user_id, session_id, COUNT(1) AS n_events,
+        MIN(ts) AS session_start, MAX(ts) AS session_end,
+        (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS duration_sec
+      FROM ($sessionizedSql) s
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")),
+
+    // ---- native session_window (same sessions, engine operator) ----
+    QuerySpec(
+      "e04_session_window",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("w.start").as("session_start"),
+            col("w.end").as("session_end"), col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some(s"""SELECT user_id, MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(1) AS n_events
+      FROM ($sessionizedSql) s
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start""")),
+
+    // ---- JSON property extraction (props = {"k": int}) ----
+    QuerySpec(
+      "e05_json_props",
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+        Tables.events(s, d)
+          .withColumn("k", k)
+          .groupBy(col("event_type"))
+          .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+            davg(col("k")).as("avg_k"),
+            sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, MIN(k) AS min_k, MAX(k) AS max_k,
+        ${davgSql("k")} AS avg_k,
+        SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS n_high
+      FROM (SELECT event_type,
+              CAST(json_extract_string(props, '$$.k') AS INT) AS k
+            FROM events) t
+      GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- signup → purchase funnel within 7 days ----
+    QuerySpec(
+      "e06_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val sign = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        sign.join(pur,
+            col("user_id") === col("p_user") &&
+            col("p_ts") >= col("signup_ts") &&
+            col("p_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"), "left")
+          .agg(countDistinct(col("user_id")).as("n_signed_up"),
+            countDistinct(when(col("p_ts").isNotNull, col("user_id")))
+              .as("n_converted"))
+      },
+      Some("""SELECT COUNT(DISTINCT s.user_id) AS n_signed_up,
+        COUNT(DISTINCT CASE WHEN p.p_ts IS NOT NULL THEN s.user_id END)
+          AS n_converted
+      FROM (SELECT user_id, MIN(ts) AS signup_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id) s
+      LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts FROM events
+                 WHERE event_type = 'purchase') p
+        ON s.user_id = p.p_user AND p.p_ts >= s.signup_ts
+           AND p.p_ts <= s.signup_ts + INTERVAL 7 DAY""")),
+
+    // ---- per-type top-3 most active users ----
+    QuerySpec(
+      "e07_top_users_per_type",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(desc("n"), col("user_id"))
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy("event_type", "rk")
+      },
+      Some("""SELECT event_type, user_id, n, rk FROM (
+        SELECT event_type, user_id, n,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY n DESC, user_id) AS rk
+        FROM (SELECT event_type, user_id, COUNT(1) AS n
+              FROM events GROUP BY event_type, user_id) c) r
+      WHERE rk <= 3 ORDER BY event_type, rk""")),
+
+    // ---- daily error rate + distinct users (conditional agg) ----
+    QuerySpec(
+      "e08_daily_error_rate",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("n_errors"),
+            countDistinct(col("user_id")).as("n_users"))
+          .withColumn("error_rate",
+            col("n_errors").cast("double") / col("n_total").cast("double"))
+          .orderBy("day")
+      },
+      Some("""SELECT day, n_total, n_errors, n_users,
+        CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE) AS error_rate
+      FROM (SELECT date_trunc('day', ts) AS day, COUNT(1) AS n_total,
+              SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+              COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1) t
+      ORDER BY day""")),
+
+    // ---- approximate distinct users per day (HLL; algorithm differs
+    //      from DuckDB's → rows-only; exact twin is e08.n_users) ----
+    QuerySpec(
+      "e09_approx_users_daily",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .orderBy("day")
+      },
+      None)
+  )
+}
