@@ -1,0 +1,375 @@
+package graft.ops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis + deduplication over the `documents` table — the
+  * training-data-pipeline extension layer (SURVEY §0 item 2): token
+  * counting, quality scoring, language-ID, fingerprinting, exact and
+  * near-duplicate detection (n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Scale notes (100 TB):
+  *  - everything is per-row array math (whole-stage codegen'd HOFs) up
+  *    to the dedup joins; no UDFs anywhere;
+  *  - exact n-gram Jaccard self-joins shuffle on the shingle — fine at
+  *    test SF, quadratic-ish on hot shingles at scale; the scale path
+  *    is t09's MinHash+LSH: candidates come from equi-joining 24
+  *    constant-size band buckets, then only candidates pay the exact
+  *    verification join (the classic LSH design, e.g. Leskovec et al.,
+  *    "Mining of Massive Datasets" ch.3);
+  *  - t09's output is exact (LSH candidates -> exact Jaccard filter),
+  *    so its oracle is the same brute-force SQL as t08 — the driver
+  *    hash-match doubles as an LSH recall test.
+  */
+object Text {
+
+  private val toks = split(col("text"), " ")
+
+  /** Distinct word 3-gram shingles of `text` (empty when < 3 tokens —
+    * sequence(1,0) would count DOWN, not produce an empty array). */
+  private val shingles: Column = {
+    val t = toks
+    when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(t) - 2),
+        i => array_join(slice(t, i, lit(3)), " "))))
+  }
+
+  /** DuckDB equivalent of [[shingles]] as exploded (doc_id, s) rows. */
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, unnest(list_transform(
+         generate_series(1, greatest(len(str_split(text, ' ')) - 2, 0)),
+         i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+              || ' ' || str_split(text, ' ')[i+2])) AS s
+       FROM documents"""
+
+  /** Exact all-pairs 3-gram Jaccard >= `thr` — the oracle for both the
+    * exact (t08) and the LSH-accelerated (t09) near-dup queries. */
+  private def jaccardPairsSql(thr: Double) =
+    s"""SELECT da, db, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+       FROM (
+         SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS ni
+         FROM ($shinglesSql) a JOIN ($shinglesSql) b
+           ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2) i
+       JOIN (SELECT doc_id, COUNT(1) AS n FROM ($shinglesSql) GROUP BY 1) sa
+         ON i.da = sa.doc_id
+       JOIN (SELECT doc_id, COUNT(1) AS n FROM ($shinglesSql) GROUP BY 1) sb
+         ON i.db = sb.doc_id
+       WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= $thr
+       ORDER BY da, db"""
+
+  /** Exploded distinct (doc_id, shingle) relation. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles).as("s"))
+
+  /** Exact near-dup pairs via shingle self-join (see scale notes). */
+  private def exactJaccardPairs(s: SparkSession, d: String, thr: Double): DataFrame = {
+    val sh = shingleRows(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("da", "s")
+      .join(sh.toDF("db", "s"), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .select(col("da"), col("db"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= thr)
+      .orderBy("da", "db")
+  }
+
+  // MinHash parameters: 72 permutations in 24 bands x 3 rows.
+  // P(candidate | J) = 1-(1-J^3)^24: ~1-3e-8 at J=0.8, ~2% at J=0.1.
+  private val NumPerms = 72
+  private val BandRows = 3
+  private val NumBands = NumPerms / BandRows
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- per-document stats (token counts, lengths) ----
+    QuerySpec(
+      "t01_doc_stats",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).as("text_len"),
+            size(toks).as("n_tokens"),
+            size(array_distinct(toks)).as("n_distinct_tokens"),
+            (aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+              .cast("double") / size(toks)).as("mean_token_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, LENGTH(text) AS text_len,
+        len(str_split(text, ' ')) AS n_tokens,
+        len(list_distinct(str_split(text, ' '))) AS n_distinct_tokens,
+        CAST(list_sum(list_transform(str_split(text, ' '),
+          t -> LENGTH(t))) AS DOUBLE) / len(str_split(text, ' '))
+          AS mean_token_len
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- corpus stats by language ----
+    QuerySpec(
+      "t02_lang_stats",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            davg(col("n_chars").cast("double")).as("avg_n_chars"),
+            davg(length(col("text")).cast("double")).as("avg_text_len"),
+            davg(size(toks).cast("double")).as("avg_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, COUNT(1) AS n_docs,
+        ${davgSql("CAST(n_chars AS DOUBLE)")} AS avg_n_chars,
+        ${davgSql("CAST(LENGTH(text) AS DOUBLE)")} AS avg_text_len,
+        ${davgSql("CAST(len(str_split(text, ' ')) AS DOUBLE)")} AS avg_tokens
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- token counting: whitespace + BPE-ish sub-token regex ----
+    QuerySpec(
+      "t03_token_count",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), "\\s+")).as("ws_tokens"),
+            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+              .as("bpeish_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+          AS bpeish_tokens
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- quality scoring (length / stopword / repetition signals) ----
+    QuerySpec(
+      "t04_quality_score",
+      (s, d) => {
+        val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+        val nTok = size(toks).cast("double")
+        val stopRatio =
+          size(filter(toks, t => array_contains(stop, t))).cast("double") / nTok
+        val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+        val lenScore = least(nTok / lit(100.0), lit(1.0))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            round(stopRatio, 6).as("stop_ratio"),
+            round(distinctRatio, 6).as("distinct_ratio"),
+            round(lenScore * lit(0.4) + distinctRatio * lit(0.4) +
+              least(stopRatio * lit(5.0), lit(1.0)) * lit(0.2), 6)
+              .as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        ROUND(CAST(len(list_filter(str_split(text,' '),
+            t -> list_contains(['the','a','of','and','to','in'], t)))
+          AS DOUBLE) / len(str_split(text,' ')), 6) AS stop_ratio,
+        ROUND(CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+          / len(str_split(text,' ')), 6) AS distinct_ratio,
+        ROUND(
+          LEAST(CAST(len(str_split(text,' ')) AS DOUBLE)/100.0, 1.0) * 0.4
+          + (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+             / len(str_split(text,' '))) * 0.4
+          + LEAST((CAST(len(list_filter(str_split(text,' '),
+              t -> list_contains(['the','a','of','and','to','in'], t)))
+            AS DOUBLE) / len(str_split(text,' '))) * 5.0, 1.0) * 0.2, 6)
+          AS quality
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- language-ID: train char-trigram profiles per lang from the
+    //      corpus, classify each doc by profile overlap, report the
+    //      per-lang confusion counts ----
+    QuerySpec(
+      "t05_language_id",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tri = docs.select(col("doc_id"), col("lang"),
+            explode(array_distinct(transform(
+              sequence(lit(1), length(col("text")) - 2),
+              i => col("text").substr(i, lit(3))))).as("tg"))
+        // top-20 trigram profile per language (deterministic tie-break)
+        val wProf = Window.partitionBy(col("lang"))
+          .orderBy(desc("cnt"), col("tg"))
+        val profiles = tri.groupBy(col("lang"), col("tg"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(wProf))
+          .filter(col("rk") <= 20)
+          .select(col("lang").as("profile_lang"), col("tg"))
+        // score = |doc trigrams ∩ profile|; argmax with tie-break
+        val scores = tri.select(col("doc_id"), col("tg")).distinct()
+          .join(profiles, "tg")
+          .groupBy(col("doc_id"), col("profile_lang"))
+          .agg(count(lit(1)).as("score"))
+        val wBest = Window.partitionBy(col("doc_id"))
+          .orderBy(desc("score"), col("profile_lang"))
+        val pred = scores.withColumn("rk", row_number().over(wBest))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("profile_lang").as("pred_lang"))
+        docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some("""WITH tri AS (
+        SELECT DISTINCT doc_id, lang, unnest(list_transform(
+          generate_series(1, greatest(LENGTH(text) - 2, 0)),
+          i -> substr(text, i, 3))) AS tg
+        FROM documents),
+      profiles AS (
+        SELECT lang AS profile_lang, tg FROM (
+          SELECT lang, tg, ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY COUNT(1) DESC, tg) AS rk
+          FROM tri GROUP BY lang, tg) p
+        WHERE rk <= 20),
+      scores AS (
+        SELECT t.doc_id, p.profile_lang, COUNT(1) AS score
+        FROM (SELECT DISTINCT doc_id, tg FROM tri) t
+        JOIN profiles p ON t.tg = p.tg
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT doc_id, profile_lang AS pred_lang FROM (
+          SELECT doc_id, profile_lang, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rk
+          FROM scores) x
+        WHERE rk = 1)
+      SELECT d.lang, pred.pred_lang, COUNT(1) AS n
+      FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- rolling-hash document fingerprint (portable: 31-base
+    //      polynomial over character codes mod 1e9+7) ----
+    QuerySpec(
+      "t06_fingerprint",
+      (s, d) => {
+        val chars = filter(split(col("text"), ""), c => c =!= "")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            aggregate(chars, lit(0L),
+              (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+              .as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- exact dedup: one survivor per identical text (min doc_id),
+    //      plus corpus-level dup accounting per source ----
+    QuerySpec(
+      "t07_exact_dedup",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(col("source"), col("text"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_distinct_texts"),
+            sum(col("n_copies")).as("n_docs"),
+            sum(col("n_copies") - 1).as("n_dups_removed"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(1) AS n_distinct_texts,
+        SUM(n_copies) AS n_docs, SUM(n_copies - 1) AS n_dups_removed
+      FROM (SELECT source, text, MIN(doc_id) AS keep_id,
+              COUNT(1) AS n_copies
+            FROM documents GROUP BY source, text) g
+      GROUP BY source ORDER BY source""")),
+
+    // ---- exact n-gram Jaccard near-dup pairs (brute shingle join) ----
+    QuerySpec(
+      "t08_jaccard_pairs",
+      (s, d) => exactJaccardPairs(s, d, 0.8),
+      Some(jaccardPairsSql(0.8))),
+
+    // ---- MinHash + LSH near-dup: band-bucket candidates, exact
+    //      Jaccard verification — same output as t08, found without
+    //      the all-pairs shingle join (the 100 TB path) ----
+    QuerySpec(
+      "t09_minhash_lsh",
+      (s, d) => {
+        val docsSh = Tables.documents(s, d)
+          .select(col("doc_id"), shingles.as("sh"))
+          .filter(size(col("sh")) > 0)
+        // 72 min-hashes (xxhash64 seeded per permutation by mixing in
+        // the permutation index), grouped into 24 bands of 3
+        val sigCols = (0 until NumPerms).map { j =>
+          array_min(transform(col("sh"), sVar => xxhash64(sVar, lit(j))))
+        }
+        val withSig = docsSh.withColumn("sig", array(sigCols: _*))
+        val bandCols = (0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
+        }
+        val bands = withSig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+          .distinct()
+        val cands = bands.toDF("da", "band", "bh")
+          .join(bands.toDF("db", "band", "bh"), Seq("band", "bh"))
+          .filter(col("da") < col("db"))
+          .select("da", "db").distinct()
+        cands
+          .join(docsSh.toDF("da", "sha"), "da")
+          .join(docsSh.toDF("db", "shb"), "db")
+          .select(col("da"), col("db"),
+            (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              (size(col("sha")) + size(col("shb")) -
+                size(array_intersect(col("sha"), col("shb")))))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .orderBy("da", "db")
+      },
+      Some(jaccardPairsSql(0.8))),
+
+    // ---- SimHash 64-bit signatures (engine-specific hash bits →
+    //      rows-only check; near-dup = small hamming distance) ----
+    QuerySpec(
+      "t10_simhash",
+      (s, d) => {
+        val th = xxhash64(col("t"))
+        val bitVotes = (0 until 64).map { i =>
+          sum(when(shiftright(th, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"b$i")
+        }
+        val votes = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t"))
+          .groupBy(col("doc_id"))
+          .agg(bitVotes.head, bitVotes.tail: _*)
+        val sig = (0 until 64).map { i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+        }.reduce(_.bitwiseOR(_))
+        votes.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+      },
+      None),
+
+    // ---- top-5 terms per language (tokenize → explode → rank) ----
+    QuerySpec(
+      "t11_top_terms",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(desc("n"), col("t"))
+        Tables.documents(s, d)
+          .select(col("lang"), explode(toks).as("t"))
+          .groupBy(col("lang"), col("t"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, t, n, rk FROM (
+        SELECT lang, t, n, ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY n DESC, t) AS rk
+        FROM (SELECT lang, t, COUNT(1) AS n FROM
+                (SELECT lang, unnest(str_split(text, ' ')) AS t
+                 FROM documents) u
+              GROUP BY 1, 2) c) r
+      WHERE rk <= 5 ORDER BY lang, rk"""))
+  )
+}
