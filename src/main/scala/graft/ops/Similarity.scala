@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>` dim
+  * 64) — the ANN extension layer (SURVEY §0 item 2).
+  *
+  * Numeric parity: float32 → double element casts are exact; per-pair
+  * dot products / norms are SEQUENTIAL left folds over the array in
+  * double (`aggregate(zip_with(...))` in Spark, `list_reduce` in
+  * DuckDB) so both engines produce bitwise-identical doubles — no
+  * reassociated SIMD sums on either side.
+  *
+  * Scale notes (100 TB):
+  *  - s03/s04 brute-force paths broadcast the (tiny) query set and
+  *    scan the corpus once — correct baseline, O(N·Q);
+  *  - s05 random-hyperplane LSH buckets the corpus (shuffle on 8-bit
+  *    signature per table), so candidate generation is an equi-join —
+  *    the corpus-to-corpus scale path;
+  *  - s06 restricts search to the query's coarse partition (label as
+  *    a stand-in for a k-means IVF quantizer) — the query-to-corpus
+  *    scale path; swap the label for learned cluster ids and the
+  *    plumbing is unchanged.
+  */
+object Similarity {
+
+  /** Exact double cast of the float embedding. */
+  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product in double (order-deterministic). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(vec(a), vec(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-fold L2 norm. */
+  private def l2(a: Column): Column =
+    sqrt(aggregate(vec(a), lit(0.0), (acc, x) => acc + x * x))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2(a) * l2(b))
+
+  // DuckDB twins of the folds above (a/b are table aliases).
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(list_zip(CAST($a.embedding AS DOUBLE[]),
+         CAST($b.embedding AS DOUBLE[])), p -> p[1] * p[2])),
+       (acc, x) -> acc + x)"""
+
+  private def l2Sql(t: String) =
+    s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(CAST($t.embedding AS DOUBLE[]), x -> x * x)),
+       (acc, x) -> acc + x))"""
+
+  private def cosineSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (${l2Sql(a)} * ${l2Sql(b)})"
+
+  /** The fixed query set: first 8 vectors. Tiny → broadcast join. */
+  private val QueryIds = 8
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- per-vector L2 norms ----
+    QuerySpec(
+      "s01_norms",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            size(col("embedding")).as("dim"),
+            l2(col("embedding")).as("l2_norm"))
+          .orderBy("vec_id")
+      },
+      Some(s"""SELECT vec_id, label, len(embedding) AS dim,
+        ${l2Sql("e")} AS l2_norm
+      FROM embeddings e ORDER BY vec_id""")),
+
+    // ---- per-label centroids (mean per dimension). Decimal-quantized
+    //      sums disagree between engines on full-precision doubles
+    //      (Spark decimal-izes via the 17-digit string, DuckDB via the
+    //      exact binary expansion), so determinism comes from a
+    //      SORTED sequential fold instead. ----
+    QuerySpec(
+      "s02_centroids",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(vec(col("embedding"))))
+          .groupBy(col("label"), col("pos"))
+          .agg(sort_array(collect_list(col("col"))).as("vs"))
+          .select(col("label"), col("pos"),
+            (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x) /
+              size(col("vs"))).as("centroid"),
+            size(col("vs")).as("n"))
+          .orderBy("label", "pos")
+      },
+      Some("""SELECT label, pos,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(v))),
+          (acc, x) -> acc + x) / COUNT(1) AS centroid,
+        CAST(COUNT(1) AS INT) AS n
+      FROM (SELECT label, g.i - 1 AS pos,
+              CAST(embedding[g.i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) AS g(i)) t
+      GROUP BY label, pos ORDER BY label, pos""")),
+
+    // ---- brute-force cosine top-5 per query (the ANN baseline) ----
+    QuerySpec(
+      "s03_knn_brute",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .orderBy("qid", "rk")
+      },
+      Some(s"""SELECT qid, vec_id, cos, rk FROM (
+        SELECT q.vec_id AS qid, e.vec_id, ${cosineSql("q", "e")} AS cos,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS rk
+        FROM embeddings q JOIN embeddings e ON q.vec_id < $QueryIds
+          AND e.vec_id <> q.vec_id) t
+      WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    // ---- embedding-cosine near-dup pairs (all-pairs, exact) ----
+    QuerySpec(
+      "s04_neardup_pairs",
+      (s, d) => {
+        val a = Tables.embeddings(s, d).select(
+          col("vec_id").as("va"), col("embedding").as("ea"))
+        val b = Tables.embeddings(s, d).select(
+          col("vec_id").as("vb"), col("embedding").as("eb"))
+        a.crossJoin(b).filter(col("va") < col("vb"))
+          .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("cos"))
+          .filter(col("cos") >= 0.4)
+          .orderBy("va", "vb")
+      },
+      Some(s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+        ${cosineSql("a", "b")} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ${cosineSql("a", "b")} >= 0.4
+      ORDER BY va, vb""")),
+
+    // ---- random-hyperplane LSH: 4 tables x 8-bit signatures; bucket
+    //      equi-join candidates + exact cosine, top-100 (approximate →
+    //      rows-only check; the corpus-scale candidate-generation path) ----
+    QuerySpec(
+      "s05_ann_lsh",
+      (s, d) => {
+        // deterministic pseudo-random hyperplanes (fixed seed)
+        val rnd = new scala.util.Random(42)
+        val planes: Seq[Seq[Double]] =
+          Seq.fill(4 * 8)(Seq.fill(64)(rnd.nextGaussian()))
+        def sig(table: Int): Column =
+          (0 until 8).map { bit =>
+            val p = array(planes(table * 8 + bit).map(lit): _*)
+            when(dot(col("embedding"), p) >= 0, 1 << bit).otherwise(0)
+          }.reduce(_ + _)
+        val e = Tables.embeddings(s, d)
+        val sigs = (0 until 4).map { t =>
+          e.select(col("vec_id"), col("embedding"),
+            lit(t).as("tbl"), sig(t).as("sig"))
+        }.reduce(_ unionAll _)
+        val a = sigs.toDF("va", "ea", "tbl", "sig")
+        val b = sigs.toDF("vb", "eb", "tbl", "sig")
+        a.join(b, Seq("tbl", "sig")).filter(col("va") < col("vb"))
+          .select(col("va"), col("vb"), col("ea"), col("eb")).distinct()
+          .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("cos"))
+          .orderBy(desc("cos"), col("va"), col("vb"))
+          .limit(100)
+      },
+      None),
+
+    // ---- IVF-style partition-restricted top-3: search only the
+    //      query's coarse partition (label ~ k-means cell id) ----
+    QuerySpec(
+      "s06_ivf_partitioned",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        e.join(broadcast(q), col("label") === col("qlabel") &&
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy("qid", "rk")
+      },
+      Some(s"""SELECT qid, vec_id, cos, rk FROM (
+        SELECT q.vec_id AS qid, e.vec_id, ${cosineSql("q", "e")} AS cos,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS rk
+        FROM embeddings q JOIN embeddings e ON q.vec_id < $QueryIds
+          AND e.label = q.label AND e.vec_id <> q.vec_id) t
+      WHERE rk <= 3 ORDER BY qid, rk"""))
+  )
+}
