@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All registered operator specs, in module order. */
   def allSpecs: Seq[QuerySpec] =
-    Relational.specs ++ Events.specs ++ Text.specs ++ Similarity.specs
+    Relational.specs ++ Events.specs ++ Text.specs ++ Similarity.specs ++
+      Parity.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
