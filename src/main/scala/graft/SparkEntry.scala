@@ -15,7 +15,7 @@ object SparkEntry {
   /** All registered operator specs, in module order. */
   def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ Events.specs ++ Text.specs ++ Similarity.specs ++
-      Parity.specs
+      Parity.specs ++ Multimodal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

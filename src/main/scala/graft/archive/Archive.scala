@@ -1,0 +1,136 @@
+package graft.archive
+
+import graft.model.FileMeta
+import org.apache.spark.sql.{Dataset, SparkSession}
+import java.time.{Instant, ZoneId}
+import java.time.format.DateTimeFormatter
+
+/** Post-ingest archive/delete state machine — the reference's
+  * per-file execute phase (`sharepoint_to_bronze_delta.py:206-233`)
+  * with its ordering invariants made explicit:
+  *
+  *   upload → [copy_to_archive?] archive → [delete_original?] delete
+  *
+  *  - per-file error isolation: a failed upload skips that file only
+  *    (C2, `:213-219`);
+  *  - delete is STRICTLY gated on archive success (C3, `:227-231`) —
+  *    a failed archive never loses the original;
+  *  - flags use the reference's stringly semantics
+  *    (`lower(x) == "true"`, `:222,229`);
+  *  - archive names carry the `ddMMyyHHmmss_` prefix in
+  *    Asia/Kuala_Lumpur wall time (F2, `:189-191`), clock injectable
+  *    for tests;
+  *  - at-least-once: re-runs overwrite uploads by name and create new
+  *    timestamped archive copies (C4, `:174,190`).
+  *
+  * Side effects run in `mapPartitions` on executors (the reference
+  * loops on the driver, one file at a time — SURVEY §4), so transfer
+  * parallelism is the partition count, and the returned manifest is a
+  * normal Dataset the caller can audit/quarantine from.
+  */
+object Archive {
+
+  private val ArchiveTz = ZoneId.of("Asia/Kuala_Lumpur")
+  private val Fmt = DateTimeFormatter.ofPattern("ddMMyyHHmmss")
+
+  /** F1: quote sanitization (`:208`). */
+  def sanitize(name: String): String = name.replace('\'', '_')
+
+  /** F2: timestamped archive name (`:189-191`). */
+  def archiveName(name: String, clock: Instant): String =
+    Fmt.format(clock.atZone(ArchiveTz)) + "_" + sanitize(name)
+
+  /** P6: the reference's stringly-boolean parse (`:222,229`). */
+  def flagIsTrue(flag: String): Boolean =
+    flag != null && flag.toLowerCase == "true"
+
+  /** Effectful file operations, injectable so the pipeline is testable
+    * (and swappable for a Graph/OneLake-backed impl). Implementations
+    * must be Serializable — they run inside executor tasks. */
+  trait FileOps extends Serializable {
+    def upload(meta: FileMeta): Unit
+    def ensureArchiveDir(meta: FileMeta): Unit
+    def archiveCopy(meta: FileMeta, archivedName: String): Unit
+    def deleteOriginal(meta: FileMeta): Unit
+  }
+
+  /** One manifest row per catalog file: what happened, in order. */
+  final case class ManifestRow(
+      file_name: String,
+      folder_name: String,
+      uploaded: Boolean,
+      archived: Boolean,
+      deleted: Boolean,
+      error: String)
+
+  /** Run the per-file state machine over the catalog, distributed. */
+  def run(catalog: Dataset[FileMeta], ops: FileOps, clock: Instant)
+      (implicit spark: SparkSession): Dataset[ManifestRow] = {
+    import spark.implicits._
+    val clockMs = clock.toEpochMilli // Instant is serializable, but pin
+    catalog.mapPartitions { files =>
+      val now = Instant.ofEpochMilli(clockMs)
+      files.map { f =>
+        var uploaded, archived, deleted = false
+        var error: String = null
+        try {
+          ops.upload(f)
+          uploaded = true
+          if (flagIsTrue(f.copy_to_archive)) {
+            try {
+              ops.ensureArchiveDir(f)
+              ops.archiveCopy(f, archiveName(f.file_name, now))
+              archived = true
+              if (flagIsTrue(f.delete_original)) {
+                ops.deleteOriginal(f)
+                deleted = true
+              }
+            } catch {
+              // C3: archive failure is logged, original retained,
+              // pipeline proceeds
+              case e: Exception => error = s"archive: ${e.getMessage}"
+            }
+          }
+        } catch {
+          // C2: upload failure skips this file only
+          case e: Exception => error = s"upload: ${e.getMessage}"
+        }
+        ManifestRow(f.file_name, f.folder_name,
+          uploaded, archived, deleted, error)
+      }
+    }
+  }
+
+  /** Local-filesystem FileOps over java.nio (the offline stand-in for
+    * the reference's Graph download + `mssparkutils.fs.cp` upload).
+    * Paths: src = `srcRoot/folder/file`, bronze = `bronzeRoot/
+    * lakehouse_folder/file`, archive = `srcRoot/folder/archive/`. */
+  class LocalFileOps(srcRoot: String, bronzeRoot: String)
+      extends FileOps {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    private def src(f: FileMeta) =
+      Paths.get(srcRoot, f.folder_name, f.file_name)
+    private def archDir(f: FileMeta) =
+      Paths.get(srcRoot, f.folder_name, "archive")
+
+    override def upload(f: FileMeta): Unit = {
+      val dest = Paths.get(bronzeRoot, f.lakehouse_folder,
+        sanitize(f.file_name))
+      Files.createDirectories(dest.getParent)
+      Files.copy(src(f), dest, StandardCopyOption.REPLACE_EXISTING)
+    }
+    override def ensureArchiveDir(f: FileMeta): Unit = {
+      Files.createDirectories(archDir(f)) // K2, idempotent
+      ()
+    }
+    override def archiveCopy(f: FileMeta, archivedName: String): Unit = {
+      Files.copy(src(f), archDir(f).resolve(archivedName),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    override def deleteOriginal(f: FileMeta): Unit = {
+      Files.delete(src(f)) // K4: only reached after archive success
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (extension layer): media payloads are
+  * opaque `binary` columns + typed metadata, processed by batched
+  * per-partition decode. The container has no image/audio codecs, so
+  * the DECODE STEP IS A DETERMINISTIC STUB ([[Multimodal.decodeStub]])
+  * — the Spark-side contract (schema, binary handling, batch shape,
+  * partition-parallel decode) is real and tested; swap the stub for a
+  * JNI/codec call and nothing else changes.
+  *
+  * The `documents.text` bytes stand in for payloads (the fixtures have
+  * no real media); `encode(text)` → BinaryType exercises the same
+  * column machinery the reference's blob path needs (S6/K1 payloads,
+  * `sharepoint_to_bronze_delta.py:163-176`).
+  */
+object Multimodal {
+
+  /** Payload stand-in: utf-8 bytes of the document text. */
+  private val payload = encode(col("text"), "UTF-8")
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      mean_byte: Double,
+      head: Seq[Int])
+
+  /** STUB decode: deterministic features from raw bytes (length, mean
+    * byte value, first 4 byte codes). A real impl would decode frames
+    * / spectrograms here; the mapPartitions + grouped-batch shape is
+    * what carries over. */
+  def decodeStub(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), payload.as("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        // batched like a vectorized (e.g. Arrow) decode loop
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val bs = r.payload
+            MediaFeatures(r.doc_id, bs.length,
+              if (bs.isEmpty) 0.0
+              else bs.map(_.toInt & 0xff).sum.toDouble / bs.length,
+              bs.take(4).map(_.toInt & 0xff).toSeq)
+          }
+        }
+      }.toDF()
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- binary metadata: sizes + content hashes ----
+    QuerySpec(
+      "m01_binary_meta",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            octet_length(payload).as("n_bytes"),
+            sha2(payload, 256).as("sha256"),
+            md5(payload).as("md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        sha256(text) AS sha256, md5(text) AS md5
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- fixed-size chunking (frame-sampling shape): 256-byte
+    //      chunks, per-chunk hash — ASCII text so byte and char
+    //      offsets coincide for the oracle ----
+    QuerySpec(
+      "m02_chunking",
+      (s, d) => {
+        val nChunks = ceil(octet_length(payload) / lit(256.0)).cast("int")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nChunks - 1),
+              i => substring(payload, i * 256 + 1, lit(256)))))
+          .select(col("doc_id"), col("pos").as("chunk_idx"),
+            octet_length(col("col")).as("chunk_bytes"),
+            md5(col("col")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""SELECT doc_id, i - 1 AS chunk_idx,
+        octet_length(encode(substr(text, CAST((i - 1) * 256 + 1 AS INT), 256)))
+          AS chunk_bytes,
+        md5(substr(text, CAST((i - 1) * 256 + 1 AS INT), 256)) AS chunk_md5
+      FROM (SELECT doc_id, text, unnest(generate_series(1,
+              CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS i
+            FROM documents) t
+      ORDER BY doc_id, chunk_idx""")),
+
+    // ---- stubbed decode → features (typed mapPartitions path;
+    //      engine-side only → rows-only check) ----
+    QuerySpec(
+      "m03_decode_features",
+      (s, d) => decodeStub(s, Tables.documents(s, d)).orderBy("doc_id"),
+      None)
+  )
+}

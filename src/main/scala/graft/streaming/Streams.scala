@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY §2.10). The reference is
+  * batch-only; its semantics — "pick up whatever files exist now,
+  * archive so they aren't re-ingested" — are exactly the file source
+  * with `Trigger.AvailableNow` + checkpointed progress. The `events`
+  * computations below are the streaming twins of `graft.ops.Events`
+  * (same logical plans, plus watermarks for state eviction).
+  *
+  * Scale notes: state stores are keyed by (user_id | window), both
+  * bounded; watermarks bound retained state; `AvailableNow` gives
+  * batch-sized catch-up without an always-on cluster.
+  */
+object Streams {
+
+  /** Tumbling hourly counts with late-data handling: events later than
+    * `watermark` behind the max seen ts are dropped and their windows
+    * finalized. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour_start"), col("n"))
+
+  /** Gap-based sessionization via the native session_window — the
+    * streaming twin of `Events` e04. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+  // not `private`: the state encoder's generated code must reach it
+  final case class SessState(nEvents: Long, nSessions: Long, lastUs: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * and session counts (new session when the gap exceeds `gapUs`).
+    * Demonstrates arbitrary stateful processing where session_window's
+    * built-in semantics don't fit. */
+  def userSessionState(events: Dataset[Ev], gapUs: Long = 30L * 60 * 1000000)
+      (implicit spark: SparkSession): Dataset[UserSessions] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.map(e => e.ts.getTime * 1000).toArray.sorted
+          var st = state.getOption.getOrElse(SessState(0, 0, Long.MinValue))
+          sorted.foreach { us =>
+            val newSession = st.lastUs == Long.MinValue || us - st.lastUs > gapUs
+            st = SessState(st.nEvents + 1,
+              st.nSessions + (if (newSession) 1 else 0), us)
+          }
+          state.update(st)
+          UserSessions(user, st.nEvents, st.nSessions)
+      }
+  }
+
+  /** Checkpointed file ingest: every file that appears in `srcDir` is
+    * ingested exactly once across runs — the streaming-native
+    * replacement for the reference's archive-so-not-reingested
+    * bookkeeping. Runs to completion (AvailableNow) and returns. */
+  def ingestFilesOnce(spark: SparkSession, srcDir: String, destDir: String,
+      checkpoint: String): Unit = {
+    val stream = spark.readStream
+      .format("text")
+      .load(srcDir)
+      .withColumn("_file", lit(null).cast("string")) // schema stability
+      .drop("_file")
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.{Multimodal, Parity, Text}
+import org.apache.spark.sql.functions._
+
+/** Operator-level checks at sf0.001 (the driver's smoke SF) — the
+  * oracle gate runs at sf0.01; these pin behavior on tiny/degenerate
+  * data and engine-side invariants the oracle can't see. */
+class OpsSpec extends SparkSpec {
+
+  test("entry flagship query returns rows with the contract schema") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.take(2).toSeq == Seq("l_returnflag", "l_linestatus"))
+    assert(df.count() > 0)
+  }
+
+  test("every query name has distinct, well-formed registration") {
+    val names = SparkEntry.allSpecs.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(names.forall(_.matches("[a-z][a-z0-9_]+")))
+    // oracle keys are a subset of query names
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("all queries execute at sf0.001 (smoke SF) without error") {
+    val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      try { fn(spark, sf0001).count(); None }
+      catch { case e: Exception => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("MinHash-LSH near-dup pairs equal the exact Jaccard pairs") {
+    val exact = SparkEntry.queries("t08_jaccard_pairs")(spark, sf0001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = SparkEntry.queries("t09_minhash_lsh")(spark, sf0001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty) // fixtures plant near-duplicates
+    assert(lsh.toSet == exact.toSet)
+  }
+
+  test("exact dedup accounting is self-consistent") {
+    val rows = SparkEntry.queries("t07_exact_dedup")(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (distinct, docs, removed) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(docs == distinct + removed)
+    }
+  }
+
+  test("parity catalog keeps only file-facet items and defaults flags") {
+    val cat = SparkEntry.queries("p01_catalog_discovery")(spark, sf0001)
+    val rows = cat.collect()
+    assert(rows.length == 5) // 7 drive items, 2 are folders
+    val scans = rows.filter(_.getString(1) == "Scans").head
+    assert(scans.getString(5) == "False") // null flag defaulted
+    // gating: do_delete never true when archive flag is false
+    val gating = SparkEntry.queries("p04_flag_gating")(spark, sf0001)
+      .collect()
+    gating.foreach { r =>
+      if (r.getBoolean(4)) assert(r.getBoolean(3))
+    }
+  }
+
+  test("multimodal decode stub: batch shape preserves rows and features") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Multimodal.decodeStub(spark, docs, batchSize = 7)
+    assert(out.count() == docs.count())
+    val r = out.orderBy("doc_id").head()
+    val text = docs.orderBy("doc_id").select("text").head().getString(0)
+    assert(r.getInt(1) == text.getBytes("UTF-8").length)
+    assert(r.getSeq[Int](3) ==
+      text.getBytes("UTF-8").take(4).map(_.toInt & 0xff).toSeq)
+  }
+
+  test("rolling-hash fingerprint is deterministic and order-sensitive") {
+    val fp = SparkEntry.queries("t06_fingerprint")(spark, sf0001)
+    val a = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming session_window sessionizes by 30-minute gaps") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Ev]
+    ms.addData(
+      Streams.Ev(1, ts("2024-01-01 10:00:00")),
+      Streams.Ev(1, ts("2024-01-01 10:10:00")),
+      Streams.Ev(1, ts("2024-01-01 11:30:00")), // > 30 min gap: new session
+      Streams.Ev(2, ts("2024-01-01 10:05:00")))
+    val q = Streams.sessionCounts(ms.toDF)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("sess")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(out == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("watermark finalizes hourly windows and drops too-late events") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.hourlyCounts(ms.toDF, watermark = "1 hour")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(Streams.Ev(1, ts("2024-01-01 10:05:00")),
+        Streams.Ev(1, ts("2024-01-01 10:55:00")))
+      q.processAllAvailable()
+      // advance watermark past 11:00 → the 10:00 window finalizes
+      ms.addData(Streams.Ev(1, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      // this event is behind the watermark (11:30) → dropped
+      ms.addData(Streams.Ev(1, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("hourly").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // only the finalized 10:00 window is emitted in append mode, with
+    // the late event NOT counted
+    assert(out == Map("2024-01-01 10:00:00.0" -> 2L))
+  }
+
+  test("mapGroupsWithState tracks per-user session counts across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.userSessionState(ms.toDS)
+      .writeStream.format("memory").queryName("ustate")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(Streams.Ev(1, ts("2024-01-01 10:00:00")),
+        Streams.Ev(1, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // second batch: state carries over; gap > 30 min → second session
+      ms.addData(Streams.Ev(1, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val last = spark.table("ustate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).last
+    assert(last == ((1L, 3L, 2L)))
+  }
+
+  test("AvailableNow + checkpoint ingests each file exactly once") {
+    val src = Files.createTempDirectory("graft-ss-src")
+    val dest = Files.createTempDirectory("graft-ss-out").resolve("data")
+    val ckpt = Files.createTempDirectory("graft-ss-ckpt").toString
+
+    Files.writeString(src.resolve("a.txt"), "l1\nl2\n")
+    Streams.ingestFilesOnce(spark, src.toString, dest.toString, ckpt)
+    assert(spark.read.parquet(dest.toString).count() == 2)
+
+    // second run: nothing new → no duplicates (the reference needs
+    // archive+delete to get this; the checkpoint gives it for free)
+    Streams.ingestFilesOnce(spark, src.toString, dest.toString, ckpt)
+    assert(spark.read.parquet(dest.toString).count() == 2)
+
+    Files.writeString(src.resolve("b.txt"), "l3\n")
+    Streams.ingestFilesOnce(spark, src.toString, dest.toString, ckpt)
+    assert(spark.read.parquet(dest.toString).count() == 3)
+  }
+}
