@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Fused vector arithmetic as native codegen'd Catalyst expressions.
+  *
+  * The declarative form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
+  * is correct but allocates an intermediate array per pair and walks
+  * three higher-order loops; on an all-pairs cosine join that is THE
+  * hot path (s04 spent 31 s of a 77 s bench on it). These expressions
+  * generate a single fused loop with no allocation, keeping the whole
+  * stage inside codegen.
+  *
+  * Numeric contract: identical to the declarative form — elements are
+  * widened float→double (exact), then multiplied/accumulated
+  * SEQUENTIALLY in array order, so results are bitwise-equal to both
+  * the HOF version and the DuckDB `list_reduce` oracle folds.
+  */
+object VectorExprs {
+
+  private def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+
+  private def elemAsDouble(arr: String, dt: DataType, i: String): String =
+    dt match {
+      case ArrayType(FloatType, _) => s"(double)$arr.getFloat($i)"
+      case _                       => s"$arr.getDouble($i)"
+    }
+
+  private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case _                       => (a, i) => a.getDouble(i)
+  }
+
+  /** dot(a, b) = Σ aᵢ·bᵢ — sequential, fused, allocation-free. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isVec(left.dataType) && isVec(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects array<float|double> inputs, got " +
+          s"${left.dataType.sql} / ${right.dataType.sql}")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val (gx, gy) = (getter(left.dataType), getter(right.dataType))
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += gx(x, i) * gy(y, i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+          int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += ${elemAsDouble(a, left.dataType, i)} *
+              ${elemAsDouble(b, right.dataType, i)};
+          }
+          ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** norm2(a) = √(Σ aᵢ²) — same fused-loop contract. */
+  case class VecNorm(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vec_norm expects an array<float|double> input, got " +
+          child.dataType.sql)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_norm"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val gx = getter(child.dataType)
+      var acc = 0.0
+      var i = 0
+      val n = x.numElements()
+      while (i < n) { val v = gx(x, i); acc += v * v; i += 1 }
+      math.sqrt(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val v = ctx.freshName("v")
+        s"""
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $v = ${elemAsDouble(a, child.dataType, i)};
+            $acc += $v * $v;
+          }
+          ${ev.value} = java.lang.Math.sqrt($acc);
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): VecNorm =
+      copy(child = c)
+  }
+
+  // ---- Column API ----
+
+  def vecDot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(VecDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def vecNorm(a: Column): Column =
+    GraftSqlBridge.column(VecNorm(GraftSqlBridge.expression(a)))
+
+  /** Register `vec_dot` / `vec_norm` as SQL functions on a session
+    * (the imperative twin of [[GraftExtensions]] for sessions built
+    * without `spark.sql.extensions`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      (es: Seq[Expression]) => VecDot(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("vec_norm",
+      (es: Seq[Expression]) => VecNorm(es.head), "builtin")
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` exposes the
+  * vector expressions to pure-SQL users of the engine. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorExprs.VecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VectorExprs.VecDot(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VectorExprs.VecNorm].getName, "vec_norm"),
+      (es: Seq[Expression]) => VectorExprs.VecNorm(es.head)))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QuerySpec, Tables}
+import graft.functions.VectorExprs.{vecDot, vecNorm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,14 +31,13 @@ object Similarity {
   /** Exact double cast of the float embedding. */
   private def vec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product in double (order-deterministic). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(vec(a), vec(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Fused codegen'd dot product ([[graft.functions.VectorExprs]]);
+    * bitwise-equal to the sequential `aggregate(zip_with(...))` fold
+    * and to the DuckDB `list_reduce` oracle. */
+  private def dot(a: Column, b: Column): Column = vecDot(a, b)
 
-  /** Sequential-fold L2 norm. */
-  private def l2(a: Column): Column =
-    sqrt(aggregate(vec(a), lit(0.0), (acc, x) => acc + x * x))
+  /** Fused codegen'd L2 norm (same sequential contract). */
+  private def l2(a: Column): Column = vecNorm(a)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2(a) * l2(b))
@@ -132,12 +132,17 @@ object Similarity {
     QuerySpec(
       "s04_neardup_pairs",
       (s, d) => {
+        // norms once per vector (not per pair); cos = dot/(na*nb) is
+        // the same arithmetic as cosine(), so the oracle is unchanged
         val a = Tables.embeddings(s, d).select(
-          col("vec_id").as("va"), col("embedding").as("ea"))
+          col("vec_id").as("va"), col("embedding").as("ea"),
+          l2(col("embedding")).as("na"))
         val b = Tables.embeddings(s, d).select(
-          col("vec_id").as("vb"), col("embedding").as("eb"))
+          col("vec_id").as("vb"), col("embedding").as("eb"),
+          l2(col("embedding")).as("nb"))
         a.crossJoin(b).filter(col("va") < col("vb"))
-          .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("cos"))
+          .select(col("va"), col("vb"),
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
           .filter(col("cos") >= 0.4)
           .orderBy("va", "vb")
       },
@@ -163,15 +168,23 @@ object Similarity {
             when(dot(col("embedding"), p) >= 0, 1 << bit).otherwise(0)
           }.reduce(_ + _)
         val e = Tables.embeddings(s, d)
+        // signatures carry only ids — candidate dedup shuffles 2 longs
+        // per pair, not two 64-float arrays
         val sigs = (0 until 4).map { t =>
-          e.select(col("vec_id"), col("embedding"),
-            lit(t).as("tbl"), sig(t).as("sig"))
+          e.select(col("vec_id"), lit(t).as("tbl"), sig(t).as("sig"))
         }.reduce(_ unionAll _)
-        val a = sigs.toDF("va", "ea", "tbl", "sig")
-        val b = sigs.toDF("vb", "eb", "tbl", "sig")
-        a.join(b, Seq("tbl", "sig")).filter(col("va") < col("vb"))
-          .select(col("va"), col("vb"), col("ea"), col("eb")).distinct()
-          .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("cos"))
+        val a = sigs.toDF("va", "tbl", "sig")
+        val b = sigs.toDF("vb", "tbl", "sig")
+        val cands = a.join(b, Seq("tbl", "sig"))
+          .filter(col("va") < col("vb"))
+          .select(col("va"), col("vb")).distinct()
+        val withVec = e.select(col("vec_id"), col("embedding"),
+          l2(col("embedding")).as("nrm"))
+        cands
+          .join(withVec.toDF("va", "ea", "na"), "va")
+          .join(withVec.toDF("vb", "eb", "nb"), "vb")
+          .select(col("va"), col("vb"),
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
           .orderBy(desc("cos"), col("va"), col("vb"))
           .limit(100)
       },

@@ -61,10 +61,13 @@ object Text {
        WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= $thr
        ORDER BY da, db"""
 
-  /** Exploded distinct (doc_id, shingle) relation. */
+  /** Exploded distinct (doc_id, shingle) relation — persisted: the
+    * dedup queries read it from three branches (sizes + both sides of
+    * the pair join) and shingle extraction is the expensive part. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles).as("s"))
+      .persist()
 
   /** Exact near-dup pairs via shingle self-join (see scale notes). */
   private def exactJaccardPairs(s: SparkSession, d: String, thr: Double): DataFrame = {
@@ -84,10 +87,12 @@ object Text {
       .orderBy("da", "db")
   }
 
-  // MinHash parameters: 72 permutations in 24 bands x 3 rows.
-  // P(candidate | J) = 1-(1-J^3)^24: ~1-3e-8 at J=0.8, ~2% at J=0.1.
+  // MinHash parameters: 72 permutations in 18 bands x 4 rows.
+  // P(candidate | J) = 1-(1-J^4)^18: ~0.99992 at J=0.8 (recall),
+  // ~0.2% at J=0.1 (false-candidate rate — 4-row bands keep the exact
+  // verification join small).
   private val NumPerms = 72
-  private val BandRows = 3
+  private val BandRows = 4
   private val NumBands = NumPerms / BandRows
 
   val specs: Seq[QuerySpec] = Seq(
@@ -190,10 +195,13 @@ object Text {
       "t05_language_id",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // both the profile-training and classification branches read
+        // this relation — persist so the trigram explosion runs once
         val tri = docs.select(col("doc_id"), col("lang"),
             explode(array_distinct(transform(
               sequence(lit(1), length(col("text")) - 2),
               i => col("text").substr(i, lit(3))))).as("tg"))
+          .persist()
         // top-20 trigram profile per language (deterministic tie-break)
         val wProf = Window.partitionBy(col("lang"))
           .orderBy(desc("cnt"), col("tg"))
@@ -298,12 +306,24 @@ object Text {
         val docsSh = Tables.documents(s, d)
           .select(col("doc_id"), shingles.as("sh"))
           .filter(size(col("sh")) > 0)
-        // 72 min-hashes (xxhash64 seeded per permutation by mixing in
-        // the permutation index), grouped into 24 bands of 3
+          .persist() // read by the sig pipeline + both verify branches
+        // hash each shingle ONCE (strings are the expensive part), then
+        // derive the 72 permutations with the universal hash family
+        // h_j = (a_j·h + b_j) mod p, p = 2^31-1. The mod is essential:
+        // without it the map is monotonic in h and every "permutation"
+        // would pick the same min. a_j·h stays under 2^63 (31+32 bits),
+        // so ANSI mode sees no overflow.
+        val P = 2147483647L // Mersenne prime 2^31-1
+        val rnd = new scala.util.Random(7)
+        val mixA = Array.fill(NumPerms)(1L + rnd.nextInt(Int.MaxValue - 1))
+        val mixB = Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong)
+        val hashed = docsSh.withColumn("hs",
+          transform(col("sh"), sVar => xxhash64(sVar).bitwiseAND(0xffffffffL)))
         val sigCols = (0 until NumPerms).map { j =>
-          array_min(transform(col("sh"), sVar => xxhash64(sVar, lit(j))))
+          array_min(transform(col("hs"),
+            h => pmod(h * lit(mixA(j)) + lit(mixB(j)), lit(P))))
         }
-        val withSig = docsSh.withColumn("sig", array(sigCols: _*))
+        val withSig = hashed.withColumn("sig", array(sigCols: _*))
         val bandCols = (0 until NumBands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
@@ -320,9 +340,10 @@ object Text {
           .join(docsSh.toDF("da", "sha"), "da")
           .join(docsSh.toDF("db", "shb"), "db")
           .select(col("da"), col("db"),
-            (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-              (size(col("sha")) + size(col("shb")) -
-                size(array_intersect(col("sha"), col("shb")))))
+            size(array_intersect(col("sha"), col("shb"))).as("ni"),
+            size(col("sha")).as("na"), size(col("shb")).as("nb"))
+          .select(col("da"), col("db"),
+            (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
               .as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .orderBy("da", "db")
