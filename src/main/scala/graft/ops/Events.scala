@@ -232,6 +232,78 @@ object Events {
           .agg(approx_count_distinct(col("user_id")).as("approx_users"))
           .orderBy("day")
       },
-      None)
+      None),
+
+    // ---- AS-OF join: each purchase matched to the user's most recent
+    //      click at-or-before it. Spark lacks a native as-of join; the
+    //      scalable plan is union-the-tagged-streams + one window pass
+    //      (shuffle on user_id, per-user sort) — NOT an inequality
+    //      join. Ties break on (ts, tag, event_id) so the oracle's
+    //      LATERAL top-1 agrees exactly. ----
+    QuerySpec(
+      "e10_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(0).as("tag"), col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(1).as("tag"), lit(null).cast("long").as("click_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("tag"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionAll(purchases)
+          .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("asof_click").as("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, c.click_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN LATERAL (
+        SELECT event_id AS click_id FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
+      ORDER BY purchase_id""")),
+
+    // ---- range (interval) join: purchases within 30 min after an
+    //      error, same user. Scalable plan: both sides bucketed to the
+    //      interval width, equi-join on (user, bucket) with the error
+    //      probing its own + next bucket, exact predicate after —
+    //      bounded fan-out instead of an inequality nested loop. ----
+    QuerySpec(
+      "e11_range_join",
+      (s, d) => {
+        val gapUs = 30L * 60 * 1000000
+        val ev = Tables.events(s, d)
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"),
+            unix_micros(col("ts")).as("e_us"))
+          .withColumn("bucket",
+            explode(array((col("e_us") / gapUs).cast("long"),
+              (col("e_us") / gapUs).cast("long") + 1)))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("p_us"),
+            (unix_micros(col("ts")) / gapUs).cast("long").as("bucket"))
+        errs.join(purch, Seq("user_id", "bucket"))
+          .filter(col("p_us") > col("e_us") &&
+            col("p_us") <= col("e_us") + gapUs)
+          .select(col("error_id"), col("purchase_id"), col("user_id"),
+            ((col("p_us") - col("e_us")) / 1000000.0).as("gap_sec"))
+          .orderBy("error_id", "purchase_id")
+      },
+      Some("""SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+        e.user_id,
+        (epoch_us(p.ts) - epoch_us(e.ts)) / 1000000.0 AS gap_sec
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id
+        AND epoch_us(p.ts) > epoch_us(e.ts)
+        AND epoch_us(p.ts) <= epoch_us(e.ts) + 1800000000
+      ORDER BY error_id, purchase_id"""))
   )
 }

@@ -275,6 +275,20 @@ object Parity {
         (3, 'driveC', 'Backup'))
       SELECT drive_id, drive_name FROM drives
       WHERE drive_name <> 'Teams Wiki Data'
-      ORDER BY drive_idx LIMIT 1"""))
+      ORDER BY drive_idx LIMIT 1""")),
+
+    // ---- S3: site-metadata single-row lookup (resolve site id by
+    //      name, `sharepoint_to_bronze_delta.py:51-58`) ----
+    QuerySpec(
+      "p08_site_lookup",
+      (s, _) => {
+        import s.implicits._
+        sites.toDS.toDF()
+          .filter(col("site_name") === "Finance")
+          .select(col("site_id"))
+          .limit(1)
+      },
+      Some(s"""WITH $sitesSql
+      SELECT site_id FROM sites WHERE site_name = 'Finance' LIMIT 1"""))
   )
 }

@@ -561,6 +561,47 @@ object Relational {
       JOIN (SELECT o_custkey AS k, ${davgSql("o_totalprice")} AS avg_price
             FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
       WHERE o_totalprice > avg_price * 1.5
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // ---- pivot: priorities become columns (fixed value list so the
+    //      output schema is static at any SF) ----
+    QuerySpec(
+      "q25_pivot_priority",
+      (s, d) => {
+        val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority", priorities)
+          .agg(dsum(col("o_totalprice")))
+          .select(col("o_orderstatus") +:
+            priorities.map(p => col(s"`$p`").as(p.takeRight(p.length - 2)
+              .toLowerCase.replace(" ", "_"))): _*)
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus,
+        ${dsumSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS urgent,
+        ${dsumSql("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END")} AS high,
+        ${dsumSql("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END")} AS medium,
+        ${dsumSql("CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END")} AS not_specified,
+        ${dsumSql("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS low
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- custom typed Aggregator (§2.9 UDAF surface): exact decimal
+    //      sum-of-squares, partial-aggregation-capable ----
+    QuerySpec(
+      "q26_custom_agg",
+      (s, d) => {
+        val sumsq = udaf(graft.functions.Aggregators.DecimalSumSq,
+          org.apache.spark.sql.Encoders.scalaDouble)
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(sumsq(col("l_quantity")).as("sumsq_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+        ${dsumSql("l_quantity * l_quantity")} AS sumsq_qty, COUNT(1) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
