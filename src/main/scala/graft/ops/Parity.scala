@@ -289,6 +289,29 @@ object Parity {
           .limit(1)
       },
       Some(s"""WITH $sitesSql
-      SELECT site_id FROM sites WHERE site_name = 'Finance' LIMIT 1"""))
+      SELECT site_id FROM sites WHERE site_name = 'Finance' LIMIT 1""")),
+
+    // ---- S5 as a real connector: custom DataSource V2 catalog source
+    //      with folder-filter pushdown (unrequested folders are never
+    //      listed) and column pruning; the oracle replicates the
+    //      connector's deterministic fixture content ----
+    QuerySpec(
+      "p09_dsv2_catalog",
+      (s, _) => {
+        s.read.format("graph-items")
+          .option("folders", "6").option("filesPerFolder", "40").load()
+          .filter(col("folder_name").isin("folder_1", "folder_3"))
+          .groupBy(col("folder_name"))
+          .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_size"))
+          .orderBy("folder_name")
+      },
+      Some("""SELECT folder_name, COUNT(1) AS n_files,
+        SUM(size) AS total_size
+      FROM (SELECT 'folder_' || f AS folder_name,
+              (f * 31 + j * 7) % 1000 AS size
+            FROM (SELECT unnest(generate_series(0, 5)) AS f) ff,
+                 (SELECT unnest(generate_series(0, 39)) AS j) jj) t
+      WHERE folder_name IN ('folder_1', 'folder_3')
+      GROUP BY folder_name ORDER BY folder_name"""))
   )
 }

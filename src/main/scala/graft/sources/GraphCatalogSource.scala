@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector modeling the reference's remote file
+  * catalog (SURVEY §2.1 S5 — the Graph folder-children listing,
+  * `sharepoint_to_bronze_delta.py:72-77`) as a first-class Spark
+  * source. Offline, the "service" is a deterministic generator
+  * (options `folders`, `filesPerFolder`); swap the generator for Graph
+  * HTTP calls and the planning surface is unchanged.
+  *
+  * What it fixes vs the reference, by construction:
+  *  - one InputPartition PER FOLDER → listings run in parallel on
+  *    executors (the reference lists sequentially on the driver);
+  *  - `SupportsPushDownFilters` on `folder_name` → unrequested folders
+  *    are never listed at all (the reference lists then drops);
+  *  - `SupportsPushDownRequiredColumns` → only referenced columns are
+  *    materialized (the reference always builds full rows);
+  *  - pagination lives inside the reader, so `@odata.nextLink`
+  *    truncation (a real reference bug, SURVEY §7.4) can't recur.
+  *
+  * Usage: `spark.read.format("graph-items").option("folders", 8)
+  *   .option("filesPerFolder", 100).load()`
+  */
+class GraphCatalogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graph-items"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraphCatalogSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraphItemsTable(
+      properties.getOrDefault("folders", "4").toInt,
+      properties.getOrDefault("filesPerFolder", "25").toInt)
+}
+
+object GraphCatalogSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("folder_name", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("file_mime", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("download_url", StringType, nullable = false)))
+
+  def folderName(f: Int): String = s"folder_$f"
+  /** Deterministic fixture content — mirrored by the DuckDB oracle. */
+  def fileSize(f: Int, j: Int): Long = (f * 31 + j * 7) % 1000
+}
+
+private class GraphItemsTable(folders: Int, filesPerFolder: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graph_items($folders x $filesPerFolder)"
+  override def schema(): StructType = GraphCatalogSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraphItemsScanBuilder(folders, filesPerFolder)
+}
+
+private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = GraphCatalogSource.Schema
+  private var keptFolders: Option[Set[String]] = None // None = all
+  private var pushed: Array[Filter] = Array.empty
+
+  // folder_name predicates prune whole listings at the source; other
+  // filters stay with Spark (we return them as "not pushed")
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case EqualTo("folder_name", _: String) => true
+      case In("folder_name", _)              => true
+      case _                                 => false
+    }
+    pushed = ours
+    ours.foreach {
+      case EqualTo(_, v: String) =>
+        keptFolders = Some(keptFolders.getOrElse(Set.empty) + v)
+      case In(_, vs) =>
+        keptFolders = Some(keptFolders.getOrElse(Set.empty) ++
+          vs.collect { case s: String => s })
+      case _ => ()
+    }
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graph-items folders=${keptFolders.fold("*")(_.mkString(","))} " +
+        s"cols=${required.fieldNames.mkString(",")}"
+
+    override def planInputPartitions(): Array[InputPartition] =
+      (0 until folders)
+        .filter(f => keptFolders.forall(_.contains(
+          GraphCatalogSource.folderName(f))))
+        .map(f => GraphFolderPartition(f, filesPerFolder): InputPartition)
+        .toArray
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraphItemsReaderFactory(required)
+  }
+}
+
+private case class GraphFolderPartition(folder: Int, files: Int)
+    extends InputPartition
+
+private class GraphItemsReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraphFolderPartition]
+    new PartitionReader[InternalRow] {
+      // in a real connector this loop follows @odata.nextLink pages
+      private var j = -1
+      override def next(): Boolean = { j += 1; j < gp.files }
+      override def get(): InternalRow = {
+        val fn = GraphCatalogSource.folderName(gp.folder)
+        val full: Map[String, Any] = Map(
+          "folder_name" -> UTF8String.fromString(fn),
+          "name" -> UTF8String.fromString(s"${fn}_doc_$j.csv"),
+          "file_mime" -> UTF8String.fromString("text/csv"),
+          "size" -> GraphCatalogSource.fileSize(gp.folder, j),
+          "download_url" ->
+            UTF8String.fromString(s"https://graph.example/$fn/doc_$j"))
+        InternalRow.fromSeq(required.fieldNames.toSeq.map(full))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

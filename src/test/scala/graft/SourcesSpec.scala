@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  private def catalog(folders: Int = 6, files: Int = 40) =
+    spark.read.format("graph-items")
+      .option("folders", folders.toString)
+      .option("filesPerFolder", files.toString)
+      .load()
+
+  test("DSv2 source serves the full deterministic catalog") {
+    val df = catalog()
+    assert(df.count() == 6 * 40)
+    assert(df.columns.toSeq == Seq("folder_name", "name", "file_mime",
+      "size", "download_url"))
+    val r = df.filter(col("name") === "folder_2_doc_3.csv").head()
+    assert(r.getAs[Long]("size") == (2 * 31 + 3 * 7) % 1000)
+  }
+
+  test("folder filter is pushed down: pruned partitions, fewer rows read") {
+    val df = catalog().filter(col("folder_name").isin("folder_1", "folder_3"))
+    assert(df.count() == 2 * 40)
+    // the scan's description reports which folders it will list — the
+    // pushdown means only the two requested folders appear
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graph-items folders="))
+    assert(plan.contains("folder_1") && plan.contains("folder_3"))
+    assert(!plan.contains("folder_0"))
+  }
+
+  test("column pruning reaches the reader") {
+    val df = catalog().select("folder_name", "size")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=folder_name,size"))
+    assert(df.agg(sum("size")).head().getLong(0) ==
+      (for (f <- 0 until 6; j <- 0 until 40) yield (f * 31 + j * 7) % 1000).sum)
+  }
+}
