@@ -304,6 +304,30 @@ object Events {
         ON e.user_id = p.user_id
         AND epoch_us(p.ts) > epoch_us(e.ts)
         AND epoch_us(p.ts) <= epoch_us(e.ts) + 1800000000
-      ORDER BY error_id, purchase_id"""))
+      ORDER BY error_id, purchase_id""")),
+
+    // ---- schema-full JSON parsing: from_json → typed struct (the
+    //      production path for the Graph documents of SURVEY §1.1;
+    //      e05's get_json_object is the ad-hoc twin) ----
+    QuerySpec(
+      "e12_from_json",
+      (s, d) => {
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val schema = StructType(Seq(StructField("k", IntegerType)))
+        Tables.events(s, d)
+          .withColumn("p", from_json(col("props"), schema))
+          .filter(col("user_id") < 10)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            min(col("p.k")).as("min_k"), max(col("p.k")).as("max_k"),
+            davg(col("p.k")).as("avg_k"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(1) AS n, MIN(k) AS min_k,
+        MAX(k) AS max_k, ${davgSql("k")} AS avg_k
+      FROM (SELECT user_id,
+              CAST(json_extract_string(props, '$$.k') AS INT) AS k
+            FROM events WHERE user_id < 10) t
+      GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -602,6 +602,97 @@ object Relational {
       },
       Some(s"""SELECT l_returnflag,
         ${dsumSql("l_quantity * l_quantity")} AS sumsq_qty, COUNT(1) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- set operations: INTERSECT / EXCEPT ----
+    QuerySpec(
+      "q27_set_ops",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def buyers(yr: Int) = o
+          .filter(year(col("o_orderdate")) === yr)
+          .select(col("o_custkey")).distinct()
+        val both = buyers(1997).intersect(buyers(1998))
+          .select(lit("both").as("cohort"), col("o_custkey"))
+        val churned = buyers(1997).except(buyers(1998))
+          .select(lit("churned").as("cohort"), col("o_custkey"))
+        both.unionAll(churned)
+          .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+          .orderBy("cohort")
+      },
+      Some("""SELECT cohort, COUNT(1) AS n FROM (
+        SELECT 'both' AS cohort, o_custkey FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate)=1997
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate)=1998) a
+        UNION ALL
+        SELECT 'churned' AS cohort, o_custkey FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate)=1997
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate)=1998) b
+      ) t GROUP BY cohort ORDER BY cohort""")),
+
+    // ---- array aggregation + element functions ----
+    QuerySpec(
+      "q28_array_funcs",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 100)
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"))
+          .select(col("l_orderkey"),
+            size(col("qtys")).as("n_items"),
+            element_at(col("qtys"), 1).as("min_q"),
+            element_at(col("qtys"), -1).as("max_q"),
+            array_contains(col("qtys"), 30.0).as("has_30"),
+            aggregate(col("qtys"), lit(0.0), (a, x) => a + x).as("sum_q"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, len(qtys) AS n_items,
+        qtys[1] AS min_q, qtys[-1] AS max_q,
+        list_contains(qtys, 30.0) AS has_30,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), qtys),
+          (a, x) -> a + x) AS sum_q
+      FROM (SELECT l_orderkey, list(l_quantity ORDER BY l_quantity) AS qtys
+            FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey) t
+      ORDER BY l_orderkey""")),
+
+    // ---- regex functions (replace-all / extract / rlike) ----
+    QuerySpec(
+      "q29_regex_funcs",
+      (s, d) => {
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+            regexp_extract(col("p_name"), "\\b(\\w{5,})\\b", 1).as("long_word"),
+            col("p_name").rlike("red|blue").as("is_colorful"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        COALESCE(regexp_extract(p_name, '\b(\w{5,})\b', 1), '') AS long_word,
+        regexp_matches(p_name, 'red|blue') AS is_colorful
+      FROM part ORDER BY p_partkey""")),
+
+    // ---- min_by / max_by argmax aggregates ----
+    QuerySpec(
+      "q30_argmax",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(max_by(col("c_name"), col("c_acctbal")).as("richest"),
+            min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+            max(col("c_acctbal")).as("max_bal"),
+            min(col("c_acctbal")).as("min_bal"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+        arg_max(c_name, c_acctbal) AS richest,
+        arg_min(c_name, c_acctbal) AS poorest,
+        MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
   )
 }
