@@ -693,6 +693,30 @@ object Relational {
         arg_min(c_name, c_acctbal) AS poorest,
         MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
-      GROUP BY n_name ORDER BY n_name"""))
+      GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- skew-handling pattern: salted two-stage aggregation. The
+    //      group key (l_returnflag, 3 values) is maximally skewed; the
+    //      salt spreads each hot key over 16 reducers, the second
+    //      stage re-aggregates the 16 partials. Result is identical to
+    //      the direct aggregation (the oracle is the UNSALTED query) —
+    //      decimal partials make the two-stage sum order-independent. ----
+    QuerySpec(
+      "q31_salted_agg",
+      (s, d) => {
+        val salted = Tables.lineitem(s, d)
+          .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(col("l_quantity").cast(DecimalType(28, 10))).as("part_qty"),
+            count(lit(1)).as("part_n"))
+        salted
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("part_qty")).cast("double").as("total_qty"),
+            sum(col("part_n")).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS total_qty,
+        COUNT(1) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -66,6 +66,15 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same event_id
+    * whose event times fall within the watermark window — the
+    * streaming twin of the batch exact-dedup (Text t07). State is
+    * bounded: ids older than the watermark are evicted. */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Checkpointed file ingest: every file that appears in `srcDir` is
     * ingested exactly once across runs — the streaming-native
     * replacement for the reference's archive-so-not-reingested

@@ -77,6 +77,26 @@ class StreamsSpec extends SparkSpec {
     assert(last == ((1L, 3L, 2L)))
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streams.dedupedEvents(ms.toDF.toDF("event_id", "ts"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:00:30")), // re-delivery: dropped
+        (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      ms.addData((2L, ts("2024-01-01 10:02:00"))) // dup across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("AvailableNow + checkpoint ingests each file exactly once") {
     val src = Files.createTempDirectory("graft-ss-src")
     val dest = Files.createTempDirectory("graft-ss-out").resolve("data")
