@@ -10,7 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // sorted order: deterministic warmup attribution across runs
+    // untimed warmup: JVM/codegen/catalog startup shouldn't bill the
+    // first query; then run in sorted order for stable attribution
+    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -140,9 +140,9 @@ object VectorExprs {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",
-      (es: Seq[Expression]) => VecDot(es(0), es(1)), "builtin")
+      (es: Seq[Expression]) => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
-      (es: Seq[Expression]) => VecNorm(es.head), "builtin")
+      (es: Seq[Expression]) => VecNorm(es.head), "built-in")
   }
 }
 

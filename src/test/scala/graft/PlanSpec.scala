@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan shape assertions — locks in the scale-design claims
+  * of SCALE.md: pushdown reaches the scans, dimensions broadcast,
+  * aggregation is partial+final, top-k never globally sorts. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to parquet, schema pruned, partial agg") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("partial_sum"))
+    // pruned: only 7 of 11 lineitem columns read
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"))
+  }
+
+  test("q05: star joins broadcast the dimension tables") {
+    val p = plan("q05_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q03: top-10 compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q03_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("q04: semi-join stays a semi-join in the physical plan") {
+    assert(plan("q04_order_priority").contains("LeftSemi"))
+  }
+
+  test("s04: fused vector expressions appear in the plan (no HOF fold)") {
+    val p = plan("s04_neardup_pairs")
+    assert(p.contains("vec_dot") && p.contains("vec_norm"))
+    assert(!p.contains("aggregate(zip_with"))
+  }
+
+  test("e05: JSON extraction prunes to the props column") {
+    val p = plan("e05_json_props")
+    assert(!p.contains("user_id")) // unreferenced columns not read
+  }
+
+  test("vec_dot is SQL-callable after extension registration") {
+    graft.functions.VectorExprs.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d," +
+        " vec_norm(array(3.0D, 4.0D)) AS n").head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+  }
+}
