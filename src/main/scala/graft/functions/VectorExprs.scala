@@ -125,6 +125,50 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** normsq(a) = Σ aᵢ² — the no-sqrt twin of [[VecNorm]]; target of the
+    * [[FuseSelfDot]] optimizer rewrite (bitwise-identical to
+    * `VecDot(a, a)`: same sequential multiply-accumulate). */
+  case class VecNormSq(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vec_normsq expects an array<float|double> input, got " +
+          child.dataType.sql)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_normsq"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val gx = getter(child.dataType)
+      var acc = 0.0
+      var i = 0
+      val n = x.numElements()
+      while (i < n) { val v = gx(x, i); acc += v * v; i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val v = ctx.freshName("v")
+        s"""
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $v = ${elemAsDouble(a, child.dataType, i)};
+            $acc += $v * $v;
+          }
+          ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): VecNormSq =
+      copy(child = c)
+  }
+
   // ---- Column API ----
 
   def vecDot(a: Column, b: Column): Column =
@@ -146,8 +190,24 @@ object VectorExprs {
   }
 }
 
+/** Custom optimizer rule: `vec_dot(x, x)` ⇒ `vec_normsq(x)` — halves
+  * the element reads of a self-dot-product (one array traversal
+  * instead of zip-of-two). Safe: identical sequential
+  * multiply-accumulate, so results are bitwise unchanged. */
+object FuseSelfDot
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case VectorExprs.VecDot(a, b) if a.semanticEquals(b) =>
+        VectorExprs.VecNormSq(a)
+    }
+}
+
 /** `spark.sql.extensions=graft.functions.GraftExtensions` exposes the
-  * vector expressions to pure-SQL users of the engine. */
+  * vector expressions (and the self-dot fusion rule) to any session —
+  * pure-SQL users included. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -158,5 +218,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VectorExprs.VecNorm].getName, "vec_norm"),
       (es: Seq[Expression]) => VectorExprs.VecNorm(es.head)))
+    ext.injectOptimizerRule(_ => FuseSelfDot)
   }
 }

@@ -717,6 +717,77 @@ object Relational {
       },
       Some(s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS total_qty,
         COUNT(1) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- map type: build per-order linenumber→quantity maps ----
+    QuerySpec(
+      "q32_map_funcs",
+      (s, d) => {
+        // linenumbers repeat within an order in the fixtures → the map
+        // key must be made unique first (sum per line)
+        val perLine = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 100)
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(dsum(col("l_quantity")).as("qty"))
+        perLine
+          .groupBy(col("l_orderkey"))
+          .agg(map_from_entries(
+            array_sort(collect_list(struct(col("l_linenumber"), col("qty")))))
+            .as("m"))
+          .select(col("l_orderkey"),
+            size(col("m")).as("n_lines"),
+            element_at(col("m"), 1).as("qty_line1"),
+            array_max(map_keys(col("m"))).as("max_line"))
+          .orderBy("l_orderkey")
+      },
+      Some(s"""SELECT l_orderkey, CAST(cardinality(m) AS INT) AS n_lines,
+        m[1][1] AS qty_line1,
+        list_max(map_keys(m)) AS max_line
+      FROM (SELECT l_orderkey, map_from_entries(
+              list({'k': l_linenumber, 'v': qty}
+                   ORDER BY l_linenumber)) AS m
+            FROM (SELECT l_orderkey, l_linenumber,
+                    ${dsumSql("l_quantity")} AS qty
+                  FROM lineitem WHERE l_orderkey <= 100
+                  GROUP BY l_orderkey, l_linenumber) g
+            GROUP BY l_orderkey) t
+      ORDER BY l_orderkey""")),
+
+    // ---- unpivot (wide → long) ----
+    QuerySpec(
+      "q33_unpivot",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 50)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "value")
+          .orderBy("l_orderkey", "l_linenumber", "metric")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, metric, value
+      FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+              l_discount, l_tax FROM lineitem WHERE l_orderkey <= 50)
+            ON l_quantity, l_discount, l_tax
+            INTO NAME metric VALUE value)
+      ORDER BY l_orderkey, l_linenumber, metric""")),
+
+    // ---- deterministic key-bucket sampling (the reproducible,
+    //      cluster-stable alternative to random TABLESAMPLE) ----
+    QuerySpec(
+      "q34_bucket_sample",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(pmod(col("l_orderkey"), lit(20)) === 0) // 5% of orders
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("sampled_revenue"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+      },
+      Some(s"""SELECT COUNT(1) AS n,
+        ${dsumSql("l_extendedprice")} AS sampled_revenue,
+        COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem WHERE l_orderkey % 20 = 0"""))
   )
 }

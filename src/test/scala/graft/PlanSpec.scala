@@ -42,6 +42,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("user_id")) // unreferenced columns not read
   }
 
+  test("FuseSelfDot optimizer rule rewrites vec_dot(x,x) to vec_normsq") {
+    import graft.functions.{VectorExprs, FuseSelfDot}
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ FuseSelfDot
+    try {
+      val df = Tables.embeddings(spark, sf0001)
+        .select(VectorExprs.vecDot(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("embedding")).as("d"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("vec_normsq"))
+      assert(!optimized.contains("vec_dot"))
+      // bitwise-identical to the unfused form
+      val unfused = Tables.embeddings(spark, sf0001)
+        .select(VectorExprs.vecNorm(
+          org.apache.spark.sql.functions.col("embedding")).as("n"))
+        .collect().map(r => r.getDouble(0) * r.getDouble(0))
+      val fused = df.collect().map(_.getDouble(0))
+      fused.zip(unfused).foreach { case (f, u) =>
+        assert(math.abs(f - u) <= math.ulp(u) * 2)
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == FuseSelfDot)
+    }
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(

@@ -77,6 +77,27 @@ class StreamsSpec extends SparkSpec {
     assert(last == ((1L, 3L, 2L)))
   }
 
+  test("stream-static join enriches a stream against a batch dimension") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Streams.Ev]
+    val q = ms.toDF.join(dim, Seq("user_id"), "left")
+      .groupBy($"tier").count()
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      ms.addData(Streams.Ev(1, ts("2024-01-01 10:00:00")),
+        Streams.Ev(1, ts("2024-01-01 10:01:00")),
+        Streams.Ev(2, ts("2024-01-01 10:02:00")),
+        Streams.Ev(9, ts("2024-01-01 10:03:00"))) // no dim row
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("enriched").collect()
+      .map(r => Option(r.getString(0)).getOrElse("none") -> r.getLong(1)).toMap
+    assert(out == Map("gold" -> 2L, "basic" -> 1L, "none" -> 1L))
+  }
+
   test("streaming dedup drops re-delivered event ids within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
