@@ -788,6 +788,33 @@ object Relational {
       Some(s"""SELECT COUNT(1) AS n,
         ${dsumSql("l_extendedprice")} AS sampled_revenue,
         COUNT(DISTINCT l_orderkey) AS n_orders
-      FROM lineitem WHERE l_orderkey % 20 = 0"""))
+      FROM lineitem WHERE l_orderkey % 20 = 0""")),
+
+    // ---- the SQL surface end-to-end: temp views + spark.sql (the
+    //      same Catalyst plans as the DataFrame API; Spark and DuckDB
+    //      here run literally the same query text modulo the decimal
+    //      cast helper) ----
+    QuerySpec(
+      "q35_sql_api",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        s.sql(s"""
+          SELECT o_orderpriority,
+            COUNT(DISTINCT o.o_orderkey) AS n_orders,
+            CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+              AS total_qty
+          FROM orders_v o JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_totalprice > 100000.0
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some(s"""SELECT o_orderpriority,
+        COUNT(DISTINCT o.o_orderkey) AS n_orders,
+        ${dsumSql("l.l_quantity")} AS total_qty
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_totalprice > 100000.0
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
   )
 }

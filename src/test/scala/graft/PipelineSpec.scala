@@ -1,0 +1,87 @@
+package graft
+
+import graft.archive.Archive
+import graft.model.SourceFolderCfg
+import graft.pipeline.TransferPipeline
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+/** End-to-end test of the user-facing orchestrator — the "switch from
+  * the reference" story: configure folders, point at a source tree,
+  * run, audit the manifest. */
+class PipelineSpec extends SparkSpec {
+
+  private val clock = Instant.parse("2025-11-14T09:30:05Z")
+
+  test("full transfer: discover, ingest, archive, gate deletes") {
+    val src = Files.createTempDirectory("graft-pipe-src").toString
+    val bronze = Files.createTempDirectory("graft-pipe-bronze").toString
+    for ((folder, files) <- Seq(
+        "Invoices" -> Seq("a.csv", "b'quoted.csv"),
+        "Reports" -> Seq("r1.pdf"),
+        "Empty" -> Seq())) {
+      Files.createDirectories(Paths.get(src, folder))
+      files.foreach(f =>
+        Files.writeString(Paths.get(src, folder, f), s"data-$f"))
+    }
+    // a subfolder must be filtered out by the file-facet rule (P1)
+    Files.createDirectories(Paths.get(src, "Invoices", "sub"))
+
+    val folders = Seq(
+      SourceFolderCfg("Invoices", "Fin", "lh/inv", "True", "True"),
+      SourceFolderCfg("Reports", "Fin", "lh/rep", "False", null),
+      SourceFolderCfg("Empty", "Ops", "lh/empty", null, null))
+
+    val res = TransferPipeline.run(spark, folders,
+      new TransferPipeline.LocalDirListing(src),
+      new Archive.LocalFileOps(src, bronze), clock).get
+
+    // catalog: 3 files (subfolder excluded), flags defaulted
+    val cat = res.catalog.collect().map(f => f.file_name -> f).toMap
+    assert(cat.keySet == Set("a.csv", "b'quoted.csv", "r1.pdf"))
+    assert(cat("r1.pdf").delete_original == "False")
+
+    // counts relation: per folder + rollup total
+    val counts = res.folderCounts.collect()
+      .map(r => Option(r.getString(0)).getOrElse("TOTAL") -> r.getLong(1))
+      .toMap
+    assert(counts == Map("Invoices" -> 2L, "Reports" -> 1L, "TOTAL" -> 3L))
+
+    // manifest: invoices archived+deleted, report only uploaded
+    val m = res.manifest.collect().map(x => x.file_name -> x).toMap
+    assert(m.values.forall(_.uploaded))
+    assert(m("a.csv").archived && m("a.csv").deleted)
+    assert(!m("r1.pdf").archived && !m("r1.pdf").deleted)
+
+    // bronze has sanitized names; archive copies are timestamped
+    assert(Files.exists(Paths.get(bronze, "lh/inv", "b_quoted.csv")))
+    assert(Files.exists(
+      Paths.get(src, "Invoices", "archive", "141125173005_a.csv")))
+    assert(!Files.exists(Paths.get(src, "Invoices", "a.csv"))) // deleted
+    assert(Files.exists(Paths.get(src, "Reports", "r1.pdf")))  // kept
+  }
+
+  test("empty discovery short-circuits (P4)") {
+    val src = Files.createTempDirectory("graft-pipe-empty").toString
+    Files.createDirectories(Paths.get(src, "Nothing"))
+    val res = TransferPipeline.run(spark,
+      Seq(SourceFolderCfg("Nothing", "S", "lh/x", null, null)),
+      new TransferPipeline.LocalDirListing(src),
+      new Archive.LocalFileOps(src, src), clock)
+    assert(res.isEmpty)
+  }
+
+  test("malformed config fails fast (C5/P7)") {
+    intercept[IllegalArgumentException] {
+      TransferPipeline.run(spark, Seq.empty,
+        new TransferPipeline.LocalDirListing("/tmp"),
+        new Archive.LocalFileOps("/tmp", "/tmp"), clock)
+    }
+    intercept[IllegalArgumentException] {
+      TransferPipeline.run(spark,
+        Seq(SourceFolderCfg("F", "S", null, null, null)),
+        new TransferPipeline.LocalDirListing("/tmp"),
+        new Archive.LocalFileOps("/tmp", "/tmp"), clock)
+    }
+  }
+}
