@@ -815,6 +815,83 @@ object Relational {
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       WHERE o.o_totalprice > 100000.0
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority"""))
+      ORDER BY o_orderpriority""")),
+
+    // ---- explicit GROUPING SETS + grouping() marker ----
+    QuerySpec(
+      "q36_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql(s"""
+          SELECT COALESCE(o_orderstatus, 'ANY') AS status,
+            COALESCE(o_orderpriority, 'ANY') AS priority,
+            CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            COUNT(1) AS n
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+            (o_orderstatus, o_orderpriority))
+          ORDER BY status, priority""")
+      },
+      Some("""SELECT COALESCE(o_orderstatus, 'ANY') AS status,
+        COALESCE(o_orderpriority, 'ANY') AS priority,
+        CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        COUNT(1) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        (o_orderstatus, o_orderpriority))
+      ORDER BY status, priority""")),
+
+    // ---- analytic window breadth: ntile / percent_rank / cume_dist /
+    //      nth_value ----
+    QuerySpec(
+      "q37_window_breadth",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_custkey") <= 100)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 9).as("pct_rank"),
+            round(cume_dist().over(w), 9).as("cume"),
+            nth_value(col("o_orderkey"), 2).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("second_key"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+        CAST(NTILE(4) OVER w AS INT) AS quartile,
+        ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+        ROUND(CUME_DIST() OVER w, 9) AS cume,
+        NTH_VALUE(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS second_key
+      FROM orders
+      WHERE o_custkey <= 100
+      WINDOW w AS (PARTITION BY o_orderstatus
+        ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""")),
+
+    // ---- fuzzy matching: levenshtein near-match pairs of part names
+    //      (the edit-distance leg of the dedup toolkit; bounded subset
+    //      keeps the pair space small — the LSH patterns of t09/s05
+    //      are the scale path for fuzzy joins too) ----
+    QuerySpec(
+      "q38_fuzzy_match",
+      (s, d) => {
+        val p = Tables.part(s, d).filter(col("p_partkey") <= 300)
+        val a = p.select(col("p_partkey").as("ka"), col("p_name").as("na"))
+        val b = p.select(col("p_partkey").as("kb"), col("p_name").as("nb"))
+        a.crossJoin(b).filter(col("ka") < col("kb"))
+          .select(col("ka"), col("kb"),
+            levenshtein(col("na"), col("nb")).as("dist"))
+          .filter(col("dist") <= 4)
+          .orderBy("ka", "kb")
+      },
+      Some("""SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE a.p_partkey <= 300 AND b.p_partkey <= 300
+        AND levenshtein(a.p_name, b.p_name) <= 4
+      ORDER BY ka, kb"""))
   )
 }
