@@ -391,6 +391,60 @@ object Text {
                 (SELECT lang, unnest(str_split(text, ' ')) AS t
                  FROM documents) u
               GROUP BY 1, 2) c) r
-      WHERE rk <= 5 ORDER BY lang, rk"""))
+      WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // ---- duplicate clusters: connected components over the near-dup
+    //      pair graph (pairs → clusters → canonical doc = min id).
+    //      Spark side is min-label propagation iterated to fixpoint —
+    //      the Pregel-lite pattern; components here are tiny (dup
+    //      groups), so it converges in a couple of joins. At 100 TB
+    //      the same loop runs on the LSH pairs (t09) with the labels
+    //      checkpointed per iteration. Oracle: recursive-CTE
+    //      transitive closure. ----
+    QuerySpec(
+      "t12_dedup_groups",
+      (s, d) => {
+        val pairs = exactJaccardPairs(s, d, 0.8).select("da", "db")
+        val edges = pairs
+          .unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
+          .persist()
+        // label(doc) starts at min(doc, min neighbor)
+        var labels = edges.groupBy(col("da").as("doc_id"))
+          .agg(min(col("db")).as("nbr_min"))
+          .select(col("doc_id"),
+            least(col("doc_id"), col("nbr_min")).as("lbl"))
+          .persist()
+        var converged = false
+        var iters = 0
+        while (!converged && iters < 20) {
+          val viaNbr = edges.toDF("doc_id", "nbr")
+            .join(labels.toDF("nbr", "nbr_lbl"), "nbr")
+            .groupBy(col("doc_id")).agg(min(col("nbr_lbl")).as("prop"))
+          val next = labels.join(viaNbr, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("lbl"), coalesce(col("prop"), col("lbl"))).as("lbl"))
+            .persist()
+          val changes = next.toDF("doc_id", "new_lbl")
+            .join(labels, "doc_id")
+            .filter(col("new_lbl") < col("lbl")).count()
+          labels = next
+          converged = changes == 0
+          iters += 1
+        }
+        labels
+          .select(col("doc_id"), col("lbl").as("component"),
+            (col("doc_id") === col("lbl")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (${jaccardPairsSql(0.8)}),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component,
+        a = LEAST(a, MIN(b)) AS keep
+      FROM reach GROUP BY a ORDER BY doc_id"""))
   )
 }
