@@ -50,8 +50,9 @@ object Events {
 
   private val sessionizedSql =
     """SELECT user_id, ts, event_id, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
        FROM (
          SELECT *, CASE WHEN prev_us IS NULL
              OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
@@ -146,7 +147,7 @@ object Events {
       },
       Some(s"""SELECT event_type, MIN(k) AS min_k, MAX(k) AS max_k,
         ${davgSql("k")} AS avg_k,
-        SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS n_high
+        CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       FROM (SELECT event_type,
               CAST(json_extract_string(props, '$$.k') AS INT) AS k
             FROM events) t
@@ -194,8 +195,8 @@ object Events {
       },
       Some("""SELECT event_type, user_id, n, rk FROM (
         SELECT event_type, user_id, n,
-          ROW_NUMBER() OVER (PARTITION BY event_type
-            ORDER BY n DESC, user_id) AS rk
+          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY n DESC, user_id) AS INT) AS rk
         FROM (SELECT event_type, user_id, COUNT(1) AS n
               FROM events GROUP BY event_type, user_id) c) r
       WHERE rk <= 3 ORDER BY event_type, rk""")),
@@ -217,7 +218,8 @@ object Events {
       Some("""SELECT day, n_total, n_errors, n_users,
         CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE) AS error_rate
       FROM (SELECT date_trunc('day', ts) AS day, COUNT(1) AS n_total,
-              SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
               COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1) t
       ORDER BY day""")),

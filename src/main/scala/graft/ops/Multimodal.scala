@@ -64,7 +64,8 @@ object Multimodal {
             md5(payload).as("md5"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         sha256(text) AS sha256, md5(text) AS md5
       FROM documents ORDER BY doc_id""")),
 
@@ -84,9 +85,9 @@ object Multimodal {
             md5(col("col")).as("chunk_md5"))
           .orderBy("doc_id", "chunk_idx")
       },
-      Some("""SELECT doc_id, i - 1 AS chunk_idx,
-        octet_length(encode(substr(text, CAST((i - 1) * 256 + 1 AS INT), 256)))
-          AS chunk_bytes,
+      Some("""SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+        CAST(octet_length(encode(substr(text,
+          CAST((i - 1) * 256 + 1 AS INT), 256))) AS INT) AS chunk_bytes,
         md5(substr(text, CAST((i - 1) * 256 + 1 AS INT), 256)) AS chunk_md5
       FROM (SELECT doc_id, text, unnest(generate_series(1,
               CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS i

@@ -306,7 +306,7 @@ object Parity {
           .orderBy("folder_name")
       },
       Some("""SELECT folder_name, COUNT(1) AS n_files,
-        SUM(size) AS total_size
+        CAST(SUM(size) AS BIGINT) AS total_size
       FROM (SELECT 'folder_' || f AS folder_name,
               (f * 31 + j * 7) % 1000 AS size
             FROM (SELECT unnest(generate_series(0, 5)) AS f) ff,

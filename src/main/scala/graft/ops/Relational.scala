@@ -218,8 +218,8 @@ object Relational {
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
-          ROW_NUMBER() OVER (PARTITION BY o_custkey
-            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         FROM orders) t
       WHERE rn <= 3
       ORDER BY o_custkey, rn""")),
@@ -265,10 +265,10 @@ object Relational {
       },
       Some("""SELECT o_custkey, o_orderkey, gap_days FROM (
         SELECT o_custkey, o_orderkey,
-          DATE_DIFF('day',
+          CAST(DATE_DIFF('day',
             CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
               ORDER BY o_orderdate, o_orderkey) AS DATE),
-            CAST(o_orderdate AS DATE)) AS gap_days
+            CAST(o_orderdate AS DATE)) AS INT) AS gap_days
         FROM orders) t
       WHERE gap_days IS NOT NULL
       ORDER BY o_custkey, o_orderkey""")),
@@ -434,7 +434,8 @@ object Relational {
           .orderBy("bucket")
       },
       Some(s"""SELECT bucket, COUNT(1) AS n, ${dsumSql("o_totalprice")} AS total,
-        SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_filled
       FROM (SELECT o_totalprice, o_orderstatus,
         CASE WHEN o_totalprice < 50000.0 THEN 'small'
              WHEN o_totalprice < 150000.0 THEN 'medium'
@@ -459,7 +460,7 @@ object Relational {
           .orderBy("p_partkey")
       },
       Some("""SELECT p_partkey, UPPER(p_name) AS uname,
-        LENGTH(p_name) AS name_len,
+        CAST(LENGTH(p_name) AS INT) AS name_len,
         STR_SPLIT(p_name, ' ')[1] AS first_word,
         STR_SPLIT(p_name, ' ')[-1] AS last_word,
         SUBSTR(p_type, 1, 3) AS type_pfx,
@@ -648,7 +649,7 @@ object Relational {
             aggregate(col("qtys"), lit(0.0), (a, x) => a + x).as("sum_q"))
           .orderBy("l_orderkey")
       },
-      Some("""SELECT l_orderkey, len(qtys) AS n_items,
+      Some("""SELECT l_orderkey, CAST(len(qtys) AS INT) AS n_items,
         qtys[1] AS min_q, qtys[-1] AS max_q,
         list_contains(qtys, 30.0) AS has_30,
         list_reduce(list_prepend(CAST(0 AS DOUBLE), qtys),

@@ -72,7 +72,7 @@ object Similarity {
             l2(col("embedding")).as("l2_norm"))
           .orderBy("vec_id")
       },
-      Some(s"""SELECT vec_id, label, len(embedding) AS dim,
+      Some(s"""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
         ${l2Sql("e")} AS l2_norm
       FROM embeddings e ORDER BY vec_id""")),
 
@@ -98,7 +98,7 @@ object Similarity {
         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(v))),
           (acc, x) -> acc + x) / COUNT(1) AS centroid,
         CAST(COUNT(1) AS INT) AS n
-      FROM (SELECT label, g.i - 1 AS pos,
+      FROM (SELECT label, CAST(g.i - 1 AS INT) AS pos,
               CAST(embedding[g.i] AS DOUBLE) AS v
             FROM embeddings, generate_series(1, 64) AS g(i)) t
       GROUP BY label, pos ORDER BY label, pos""")),
@@ -122,8 +122,8 @@ object Similarity {
       },
       Some(s"""SELECT qid, vec_id, cos, rk FROM (
         SELECT q.vec_id AS qid, e.vec_id, ${cosineSql("q", "e")} AS cos,
-          ROW_NUMBER() OVER (PARTITION BY q.vec_id
-            ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS rk
+          CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS INT) AS rk
         FROM embeddings q JOIN embeddings e ON q.vec_id < $QueryIds
           AND e.vec_id <> q.vec_id) t
       WHERE rk <= 5 ORDER BY qid, rk""")),
@@ -211,8 +211,8 @@ object Similarity {
       },
       Some(s"""SELECT qid, vec_id, cos, rk FROM (
         SELECT q.vec_id AS qid, e.vec_id, ${cosineSql("q", "e")} AS cos,
-          ROW_NUMBER() OVER (PARTITION BY q.vec_id
-            ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS rk
+          CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS INT) AS rk
         FROM embeddings q JOIN embeddings e ON q.vec_id < $QueryIds
           AND e.label = q.label AND e.vec_id <> q.vec_id) t
       WHERE rk <= 3 ORDER BY qid, rk"""))

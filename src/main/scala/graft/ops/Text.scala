@@ -110,9 +110,11 @@ object Text {
               .cast("double") / size(toks)).as("mean_token_len"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, lang, source, LENGTH(text) AS text_len,
-        len(str_split(text, ' ')) AS n_tokens,
-        len(list_distinct(str_split(text, ' '))) AS n_distinct_tokens,
+      Some("""SELECT doc_id, lang, source,
+        CAST(LENGTH(text) AS INT) AS text_len,
+        CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+        CAST(len(list_distinct(str_split(text, ' '))) AS INT)
+          AS n_distinct_tokens,
         CAST(list_sum(list_transform(str_split(text, ' '),
           t -> LENGTH(t))) AS DOUBLE) / len(str_split(text, ' '))
           AS mean_token_len
@@ -148,9 +150,9 @@ object Text {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-        len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
-        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
-          AS bpeish_tokens
+        CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+          AS INT) AS bpeish_tokens
       FROM documents ORDER BY doc_id""")),
 
     // ---- quality scoring (length / stopword / repetition signals) ----
@@ -285,7 +287,8 @@ object Text {
           .orderBy("source")
       },
       Some("""SELECT source, COUNT(1) AS n_distinct_texts,
-        SUM(n_copies) AS n_docs, SUM(n_copies - 1) AS n_dups_removed
+        CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+        CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_removed
       FROM (SELECT source, text, MIN(doc_id) AS keep_id,
               COUNT(1) AS n_copies
             FROM documents GROUP BY source, text) g
@@ -385,8 +388,8 @@ object Text {
           .orderBy("lang", "rk")
       },
       Some("""SELECT lang, t, n, rk FROM (
-        SELECT lang, t, n, ROW_NUMBER() OVER (PARTITION BY lang
-          ORDER BY n DESC, t) AS rk
+        SELECT lang, t, n, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY n DESC, t) AS INT) AS rk
         FROM (SELECT lang, t, COUNT(1) AS n FROM
                 (SELECT lang, unnest(str_split(text, ' ')) AS t
                  FROM documents) u
