@@ -94,7 +94,18 @@ def main():
             print(f"FAIL {name}: col {c} row {i}: spark={x!r} duck={y!r}")
             n_fail += 1
         else:
-            print(f"ok   {name}: {len(a)} rows hash-match")
+            # dtype parity warning (driver may compare schemas strictly;
+            # ns-vs-us timestamps and date-as-object are pandas artifacts)
+            warns = []
+            for c in a.columns:
+                x, y = str(spark_df[c].dtype), str(duck_df[c].dtype) \
+                    if c in duck_df.columns else ("", "")
+                if x != y and not (
+                        x.startswith("datetime") and y.startswith("datetime")) \
+                        and not (x == "object" and y.startswith("datetime")):
+                    warns.append(f"{c}:{x}!={y}")
+            tag = f"  [dtype warn: {', '.join(warns)}]" if warns else ""
+            print(f"ok   {name}: {len(a)} rows hash-match{tag}")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     sys.exit(1 if n_fail else 0)
