@@ -448,6 +448,46 @@ object Text {
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
       SELECT a AS doc_id, LEAST(a, MIN(b)) AS component,
         a = LEAST(a, MIN(b)) AS keep
-      FROM reach GROUP BY a ORDER BY doc_id"""))
+      FROM reach GROUP BY a ORDER BY doc_id""")),
+
+    // ---- corpus curation: keep docs above a quality threshold,
+    //      report per-language retention (the filter step a training
+    //      pipeline runs after t04's scoring) ----
+    QuerySpec(
+      "t13_quality_filter",
+      (s, d) => {
+        val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+        val nTok = size(toks).cast("double")
+        val stopRatio =
+          size(filter(toks, t => array_contains(stop, t))).cast("double") / nTok
+        val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+        val lenScore = least(nTok / lit(100.0), lit(1.0))
+        val quality = round(lenScore * lit(0.4) + distinctRatio * lit(0.4) +
+          least(stopRatio * lit(5.0), lit(1.0)) * lit(0.2), 6)
+        Tables.documents(s, d)
+          .withColumn("q", quality)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+            round(davg(col("q")), 6).as("avg_quality"))
+          .withColumn("retention",
+            col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, COUNT(1) AS n_docs,
+        CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        ROUND(${davgSql("q")}, 6) AS avg_quality,
+        CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(1) AS retention
+      FROM (SELECT lang, ROUND(
+          LEAST(CAST(len(str_split(text,' ')) AS DOUBLE)/100.0, 1.0) * 0.4
+          + (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+             / len(str_split(text,' '))) * 0.4
+          + LEAST((CAST(len(list_filter(str_split(text,' '),
+              t -> list_contains(['the','a','of','and','to','in'], t)))
+            AS DOUBLE) / len(str_split(text,' '))) * 5.0, 1.0) * 0.2, 6)
+          AS q
+        FROM documents) t
+      GROUP BY lang ORDER BY lang"""))
   )
 }
