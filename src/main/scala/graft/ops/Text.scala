@@ -254,16 +254,15 @@ object Text {
       GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- rolling-hash document fingerprint (portable: 31-base
-    //      polynomial over character codes mod 1e9+7) ----
+    //      polynomial over character codes mod 1e9+7), computed by the
+    //      fused single-pass PolyHash expression (same value as the
+    //      split-chars + aggregate fold, no per-char array) ----
     QuerySpec(
       "t06_fingerprint",
       (s, d) => {
-        val chars = filter(split(col("text"), ""), c => c =!= "")
         Tables.documents(s, d)
           .select(col("doc_id"),
-            aggregate(chars, lit(0L),
-              (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
-              .as("fingerprint"))
+            graft.functions.TextExprs.polyHash(col("text")).as("fingerprint"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
