@@ -330,6 +330,32 @@ object Events {
       FROM (SELECT user_id,
               CAST(json_extract_string(props, '$$.k') AS INT) AS k
             FROM events WHERE user_id < 10) t
-      GROUP BY user_id ORDER BY user_id"""))
+      GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- per-event session features (training-data featurization):
+    //      position within session, seconds since session start ----
+    QuerySpec(
+      "e13_session_features",
+      (s, d) => {
+        val bySession = Window
+          .partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts"), col("event_id"))
+        sessionized(Tables.events(s, d))
+          .filter(col("user_id") < 10)
+          .withColumn("pos_in_session", row_number().over(bySession))
+          .withColumn("sec_into_session",
+            (tsUs - min(tsUs).over(bySession)) / 1000000.0)
+          .select(col("event_id"), col("user_id"), col("session_id"),
+            col("pos_in_session"), col("sec_into_session"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, session_id,
+        CAST(ROW_NUMBER() OVER w AS INT) AS pos_in_session,
+        (epoch_us(ts) - MIN(epoch_us(ts)) OVER w) / 1000000.0
+          AS sec_into_session
+      FROM (SELECT * FROM ($sessionizedSql) x WHERE user_id < 10) s
+      WINDOW w AS (PARTITION BY user_id, session_id
+        ORDER BY ts, event_id)
+      ORDER BY event_id"""))
   )
 }
