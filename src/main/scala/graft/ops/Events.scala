@@ -48,19 +48,31 @@ object Events {
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
-  private val sessionizedSql =
-    """SELECT user_id, ts, event_id, value,
+  private def sessionizedSqlWith(splitOp: String) =
+    s"""SELECT user_id, ts, event_id, value,
          CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS session_id
        FROM (
          SELECT *, CASE WHEN prev_us IS NULL
-             OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+             OR epoch_us(ts) - prev_us $splitOp 1800000000 THEN 1 ELSE 0 END
+           AS is_new
          FROM (
            SELECT user_id, ts, event_id, value,
              LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
                ORDER BY ts, event_id) AS prev_us
            FROM events) a) b"""
+
+  /** Gap-based sessionization oracle (split when gap > 30 min) — the
+    * twin of [[sessionized]]. */
+  private val sessionizedSql = sessionizedSqlWith(">")
+
+  /** `session_window` semantics oracle: Spark merges an event into the
+    * open session only when it lands STRICTLY inside (start < prev
+    * start + gap), i.e. a gap of exactly 30 min starts a NEW session —
+    * unlike [[sessionized]]'s `>` split. The e04 oracle must use `>=`
+    * or a boundary-exact fixture event would diverge. */
+  private val sessionWindowSql = sessionizedSqlWith(">=")
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -128,7 +140,7 @@ object Events {
       },
       Some(s"""SELECT user_id, MIN(ts) AS session_start,
         MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(1) AS n_events
-      FROM ($sessionizedSql) s
+      FROM ($sessionWindowSql) s
       GROUP BY user_id, session_id
       ORDER BY user_id, session_start""")),
 

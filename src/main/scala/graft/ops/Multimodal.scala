@@ -23,11 +23,14 @@ object Multimodal {
   private val payload = encode(col("text"), "UTF-8")
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  /** `head` is a comma-joined string (not array<int>): flat scalar
+    * columns keep the output sortable by any downstream tool — the
+    * driver's rows-only compare chokes on nested arrays. */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Int,
       mean_byte: Double,
-      head: Seq[Int])
+      head: String)
 
   /** STUB decode: deterministic features from raw bytes (length, mean
     * byte value, first 4 byte codes). A real impl would decode frames
@@ -45,7 +48,7 @@ object Multimodal {
             MediaFeatures(r.doc_id, bs.length,
               if (bs.isEmpty) 0.0
               else bs.map(_.toInt & 0xff).sum.toDouble / bs.length,
-              bs.take(4).map(_.toInt & 0xff).toSeq)
+              bs.take(4).map(_.toInt & 0xff).mkString(","))
           }
         }
       }.toDF()
@@ -76,9 +79,14 @@ object Multimodal {
       "m02_chunking",
       (s, d) => {
         val nChunks = ceil(octet_length(payload) / lit(256.0)).cast("int")
+        // guard nChunks=0: sequence(0, -1) counts DOWN ([0,-1]) instead
+        // of yielding an empty list — an empty payload must chunk to
+        // zero rows, like the oracle's generate_series(1, 0)
+        val idx = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))
         Tables.documents(s, d)
           .select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), nChunks - 1),
+            posexplode(transform(idx,
               i => substring(payload, i * 256 + 1, lit(256)))))
           .select(col("doc_id"), col("pos").as("chunk_idx"),
             octet_length(col("col")).as("chunk_bytes"),
@@ -94,11 +102,23 @@ object Multimodal {
             FROM documents) t
       ORDER BY doc_id, chunk_idx""")),
 
-    // ---- stubbed decode → features (typed mapPartitions path;
-    //      engine-side only → rows-only check) ----
+    // ---- stubbed decode → features (typed mapPartitions path). The
+    //      stub's features are deterministic byte math, so the oracle
+    //      can recompute them exactly: fixture text is ASCII, hence
+    //      ascii(char) == byte value and char offsets == byte offsets.
+    //      Division parity: int sum / int len is one correctly-rounded
+    //      double op in both engines ----
     QuerySpec(
       "m03_decode_features",
       (s, d) => decodeStub(s, Tables.documents(s, d)).orderBy("doc_id"),
-      None)
+      Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(str_split(text, ''),
+                    c -> ascii(c))) AS DOUBLE) / octet_length(encode(text))
+        END AS mean_byte,
+        array_to_string(list_transform(str_split(text, '')[1:4],
+          c -> CAST(ascii(c) AS VARCHAR)), ',') AS head
+      FROM documents ORDER BY doc_id"""))
   )
 }

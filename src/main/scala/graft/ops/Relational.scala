@@ -610,12 +610,17 @@ object Relational {
       "q27_set_ops",
       (s, d) => {
         val o = Tables.orders(s, d)
-        def buyers(yr: Int) = o
+        // each year's distinct buyer set is read by BOTH set-op
+        // branches — persist (scope-tracked) so orders is scanned once
+        // per year, not once per branch
+        def buyers(yr: Int) = graft.Scoped.persist(o
           .filter(year(col("o_orderdate")) === yr)
-          .select(col("o_custkey")).distinct()
-        val both = buyers(1997).intersect(buyers(1998))
+          .select(col("o_custkey")).distinct())
+        val b97 = buyers(1997)
+        val b98 = buyers(1998)
+        val both = b97.intersect(b98)
           .select(lit("both").as("cohort"), col("o_custkey"))
-        val churned = buyers(1997).except(buyers(1998))
+        val churned = b97.except(b98)
           .select(lit("churned").as("cohort"), col("o_custkey"))
         both.unionAll(churned)
           .groupBy(col("cohort")).agg(count(lit(1)).as("n"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QuerySpec, Tables}
+import graft.{QuerySpec, Scoped, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,13 +61,13 @@ object Text {
        WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= $thr
        ORDER BY da, db"""
 
-  /** Exploded distinct (doc_id, shingle) relation — persisted: the
-    * dedup queries read it from three branches (sizes + both sides of
-    * the pair join) and shingle extraction is the expensive part. */
+  /** Exploded distinct (doc_id, shingle) relation — persisted (scope-
+    * tracked): the dedup queries read it from three branches (sizes +
+    * both sides of the pair join) and shingle extraction is the
+    * expensive part. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles).as("s"))
-      .persist()
+    Scoped.persist(Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles).as("s")))
 
   /** Exact near-dup pairs via shingle self-join (see scale notes). */
   private def exactJaccardPairs(s: SparkSession, d: String, thr: Double): DataFrame = {
@@ -199,11 +199,10 @@ object Text {
         val docs = Tables.documents(s, d)
         // both the profile-training and classification branches read
         // this relation — persist so the trigram explosion runs once
-        val tri = docs.select(col("doc_id"), col("lang"),
+        val tri = Scoped.persist(docs.select(col("doc_id"), col("lang"),
             explode(array_distinct(transform(
               sequence(lit(1), length(col("text")) - 2),
-              i => col("text").substr(i, lit(3))))).as("tg"))
-          .persist()
+              i => col("text").substr(i, lit(3))))).as("tg")))
         // top-20 trigram profile per language (deterministic tie-break)
         val wProf = Window.partitionBy(col("lang"))
           .orderBy(desc("cnt"), col("tg"))
@@ -305,10 +304,10 @@ object Text {
     QuerySpec(
       "t09_minhash_lsh",
       (s, d) => {
-        val docsSh = Tables.documents(s, d)
+        val docsSh = Scoped.persist(Tables.documents(s, d)
           .select(col("doc_id"), shingles.as("sh"))
           .filter(size(col("sh")) > 0)
-          .persist() // read by the sig pipeline + both verify branches
+        ) // read by the sig pipeline + both verify branches
         // hash each shingle ONCE (strings are the expensive part), then
         // derive the 72 permutations with the universal hash family
         // h_j = (a_j·h + b_j) mod p, p = 2^31-1. The mod is essential:
@@ -321,11 +320,12 @@ object Text {
         val mixB = Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong)
         val hashed = docsSh.withColumn("hs",
           transform(col("sh"), sVar => xxhash64(sVar).bitwiseAND(0xffffffffL)))
-        val sigCols = (0 until NumPerms).map { j =>
-          array_min(transform(col("hs"),
-            h => pmod(h * lit(mixA(j)) + lit(mixB(j)), lit(P))))
-        }
-        val withSig = hashed.withColumn("sig", array(sigCols: _*))
+        // all 72 permuted minima in ONE pass over hs (the declarative
+        // 72 × array_min(transform(...)) walked the array 72 times and
+        // was 28% of the whole bench) — fused codegen expression
+        val withSig = hashed.withColumn("sig",
+          graft.functions.TextExprs.minHashSig(
+            col("hs"), mixA.toSeq, mixB.toSeq, P))
         val bandCols = (0 until NumBands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
@@ -407,9 +407,8 @@ object Text {
       "t12_dedup_groups",
       (s, d) => {
         val pairs = exactJaccardPairs(s, d, 0.8).select("da", "db")
-        val edges = pairs
-          .unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
-          .persist()
+        val edges = Scoped.persist(pairs
+          .unionAll(pairs.select(col("db").as("da"), col("da").as("db"))))
         // label(doc) starts at min(doc, min neighbor)
         var labels = edges.groupBy(col("da").as("doc_id"))
           .agg(min(col("db")).as("nbr_min"))
@@ -429,10 +428,17 @@ object Text {
           val changes = next.toDF("doc_id", "new_lbl")
             .join(labels, "doc_id")
             .filter(col("new_lbl") < col("lbl")).count()
+          // `changes` materialized `next`, so the previous generation's
+          // cache is dead — drop it NOW, not at session end (at scale
+          // the label table is O(corpus) and 20 generations would pin
+          // 20 copies; this is also where a 100 TB run would checkpoint
+          // to truncate lineage)
+          labels.unpersist(blocking = false)
           labels = next
           converged = changes == 0
           iters += 1
         }
+        Scoped.persist(labels) // final generation: scope-released
         labels
           .select(col("doc_id"), col("lbl").as("component"),
             (col("doc_id") === col("lbl")).as("keep"))

@@ -50,3 +50,33 @@ final case class QuerySpec(
     oracle: Option[String]) {
   def run(spark: SparkSession, dir: String): DataFrame = fn(spark, dir)
 }
+
+/** Scope-tracked persists. Query builders persist relations that
+  * multiple plan branches read (shingle sets, edge lists, …); without
+  * a release point those blocks accumulate in the block-manager cache
+  * for the life of the session — at 100 TB that is executor memory the
+  * caller never asked for. Builders register through [[persist]]; the
+  * harness (Bench / Verify / tests) calls [[release]] after it has
+  * materialized each query's output. Releasing after materialization
+  * is safe: unpersist only drops cached blocks, a re-execution would
+  * just recompute.
+  */
+object Scoped {
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  def persist(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    tracked.add(p)
+    p
+  }
+
+  /** Drop every tracked cache (idempotent; non-blocking eviction). */
+  def release(): Unit = {
+    var df = tracked.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = tracked.poll()
+    }
+  }
+}

@@ -74,7 +74,11 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int)
   private var pushed: Array[Filter] = Array.empty
 
   // folder_name predicates prune whole listings at the source; other
-  // filters stay with Spark (we return them as "not pushed")
+  // filters stay with Spark (we return them as "not pushed").
+  // The incoming array is a CONJUNCTION: a pushed filter is removed
+  // from Spark's post-scan evaluation, so each accepted filter must
+  // INTERSECT the kept-folder set — unioning would turn
+  // `folder_name = 'a' AND folder_name IN ('a','b')` into a superset.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
       case EqualTo("folder_name", _: String) => true
@@ -82,13 +86,13 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int)
       case _                                 => false
     }
     pushed = ours
-    ours.foreach {
-      case EqualTo(_, v: String) =>
-        keptFolders = Some(keptFolders.getOrElse(Set.empty) + v)
-      case In(_, vs) =>
-        keptFolders = Some(keptFolders.getOrElse(Set.empty) ++
-          vs.collect { case s: String => s })
-      case _ => ()
+    ours.foreach { f =>
+      val vs: Set[String] = f match {
+        case EqualTo(_, v: String) => Set(v)
+        case In(_, xs)             => xs.collect { case s: String => s }.toSet
+        case _                     => Set.empty // unreachable (partition above)
+      }
+      keptFolders = Some(keptFolders.fold(vs)(_ intersect vs))
     }
     rest
   }

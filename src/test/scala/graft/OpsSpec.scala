@@ -69,8 +69,8 @@ class OpsSpec extends SparkSpec {
     val r = out.orderBy("doc_id").head()
     val text = docs.orderBy("doc_id").select("text").head().getString(0)
     assert(r.getInt(1) == text.getBytes("UTF-8").length)
-    assert(r.getSeq[Int](3) ==
-      text.getBytes("UTF-8").take(4).map(_.toInt & 0xff).toSeq)
+    assert(r.getString(3) ==
+      text.getBytes("UTF-8").take(4).map(_.toInt & 0xff).mkString(","))
   }
 
   test("rolling-hash fingerprint is deterministic and order-sensitive") {
