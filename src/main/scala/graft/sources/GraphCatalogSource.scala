@@ -39,7 +39,8 @@ class GraphCatalogSource extends TableProvider
       properties: util.Map[String, String]): Table =
     new GraphItemsTable(
       properties.getOrDefault("folders", "4").toInt,
-      properties.getOrDefault("filesPerFolder", "25").toInt)
+      properties.getOrDefault("filesPerFolder", "25").toInt,
+      properties.getOrDefault("pageSize", "10").toInt)
 }
 
 object GraphCatalogSource {
@@ -53,20 +54,40 @@ object GraphCatalogSource {
   def folderName(f: Int): String = s"folder_$f"
   /** Deterministic fixture content — mirrored by the DuckDB oracle. */
   def fileSize(f: Int, j: Int): Long = (f * 31 + j * 7) % 1000
+
+  /** One page of a folder listing: first item index, item count, and
+    * the continuation token for the next page — the offline stand-in
+    * for Graph's `@odata.nextLink` (an opaque URL there, an opaque int
+    * here; the reader must treat "token present" as "more pages",
+    * which is exactly the contract the reference's listing loop broke
+    * by reading only the first response, SURVEY §7.4). */
+  final case class Page(start: Int, count: Int, next: Option[Int])
+
+  /** Test-visible instrumentation: pages served since last reset. */
+  val pagesServed = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The paginated "service" call. Deterministic; never returns more
+    * than `pageSize` items. */
+  def listPage(files: Int, pageSize: Int, token: Int): Page = {
+    pagesServed.incrementAndGet()
+    val n = math.max(0, math.min(pageSize, files - token))
+    val nextTok = token + n
+    Page(token, n, if (n > 0 && nextTok < files) Some(nextTok) else None)
+  }
 }
 
-private class GraphItemsTable(folders: Int, filesPerFolder: Int)
-    extends Table with SupportsRead {
+private class GraphItemsTable(folders: Int, filesPerFolder: Int,
+    pageSize: Int) extends Table with SupportsRead {
   override def name(): String = s"graph_items($folders x $filesPerFolder)"
   override def schema(): StructType = GraphCatalogSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraphItemsScanBuilder(folders, filesPerFolder)
+    new GraphItemsScanBuilder(folders, filesPerFolder, pageSize)
 }
 
-private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int)
-    extends ScanBuilder
+private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
+    pageSize: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = GraphCatalogSource.Schema
@@ -112,7 +133,8 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int)
       (0 until folders)
         .filter(f => keptFolders.forall(_.contains(
           GraphCatalogSource.folderName(f))))
-        .map(f => GraphFolderPartition(f, filesPerFolder): InputPartition)
+        .map(f =>
+          GraphFolderPartition(f, filesPerFolder, pageSize): InputPartition)
         .toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -120,17 +142,35 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int)
   }
 }
 
-private case class GraphFolderPartition(folder: Int, files: Int)
-    extends InputPartition
+private case class GraphFolderPartition(folder: Int, files: Int,
+    pageSize: Int) extends InputPartition
 
 private class GraphItemsReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraphFolderPartition]
     new PartitionReader[InternalRow] {
-      // in a real connector this loop follows @odata.nextLink pages
-      private var j = -1
-      override def next(): Boolean = { j += 1; j < gp.files }
+      // Pagination is OWNED BY THE READER: drain the current page,
+      // then follow the continuation token until the service stops
+      // returning one — rows stream through `next()/get()` so a
+      // million-item folder never materializes in one buffer. This is
+      // the @odata.nextLink loop the reference's listing lacked.
+      private var page = GraphCatalogSource.listPage(gp.files, gp.pageSize, 0)
+      private var off = -1 // offset within the current page
+      private var j = 0    // absolute item index = page.start + off
+      override def next(): Boolean = {
+        off += 1
+        while (off >= page.count) {
+          page.next match {
+            case Some(tok) =>
+              page = GraphCatalogSource.listPage(gp.files, gp.pageSize, tok)
+              off = 0
+            case None => return false
+          }
+        }
+        j = page.start + off
+        true
+      }
       override def get(): InternalRow = {
         val fn = GraphCatalogSource.folderName(gp.folder)
         val full: Map[String, Any] = Map(

@@ -40,6 +40,53 @@ class IngestSpec extends SparkSpec {
     assert(back == Map("x.txt" -> "payload-x", "y.txt" -> "payload-yy"))
   }
 
+  test("merge ingest is idempotent: re-running appends nothing") {
+    import graft.ingest.BronzeMerge
+    val dir = Files.createTempDirectory("graft-merge")
+    val table = Files.createTempDirectory("graft-merge-out")
+      .resolve("bronze").toString
+    Files.writeString(dir.resolve("a.txt"), "alpha")
+    Files.writeString(dir.resolve("b.txt"), "bravo-2")
+
+    assert(BronzeMerge.mergeIngest(spark, dir.toString, table) == 2)
+    assert(BronzeMerge.snapshot(spark, table).count() == 2)
+    // exact re-run: zero appended, zero duplicates (SURVEY C4 the
+    // reference can't do — its blind append duplicates every row)
+    assert(BronzeMerge.mergeIngest(spark, dir.toString, table) == 0)
+    assert(BronzeMerge.snapshot(spark, table).count() == 2)
+
+    // incremental: only the genuinely-new file lands
+    Files.writeString(dir.resolve("c.txt"), "charlie")
+    assert(BronzeMerge.mergeIngest(spark, dir.toString, table) == 1)
+    val snap = BronzeMerge.snapshot(spark, table)
+    assert(snap.count() == 3)
+    assert(snap.select("file_name").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a.txt", "b.txt", "c.txt"))
+    // content round-trips
+    val back = snap.collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]]("content")))
+      .toMap
+    assert(back("c.txt") == "charlie")
+  }
+
+  test("merge ingest: modified file re-lands; latest-wins view dedups") {
+    import graft.ingest.BronzeMerge
+    val dir = Files.createTempDirectory("graft-merge2")
+    val table = Files.createTempDirectory("graft-merge2-out")
+      .resolve("bronze").toString
+    val aPath = dir.resolve("a.txt")
+    Files.writeString(aPath, "v1")
+    assert(BronzeMerge.mergeIngest(spark, dir.toString, table) == 1)
+    // a changed file has a NEW identity (length/modified) → re-ingested
+    Files.writeString(aPath, "v2-longer")
+    assert(BronzeMerge.mergeIngest(spark, dir.toString, table) == 1)
+    assert(BronzeMerge.snapshot(spark, table).count() == 2) // full history
+    val latest = BronzeMerge.snapshotLatest(spark, table).collect()
+    assert(latest.length == 1)
+    assert(new String(latest.head.getAs[Array[Byte]]("content")) ==
+      "v2-longer")
+  }
+
   test("csv ingest appends typed rows to the sink table") {
     val dir = Files.createTempDirectory("graft-csv")
     val sink = Files.createTempDirectory("graft-csv-out").resolve("t")

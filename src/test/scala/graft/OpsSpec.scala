@@ -73,6 +73,57 @@ class OpsSpec extends SparkSpec {
       text.getBytes("UTF-8").take(4).map(_.toInt & 0xff).mkString(","))
   }
 
+  test("HLL approximate-distinct tracks its exact twin within rel-error") {
+    // e09 (approx daily users) vs exact countDistinct — Spark's HLL++
+    // at default rsd 0.05; assert 3× slack (deterministic: fixed data,
+    // fixed hash). The oracle can't check these (DuckDB's HLL differs),
+    // so this bound IS their correctness signal.
+    val approx = SparkEntry.queries("e09_approx_users_daily")(spark, sf0001)
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, n) =>
+      val a = approx(day)
+      assert(math.abs(a - n).toDouble / n <= 0.15,
+        s"$day: approx $a vs exact $n")
+    }
+    // q23 vs exact distinct parts/orders per returnflag
+    val q23 = SparkEntry.queries("q23_approx_distinct")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ex = Tables.lineitem(spark, sf0001).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(q23.nonEmpty)
+    q23.foreach { case (flag, ap, ao) =>
+      val (ep, eo) = ex(flag)
+      assert(math.abs(ap - ep).toDouble / ep <= 0.15,
+        s"$flag parts: approx $ap vs exact $ep")
+      assert(math.abs(ao - eo).toDouble / eo <= 0.15,
+        s"$flag orders: approx $ao vs exact $eo")
+    }
+  }
+
+  test("ANN LSH recalls the exact top near-duplicate pairs") {
+    // s05's candidate generation is approximate; its correctness
+    // signal is recall against the exact all-pairs baseline s04
+    // (deterministic: fixed hyperplane seed + fixed data)
+    val exact = SparkEntry.queries("s04_neardup_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val topExact = exact.sortBy(-_._3).take(20)
+      .map(t => (t._1, t._2)).toSet
+    val lsh = SparkEntry.queries("s05_ann_lsh")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(topExact.nonEmpty)
+    val recall = topExact.count(lsh.contains).toDouble / topExact.size
+    info(s"s05 recall of exact top-${topExact.size}: $recall")
+    assert(recall >= 0.7, s"LSH recall $recall below floor")
+  }
+
   test("rolling-hash fingerprint is deterministic and order-sensitive") {
     val fp = SparkEntry.queries("t06_fingerprint")(spark, sf0001)
     val a = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -30,6 +30,29 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("folder_0"))
   }
 
+  test("reader follows continuation tokens across multiple pages") {
+    import graft.sources.GraphCatalogSource
+    // 25 files at pageSize 7 → pages of 7,7,7,4 per folder: every row
+    // must arrive and the service must have been asked for ALL pages
+    // (the reference read only the first response — SURVEY §7.4)
+    GraphCatalogSource.pagesServed.set(0)
+    val rows = spark.read.format("graph-items")
+      .option("folders", "2")
+      .option("filesPerFolder", "25")
+      .option("pageSize", "7")
+      .load()
+      .collect()
+    assert(rows.length == 2 * 25)
+    assert(rows.map(_.getAs[String]("name")).distinct.length == 2 * 25)
+    assert(GraphCatalogSource.pagesServed.get() == 2 * 4)
+    // paginated and unpaginated listings agree row-for-row
+    val unpaged = spark.read.format("graph-items")
+      .option("folders", "2").option("filesPerFolder", "25")
+      .option("pageSize", "1000").load().collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      unpaged.map(_.toString).sorted.toSeq)
+  }
+
   test("column pruning reaches the reader") {
     val df = catalog().select("folder_name", "size")
     val plan = df.queryExecution.executedPlan.toString

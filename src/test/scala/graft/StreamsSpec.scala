@@ -118,6 +118,31 @@ class StreamsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("streaming sessionCounts equals batch e04 on a fixture slice") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // same operator, same data, two execution modes: the streaming
+    // session_window must produce exactly the batch sessions (complete
+    // mode + one batch → watermark drops nothing)
+    val slice = Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("user_id") < 20)
+      .select("user_id", "ts").as[Streams.Ev].collect().toSeq
+    assert(slice.nonEmpty)
+    val ms = MemoryStream[Streams.Ev]
+    ms.addData(slice)
+    val q = Streams.sessionCounts(ms.toDF)
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))
+    val streamed = spark.table("sess_eq").collect().map(key).toSet
+    val batch = SparkEntry.queries("e04_session_window")(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("user_id") < 20)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+  }
+
   test("AvailableNow + checkpoint ingests each file exactly once") {
     val src = Files.createTempDirectory("graft-ss-src")
     val dest = Files.createTempDirectory("graft-ss-out").resolve("data")
