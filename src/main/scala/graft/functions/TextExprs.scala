@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -65,9 +65,10 @@ object TextExprs {
     * is the fused loop (k·n multiply-accumulates, zero allocation
     * beyond the output signature).
     *
-    * Overflow contract (ANSI-safe): h is masked to 32 bits and
-    * a < 2^31, so a·h + b < 2^63 — no wraparound, and `%` on
-    * non-negative operands equals `pmod`.
+    * Overflow contract (ANSI-safe): h is masked to 32 bits HERE (the
+    * caller may pass full 64-bit hashes) and a < 2^31, so a·h + b <
+    * 2^63 — no wraparound, and `%` on non-negative operands equals
+    * `pmod`.
     */
   def minHashSig(hs: ArrayData, a: Array[Long], b: Array[Long],
       p: Long): ArrayData = {
@@ -77,7 +78,7 @@ object TextExprs {
     val n = hs.numElements()
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
+      val h = hs.getLong(i) & 0xffffffffL
       var j = 0
       while (j < k) {
         val v = (a(j) * h + b(j)) % p
@@ -130,4 +131,96 @@ object TextExprs {
 
   def minHashSig(c: Column, a: Seq[Long], b: Seq[Long], mod: Long): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(c), a, b, mod))
+
+  /** Distinct 64-bit hashes of a string's word n-gram shingles in ONE
+    * pass over the UTF-8 bytes — the fused form of
+    * `array_distinct(transform(seq, i => array_join(slice(split(text,
+    * " "), i, n), " ")))`, which materializes a token array, n-token
+    * slices, joined strings, and a distinct pass per row.
+    *
+    * Key identity: a shingle (tokens i..i+n-1 re-joined with " ") is
+    * EXACTLY the original byte span from token i's first byte to token
+    * i+n-1's last byte, because the split separator is the single
+    * space that the join puts back (empty tokens from doubled spaces
+    * round-trip too). So each shingle hashes in place — zero string is
+    * ever built. ASCII 0x20 never occurs inside a multi-byte UTF-8
+    * sequence, so byte scanning is char-correct. Downstream joins and
+    * set intersections on the hashes equal those on the strings up to
+    * 64-bit collisions (~1e-7 across millions of shingles).
+    */
+  def shingleHashes(s: UTF8String, n: Int, seed: Long): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20)
+        spaces += 1
+      i += 1
+    }
+    val nTokens = spaces + 1
+    if (nTokens < n)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    // starts(j) = first byte of token j; sentinel starts(nTokens) makes
+    // "end of token j" uniformly starts(j+1) - 1
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1
+        t += 1
+      }
+      i += 1
+    }
+    starts(nTokens) = len + 1
+    val count = nTokens - n + 1
+    val out = new Array[Long](count)
+    var j = 0
+    while (j < count) {
+      val b = starts(j)
+      val e = starts(j + n) - 1
+      out(j) = XXH64.hashUnsafeBytes(base, off + b, e - b, seed)
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < count) {
+      if (out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (w == count) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Column form of [[shingleHashes(s:*]]: string → sorted distinct
+    * `array<long>` of word n-gram hashes. */
+  case class ShingleHashes(child: Expression, n: Int, seed: Long)
+      extends UnaryExpression {
+    require(n >= 1, s"shingle_hashes: n must be >= 1, got $n")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes expects a string input, got ${child.dataType.sql}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+
+    override protected def nullSafeEval(a: Any): Any =
+      shingleHashes(a.asInstanceOf[UTF8String], n, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$.shingleHashes(
+          $a, $n, ${seed}L);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): ShingleHashes =
+      copy(child = c)
+  }
+
+  def shingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
+    GraftSqlBridge.column(
+      ShingleHashes(GraftSqlBridge.expression(c), n, seed))
 }

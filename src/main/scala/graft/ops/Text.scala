@@ -27,15 +27,18 @@ object Text {
 
   private val toks = split(col("text"), " ")
 
-  /** Distinct word 3-gram shingles of `text` (empty when < 3 tokens —
-    * sequence(1,0) would count DOWN, not produce an empty array). */
-  private val shingles: Column = {
-    val t = toks
-    when(size(t) < 3, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(t) - 2),
-        i => array_join(slice(t, i, lit(3)), " "))))
-  }
+  /** Distinct word 3-gram shingles of `text` as 64-bit hashes, fused
+    * into one pass over the bytes ([[graft.functions.TextExprs
+    * .ShingleHashes]]). The dedup queries only ever COUNT shingle-set
+    * sizes and intersections, so hashing is transparent: counts on the
+    * hash sets equal counts on the string sets up to 64-bit collisions
+    * (~1e-7 across millions of shingles), the joins shuffle 8-byte
+    * longs instead of ~40-byte strings, and the string form —
+    * `array_distinct(transform(sequence(...), i =>
+    * array_join(slice(split(text, " "), i, 3), " ")))` — never
+    * materializes its token/slice/joined-string intermediates. */
+  private val shingles: Column =
+    graft.functions.TextExprs.shingleHashes(col("text"), 3)
 
   /** DuckDB equivalent of [[shingles]] as exploded (doc_id, s) rows. */
   private val shinglesSql =
@@ -308,24 +311,22 @@ object Text {
           .select(col("doc_id"), shingles.as("sh"))
           .filter(size(col("sh")) > 0)
         ) // read by the sig pipeline + both verify branches
-        // hash each shingle ONCE (strings are the expensive part), then
-        // derive the 72 permutations with the universal hash family
-        // h_j = (a_j·h + b_j) mod p, p = 2^31-1. The mod is essential:
-        // without it the map is monotonic in h and every "permutation"
-        // would pick the same min. a_j·h stays under 2^63 (31+32 bits),
-        // so ANSI mode sees no overflow.
+        // the shingles are already 64-bit hashes; derive the 72
+        // permutations with the universal hash family h_j = (a_j·h +
+        // b_j) mod p, p = 2^31-1 (MinHashSig masks h to 32 bits). The
+        // mod is essential: without it the map is monotonic in h and
+        // every "permutation" would pick the same min. a_j·h stays
+        // under 2^63 (31+32 bits), so ANSI mode sees no overflow.
         val P = 2147483647L // Mersenne prime 2^31-1
         val rnd = new scala.util.Random(7)
         val mixA = Array.fill(NumPerms)(1L + rnd.nextInt(Int.MaxValue - 1))
         val mixB = Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong)
-        val hashed = docsSh.withColumn("hs",
-          transform(col("sh"), sVar => xxhash64(sVar).bitwiseAND(0xffffffffL)))
-        // all 72 permuted minima in ONE pass over hs (the declarative
+        // all 72 permuted minima in ONE pass over sh (the declarative
         // 72 × array_min(transform(...)) walked the array 72 times and
         // was 28% of the whole bench) — fused codegen expression
-        val withSig = hashed.withColumn("sig",
+        val withSig = docsSh.withColumn("sig",
           graft.functions.TextExprs.minHashSig(
-            col("hs"), mixA.toSeq, mixB.toSeq, P))
+            col("sh"), mixA.toSeq, mixB.toSeq, P))
         val bandCols = (0 until NumBands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
