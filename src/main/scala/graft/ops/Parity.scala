@@ -125,6 +125,34 @@ object Parity {
        ('host,s4,w4', 'p5', ['write'],
         [{'app_id': 'cccc-3333', 'display_name': 'Third App'}]))"""
 
+  /** Fixture permission table as a DataFrame (test access). */
+  private[graft] def permissionsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    permissions.toDS.toDF()
+  }
+
+  /** K5 as a dataflow operator: the reference's grant utility
+    * (`utility_sp_grant_siteselected.py:60-100`) lists a site's
+    * permissions, scans the nested grantee array for the app, and
+    * POSTs a "write" grant only when absent — a check-then-insert.
+    * Re-expressed: requested sites anti-join the already-granted set
+    * (existence over the nested array, null-safe for the missing V2
+    * key), and only the misses produce new permission rows. Applying
+    * the result again grants nothing — idempotent by construction,
+    * which the reference achieves only through its if/else. */
+  def grantIfAbsent(perms: DataFrame, requests: DataFrame,
+      appId: String, displayName: String): DataFrame = {
+    val grantedSites = perms
+      .filter(exists(col("granted"), g => g("app_id") === appId))
+      .select(col("site_id")).distinct()
+    requests.join(grantedSites, Seq("site_id"), "left_anti")
+      .select(col("site_id"),
+        concat(lit("auto_"), col("site_id")).as("perm_id"),
+        array(lit("write")).as("roles"),
+        array(struct(lit(appId).as("app_id"),
+          lit(displayName).as("display_name"))).as("granted"))
+  }
+
   /** The catalog query (§3.2): file-facet filter → broadcast config
     * join → 7-column projection with defaulted flags. */
   private def catalog(s: SparkSession): DataFrame = {
@@ -312,6 +340,47 @@ object Parity {
             FROM (SELECT unnest(generate_series(0, 5)) AS f) ff,
                  (SELECT unnest(generate_series(0, 39)) AS j) jj) t
       WHERE folder_name IN ('folder_1', 'folder_3')
-      GROUP BY folder_name ORDER BY folder_name"""))
+      GROUP BY folder_name ORDER BY folder_name""")),
+
+    // ---- K5: permission grant-if-absent — post-state of the
+    //      permission table after requesting the app on three sites
+    //      (s1 already granted → skipped; s3 null grantee list and s4
+    //      other-app-only → new rows). Nested arrays flattened to
+    //      joined strings so the output is scalar-sortable. ----
+    QuerySpec(
+      "p10_grant_upsert",
+      (s, _) => {
+        import s.implicits._
+        val perms = permissions.toDS.toDF()
+        val requests = Seq("host,s1,w1", "host,s3,w3", "host,s4,w4")
+          .toDF("site_id")
+        val post = perms.unionByName(
+          grantIfAbsent(perms, requests, TargetApp, "Site Access App"))
+        post.select(col("site_id"), col("perm_id"),
+            array_join(col("roles"), ",").as("roles"),
+            coalesce(array_join(
+              transform(col("granted"), g => g("app_id")), ","), lit(""))
+              .as("grantee_apps"))
+          .orderBy("site_id", "perm_id")
+      },
+      Some(s"""WITH $permissionsSql,
+        requests(site_id) AS (VALUES
+          ('host,s1,w1'), ('host,s3,w3'), ('host,s4,w4')),
+        granted_sites AS (
+          SELECT DISTINCT site_id FROM permissions
+          WHERE len(list_filter(granted, g -> g.app_id = '$TargetApp')) > 0),
+        new_grants AS (
+          SELECT r.site_id, 'auto_' || r.site_id AS perm_id,
+            ['write'] AS roles,
+            [{'app_id': '$TargetApp', 'display_name': 'Site Access App'}]
+              AS granted
+          FROM requests r
+          WHERE r.site_id NOT IN (SELECT site_id FROM granted_sites)),
+        post AS (SELECT * FROM permissions
+                 UNION ALL SELECT * FROM new_grants)
+      SELECT site_id, perm_id, array_to_string(roles, ',') AS roles,
+        coalesce(array_to_string(
+          list_transform(granted, g -> g.app_id), ','), '') AS grantee_apps
+      FROM post ORDER BY site_id, perm_id"""))
   )
 }

@@ -73,6 +73,24 @@ class OpsSpec extends SparkSpec {
       text.getBytes("UTF-8").take(4).map(_.toInt & 0xff).mkString(","))
   }
 
+  test("grant-if-absent is idempotent: re-applying grants nothing") {
+    import spark.implicits._
+    val perms = Parity.permissionsDf(spark)
+    val requests = Seq("host,s1,w1", "host,s3,w3", "host,s4,w4")
+      .toDF("site_id")
+    val first = Parity.grantIfAbsent(perms, requests, "aaaa-1111",
+      "Site Access App")
+    // s1 already holds the grant; s3 (null grantee list) and s4
+    // (other app only) get new rows
+    assert(first.select("site_id").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("host,s3,w3", "host,s4,w4"))
+    // K5 re-run: the post-state already contains every grant
+    val post = perms.unionByName(first)
+    val second = Parity.grantIfAbsent(post, requests, "aaaa-1111",
+      "Site Access App")
+    assert(second.isEmpty)
+  }
+
   test("HLL approximate-distinct tracks its exact twin within rel-error") {
     // e09 (approx daily users) vs exact countDistinct — Spark's HLL++
     // at default rsd 0.05; assert 3× slack (deterministic: fixed data,
