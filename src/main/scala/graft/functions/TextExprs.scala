@@ -223,4 +223,74 @@ object TextExprs {
   def shingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
     GraftSqlBridge.column(
       ShingleHashes(GraftSqlBridge.expression(c), n, seed))
+
+  /** Distinct character n-grams in one pass — the fused form of
+    * `array_distinct(transform(sequence(1, length(text) - (n-1)),
+    * i => substr(text, i, n)))`, which builds an index array, a
+    * substring per position, and a distinct pass per row. The n-grams
+    * stay STRINGS (unlike [[shingleHashes(s:*]]) because downstream
+    * consumers tie-break on the n-gram's string order (t05's profile
+    * rank), which a hash would scramble. Code-point aware, matching
+    * `substr` semantics on any BMP+ text. */
+  def charNGrams(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // byte start offset of each code point (+ sentinel at the end)
+    val starts = new Array[Int](len + 1)
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      starts(nChars) = i
+      i += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      nChars += 1
+    }
+    starts(nChars) = len
+    if (nChars < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var j = 0
+    val count = nChars - n + 1
+    while (j < count) {
+      val b = starts(j)
+      val e = starts(j + n)
+      val bytes = new Array[Byte](e - b)
+      org.apache.spark.unsafe.Platform.copyMemory(base, off + b, bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, e - b)
+      seen.add(UTF8String.fromBytes(bytes))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Column form of [[charNGrams(s:*]]: string → distinct
+    * `array<string>` of character n-grams (first-occurrence order,
+    * like `array_distinct`). */
+  case class CharNGrams(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"char_ngrams: n must be >= 1, got $n")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"char_ngrams expects a string input, got ${child.dataType.sql}")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "char_ngrams"
+
+    override protected def nullSafeEval(a: Any): Any =
+      charNGrams(a.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$.charNGrams($a, $n);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): CharNGrams =
+      copy(child = c)
+  }
+
+  def charNGrams(c: Column, n: Int): Column =
+    GraftSqlBridge.column(CharNGrams(GraftSqlBridge.expression(c), n))
 }

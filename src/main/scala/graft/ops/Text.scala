@@ -98,6 +98,56 @@ object Text {
   private val BandRows = 4
   private val NumBands = NumPerms / BandRows
 
+  /** Near-dup pairs via MinHash+LSH with exact verification — same
+    * output as [[exactJaccardPairs]] (candidate recall ~0.99992 at
+    * J=0.8), found without the all-pairs shingle join. Shared by t09
+    * and t12 (the clustering runs on the scale path's pairs). */
+  private def lshJaccardPairs(s: SparkSession, d: String,
+      thr: Double): DataFrame = {
+    val docsSh = Scoped.persist(Tables.documents(s, d)
+      .select(col("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+    ) // read by the sig pipeline + both verify branches
+    // the shingles are already 64-bit hashes; derive the 72
+    // permutations with the universal hash family h_j = (a_j·h +
+    // b_j) mod p, p = 2^31-1 (MinHashSig masks h to 32 bits). The
+    // mod is essential: without it the map is monotonic in h and
+    // every "permutation" would pick the same min. a_j·h stays
+    // under 2^63 (31+32 bits), so ANSI mode sees no overflow.
+    val P = 2147483647L // Mersenne prime 2^31-1
+    val rnd = new scala.util.Random(7)
+    val mixA = Array.fill(NumPerms)(1L + rnd.nextInt(Int.MaxValue - 1))
+    val mixB = Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong)
+    // all 72 permuted minima in ONE pass over sh (the declarative
+    // 72 × array_min(transform(...)) walked the array 72 times and
+    // was 28% of the whole bench) — fused codegen expression
+    val withSig = docsSh.withColumn("sig",
+      graft.functions.TextExprs.minHashSig(
+        col("sh"), mixA.toSeq, mixB.toSeq, P))
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
+    }
+    val bands = withSig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .distinct()
+    val cands = bands.toDF("da", "band", "bh")
+      .join(bands.toDF("db", "band", "bh"), Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    cands
+      .join(docsSh.toDF("da", "sha"), "da")
+      .join(docsSh.toDF("db", "shb"), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sha"), col("shb"))).as("ni"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .select(col("da"), col("db"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= thr)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- per-document stats (token counts, lengths) ----
@@ -201,11 +251,13 @@ object Text {
       (s, d) => {
         val docs = Tables.documents(s, d)
         // both the profile-training and classification branches read
-        // this relation — persist so the trigram explosion runs once
+        // this relation — persist so the trigram explosion runs once;
+        // CharNGrams extracts the distinct trigrams in a single fused
+        // pass (trigrams stay strings: the profile rank tie-breaks on
+        // the trigram itself, which hashing would scramble)
         val tri = Scoped.persist(docs.select(col("doc_id"), col("lang"),
-            explode(array_distinct(transform(
-              sequence(lit(1), length(col("text")) - 2),
-              i => col("text").substr(i, lit(3))))).as("tg")))
+            explode(graft.functions.TextExprs.charNGrams(col("text"), 3))
+              .as("tg")))
         // top-20 trigram profile per language (deterministic tie-break)
         val wProf = Window.partitionBy(col("lang"))
           .orderBy(desc("cnt"), col("tg"))
@@ -306,51 +358,7 @@ object Text {
     //      the all-pairs shingle join (the 100 TB path) ----
     QuerySpec(
       "t09_minhash_lsh",
-      (s, d) => {
-        val docsSh = Scoped.persist(Tables.documents(s, d)
-          .select(col("doc_id"), shingles.as("sh"))
-          .filter(size(col("sh")) > 0)
-        ) // read by the sig pipeline + both verify branches
-        // the shingles are already 64-bit hashes; derive the 72
-        // permutations with the universal hash family h_j = (a_j·h +
-        // b_j) mod p, p = 2^31-1 (MinHashSig masks h to 32 bits). The
-        // mod is essential: without it the map is monotonic in h and
-        // every "permutation" would pick the same min. a_j·h stays
-        // under 2^63 (31+32 bits), so ANSI mode sees no overflow.
-        val P = 2147483647L // Mersenne prime 2^31-1
-        val rnd = new scala.util.Random(7)
-        val mixA = Array.fill(NumPerms)(1L + rnd.nextInt(Int.MaxValue - 1))
-        val mixB = Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong)
-        // all 72 permuted minima in ONE pass over sh (the declarative
-        // 72 × array_min(transform(...)) walked the array 72 times and
-        // was 28% of the whole bench) — fused codegen expression
-        val withSig = docsSh.withColumn("sig",
-          graft.functions.TextExprs.minHashSig(
-            col("sh"), mixA.toSeq, mixB.toSeq, P))
-        val bandCols = (0 until NumBands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
-        }
-        val bands = withSig
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-          .distinct()
-        val cands = bands.toDF("da", "band", "bh")
-          .join(bands.toDF("db", "band", "bh"), Seq("band", "bh"))
-          .filter(col("da") < col("db"))
-          .select("da", "db").distinct()
-        cands
-          .join(docsSh.toDF("da", "sha"), "da")
-          .join(docsSh.toDF("db", "shb"), "db")
-          .select(col("da"), col("db"),
-            size(array_intersect(col("sha"), col("shb"))).as("ni"),
-            size(col("sha")).as("na"), size(col("shb")).as("nb"))
-          .select(col("da"), col("db"),
-            (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
-          .orderBy("da", "db")
-      },
+      (s, d) => lshJaccardPairs(s, d, 0.8).orderBy("da", "db"),
       Some(jaccardPairsSql(0.8))),
 
     // ---- SimHash 64-bit signatures (engine-specific hash bits →
@@ -407,39 +415,48 @@ object Text {
     QuerySpec(
       "t12_dedup_groups",
       (s, d) => {
-        val pairs = exactJaccardPairs(s, d, 0.8).select("da", "db")
+        // pairs come from the LSH path (same output as the brute join,
+        // proven by t09's oracle hash-match) — at 100 TB this IS the
+        // pair source, so the clustering exercises the scale shape
+        val pairs = lshJaccardPairs(s, d, 0.8).select("da", "db")
         val edges = Scoped.persist(pairs
           .unionAll(pairs.select(col("db").as("da"), col("da").as("db"))))
-        // label(doc) starts at min(doc, min neighbor)
-        var labels = edges.groupBy(col("da").as("doc_id"))
+        // label(doc) starts at min(doc, min neighbor); `cached` is the
+        // physically persisted generation, `labels` its (doc_id, lbl)
+        // view
+        var cached = edges.groupBy(col("da").as("doc_id"))
           .agg(min(col("db")).as("nbr_min"))
           .select(col("doc_id"),
             least(col("doc_id"), col("nbr_min")).as("lbl"))
           .persist()
+        var labels = cached
         var converged = false
         var iters = 0
         while (!converged && iters < 20) {
           val viaNbr = edges.toDF("doc_id", "nbr")
             .join(labels.toDF("nbr", "nbr_lbl"), "nbr")
             .groupBy(col("doc_id")).agg(min(col("nbr_lbl")).as("prop"))
+          // propagate and detect change in the SAME pass — a `changed`
+          // flag rides along instead of a second labels-vs-next join,
+          // halving the per-iteration job count
           val next = labels.join(viaNbr, Seq("doc_id"), "left")
             .select(col("doc_id"),
-              least(col("lbl"), coalesce(col("prop"), col("lbl"))).as("lbl"))
+              least(col("lbl"), coalesce(col("prop"), col("lbl"))).as("lbl"),
+              (coalesce(col("prop"), col("lbl")) < col("lbl")).as("changed"))
             .persist()
-          val changes = next.toDF("doc_id", "new_lbl")
-            .join(labels, "doc_id")
-            .filter(col("new_lbl") < col("lbl")).count()
+          val changes = next.filter(col("changed")).count()
           // `changes` materialized `next`, so the previous generation's
           // cache is dead — drop it NOW, not at session end (at scale
           // the label table is O(corpus) and 20 generations would pin
           // 20 copies; this is also where a 100 TB run would checkpoint
           // to truncate lineage)
-          labels.unpersist(blocking = false)
-          labels = next
+          cached.unpersist(blocking = false)
+          cached = next
+          labels = next.select(col("doc_id"), col("lbl"))
           converged = changes == 0
           iters += 1
         }
-        Scoped.persist(labels) // final generation: scope-released
+        Scoped.persist(cached) // final generation: scope-released
         labels
           .select(col("doc_id"), col("lbl").as("component"),
             (col("doc_id") === col("lbl")).as("keep"))

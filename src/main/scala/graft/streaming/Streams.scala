@@ -75,6 +75,25 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding hour — the streaming twin of the
+    * batch range join (e11). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can size and
+    * expire the join state (clicks older than purchase-watermark − 1 h
+    * are dropped); without the interval the state would grow forever. */
+  def clicksBeforePurchase(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Checkpointed file ingest: every file that appears in `srcDir` is
     * ingested exactly once across runs — the streaming-native
     * replacement for the reference's archive-so-not-reingested

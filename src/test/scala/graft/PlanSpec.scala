@@ -37,6 +37,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"))
   }
 
+  test("t09: fused shingle + minhash expressions appear in the plan") {
+    val p = plan("t09_minhash_lsh")
+    assert(p.contains("shingle_hashes") && p.contains("minhash_sig"))
+    // the declarative forms they replace must be gone
+    assert(!p.contains("array_min(transform"))
+    assert(!p.contains("array_join(slice"))
+  }
+
   test("e05: JSON extraction prunes to the props column") {
     val p = plan("e05_json_props")
     assert(!p.contains("user_id")) // unreferenced columns not read

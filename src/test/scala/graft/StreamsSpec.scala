@@ -143,6 +143,36 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches clicks to purchases") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Streams.Ev]
+    val buys = MemoryStream[Streams.Ev]
+    val q = Streams.clicksBeforePurchase(clicks.toDF, buys.toDF)
+      .writeStream.format("memory").queryName("cbp")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Streams.Ev(1, ts("2024-01-01 10:00:00")), // 40 min before: joins
+        Streams.Ev(1, ts("2024-01-01 08:00:00")), // 2h40 before: outside
+        Streams.Ev(2, ts("2024-01-01 10:20:00"))) // other user
+      buys.addData(Streams.Ev(1, ts("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      // advance both watermarks so the joined row finalizes (append
+      // mode emits once neither side can still match it)
+      clicks.addData(Streams.Ev(9, ts("2024-01-01 14:00:00")))
+      buys.addData(Streams.Ev(9, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("cbp").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString)).toSet
+    assert(out.contains(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0")))
+    assert(!out.exists(_._2 == "2024-01-01 08:00:00.0"))
+    assert(!out.exists(t => t._1 == 2L && t._2 == "2024-01-01 10:20:00.0"))
+  }
+
   test("AvailableNow + checkpoint ingests each file exactly once") {
     val src = Files.createTempDirectory("graft-ss-src")
     val dest = Files.createTempDirectory("graft-ss-out").resolve("data")
