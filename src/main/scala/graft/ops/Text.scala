@@ -250,34 +250,47 @@ object Text {
       "t05_language_id",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // both the profile-training and classification branches read
-        // this relation — persist so the trigram explosion runs once;
-        // CharNGrams extracts the distinct trigrams in a single fused
-        // pass (trigrams stay strings: the profile rank tie-breaks on
-        // the trigram itself, which hashing would scramble)
-        val tri = Scoped.persist(docs.select(col("doc_id"), col("lang"),
-            explode(graft.functions.TextExprs.charNGrams(col("text"), 3))
-              .as("tg")))
-        // top-20 trigram profile per language (deterministic tie-break)
+        // CharNGrams extracts each doc's DISTINCT trigrams in a single
+        // fused pass (they stay strings: the profile rank tie-breaks
+        // on the trigram itself, which hashing would scramble)
+        val tgs = graft.functions.TextExprs.charNGrams(col("text"), 3)
+        // top-20 trigram profile per language (deterministic
+        // tie-break). The explode feeds straight into a partial-agg
+        // groupBy — never persisted: this is the only pass over the
+        // exploded rows
         val wProf = Window.partitionBy(col("lang"))
           .orderBy(desc("cnt"), col("tg"))
-        val profiles = tri.groupBy(col("lang"), col("tg"))
+        val profiles = docs
+          .select(col("lang"), explode(tgs).as("tg"))
+          .groupBy(col("lang"), col("tg"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("rk", row_number().over(wProf))
           .filter(col("rk") <= 20)
-          .select(col("lang").as("profile_lang"), col("tg"))
-        // score = |doc trigrams ∩ profile|; argmax with tie-break
-        val scores = tri.select(col("doc_id"), col("tg")).distinct()
-          .join(profiles, "tg")
-          .groupBy(col("doc_id"), col("profile_lang"))
-          .agg(count(lit(1)).as("score"))
-        val wBest = Window.partitionBy(col("doc_id"))
-          .orderBy(desc("score"), col("profile_lang"))
-        val pred = scores.withColumn("rk", row_number().over(wBest))
-          .filter(col("rk") === 1)
-          .select(col("doc_id"), col("profile_lang").as("pred_lang"))
-        docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
-          .groupBy(col("lang"), col("pred_lang"))
+          .groupBy(col("lang"))
+          .agg(sort_array(collect_list(col("tg"))).as("ptgs"))
+        // all profiles in ONE broadcast row (sorted by lang) →
+        // classification is per-row array math: score each lang by
+        // |doc trigrams ∩ profile| and fold to the argmax. Strict `>`
+        // keeps the FIRST (smallest) lang on ties, matching the
+        // oracle's (score DESC, lang ASC) rank; docs overlapping no
+        // profile (score 0 beats the -1 seed but nothing else) are
+        // dropped like the oracle's inner join
+        val profRow = profiles
+          .agg(sort_array(collect_list(struct(col("lang"), col("ptgs"))))
+            .as("ps"))
+        val best = aggregate(col("ps"),
+          struct(lit(-1).as("score"), lit("").as("pl")),
+          (acc, p) => {
+            val sc = size(array_intersect(col("tgs"), p.getField("ptgs")))
+            when(sc > acc.getField("score"),
+              struct(sc.as("score"), p.getField("lang").as("pl")))
+              .otherwise(acc)
+          })
+        docs.select(col("doc_id"), col("lang"), tgs.as("tgs"))
+          .crossJoin(broadcast(profRow))
+          .select(col("lang"), best.as("best"))
+          .filter(col("best.score") > 0)
+          .groupBy(col("lang"), col("best.pl").as("pred_lang"))
           .agg(count(lit(1)).as("n"))
           .orderBy("lang", "pred_lang")
       },
@@ -511,6 +524,196 @@ object Text {
             AS DOUBLE) / len(str_split(text,' '))) * 5.0, 1.0) * 0.2, 6)
           AS q
         FROM documents) t
-      GROUP BY lang ORDER BY lang"""))
+      GROUP BY lang ORDER BY lang""")),
+
+    // ---- benchmark decontamination: flag corpus docs sharing any
+    //      word n-gram with the held-out "benchmark" slice (here: the
+    //      deterministic doc_id % 17 == 0 subset stands in for a test
+    //      set). The join runs on 64-bit shingle hashes (8-byte keys);
+    //      the benchmark side is tiny relative to the corpus and is
+    //      broadcast, so the 100-TB corpus side never shuffles — at
+    //      extreme benchmark sizes swap the broadcast set for a bloom
+    //      filter and keep this exact join as the verify pass ----
+    QuerySpec(
+      "t14_decontaminate",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), explode(shingles).as("s"))
+        val benchSh = sh.filter(col("doc_id") % 17 === 0)
+          .select(col("s")).distinct()
+        sh.filter(col("doc_id") % 17 =!= 0)
+          .join(broadcast(benchSh), "s")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS ($shinglesSql)
+        SELECT a.doc_id, COUNT(1) AS n_shared
+        FROM sh a
+        JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0) b
+          ON a.s = b.s
+        WHERE a.doc_id % 17 <> 0
+        GROUP BY a.doc_id ORDER BY a.doc_id""")),
+
+    // ---- repetition signals (Gopher-style quality rules): duplicate
+    //      word-bigram fraction + most-frequent-token mass. The token
+    //      mode needs per-(doc, token) counts — explode + two-level
+    //      agg, partial-aggregated map-side; the bigram side stays a
+    //      per-row fused expression ----
+    QuerySpec(
+      "t15_repetition",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nBi = greatest(size(toks) - 1, lit(0))
+        val nBiDistinct =
+          size(graft.functions.TextExprs.shingleHashes(col("text"), 2))
+        val topTok = docs
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+        docs
+          .select(col("doc_id"), nBi.as("n_bi"),
+            nBiDistinct.as("n_bi_distinct"))
+          .join(topTok, "doc_id")
+          .select(col("doc_id"),
+            round(when(col("n_bi") > 0, lit(1.0) -
+              col("n_bi_distinct").cast("double") / col("n_bi"))
+              .otherwise(lit(0.0)), 6).as("dup_bigram_frac"),
+            round(col("top_c").cast("double") / col("n_tok"), 6)
+              .as("top_token_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tc AS (
+          SELECT doc_id, tok, COUNT(1) AS c
+          FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+                FROM documents) t
+          GROUP BY doc_id, tok),
+        td AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok
+               FROM tc GROUP BY doc_id),
+        bi AS (SELECT doc_id,
+          greatest(len(str_split(text, ' ')) - 1, 0) AS n_bi,
+          len(list_distinct(list_transform(
+            generate_series(1, greatest(len(str_split(text, ' ')) - 1, 0)),
+            i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])))
+            AS n_bi_distinct
+          FROM documents)
+        SELECT b.doc_id,
+          ROUND(CASE WHEN n_bi > 0
+            THEN 1.0 - CAST(n_bi_distinct AS DOUBLE) / n_bi
+            ELSE 0.0 END, 6) AS dup_bigram_frac,
+          ROUND(CAST(top_c AS DOUBLE) / n_tok, 6) AS top_token_frac
+        FROM bi b JOIN td ON b.doc_id = td.doc_id
+        ORDER BY b.doc_id""")),
+
+    // ---- PII scrubbing: emails / phones / IPv4s → typed redaction
+    //      tokens, with per-kind match counts. Inline wire-format
+    //      fixture (the corpus fixtures are sanitized synthetic text
+    //      with nothing to scrub) — literals on both sides, like the
+    //      Parity queries. Pure regexp_replace/extract_all: per-row,
+    //      codegen'd, no UDFs ----
+    QuerySpec(
+      "t16_pii_scrub",
+      (s, d) => {
+        import s.implicits._
+        val rows = Seq(
+          (1L, "contact me at alice@example.com or 555-123-4567 today"),
+          (2L, "server at 10.0.0.1 mailed bob.smith@corp.example.org twice"),
+          (3L, "no sensitive content here"),
+          (4L, "dial 800-555-1212 or visit 192.168.10.254 then ask eve@a.io"),
+          (5L, "two mails: x@y.io z@w.co and two lines 111-222-3333 444-555-6666"))
+          .toDF("msg_id", "raw")
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\d{3}-\\d{3}-\\d{4}"
+        val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+        rows.select(col("msg_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("scrubbed"),
+          size(expr(
+            "regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', 0)"))
+            .as("n_emails"),
+          size(expr("regexp_extract_all(raw, '\\\\d{3}-\\\\d{3}-\\\\d{4}', 0)"))
+            .as("n_phones"))
+          .orderBy("msg_id")
+      },
+      Some("""SELECT CAST(msg_id AS BIGINT) AS msg_id,
+        regexp_replace(regexp_replace(regexp_replace(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+          '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed,
+        CAST(len(regexp_extract_all(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(raw, '\d{3}-\d{3}-\d{4}')) AS INT)
+          AS n_phones
+      FROM (VALUES
+        (1, 'contact me at alice@example.com or 555-123-4567 today'),
+        (2, 'server at 10.0.0.1 mailed bob.smith@corp.example.org twice'),
+        (3, 'no sensitive content here'),
+        (4, 'dial 800-555-1212 or visit 192.168.10.254 then ask eve@a.io'),
+        (5, 'two mails: x@y.io z@w.co and two lines 111-222-3333 444-555-6666'))
+        AS t(msg_id, raw)
+      ORDER BY msg_id""")),
+
+    // ---- language-balanced sampling: fixed per-language quota,
+    //      selected by a deterministic pseudo-random order (md5 of the
+    //      content + doc_id tie-break — reproducible across engines
+    //      and runs, unlike rand()). The window partitions by lang
+    //      (bounded cardinality × quota rows pass) — the curation step
+    //      that rebalances a skewed multilingual corpus ----
+    QuerySpec(
+      "t17_balanced_sample",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text")), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("rk"), col("doc_id"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM (
+        SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY md5(text), doc_id) AS rk
+        FROM documents) t
+      WHERE rk <= 20 ORDER BY lang, rk""")),
+
+    // ---- per-doc top terms by tf/df salience (an integer-exact
+    //      tf-idf variant: score = tf/df is monotone in tf and in
+    //      1/df, and the double quotient of two ints is one correctly-
+    //      rounded op in every engine — no transcendental drift).
+    //      tf: one shuffle on (doc, term); df: second-level agg on the
+    //      already-partial tf relation ----
+    QuerySpec(
+      "t18_term_salience",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(desc("score"), col("term"))
+        tf.join(dfreq, "term")
+          .withColumn("score", col("tf").cast("double") / col("df"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+            col("df"), round(col("score"), 6).as("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tf AS (
+          SELECT doc_id, term, COUNT(1) AS tf
+          FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+                FROM documents) t
+          GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term)
+        SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df,
+          ROUND(score, 6) AS score
+        FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+            CAST(tf.tf AS DOUBLE) / dfreq.df AS score,
+            ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.term) AS rk
+          FROM tf JOIN dfreq ON tf.term = dfreq.term) r
+        WHERE rk <= 3 ORDER BY doc_id, rk"""))
   )
 }
