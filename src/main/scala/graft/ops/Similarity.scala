@@ -235,6 +235,65 @@ object Similarity {
             ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS INT) AS rk
         FROM embeddings q JOIN embeddings e ON q.vec_id < $QueryIds
           AND e.label = q.label AND e.vec_id <> q.vec_id) t
-      WHERE rk <= 3 ORDER BY qid, rk"""))
+      WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    // ---- int8 scalar quantization + KNN on the quantized codes: each
+    //      vector is scaled by its own max-abs to [-127, 127] ints, and
+    //      ranking runs on the INTEGER code dot product — 4× less
+    //      memory/shuffle than float32 and exact integer math from
+    //      quantization onward (the one float step, round(v·127/scale),
+    //      is two correctly-rounded double ops + a half-away-from-zero
+    //      round in both engines, so even the oracle hash-matches —
+    //      no approximate-check escape hatch needed). At 100 TB the
+    //      corpus ships codes (64 B/vec), not floats (256 B/vec);
+    //      OpsSpec asserts the quantized top-5 recalls the exact s03
+    //      top-5. ----
+    QuerySpec(
+      "s07_quantized_knn",
+      (s, d) => {
+        val x = col("embedding")
+        val scale = array_max(transform(x, v => abs(v.cast("double"))))
+        val codes = when(scale > 0,
+          transform(x, v => round(v.cast("double") * 127 / scale)
+            .cast("int")))
+          .otherwise(transform(x, _ => lit(0)))
+        val qz = Tables.embeddings(s, d)
+          .select(col("vec_id"), codes.as("codes"))
+        val q = qz.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("codes").as("qc"))
+        val qdot = aggregate(
+          zip_with(col("qc"), col("codes"), (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, v) => acc + v)
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("qdot"), col("vec_id"))
+        qz.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), qdot.as("qdot"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH qz AS (
+        SELECT vec_id,
+          CASE WHEN s > 0
+            THEN list_transform(de, v -> CAST(round(v * 127 / s) AS INT))
+            ELSE list_transform(de, v -> 0) END AS codes
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+                list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                  v -> abs(v))) AS s
+              FROM embeddings) t)
+      SELECT qid, vec_id, qdot, rk FROM (
+        SELECT qid, vec_id, qdot,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY qdot DESC, vec_id) AS INT) AS rk
+        FROM (
+          SELECT q.vec_id AS qid, e.vec_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_zip(q.codes, e.codes),
+                p -> CAST(p[1] * p[2] AS BIGINT))),
+              (acc, x) -> acc + x) AS qdot
+          FROM qz q JOIN qz e
+            ON q.vec_id < $QueryIds AND e.vec_id <> q.vec_id) i) r
+      WHERE rk <= 5 ORDER BY qid, rk"""))
   )
 }

@@ -66,6 +66,59 @@ object Streams {
       }
   }
 
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+  final case class OpenSess(startUs: Long, lastUs: Long, nEvents: Long)
+
+  /** Sessionization with EMIT-ON-CLOSE via flatMapGroupsWithState +
+    * event-time timeout: nothing is emitted while a session is open;
+    * when the watermark passes last-event + gap the state times out and
+    * the finished session is emitted exactly once. This is the
+    * arbitrary-state complement of [[sessionCounts]] (which re-emits
+    * updated aggregates): downstream consumers see each session once,
+    * final, in Append mode. State per user is one small struct; the
+    * timeout evicts it, so idle users cost nothing. */
+  def closedSessions(events: Dataset[Ev], gapUs: Long = 30L * 60 * 1000000)
+      (implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSess, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[OpenSess]) =>
+          def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: close and evict
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, ts(s.startUs), ts(s.lastUs), s.nEvents))
+          } else {
+            val sorted = evs.map(_.ts.getTime * 1000).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { us =>
+              open match {
+                case Some(o) if us - o.lastUs <= gapUs =>
+                  open = Some(OpenSess(o.startUs, us, o.nEvents + 1))
+                case Some(o) => // gap exceeded inside the batch
+                  closed += ClosedSession(user, ts(o.startUs), ts(o.lastUs),
+                    o.nEvents)
+                  open = Some(OpenSess(us, us, 1))
+                case None =>
+                  open = Some(OpenSess(us, us, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // fires once the EVENT-TIME watermark passes this point
+              state.setTimeoutTimestamp(o.lastUs / 1000 + gapUs / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same event_id
     * whose event times fall within the watermark window — the
     * streaming twin of the batch exact-dedup (Text t07). State is

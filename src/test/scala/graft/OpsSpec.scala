@@ -142,6 +142,28 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"LSH recall $recall below floor")
   }
 
+  test("quantized KNN recalls the exact cosine top-5") {
+    // s07 ranks by the int8 code dot product — per-query overlap with
+    // the exact cosine top-5 (s03) is its quality signal beyond the
+    // oracle's determinism hash (deterministic: fixed data, no seeds)
+    val exact = SparkEntry.queries("s03_knn_brute")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = SparkEntry.queries("s07_quantized_knn")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(quant.keySet == exact.keySet)
+    val overlaps = exact.map { case (qid, ex) =>
+      val ov = (ex intersect quant(qid)).size.toDouble / ex.size
+      info(s"s07 qid=$qid overlap with exact top-5: $ov")
+      ov
+    }
+    // int8 over 64 dims keeps most of the ordering; require the
+    // average per-query overlap well above chance
+    assert(overlaps.sum / overlaps.size >= 0.6,
+      s"mean quantized-KNN overlap ${overlaps.sum / overlaps.size}")
+  }
+
   test("rolling-hash fingerprint is deterministic and order-sensitive") {
     val fp = SparkEntry.queries("t06_fingerprint")(spark, sf0001)
     val a = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

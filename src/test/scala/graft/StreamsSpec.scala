@@ -143,6 +143,36 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.closedSessions(ms.toDS)
+      .writeStream.format("memory").queryName("closed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session A: two events; session B opens in the same batch
+      // (in-batch gap > 30 min closes A immediately)
+      ms.addData(
+        Streams.Ev(1, ts("2024-01-01 10:00:00")),
+        Streams.Ev(1, ts("2024-01-01 10:10:00")),
+        Streams.Ev(1, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      // advance the watermark far past 11:30 + 30 min → B times out
+      ms.addData(Streams.Ev(9, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      ms.addData(Streams.Ev(9, ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("closed")
+      .filter($"user_id" === 1).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3))).toSet
+    assert(out == Set(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L),
+      ("2024-01-01 11:30:00.0", "2024-01-01 11:30:00.0", 1L)))
+  }
+
   test("stream-stream interval join matches clicks to purchases") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
