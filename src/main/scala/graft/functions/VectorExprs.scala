@@ -169,7 +169,80 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** All random-hyperplane LSH signatures of a vector in ONE pass:
+    * `nTables` ints, bit `b` of table `t` = sign(x · plane[t·nBits+b]).
+    * The declarative form — nTables × nBits separate dot expressions
+    * union'd over as many scans — re-reads the vector 96 times; this
+    * reads it once per plane with the planes in a flat static array
+    * (JIT keeps them in cache), and the per-plane loop is the same
+    * sequential float→double multiply-accumulate as [[VecDot]], so the
+    * sign decisions are bitwise-identical to the unfused version. */
+  def hyperplaneSigsEval(x: ArrayData, flat: Array[Double], nTables: Int,
+      nBits: Int, floatElems: Boolean): ArrayData = {
+    val dimP = flat.length / (nTables * nBits)
+    val sigs = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0
+      var b = 0
+      while (b < nBits) {
+        val base = (t * nBits + b) * dimP
+        val n = math.min(x.numElements(), dimP)
+        var acc = 0.0
+        var i = 0
+        if (floatElems)
+          while (i < n) { acc += x.getFloat(i).toDouble * flat(base + i); i += 1 }
+        else
+          while (i < n) { acc += x.getDouble(i) * flat(base + i); i += 1 }
+        if (acc >= 0) sig |= 1 << b
+        b += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  case class HyperplaneSigs(child: Expression, planes: Seq[Seq[Double]],
+      nBits: Int) extends UnaryExpression {
+    require(planes.nonEmpty && planes.length % nBits == 0,
+      "hyperplane_sigs: planes must be a multiple of nBits")
+    private val nTables = planes.length / nBits
+    private lazy val flat: Array[Double] = planes.flatten.toArray
+    private def floatElems = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sigs expects array<float|double>, got " +
+          child.dataType.sql)
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def prettyName: String = "hyperplane_sigs"
+
+    override protected def nullSafeEval(a: Any): Any =
+      hyperplaneSigsEval(a.asInstanceOf[ArrayData], flat, nTables, nBits,
+        floatElems)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val flatRef = ctx.addReferenceObj("planesFlat", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.VectorExprs$$.MODULE$$
+          .hyperplaneSigsEval($a, $flatRef, $nTables, $nBits, $floatElems);
+      """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): HyperplaneSigs =
+      copy(child = c)
+  }
+
   // ---- Column API ----
+
+  def hyperplaneSigs(a: Column, planes: Seq[Seq[Double]], nBits: Int): Column =
+    GraftSqlBridge.column(HyperplaneSigs(
+      GraftSqlBridge.expression(a), planes, nBits))
 
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(VecDot(

@@ -173,17 +173,15 @@ object Similarity {
         val rnd = new scala.util.Random(42)
         val planes: Seq[Seq[Double]] =
           Seq.fill(NTables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
-        def sig(table: Int): Column =
-          (0 until NBits).map { bit =>
-            val p = array(planes(table * NBits + bit).map(lit): _*)
-            when(dot(col("embedding"), p) >= 0, 1 << bit).otherwise(0)
-          }.reduce(_ + _)
         val e = Tables.embeddings(s, d)
-        // signatures carry only ids — candidate dedup shuffles 2 longs
-        // per pair, not two 64-float arrays
-        val sigs = (0 until NTables).map { t =>
-          e.select(col("vec_id"), lit(t).as("tbl"), sig(t).as("sig"))
-        }.reduce(_ unionAll _)
+        // all 96 plane dots fused into ONE expression over ONE scan
+        // (the per-table union re-scanned the corpus 12×, re-reading
+        // each vector 96 times); signatures carry only ids — candidate
+        // dedup shuffles 2 longs per pair, not two 64-float arrays
+        val sigs = e.select(col("vec_id"),
+            posexplode(graft.functions.VectorExprs.hyperplaneSigs(
+              col("embedding"), planes, NBits)))
+          .toDF("vec_id", "tbl", "sig")
         // probe side: the exact bucket + every 1-bit-flipped bucket
         // (9 keys/vec/table); build side keeps exact buckets only, so
         // a Hamming-≤1 signature pair collides exactly once per table
