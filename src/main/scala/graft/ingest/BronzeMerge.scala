@@ -62,6 +62,71 @@ object BronzeMerge {
     }
   }
 
+  /** Committed batch names at an arbitrary version — the time-travel
+    * primitive (`VERSION AS OF` in Delta terms). Batches are
+    * immutable once committed, so any still-present version file
+    * reproduces that snapshot exactly. */
+  def commitAt(spark: SparkSession, table: String,
+      version: Int): Seq[String] = {
+    val f = fs(spark, table)
+    val vf = new Path(manifestDir(table), f"v$version%08d")
+    require(f.exists(vf),
+      s"bronze version $version does not exist (vacuumed or never written)")
+    val in = f.open(vf)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Time-travel read: the table exactly as of `version`. */
+  def snapshotAt(spark: SparkSession, table: String,
+      version: Int): DataFrame = {
+    val batches = commitAt(spark, table, version)
+    spark.read.parquet(batches.map(b => s"$table/$b"): _*)
+  }
+
+  /** Compaction — the small-file answer: rewrite the current snapshot
+    * into ONE new batch and commit a manifest naming only it. Old
+    * batches are untouched (old versions still time-travel); reclaim
+    * them with [[vacuum]]. At 100 TB this runs per-partition-range on
+    * a schedule; the manifest CAS makes it safe next to live ingests
+    * (a concurrent commit wins the rename and compaction fails loudly,
+    * to be retried against the new version). Returns the new version. */
+  def compact(spark: SparkSession, table: String): Int = {
+    val f = fs(spark, table)
+    val (ver, batches) = currentCommit(spark, table)
+    require(batches.nonEmpty, "nothing to compact")
+    val batchName = f"batch-${ver + 1}%08d"
+    spark.read.parquet(batches.map(b => s"$table/$b"): _*)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$batchName")
+    spark.read.parquet(batches.map(b => s"$table/_keys/$b"): _*)
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$table/_keys/$batchName")
+    commit(f, table, ver + 1, Seq(batchName))
+    ver + 1
+  }
+
+  /** Reclaim batches no longer referenced by the LATEST commit and
+    * drop older manifest versions — forfeits time travel for space.
+    * Returns the deleted batch names. */
+  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, table)
+    val (ver, live) = currentCommit(spark, table)
+    if (ver == 0) return Nil
+    val liveSet = live.toSet
+    val dead = f.listStatus(new Path(table)).map(_.getPath.getName)
+      .filter(n => n.startsWith("batch-") && !liveSet.contains(n)).toSeq
+    dead.foreach { b =>
+      f.delete(new Path(table, b), true)
+      f.delete(new Path(s"$table/_keys", b), true)
+    }
+    f.listStatus(manifestDir(table)).map(_.getPath.getName)
+      .filter(v => v.matches("v\\d{8}") && v.drop(1).toInt < ver)
+      .foreach(v => f.delete(new Path(manifestDir(table), v), false))
+    dead.sorted
+  }
+
   /** Snapshot read: only committed batch directories are visible. */
   def snapshot(spark: SparkSession, table: String): DataFrame = {
     val (_, batches) = currentCommit(spark, table)

@@ -148,6 +148,32 @@ object Text {
       .filter(col("jaccard") >= thr)
   }
 
+  /** Scale path for t14 decontamination: probe a BLOOM FILTER of the
+    * benchmark shingles instead of joining the exact distinct set —
+    * ~bits-per-key memory independent of shingle bytes, per-row ANY
+    * probe (`exists` over the shingle array, short-circuiting), no
+    * join at all. One-sided error: a flagged doc may be clean (rate ≈
+    * fpp × shingles-per-doc — size fpp against the PER-DOC probe
+    * count, not per key; the default 1e-6 keeps per-doc false flags
+    * ~0.1%), but a clean verdict is guaranteed, so dropping flagged
+    * docs never leaks contamination. Real pipelines route the flagged
+    * minority to the exact t14 join as a verify pass. OpsSpec asserts
+    * flagged ⊇ exact with bounded excess. */
+  def decontaminateBloom(s: SparkSession, d: String,
+      fpp: Double = 1e-6): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), shingles.as("sh"))
+    val benchSh = docs.filter(col("doc_id") % 17 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    // built distributed (per-partition sketches merged), shipped to
+    // executors as one reference object
+    val bloom = benchSh.stat.bloomFilter("s",
+      math.max(benchSh.count(), 1L), fpp)
+    docs.filter(col("doc_id") % 17 =!= 0)
+      .filter(exists(col("sh"), sh =>
+        graft.functions.SketchExprs.bloomMightContain(sh, bloom)))
+      .select(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- per-document stats (token counts, lengths) ----

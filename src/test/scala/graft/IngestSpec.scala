@@ -87,6 +87,42 @@ class IngestSpec extends SparkSpec {
       "v2-longer")
   }
 
+  test("compaction folds batches into one; time travel + vacuum") {
+    import graft.ingest.BronzeMerge
+    val dir = Files.createTempDirectory("graft-compact")
+    val table = Files.createTempDirectory("graft-compact-out")
+      .resolve("bronze").toString
+    Files.writeString(dir.resolve("a.txt"), "alpha")
+    assert(BronzeMerge.mergeIngest(spark, dir.toString, table) == 1)
+    Files.writeString(dir.resolve("b.txt"), "bravo")
+    assert(BronzeMerge.mergeIngest(spark, dir.toString, table) == 1)
+
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.select("file_name").collect().map(_.getString(0)).sorted.toSeq
+
+    // two one-file batches → one compacted batch, same rows
+    val v3 = BronzeMerge.compact(spark, table)
+    assert(v3 == 3)
+    val (_, live) = BronzeMerge.currentCommit(spark, table)
+    assert(live == Seq("batch-00000003"))
+    assert(names(BronzeMerge.snapshot(spark, table)) ==
+      Seq("a.txt", "b.txt"))
+    // merge stays idempotent against the compacted key set
+    assert(BronzeMerge.mergeIngest(spark, dir.toString, table) == 0)
+
+    // time travel: version 1 still shows only the first batch
+    assert(names(BronzeMerge.snapshotAt(spark, table, 1)) == Seq("a.txt"))
+
+    // vacuum reclaims the superseded batches and old manifests
+    val dead = BronzeMerge.vacuum(spark, table)
+    assert(dead == Seq("batch-00000001", "batch-00000002"))
+    assert(names(BronzeMerge.snapshot(spark, table)) ==
+      Seq("a.txt", "b.txt"))
+    intercept[IllegalArgumentException] {
+      BronzeMerge.snapshotAt(spark, table, 1) // time travel forfeited
+    }
+  }
+
   test("csv ingest appends typed rows to the sink table") {
     val dir = Files.createTempDirectory("graft-csv")
     val sink = Files.createTempDirectory("graft-csv-out").resolve("t")

@@ -142,6 +142,20 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"LSH recall $recall below floor")
   }
 
+  test("bloom decontamination flags a superset of the exact join") {
+    import graft.ops.Text
+    // one-sided error: every exactly-contaminated doc MUST be flagged;
+    // false positives are bounded by fpp × probes-per-doc
+    val exact = SparkEntry.queries("t14_decontaminate")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val flagged = Text.decontaminateBloom(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged),
+      s"missed contaminated docs: ${exact -- flagged}")
+    assert((flagged -- exact).size <= 1,
+      s"too many false flags: ${flagged -- exact}")
+  }
+
   test("quantized KNN recalls the exact cosine top-5") {
     // s07 ranks by the int8 code dot product — per-query overlap with
     // the exact cosine top-5 (s03) is its quality signal beyond the

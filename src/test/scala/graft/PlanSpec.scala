@@ -45,6 +45,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("array_join(slice"))
   }
 
+  test("t14: benchmark shingle set broadcasts; corpus side not shuffled") {
+    val p = plan("t14_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("s05: fused hyperplane signatures, one corpus scan") {
+    val p = plan("s05_ann_lsh")
+    assert(p.contains("hyperplane_sigs"))
+    assert(!p.contains("Union")) // the 12-scan union shape is gone
+  }
+
   test("e05: JSON extraction prunes to the props column") {
     val p = plan("e05_json_props")
     assert(!p.contains("user_id")) // unreferenced columns not read
