@@ -159,13 +159,19 @@ object BronzeMerge {
     * been committed. Returns the number of appended rows (0 on an
     * exact re-run — no duplicates, ever). */
   def mergeIngest(spark: SparkSession, srcDir: String,
+      table: String): Long =
+    mergeIngestDf(spark, Ingest.discoverBinary(spark, srcDir).select(
+      substring_index(col("path"), "/", -1).as("file_name"),
+      col("length"), col("modificationTime").as("modified"),
+      col("content")), table)
+
+  /** [[mergeIngest]] over an arbitrary (file_name, length, modified,
+    * content) DataFrame — the seam `foreachBatch` streaming ingest
+    * plugs into (`graft.streaming.Streams.streamMergeIngest`). */
+  def mergeIngestDf(spark: SparkSession, src: DataFrame,
       table: String): Long = {
     val f = fs(spark, table)
     val (ver, batches) = currentCommit(spark, table)
-    val src = Ingest.discoverBinary(spark, srcDir).select(
-      substring_index(col("path"), "/", -1).as("file_name"),
-      col("length"), col("modificationTime").as("modified"),
-      col("content"))
     val fresh =
       if (batches.isEmpty) src
       else src.join(

@@ -899,5 +899,28 @@ object Relational {
       WHERE a.p_partkey <= 300 AND b.p_partkey <= 300
         AND levenshtein(a.p_name, b.p_name) <= 4
       ORDER BY ka, kb"""))
+
+    // ---- approximate quantiles (GK sketch): bounded-memory
+    //      single-pass percentiles — at 100 TB the exact `percentile`
+    //      (q22) must hold each group's values; the sketch holds
+    //      O(1/accuracy) per group regardless of rows. Sketch merge
+    //      order differs from DuckDB's exact QUANTILE_CONT → rows-only
+    //      check; OpsSpec bounds it against the exact q22 twin. ----
+    , QuerySpec(
+      "q39_approx_quantiles",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+              .as("approx_q"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            col("approx_q")(0).as("approx_median"),
+            col("approx_q")(1).as("approx_p90"),
+            col("n"))
+          .orderBy("l_returnflag")
+      },
+      None)
   )
 }

@@ -147,6 +147,44 @@ object Streams {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming ingest INTO the merge-semantics bronze table: each
+    * micro-batch lands through `BronzeMerge.mergeIngestDf`, so
+    * exactly-once holds on TWO independent legs — the checkpoint stops
+    * the source re-reading files, and the identity-key anti-join stops
+    * re-read files re-landing. Losing the checkpoint (the classic
+    * streaming dup source) therefore still produces zero duplicates:
+    * the source replays everything, the merge appends nothing. */
+  def streamMergeIngest(spark: SparkSession, srcDir: String,
+      table: String, checkpoint: String): Unit = {
+    val q = spark.readStream
+      .format("binaryFile")
+      // the binaryFile source's fixed schema (streaming requires it
+      // spelled out)
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ingest.BronzeMerge.mergeIngestDf(batch.sparkSession,
+          batch.select(
+            substring_index(col("path"), "/", -1).as("file_name"),
+            col("length"), col("modificationTime").as("modified"),
+            col("content")), table)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Checkpointed file ingest: every file that appears in `srcDir` is
     * ingested exactly once across runs — the streaming-native
     * replacement for the reference's archive-so-not-reingested

@@ -142,6 +142,25 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"LSH recall $recall below floor")
   }
 
+  test("approx quantiles track the exact percentiles within accuracy") {
+    // q39's GK sketch at accuracy 1000 guarantees rank error ≤ n/1000;
+    // translate to a value-tolerance via the exact q22 twin's spread
+    val exact = SparkEntry.queries("q22_quantity_median")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val approx = SparkEntry.queries("q39_approx_quantiles")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (flag, (am, a90)) =>
+      val (em, e90, mn, mx) = exact(flag)
+      val tol = (mx - mn) * 0.05
+      assert(math.abs(am - em) <= tol, s"$flag median: $am vs $em")
+      assert(math.abs(a90 - e90) <= tol, s"$flag p90: $a90 vs $e90")
+    }
+  }
+
   test("bloom decontamination flags a superset of the exact join") {
     import graft.ops.Text
     // one-sided error: every exactly-contaminated doc MUST be flagged;

@@ -203,6 +203,30 @@ class StreamsSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == 2L && t._2 == "2024-01-01 10:20:00.0"))
   }
 
+  test("streaming merge ingest stays exactly-once even with a lost checkpoint") {
+    import graft.ingest.BronzeMerge
+    val src = Files.createTempDirectory("graft-smi-src")
+    val table = Files.createTempDirectory("graft-smi-out")
+      .resolve("bronze").toString
+    val cp1 = Files.createTempDirectory("graft-smi-cp1").toString
+    Files.writeString(src.resolve("a.txt"), "alpha")
+    Files.writeString(src.resolve("b.txt"), "bravo")
+    Streams.streamMergeIngest(spark, src.toString, table, cp1)
+    assert(BronzeMerge.snapshot(spark, table).count() == 2)
+    // same checkpoint: source skips seen files, nothing lands
+    Files.writeString(src.resolve("c.txt"), "charlie")
+    Streams.streamMergeIngest(spark, src.toString, table, cp1)
+    assert(BronzeMerge.snapshot(spark, table).count() == 3)
+    // LOST checkpoint: the source replays all three files, but the
+    // identity-key merge appends none of them again
+    val cp2 = Files.createTempDirectory("graft-smi-cp2").toString
+    Streams.streamMergeIngest(spark, src.toString, table, cp2)
+    val snap = BronzeMerge.snapshot(spark, table)
+    assert(snap.count() == 3)
+    assert(snap.select("file_name").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a.txt", "b.txt", "c.txt"))
+  }
+
   test("AvailableNow + checkpoint ingests each file exactly once") {
     val src = Files.createTempDirectory("graft-ss-src")
     val dest = Files.createTempDirectory("graft-ss-out").resolve("data")
