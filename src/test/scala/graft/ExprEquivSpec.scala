@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.{TextExprs, VectorExprs}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The fused custom expressions claim bitwise equivalence to the
+  * declarative Spark forms they replace — this suite PROVES it on a
+  * corpus of edge cases (empty strings, single tokens, doubled spaces,
+  * multi-byte unicode, zero vectors), not just on the fixture data the
+  * oracle already covers. Any drift between a fused expression and its
+  * declarative twin is a correctness bug, not a perf detail: the
+  * DuckDB oracles were derived from the declarative semantics.
+  */
+class ExprEquivSpec extends SparkSpec {
+
+  private lazy val texts: Seq[String] = Seq(
+    "", " ", "  ", "a", "a b", "a b c", "a b c d",
+    "a  b", " leading", "trailing ", "dup dup dup dup",
+    "naïve café über schön", "日本語 テスト 文字列 です",
+    "mixed 日本 ascii ユニコード tokens here",
+    "x" * 500, ("tok " * 100).trim
+  ) ++ TestSpark.spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("text").collect().map(_.getString(0)).toSeq
+
+  private lazy val textDf = {
+    import TestSpark.spark.implicits._
+    texts.toDF("text")
+  }
+
+  private def assertAllEqual(df: org.apache.spark.sql.DataFrame,
+      fused: Column, declarative: Column): Unit = {
+    val bad = df.select(col("*"), fused.as("f"), declarative.as("d"))
+      .filter(not(col("f") <=> col("d")))
+    assert(bad.isEmpty, s"fused != declarative:\n${bad.take(3).mkString("\n")}")
+  }
+
+  test("CharNGrams == array_distinct(transform(substr)) on any text") {
+    val n = 3
+    val idx = when(length(col("text")) - (n - 1) >= 1,
+      sequence(lit(1), length(col("text")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    assertAllEqual(textDf,
+      TextExprs.charNGrams(col("text"), n),
+      array_distinct(transform(idx, i => col("text").substr(i, lit(n)))))
+  }
+
+  test("ShingleHashes == sorted distinct xxhash64 of joined token slices") {
+    val n = 3
+    val toks = split(col("text"), " ")
+    val nSh = size(toks) - (n - 1)
+    val idx = when(nSh >= 1, sequence(lit(1), nSh))
+      .otherwise(array().cast("array<int>"))
+    assertAllEqual(textDf,
+      TextExprs.shingleHashes(col("text"), n),
+      array_sort(array_distinct(transform(idx,
+        i => xxhash64(array_join(slice(toks, i, lit(n)), " "))))))
+  }
+
+  test("MinHashSig == k x array_min over the universal hash family") {
+    val P = 2147483647L
+    val rnd = new scala.util.Random(13)
+    val a = Seq.fill(8)(1L + rnd.nextInt(Int.MaxValue - 1))
+    val b = Seq.fill(8)(rnd.nextInt(Int.MaxValue).toLong)
+    val df = textDf.select(
+      TextExprs.shingleHashes(col("text"), 2).as("sh"))
+    val declarative = array((0 until 8).map { j =>
+      coalesce(array_min(transform(col("sh"), h =>
+        (lit(a(j)) * h.bitwiseAND(lit(0xffffffffL)) + lit(b(j))) % P)),
+        lit(Long.MaxValue)) // fused yields MaxValue sentinels on empty
+    }: _*)
+    assertAllEqual(df,
+      TextExprs.minHashSig(col("sh"), a, b, P), declarative)
+  }
+
+  test("HyperplaneSigs == per-bit sign-of-dot signatures") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vecs: Seq[Array[Float]] =
+      Seq.fill(40)(Array.fill(16)((rnd.nextGaussian() * 2).toFloat)) ++
+        Seq(Array.fill(16)(0f), Array.fill(16)(1f))
+    val df = vecs.toDF("embedding")
+    val nTables = 3
+    val nBits = 4
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nTables * nBits)(Seq.fill(16)(rnd.nextGaussian()))
+    def unfusedSig(t: Int): Column =
+      (0 until nBits).map { bit =>
+        val p = array(planes(t * nBits + bit).map(lit): _*)
+        when(VectorExprs.vecDot(col("embedding"), p) >= 0, 1 << bit)
+          .otherwise(0)
+      }.reduce(_ + _)
+    assertAllEqual(df,
+      VectorExprs.hyperplaneSigs(col("embedding"), planes, nBits),
+      array((0 until nTables).map(unfusedSig): _*))
+  }
+
+  test("PolyHash == character fold modulo M") {
+    assertAllEqual(textDf,
+      TextExprs.polyHash(col("text")),
+      aggregate(
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, cp) => (acc * 31L + cp) % 1000000007L))
+  }
+}
