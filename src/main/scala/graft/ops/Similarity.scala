@@ -60,6 +60,58 @@ object Similarity {
   /** The fixed query set: first 8 vectors. Tiny → broadcast join. */
   private val QueryIds = 8
 
+  /** Distributed Lloyd's k-means — the actual coarse quantizer the
+    * IVF search (s06) names as its scale path. Per iteration:
+    * assignment is a PER-ROW fold over one broadcast row holding all
+    * k centroids (no join, no shuffle — the t05 profile pattern);
+    * the update is one (cluster, dim) partial-agg shuffle; the k×dim
+    * centroid table collects to the driver (tiny by construction) to
+    * become the next broadcast. Deterministic init: the first k
+    * vectors by id. Returns (final assignments, per-iteration inertia)
+    * — inertia must fall monotonically (OpsSpec asserts it). */
+  def kMeans(s: SparkSession, d: String, k: Int = 8, iters: Int = 5)
+      : (DataFrame, Seq[Double]) = {
+    val e = graft.Scoped.persist(Tables.embeddings(s, d)
+      .select(col("vec_id"), vec(col("embedding")).as("v")))
+    var centroids: Seq[(Int, Seq[Double])] = e
+      .orderBy("vec_id").limit(k).collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toSeq }.toSeq
+    val inertia = Seq.newBuilder[Double]
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      val cRow = array(centroids.map { case (cid, c) =>
+        struct(lit(cid).as("cid"),
+          array(c.map(lit): _*).as("c"))
+      }: _*)
+      val d2 = (x: Column, c: Column) =>
+        aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)
+      // fold to (min dist², its cid); strict < keeps the lowest cid on
+      // exact ties — deterministic
+      val best = aggregate(cRow,
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+        (acc, p) => {
+          val dist = d2(col("v"), p.getField("c"))
+          when(dist < acc.getField("d2"),
+            struct(dist.as("d2"), p.getField("cid").as("cid")))
+            .otherwise(acc)
+        })
+      assigned = e.select(col("vec_id"), col("v"),
+        best.getField("cid").as("cid"), best.getField("d2").as("d2"))
+      val agg = assigned
+        .select(col("cid"), col("d2"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"), sum(col("d2")).as("sd2"),
+          count(lit(1)).as("n"))
+      val rows = agg.collect() // k×dim rows — bounded by construction
+      inertia += rows.filter(_.getInt(1) == 0).map(_.getDouble(3)).sum
+      centroids = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }.toSeq.sortBy(_._1)
+    }
+    (assigned.select(col("vec_id"), col("cid")), inertia.result())
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- per-vector L2 norms ----
@@ -292,6 +344,19 @@ object Similarity {
               (acc, x) -> acc + x) AS qdot
           FROM qz q JOIN qz e
             ON q.vec_id < $QueryIds AND e.vec_id <> q.vec_id) i) r
-      WHERE rk <= 5 ORDER BY qid, rk"""))
+      WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    // ---- k-means cell assignment (Lloyd's, see [[kMeans]]): cluster
+    //      cardinalities after 5 iterations. Float-mean centroids are
+    //      engine-specific → rows-only check; OpsSpec asserts the
+    //      monotone-inertia invariant and full coverage ----
+    QuerySpec(
+      "s08_kmeans_cells",
+      (s, d) => {
+        val (assigned, _) = kMeans(s, d)
+        assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+          .orderBy("cid")
+      },
+      None)
   )
 }

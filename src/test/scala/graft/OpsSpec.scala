@@ -142,6 +142,19 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"LSH recall $recall below floor")
   }
 
+  test("k-means inertia falls monotonically and covers the corpus") {
+    import graft.ops.Similarity
+    val (assigned, inertia) = Similarity.kMeans(spark, sf0001, k = 4,
+      iters = 4)
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(assigned.count() == n) // every vector lands in a cell
+    assert(assigned.select("cid").distinct().count() >= 2)
+    info(s"inertia: ${inertia.mkString(" -> ")}")
+    inertia.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"inertia rose: $a -> $b")
+    }
+  }
+
   test("approx quantiles track the exact percentiles within accuracy") {
     // q39's GK sketch at accuracy 1000 guarantees rank error ≤ n/1000;
     // translate to a value-tolerance via the exact q22 twin's spread
