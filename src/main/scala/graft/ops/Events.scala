@@ -368,6 +368,39 @@ object Events {
       FROM (SELECT * FROM ($sessionizedSql) x WHERE user_id < 10) s
       WINDOW w AS (PARTITION BY user_id, session_id
         ORDER BY ts, event_id)
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // ---- cohort retention: users grouped by first-activity day, how
+    //      many return k days later. Two shuffles total: per-user min
+    //      (partial-agg'd) + the (cohort, offset) distinct-count;
+    //      the first-day table joins back broadcast-ish on user_id ----
+    QuerySpec(
+      "e14_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("cohort_day"))
+        ev.select(col("user_id"), to_date(col("ts")).as("day"))
+          .join(first, "user_id")
+          .select(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"),
+            col("user_id"))
+          .filter(col("day_offset") <= 7)
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+        COUNT(DISTINCT user_id) AS n_active
+      FROM (
+        SELECT e.user_id, f.cohort_day,
+          DATE_DIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e
+        JOIN (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+              FROM events GROUP BY user_id) f
+          ON e.user_id = f.user_id) t
+      WHERE day_offset <= 7
+      GROUP BY cohort_day, day_offset
+      ORDER BY cohort_day, day_offset"""))
   )
 }

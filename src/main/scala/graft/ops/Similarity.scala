@@ -357,6 +357,34 @@ object Similarity {
         assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
           .orderBy("cid")
       },
+      None),
+
+    // ---- IVF top-3 over the LEARNED quantizer: s06 with the fixture
+    //      label swapped for real k-means cells, exactly the swap-in
+    //      SCALE.md promised. At 100 TB the corpus is partitioned by
+    //      cid at rest and a query reads only its probed cells.
+    //      Engine-specific float centroids → rows-only; OpsSpec
+    //      asserts the IVF containment invariant + recall ----
+    QuerySpec(
+      "s09_ivf_kmeans",
+      (s, d) => {
+        val (assigned, _) = kMeans(s, d)
+        val withCell = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .join(assigned, "vec_id")
+        val q = withCell.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("cid").as("qcid"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        withCell.join(broadcast(q), col("cid") === col("qcid") &&
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("cid"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy("qid", "rk")
+      },
       None)
   )
 }

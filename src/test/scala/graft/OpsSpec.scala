@@ -155,6 +155,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF over learned cells: neighbors share the query's cell; recall reported") {
+    import graft.ops.Similarity
+    val (assigned, _) = Similarity.kMeans(spark, sf0001)
+    val cell = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivf = SparkEntry.queries("s09_ivf_kmeans")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.nonEmpty)
+    // the IVF contract: every returned neighbor lives in the query's
+    // cell (the restriction is WHY it scales — only probed cells read)
+    ivf.foreach { case (qid, vid) =>
+      assert(cell(vid) == cell(qid), s"$vid not in $qid's cell")
+    }
+    // recall vs the exact global top-5 is informational at this SF
+    // (single-probe IVF trades recall for touched partitions)
+    val exact = SparkEntry.queries("s03_knn_brute")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byQ = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rec = byQ.map { case (q, ns) =>
+      (ns intersect exact(q)).size.toDouble / math.min(3, exact(q).size) }
+    info(s"s09 mean cell-restricted recall: ${rec.sum / rec.size}")
+    assert(rec.sum / rec.size >= 0.3)
+  }
+
   test("approx quantiles track the exact percentiles within accuracy") {
     // q39's GK sketch at accuracy 1000 guarantees rank error ≤ n/1000;
     // translate to a value-tolerance via the exact q22 twin's spread
