@@ -14,6 +14,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts NANOS
+      // let AQE coalesce post-shuffle partitions even under a persist():
+      // iterative queries (t12) cache each generation, and without this
+      // every tiny label-table shuffle stays at the static partition
+      // count — pure task-scheduling overhead on a small relation
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,29 +27,52 @@ object Bench {
     // first query; then two timed iterations in sorted order, report
     // the per-query min (steady-state, JIT/GC noise suppressed)
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    // A failing query must NOT be billed ~0 s and forgotten (a broken
+    // query would make the bench FASTER and still exit 0); collect
+    // failures, report them, and exit non-zero.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir))
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
         finally Scoped.release() // a query's persists die with its run
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val (r1, r2) = (timeAll(), timeAll().toMap)
-    val results = r1.map { case (n, t) => n -> math.min(t, r2(n)) }
+    // THREE timed rounds, per-query min. Round 2's q31/q35 forensics:
+    // both queries are 0.5 s / 1.1 s steady-state in isolation (decimal
+    // vs double sum differs by <0.2 s — the decimal hypothesis is
+    // refuted), yet billed ~7 s in BENCH_r02; with only two rounds one
+    // machine-contention window spanning both spoils the min. A third
+    // sample bounds that exposure.
+    val (r1, r2, r3) = (timeAll(), timeAll().toMap, timeAll().toMap)
+    val results = r1.map { case (n, t) => n -> math.min(t, math.min(r2(n), r3(n))) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failures = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-query detail: its own earlier line + a file; the driver-
     // parsed line is the compact one printed LAST (round 1's single
     // giant line was truncated by the driver's stdout tail)
     val detail =
       s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_detail.json"), detail)
-    catch { case _: Throwable => () }
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failures":$failures,"sf":"$sfDir"}"""
+    // sbt appends its own "[success] Total time…" after our stdout, so
+    // the driver's last-line parse can't see the JSON — ALSO write the
+    // total to a well-known small file it can read deterministically.
+    def writeFile(path: String, s: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), s)
+      catch { case _: Throwable => () }
+    writeFile("target/bench_detail.json", detail)
+    writeFile("target/bench_total.json", totalLine)
+    failed.foreach { case (n, msg) => System.err.println(s"[bench] FAILED $n: $msg") }
     println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(totalLine)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

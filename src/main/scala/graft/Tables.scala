@@ -31,12 +31,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the raw int64
-    * nanos via the legacy conf and truncate to µs TimestampType —
-    * exactly what DuckDB does with the same column, so oracles agree.
+    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). The raw int64 nanos
+    * are read via `spark.sql.legacy.parquet.nanosAsLong` — set where
+    * the session is BUILT (Bench/Verify/Explain/TestSpark), never here:
+    * a loader must not flip session-global flags mid-query — and
+    * truncated to µs TimestampType, exactly what DuckDB does with the
+    * same column, so oracles agree.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(events.ts is parquet TIMESTAMP(NANOS))")
     val raw = table(s, d, "events")
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(

@@ -167,11 +167,16 @@ object BronzeMerge {
 
   /** [[mergeIngest]] over an arbitrary (file_name, length, modified,
     * content) DataFrame — the seam `foreachBatch` streaming ingest
-    * plugs into (`graft.streaming.Streams.streamMergeIngest`). */
+    * plugs into (`graft.streaming.Streams.streamMergeIngest`).
+    * `onSnapshotRead` is a fault-injection seam: it runs after this
+    * writer has read the commit it will build on, so tests interleave
+    * a competing full commit deterministically (IngestSpec's
+    * concurrent-writer test); production callers leave the default. */
   def mergeIngestDf(spark: SparkSession, src: DataFrame,
-      table: String): Long = {
+      table: String, onSnapshotRead: () => Unit = () => ()): Long = {
     val f = fs(spark, table)
     val (ver, batches) = currentCommit(spark, table)
+    onSnapshotRead()
     val fresh =
       if (batches.isEmpty) src
       else src.join(
@@ -189,9 +194,35 @@ object BronzeMerge {
     appended
   }
 
+  /** Publish the current snapshot (and its identity keys) as bucketed
+    * + sorted catalog tables on `file_name` — the at-rest co-location
+    * story (BucketSpec) wired into the bronze store itself: every
+    * downstream join or aggregation keyed on file identity reads
+    * aligned buckets and never reshuffles the content bytes. At
+    * 100 TB this is the bronze→silver publication step: content moves
+    * over the network exactly once (here), then never again. Returns
+    * the published version. */
+  def publishBucketed(spark: SparkSession, table: String,
+      catalogName: String, nBuckets: Int = 8): Int = {
+    val (ver, batches) = currentCommit(spark, table)
+    require(batches.nonEmpty, "nothing to publish")
+    snapshot(spark, table)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "file_name").sortBy("file_name")
+      .saveAsTable(catalogName)
+    spark.read.parquet(batches.map(b => s"$table/_keys/$b"): _*)
+      .distinct()
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "file_name").sortBy("file_name")
+      .saveAsTable(s"${catalogName}_keys")
+    ver
+  }
+
   /** Write the version file via temp + atomic rename; an existing
-    * target means a concurrent writer committed first — fail loudly. */
-  private def commit(f: FileSystem, table: String, version: Int,
+    * target means a concurrent writer committed first — fail loudly.
+    * Package-visible so IngestSpec can drive the CAS conflict
+    * deterministically. */
+  private[graft] def commit(f: FileSystem, table: String, version: Int,
       batches: Seq[String]): Unit = {
     val dir = manifestDir(table)
     f.mkdirs(dir)

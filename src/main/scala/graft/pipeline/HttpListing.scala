@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.pipeline.TransferPipeline.{Listed, ListingProvider}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** HTTP-backed [[TransferPipeline.ListingProvider]]: the production
+  * seam for the reference's Graph folder listing
+  * (`sharepoint_to_bronze_delta.py:72-77` — GET
+  * `/drives/{id}/root:/{folder}:/children`), with the two reliability
+  * gaps BASELINE.md calls out in the reference FIXED here:
+  *
+  *  - **retry/backoff**: the reference performs every Graph call with
+  *    no retry (`:53,62,74`) — one 429 or transient 5xx kills the run.
+  *    [[RetryPolicy]] retries 429/5xx with capped exponential backoff
+  *    and honors `Retry-After`; other 4xx fail fast (C5 semantics).
+  *  - **pagination**: the reference reads a single page and silently
+  *    truncates (`:74-77` never follows `@odata.nextLink` — SURVEY §2
+  *    S5 note). This provider walks `@odata.nextLink` to exhaustion,
+  *    like the DSv2 source's reader-owned pagination
+  *    ([[graft.sources.GraphCatalogSource]]).
+  *
+  * The transport is injected so the policy is fully unit-testable
+  * offline (HttpListingSpec drives it with a scripted fake; the
+  * container has no egress). A production transport is a thin
+  * `java.net.HttpURLConnection` adapter plus an Authorization header
+  * from the credential provider (S2 stays a connector concern).
+  */
+object HttpListing {
+
+  /** Minimal response surface the policy needs. */
+  final case class HttpResponse(status: Int, body: String,
+      headers: Map[String, String] = Map.empty)
+
+  /** One GET. Implementations: real HTTP in production, a scripted
+    * fake in tests. */
+  trait Transport extends Serializable {
+    def get(url: String): HttpResponse
+  }
+
+  /** Retry 429/5xx with capped exponential backoff; honor
+    * `Retry-After` (seconds) when the server sends one. `sleeper` is
+    * injected so tests assert the exact delay sequence without
+    * sleeping. */
+  final case class RetryPolicy(
+      maxRetries: Int = 5,
+      baseDelayMs: Long = 500,
+      maxDelayMs: Long = 30000) {
+
+    def retryable(status: Int): Boolean = status == 429 || status >= 500
+
+    /** Backoff before retry attempt `n` (0-based), absent Retry-After:
+      * base·2ⁿ capped at maxDelayMs. Deterministic — jitter belongs in
+      * the transport if ever needed, not in the testable policy. */
+    def delayMs(attempt: Int, retryAfter: Option[Long]): Long =
+      retryAfter.map(s => math.min(s * 1000, maxDelayMs))
+        .getOrElse(math.min(baseDelayMs << math.min(attempt, 20), maxDelayMs))
+  }
+
+  /** GET with the retry policy applied. Returns the first success
+    * (2xx); throws on non-retryable status (fail fast, C5) or after
+    * `maxRetries` retryable failures (C6-normalized: loud, not
+    * print-and-continue). */
+  def getWithRetry(transport: Transport, policy: RetryPolicy,
+      sleeper: Long => Unit)(url: String): HttpResponse = {
+    var attempt = 0
+    while (true) {
+      val resp = transport.get(url)
+      if (resp.status >= 200 && resp.status < 300) return resp
+      if (!policy.retryable(resp.status))
+        throw new RuntimeException(
+          s"GET $url failed with ${resp.status} (not retryable)")
+      if (attempt >= policy.maxRetries)
+        throw new RuntimeException(
+          s"GET $url failed with ${resp.status} after " +
+            s"${policy.maxRetries} retries")
+      val retryAfter = resp.headers.get("Retry-After").flatMap(v =>
+        scala.util.Try(v.trim.toLong).toOption)
+      sleeper(policy.delayMs(attempt, retryAfter))
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Graph-children listing over HTTP: one page per GET, following
+  * `@odata.nextLink` until absent. Page shape is the documented Graph
+  * response consumed at `sharepoint_to_bronze_delta.py:76`:
+  * `{"value":[{name, size, file?:{mimeType}, folder?:{...}}, ...],
+  *   "@odata.nextLink": "..."}` — items without a `file` facet are
+  * folders and surface with a null mime (the P1 filter drops them
+  * downstream, same as the reference's `if "file" in it`).
+  */
+final class HttpListingProvider(
+    baseUrl: String,
+    transport: HttpListing.Transport,
+    policy: HttpListing.RetryPolicy = HttpListing.RetryPolicy(),
+    sleeper: Long => Unit = Thread.sleep) extends ListingProvider {
+
+  private def childrenUrl(folder: String): String =
+    s"$baseUrl/root:/$folder:/children"
+
+  override def list(folder: String): Seq[Listed] = {
+    val get = HttpListing.getWithRetry(transport, policy, sleeper) _
+    val mapper = new ObjectMapper()
+    val out = Seq.newBuilder[Listed]
+    var next: Option[String] = Some(childrenUrl(folder))
+    var pages = 0
+    while (next.isDefined) {
+      pages += 1
+      require(pages <= 10000, s"runaway pagination listing $folder")
+      val root = mapper.readTree(get(next.get).body)
+      val items = Option(root.get("value")).map(_.elements())
+        .getOrElse(java.util.Collections.emptyIterator[JsonNode]())
+      items.forEachRemaining { it =>
+        val name = Option(it.get("name")).map(_.asText()).orNull
+        val file = Option(it.get("file"))
+        out += Listed(
+          folder, name,
+          file.flatMap(f => Option(f.get("mimeType")).map(_.asText()))
+            .orNull,
+          if (file.isDefined)
+            Option(it.get("size")).map(n => java.lang.Long.valueOf(n.asLong()))
+              .orNull
+          else null)
+      }
+      next = Option(root.get("@odata.nextLink")).map(_.asText())
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.pipeline.{HttpListing, HttpListingProvider}
+import graft.pipeline.HttpListing.{HttpResponse, RetryPolicy, Transport}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Policy tests for the HTTP listing seam — no network (the container
+  * has none): a scripted transport returns canned Graph-shaped pages
+  * and the specs assert the retry/backoff/pagination behavior the
+  * reference lacks (no retry at `sharepoint_to_bronze_delta.py:53,62,
+  * 74`; single-page listing at `:74-77`). */
+class HttpListingSpec extends AnyFunSuite {
+
+  /** Per-URL response queue: pops until one left, then repeats it. */
+  private class FakeTransport(script: (String, Seq[HttpResponse])*)
+      extends Transport {
+    val calls = mutable.Buffer[String]()
+    private val q = mutable.Map(script.map { case (u, rs) =>
+      u -> mutable.Queue(rs: _*) }: _*)
+    override def get(url: String): HttpResponse = {
+      calls += url
+      val queue = q.getOrElse(url,
+        fail(s"unexpected GET $url; scripted: ${q.keys.mkString(", ")}"))
+      if (queue.size > 1) queue.dequeue() else queue.head
+    }
+  }
+
+  private val sleeps = mutable.Buffer[Long]()
+  private def sleeper(ms: Long): Unit = sleeps += ms
+  private def fresh(): Unit = sleeps.clear()
+
+  private def page(names: Seq[(String, Boolean, Long)],
+      next: Option[String]): HttpResponse = {
+    val items = names.map { case (n, isFile, size) =>
+      if (isFile) s"""{"name":"$n","size":$size,"file":{"mimeType":"text/plain"}}"""
+      else s"""{"name":"$n","folder":{"childCount":1}}"""
+    }.mkString(",")
+    val nl = next.map(u => s""","@odata.nextLink":"$u"""").getOrElse("")
+    HttpResponse(200, s"""{"value":[$items]$nl}""")
+  }
+
+  private val base = "https://graph.example.test/drives/d1"
+  private def url(folder: String) = s"$base/root:/$folder:/children"
+
+  test("follows @odata.nextLink across pages, in order, mapping facets") {
+    fresh()
+    val t = new FakeTransport(
+      url("Invoices") -> Seq(page(
+        Seq(("a.pdf", true, 10L), ("Sub", false, 0L)),
+        Some(s"$base/page2"))),
+      s"$base/page2" -> Seq(page(
+        Seq(("b.pdf", true, 20L)), Some(s"$base/page3"))),
+      s"$base/page3" -> Seq(page(Seq(("c.pdf", true, 30L)), None)))
+    val out = new HttpListingProvider(base, t, RetryPolicy(), sleeper)
+      .list("Invoices")
+    assert(out.map(_.name) == Seq("a.pdf", "Sub", "b.pdf", "c.pdf"))
+    // folders carry no file facet — null mime and size, like the Graph
+    // response the P1 filter consumes downstream
+    val sub = out.find(_.name == "Sub").get
+    assert(sub.file_mime == null && sub.size == null)
+    assert(out.find(_.name == "b.pdf").get.size == 20L)
+    assert(t.calls == Seq(url("Invoices"), s"$base/page2", s"$base/page3"))
+    assert(sleeps.isEmpty)
+  }
+
+  test("429 honors Retry-After, then succeeds") {
+    fresh()
+    val t = new FakeTransport(url("F") -> Seq(
+      HttpResponse(429, "", Map("Retry-After" -> "7")),
+      page(Seq(("x.txt", true, 1L)), None)))
+    val out = new HttpListingProvider(base, t, RetryPolicy(), sleeper).list("F")
+    assert(out.map(_.name) == Seq("x.txt"))
+    assert(sleeps.toSeq == Seq(7000L))
+    assert(t.calls.size == 2)
+  }
+
+  test("5xx backs off exponentially with a cap") {
+    fresh()
+    val policy = RetryPolicy(maxRetries = 5, baseDelayMs = 500,
+      maxDelayMs = 1200)
+    val t = new FakeTransport(url("F") -> Seq(
+      HttpResponse(503, ""), HttpResponse(503, ""), HttpResponse(503, ""),
+      HttpResponse(500, ""),
+      page(Seq(("x.txt", true, 1L)), None)))
+    val out = new HttpListingProvider(base, t, policy, sleeper).list("F")
+    assert(out.map(_.name) == Seq("x.txt"))
+    // 500·2⁰, 500·2¹, then capped at 1200
+    assert(sleeps.toSeq == Seq(500L, 1000L, 1200L, 1200L))
+  }
+
+  test("retries exhausted -> loud failure, not silent truncation") {
+    fresh()
+    val policy = RetryPolicy(maxRetries = 2, baseDelayMs = 1)
+    val t = new FakeTransport(url("F") -> Seq(HttpResponse(503, "")))
+    val e = intercept[RuntimeException] {
+      new HttpListingProvider(base, t, policy, sleeper).list("F")
+    }
+    assert(e.getMessage.contains("after 2 retries"))
+    assert(t.calls.size == 3) // initial + 2 retries
+  }
+
+  test("non-retryable 4xx fails fast (C5) with no retry") {
+    fresh()
+    val t = new FakeTransport(url("F") -> Seq(HttpResponse(404, "")))
+    val e = intercept[RuntimeException] {
+      new HttpListingProvider(base, t, RetryPolicy(), sleeper).list("F")
+    }
+    assert(e.getMessage.contains("404"))
+    assert(t.calls.size == 1 && sleeps.isEmpty)
+  }
+
+  test("a retry mid-pagination retries only the failing page") {
+    fresh()
+    val t = new FakeTransport(
+      url("F") -> Seq(page(Seq(("a", true, 1L)), Some(s"$base/p2"))),
+      s"$base/p2" -> Seq(HttpResponse(502, ""),
+        page(Seq(("b", true, 2L)), None)))
+    val out = new HttpListingProvider(base, t, RetryPolicy(baseDelayMs = 9),
+      sleeper).list("F")
+    assert(out.map(_.name) == Seq("a", "b"))
+    assert(t.calls == Seq(url("F"), s"$base/p2", s"$base/p2"))
+    assert(sleeps.toSeq == Seq(9L))
+  }
+}

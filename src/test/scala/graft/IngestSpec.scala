@@ -123,6 +123,90 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("concurrent writers: manifest CAS admits exactly one, loser is loud") {
+    import graft.ingest.BronzeMerge
+    import org.apache.spark.sql.functions._
+    val dirA = Files.createTempDirectory("graft-cas-a")
+    val dirB = Files.createTempDirectory("graft-cas-b")
+    val table = Files.createTempDirectory("graft-cas-out")
+      .resolve("bronze").toString
+    Files.writeString(dirA.resolve("a.txt"), "from-A")
+    Files.writeString(dirB.resolve("b.txt"), "from-B")
+    def src(dir: java.nio.file.Path) =
+      Ingest.discoverBinary(spark, dir.toString).select(
+        substring_index(col("path"), "/", -1).as("file_name"),
+        col("length"), col("modificationTime").as("modified"),
+        col("content"))
+
+    // Interleave: writer B reads the (empty) commit it will build on,
+    // then writer A runs a FULL merge before B proceeds. B's stale
+    // snapshot collides with A's committed batch — B must fail loudly
+    // and change nothing (loser-fails-loudly, BronzeMerge commit CAS).
+    var winnerAppended = -1L
+    val loser = intercept[Exception] {
+      BronzeMerge.mergeIngestDf(spark, src(dirB), table, onSnapshotRead =
+        () => winnerAppended =
+          BronzeMerge.mergeIngestDf(spark, src(dirA), table))
+    }
+    info(s"loser failed with: ${loser.getClass.getSimpleName}")
+    assert(winnerAppended == 1L)
+    // exactly one winner: the table is A's commit, manifest intact
+    val (ver, live) = BronzeMerge.currentCommit(spark, table)
+    assert(ver == 1 && live == Seq("batch-00000001"))
+    assert(BronzeMerge.snapshot(spark, table).select("file_name")
+      .collect().map(_.getString(0)).toSeq == Seq("a.txt"))
+    // B retries against the NEW version and lands cleanly
+    assert(BronzeMerge.mergeIngestDf(spark, src(dirB), table) == 1L)
+    assert(BronzeMerge.snapshot(spark, table).count() == 2)
+
+    // the CAS itself: a second commit of the SAME version must lose,
+    // and the manifest must still read the winner's content
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    intercept[IllegalStateException] {
+      BronzeMerge.commit(f, table, 2, Seq("batch-bogus"))
+    }
+    assert(BronzeMerge.currentCommit(spark, table)._2 ==
+      Seq("batch-00000001", "batch-00000002"))
+  }
+
+  test("bucketed bronze publication joins on file identity with zero exchanges") {
+    import graft.ingest.BronzeMerge
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bkt")
+    val table = Files.createTempDirectory("graft-bkt-out")
+      .resolve("bronze").toString
+    (1 to 12).foreach(i =>
+      Files.writeString(dir.resolve(f"f$i%02d.txt"), s"payload-$i"))
+    assert(BronzeMerge.mergeIngest(spark, dir.toString, table) == 12)
+
+    Seq("bronze_pub", "bronze_pub_keys").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    BronzeMerge.publishBucketed(spark, table, "bronze_pub", nBuckets = 4)
+
+    // content ⨝ keys on file_name: both sides bucketed+sorted by the
+    // key → co-located SortMergeJoin, no Exchange — at 100 TB the
+    // content bytes never travel for identity-keyed joins
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bronze_pub")
+        .join(spark.table("bronze_pub_keys"), Seq("file_name"))
+        .select($"file_name", $"content")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"expected a shuffle-free co-located bronze join, got:\n$plan")
+      assert(j.count() == 12)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // aggregation keyed on file identity also reuses the bucketing
+    val agg = spark.table("bronze_pub").groupBy("file_name")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("csv ingest appends typed rows to the sink table") {
     val dir = Files.createTempDirectory("graft-csv")
     val sink = Files.createTempDirectory("graft-csv-out").resolve("t")

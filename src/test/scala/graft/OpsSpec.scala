@@ -234,6 +234,40 @@ class OpsSpec extends SparkSpec {
       s"mean quantized-KNN overlap ${overlaps.sum / overlaps.size}")
   }
 
+  test("SimHash: near-dup pairs sit far closer in Hamming space than random pairs") {
+    // t10 is rows-only for the oracle (engine-specific hash bits); its
+    // correctness signal is the METRIC property: docs that t08 proved
+    // near-duplicate (Jaccard ≥ 0.8) must have simhashes within a few
+    // bits, while unrelated docs hover near the 32-bit random baseline
+    val sims = SparkEntry.queries("t10_simhash")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = SparkEntry.queries("t08_jaccard_pairs")(spark, sf0001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty) // fixtures plant near-duplicates
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val nearHam = near.map { case (a, b) => ham(sims(a), sims(b)) }
+    // background: a deterministic stride pairing, minus the near-dups
+    val ids = sims.keys.toArray.sorted
+    val nearSet = near.toSet
+    val rndHam = ids.indices.flatMap { i =>
+      val j = (i + 97) % ids.length
+      val (a, b) = (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))
+      if (a == b || nearSet.contains((a, b))) None
+      else Some(ham(sims(a), sims(b)))
+    }
+    val nearMean = nearHam.sum.toDouble / nearHam.size
+    val rndMean = rndHam.sum.toDouble / rndHam.size
+    info(s"hamming: near-dup mean $nearMean (max ${nearHam.max}), " +
+      s"random mean $rndMean over ${rndHam.size} pairs")
+    // shared corpus vocabulary drags unrelated docs below the 32-bit
+    // coin-flip baseline (observed ~18.5 at sf0.001) — the guard only
+    // rules out a degenerate all-similar signature space
+    assert(rndMean >= 12, s"random baseline $rndMean suspiciously low")
+    assert(nearHam.max <= 16, s"a near-dup pair is ${nearHam.max} bits apart")
+    assert(nearMean <= rndMean / 2,
+      s"near-dup mean $nearMean not separated from random $rndMean")
+  }
+
   test("rolling-hash fingerprint is deterministic and order-sensitive") {
     val fp = SparkEntry.queries("t06_fingerprint")(spark, sf0001)
     val a = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

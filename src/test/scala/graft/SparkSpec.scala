@@ -11,6 +11,8 @@ object TestSpark {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts NANOS
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
