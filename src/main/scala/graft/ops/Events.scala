@@ -401,6 +401,54 @@ object Events {
           ON e.user_id = f.user_id) t
       WHERE day_offset <= 7
       GROUP BY cohort_day, day_offset
-      ORDER BY cohort_day, day_offset"""))
+      ORDER BY cohort_day, day_offset""")),
+
+    // ---- daily volume anomalies per event type: z-score of each
+    //      day's count against that type's own mean/stddev. The
+    //      moments come from INTEGER sums (count, count²) so both
+    //      engines compute bit-identical doubles — the builtin STDDEV
+    //      is avoided on purpose (Welford vs two-pass accumulate in a
+    //      different order). Two bounded shuffles: (type, day) counts,
+    //      then per-type moments broadcast back onto ~types×days rows. ----
+    QuerySpec(
+      "e15_daily_anomaly",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val moments = daily.groupBy(col("event_type"))
+          .agg(sum(col("n")).as("sn"),
+            sum(col("n") * col("n")).as("sn2"),
+            count(lit(1)).as("days"))
+          .select(col("event_type"),
+            (col("sn").cast("double") / col("days")).as("mean_n"),
+            sqrt((col("sn2").cast("double") -
+              col("sn").cast("double") * col("sn").cast("double") /
+                col("days")) / (col("days") - 1)).as("sd_n"))
+        daily.join(broadcast(moments), "event_type")
+          .select(col("event_type"), col("day"), col("n"),
+            ((col("n").cast("double") - col("mean_n")) / col("sd_n"))
+              .as("z"))
+          .withColumn("is_anomaly", abs(col("z")) >= 2.0)
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT d.event_type, d.day, d.n,
+        (CAST(d.n AS DOUBLE) - m.mean_n) / m.sd_n AS z,
+        abs((CAST(d.n AS DOUBLE) - m.mean_n) / m.sd_n) >= 2.0 AS is_anomaly
+      FROM (SELECT event_type, date_trunc('day', ts) AS day,
+              COUNT(1) AS n
+            FROM events GROUP BY 1, 2) d
+      JOIN (SELECT event_type,
+              CAST(SUM(n) AS DOUBLE) / COUNT(1) AS mean_n,
+              sqrt((CAST(SUM(n * n) AS DOUBLE) -
+                CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)
+                  / COUNT(1)) / (COUNT(1) - 1)) AS sd_n
+            FROM (SELECT event_type, date_trunc('day', ts) AS day,
+                    COUNT(1) AS n
+                  FROM events GROUP BY 1, 2) i
+            GROUP BY event_type) m
+        ON d.event_type = m.event_type
+      ORDER BY d.event_type, d.day"""))
   )
 }

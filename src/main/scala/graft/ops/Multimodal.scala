@@ -102,6 +102,51 @@ object Multimodal {
             FROM documents) t
       ORDER BY doc_id, chunk_idx""")),
 
+    // ---- frame sampling (video-style temporal downsample): treat the
+    //      payload as 64-byte "frames", keep a uniform-stride sample of
+    //      at most 8 frames per clip — the budget-bounded selection a
+    //      video pipeline runs before decoding anything. All integer
+    //      arithmetic (stride = ceil(frames/8), stepped sequence), so
+    //      the oracle recomputes it exactly; per-frame decode would
+    //      slot into m03's batched stub downstream ----
+    QuerySpec(
+      "m04_frame_sample",
+      (s, d) => {
+        val frameSz = 64
+        val maxFrames = 8
+        val nFrames = ceil(octet_length(payload) / lit(frameSz.toDouble))
+          .cast("int")
+        val stride = greatest(
+          ceil(nFrames / lit(maxFrames.toDouble)).cast("int"), lit(1))
+        val idx = when(nFrames > 0,
+          sequence(lit(0), nFrames - 1, stride))
+          .otherwise(array().cast("array<int>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), nFrames.as("n_frames"),
+            posexplode(transform(idx,
+              i => substring(payload, i * frameSz + 1, lit(frameSz)))))
+          .select(col("doc_id"), col("n_frames"),
+            col("pos").as("sample_idx"),
+            octet_length(col("col")).as("frame_bytes"),
+            md5(col("col")).as("frame_md5"))
+          .orderBy("doc_id", "sample_idx")
+      },
+      Some("""SELECT doc_id, CAST(nf AS INT) AS n_frames,
+        CAST(i // stride AS INT) AS sample_idx,
+        CAST(octet_length(encode(substr(text,
+          CAST(i * 64 + 1 AS INT), 64))) AS INT) AS frame_bytes,
+        md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+      FROM (
+        SELECT doc_id, text, nf, stride,
+          unnest(generate_series(0, nf - 1, stride)) AS i
+        FROM (
+          SELECT doc_id, text,
+            CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS nf,
+            greatest(CAST(ceil(ceil(octet_length(encode(text)) / 64.0)
+              / 8.0) AS BIGINT), 1) AS stride
+          FROM documents) b) t
+      ORDER BY doc_id, sample_idx""")),
+
     // ---- stubbed decode → features (typed mapPartitions path). The
     //      stub's features are deterministic byte math, so the oracle
     //      can recompute them exactly: fixture text is ASCII, hence

@@ -60,27 +60,37 @@ object Similarity {
   /** The fixed query set: first 8 vectors. Tiny → broadcast join. */
   private val QueryIds = 8
 
-  /** Nearest-centroid fold: (min dist², its cid) over one literal row
-    * holding all k centroids — a per-row argmax with no join and no
+  /** One codebook as a literal array<struct<cid,c>> column. */
+  private def centroidLit(cs: Seq[(Int, Seq[Double])]): Column =
+    array(cs.map { case (cid, c) =>
+      struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c"))
+    }: _*)
+
+  /** Nearest-centroid fold: (min dist², its cid) over `cands`
+    * (array<struct<cid,c>>) — a per-row argmax with no join and no
     * shuffle (the t05 broadcast-profile pattern). Strict < keeps the
     * lowest cid on exact ties — deterministic. */
-  private def nearest(centroids: Seq[(Int, Seq[Double])], v: Column): Column = {
-    val cRow = array(centroids.map { case (cid, c) =>
-      struct(lit(cid).as("cid"),
-        array(c.map(lit): _*).as("c"))
-    }: _*)
+  private def nearestIn(cands: Column, v: Column): Column = {
+    // explicit struct type: aliases inside nested lambdas can be
+    // stripped during resolution, leaving col1-named branches that
+    // fail the when/otherwise type check — the cast pins field names
+    val bestT = "struct<d2:double,cid:int>"
     val d2 = (x: Column, c: Column) =>
       aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, v) => acc + v)
-    aggregate(cRow,
-      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+    aggregate(cands,
+      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")).cast(bestT),
       (acc, p) => {
         val dist = d2(v, p.getField("c"))
         when(dist < acc.getField("d2"),
-          struct(dist.as("d2"), p.getField("cid").as("cid")))
+          struct(dist.as("d2"), p.getField("cid").as("cid")).cast(bestT))
           .otherwise(acc)
       })
   }
+
+  /** [[nearestIn]] against one fixed literal codebook. */
+  private def nearest(centroids: Seq[(Int, Seq[Double])], v: Column): Column =
+    nearestIn(centroidLit(centroids), v)
 
   // The trained model is a deterministic function of (dir, k, iters);
   // s08 and s09 share it, so train ONCE per session — round 2 paid the
@@ -139,6 +149,84 @@ object Similarity {
       .select(col("vec_id"), vec(col("embedding")).as("v"))
     val best = nearest(centroids, col("v"))
     (e.select(col("vec_id"), best.getField("cid").as("cid")), inertia)
+  }
+
+  // ---------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011): split the 64-dim vector
+  // into m subspaces, k-means each subspace, store vectors as m small
+  // codes. The memory/shuffle lever past int8 (s07): 8 bytes/vector
+  // instead of 256, and query scoring is table lookups (ADC), not
+  // float dot products.
+  // ---------------------------------------------------------------
+
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int), Seq[Seq[(Int, Seq[Double])]]]()
+
+  /** Double-cast, L2-NORMALIZED subspace `mi` (0-based) of the
+    * embedding. PQ codebooks are trained and probed on unit vectors so
+    * the ADC dot product approximates COSINE (the s03 metric) instead
+    * of the norm-biased raw dot — the standard PQ-for-cosine setup. */
+  private def subVec(mi: Column, sub: Int): Column = {
+    val nrm = l2(col("embedding"))
+    transform(slice(col("embedding"), mi * sub + 1, lit(sub)),
+      x => when(nrm > 0, x.cast("double") / nrm).otherwise(lit(0.0)))
+  }
+
+  /** PQ codebooks (memoized like [[kMeansModel]]): m per-subspace
+    * k-means runs trained TOGETHER — one dataflow per iteration over
+    * (vec_id, sub, subvector) rows, assignment via [[nearestIn]]
+    * against `element_at(allBooks, sub+1)` (per-row codebook pick, no
+    * join), one (sub, cid, pos) partial-agg shuffle of m·k·(dim/m)
+    * bounded rows. An emptied cell keeps its previous centroid so
+    * every codebook stays exactly k entries, cid = row index. */
+  def pqModel(s: SparkSession, d: String, m: Int = 8, k: Int = 16,
+      iters: Int = 4): Seq[Seq[(Int, Seq[Double])]] =
+    pqMemo.computeIfAbsent((s, d, m, k, iters), _ => {
+      val sub = 64 / m
+      val rows = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            mi => subVec(mi, sub))))
+        .toDF("vec_id", "sub", "sv")
+        .persist()
+      try {
+        val initRows = rows.filter(col("vec_id") < k).collect()
+        var books: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { mi =>
+          initRows.filter(_.getInt(1) == mi).sortBy(_.getLong(0)).zipWithIndex
+            .map { case (r, i) => i -> r.getSeq[Double](2).toSeq }.toSeq
+        }
+        for (_ <- 0 until iters) {
+          val allBooks = array(books.map(centroidLit): _*)
+          val cid = nearestIn(element_at(allBooks, col("sub") + 1),
+            col("sv")).getField("cid")
+          val agg = rows
+            .select(col("sub"), cid.as("cid"), posexplode(col("sv")))
+            .groupBy(col("sub"), col("cid"), col("pos"))
+            .agg(avg(col("col")).as("mn"))
+          val rws = agg.collect() // ≤ m·k·sub rows — bounded
+          books = books.zipWithIndex.map { case (book, mi) =>
+            val upd = rws.filter(_.getInt(0) == mi).groupBy(_.getInt(1))
+              .map { case (c, rs) =>
+                c -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+            book.map { case (c, old) => c -> upd.getOrElse(c, old) }
+          }
+        }
+        books
+      } finally rows.unpersist(blocking = false)
+    })
+
+  /** (vec_id, codes) under the trained codebooks — one corpus scan,
+    * all m argmaxes fused into a single projection. */
+  def pqCodes(s: SparkSession, d: String, m: Int = 8, k: Int = 16)
+      : DataFrame = {
+    val books = pqModel(s, d, m, k)
+    val sub = 64 / m
+    val allBooks = array(books.map(centroidLit): _*)
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(sequence(lit(0), lit(m - 1)), mi =>
+        nearestIn(element_at(allBooks, mi + 1), subVec(mi, sub))
+          .getField("cid")).as("codes"))
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -412,6 +500,73 @@ object Similarity {
             cosine(col("qv"), col("embedding")).as("cos"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
+          .orderBy("qid", "rk")
+      },
+      None),
+
+    // ---- PQ + ADC shortlist + exact rerank, the production PQ query
+    //      shape (Jégou et al. 2011): the corpus is scanned as 8-byte
+    //      codes (32× smaller than float32); each query precomputes an
+    //      m×k lookup table of sub-dot-products (driver-side, bounded)
+    //      so candidate scoring is m table lookups + adds — no float
+    //      math touches the corpus; only the ADC top-50 shortlist
+    //      fetches real vectors for the exact cosine top-5. At 100 TB:
+    //      codes live in memory next to the IVF cells (s09), floats
+    //      are fetched for ~0.1% of the corpus. Engine-specific float
+    //      codebooks → rows-only; OpsSpec asserts the reranked top-5
+    //      recalls the exact s03 top-5. ----
+    QuerySpec(
+      "s10_pq_adc_knn",
+      (s, d) => {
+        import s.implicits._
+        val m = 8; val k = 16
+        val sub = 64 / m
+        val books = pqModel(s, d, m, k)
+        // exact query vectors (bounded: QueryIds rows) → per-query LUT
+        val qvecs = Tables.embeddings(s, d)
+          .filter(col("vec_id") < QueryIds)
+          .select(col("vec_id"), vec(col("embedding")).as("v"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+          .sortBy(_._1)
+        val luts: Seq[(Long, Seq[Seq[Double]])] = qvecs.toSeq.map {
+          case (qid, raw) =>
+            // normalize the query like the corpus → ADC ≈ cosine
+            val n = math.sqrt(raw.map(x => x * x).sum)
+            val qv = if (n > 0) raw.map(_ / n) else raw
+            qid -> books.zipWithIndex.map { case (book, mi) =>
+              book.sortBy(_._1).map { case (_, c) =>
+                var acc = 0.0
+                var i = 0
+                while (i < sub) { acc += qv(mi * sub + i) * c(i); i += 1 }
+                acc
+              }
+            }
+        }
+        val qdf = luts.toDF("qid", "lut")
+        val wAdc = Window.partitionBy(col("qid"))
+          .orderBy(desc("adc"), col("vec_id"))
+        val shortlist = pqCodes(s, d, m, k).crossJoin(broadcast(qdf))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            aggregate(zip_with(col("codes"), col("lut"),
+              (c, row) => get(row, c)), lit(0.0), (acc, x) => acc + x)
+              .as("adc"))
+          .withColumn("ark", row_number().over(wAdc))
+          .filter(col("ark") <= 50)
+          .select(col("qid"), col("vec_id"))
+        // rerank the survivors with exact cosine on the real vectors
+        val e = Tables.embeddings(s, d)
+        val qe = e.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wCos = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        shortlist
+          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(qe), "qid")
+          .select(col("qid"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(wCos))
+          .filter(col("rk") <= 5)
           .orderBy("qid", "rk")
       },
       None)

@@ -740,6 +740,72 @@ object Text {
             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
               ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.term) AS rk
           FROM tf JOIN dfreq ON tf.term = dfreq.term) r
-        WHERE rk <= 3 ORDER BY doc_id, rk"""))
+        WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // ---- corpus-trained bigram language model as a fluency/quality
+    //      signal (the CCNet/Gopher-style "LM score" curation step,
+    //      transcendental-free so the oracle hash-matches): train
+    //      add-one-smoothed P(w2|w1) on the whole corpus, then score
+    //      each doc by its mean bigram probability and its share of
+    //      rare bigrams. Probabilities are single correctly-rounded
+    //      divisions of INTEGER counts and the per-doc mean is a
+    //      SORTED sequential fold (the s02 pattern) — deterministic in
+    //      both engines, no ln/exp drift. Scale: bigram extraction is
+    //      per-row array zipping (no shuffle); the model is one
+    //      (w1,w2) partial-agg shuffle bounded by vocabulary², not
+    //      corpus size; scoring re-joins docs to the model on the
+    //      same bounded key ----
+    QuerySpec(
+      "t19_bigram_lm",
+      (s, d) => {
+        val n = size(toks)
+        val biRows = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(when(n >= 2,
+              zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+                (a, b) => struct(a.as("w1"), b.as("w2"))))
+              .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+              .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bi = Scoped.persist(biRows)
+        val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+        val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+        val vocab = bi.agg(countDistinct(col("w2")).as("v"))
+        val model = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"), col("n12"),
+            ((col("n12") + 1).cast("double") /
+              (col("n1") + col("v")).cast("double")).as("p"))
+        bi.join(model, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (aggregate(sort_array(collect_list(col("p"))), lit(0.0),
+              (acc, x) => acc + x) / count(lit(1))).as("avg_p"),
+            (sum(when(col("n12") <= 2, 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("rare_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        bi AS (
+          SELECT doc_id,
+            unnest(t[1:len(t) - 1]) AS w1,
+            unnest(t[2:len(t)]) AS w2
+          FROM toks WHERE len(t) >= 2),
+        c12 AS (SELECT w1, w2, COUNT(1) AS n12 FROM bi GROUP BY 1, 2),
+        c1 AS (SELECT w1, COUNT(1) AS n1 FROM bi GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w2) AS v FROM bi)
+      SELECT doc_id, COUNT(1) AS n_bigrams,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(p))),
+          (acc, x) -> acc + x) / COUNT(1) AS avg_p,
+        CAST(SUM(CASE WHEN n12 <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(1) AS rare_ratio
+      FROM (
+        SELECT b.doc_id, c12.n12,
+          CAST(c12.n12 + 1 AS DOUBLE) / CAST(c1.n1 + v.v AS DOUBLE) AS p
+        FROM bi b
+        JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN v) s
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

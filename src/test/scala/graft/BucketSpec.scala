@@ -11,19 +11,7 @@ import org.apache.spark.sql.functions._
   */
 class BucketSpec extends SparkSpec {
 
-  /** The catalog is in-memory per JVM but the warehouse dir persists —
-    * clear both so re-runs don't trip LOCATION_ALREADY_EXISTS. */
-  private def resetTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new java.io.File(s"spark-warehouse/$name")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(loc)
-    }
-  }
+  // resetTable (catalog + warehouse-dir cleanup) comes from SparkSpec
 
   test("bucketed-by-key tables join with zero shuffle exchanges") {
     import spark.implicits._

@@ -180,8 +180,7 @@ class IngestSpec extends SparkSpec {
       Files.writeString(dir.resolve(f"f$i%02d.txt"), s"payload-$i"))
     assert(BronzeMerge.mergeIngest(spark, dir.toString, table) == 12)
 
-    Seq("bronze_pub", "bronze_pub_keys").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("bronze_pub", "bronze_pub_keys").foreach(resetTable)
     BronzeMerge.publishBucketed(spark, table, "bronze_pub", nBuckets = 4)
 
     // content ⨝ keys on file_name: both sides bucketed+sorted by the

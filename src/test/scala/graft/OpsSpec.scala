@@ -234,6 +234,27 @@ class OpsSpec extends SparkSpec {
       s"mean quantized-KNN overlap ${overlaps.sum / overlaps.size}")
   }
 
+  test("PQ-ADC KNN recalls the exact cosine top-5") {
+    // s10 ranks by asymmetric PQ distance (8 subspaces × 16 codes =
+    // 8-byte vectors); like s07 its quality signal is per-query
+    // overlap vs the exact s03 baseline (deterministic: fixed init,
+    // fixed data, no seeds)
+    val exact = SparkEntry.queries("s03_knn_brute")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = SparkEntry.queries("s10_pq_adc_knn")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet == exact.keySet)
+    val overlaps = exact.map { case (qid, ex) =>
+      val ov = (ex intersect pq(qid)).size.toDouble / ex.size
+      info(s"s10 qid=$qid overlap with exact top-5: $ov")
+      ov
+    }
+    assert(overlaps.sum / overlaps.size >= 0.6,
+      s"mean PQ-ADC overlap ${overlaps.sum / overlaps.size}")
+  }
+
   test("SimHash: near-dup pairs sit far closer in Hamming space than random pairs") {
     // t10 is rows-only for the oracle (engine-specific hash bits); its
     // correctness signal is the METRIC property: docs that t08 proved

@@ -21,6 +21,21 @@ abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   implicit lazy val spark: SparkSession = TestSpark.spark
   lazy val sf0001 = "/root/testdata/sf0.001"
 
+  /** Drop a catalog table AND its warehouse directory: the catalog is
+    * in-memory per JVM but `spark-warehouse/` persists, so a stale dir
+    * from a previous test JVM trips LOCATION_ALREADY_EXISTS. */
+  def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
   override def beforeAll(): Unit = {
     spark.sparkContext.setLogLevel("WARN")
     super.beforeAll()
