@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -24,6 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    are never listed at all (the reference lists then drops);
   *  - `SupportsPushDownRequiredColumns` → only referenced columns are
   *    materialized (the reference always builds full rows);
+  *  - `SupportsPushDownLimit` (PARTIAL push: per-partition cap, Spark
+  *    keeps the global limit) → the reference's "first drive" pattern
+  *    (filter + limit 1, `sharepoint_to_bronze_delta.py:66`) stops
+  *    remote pagination after one page instead of listing everything;
   *  - pagination lives inside the reader, so `@odata.nextLink`
   *    truncation (a real reference bug, SURVEY §7.4) can't recur.
   *
@@ -88,11 +92,20 @@ private class GraphItemsTable(folders: Int, filesPerFolder: Int,
 
 private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
     pageSize: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = GraphCatalogSource.Schema
   private var keptFolders: Option[Set[String]] = None // None = all
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  // PARTIAL limit push: each partition (folder) stops listing after
+  // `limit` items — a `limit 1` fetches one page, not the tenant.
+  // Partial because partitions are independent; Spark keeps its global
+  // limit to trim across folders.
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
 
   // folder_name predicates prune whole listings at the source; other
   // filters stay with Spark (we return them as "not pushed").
@@ -127,14 +140,15 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
     override def toBatch: Batch = this
     override def description(): String =
       s"graph-items folders=${keptFolders.fold("*")(_.mkString(","))} " +
-        s"cols=${required.fieldNames.mkString(",")}"
+        s"cols=${required.fieldNames.mkString(",")}" +
+        limit.fold("")(l => s" limit=$l")
 
     override def planInputPartitions(): Array[InputPartition] =
       (0 until folders)
         .filter(f => keptFolders.forall(_.contains(
           GraphCatalogSource.folderName(f))))
-        .map(f =>
-          GraphFolderPartition(f, filesPerFolder, pageSize): InputPartition)
+        .map(f => GraphFolderPartition(f, filesPerFolder, pageSize,
+          limit): InputPartition)
         .toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -143,7 +157,7 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
 }
 
 private case class GraphFolderPartition(folder: Int, files: Int,
-    pageSize: Int) extends InputPartition
+    pageSize: Int, limit: Option[Int] = None) extends InputPartition
 
 private class GraphItemsReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -156,9 +170,13 @@ private class GraphItemsReaderFactory(required: StructType)
       // million-item folder never materializes in one buffer. This is
       // the @odata.nextLink loop the reference's listing lacked.
       private var page = GraphCatalogSource.listPage(gp.files, gp.pageSize, 0)
-      private var off = -1 // offset within the current page
-      private var j = 0    // absolute item index = page.start + off
+      private var off = -1     // offset within the current page
+      private var j = 0        // absolute item index = page.start + off
+      private var emitted = 0  // pushed-limit budget consumed
       override def next(): Boolean = {
+        // pushed limit: stop CONSUMING — and, crucially, stop
+        // requesting further pages from the remote service
+        if (gp.limit.exists(emitted >= _)) return false
         off += 1
         while (off >= page.count) {
           page.next match {
@@ -169,6 +187,7 @@ private class GraphItemsReaderFactory(required: StructType)
           }
         }
         j = page.start + off
+        emitted += 1
         true
       }
       override def get(): InternalRow = {

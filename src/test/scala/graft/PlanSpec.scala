@@ -62,6 +62,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("user_id")) // unreferenced columns not read
   }
 
+  test("e15: per-type moments broadcast back onto the daily relation") {
+    val p = plan("e15_daily_anomaly")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("t19: bigram model joins stay on bounded keys; vocab scalar broadcasts") {
+    val p = plan("t19_bigram_lm")
+    // the vocabulary-size scalar rides a broadcast nested loop (1 row),
+    // never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("s10: PQ query side broadcasts; shortlist bounds the rerank") {
+    val p = plan("s10_pq_adc_knn")
+    // the per-query LUT table and query vectors are broadcast — the
+    // corpus-side code scan never shuffles for candidate generation
+    assert("Broadcast".r.findAllIn(p).size >= 2)
+    // exact rerank only after the ADC rank-50 filter
+    assert(p.contains("ark") && p.contains("vec_dot"))
+  }
+
   test("FuseSelfDot optimizer rule rewrites vec_dot(x,x) to vec_normsq") {
     import graft.functions.{VectorExprs, FuseSelfDot}
     spark.experimental.extraOptimizations =

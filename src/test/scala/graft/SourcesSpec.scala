@@ -53,6 +53,37 @@ class SourcesSpec extends SparkSpec {
       unpaged.map(_.toString).sorted.toSeq)
   }
 
+  test("limit pushdown stops pagination after the needed pages") {
+    import graft.sources.GraphCatalogSource
+    // 100 files at pageSize 10 → an unlimited listing costs 10 pages
+    // per folder; the reference's "first drive" pattern (limit 1,
+    // sharepoint_to_bronze_delta.py:66) must cost ONE page per folder
+    GraphCatalogSource.pagesServed.set(0)
+    val df = spark.read.format("graph-items")
+      .option("folders", "3")
+      .option("filesPerFolder", "100")
+      .option("pageSize", "10")
+      .load()
+      .limit(1)
+    assert(df.queryExecution.executedPlan.toString.contains("limit=1"))
+    val rows = df.collect()
+    assert(rows.length == 1)
+    // at most one page per (possibly-scheduled) partition, never the
+    // 30 a full listing costs — Spark may not even launch all tasks
+    assert(GraphCatalogSource.pagesServed.get() <= 3,
+      s"served ${GraphCatalogSource.pagesServed.get()} pages")
+    // a larger pushed limit spans just enough pages
+    GraphCatalogSource.pagesServed.set(0)
+    val r25 = spark.read.format("graph-items")
+      .option("folders", "1")
+      .option("filesPerFolder", "100")
+      .option("pageSize", "10")
+      .load()
+      .limit(25).collect()
+    assert(r25.length == 25)
+    assert(GraphCatalogSource.pagesServed.get() == 3) // ceil(25/10)
+  }
+
   test("column pruning reaches the reader") {
     val df = catalog().select("folder_name", "size")
     val plan = df.queryExecution.executedPlan.toString
