@@ -147,6 +147,27 @@ object Streams {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Per-type `value` moments trained in BATCH — the model side of
+    * [[scoreAgainstModel]]. At 100 TB this aggregation runs offline
+    * over the full history (one bounded-key shuffle); the resulting
+    * relation is a few rows per event type. */
+  def valueMoments(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mean_v"),
+        stddev_samp(col("value")).as("sd_v"))
+
+  /** Batch-train / stream-apply: z-score each live event's `value`
+    * against the batch-trained per-type moments. A broadcast
+    * stream-static join — completely STATELESS (no state store, no
+    * watermark needed): the canonical production split where the model
+    * trains offline at full scale and applies online per event.
+    * Unknown types score null (left join) rather than dropping. */
+  def scoreAgainstModel(events: DataFrame, moments: DataFrame): DataFrame =
+    events.join(broadcast(moments), Seq("event_type"), "left")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+        ((col("value") - col("mean_v")) / col("sd_v")).as("z"))
+      .withColumn("is_outlier", abs(col("z")) >= 3.0)
+
   /** Streaming ingest INTO the merge-semantics bronze table: each
     * micro-batch lands through `BronzeMerge.mergeIngestDf`, so
     * exactly-once holds on TWO independent legs — the checkpoint stops

@@ -98,6 +98,43 @@ class StreamsSpec extends SparkSpec {
     assert(out == Map("gold" -> 2L, "basic" -> 1L, "none" -> 1L))
   }
 
+  test("batch-trained model scores a stream; streaming equals batch scoring") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // train offline: clicks centered at 10 with sd 2
+    val history = Seq(("click", 8.0), ("click", 10.0), ("click", 12.0),
+      ("buy", 100.0), ("buy", 104.0), ("buy", 96.0))
+      .toDF("event_type", "value")
+    val moments = Streams.valueMoments(
+      history.withColumn("event_id", org.apache.spark.sql.functions.lit(0L)))
+    // apply online: one normal click, one 6-sigma click, one unknown type
+    val ms = MemoryStream[(Long, String, Timestamp, Double)]
+    val stream = ms.toDF.toDF("event_id", "event_type", "ts", "value")
+    val q = Streams.scoreAgainstModel(stream, moments)
+      .writeStream.format("memory").queryName("scored")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq(
+      (1L, "click", ts("2024-01-01 10:00:00"), 10.0),
+      (2L, "click", ts("2024-01-01 10:01:00"), 22.0), // z = 6 → outlier
+      (3L, "scroll", ts("2024-01-01 10:02:00"), 5.0)) // no model row
+    try { ms.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+
+    val out = spark.table("scored").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(4)).map(_ => r.getDouble(4)),
+          Option(r.get(5)).map(_ => r.getBoolean(5)))).toMap
+    assert(out(1L)._1.get == 0.0 && !out(1L)._2.get)
+    assert(out(2L)._1.get == 6.0 && out(2L)._2.get)
+    assert(out(3L) == ((None, None))) // unknown type: null score, kept
+    // the streaming scores ARE the batch scores of the same rows —
+    // stateless stream-static join guarantees the equivalence
+    val batch = Streams.scoreAgainstModel(
+      rows.toDF("event_id", "event_type", "ts", "value"), moments)
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.table("scored").collect().map(_.toString).sorted.toSeq
+      == batch)
+  }
+
   test("streaming dedup drops re-delivered event ids within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
