@@ -61,6 +61,57 @@ class PipelineSpec extends SparkSpec {
     assert(Files.exists(Paths.get(src, "Reports", "r1.pdf")))  // kept
   }
 
+  test("orchestrator runs over the HTTP listing seam: pages + retry, then transfer") {
+    import graft.pipeline.{HttpListing, HttpListingProvider}
+    import graft.pipeline.HttpListing.{HttpResponse, RetryPolicy}
+    // remote catalog: the listing arrives over (scripted) HTTP with
+    // pagination AND a transient 429 on the way — the production
+    // swap-in for LocalDirListing, everything downstream unchanged
+    val src = Files.createTempDirectory("graft-pipe-http").toString
+    val bronze = Files.createTempDirectory("graft-pipe-http-bz").toString
+    Files.createDirectories(Paths.get(src, "Invoices"))
+    Seq("a.csv", "b.csv", "c.csv").foreach(f =>
+      Files.writeString(Paths.get(src, "Invoices", f), s"data-$f"))
+
+    val base = "https://graph.example.test/drives/d1"
+    def filePage(names: Seq[String], next: Option[String]) = HttpResponse(
+      200, names.map(n =>
+        s"""{"name":"$n","size":6,"file":{"mimeType":"text/csv"}}""")
+        .mkString("""{"value":[""", ",",
+          next.fold("]}")(u => s"""],"@odata.nextLink":"$u"}""")))
+    val sleeps = scala.collection.mutable.Buffer[Long]()
+    val transport = new HttpListing.Transport {
+      private var calls = Map[String, Int]().withDefaultValue(0)
+      override def get(url: String): HttpResponse = {
+        calls += url -> (calls(url) + 1)
+        url match {
+          case u if u == s"$base/root:/Invoices:/children" =>
+            filePage(Seq("a.csv", "b.csv"), Some(s"$base/p2"))
+          case u if u == s"$base/p2" && calls(u) == 1 =>
+            HttpResponse(429, "", Map("Retry-After" -> "1"))
+          case u if u == s"$base/p2" =>
+            filePage(Seq("c.csv"), None)
+          case u => HttpResponse(404, s"unexpected $u")
+        }
+      }
+    }
+    val listing = new HttpListingProvider(base, transport,
+      RetryPolicy(), sleeps += _)
+
+    val res = TransferPipeline.run(spark,
+      Seq(SourceFolderCfg("Invoices", "Fin", "lh/inv", "False", null)),
+      listing, new Archive.LocalFileOps(src, bronze), clock).get
+
+    // every page's files made it through discovery → catalog → bronze
+    assert(res.catalog.collect().map(_.file_name).sorted.toSeq ==
+      Seq("a.csv", "b.csv", "c.csv"))
+    assert(sleeps.toSeq == Seq(1000L)) // the 429 was retried, once
+    val m = res.manifest.collect().map(x => x.file_name -> x).toMap
+    assert(m.values.forall(_.uploaded))
+    Seq("a.csv", "b.csv", "c.csv").foreach(f =>
+      assert(Files.exists(Paths.get(bronze, "lh/inv", f))))
+  }
+
   test("empty discovery short-circuits (P4)") {
     val src = Files.createTempDirectory("graft-pipe-empty").toString
     Files.createDirectories(Paths.get(src, "Nothing"))
