@@ -2,6 +2,7 @@ package graft.functions
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Custom typed aggregations (SURVEY §2.9: the reference has no UDAF
@@ -28,5 +29,66 @@ object Aggregators {
     override def finish(buf: JBigDecimal): Double = buf.doubleValue
     override def bufferEncoder: Encoder[JBigDecimal] = Encoders.DECIMAL
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** One reported heavy hitter: Space-Saving guarantees
+    * `n - err <= true count <= n`. */
+  final case class HeavyHitter(term: String, n: Long, err: Long)
+
+  /** Space-Saving heavy hitters (Metwally et al., "Efficient
+    * computation of frequent and top-k elements in data streams",
+    * ICDT 2005): SINGLE-PASS top-k term counting in `capacity`
+    * counters of bounded memory — the 100 TB answer to "top terms"
+    * when the vocabulary doesn't fit anywhere. As a typed
+    * `Aggregator` it gets map-side partial aggregation for free:
+    * each partition maintains its own counter set; merge unions them
+    * with the standard absent-item-gets-the-other-side's-minimum
+    * correction, preserving the `n - err <= true <= n` sandwich under
+    * any merge order. When `capacity >= observed vocabulary` no
+    * counter is ever evicted and the result is EXACT (err = 0) — the
+    * regime the t20 oracle hash-checks; OpsSpec separately bound-tests
+    * the small-capacity approximate regime. */
+  class SpaceSaving(capacity: Int, k: Int)
+      extends Aggregator[String, Map[String, (Long, Long)], Seq[HeavyHitter]] {
+
+    override def zero: Map[String, (Long, Long)] = Map.empty
+
+    override def reduce(buf: Map[String, (Long, Long)], term: String)
+        : Map[String, (Long, Long)] =
+      buf.get(term) match {
+        case Some((n, e)) => buf.updated(term, (n + 1, e))
+        case None if buf.size < capacity => buf.updated(term, (1L, 0L))
+        case None =>
+          // evict the minimum counter (lowest count, then term order —
+          // deterministic); the newcomer inherits its count as error
+          val (mt, (mn, _)) = buf.minBy { case (t, (n, _)) => (n, t) }
+          (buf - mt).updated(term, (mn + 1, mn))
+      }
+
+    override def merge(a: Map[String, (Long, Long)],
+        b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+      // an item absent from a full side may have been evicted there
+      // with up to min-count occurrences — charge that many to both
+      // the count and the error so the sandwich bound survives
+      val minA = if (a.size < capacity) 0L else a.values.map(_._1).min
+      val minB = if (b.size < capacity) 0L else b.values.map(_._1).min
+      val combined = (a.keySet ++ b.keySet).iterator.map { t =>
+        val (na, ea) = a.getOrElse(t, (minA, minA))
+        val (nb, eb) = b.getOrElse(t, (minB, minB))
+        t -> (na + nb, ea + eb)
+      }.toMap
+      if (combined.size <= capacity) combined
+      else combined.toSeq.sortBy { case (t, (n, _)) => (-n, t) }
+        .take(capacity).toMap
+    }
+
+    override def finish(buf: Map[String, (Long, Long)]): Seq[HeavyHitter] =
+      buf.toSeq.sortBy { case (t, (n, _)) => (-n, t) }.take(k)
+        .map { case (t, (n, e)) => HeavyHitter(t, n, e) }
+
+    override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+      ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[HeavyHitter]] =
+      ExpressionEncoder()
   }
 }

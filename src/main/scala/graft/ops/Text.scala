@@ -806,6 +806,35 @@ object Text {
         JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
         JOIN c1 ON b.w1 = c1.w1
         CROSS JOIN v) s
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- corpus-wide heavy hitters via the Space-Saving sketch (§2.9
+    //      typed Aggregator): single-pass top-10 terms in 64 bounded
+    //      counters with map-side partial aggregation — at 100 TB the
+    //      exact groupBy behind t11 shuffles the whole vocabulary;
+    //      this shuffles 64 counters per partition, period. Capacity
+    //      (64) exceeds the fixture vocabulary (31), so the sketch is
+    //      provably exact here and the oracle hash-checks it; OpsSpec
+    //      bound-tests the genuinely-approximate small-capacity
+    //      regime. ----
+    QuerySpec(
+      "t20_heavy_hitters",
+      (s, d) => {
+        val hh = udaf(new graft.functions.Aggregators.SpaceSaving(64, 10),
+          org.apache.spark.sql.Encoders.STRING)
+        Tables.documents(s, d)
+          .select(explode(toks).as("t"))
+          .agg(hh(col("t")).as("hh"))
+          .select(posexplode(col("hh")))
+          .select((col("pos") + 1).as("rk"), col("col.term").as("term"),
+            col("col.n").as("n"))
+          .orderBy("rk")
+      },
+      Some("""SELECT CAST(rk AS INT) AS rk, term, n FROM (
+        SELECT term, COUNT(1) AS n,
+          ROW_NUMBER() OVER (ORDER BY COUNT(1) DESC, term) AS rk
+        FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents) u
+        GROUP BY term) t
+      WHERE rk <= 10 ORDER BY rk"""))
   )
 }

@@ -234,6 +234,39 @@ class OpsSpec extends SparkSpec {
       s"mean quantized-KNN overlap ${overlaps.sum / overlaps.size}")
   }
 
+  test("Space-Saving sketch: sandwich bounds hold; exact regime matches exact top-k") {
+    import graft.functions.Aggregators
+    import org.apache.spark.sql.Encoders
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val exact = toks.groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // approximate regime: capacity 8 < vocabulary 31 — every reported
+    // counter must sandwich the true count (n - err <= true <= n),
+    // under whatever merge order the partial aggregation took
+    val hhSmall = udaf(new Aggregators.SpaceSaving(8, 8), Encoders.STRING)
+    val rep = toks.agg(hhSmall(col("t")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select("e.term", "e.n", "e.err").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rep.nonEmpty && rep.length <= 8)
+    rep.foreach { case (t, n, e) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(n - e <= truth && truth <= n,
+        s"$t: bounds [${n - e}, $n] miss true $truth")
+    }
+    // exact regime (t20's bench shape): capacity 64 >= vocab 31 →
+    // zero error and exactly the exact top-10
+    val hhBig = udaf(new Aggregators.SpaceSaving(64, 10), Encoders.STRING)
+    val big = toks.agg(hhBig(col("t")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select("e.term", "e.n", "e.err").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exactTop = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(big.map(x => (x._1, x._2)).toSeq == exactTop)
+    assert(big.forall(_._3 == 0L))
+  }
+
   test("PQ-ADC KNN recalls the exact cosine top-5") {
     // s10 ranks by asymmetric PQ distance (8 subspaces × 16 codes =
     // 8-byte vectors); like s07 its quality signal is per-query
