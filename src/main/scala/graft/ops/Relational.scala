@@ -922,5 +922,73 @@ object Relational {
           .orderBy("l_returnflag")
       },
       None)
+
+    // ---- FULL OUTER join: year-over-year customer spend where either
+    //      side may be absent (joined a year late, churned, or both).
+    //      At scale this is the one join flavor that can't semi-prune
+    //      either side — both inputs shuffle on the key, which is why
+    //      the aggregates are taken FIRST (orders → one row per
+    //      (customer, year)) so the join moves pre-aggregated rows,
+    //      not raw orders. ----
+    , QuerySpec(
+      "q40_full_outer_yoy",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def spend(yr: Int) = o
+          .filter(year(col("o_orderdate")) === yr)
+          .groupBy(col("o_custkey").as(s"k$yr"))
+          .agg(dsum(col("o_totalprice")).as(s"spend_$yr"))
+        spend(1997).join(spend(1998),
+            col("k1997") === col("k1998"), "full_outer")
+          .select(coalesce(col("k1997"), col("k1998")).as("custkey"),
+            col("spend_1997"), col("spend_1998"),
+            (col("k1997").isNull || col("k1998").isNull).as("partial"))
+          .orderBy("custkey")
+      },
+      Some(s"""SELECT COALESCE(a.k, b.k) AS custkey,
+        a.spend_1997, b.spend_1998,
+        (a.k IS NULL OR b.k IS NULL) AS partial
+      FROM (SELECT o_custkey AS k, ${dsumSql("o_totalprice")} AS spend_1997
+            FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1) a
+      FULL OUTER JOIN
+           (SELECT o_custkey AS k, ${dsumSql("o_totalprice")} AS spend_1998
+            FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1) b
+        ON a.k = b.k
+      ORDER BY custkey""")),
+
+    // ---- true correlated subqueries through the SQL planner (q24
+    //      hand-decorrelates; here Catalyst's RewriteCorrelatedScalar
+    //      Subquery + RewritePredicateSubquery do it): orders at 2×
+    //      their priority's average that also shipped a returned item.
+    //      The scalar AVG uses the decimal-sum form so both engines
+    //      produce the identical double. ----
+    QuerySpec(
+      "q41_subqueries",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
+        s.sql("""
+          SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM orders_sq o
+          WHERE o_totalprice > 2 * (
+              SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,10)))
+                       AS DOUBLE) / COUNT(o2.o_totalprice)
+              FROM orders_sq o2
+              WHERE o2.o_orderpriority = o.o_orderpriority)
+            AND EXISTS (
+              SELECT 1 FROM lineitem_sq l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          ORDER BY o_orderkey""")
+      },
+      Some(s"""SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > 2 * (
+          SELECT ${davgSql("o2.o_totalprice")}
+          FROM orders o2
+          WHERE o2.o_orderpriority = o.o_orderpriority)
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      ORDER BY o_orderkey"""))
   )
 }
