@@ -48,17 +48,27 @@ object Bench {
     // refuted), yet billed ~7 s in BENCH_r02; with only two rounds one
     // machine-contention window spanning both spoils the min. A third
     // sample bounds that exposure.
-    val (r1, r2, r3) = (timeAll(), timeAll().toMap, timeAll().toMap)
-    val results = r1.map { case (n, t) => n -> math.min(t, math.min(r2(n), r3(n))) }
+    val rounds = Seq(timeAll(), timeAll(), timeAll())
+    val Seq(r1, r2, r3) = rounds.map(_.toMap): @unchecked
+    val results = rounds.head.map { case (n, _) =>
+      n -> math.min(r1(n), math.min(r2(n), r3(n))) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failures = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-query detail: its own earlier line + a file; the driver-
     // parsed line is the compact one printed LAST (round 1's single
-    // giant line was truncated by the driver's stdout tail)
+    // giant line was truncated by the driver's stdout tail).
+    // EVERY round's raw time ships alongside the min: the q31/q35
+    // episode (round 2) needed a bespoke harness to prove a 7 s bill
+    // was one contention window, not the query — with the per-round
+    // arrays in the detail file that forensics is a jq one-liner.
+    val roundsJson = rounds.zipWithIndex.map { case (r, i) =>
+      s""""r${i + 1}":""" + r.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"queries","queries":$qs,"rounds":$roundsJson,"sf":"$sfDir"}"""
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failures":$failures,"sf":"$sfDir"}"""
     // sbt appends its own "[success] Total time…" after our stdout, so

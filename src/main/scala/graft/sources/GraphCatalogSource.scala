@@ -58,6 +58,12 @@ object GraphCatalogSource {
   def folderName(f: Int): String = s"folder_$f"
   /** Deterministic fixture content — mirrored by the DuckDB oracle. */
   def fileSize(f: Int, j: Int): Long = (f * 31 + j * 7) % 1000
+  /** Deterministic mime variety so a mime predicate actually prunes:
+    * items cycle csv → pdf → png by index. */
+  val Mimes: Seq[String] = Seq("text/csv", "application/pdf", "image/png")
+  def fileMime(j: Int): String = Mimes(j % Mimes.size)
+  def fileExt(j: Int): String =
+    Seq("csv", "pdf", "png")(j % Mimes.size)
 
   /** One page of a folder listing: first item index, item count, and
     * the continuation token for the next page — the offline stand-in
@@ -97,6 +103,7 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
 
   private var required: StructType = GraphCatalogSource.Schema
   private var keptFolders: Option[Set[String]] = None // None = all
+  private var keptMimes: Option[Set[String]] = None   // None = all
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
 
@@ -107,26 +114,33 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
 
-  // folder_name predicates prune whole listings at the source; other
-  // filters stay with Spark (we return them as "not pushed").
+  // folder_name predicates prune whole listings at the source;
+  // file_mime predicates prune items inside a listing (the real Graph
+  // API accepts both as `$filter` terms); other filters stay with
+  // Spark (we return them as "not pushed").
   // The incoming array is a CONJUNCTION: a pushed filter is removed
   // from Spark's post-scan evaluation, so each accepted filter must
-  // INTERSECT the kept-folder set — unioning would turn
+  // INTERSECT its kept set — unioning would turn
   // `folder_name = 'a' AND folder_name IN ('a','b')` into a superset.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
-      case EqualTo("folder_name", _: String) => true
-      case In("folder_name", _)              => true
-      case _                                 => false
+      case EqualTo("folder_name" | "file_mime", _: String) => true
+      case In("folder_name" | "file_mime", _)              => true
+      case _                                               => false
     }
     pushed = ours
     ours.foreach { f =>
-      val vs: Set[String] = f match {
+      def vals(f: Filter): Set[String] = f match {
         case EqualTo(_, v: String) => Set(v)
         case In(_, xs)             => xs.collect { case s: String => s }.toSet
         case _                     => Set.empty // unreachable (partition above)
       }
-      keptFolders = Some(keptFolders.fold(vs)(_ intersect vs))
+      f match {
+        case EqualTo("folder_name", _) | In("folder_name", _) =>
+          keptFolders = Some(keptFolders.fold(vals(f))(_ intersect vals(f)))
+        case _ =>
+          keptMimes = Some(keptMimes.fold(vals(f))(_ intersect vals(f)))
+      }
     }
     rest
   }
@@ -140,6 +154,7 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
     override def toBatch: Batch = this
     override def description(): String =
       s"graph-items folders=${keptFolders.fold("*")(_.mkString(","))} " +
+        s"mimes=${keptMimes.fold("*")(_.mkString(","))} " +
         s"cols=${required.fieldNames.mkString(",")}" +
         limit.fold("")(l => s" limit=$l")
 
@@ -148,7 +163,7 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
         .filter(f => keptFolders.forall(_.contains(
           GraphCatalogSource.folderName(f))))
         .map(f => GraphFolderPartition(f, filesPerFolder, pageSize,
-          limit): InputPartition)
+          limit, keptMimes): InputPartition)
         .toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -157,7 +172,8 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
 }
 
 private case class GraphFolderPartition(folder: Int, files: Int,
-    pageSize: Int, limit: Option[Int] = None) extends InputPartition
+    pageSize: Int, limit: Option[Int] = None,
+    mimes: Option[Set[String]] = None) extends InputPartition
 
 private class GraphItemsReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -175,27 +191,39 @@ private class GraphItemsReaderFactory(required: StructType)
       private var emitted = 0  // pushed-limit budget consumed
       override def next(): Boolean = {
         // pushed limit: stop CONSUMING — and, crucially, stop
-        // requesting further pages from the remote service
+        // requesting further pages from the remote service. The limit
+        // budget counts EMITTED (post-mime-filter) rows: a pushed
+        // filter is gone from Spark's evaluation, so `limit` must be
+        // satisfied by surviving rows, not raw listings.
         if (gp.limit.exists(emitted >= _)) return false
-        off += 1
-        while (off >= page.count) {
-          page.next match {
-            case Some(tok) =>
-              page = GraphCatalogSource.listPage(gp.files, gp.pageSize, tok)
-              off = 0
-            case None => return false
+        while (true) {
+          off += 1
+          while (off >= page.count) {
+            page.next match {
+              case Some(tok) =>
+                page = GraphCatalogSource.listPage(gp.files, gp.pageSize, tok)
+                off = 0
+              case None => return false
+            }
+          }
+          j = page.start + off
+          // pushed mime predicate: drop non-matching items here (the
+          // remote-$filter stand-in — Spark will not re-check)
+          if (gp.mimes.forall(_.contains(GraphCatalogSource.fileMime(j)))) {
+            emitted += 1
+            return true
           }
         }
-        j = page.start + off
-        emitted += 1
-        true
+        false // unreachable
       }
       override def get(): InternalRow = {
         val fn = GraphCatalogSource.folderName(gp.folder)
         val full: Map[String, Any] = Map(
           "folder_name" -> UTF8String.fromString(fn),
-          "name" -> UTF8String.fromString(s"${fn}_doc_$j.csv"),
-          "file_mime" -> UTF8String.fromString("text/csv"),
+          "name" -> UTF8String.fromString(
+            s"${fn}_doc_$j.${GraphCatalogSource.fileExt(j)}"),
+          "file_mime" ->
+            UTF8String.fromString(GraphCatalogSource.fileMime(j)),
           "size" -> GraphCatalogSource.fileSize(gp.folder, j),
           "download_url" ->
             UTF8String.fromString(s"https://graph.example/$fn/doc_$j"))

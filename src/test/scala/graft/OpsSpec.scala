@@ -155,6 +155,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("model memos are per-session, weakly keyed, and clearable") {
+    import graft.ops.Similarity
+    Similarity.clearModels()
+    assert(Similarity.memoSessionCounts == ((0, 0)))
+    val m1 = Similarity.kMeansModel(spark, sf0001, k = 4, iters = 2)
+    // memo hit: the SAME cached instance comes back (no retrain)
+    assert(Similarity.kMeansModel(spark, sf0001, k = 4, iters = 2)
+      .asInstanceOf[AnyRef] eq m1.asInstanceOf[AnyRef])
+    assert(Similarity.memoSessionCounts._1 == 1)
+    // a second session trains its own entry (models are session-scoped;
+    // the WeakHashMap key lets a dropped session reclaim its models)
+    val s2 = spark.newSession()
+    Similarity.kMeansModel(s2, sf0001, k = 4, iters = 2)
+    assert(Similarity.memoSessionCounts._1 == 2)
+    Similarity.clearModels()
+    assert(Similarity.memoSessionCounts == ((0, 0)))
+    // retraining after a clear reproduces the deterministic model
+    assert(Similarity.kMeansModel(spark, sf0001, k = 4, iters = 2) == m1)
+  }
+
   test("IVF over learned cells: neighbors share the query's cell; recall reported") {
     import graft.ops.Similarity
     val (assigned, _) = Similarity.kMeans(spark, sf0001)

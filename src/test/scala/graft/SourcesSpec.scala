@@ -84,6 +84,47 @@ class SourcesSpec extends SparkSpec {
     assert(GraphCatalogSource.pagesServed.get() == 3) // ceil(25/10)
   }
 
+  test("mime filter is pushed down: applied at the source, intersected") {
+    // fixture mimes cycle csv→pdf→png by item index: 40 files/folder →
+    // 14 csv (j=0,3,…,39), 13 pdf, 13 png
+    val df = catalog().filter(col("file_mime") === "text/csv")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("mimes=text/csv"), plan)
+    // the pushed predicate is REMOVED from Spark's post-scan filters,
+    // so the row count proves the reader itself applied it
+    assert(df.count() == 6 * 14)
+    assert(df.select("file_mime").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("text/csv"))
+    // conjunctive predicates intersect (never union): an impossible
+    // conjunction yields zero rows, not the IN-list superset
+    assert(catalog().filter(col("file_mime") === "text/csv" &&
+      col("file_mime").isin("application/pdf", "image/png")).count() == 0)
+    // mime + folder pushdowns compose; IN-lists work on both columns
+    val both = catalog()
+      .filter(col("folder_name") === "folder_2" &&
+        col("file_mime").isin("application/pdf", "image/png"))
+    assert(both.count() == 13 + 13)
+  }
+
+  test("pushed limit counts rows surviving the pushed mime filter") {
+    import graft.sources.GraphCatalogSource
+    // csv items are 1 of every 3 listed: a limit of 5 surviving rows
+    // must keep listing pages until 5 csv items have been seen
+    GraphCatalogSource.pagesServed.set(0)
+    val rows = spark.read.format("graph-items")
+      .option("folders", "1")
+      .option("filesPerFolder", "100")
+      .option("pageSize", "10")
+      .load()
+      .filter(col("file_mime") === "text/csv")
+      .limit(5).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[String]("file_mime") == "text/csv"))
+    // 5th csv is j=12 (j=0,3,6,9,12) → pages [0,10) and [10,20): 2 pages
+    assert(GraphCatalogSource.pagesServed.get() == 2,
+      s"served ${GraphCatalogSource.pagesServed.get()} pages")
+  }
+
   test("column pruning reaches the reader") {
     val df = catalog().select("folder_name", "size")
     val plan = df.queryExecution.executedPlan.toString
