@@ -31,10 +31,74 @@ object HttpListing {
   final case class HttpResponse(status: Int, body: String,
       headers: Map[String, String] = Map.empty)
 
-  /** One GET. Implementations: real HTTP in production, a scripted
-    * fake in tests. */
+  /** One GET. Implementations: real HTTP in production
+    * ([[HttpUrlConnectionTransport]]), a scripted fake in tests. */
   trait Transport extends Serializable {
     def get(url: String): HttpResponse
+  }
+
+  /** Bearer-token source for the transport — the S2 seam
+    * (`sharepoint_to_bronze_delta.py:40-49` acquires one via MSAL;
+    * here the acquisition stays a connector concern and the engine
+    * only ever sees an opaque supplier, so rotation/refresh is the
+    * provider's business, called once per request). */
+  trait CredentialProvider extends Serializable {
+    /** Current bearer token, or null/empty for anonymous. */
+    def token(): String
+  }
+  object CredentialProvider {
+    /** Fixed token (tests, pre-acquired credentials). */
+    final case class Static(value: String) extends CredentialProvider {
+      override def token(): String = value
+    }
+    /** No Authorization header at all. */
+    case object Anonymous extends CredentialProvider {
+      override def token(): String = null
+    }
+  }
+
+  /** The production transport: one plain-JDK `HttpURLConnection` GET
+    * per call — the socket-level twin of the reference's
+    * `requests.get(url, headers=headers_graph)`
+    * (`sharepoint_to_bronze_delta.py:72-77`, `:163-171`) with the
+    * status/body/headers surfaced instead of swallowed, so
+    * [[getWithRetry]]'s policy (429/5xx backoff honoring Retry-After,
+    * 4xx fail-fast) applies to real traffic exactly as to the tested
+    * fakes. Error bodies are read from the error stream — Graph puts
+    * the diagnostic JSON there. Exercised end-to-end in
+    * HttpListingSpec against a loopback `com.sun.net.httpserver`. */
+  final class HttpUrlConnectionTransport(
+      creds: CredentialProvider = CredentialProvider.Anonymous,
+      connectTimeoutMs: Int = 15000,
+      readTimeoutMs: Int = 60000) extends Transport {
+    override def get(url: String): HttpResponse = {
+      val conn = java.net.URI.create(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("GET")
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
+        conn.setRequestProperty("Accept", "application/json")
+        val tok = creds.token()
+        if (tok != null && tok.nonEmpty)
+          conn.setRequestProperty("Authorization", s"Bearer $tok")
+        val status = conn.getResponseCode
+        val is = if (status >= 400) conn.getErrorStream
+                 else conn.getInputStream
+        val body =
+          if (is == null) ""
+          else try new String(is.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally is.close()
+        val headers = {
+          import scala.jdk.CollectionConverters._
+          conn.getHeaderFields.asScala.collect {
+            case (k, vs) if k != null && !vs.isEmpty => k -> vs.get(0)
+          }.toMap
+        }
+        HttpResponse(status, body, headers)
+      } finally conn.disconnect()
+    }
   }
 
   /** Retry 429/5xx with capped exponential backoff; honor
@@ -73,8 +137,11 @@ object HttpListing {
         throw new RuntimeException(
           s"GET $url failed with ${resp.status} after " +
             s"${policy.maxRetries} retries")
-      val retryAfter = resp.headers.get("Retry-After").flatMap(v =>
-        scala.util.Try(v.trim.toLong).toOption)
+      // case-insensitive: header case is the server's choice on the
+      // wire (the JDK's own test server sends "Retry-after")
+      val retryAfter = resp.headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("Retry-After") => v
+      }.flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       sleeper(policy.delayMs(attempt, retryAfter))
       attempt += 1
     }

@@ -110,6 +110,64 @@ class HttpListingSpec extends AnyFunSuite {
     assert(t.calls.size == 1 && sleeps.isEmpty)
   }
 
+  test("real HttpURLConnection transport: auth header, pagination, retry, error body — loopback server") {
+    fresh()
+    import java.util.concurrent.atomic.AtomicInteger
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort        // bound at create()
+    val srvBase = s"http://127.0.0.1:$port/drives/d1"
+    val auths = mutable.Buffer[String]()
+    val p2Hits = new AtomicInteger
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      auths.synchronized {
+        auths += ex.getRequestHeaders.getFirst("Authorization") }
+      def send(status: Int, body: String, hdrs: (String, String)*): Unit = {
+        hdrs.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length.toLong)
+        if (b.nonEmpty) ex.getResponseBody.write(b)
+        ex.close()
+      }
+      ex.getRequestURI.getPath match {
+        case "/drives/d1/root:/Invoices:/children" =>
+          send(200, s"""{"value":[
+            {"name":"a.csv","size":6,"file":{"mimeType":"text/csv"}},
+            {"name":"Sub","folder":{"childCount":0}}],
+            "@odata.nextLink":"$srvBase/p2"}""")
+        case "/drives/d1/p2" if p2Hits.incrementAndGet() == 1 =>
+          // transient throttle: policy must retry THROUGH the socket
+          send(429, """{"error":{"code":"tooManyRequests"}}""",
+            "Retry-After" -> "0")
+        case "/drives/d1/p2" =>
+          send(200,
+            """{"value":[{"name":"b.csv","size":7,"file":{"mimeType":"text/csv"}}]}""")
+        case "/missing" => send(404, """{"error":"nope"}""")
+        case _          => send(500, "")
+      }
+    })
+    server.start()
+    try {
+      val transport = new HttpListing.HttpUrlConnectionTransport(
+        HttpListing.CredentialProvider.Static("tok-123"))
+      val out = new HttpListingProvider(srvBase, transport,
+        RetryPolicy(baseDelayMs = 1), sleeper).list("Invoices")
+      // both pages arrived, facets mapped, the 429 was retried once
+      assert(out.map(_.name) == Seq("a.csv", "Sub", "b.csv"))
+      assert(out.find(_.name == "Sub").get.file_mime == null)
+      assert(sleeps.toSeq == Seq(0L)) // Retry-After: 0 honored
+      assert(p2Hits.get() == 2)
+      assert(auths.nonEmpty && auths.forall(_ == "Bearer tok-123"))
+      // error bodies surface from the error stream (fail-fast path)
+      val nf = transport.get(s"http://127.0.0.1:$port/missing")
+      assert(nf.status == 404 && nf.body.contains("nope"))
+      // anonymous provider sends NO Authorization header
+      auths.clear()
+      new HttpListing.HttpUrlConnectionTransport().get(s"$srvBase/p2")
+      assert(auths == Seq(null))
+    } finally server.stop(0)
+  }
+
   test("a retry mid-pagination retries only the failing page") {
     fresh()
     val t = new FakeTransport(

@@ -112,6 +112,57 @@ class PipelineSpec extends SparkSpec {
       assert(Files.exists(Paths.get(bronze, "lh/inv", f))))
   }
 
+  test("production path end-to-end: real HTTP transport over a loopback server → catalog → bronze") {
+    import graft.pipeline.{HttpListing, HttpListingProvider}
+    import graft.pipeline.HttpListing.{CredentialProvider, RetryPolicy}
+    // the ONLY difference from production is the socket's far end:
+    // TransferPipeline ← HttpListingProvider ← HttpUrlConnectionTransport
+    // ← a real loopback HTTP server speaking Graph-shaped JSON
+    val src = Files.createTempDirectory("graft-real-http").toString
+    val bronze = Files.createTempDirectory("graft-real-http-bz").toString
+    Files.createDirectories(Paths.get(src, "Invoices"))
+    Seq("a.csv", "b.csv").foreach(f =>
+      Files.writeString(Paths.get(src, "Invoices", f), s"data-$f"))
+
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}/drives/d1"
+    val auths = scala.collection.mutable.Buffer[String]()
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      auths.synchronized {
+        auths += ex.getRequestHeaders.getFirst("Authorization") }
+      val body = ex.getRequestURI.getPath match {
+        case "/drives/d1/root:/Invoices:/children" =>
+          s"""{"value":[{"name":"a.csv","size":6,"file":{"mimeType":"text/csv"}}],
+             "@odata.nextLink":"$base/p2"}"""
+        case "/drives/d1/p2" =>
+          """{"value":[{"name":"b.csv","size":6,"file":{"mimeType":"text/csv"}}]}"""
+        case p => s"""{"error":"unexpected $p"}"""
+      }
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val listing = new HttpListingProvider(base,
+        new HttpListing.HttpUrlConnectionTransport(
+          CredentialProvider.Static("e2e-token")),
+        RetryPolicy())
+      val res = TransferPipeline.run(spark,
+        Seq(SourceFolderCfg("Invoices", "Fin", "lh/inv", "False", null)),
+        listing, new Archive.LocalFileOps(src, bronze), clock).get
+      assert(res.catalog.collect().map(_.file_name).sorted.toSeq ==
+        Seq("a.csv", "b.csv"))
+      assert(res.manifest.collect().forall(_.uploaded))
+      Seq("a.csv", "b.csv").foreach(f =>
+        assert(Files.exists(Paths.get(bronze, "lh/inv", f))))
+      // every remote call carried the credential
+      assert(auths.nonEmpty && auths.forall(_ == "Bearer e2e-token"))
+    } finally server.stop(0)
+  }
+
   test("empty discovery short-circuits (P4)") {
     val src = Files.createTempDirectory("graft-pipe-empty").toString
     Files.createDirectories(Paths.get(src, "Nothing"))
