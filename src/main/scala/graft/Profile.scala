@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Throwaway profiling harness for the q31/q35 bench outliers. */
+/** Throwaway profiling harness for bench outliers (round 3: q31/q35 —
+  * verdict: machine contention, see git history; round 4: q01, the
+  * flagship decimal-sum aggregation at 2.11 s in BENCH_r03). */
 object Profile {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -31,8 +33,51 @@ object Profile {
     // warmup
     SparkEntry.entry(spark).count()
 
-    for (round <- 1 to 2) {
+    import graft.ops.{dsum, davg, ts}
+    for (round <- 1 to 3) {
       println(s"--- round $round ---")
+      // ---- q01 decomposition: scan floor → double aggs → decimal
+      //      aggs → the as-registered query ----
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      def q01Base = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+      time("q01_asis") {
+        SparkEntry.queries("q01_pricing_summary")(s, d)
+      }
+      time("q01_sum_double") {
+        q01Base.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("double")).as("sum_qty"),
+            sum(col("l_extendedprice").cast("double")).as("sum_base_price"),
+            sum(rev).as("sum_disc_price"),
+            sum(rev * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            avg(col("l_quantity")).as("avg_qty"),
+            avg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+      time("q01_dec18") {
+        q01Base.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity"), 18).as("sum_qty"),
+            dsum(col("l_extendedprice"), 18).as("sum_base_price"),
+            dsum(rev, 18).as("sum_disc_price"),
+            dsum(rev * (lit(1.0) + col("l_tax")), 18).as("sum_charge"),
+            davg(col("l_quantity"), 18).as("avg_qty"),
+            davg(col("l_discount"), 18).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+      time("q01_two_aggs_dec28") {
+        q01Base.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+      time("q01_scan_only") {
+        q01Base.select("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+      }
       time("q31_asis") {
         SparkEntry.queries("q31_salted_agg")(s, d)
       }

@@ -155,6 +155,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("LSH skew guard: salt-split preserves the candidate set exactly and spreads hot buckets") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    // a deliberately skewed sig table: 200 build rows share one bucket
+    // (a near-duplicate cluster / zero-vector pile-up) amid cold ones
+    val build = ((0 until 200).map(i => (i.toLong, 0, 7)) ++
+      (0 until 50).map(i => (1000L + i, 1 + i % 4, i % 16)))
+      .toDF("vb", "tbl", "sig")
+    val probe = ((200 until 210).map(i => (i.toLong, 0, 7)) ++
+      (0 until 20).map(i => (2000L + i, 1 + i % 4, i % 16)))
+      .toDF("va", "tbl", "sig")
+    val cap = 16
+    val guarded = Similarity.lshBucketJoin(probe, build, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = probe.join(build, Seq("tbl", "sig"))
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.size >= 200 * 10) // the hot bucket really is hot
+    assert(guarded == plain)       // recall holds EXACTLY under the guard
+    // the hot bucket split into ceil(200/16)=13 salt groups and no
+    // group degenerated: every group ≪ the unguarded 200-row bucket
+    val groups = build
+      .withColumn("nsalt", lit(math.ceil(200.0 / cap).toInt))
+      .filter(col("tbl") === 0 && col("sig") === 7)
+      .withColumn("salt", pmod(hash(col("vb")), col("nsalt")))
+      .groupBy("salt").count().collect().map(r => r.getLong(1))
+    assert(groups.length == 13, s"expected 13 salt groups, got ${groups.length}")
+    assert(groups.max <= 2 * cap,
+      s"hash split degenerated: max group ${groups.max} vs cap $cap")
+  }
+
   test("model memos are per-session, weakly keyed, and clearable") {
     import graft.ops.Similarity
     Similarity.clearModels()
@@ -306,6 +337,45 @@ class OpsSpec extends SparkSpec {
     }
     assert(overlaps.sum / overlaps.size >= 0.6,
       s"mean PQ-ADC overlap ${overlaps.sum / overlaps.size}")
+  }
+
+  test("IVF×PQ: results come from probed cells; recall tracks whole-corpus PQ") {
+    import graft.ops.Similarity
+    val exact = SparkEntry.queries("s03_knn_brute")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(name: String): (Double, Map[Long, Set[Long]]) = {
+      val got = SparkEntry.queries(name)(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (q, ex) =>
+        (ex intersect got.getOrElse(q, Set.empty)).size.toDouble / ex.size }
+      (rs.sum / rs.size, got)
+    }
+    val (r10, _) = recall("s10_pq_adc_knn")
+    val (r11, ivfpq) = recall("s11_ivfpq_knn")
+    info(s"mean recall vs exact: s10 (full ADC scan) $r10, s11 (IVF×PQ) $r11")
+    // the IVF restriction reads ~nprobe/k of the corpus; on this
+    // fixture the probed cells must hold essentially everything the
+    // full ADC scan finds
+    assert(r11 >= r10 - 0.1, s"IVF×PQ recall $r11 fell below full-scan $r10")
+    assert(r11 >= 0.5, s"IVF×PQ recall $r11 under floor")
+    // containment: every returned neighbor lives in one of its query's
+    // nprobe=4 nearest coarse cells (WHY the plan reads ~0.1% at scale)
+    val (centroids, _) = Similarity.kMeansModel(spark, sf0001)
+    val (assigned, _) = Similarity.kMeans(spark, sf0001)
+    val cell = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qraw = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val probesOf = qraw.view.mapValues(v => centroids.map { case (cid, c) =>
+      cid -> v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sortBy { case (cid, d2) => (d2, cid) }.take(4).map(_._1).toSet).toMap
+    ivfpq.foreach { case (qid, ns) =>
+      ns.foreach(n => assert(probesOf(qid).contains(cell(n)),
+        s"qid=$qid neighbor $n in unprobed cell ${cell(n)}"))
+    }
   }
 
   test("SimHash: near-dup pairs sit far closer in Hamming space than random pairs") {
