@@ -168,6 +168,50 @@ object Streams {
         ((col("value") - col("mean_v")) / col("sd_v")).as("z"))
       .withColumn("is_outlier", abs(col("z")) >= 3.0)
 
+  // not `private`: the state encoder's generated code must reach it
+  final case class ShardHH(shard: Int, version: Long,
+      counters: Map[String, (Long, Long)])
+
+  /** Streaming Space-Saving heavy hitters — the streaming twin of the
+    * batch t20 typed Aggregator. Terms shard by hash; each shard folds
+    * its slice of the stream into ONE bounded Space-Saving buffer held
+    * in keyed state (`capacity` counters — the same `reduce` the batch
+    * Aggregator runs map-side) and re-emits the buffer every trigger
+    * with a monotone `version` (total observed count) so a consumer
+    * keeps only the newest row per shard. State is `shards × capacity`
+    * counters TOTAL, forever, regardless of stream length — the
+    * bounded-memory property that makes top-k viable on an unbounded
+    * stream. Merging the shard buffers ([[mergeHeavyHitters]]) uses
+    * the Aggregator's own order-insensitive, sandwich-bound-preserving
+    * `merge`, so streamed chunks converge to the batch answer — and
+    * equal it EXACTLY when capacity ≥ per-shard vocabulary (StreamsSpec
+    * asserts ≡ batch t20 in that regime). */
+  def heavyHitterShards(terms: Dataset[String], capacity: Int,
+      shards: Int = 16)(implicit spark: SparkSession): Dataset[ShardHH] = {
+    import spark.implicits._
+    val agg = new graft.functions.Aggregators.SpaceSaving(capacity, capacity)
+    terms.map(t => (math.floorMod(t.hashCode, shards), t))
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, (Long, Long)], ShardHH](
+        GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, String)],
+            state: GroupState[Map[String, (Long, Long)]]) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          rows.foreach { case (_, t) => buf = agg.reduce(buf, t) }
+          state.update(buf)
+          ShardHH(shard, buf.valuesIterator.map(_._1).sum, buf)
+      }
+  }
+
+  /** Fold emitted shard buffers into the global top-k with the batch
+    * Aggregator's merge (callers pass each shard's LATEST buffer —
+    * highest `version`). Exact (err=0) when no shard ever evicted. */
+  def mergeHeavyHitters(shardBufs: Seq[Map[String, (Long, Long)]],
+      capacity: Int, k: Int): Seq[graft.functions.Aggregators.HeavyHitter] = {
+    val agg = new graft.functions.Aggregators.SpaceSaving(capacity, k)
+    agg.finish(shardBufs.foldLeft(agg.zero)(agg.merge))
+  }
+
   /** Streaming ingest INTO the merge-semantics bronze table: each
     * micro-batch lands through `BronzeMerge.mergeIngestDf`, so
     * exactly-once holds on TWO independent legs — the checkpoint stops

@@ -77,6 +77,48 @@ class StreamsSpec extends SparkSpec {
     assert(last == ((1L, 3L, 2L)))
   }
 
+  test("streaming Space-Saving heavy hitters equal the batch aggregator in the exact regime") {
+    import spark.implicits._
+    import graft.functions.Aggregators
+    import org.apache.spark.sql.{functions => F, Encoders}
+    implicit val sq = spark.sqlContext
+    // two out-of-order chunks; combined counts: pear 7, plum 7,
+    // apple 5, kiwi 3, fig 1
+    val chunk1 = Seq.fill(5)("apple") ++ Seq.fill(3)("pear") ++ Seq("kiwi")
+    val chunk2 = Seq.fill(4)("pear") ++ Seq.fill(2)("kiwi") ++
+      Seq.fill(7)("plum") ++ Seq("fig")
+    val capacity = 16; val k = 4
+    val ms = MemoryStream[String]
+    val q = Streams.heavyHitterShards(ms.toDS, capacity, shards = 4)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(chunk1: _*)
+      q.processAllAvailable()
+      ms.addData(chunk2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // a consumer keeps only the newest buffer per shard (version is
+    // monotone); the merge is the Aggregator's own order-insensitive
+    // union, so chunking/sharding cannot change the answer
+    val latest = spark.table("hh").as[Streams.ShardHH].collect()
+      .groupBy(_.shard).map { case (_, rows) =>
+        rows.maxBy(_.version).counters }.toSeq
+    val streamed = Streams.mergeHeavyHitters(latest, capacity, k)
+      .map(h => (h.term, h.n, h.err))
+    // batch twin: the same terms through the t20 udaf
+    val hh = F.udaf(new Aggregators.SpaceSaving(capacity, k),
+      Encoders.STRING)
+    val batch = (chunk1 ++ chunk2).toDF("t").agg(hh(F.col("t")).as("hh"))
+      .select(F.explode(F.col("hh")).as("e"))
+      .select("e.term", "e.n", "e.err").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    // capacity ≥ vocabulary on every shard → provably exact
+    assert(streamed == Seq(("pear", 7L, 0L), ("plum", 7L, 0L),
+      ("apple", 5L, 0L), ("kiwi", 3L, 0L)))
+  }
+
   test("stream-static join enriches a stream against a batch dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
