@@ -668,7 +668,6 @@ object Similarity {
         // coarse quantizer: cells are assigned on RAW vectors (like
         // s09); query→cell distances use the same raw-space metric
         val (centroids, _) = kMeansModel(s, d, kCells)
-        val (assigned, _) = kMeans(s, d, kCells)
         val qraw = Tables.embeddings(s, d)
           .filter(col("vec_id") < QueryIds)
           .select(col("vec_id"), vec(col("embedding")).as("v"))
@@ -682,8 +681,20 @@ object Similarity {
         val qdf = queryLuts(s, d, m, k)
           .map { case (qid, lut) => (qid, lut, probes(qid)) }
           .toDF("qid", "lut", "probes")
-        // corpus side: 8-byte codes + coarse cell, one scan each
-        val coded = pqCodes(s, d, m, k).join(assigned, "vec_id")
+        // corpus side: coarse cell AND 8-byte codes from ONE scan —
+        // both are per-row projections of the embedding, so joining
+        // pqCodes against the assignment table would buy a shuffle
+        // for nothing (and at rest the corpus is STORED this way:
+        // partitioned by cid, carrying codes)
+        val books = pqModel(s, d, m, k)
+        val allBooks = array(books.map(centroidLit): _*)
+        val sub = 64 / m
+        val coded = Tables.embeddings(s, d).select(col("vec_id"),
+          nearest(centroids, vec(col("embedding"))).getField("cid")
+            .as("cid"),
+          transform(sequence(lit(0), lit(m - 1)), mi =>
+            nearestIn(element_at(allBooks, mi + 1), subVec(mi, sub))
+              .getField("cid")).as("codes"))
         val wAdc = Window.partitionBy(col("qid"))
           .orderBy(desc("adc"), col("vec_id"))
         val shortlist = coded.join(broadcast(qdf),
@@ -710,6 +721,56 @@ object Similarity {
           .filter(col("rk") <= 5)
           .orderBy("qid", "rk")
       },
-      None)
+      None),
+
+    // ---- semantic dedup (SemDeDup, Abbas et al. 2023): cluster
+    //      embedding-cosine near-duplicates into connected components
+    //      and keep one representative (lowest id) per component —
+    //      the embedding-space complement of the shingle-based t12,
+    //      running the SAME min-label-propagation engine
+    //      ([[Text.connectedComponents]]). The pair source here is
+    //      the exact all-pairs baseline (this is s04's join — the
+    //      oracle anchor); at 100 TB the pairs come from s05's
+    //      skew-guarded LSH buckets instead and nothing downstream
+    //      changes. Singletons (no near-dup) keep themselves via the
+    //      left join. Oracle: recursive-CTE transitive closure. ----
+    QuerySpec(
+      "s12_semantic_dedup",
+      (s, d) => {
+        val a = Tables.embeddings(s, d).select(
+          col("vec_id").as("da"), col("embedding").as("ea"),
+          l2(col("embedding")).as("na"))
+        val b = Tables.embeddings(s, d).select(
+          col("vec_id").as("db"), col("embedding").as("eb"),
+          l2(col("embedding")).as("nb"))
+        val pairs = a.crossJoin(b).filter(col("da") < col("db"))
+          .filter((dot(col("ea"), col("eb")) /
+            (col("na") * col("nb"))) >= 0.4)
+          .select("da", "db")
+        val labels = Text.connectedComponents(pairs)
+        Tables.embeddings(s, d).select(col("vec_id"))
+          .join(labels.toDF("vec_id", "component"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("component"), col("vec_id")).as("component"),
+            (coalesce(col("component"), col("vec_id")) === col("vec_id"))
+              .as("keep"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS da, b.vec_id AS db
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ${cosineSql("a", "b")} >= 0.4),
+      edges AS (SELECT da AS x, db AS y FROM pairs
+                UNION ALL SELECT db, da FROM pairs),
+      reach(x, y) AS (
+        SELECT x, y FROM edges
+        UNION
+        SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+      comp AS (SELECT x AS vec_id, LEAST(x, MIN(y)) AS component
+               FROM reach GROUP BY x)
+      SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component,
+        COALESCE(c.component, e.vec_id) = e.vec_id AS keep
+      FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+      ORDER BY e.vec_id"""))
   )
 }

@@ -98,6 +98,50 @@ object Text {
   private val BandRows = 4
   private val NumBands = NumPerms / BandRows
 
+  /** Min-label propagation to fixpoint over an undirected edge list
+    * `(da, db)` — the connected-components engine shared by t12
+    * (shingle near-dup clustering) and s12 (embedding semantic dedup,
+    * [[Similarity]]). Returns `(doc_id, lbl)` for every node appearing
+    * in an edge; lbl = the component's minimum node id. Per iteration:
+    * one edge⨝label join + a min-agg; the `changed` flag rides the
+    * propagation pass so convergence needs no second join. Each
+    * generation is persisted and the previous one dropped immediately
+    * — at 100 TB the label table is O(corpus) and 20 pinned
+    * generations would not fit; that unpersist point is also where a
+    * cluster run would checkpoint to truncate lineage. */
+  private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = Scoped.persist(pairs
+      .unionAll(pairs.select(col("db").as("da"), col("da").as("db"))))
+    // label(doc) starts at min(doc, min neighbor); `cached` is the
+    // physically persisted generation, `labels` its (doc_id, lbl) view
+    var cached = edges.groupBy(col("da").as("doc_id"))
+      .agg(min(col("db")).as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("lbl"))
+      .persist()
+    var labels = cached
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 20) {
+      val viaNbr = edges.toDF("doc_id", "nbr")
+        .join(labels.toDF("nbr", "nbr_lbl"), "nbr")
+        .groupBy(col("doc_id")).agg(min(col("nbr_lbl")).as("prop"))
+      val next = labels.join(viaNbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("prop"), col("lbl"))).as("lbl"),
+          (coalesce(col("prop"), col("lbl")) < col("lbl")).as("changed"))
+        .persist()
+      val changes = next.filter(col("changed")).count()
+      cached.unpersist(blocking = false)
+      cached = next
+      labels = next.select(col("doc_id"), col("lbl"))
+      converged = changes == 0
+      iters += 1
+    }
+    Scoped.persist(cached) // final generation: scope-released
+    labels
+  }
+
   /** Near-dup pairs via MinHash+LSH with exact verification — same
     * output as [[exactJaccardPairs]] (candidate recall ~0.99992 at
     * J=0.8), found without the all-pairs shingle join. Shared by t09
@@ -457,45 +501,8 @@ object Text {
         // pairs come from the LSH path (same output as the brute join,
         // proven by t09's oracle hash-match) — at 100 TB this IS the
         // pair source, so the clustering exercises the scale shape
-        val pairs = lshJaccardPairs(s, d, 0.8).select("da", "db")
-        val edges = Scoped.persist(pairs
-          .unionAll(pairs.select(col("db").as("da"), col("da").as("db"))))
-        // label(doc) starts at min(doc, min neighbor); `cached` is the
-        // physically persisted generation, `labels` its (doc_id, lbl)
-        // view
-        var cached = edges.groupBy(col("da").as("doc_id"))
-          .agg(min(col("db")).as("nbr_min"))
-          .select(col("doc_id"),
-            least(col("doc_id"), col("nbr_min")).as("lbl"))
-          .persist()
-        var labels = cached
-        var converged = false
-        var iters = 0
-        while (!converged && iters < 20) {
-          val viaNbr = edges.toDF("doc_id", "nbr")
-            .join(labels.toDF("nbr", "nbr_lbl"), "nbr")
-            .groupBy(col("doc_id")).agg(min(col("nbr_lbl")).as("prop"))
-          // propagate and detect change in the SAME pass — a `changed`
-          // flag rides along instead of a second labels-vs-next join,
-          // halving the per-iteration job count
-          val next = labels.join(viaNbr, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("lbl"), coalesce(col("prop"), col("lbl"))).as("lbl"),
-              (coalesce(col("prop"), col("lbl")) < col("lbl")).as("changed"))
-            .persist()
-          val changes = next.filter(col("changed")).count()
-          // `changes` materialized `next`, so the previous generation's
-          // cache is dead — drop it NOW, not at session end (at scale
-          // the label table is O(corpus) and 20 generations would pin
-          // 20 copies; this is also where a 100 TB run would checkpoint
-          // to truncate lineage)
-          cached.unpersist(blocking = false)
-          cached = next
-          labels = next.select(col("doc_id"), col("lbl"))
-          converged = changes == 0
-          iters += 1
-        }
-        Scoped.persist(cached) // final generation: scope-released
+        val labels = connectedComponents(
+          lshJaccardPairs(s, d, 0.8).select("da", "db"))
         labels
           .select(col("doc_id"), col("lbl").as("component"),
             (col("doc_id") === col("lbl")).as("keep"))
@@ -835,6 +842,79 @@ object Text {
           ROW_NUMBER() OVER (ORDER BY COUNT(1) DESC, term) AS rk
         FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents) u
         GROUP BY term) t
-      WHERE rk <= 10 ORDER BY rk"""))
+      WHERE rk <= 10 ORDER BY rk""")),
+
+    // ---- sequence packing: assign docs to fixed-token-budget
+    //      training sequences (pack docs head-to-tail, splitting at
+    //      512-token boundaries — the "concat-and-chunk" pretraining
+    //      layout). Packing is inherently sequential, so it runs
+    //      per-SHARD: docs hash into 8 independent streams, each
+    //      packed by a running token sum over a bounded window
+    //      partition — at 100 TB shards = O(cores) and no shard's
+    //      window exceeds corpus/shards rows, vs the single-partition
+    //      global window a naive cumsum would demand. Integer math
+    //      throughout → oracle hash-matches. ----
+    QuerySpec(
+      "t21_sequence_packing",
+      (s, d) => {
+        val B = 512
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).cast("int")
+            .as("shard"), size(toks).as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / B).cast("int")
+              .as("pack_id"),
+            ((col("cum") - col("n_tokens")) % B).cast("int")
+              .as("pack_offset"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        CAST(n_tokens AS INT) AS n_tokens,
+        CAST((cum - n_tokens) // 512 AS INT) AS pack_id,
+        CAST((cum - n_tokens) % 512 AS INT) AS pack_offset
+      FROM (
+        SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
+          SUM(len(str_split(text, ' '))) OVER (
+            PARTITION BY doc_id % 8 ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents) t
+      ORDER BY doc_id""")),
+
+    // ---- training-mixture weights: per-source sampling weight
+    //      ∝ token_count^α (α = 0.5 — the sublinear upweighting of
+    //      small sources every data-mixture recipe uses). One
+    //      bounded-key groupBy; the normalizing constant is a sorted
+    //      sequential fold over the ≤|sources| weights (the s02
+    //      pattern) so both engines sum identically and the oracle
+    //      hash-matches despite double math. ----
+    QuerySpec(
+      "t22_source_mixture",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(toks).cast("long")).as("n_tokens"))
+          .withColumn("w", sqrt(col("n_tokens").cast("double")))
+        val tot = bySrc.agg(
+          aggregate(sort_array(collect_list(col("w"))), lit(0.0),
+            (acc, x) => acc + x).as("tot"))
+        bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (col("w") / col("tot")).as("weight"))
+          .orderBy("source")
+      },
+      Some("""WITH bysrc AS (
+        SELECT source, COUNT(1) AS n_docs,
+          CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      wts AS (SELECT source, n_docs, n_tokens,
+        sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM bysrc),
+      tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_sort(list(w))), (acc, x) -> acc + x) AS tot FROM wts)
+      SELECT source, n_docs, n_tokens, w / tot AS weight
+      FROM wts, tot ORDER BY source"""))
   )
 }
