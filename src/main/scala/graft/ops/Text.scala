@@ -112,33 +112,38 @@ object Text {
   private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = Scoped.persist(pairs
       .unionAll(pairs.select(col("db").as("da"), col("da").as("db"))))
-    // label(doc) starts at min(doc, min neighbor); `cached` is the
-    // physically persisted generation, `labels` its (doc_id, lbl) view
-    var cached = edges.groupBy(col("da").as("doc_id"))
+    // Each generation is an EAGER localCheckpoint, not a mere persist:
+    // `next` references `labels` twice (directly and through viaNbr),
+    // so without lineage truncation the logical plan DOUBLES per
+    // iteration — on a deep graph (s12's cosine chains take ~15
+    // generations at sf0.1 vs t12's 2–3) the analyzer itself runs out
+    // of driver heap long before any data does. Checkpointing pins
+    // each generation's blocks and starts the next plan from scratch;
+    // dropped generations are reclaimed by the context cleaner (a
+    // cluster run at 100 TB would use reliable checkpoints here —
+    // same truncation point, durable storage).
+    var labels = edges.groupBy(col("da").as("doc_id"))
       .agg(min(col("db")).as("nbr_min"))
       .select(col("doc_id"),
         least(col("doc_id"), col("nbr_min")).as("lbl"))
-      .persist()
-    var labels = cached
+      .localCheckpoint(true)
     var converged = false
     var iters = 0
     while (!converged && iters < 20) {
       val viaNbr = edges.toDF("doc_id", "nbr")
         .join(labels.toDF("nbr", "nbr_lbl"), "nbr")
         .groupBy(col("doc_id")).agg(min(col("nbr_lbl")).as("prop"))
+      // propagate and detect change in the SAME pass — the `changed`
+      // flag rides along instead of a second labels-vs-next join
       val next = labels.join(viaNbr, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("prop"), col("lbl"))).as("lbl"),
           (coalesce(col("prop"), col("lbl")) < col("lbl")).as("changed"))
-        .persist()
-      val changes = next.filter(col("changed")).count()
-      cached.unpersist(blocking = false)
-      cached = next
+        .localCheckpoint(true)
+      converged = next.filter(col("changed")).count() == 0
       labels = next.select(col("doc_id"), col("lbl"))
-      converged = changes == 0
       iters += 1
     }
-    Scoped.persist(cached) // final generation: scope-released
     labels
   }
 
@@ -915,6 +920,53 @@ object Text {
       tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
         list_sort(list(w))), (acc, x) -> acc + x) AS tot FROM wts)
       SELECT source, n_docs, n_tokens, w / tot AS weight
-      FROM wts, tot ORDER BY source"""))
+      FROM wts, tot ORDER BY source""")),
+
+    // ---- passage-level duplicate detection (the C4/RefinedWeb span
+    //      dedup signal at fixed granularity): cut every doc into
+    //      16-token passages, count passage occurrences CORPUS-wide,
+    //      report per-doc duplicated-passage ratios. Chunking is a
+    //      per-row projection; the corpus-wide count is one groupBy on
+    //      the passage string — at 100 TB the passage would be hashed
+    //      first (ShingleHashes-style) so the shuffle moves 8-byte
+    //      keys; the structure is identical. Integer math → oracle
+    //      hash-matches. ----
+    QuerySpec(
+      "t23_passage_dedup",
+      (s, d) => {
+        val nChunks = ceil(size(toks) / 16.0).cast("int")
+        val chunks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(when(nChunks > 0,
+              transform(sequence(lit(0), nChunks - 1),
+                i => array_join(slice(toks, i * 16 + 1, lit(16)), " ")))
+              .otherwise(array().cast("array<string>"))))
+          .toDF("doc_id", "chunk_idx", "chunk")
+        val counts = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("c"))
+        chunks.join(counts, "chunk")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .withColumn("dup_ratio",
+            col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH chunks AS (
+        SELECT doc_id,
+          array_to_string(toks[(i*16+1):(i*16+16)], ' ') AS chunk
+        FROM (
+          SELECT doc_id, str_split(text, ' ') AS toks,
+            unnest(generate_series(0,
+              CAST(ceil(len(str_split(text, ' ')) / 16.0) AS INT) - 1))
+              AS i
+          FROM documents) t),
+      counts AS (SELECT chunk, COUNT(1) AS c FROM chunks GROUP BY chunk)
+      SELECT doc_id, COUNT(1) AS n_chunks,
+        CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_chunks,
+        CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1)
+          AS dup_ratio
+      FROM chunks JOIN counts USING (chunk)
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
