@@ -109,7 +109,7 @@ object Text {
     * — at 100 TB the label table is O(corpus) and 20 pinned
     * generations would not fit; that unpersist point is also where a
     * cluster run would checkpoint to truncate lineage. */
-  private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = Scoped.persist(pairs
       .unionAll(pairs.select(col("db").as("da"), col("da").as("db"))))
     // Each generation is an EAGER localCheckpoint, not a mere persist:
@@ -129,21 +129,35 @@ object Text {
       .localCheckpoint(true)
     var converged = false
     var iters = 0
-    while (!converged && iters < 20) {
+    while (!converged && iters < 30) {
+      // one hop through the edges: min label among neighbors
       val viaNbr = edges.toDF("doc_id", "nbr")
         .join(labels.toDF("nbr", "nbr_lbl"), "nbr")
         .groupBy(col("doc_id")).agg(min(col("nbr_lbl")).as("prop"))
-      // propagate and detect change in the SAME pass — the `changed`
-      // flag rides along instead of a second labels-vs-next join
-      val next = labels.join(viaNbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("prop"), col("lbl"))).as("lbl"),
-          (coalesce(col("prop"), col("lbl")) < col("lbl")).as("changed"))
+      val stepped = labels.join(viaNbr, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("prop"), col("lbl"))).as("mid"))
+      // POINTER JUMP (label contraction): also adopt the label OF the
+      // label. Edge hops alone converge in O(component diameter)
+      // sequential generations — a 30-node cosine chain is 30 shuffled
+      // jobs; with the jump each generation roughly squares the
+      // reachable distance, so convergence is O(log diameter). The
+      // `changed` flag rides the same pass (vs `prev`), no extra join.
+      val jump = stepped
+        .select(col("doc_id").as("jmid"), col("mid").as("jlbl"))
+      val jumped = least(col("mid"), coalesce(col("jlbl"), col("mid")))
+      val next = stepped.join(jump, col("mid") === col("jmid"), "left")
+        .select(col("doc_id"), jumped.as("lbl"),
+          (jumped < col("prev")).as("changed"))
         .localCheckpoint(true)
       converged = next.filter(col("changed")).count() == 0
       labels = next.select(col("doc_id"), col("lbl"))
       iters += 1
     }
+    // a silently-unconverged result would under-merge components —
+    // refuse loudly instead (cap 30 covers diameter ~2^30 with the
+    // jump; nothing real gets here)
+    require(converged, s"connectedComponents did not converge in $iters")
     labels
   }
 

@@ -155,6 +155,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components: pointer jumping converges on a deep chain and keeps components apart") {
+    import spark.implicits._
+    // a 50-node path: edge hops alone need 49 generations (over the
+    // cap — the old loop would refuse); the label-of-label jump
+    // squares reach per generation, converging in ~log2(50)
+    val chain = (0L until 49L).map(i => (i, i + 1)).toDF("da", "db")
+    val labels = graft.ops.Text.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 50)
+    assert(labels.values.forall(_ == 0L)) // one component, min id 0
+    // disjoint components never bleed into each other
+    val two = ((0L until 10L).map(i => (i, i + 1)) ++
+      (100L until 110L).map(i => (i, i + 1))).toDF("da", "db")
+    val l2 = graft.ops.Text.connectedComponents(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2.filter(_._1 <= 10L).values.toSet == Set(0L))
+    assert(l2.filter(_._1 >= 100L).values.toSet == Set(100L))
+  }
+
   test("LSH skew guard: salt-split preserves the candidate set exactly and spreads hot buckets") {
     import graft.ops.Similarity
     import spark.implicits._

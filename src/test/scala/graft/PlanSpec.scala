@@ -113,6 +113,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t21: packing windows hash-partition by shard, never a global single partition") {
+    val p = plan("t21_sequence_packing")
+    assert(p.contains("hashpartitioning(shard"))
+    assert(!p.contains("SinglePartition"),
+      "a global cumsum window would serialize the whole corpus")
+  }
+
+  test("s11: query LUT broadcasts; ADC top-50 runs as a group limit before the shuffle") {
+    val p = plan("s11_ivfpq_knn")
+    // the m×k LUT + probe list ride a broadcast to the corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // rank<=50 pushes down as WindowGroupLimit: partial per-partition
+    // top-k BEFORE the qid shuffle, so the shuffle moves ≤50·partitions
+    // rows per query, not every ADC score
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(
