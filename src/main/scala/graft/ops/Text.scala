@@ -981,6 +981,85 @@ object Text {
         CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1)
           AS dup_ratio
       FROM chunks JOIN counts USING (chunk)
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- the END-TO-END curation pipeline in one declarative plan —
+    //      the "switch from the reference" composition story: score
+    //      every doc (t04's exact quality expression) → drop low
+    //      quality (t13's threshold) → exact-dedup the survivors
+    //      (keep the lowest doc_id per text, t07's rule) → per-source
+    //      retention/token report. Each stage keeps its standalone
+    //      twin's scale shape: scoring is row-local, the dedup window
+    //      shuffles once on the text (hash it first at 100 TB), the
+    //      report is a bounded-key aggregate. One oracle hash-check
+    //      over the whole composition. ----
+    QuerySpec(
+      "t24_curation_pipeline",
+      (s, d) => {
+        val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+        val nTok = size(toks).cast("double")
+        val stopRatio =
+          size(filter(toks, t => array_contains(stop, t))).cast("double") / nTok
+        val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+        val lenScore = least(nTok / lit(100.0), lit(1.0))
+        val quality = round(lenScore * lit(0.4) + distinctRatio * lit(0.4) +
+          least(stopRatio * lit(5.0), lit(1.0)) * lit(0.2), 6)
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            size(toks).as("n_tokens"), quality.as("q"))
+        val passed = scored.filter(col("q") >= 0.5)
+        val kept = passed
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy(col("text"))))
+          .filter(col("doc_id") === col("keep_id"))
+        val total = scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val pass = passed.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_passed"))
+        val fin = kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tokens").cast("long")).as("kept_tokens"),
+            round(davg(col("q")), 6).as("avg_quality"))
+        total.join(pass, Seq("source"), "left")
+          .join(fin, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_passed"), lit(0L)).as("n_passed"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+            col("avg_quality"))
+          .orderBy("source")
+      },
+      Some("""WITH scored AS (
+        SELECT doc_id, source, text,
+          len(str_split(text,' ')) AS n_tokens,
+          ROUND(
+            LEAST(CAST(len(str_split(text,' ')) AS DOUBLE)/100.0, 1.0)*0.4
+            + (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+               / len(str_split(text,' ')))*0.4
+            + LEAST((CAST(len(list_filter(str_split(text,' '),
+                t -> list_contains(['the','a','of','and','to','in'], t)))
+              AS DOUBLE) / len(str_split(text,' ')))*5.0, 1.0)*0.2, 6)
+            AS q
+        FROM documents),
+      passed AS (SELECT * FROM scored WHERE q >= 0.5),
+      kept AS (SELECT * FROM (
+          SELECT p.*, MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+          FROM passed p) k
+        WHERE doc_id = keep_id),
+      t AS (SELECT source, COUNT(1) AS n_docs FROM scored GROUP BY source),
+      pp AS (SELECT source, COUNT(1) AS n_passed
+             FROM passed GROUP BY source),
+      ff AS (SELECT source, COUNT(1) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+               ROUND(CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR)
+                 AS DOUBLE) / COUNT(q), 6) AS avg_quality
+             FROM kept GROUP BY source)
+      SELECT t.source, n_docs,
+        COALESCE(n_passed, 0) AS n_passed,
+        COALESCE(n_kept, 0) AS n_kept,
+        COALESCE(kept_tokens, 0) AS kept_tokens,
+        avg_quality
+      FROM t LEFT JOIN pp USING (source) LEFT JOIN ff USING (source)
+      ORDER BY source"""))
   )
 }
