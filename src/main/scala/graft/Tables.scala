@@ -15,13 +15,14 @@ object Tables {
 
   // Memoized per (session, dir, table): file listing + parquet footer
   // schema reads happen once per session instead of once per query —
-  // pure plan-construction reuse, no data is cached.
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // pure plan-construction reuse, no data is cached. Weakly keyed on
+  // the session (the cached DataFrames reference it) so a dropped
+  // session is collectable.
+  private val memo = new SessionMemo[(String, String), DataFrame]
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    memo.getOrCompute(spark, (dir, name))(
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

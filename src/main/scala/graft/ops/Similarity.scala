@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QuerySpec, Tables}
+import graft.{QuerySpec, SessionMemo, Tables}
 import graft.functions.VectorExprs.{vecDot, vecNorm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -98,31 +98,11 @@ object Similarity {
   // Only k×dim centroids + k inertia doubles are memoized, never data.
   //
   // Session hygiene (round-3 judge item 3): the per-session scope is a
-  // WEAK key — a churned-and-dropped SparkSession takes its cached
-  // models with it instead of pinning them for the life of the JVM.
-  // The inner per-session map is strongly keyed only on value types,
-  // and model values are plain Seqs (no session references), so
-  // nothing in the memo can resurrect a dead session.
-  private final class SessionMemo[K, V] {
-    private val bymSession =
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[K, V]]()
-    private def memoFor(s: SparkSession)
-        : java.util.concurrent.ConcurrentHashMap[K, V] =
-      bymSession.synchronized {
-        var m = bymSession.get(s)
-        if (m == null) {
-          m = new java.util.concurrent.ConcurrentHashMap[K, V]()
-          bymSession.put(s, m)
-        }
-        m
-      }
-    def getOrCompute(s: SparkSession, key: K)(train: => V): V =
-      memoFor(s).computeIfAbsent(key, _ => train)
-    def clear(): Unit = bymSession.synchronized(bymSession.clear())
-    def sessionCount: Int = bymSession.synchronized(bymSession.size)
-  }
-
+  // WEAK key ([[graft.SessionMemo]], shared with Tables) — a churned-
+  // and-dropped SparkSession takes its cached models with it instead
+  // of pinning them for the life of the JVM. Model values are plain
+  // Seqs (no session references), so nothing in the memo can
+  // resurrect a dead session.
   private val modelMemo =
     new SessionMemo[(String, Int, Int), (Seq[(Int, Seq[Double])], Seq[Double])]
 
