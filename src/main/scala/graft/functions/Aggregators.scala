@@ -91,4 +91,56 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[HeavyHitter]] =
       ExpressionEncoder()
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, "An improved data
+    * stream summary: the count-min sketch and its applications",
+    * J. Algorithms 2005): depth×width counters answering ad-hoc
+    * frequency point queries with NO underestimates and overestimate
+    * ≤ 2N/width w.h.p. — the bounded-memory complement of
+    * [[SpaceSaving]] (top-k): Space-Saving answers "which terms are
+    * big", CMS answers "how big is THIS term" for any term after the
+    * fact. Merge is elementwise addition — commutative/associative, so
+    * map-side partials and any shuffle order give the identical
+    * sketch; the same property makes it a drop-in streaming state
+    * (the t20→heavyHitterShards pattern applies verbatim). */
+  final class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Seq[Long]] {
+    require(depth <= CountMin.MaxDepth, s"depth ≤ ${CountMin.MaxDepth}")
+    override def zero: Array[Long] = Array.ofDim[Long](depth * width)
+    override def reduce(b: Array[Long], t: String): Array[Long] = {
+      var d = 0
+      while (d < depth) {
+        b(d * width + CountMin.bucket(t, d, width)) += 1
+        d += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  object CountMin {
+    val MaxDepth = 16
+    private val P = 2147483647L // Mersenne prime 2^31-1
+    // fixed universal-hash family (a·h + b mod p), same construction
+    // as the MinHash permutations — String.hashCode is stable across
+    // JVMs, so executor-side reduce and driver-side estimate agree
+    private val rnd = new scala.util.Random(13)
+    private val A = Array.fill(MaxDepth)(1L + rnd.nextInt(Int.MaxValue - 1))
+    private val B = Array.fill(MaxDepth)(rnd.nextInt(Int.MaxValue).toLong)
+    def bucket(t: String, d: Int, width: Int): Int = {
+      val h = t.hashCode.toLong & 0xffffffffL
+      (((A(d) * h + B(d)) % P) % width).toInt
+    }
+    /** Point query: min over the term's counter in each row. */
+    def estimate(sketch: Seq[Long], t: String, depth: Int,
+        width: Int): Long =
+      (0 until depth).map(d => sketch(d * width + bucket(t, d, width))).min
+  }
 }

@@ -1060,6 +1060,37 @@ object Text {
         COALESCE(kept_tokens, 0) AS kept_tokens,
         avg_quality
       FROM t LEFT JOIN pp USING (source) LEFT JOIN ff USING (source)
-      ORDER BY source"""))
+      ORDER BY source""")),
+
+    // ---- Count-Min point queries: build the 4×256 CMS over every
+    //      corpus token (one pass, elementwise-mergeable partials —
+    //      2 KB of state per partition regardless of corpus size),
+    //      then answer frequency queries for the exact top-10 terms
+    //      against it. Complements t20: Space-Saving finds WHICH terms
+    //      are heavy; CMS answers "how often did THIS term occur" for
+    //      any term decided after the scan. The sketch and the probe
+    //      list are both bounded driver collects (the s10 LUT
+    //      pattern). Estimates are deterministic (fixed hash family)
+    //      but hash-collision-dependent → rows-only; OpsSpec asserts
+    //      the one-sided CMS guarantee (never under, bounded over). ----
+    QuerySpec(
+      "t25_cms_counts",
+      (s, d) => {
+        import s.implicits._
+        val depth = 4; val width = 256
+        val cms = udaf(new graft.functions.Aggregators.CountMin(depth, width),
+          org.apache.spark.sql.Encoders.STRING)
+        val terms = Tables.documents(s, d).select(explode(toks).as("t"))
+        val sketch = terms.agg(cms(col("t")).as("s"))
+          .head.getSeq[Long](0) // depth×width longs — bounded
+        val top = terms.groupBy(col("t")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("t")).limit(10)
+          .collect().map(r => (r.getString(0), r.getLong(1))) // 10 rows
+        top.zipWithIndex.map { case ((t, n), i) =>
+          (i + 1, t, n, graft.functions.Aggregators.CountMin
+            .estimate(sketch, t, depth, width))
+        }.toSeq.toDF("rk", "term", "n_exact", "n_cms")
+      },
+      None)
   )
 }

@@ -337,6 +337,23 @@ class OpsSpec extends SparkSpec {
     assert(big.forall(_._3 == 0L))
   }
 
+  test("Count-Min estimates never undercount and overestimate within the CMS bound") {
+    val rows = SparkEntry.queries("t25_cms_counts")(spark, sf0001)
+      .collect().map(r =>
+        (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    val totalTokens = SparkEntry.queries("t03_token_count")(spark, sf0001)
+      .agg(sum(col("ws_tokens"))).head.getLong(0)
+    rows.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"CMS undercounted '$t': $est < $exact")
+      // deterministic instance of the ε=2/width w.h.p. bound; generous
+      // slack since depth=4 min is what's actually deployed
+      assert(est - exact <= totalTokens * 8 / 256,
+        s"'$t' overestimate ${est - exact} out of bound")
+    }
+    info(s"overestimates: ${rows.map(r => r._3 - r._2).mkString(",")}")
+  }
+
   test("PQ-ADC KNN recalls the exact cosine top-5") {
     // s10 ranks by asymmetric PQ distance (8 subspaces × 16 codes =
     // 8-byte vectors); like s07 its quality signal is per-query
