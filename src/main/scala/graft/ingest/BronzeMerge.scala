@@ -218,6 +218,42 @@ object BronzeMerge {
     ver
   }
 
+  /** Per-batch file statistics for [[DataSkipping]] — the Delta
+    * "stats in the log" half of the bronze story. Batches are
+    * immutable once committed, so stats are written once per batch
+    * and never refreshed; re-running after new commits stats only the
+    * new batches. Returns the batches stat'ed this call. */
+  def collectStats(spark: SparkSession, table: String,
+      cols: Seq[String]): Seq[String] = {
+    val f = fs(spark, table)
+    val (_, batches) = currentCommit(spark, table)
+    batches.filter { b =>
+      val statsPath = new Path(s"$table/$b", DataSkipping.StatsDir)
+      if (f.exists(statsPath)) false
+      else { DataSkipping.writeStats(spark, s"$table/$b", cols); true }
+    }
+  }
+
+  /** Range-predicate snapshot read that opens only the files whose
+    * [[DataSkipping]] stats admit the range — batches without stats
+    * (not yet collected) are read in full with the residual filter,
+    * so the result is always exact. The 100 TB read path: a selective
+    * predicate over a stats-covered bronze table does file-count I/O
+    * proportional to the MATCHING files, not the table. */
+  def snapshotBetween(spark: SparkSession, table: String, c: String,
+      lo: Any, hi: Any): DataFrame = {
+    val f = fs(spark, table)
+    val (_, batches) = currentCommit(spark, table)
+    require(batches.nonEmpty, "empty bronze table")
+    batches.map { b =>
+      val dir = s"$table/$b"
+      if (f.exists(new Path(dir, DataSkipping.StatsDir)))
+        DataSkipping.readBetween(spark, dir, c, lo, hi)
+      else spark.read.parquet(dir)
+        .filter(col(c).between(lit(lo), lit(hi)))
+    }.reduce(_ unionByName _)
+  }
+
   /** Write the version file via temp + atomic rename; an existing
     * target means a concurrent writer committed first — fail loudly.
     * Package-visible so IngestSpec can drive the CAS conflict
