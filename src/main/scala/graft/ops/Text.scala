@@ -1091,6 +1091,44 @@ object Text {
             .estimate(sketch, t, depth, width))
         }.toSeq.toDF("rk", "term", "n_exact", "n_cms")
       },
-      None)
+      None),
+
+    // ---- deterministic train/validation/test split: route each doc
+    //      by the first hex char of md5(doc_id) — 12/16 train, 2/16
+    //      validation, 2/16 test. The property that matters for a
+    //      training pipeline: membership is a pure function of the
+    //      stable id, so re-runs, engine changes, partitioning, and
+    //      corpus growth NEVER move an existing doc across splits (no
+    //      leakage from shuffled resplits). md5 hex is identical in
+    //      Spark and DuckDB, so the oracle hash-checks the whole
+    //      assignment. Per-row projection, one bounded groupBy —
+    //      nothing to shuffle but 3 rollup rows at any corpus size. ----
+    QuerySpec(
+      "t26_hash_split",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(h < "c", "train")
+              .when(h < "e", "validation")
+              .otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("split")
+      },
+      Some("""SELECT split, COUNT(1) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM (SELECT doc_id, n_chars,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                     THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                     THEN 'validation'
+                   ELSE 'test' END AS split
+            FROM documents) t
+      GROUP BY split ORDER BY split"""))
   )
 }

@@ -203,6 +203,39 @@ object Streams {
       }
   }
 
+  final case class ShardCms(shard: Int, version: Long, sketch: Seq[Long])
+
+  /** Streaming Count-Min: one CMS per term shard in
+    * `mapGroupsWithState`. Stronger than the heavy-hitter twin: CMS
+    * increments are position-fixed (term → same cells in every
+    * sketch) and merge is elementwise addition, so summing the latest
+    * shard sketches equals the single batch sketch EXACTLY — sharding
+    * and chunking introduce zero approximation, ever (StreamsSpec
+    * asserts array equality, not bounds). State is
+    * `shards × depth × width` longs TOTAL on an unbounded stream. */
+  def cmsShards(terms: Dataset[String], depth: Int, width: Int,
+      shards: Int = 16)(implicit spark: SparkSession): Dataset[ShardCms] = {
+    import spark.implicits._
+    val agg = new graft.functions.Aggregators.CountMin(depth, width)
+    terms.map(t => (math.floorMod(t.hashCode, shards), t))
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], ShardCms](
+        GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, String)],
+            state: GroupState[Array[Long]]) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          rows.foreach { case (_, t) => buf = agg.reduce(buf, t) }
+          state.update(buf)
+          // version = row-0 counter total = terms seen (each term
+          // increments exactly one width-slot in depth row 0) — monotone
+          ShardCms(shard, buf.view.slice(0, width).sum, buf.toSeq)
+      }
+  }
+
+  /** Elementwise-sum the latest shard sketches into the global CMS. */
+  def mergeCms(sketches: Seq[Seq[Long]]): Seq[Long] =
+    sketches.reduce((a, b) => a.lazyZip(b).map(_ + _))
+
   /** Fold emitted shard buffers into the global top-k with the batch
     * Aggregator's merge (callers pass each shard's LATEST buffer —
     * highest `version`). Exact (err=0) when no shard ever evicted. */

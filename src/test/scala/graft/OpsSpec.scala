@@ -354,6 +354,18 @@ class OpsSpec extends SparkSpec {
     info(s"overestimates: ${rows.map(r => r._3 - r._2).mkString(",")}")
   }
 
+  test("hash split is disjoint, exhaustive, and near the 12/2/2 design ratios") {
+    val rows = SparkEntry.queries("t26_hash_split")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("train", "validation", "test"))
+    val total = rows.values.sum
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(total == nDocs) // every doc lands in exactly one split
+    val trainFrac = rows("train").toDouble / total
+    assert(math.abs(trainFrac - 0.75) < 0.10,
+      s"train fraction $trainFrac far from 12/16")
+  }
+
   test("PQ-ADC KNN recalls the exact cosine top-5") {
     // s10 ranks by asymmetric PQ distance (8 subspaces × 16 codes =
     // 8-byte vectors); like s07 its quality signal is per-query

@@ -119,6 +119,41 @@ class StreamsSpec extends SparkSpec {
       ("apple", 5L, 0L), ("kiwi", 3L, 0L)))
   }
 
+  test("streaming Count-Min sketch is bit-identical to the batch sketch") {
+    import spark.implicits._
+    import graft.functions.Aggregators
+    import org.apache.spark.sql.{functions => F, Encoders}
+    implicit val sq = spark.sqlContext
+    val depth = 4; val width = 32
+    val chunk1 = Seq.fill(5)("apple") ++ Seq.fill(3)("pear") ++ Seq("kiwi")
+    val chunk2 = Seq.fill(4)("pear") ++ Seq.fill(2)("kiwi") ++
+      Seq.fill(7)("plum") ++ Seq("fig")
+    val ms = MemoryStream[String]
+    val q = Streams.cmsShards(ms.toDS, depth, width, shards = 4)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(chunk1: _*)
+      q.processAllAvailable()
+      ms.addData(chunk2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("cms").as[Streams.ShardCms].collect()
+      .groupBy(_.shard).map { case (_, rows) =>
+        rows.maxBy(_.version).sketch }.toSeq
+    val streamed = Streams.mergeCms(latest)
+    // batch twin over the same terms, one udaf pass
+    val cms = F.udaf(new Aggregators.CountMin(depth, width),
+      Encoders.STRING)
+    val batch = (chunk1 ++ chunk2).toDF("t")
+      .agg(cms(F.col("t")).as("s")).head.getSeq[Long](0)
+    // increments are position-fixed and merge is addition: sharding
+    // and chunk order change NOTHING — exact array equality
+    assert(streamed == batch)
+    assert(Aggregators.CountMin.estimate(streamed, "pear", depth, width) >= 7L)
+    assert(streamed.sum == (chunk1.size + chunk2.size).toLong * depth)
+  }
+
   test("stream-static join enriches a stream against a batch dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
