@@ -127,8 +127,14 @@ object BronzeMerge {
     dead.sorted
   }
 
-  /** Snapshot read: only committed batch directories are visible. */
-  def snapshot(spark: SparkSession, table: String): DataFrame = {
+  /** Snapshot read: only committed batch directories are visible.
+    * `mergeSchema = true` is the Delta schema-evolution read: batches
+    * committed with additional columns union into one wide schema,
+    * pre-evolution rows read as null — additive evolution never
+    * rewrites committed bytes (the footer-merge cost is why it is
+    * opt-in, as in plain Spark). */
+  def snapshot(spark: SparkSession, table: String,
+      mergeSchema: Boolean = false): DataFrame = {
     val (_, batches) = currentCommit(spark, table)
     if (batches.isEmpty)
       spark.createDataFrame(
@@ -142,7 +148,9 @@ object BronzeMerge {
             org.apache.spark.sql.types.TimestampType),
           org.apache.spark.sql.types.StructField("content",
             org.apache.spark.sql.types.BinaryType))))
-    else spark.read.parquet(batches.map(b => s"$table/$b"): _*)
+    else spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(batches.map(b => s"$table/$b"): _*)
   }
 
   /** MERGE-on-read view: one row per file_name, latest version wins —

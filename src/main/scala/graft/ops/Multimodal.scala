@@ -164,6 +164,55 @@ object Multimodal {
         END AS mean_byte,
         array_to_string(list_transform(str_split(text, '')[1:4],
           c -> CAST(ascii(c) AS VARCHAR)), ',') AS head
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- image tiling (ViT-style patch grid): synthesize per-doc
+    //      image dimensions from metadata (deterministic integer
+    //      derivation — the fixtures carry no real pixels), cover each
+    //      image with 128×128 tiles, emit one row per tile with its
+    //      clipped pixel box. This is the vision-preprocessing twin of
+    //      m02's chunking: the explode is the Spark-native fan-out (a
+    //      tile row per (tx, ty)), all integer math so the oracle
+    //      recomputes every box exactly. Scale shape: per-row explode
+    //      of a bounded grid (≤ ceil(w/128)·ceil(h/128) tiles), no
+    //      shuffle at all until the output sort; the downstream crop/
+    //      resize would run per-tile through m03's batched decode. ----
+    QuerySpec(
+      "m05_tile_grid",
+      (s, d) => {
+        val w = (lit(64) + pmod(col("n_chars"), lit(577))).as("w")
+        val h = (lit(64) + pmod(col("n_chars") * 7, lit(431))).as("h")
+        val ts = 128
+        val base = Tables.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), w, h)
+          .withColumn("nx", floor((col("w") + ts - 1) / ts).cast("long"))
+          .withColumn("ny", floor((col("h") + ts - 1) / ts).cast("long"))
+        base
+          .select(col("doc_id"), col("w"), col("h"), col("ny"),
+            explode(sequence(lit(0L), col("nx") - 1)).as("tx"))
+          .select(col("doc_id"), col("w"), col("h"), col("tx"),
+            explode(sequence(lit(0L), col("ny") - 1)).as("ty"))
+          .select(col("doc_id"), col("tx"), col("ty"),
+            (col("tx") * ts).as("x0"), (col("ty") * ts).as("y0"),
+            least(col("tx") * ts + ts, col("w")).as("x1"),
+            least(col("ty") * ts + ts, col("h")).as("y1"))
+          .orderBy("doc_id", "tx", "ty")
+      },
+      Some("""SELECT doc_id, tx, ty,
+        tx * 128 AS x0, ty * 128 AS y0,
+        least(tx * 128 + 128, w) AS x1,
+        least(ty * 128 + 128, h) AS y1
+      FROM (
+        SELECT doc_id, w, h, tx,
+          unnest(generate_series(0, (h + 127) // 128 - 1)) AS ty
+        FROM (
+          SELECT doc_id, w, h,
+            unnest(generate_series(0, (w + 127) // 128 - 1)) AS tx
+          FROM (SELECT doc_id,
+                  64 + (n_chars % 577) AS w,
+                  64 + ((n_chars * 7) % 431) AS h
+                FROM documents WHERE doc_id < 200) dims) tq) t
+      ORDER BY doc_id, tx, ty"""))
   )
 }

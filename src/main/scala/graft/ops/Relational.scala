@@ -989,6 +989,51 @@ object Relational {
         AND EXISTS (
           SELECT 1 FROM lineitem l
           WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // ---- salted SHUFFLE JOIN under engineered skew: one key (0)
+    //      holds ~25% of the fact rows, which on a real cluster parks
+    //      a quarter of the table on one reducer of a sort-merge join.
+    //      Mitigation ladder at 100 TB: (1) broadcast the dim — no
+    //      shuffle, no skew (the dim here is ≤1000 rows, so this demo
+    //      FORCES merge join to model the dim-too-big regime);
+    //      (2) AQE skew-join splitting; (3) this pattern — explode the
+    //      dim over 8 deterministic salts, route each fact row to one
+    //      salt by hashing a high-cardinality column, join on
+    //      (key, salt). Every fact row still meets its dim row exactly
+    //      once, so the result is IDENTICAL to the plain join — the
+    //      oracle is the unsalted query (the q31 two-stage-agg idea
+    //      applied to joins). ----
+    QuerySpec(
+      "q42_skew_join",
+      (s, d) => {
+        val nSalt = 8
+        val fact = Tables.lineitem(s, d)
+          .withColumn("k",
+            when(pmod(col("l_orderkey"), lit(4)) === 0, lit(0L))
+              .otherwise(pmod(col("l_orderkey"), lit(1000))))
+          .withColumn("salt",
+            pmod(hash(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey")), lit(nSalt)))
+        val dim = Tables.part(s, d)
+          .groupBy(pmod(col("p_partkey"), lit(1000)).as("k"))
+          .agg(pmod(min(col("p_partkey")), lit(7)).as("d_tag"))
+          .withColumn("salt",
+            explode(sequence(lit(0), lit(nSalt - 1))))
+        fact.join(dim.hint("merge"), Seq("k", "salt"))
+          .groupBy(col("d_tag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(28, 10)))
+              .cast("double").as("total_qty"))
+          .orderBy("d_tag")
+      },
+      Some(s"""SELECT d_tag, COUNT(1) AS n,
+        ${dsumSql("l_quantity")} AS total_qty
+      FROM (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+                        ELSE l_orderkey % 1000 END AS k, l_quantity
+            FROM lineitem) f
+      JOIN (SELECT p_partkey % 1000 AS k, MIN(p_partkey) % 7 AS d_tag
+            FROM part GROUP BY 1) dim USING (k)
+      GROUP BY d_tag ORDER BY d_tag"""))
   )
 }

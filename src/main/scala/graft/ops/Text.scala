@@ -1129,6 +1129,44 @@ object Text {
                      THEN 'validation'
                    ELSE 'test' END AS split
             FROM documents) t
-      GROUP BY split ORDER BY split"""))
+      GROUP BY split ORDER BY split""")),
+
+    // ---- inverted index: term → sorted posting list of documents
+    //      containing it, with document frequency — the retrieval-side
+    //      primitive (term lookup, contamination tracing, "which docs
+    //      say X"). One distinct on (term, doc) then one groupBy term:
+    //      both shuffle on the term key, postings build map-side. The
+    //      scale answer is visible in the query itself: `df` stays
+    //      exact for every term while the materialized posting list is
+    //      CAPPED at 100 entries (real indexes shard/cap long postings
+    //      — an uncapped stopword list at 100 TB is the corpus). The
+    //      cap bounds the AGG BUFFER, not just the output: the
+    //      row_number ranks first (sort-based window, streaming state)
+    //      and collect_list sees only rank ≤ 100 (nulls are skipped),
+    //      so no executor ever holds a full stopword posting list.
+    //      The groupBy rides the window's term partitioning — one
+    //      shuffle total. Postings serialize to a comma string: flat
+    //      scalars, the driver comparator can hash them. ----
+    QuerySpec(
+      "t27_inverted_index",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("t")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t")).distinct()
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("df"),
+            concat_ws(",", sort_array(
+              collect_list(when(col("rn") <= 100, col("doc_id")))))
+              .as("postings"))
+          .orderBy(desc("df"), col("t")).limit(20)
+      },
+      Some("""SELECT t, COUNT(1) AS df,
+        array_to_string(
+          list_slice(list_sort(list(doc_id)), 1, 100), ',') AS postings
+      FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents) td
+      GROUP BY t ORDER BY df DESC, t LIMIT 20"""))
   )
 }

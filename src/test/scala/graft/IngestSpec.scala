@@ -87,6 +87,29 @@ class IngestSpec extends SparkSpec {
       "v2-longer")
   }
 
+  test("schema evolution: a batch with a new column merges additively") {
+    import graft.ingest.BronzeMerge
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-evolve")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val v1 = Seq(("a.txt", 5L, ts(1), Array[Byte](1)))
+      .toDF("file_name", "length", "modified", "content")
+    val v2 = Seq(("b.txt", 7L, ts(2), Array[Byte](2), "graph"))
+      .toDF("file_name", "length", "modified", "content", "source_system")
+    assert(BronzeMerge.mergeIngestDf(spark, v1, table) == 1)
+    assert(BronzeMerge.mergeIngestDf(spark, v2, table) == 1)
+    // evolved read: wide schema, pre-evolution rows null in new col
+    val snap = BronzeMerge.snapshot(spark, table, mergeSchema = true)
+    assert(snap.columns.contains("source_system"))
+    val bySrc = snap.select("file_name", "source_system").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bySrc == Map("a.txt" -> null, "b.txt" -> "graph"))
+    // the identity-key merge is schema-stable: re-running either batch
+    // still appends nothing
+    assert(BronzeMerge.mergeIngestDf(spark, v2, table) == 0)
+  }
+
   test("compaction folds batches into one; time travel + vacuum") {
     import graft.ingest.BronzeMerge
     val dir = Files.createTempDirectory("graft-compact")

@@ -354,6 +354,25 @@ class OpsSpec extends SparkSpec {
     info(s"overestimates: ${rows.map(r => r._3 - r._2).mkString(",")}")
   }
 
+  test("q42 salted join runs as sort-merge (dim-too-big regime), spreads the hot key") {
+    val q = SparkEntry.queries("q42_skew_join")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    // the demo models the dim-too-big regime: forced SMJ, no broadcast
+    assert(plan.contains("SortMergeJoin"), plan.take(400))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(400))
+    // the hot key (25% of fact rows on k=0) is spread over all 8
+    // salts — no single (k, salt) group exceeds ~1/8 of the hot rows
+    import org.apache.spark.sql.functions._
+    val hot = graft.Tables.lineitem(spark, sf0001)
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .withColumn("salt", pmod(hash(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey")), lit(8)))
+      .groupBy("salt").count().collect().map(_.getLong(1))
+    assert(hot.length == 8, s"expected all 8 salts used, got ${hot.length}")
+    val (mx, mn) = (hot.max, hot.min)
+    assert(mx < 2 * math.max(mn, 1), s"salt spread uneven: min=$mn max=$mx")
+  }
+
   test("hash split is disjoint, exhaustive, and near the 12/2/2 design ratios") {
     val rows = SparkEntry.queries("t26_hash_split")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
