@@ -92,19 +92,101 @@ object BronzeMerge {
     * them with [[vacuum]]. At 100 TB this runs per-partition-range on
     * a schedule; the manifest CAS makes it safe next to live ingests
     * (a concurrent commit wins the rename and compaction fails loudly,
-    * to be retried against the new version). Returns the new version. */
-  def compact(spark: SparkSession, table: String): Int = {
+    * to be retried against the new version). Returns the new version.
+    *
+    * `clusterBy` turns compaction into `OPTIMIZE ... ZORDER BY`:
+    * one column range-partitions + sorts linearly; two INT columns
+    * cluster on the Morton interleave
+    * ([[graft.functions.ZOrderExprs.zvalue]]) so
+    * [[DataSkipping]] stats prune on both. `nFiles` spreads the
+    * rewrite over that many files (each a stats pruning unit). */
+  def compact(spark: SparkSession, table: String,
+      clusterBy: Seq[String] = Nil, nFiles: Int = 1): Int = {
     val f = fs(spark, table)
     val (ver, batches) = currentCommit(spark, table)
     require(batches.nonEmpty, "nothing to compact")
     val batchName = f"batch-${ver + 1}%08d"
-    spark.read.parquet(batches.map(b => s"$table/$b"): _*)
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$batchName")
+    val snap = spark.read.parquet(batches.map(b => s"$table/$b"): _*)
+    val clustered = clusterBy match {
+      case Nil => snap.coalesce(nFiles)
+      case Seq(c) => snap.repartitionByRange(nFiles, col(c))
+        .sortWithinPartitions(c)
+      case Seq(a, b) =>
+        snap.withColumn("_z", graft.functions.ZOrderExprs.zvalue(
+            col(a).cast("int"), col(b).cast("int")))
+          .repartitionByRange(nFiles, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+      case _ => throw new IllegalArgumentException(
+        "clusterBy supports 1 (linear) or 2 (z-order) columns")
+    }
+    clustered.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$batchName")
     spark.read.parquet(batches.map(b => s"$table/_keys/$b"): _*)
       .distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$table/_keys/$batchName")
     commit(f, table, ver + 1, Seq(batchName))
     ver + 1
+  }
+
+  /** Copy-on-write row-level DELETE — the lakehouse compliance
+    * primitive (Delta `DELETE FROM`). Batches with no matching rows
+    * keep their name (and bytes) in the new manifest; only batches
+    * that actually contain matches are rewritten without them. Old
+    * versions still time-travel to the pre-delete data until
+    * [[vacuum]] reclaims them — run vacuum to make the erasure
+    * physical. Identity KEYS are retained on purpose: a deleted
+    * file's key still blocks re-ingest, so at-least-once upstream
+    * redelivery cannot resurrect deleted rows. Returns (new version,
+    * rows deleted); no-op (current version, 0) when nothing matches. */
+  def deleteWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): (Int, Long) = {
+    val f = fs(spark, table)
+    val (ver, batches) = currentCommit(spark, table)
+    require(batches.nonEmpty, "empty bronze table")
+    var deleted = 0L
+    val newBatches = batches.zipWithIndex.map { case (b, i) =>
+      val df = spark.read.parquet(s"$table/$b")
+      val n = df.filter(pred).count()
+      if (n == 0) b
+      else {
+        deleted += n
+        val rewritten = f"batch-${ver + 1}%08d-cow$i"
+        df.filter(!pred).write
+          .mode(SaveMode.ErrorIfExists).parquet(s"$table/$rewritten")
+        // keys carry over verbatim: deletion must not reopen ingest
+        spark.read.parquet(s"$table/_keys/$b").write
+          .mode(SaveMode.Overwrite).parquet(s"$table/_keys/$rewritten")
+        rewritten
+      }
+    }
+    if (deleted == 0) (ver, 0L)
+    else { commit(f, table, ver + 1, newBatches); (ver + 1, deleted) }
+  }
+
+  /** Append-only change feed: the rows added between two committed
+    * versions (Delta CDF's insert stream). Valid exactly when every
+    * `from`-version batch survives into `to` — i.e. the window holds
+    * only [[mergeIngestDf]] appends; a [[compact]] or [[deleteWhere]]
+    * in the window rewrites history and the feed fails loudly rather
+    * than replaying rewritten batches as inserts. At 100 TB this is
+    * the incremental-downstream contract: consumers checkpoint a
+    * version number and read only the new batches' bytes. */
+  def readChanges(spark: SparkSession, table: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got $fromVersion ≥ $toVersion")
+    val before =
+      if (fromVersion == 0) Seq.empty
+      else commitAt(spark, table, fromVersion)
+    val after = commitAt(spark, table, toVersion)
+    val missing = before.filterNot(after.toSet)
+    require(missing.isEmpty,
+      s"versions $fromVersion→$toVersion rewrite batches " +
+        s"${missing.mkString(",")} (compaction/delete) — " +
+        "the append-only change feed cannot represent that window")
+    val added = after.filterNot(before.toSet)
+    if (added.isEmpty) snapshot(spark, table).filter(lit(false))
+    else spark.read.parquet(added.map(b => s"$table/$b"): _*)
   }
 
   /** Reclaim batches no longer referenced by the LATEST commit and

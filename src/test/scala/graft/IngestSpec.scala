@@ -146,6 +146,98 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("row-level delete is copy-on-write: untouched batches keep their bytes") {
+    import graft.ingest.BronzeMerge
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-del")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    def batch(names: String*) = names.zipWithIndex.map { case (n, i) =>
+      (n, (i + 1).toLong, ts(i), Array[Byte](i.toByte)) }
+      .toDF("file_name", "length", "modified", "content")
+    BronzeMerge.mergeIngestDf(spark, batch("a.txt", "b.txt"), table)   // v1
+    BronzeMerge.mergeIngestDf(spark, batch("c.txt", "drop.txt"), table) // v2
+
+    val (v3, n) = BronzeMerge.deleteWhere(spark, table,
+      col("file_name") === "drop.txt")
+    assert(v3 == 3 && n == 1)
+    // survivor set is exact; the all-clean batch kept its name
+    assert(BronzeMerge.snapshot(spark, table).select("file_name")
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a.txt", "b.txt", "c.txt"))
+    val (_, live) = BronzeMerge.currentCommit(spark, table)
+    assert(live.contains("batch-00000001"), s"clean batch rewritten: $live")
+    assert(live.exists(_.contains("cow")), s"no cow batch in $live")
+    // pre-delete version still time-travels (until vacuum)
+    assert(BronzeMerge.snapshotAt(spark, table, 2).count() == 4)
+    // deleted identity key still blocks re-ingest (no resurrection)
+    assert(BronzeMerge.mergeIngestDf(spark,
+      batch("c.txt", "drop.txt"), table) == 0)
+    // no matches → no new version
+    val (vSame, zero) = BronzeMerge.deleteWhere(spark, table,
+      col("file_name") === "ghost.txt")
+    assert(vSame == 3 && zero == 0)
+  }
+
+  test("change feed returns exactly the appended rows; rewrites fail loudly") {
+    import graft.ingest.BronzeMerge
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-cdf")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    def batch(lo: Int, n: Int) = (lo until lo + n)
+      .map(i => (s"f_$i", i.toLong, ts(i), Array[Byte](i.toByte)))
+      .toDF("file_name", "length", "modified", "content")
+    BronzeMerge.mergeIngestDf(spark, batch(0, 3), table)  // v1
+    BronzeMerge.mergeIngestDf(spark, batch(10, 2), table) // v2
+    BronzeMerge.mergeIngestDf(spark, batch(20, 4), table) // v3
+
+    val mid = BronzeMerge.readChanges(spark, table, 1, 2)
+    assert(mid.select("file_name").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("f_10", "f_11"))
+    assert(BronzeMerge.readChanges(spark, table, 1, 3).count() == 6)
+    assert(BronzeMerge.readChanges(spark, table, 0, 1).count() == 3)
+
+    // compaction rewrites history → the append-only feed refuses
+    BronzeMerge.compact(spark, table) // v4
+    val err = intercept[IllegalArgumentException] {
+      BronzeMerge.readChanges(spark, table, 2, 4).count()
+    }
+    assert(err.getMessage.contains("append-only"))
+    // but a post-compaction append window is valid again
+    BronzeMerge.mergeIngestDf(spark, batch(30, 1), table) // v5
+    assert(BronzeMerge.readChanges(spark, table, 4, 5)
+      .select("file_name").head.getString(0) == "f_30")
+  }
+
+  test("clustered compaction: z-order rewrite makes stats prune on both columns") {
+    import graft.ingest.{BronzeMerge, DataSkipping}
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-zcompact")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // 1024 files on a 32×32 (length, modified-second) grid
+    val rows = (0 until 1024).map { i =>
+      (s"f_$i", (i % 32).toLong, ts(i / 32), Array[Byte](i.toByte)) }
+      .toDF("file_name", "length", "modified", "content")
+    BronzeMerge.mergeIngestDf(spark, rows, table)
+    val v = BronzeMerge.compact(spark, table,
+      clusterBy = Seq("length", "modified"), nFiles = 16)
+    assert(v == 2)
+    val (_, live) = BronzeMerge.currentCommit(spark, table)
+    assert(live.size == 1)
+    val dir = s"$table/${live.head}"
+    assert(DataSkipping.writeStats(spark, dir, Seq("length")) == 16)
+    // a 4-wide length band hits a minority of the 16 files
+    val (kept, total) = DataSkipping.prunedPaths(spark, dir, "length", 8, 11)
+    assert(total == 16 && kept.size < 8,
+      s"z-compacted prune kept ${kept.size} of $total")
+    assert(DataSkipping.readBetween(spark, dir, "length", 8, 11)
+      .count() == 4 * 32)
+  }
+
   test("concurrent writers: manifest CAS admits exactly one, loser is loud") {
     import graft.ingest.BronzeMerge
     import org.apache.spark.sql.functions._
