@@ -260,6 +260,9 @@ object VectorExprs {
       (es: Seq[Expression]) => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       (es: Seq[Expression]) => VecNorm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("zvalue",
+      (es: Seq[Expression]) => ZOrderExprs.ZValue(es(0), es(1)),
+      "built-in")
   }
 }
 
@@ -291,6 +294,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VectorExprs.VecNorm].getName, "vec_norm"),
       (es: Seq[Expression]) => VectorExprs.VecNorm(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zvalue"),
+      new ExpressionInfo(
+        classOf[ZOrderExprs.ZValue].getName, "zvalue"),
+      (es: Seq[Expression]) => ZOrderExprs.ZValue(es(0), es(1))))
     ext.injectOptimizerRule(_ => FuseSelfDot)
   }
 }

@@ -137,5 +137,9 @@ class PlanSpec extends SparkSpec {
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d," +
         " vec_norm(array(3.0D, 4.0D)) AS n").head()
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+    // zvalue too — ORDER BY zvalue(x, y) is the pure-SQL OPTIMIZE
+    // ZORDER path; codegen'd, matches the Scala-side codec
+    val z = spark.sql("SELECT zvalue(8, 8) AS z").head().getLong(0)
+    assert(z == graft.functions.ZOrderCodec.morton(8, 8))
   }
 }
