@@ -449,6 +449,47 @@ object Events {
                   FROM events GROUP BY 1, 2) i
             GROUP BY event_type) m
         ON d.event_type = m.event_type
-      ORDER BY d.event_type, d.day"""))
+      ORDER BY d.event_type, d.day""")),
+
+    // ---- ordered-sequence pattern matching (the MATCH_RECOGNIZE /
+    //      CEP shape, reduced to relational ops): each user's full
+    //      event history becomes one time-ordered type string, and the
+    //      contiguous funnel view>click>purchase is counted by a
+    //      row-local regex — e06 asks "did a purchase follow a signup
+    //      within 7 days"; this asks "how many times did the EXACT
+    //      ordered walk occur". Determinism: the order key is
+    //      (ts, event_id) so equal timestamps cannot flip the string
+    //      between engines; the literal pattern has no regex
+    //      metacharacters, and both engines count non-overlapping
+    //      occurrences left-to-right. One shuffle on user_id; per-user
+    //      state is that user's history (at 100 TB: window the
+    //      sequence per session — e03's gap rule — or cap it with the
+    //      t27 rank-then-aggregate trick; the pattern scan itself
+    //      stays row-local either way). ----
+    QuerySpec(
+      "e16_funnel_pattern",
+      (s, d) => {
+        val seqCol = concat_ws(">",
+          transform(
+            sort_array(collect_list(struct(
+              col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")))
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), seqCol.as("seq"))
+          .select(col("user_id"), col("n_events"),
+            regexp_count(col("seq"), lit("view>click>purchase"))
+              .cast("int").as("n_funnels"))
+          .withColumn("converted", col("n_funnels") >= 1)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(1) AS n_events,
+        CAST(len(regexp_extract_all(
+          string_agg(event_type, '>' ORDER BY ts, event_id),
+          'view>click>purchase')) AS INT) AS n_funnels,
+        len(regexp_extract_all(
+          string_agg(event_type, '>' ORDER BY ts, event_id),
+          'view>click>purchase')) >= 1 AS converted
+      FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -814,6 +814,42 @@ object Similarity {
               ON q.vec_id < $QueryIds AND e.vec_id <> q.vec_id) s
           WHERE prk <= 20) t
         WHERE rk <= 5 ORDER BY qid, rk""")
-      })
+      }),
+
+    // ---- max-inner-product search (MIPS): top-5 by RAW dot product,
+    //      the retrieval scoring where vector norm carries signal
+    //      (learned relevance embeddings, recommender item vectors) —
+    //      cosine (s03) deliberately discards it. Same broadcast-
+    //      query-set scan shape as s03; the fused sequential-fold dot
+    //      keeps the oracle bitwise. Scale path: MIPS reduces to
+    //      cosine by norm augmentation — append sqrt(M² − ‖x‖²) to
+    //      each corpus vector and 0 to the query (M = max corpus
+    //      norm; Bachrach et al. 2014, Neyshabur & Srebro 2015) —
+    //      after which the s05 hyperplane-LSH bucketing and the whole
+    //      IVF/PQ chain (s09–s11) apply unchanged, so the exact scan
+    //      here is the recall anchor, not the 100 TB plan. ----
+    QuerySpec(
+      "s14_mips_knn",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("ip"), col("vec_id"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            dot(col("qv"), col("embedding")).as("ip"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .orderBy("qid", "rk")
+      },
+      Some(s"""SELECT qid, vec_id, ip, rk FROM (
+        SELECT q.vec_id AS qid, e.vec_id, ${dotSql("q", "e")} AS ip,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${dotSql("q", "e")} DESC, e.vec_id) AS INT) AS rk
+        FROM embeddings q JOIN embeddings e ON q.vec_id < $QueryIds
+          AND e.vec_id <> q.vec_id) t
+      WHERE rk <= 5 ORDER BY qid, rk"""))
   )
 }

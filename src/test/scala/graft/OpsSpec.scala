@@ -486,4 +486,115 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
     assert(a.values.forall(v => v >= 0 && v < 1000000007L))
   }
+
+  test("span dedup matches a driver-side sliding-window recount") {
+    val rows = SparkEntry.queries("t28_span_dedup")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    rows.values.foreach { case (nw, nd, mr) =>
+      assert(nd <= nw, s"dup windows $nd exceed window count $nw")
+      assert(mr <= nd, s"max run $mr exceeds dup count $nd")
+      assert((mr > 0) == (nd > 0))
+    }
+    // exact recount: every overlapping 8-token window, corpus-wide
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val winsOf = docs.map { case (id, t) =>
+      id -> (0 to t.length - 8).map(i => t.slice(i, i + 8).mkString(" "))
+    }.toMap
+    val counts = winsOf.values.flatten
+      .groupBy(identity).view.mapValues(_.size).toMap
+    var sawRun = false
+    winsOf.foreach { case (id, ws) =>
+      val dup = ws.map(counts(_) >= 2)
+      val runs = {
+        var (best, cur) = (0, 0)
+        dup.foreach { d =>
+          cur = if (d) cur + 1 else 0; best = math.max(best, cur) }
+        best
+      }
+      val (nw, nd, mr) = rows(id)
+      assert(nw == ws.length, s"doc $id window count")
+      assert(nd == dup.count(identity), s"doc $id dup-window count")
+      assert(mr == runs, s"doc $id max run: engine $mr vs recount $runs")
+      if (runs > 0) sawRun = true
+    }
+    assert(sawRun, "fixture produced no duplicated span at all")
+  }
+
+  test("MIPS ranking is by raw dot; norm augmentation reduces it to cosine") {
+    val got = SparkEntry.queries("s14_mips_knn")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // per query: ip non-increasing in rank
+    got.groupBy(_._1).foreach { case (_, g) =>
+      val byRk = g.sortBy(_._4).map(_._3)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
+    // the scale-path reduction (Bachrach 2014): augment corpus vectors
+    // with sqrt(M^2 - |x|^2), queries with 0 -> cosine order on the
+    // augmented space IS the dot-product order (driver-side re-rank on
+    // the tiny fixture proves the claim the s14 scaladoc makes)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val m2 = vecs.values.map(v => v.map(x => x * x).sum).max
+    def dotA(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    got.groupBy(_._1).foreach { case (qid, g) =>
+      val q = vecs(qid)
+      val augCos = vecs.view.filterKeys(_ != qid).map { case (id, v) =>
+        val aug = math.sqrt(m2 - v.map(x => x * x).sum)
+        // query augmented coord is 0 => dot unchanged; norm constant M
+        id -> dotA(q, v) / (math.sqrt(dotA(q, q)) * math.sqrt(m2))
+      }.toSeq.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(augCos == g.sortBy(_._4).map(_._2).toSeq,
+        s"augmented-cosine top-5 diverges from MIPS for qid=$qid")
+    }
+  }
+
+  test("funnel pattern counts ordered view>click>purchase walks exactly") {
+    val got = SparkEntry.queries("e16_funnel_pattern")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    got.foreach { case (_, _, nf, conv) => assert(conv == (nf >= 1)) }
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.map(_._2).sum == ev.length) // every event attributed
+    val expect = ev.groupBy(_._1).view.mapValues { g =>
+      val s = g.sortBy(e => (e._2, e._3)).map(_._4).mkString(">")
+      "view>click>purchase".r.findAllMatchIn(s).size
+    }.toMap
+    got.foreach { case (u, _, nf, _) =>
+      assert(nf == expect(u), s"user $u: engine $nf vs recount ${expect(u)}")
+    }
+    assert(got.exists(_._3 > 0), "fixture produced no funnel at all")
+  }
+
+  test("classifier training converges and recovers the quality band") {
+    graft.ops.Text.clearLrModels()
+    val (w, losses, thr) = graft.ops.Text.lrModel(spark, sf0001)
+    assert(w.length == 259) // 256 hashed TF + bias + 2 surface stats
+    assert(losses.length == 40)
+    assert(thr > 0 && thr < 1)
+    // preconditioned GD + momentum on a convex loss: strictly improving
+    losses.zip(losses.tail).foreach { case (a, b) =>
+      assert(b < a + 1e-12, s"loss rose: $a -> $b") }
+    info(s"log-loss ${losses.head} -> ${losses.last}")
+    val rows = SparkEntry.queries("t29_classifier_score")(spark, sf0001)
+      .collect()
+    val acc = rows.map(_.getInt(4)).sum.toDouble / rows.length
+    info(s"training accuracy $acc over ${rows.length} docs")
+    assert(acc >= 0.9, s"train accuracy $acc under 0.9")
+    // both classes actually predicted (no majority-class collapse)
+    assert(rows.map(_.getInt(3)).distinct.length == 2)
+    // memoized: second call must return the identical model object
+    val again = graft.ops.Text.lrModel(spark, sf0001)
+    assert(again._1 eq w)
+  }
 }
