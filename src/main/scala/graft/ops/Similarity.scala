@@ -263,6 +263,46 @@ object Similarity {
       .select(col("va"), col("vb"))
   }
 
+  /** LSH candidate pairs over the whole corpus — the shared candidate
+    * generator of s05 (ANN pairs) and s15 (semantic dedup at scale):
+    * 12 tables × 8-bit random-hyperplane signatures fused into ONE
+    * expression over ONE scan, Hamming-1 multi-probe on the probe
+    * side (Lv et al. 2007), salt-split hot buckets via
+    * [[lshBucketJoin]]. Emits each unordered pair once. */
+  private def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val NTables = 12
+    val NBits = 8
+    // deterministic pseudo-random hyperplanes (fixed seed)
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(NTables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
+    val e = Tables.embeddings(s, d)
+    // all 96 plane dots fused into ONE expression over ONE scan
+    // (the per-table union re-scanned the corpus 12×, re-reading
+    // each vector 96 times); signatures carry only ids — candidate
+    // dedup shuffles 2 longs per pair, not two 64-float arrays
+    val sigs = e.select(col("vec_id"),
+        posexplode(graft.functions.VectorExprs.hyperplaneSigs(
+          col("embedding"), planes, NBits)))
+      .toDF("vec_id", "tbl", "sig")
+    // probe side: the exact bucket + every 1-bit-flipped bucket
+    // (9 keys/vec/table); build side keeps exact buckets only, so
+    // a Hamming-≤1 signature pair collides exactly once per table
+    val probeKeys = array((lit(0) +: (0 until NBits).map(b =>
+      lit(1 << b))): _*)
+    val a = sigs
+      .select(col("vec_id").as("va"), col("tbl"),
+        explode(probeKeys).as("flip"), col("sig"))
+      .select(col("va"), col("tbl"),
+        col("sig").bitwiseXOR(col("flip")).as("sig"))
+    val b = sigs.toDF("vb", "tbl", "sig")
+    // skew guard: hot buckets (duplicate clusters, zero vectors)
+    // are salt-split so no task pairs more than cap build rows
+    lshBucketJoin(a, b, cap = 4096)
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb")).distinct()
+  }
+
   /** Per-query ADC lookup tables: for each of the (bounded) query
     * vectors, the m×k table of sub-dot-products between the
     * L2-normalized query and every codebook centroid — the driver-side
@@ -412,37 +452,8 @@ object Similarity {
     QuerySpec(
       "s05_ann_lsh",
       (s, d) => {
-        val NTables = 12
-        val NBits = 8
-        // deterministic pseudo-random hyperplanes (fixed seed)
-        val rnd = new scala.util.Random(42)
-        val planes: Seq[Seq[Double]] =
-          Seq.fill(NTables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
         val e = Tables.embeddings(s, d)
-        // all 96 plane dots fused into ONE expression over ONE scan
-        // (the per-table union re-scanned the corpus 12×, re-reading
-        // each vector 96 times); signatures carry only ids — candidate
-        // dedup shuffles 2 longs per pair, not two 64-float arrays
-        val sigs = e.select(col("vec_id"),
-            posexplode(graft.functions.VectorExprs.hyperplaneSigs(
-              col("embedding"), planes, NBits)))
-          .toDF("vec_id", "tbl", "sig")
-        // probe side: the exact bucket + every 1-bit-flipped bucket
-        // (9 keys/vec/table); build side keeps exact buckets only, so
-        // a Hamming-≤1 signature pair collides exactly once per table
-        val probeKeys = array((lit(0) +: (0 until NBits).map(b =>
-          lit(1 << b))): _*)
-        val a = sigs
-          .select(col("vec_id").as("va"), col("tbl"),
-            explode(probeKeys).as("flip"), col("sig"))
-          .select(col("va"), col("tbl"),
-            col("sig").bitwiseXOR(col("flip")).as("sig"))
-        val b = sigs.toDF("vb", "tbl", "sig")
-        // skew guard: hot buckets (duplicate clusters, zero vectors)
-        // are salt-split so no task pairs more than cap build rows
-        val cands = lshBucketJoin(a, b, cap = 4096)
-          .filter(col("va") < col("vb"))
-          .select(col("va"), col("vb")).distinct()
+        val cands = lshCandidatePairs(s, d)
         val withVec = e.select(col("vec_id"), col("embedding"),
           l2(col("embedding")).as("nrm"))
         cands
@@ -850,6 +861,40 @@ object Similarity {
             ORDER BY ${dotSql("q", "e")} DESC, e.vec_id) AS INT) AS rk
         FROM embeddings q JOIN embeddings e ON q.vec_id < $QueryIds
           AND e.vec_id <> q.vec_id) t
-      WHERE rk <= 5 ORDER BY qid, rk"""))
+      WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    // ---- semantic dedup AT SCALE: s12's scale twin. s12 verifies
+    //      every one of the N²/2 pairs exactly (its oracle anchor);
+    //      here candidates come from the shared LSH generator (one
+    //      scan → bucketed equi-join, skew-guarded), only candidates
+    //      pay the exact cosine check, and the same min-label
+    //      components/keep-lowest logic runs on the surviving edges.
+    //      Exactly the t08→t09 relationship, one level up the stack.
+    //      Rows-only by design (LSH can drop a weak edge and split a
+    //      component); OpsSpec pins edge precision = 1 (every edge is
+    //      exact-verified), edge recall vs s12, and component
+    //      agreement on the fixture. ----
+    QuerySpec(
+      "s15_semantic_dedup_lsh",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val withVec = e.select(col("vec_id"), col("embedding"),
+          l2(col("embedding")).as("nrm"))
+        val edges = lshCandidatePairs(s, d)
+          .join(withVec.toDF("va", "ea", "na"), "va")
+          .join(withVec.toDF("vb", "eb", "nb"), "vb")
+          .filter((dot(col("ea"), col("eb")) /
+            (col("na") * col("nb"))) >= 0.4)
+          .select(col("va").as("da"), col("vb").as("db"))
+        val labels = Text.connectedComponents(edges)
+        e.select(col("vec_id"))
+          .join(labels.toDF("vec_id", "component"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("component"), col("vec_id")).as("component"),
+            (coalesce(col("component"), col("vec_id")) === col("vec_id"))
+              .as("keep"))
+          .orderBy("vec_id")
+      },
+      None)
   )
 }

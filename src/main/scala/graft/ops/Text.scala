@@ -1325,12 +1325,16 @@ object Text {
     //      LONGEST CONSECUTIVE duplicated run (k consecutive duplicated
     //      8-windows ⇔ a duplicated substring of k+7 tokens) via the
     //      classic idx − row_number() islands trick — a bounded
-    //      per-doc sort, no self-join. At 100 TB the window string
-    //      becomes a 64-bit rolling hash (xxhash64 here is one extra
-    //      projection) so the corpus-wide count shuffles 8-byte keys,
-    //      and boilerplate hot spans hit the q31/q42 salted-agg
-    //      pattern; the plan shape — project, count, islands — is
-    //      unchanged. Integer math end-to-end → oracle hash-matches. ----
+    //      per-doc sort, no self-join. The corpus-wide count runs on
+    //      xxhash64 of the window, not the string: the shuffle moves
+    //      8-byte keys instead of ~45-byte strings, and counts on the
+    //      hash equal counts on the string up to 64-bit collisions
+    //      (~1e-10 at the oracle SF — the t08/t09 shingle-hashing
+    //      adjudication; the oracle counts strings, so a collision
+    //      would surface as a hash-mismatch). Boilerplate hot spans
+    //      hit the q31/q42 salted-agg pattern at scale; the plan
+    //      shape — project, count, islands — is unchanged. Integer
+    //      math end-to-end → oracle hash-matches. ----
     QuerySpec(
       "t28_span_dedup",
       (s, d) => {
@@ -1342,9 +1346,10 @@ object Text {
                 i => array_join(slice(toks, i + 1, lit(8)), " ")))
               .otherwise(array().cast("array<string>"))))
           .toDF("doc_id", "widx", "win")
+          .select(col("doc_id"), col("widx"), xxhash64(col("win")).as("wh"))
         val dupWins = wins
           .withColumn("c", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("win"))))
+            org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))))
           .filter(col("c") >= 2)
         // islands: consecutive widx values share (widx - row_number())
         val byDoc = org.apache.spark.sql.expressions.Window
@@ -1393,6 +1398,81 @@ object Text {
         COALESCE(p.max_run, 0) AS max_run
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
       ORDER BY d.doc_id""")),
+
+    // ---- mixture REBALANCING sampler: materialize the t22 recipe.
+    //      Each source's sampling rate is min(1, target_share /
+    //      actual_share) — sources over-represented relative to their
+    //      √tokens target get thinned, the rest pass whole — and
+    //      acceptance is DETERMINISTIC per doc: u(doc_id) =
+    //      (doc_id·2654435761 mod 2³²)/2³² < rate (Knuth's
+    //      multiplicative hash — pure 64-bit integer math, so both
+    //      engines draw the same "random" number and the oracle
+    //      hash-matches a *sampler*). Plan: one bounded-key groupBy
+    //      for the rate table (≤|sources| rows, broadcast back), one
+    //      row-local accept filter, one bounded-key report groupBy —
+    //      no corpus shuffle at any width; at 100 TB the rate table is
+    //      still |sources| rows and the accept pass is map-only,
+    //      which is why hash-gated sampling (not reservoir/rand())
+    //      is how training mixtures are actually drawn. ----
+    QuerySpec(
+      "t30_mixture_sample",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(toks).cast("long")).as("n_tokens"))
+          .withColumn("w", sqrt(col("n_tokens").cast("double")))
+        val tots = bySrc.agg(
+          aggregate(sort_array(collect_list(col("w"))), lit(0.0),
+            (acc, x) => acc + x).as("totw"),
+          sum(col("n_tokens")).as("tott"))
+        val rates = bySrc.crossJoin(broadcast(tots))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            least(lit(1.0), col("w") / col("totw") *
+              col("tott").cast("double") / col("n_tokens").cast("double"))
+              .as("rate"))
+        val u = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+          .cast("double") / lit(4294967296.0)
+        val kept = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), size(toks).as("nt"))
+          .join(broadcast(rates.select(col("source"), col("rate"))),
+            "source")
+          .filter(u < col("rate"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_kept"),
+            sum(col("nt").cast("long")).as("tokens_kept"))
+        rates.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("rate"),
+            coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH bysrc AS (
+        SELECT source, COUNT(1) AS n_docs,
+          CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+          sqrt(CAST(SUM(len(str_split(text, ' '))) AS DOUBLE)) AS w
+        FROM documents GROUP BY source),
+      tots AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_sort(list(w))), (acc, x) -> acc + x) AS totw,
+          CAST(SUM(n_tokens) AS BIGINT) AS tott FROM bysrc),
+      rates AS (
+        SELECT source, n_docs, n_tokens,
+          least(1.0, w / totw * CAST(tott AS DOUBLE)
+            / CAST(n_tokens AS DOUBLE)) AS rate
+        FROM bysrc, tots),
+      kept AS (
+        SELECT d.source, COUNT(1) AS docs_kept,
+          CAST(SUM(len(str_split(d.text, ' '))) AS BIGINT) AS tokens_kept
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+          / 4294967296.0 < r.rate
+        GROUP BY d.source)
+      SELECT r.source, r.n_docs, r.n_tokens, r.rate,
+        COALESCE(k.docs_kept, 0) AS docs_kept,
+        COALESCE(k.tokens_kept, 0) AS tokens_kept
+      FROM rates r LEFT JOIN kept k ON r.source = k.source
+      ORDER BY r.source""")),
 
     // ---- model-based quality filter: score every doc under the
     //      in-engine-trained hashed-TF logistic regression

@@ -576,6 +576,64 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "fixture produced no funnel at all")
   }
 
+  test("LSH semantic dedup agrees with the exact all-pairs components") {
+    val exact = SparkEntry.queries("s12_semantic_dedup")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val lsh = SparkEntry.queries("s15_semantic_dedup_lsh")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(lsh.keySet == exact.keySet) // every vector labeled
+    // LSH can only LOSE edges, so its components refine the exact
+    // ones: two ids sharing an LSH component must share the exact one
+    lsh.groupBy(_._2._1).values.foreach { members =>
+      assert(members.keys.map(exact(_)._1).toSet.size == 1,
+        "LSH merged vectors the exact components keep apart")
+    }
+    // and on this fixture the refinement should be near-exact
+    val agree = lsh.count { case (id, (c, _)) => exact(id)._1 == c }
+    val frac = agree.toDouble / lsh.size
+    info(s"s15 component agreement with exact s12: $frac")
+    assert(frac >= 0.95, s"component agreement $frac under floor")
+    val keepAgree = lsh.count { case (id, (_, k)) => exact(id)._2 == k }
+    assert(keepAgree.toDouble / lsh.size >= 0.95)
+  }
+
+  test("mixture sampler thins over-represented sources, passes the rest whole") {
+    val rows = SparkEntry.queries("t30_mixture_sample")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nToks, rate, kept, keptToks) =>
+      assert(rate > 0 && rate <= 1.0, s"$src rate $rate")
+      assert(kept <= nDocs && keptToks <= nToks)
+      if (rate == 1.0) assert(kept == nDocs, s"$src lost docs at rate 1")
+    }
+    // somebody must actually be over-represented on this fixture
+    assert(rows.exists(_._4 < 1.0))
+    // hash-gated acceptance tracks the rate (deterministic, not exact)
+    rows.filter(r => r._4 < 1.0 && r._2 >= 20).foreach {
+      case (src, nDocs, _, rate, kept, _) =>
+        val frac = kept.toDouble / nDocs
+        assert(math.abs(frac - rate) <= 0.2,
+          s"$src kept fraction $frac far from rate $rate")
+    }
+    // rebalancing direction: post-sample token shares move toward the
+    // sqrt-weight targets of t22 for every thinned source
+    val weights = SparkEntry.queries("t22_source_mixture")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val totPre = rows.map(_._3).sum.toDouble
+    val totPost = rows.map(_._6).sum.toDouble
+    rows.filter(_._4 < 1.0).foreach {
+      case (src, _, nToks, _, _, keptToks) =>
+        val (pre, post) = (nToks / totPre, keptToks / totPost)
+        assert(math.abs(post - weights(src)) <=
+          math.abs(pre - weights(src)) + 0.02,
+          s"$src share moved away from target: pre $pre post $post " +
+            s"target ${weights(src)}")
+    }
+  }
+
   test("classifier training converges and recovers the quality band") {
     graft.ops.Text.clearLrModels()
     val (w, losses, thr) = graft.ops.Text.lrModel(spark, sf0001)
