@@ -490,6 +490,53 @@ object Events {
         len(regexp_extract_all(
           string_agg(event_type, '>' ORDER BY ts, event_id),
           'view>click>purchase')) >= 1 AS converted
-      FROM events GROUP BY user_id ORDER BY user_id"""))
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- first-order user-journey Markov chain: transition counts
+    //      and row-normalized probabilities between consecutive event
+    //      types per user (the journey-analytics companion of e16 —
+    //      e16 matches a KNOWN walk, this estimates the walk
+    //      distribution itself). LAG over (user_id | ts, event_id)
+    //      pairs each event with its successor — one shuffle on
+    //      user_id; the count is a bounded-key groupBy (≤ types²
+    //      rows); probabilities divide two exact longs inside each
+    //      prev-type row group (a broadcast-sized join), so the
+    //      doubles are bit-identical across engines and the oracle
+    //      hash-matches. At 100 TB the transition matrix stays types²
+    //      — the per-user pairing is the only data-sized stage and it
+    //      rides the same user_id shuffle as sessionization. ----
+    QuerySpec(
+      "e17_markov_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("event_type").as("cur"),
+            lag(col("event_type"), 1).over(w).as("prev"))
+          .filter(col("prev").isNotNull)
+        val counts = pairs.groupBy(col("prev"), col("cur"))
+          .agg(count(lit(1)).as("n"))
+        val outTot = counts.groupBy(col("prev"))
+          .agg(sum(col("n")).as("tot"))
+        counts.join(broadcast(outTot), "prev")
+          .select(col("prev"), col("cur"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double"))
+              .as("p"))
+          .orderBy("prev", "cur")
+      },
+      Some("""WITH pairs AS (
+        SELECT LAG(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev,
+          event_type AS cur
+        FROM events),
+      counts AS (
+        SELECT prev, cur, COUNT(1) AS n FROM pairs
+        WHERE prev IS NOT NULL GROUP BY prev, cur),
+      tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot
+              FROM counts GROUP BY prev)
+      SELECT c.prev, c.cur, c.n,
+        CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+      FROM counts c JOIN tot t ON c.prev = t.prev
+      ORDER BY c.prev, c.cur"""))
   )
 }

@@ -363,20 +363,36 @@ object Text {
   /** Test/ops hook: drop cached classifier models. */
   def clearLrModels(): Unit = lrMemo.clear()
 
-  /** Score every document under the (memoized) trained model: one
-    * shuffle to rebuild per-doc margins, then row-local sigmoid. */
+  /** The trained model's margin as a ROW-LOCAL expression: Σ_f w_f·x_f
+    * over normalized-TF features collapses to (Σ_tokens w[h(t)])/n —
+    * one fold over the token array, plus the bias and the two surface
+    * terms. No explode, no groupBy, no join: the scoring pass — the
+    * actual 100 TB filter — is map-only with the weights inlined as
+    * an array literal. (Training keeps the exploded feature relation
+    * because gradients need per-FEATURE sums; scoring needs only the
+    * per-DOC sum, which associativity hands back for free.) Shared by
+    * the batch scorer ([[lrScore]]) and the streaming apply twin
+    * (`graft.streaming.Streams.scoreDocsWithModel`). */
+  def lrMarginExpr(w: Seq[Double], nF: Int): Column = {
+    val wLit = array(w.map(lit): _*)
+    val nTok = size(toks).cast("double")
+    aggregate(toks, lit(0.0), (acc, t) =>
+      acc + element_at(wLit, pmod(hash(t), lit(nF)).cast("int") + 1)) /
+      nTok +
+      element_at(wLit, lit(nF + 1)) +
+      least(nTok / lit(100.0), lit(1.0)) * element_at(wLit, lit(nF + 2)) +
+      (size(array_distinct(toks)).cast("double") / nTok) *
+        element_at(wLit, lit(nF + 3))
+  }
+
+  /** Score every document under the (memoized) trained model — one
+    * map-only pass via [[lrMarginExpr]]; the orderBy is presentation. */
   def lrScore(s: SparkSession, d: String, nF: Int = 256): DataFrame = {
     val (w, _, thr) = lrModel(s, d, nF)
-    val wLit = array(w.map(lit): _*)
-    val docs = Tables.documents(s, d)
-    val margins = lrFeatures(docs, nF)
-      .withColumn("wx", element_at(wLit, col("f") + 1) * col("x"))
-      .groupBy(col("doc_id")).agg(sum(col("wx")).as("m"))
-    docs.select(col("doc_id"),
-        when(qualityExpr >= thr, 1).otherwise(0).as("y"))
-      .join(margins, "doc_id")
-      .select(col("doc_id"), col("y"),
-        (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("prob"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(qualityExpr >= thr, 1).otherwise(0).as("y"),
+        (lit(1.0) / (lit(1.0) + exp(-lrMarginExpr(w, nF)))).as("prob"))
       .withColumn("pred", when(col("prob") >= 0.5, 1).otherwise(0))
       .withColumn("correct", (col("pred") === col("y")).cast("int"))
       .orderBy("doc_id")

@@ -168,6 +168,22 @@ object Streams {
         ((col("value") - col("mean_v")) / col("sd_v")).as("z"))
       .withColumn("is_outlier", abs(col("z")) >= 3.0)
 
+  /** Batch-train / stream-apply for the TRAINED classifier: score a
+    * live document stream under `graft.ops.Text.lrModel` weights. The
+    * margin is `Text.lrMarginExpr` — a row-local fold with the F+3
+    * weights inlined as an array literal — so the apply side is not
+    * merely stateless but SHUFFLE-FREE: no state store, no watermark,
+    * no join, each micro-batch a map-only pass. This is the online
+    * half of the CCNet/DCLM quality-filter deployment: train offline
+    * on the full corpus, gate documents as they arrive. Docs stream
+    * needs (doc_id, text) columns. */
+  def scoreDocsWithModel(docs: DataFrame, w: Seq[Double],
+      nF: Int = 256): DataFrame =
+    docs.select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) +
+          exp(-graft.ops.Text.lrMarginExpr(w, nF)))).as("prob"))
+      .withColumn("pred", when(col("prob") >= 0.5, 1).otherwise(0))
+
   // not `private`: the state encoder's generated code must reach it
   final case class ShardHH(shard: Int, version: Long,
       counters: Map[String, (Long, Long)])

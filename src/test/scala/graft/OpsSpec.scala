@@ -576,6 +576,23 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "fixture produced no funnel at all")
   }
 
+  test("markov transition rows are a proper distribution per prev type") {
+    val rows = SparkEntry.queries("e17_markov_transitions")(spark, sf0001)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // per-prev probabilities sum to exactly 1 (exact long ratios)
+    rows.groupBy(_._1).foreach { case (prev, g) =>
+      val s = g.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$prev rows sum to $s")
+    }
+    // total transitions = events - one first-event per active user
+    val nEv = Tables.events(spark, sf0001).count()
+    val nUsers = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEv - nUsers)
+  }
+
   test("LSH semantic dedup agrees with the exact all-pairs components") {
     val exact = SparkEntry.queries("s12_semantic_dedup")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))

@@ -359,4 +359,37 @@ class StreamsSpec extends SparkSpec {
     Streams.ingestFilesOnce(spark, src.toString, dest.toString, ckpt)
     assert(spark.read.parquet(dest.toString).count() == 3)
   }
+
+  test("corpus-trained classifier gates a doc stream; stream preds equal batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // train offline on the full corpus (memoized — same model t29 uses)
+    val (w, _, _) = graft.ops.Text.lrModel(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(60)
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.scoreDocsWithModel(
+        ms.toDF.toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("gated")
+      .outputMode(OutputMode.Append()).start()
+    // two micro-batches — the boundary must not affect any score
+    try {
+      ms.addData(docs.take(30): _*); q.processAllAvailable()
+      ms.addData(docs.drop(30): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gated").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(streamed.size == docs.length)
+    // batch t29 over the same corpus: probs equal to the ulp (both
+    // sides evaluate the SAME row-local margin expression — no
+    // aggregation-order nondeterminism anywhere)
+    val batch = SparkEntry.queries("t29_classifier_score")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    streamed.foreach { case (id, (p, pred)) =>
+      assert(batch(id)._1 == p, s"doc $id: stream prob $p vs ${batch(id)._1}")
+      assert(batch(id)._2 == pred)
+    }
+  }
 }
