@@ -110,9 +110,18 @@ object Text {
     * generations would not fit; that unpersist point is also where a
     * cluster run would checkpoint to truncate lineage. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = Scoped.persist(pairs
-      .unionAll(pairs.select(col("db").as("da"), col("da").as("db"))))
-    // Each generation is an EAGER localCheckpoint, not a mere persist:
+    // localCheckpoint, not persist: a persisted edge relation caches
+    // its BLOCKS but keeps its logical plan, and every generation's
+    // joins re-analyze/re-optimize that full lineage on the driver —
+    // for LSH-sourced pairs (s15) that plan is the entire bucketed
+    // candidate pipeline, and the re-planning alone dominated CC wall
+    // time at sf0.1 (9.1 s → 1.5 s for the same 805 edges when the
+    // lineage is truncated to a leaf scan). Lazy: the init groupBy
+    // materializes it on the first action.
+    val edges = pairs
+      .unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint(false)
+    // Each generation is a LAZY localCheckpoint, not a mere persist:
     // `next` references `labels` twice (directly and through viaNbr),
     // so without lineage truncation the logical plan DOUBLES per
     // iteration — on a deep graph (s12's cosine chains take ~15
@@ -121,12 +130,16 @@ object Text {
     // each generation's blocks and starts the next plan from scratch;
     // dropped generations are reclaimed by the context cleaner (a
     // cluster run at 100 TB would use reliable checkpoints here —
-    // same truncation point, durable storage).
+    // same truncation point, durable storage). LAZY because every
+    // generation is immediately materialized by its convergence
+    // count() — an eager checkpoint would run a SECOND job per
+    // generation just to write the same blocks (measured ~25% of CC
+    // wall time at sf0.1 across t12/s12/s15).
     var labels = edges.groupBy(col("da").as("doc_id"))
       .agg(min(col("db")).as("nbr_min"))
       .select(col("doc_id"),
         least(col("doc_id"), col("nbr_min")).as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var iters = 0
     while (!converged && iters < 30) {
@@ -149,7 +162,9 @@ object Text {
       val next = stepped.join(jump, col("mid") === col("jmid"), "left")
         .select(col("doc_id"), jumped.as("lbl"),
           (jumped < col("prev")).as("changed"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // the count both decides convergence AND materializes the lazy
+      // checkpoint — one job per generation total
       converged = next.filter(col("changed")).count() == 0
       labels = next.select(col("doc_id"), col("lbl"))
       iters += 1
@@ -1457,7 +1472,7 @@ object Text {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("docs_kept"),
             sum(col("nt").cast("long")).as("tokens_kept"))
-        rates.join(kept, Seq("source"), "left")
+        rates.join(broadcast(kept), Seq("source"), "left")
           .select(col("source"), col("n_docs"), col("n_tokens"),
             col("rate"),
             coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),

@@ -131,6 +131,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("t29 scoring is shuffle-free: zero exchanges before presentation sort") {
+    // the claim behind the streaming apply twin: scoring = one
+    // map-only pass. Strip the orderBy (presentation only) and the
+    // plan must contain no Exchange at all.
+    val (w, _, _) = graft.ops.Text.lrModel(spark, sf0001)
+    val scored = graft.streaming.Streams.scoreDocsWithModel(
+      Tables.documents(spark, sf0001).select("doc_id", "text"), w)
+    val p = scored.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(400))
+    assert(p.contains("Scan parquet"), p.take(400))
+  }
+
+  test("t30: rate table and report join broadcast; no sort-merge anywhere") {
+    val p = plan("t30_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("e17: transition matrix joins broadcast on bounded keys") {
+    val p = plan("e17_markov_transitions")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(
