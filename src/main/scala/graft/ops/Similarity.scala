@@ -332,6 +332,53 @@ object Similarity {
     }
   }
 
+  /** Per-query probe cells: the nprobe nearest coarse centroids in
+    * raw space — the driver-side half every IVF search (s09/s11/s16)
+    * shares. Bounded: QueryIds × kCells distances. */
+  private def queryProbes(s: SparkSession, d: String, kCells: Int,
+      nprobe: Int): Map[Long, Seq[Int]] = {
+    val (centroids, _) = kMeansModel(s, d, kCells)
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < QueryIds)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .map { case (qid, qv) =>
+        qid -> centroids.map { case (cid, c) =>
+          cid -> qv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.sortBy { case (cid, d2) => (d2, cid) }.take(nprobe).map(_._1)
+      }.toMap
+  }
+
+  // Written coded-corpus tables, memoized per session: the AT-REST
+  // layout s11's scaladoc names (partitioned by coarse cell, carrying
+  // 8-byte PQ codes) made real on disk, once per (dir, m, k, kCells).
+  // The memo holds only the temp PATH — the data lives in parquet.
+  private val codedMemo = new SessionMemo[(String, Int, Int, Int), String]
+
+  /** Write (vec_id, cid, codes) partitioned by cid — one corpus scan,
+    * once per session; returns the table path. This is the storage
+    * half of the IVF×PQ design: at 100 TB the codes table is ~32×
+    * smaller than the vectors, clustered so a probe reads only
+    * nprobe/kCells of it (partition pruning, not a filter scan). */
+  def codedCorpusPath(s: SparkSession, d: String, m: Int = 8,
+      k: Int = 16, kCells: Int = 8): String =
+    codedMemo.getOrCompute(s, (d, m, k, kCells)) {
+      val (centroids, _) = kMeansModel(s, d, kCells)
+      val books = pqModel(s, d, m, k)
+      val allBooks = array(books.map(centroidLit): _*)
+      val sub = 64 / m
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-coded-").toString
+      Tables.embeddings(s, d).select(col("vec_id"),
+          nearest(centroids, vec(col("embedding"))).getField("cid")
+            .as("cid"),
+          transform(sequence(lit(0), lit(m - 1)), mi =>
+            nearestIn(element_at(allBooks, mi + 1), subVec(mi, sub))
+              .getField("cid")).as("codes"))
+        .write.partitionBy("cid").mode("overwrite").parquet(out)
+      out
+    }
+
   /** (vec_id, codes) under the trained codebooks — one corpus scan,
     * all m argmaxes fused into a single projection. */
   def pqCodes(s: SparkSession, d: String, m: Int = 8, k: Int = 16)
@@ -656,19 +703,7 @@ object Similarity {
         import s.implicits._
         val m = 8; val k = 16
         val kCells = 8; val nprobe = 4
-        // coarse quantizer: cells are assigned on RAW vectors (like
-        // s09); query→cell distances use the same raw-space metric
-        val (centroids, _) = kMeansModel(s, d, kCells)
-        val qraw = Tables.embeddings(s, d)
-          .filter(col("vec_id") < QueryIds)
-          .select(col("vec_id"), vec(col("embedding")).as("v"))
-          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
-          .sortBy(_._1)
-        val probes: Map[Long, Seq[Int]] = qraw.map { case (qid, qv) =>
-          qid -> centroids.map { case (cid, c) =>
-            cid -> qv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-          }.sortBy { case (cid, d2) => (d2, cid) }.take(nprobe).map(_._1)
-        }.toMap
+        val probes = queryProbes(s, d, kCells, nprobe)
         val qdf = queryLuts(s, d, m, k)
           .map { case (qid, lut) => (qid, lut, probes(qid)) }
           .toDF("qid", "lut", "probes")
@@ -676,7 +711,9 @@ object Similarity {
         // both are per-row projections of the embedding, so joining
         // pqCodes against the assignment table would buy a shuffle
         // for nothing (and at rest the corpus is STORED this way:
-        // partitioned by cid, carrying codes)
+        // partitioned by cid, carrying codes — s16 searches exactly
+        // that stored layout and must equal this query bit for bit)
+        val (centroids, _) = kMeansModel(s, d, kCells)
         val books = pqModel(s, d, m, k)
         val allBooks = array(books.map(centroidLit): _*)
         val sub = 64 / m
@@ -894,6 +931,61 @@ object Similarity {
             (coalesce(col("component"), col("vec_id")) === col("vec_id"))
               .as("keep"))
           .orderBy("vec_id")
+      },
+      None),
+
+    // ---- IVF×PQ over the AT-REST coded table: s11 computes cells and
+    //      codes inline each run; here the corpus is STORED the way
+    //      the s11 scaladoc claims it would be at 100 TB — parquet
+    //      partitioned by coarse cell, carrying 8-byte codes, written
+    //      once per session ([[codedCorpusPath]]) — and the search
+    //      SCANS it: the probed cells arrive as a partition filter
+    //      (directory pruning, checked in PlanSpec — not a post-scan
+    //      predicate), the ADC fold runs on codes read from disk with
+    //      no vector math on the corpus side, and only the top-50
+    //      shortlist touches float vectors. Deterministic and
+    //      identical math to s11, so OpsSpec asserts s16 ≡ s11 row
+    //      for row — the at-rest plan provably computes the same
+    //      answer while reading nprobe/kCells of a 32×-smaller
+    //      table. ----
+    QuerySpec(
+      "s16_ivfpq_stored",
+      (s, d) => {
+        import s.implicits._
+        val m = 8; val k = 16
+        val kCells = 8; val nprobe = 4
+        val probes = queryProbes(s, d, kCells, nprobe)
+        val qdf = queryLuts(s, d, m, k)
+          .map { case (qid, lut) => (qid, lut, probes(qid)) }
+          .toDF("qid", "lut", "probes")
+        val allProbed = probes.values.flatten.toSeq.distinct.sorted
+        val coded = s.read.parquet(codedCorpusPath(s, d, m, k, kCells))
+          .filter(col("cid").isin(allProbed: _*)) // partition pruning
+        val wAdc = Window.partitionBy(col("qid"))
+          .orderBy(desc("adc"), col("vec_id"))
+        val shortlist = coded.join(broadcast(qdf),
+            array_contains(col("probes"), col("cid")) &&
+              col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            aggregate(zip_with(col("codes"), col("lut"),
+              (c, row) => get(row, c)), lit(0.0), (acc, x) => acc + x)
+              .as("adc"))
+          .withColumn("ark", row_number().over(wAdc))
+          .filter(col("ark") <= 50)
+          .select(col("qid"), col("vec_id"))
+        val e = Tables.embeddings(s, d)
+        val qe = e.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wCos = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        shortlist
+          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(qe), "qid")
+          .select(col("qid"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(wCos))
+          .filter(col("rk") <= 5)
+          .orderBy("qid", "rk")
       },
       None)
   )

@@ -576,6 +576,19 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "fixture produced no funnel at all")
   }
 
+  test("IVF-PQ over the stored coded table equals the inline s11 exactly") {
+    val inline = SparkEntry.queries("s11_ivfpq_knn")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val stored = SparkEntry.queries("s16_ivfpq_stored")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // identical math on identical codes -> bitwise-equal rows; the
+    // only difference is WHERE the codes came from (disk, pruned to
+    // the probed partitions, vs recomputed inline)
+    assert(stored == inline)
+  }
+
   test("markov transition rows are a proper distribution per prev type") {
     val rows = SparkEntry.queries("e17_markov_transitions")(spark, sf0001)
       .collect().map(r =>

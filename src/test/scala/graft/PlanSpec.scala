@@ -155,6 +155,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("s16: probed cells prune PARTITIONS of the stored coded table") {
+    val p = plan("s16_ivfpq_stored")
+    // the cid predicate must reach the scan as a partition filter
+    // (directory pruning), not survive as a post-scan Filter
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      p.take(800))
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).nonEmpty,
+      p.take(800))
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(
