@@ -1430,6 +1430,64 @@ object Text {
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
       ORDER BY d.doc_id""")),
 
+    // ---- dedup REWRITE: the APPLY step t23/t28 only measure. Every
+    //      16-token chunk keeps its FIRST corpus-wide occurrence (by
+    //      (doc_id, chunk_idx) — deterministic, order-stable) and
+    //      every later occurrence is dropped; each doc is rebuilt from
+    //      its surviving chunks in order. This is the Lee et al. 2021
+    //      "remove duplicated substrings" transform at fixed
+    //      granularity: boilerplate survives exactly once, everywhere
+    //      else it vanishes. One window over the chunk key (same
+    //      shuffle shape as t28's count — hash the chunk at 100 TB),
+    //      then a per-doc ordered rebuild (sort_array over that doc's
+    //      own chunks — bounded per doc). The rebuilt text rides the
+    //      driver compare as a flat string, so the oracle hash-checks
+    //      the REWRITE itself, not just its counts. ----
+    QuerySpec(
+      "t31_dedup_rewrite",
+      (s, d) => {
+        val nChunks = ceil(size(toks) / 16.0).cast("int")
+        val chunks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(when(nChunks > 0,
+              transform(sequence(lit(0), nChunks - 1),
+                i => array_join(slice(toks, i * 16 + 1, lit(16)), " ")))
+              .otherwise(array().cast("array<string>"))))
+          .toDF("doc_id", "ci", "chunk")
+        val wFirst = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk")).orderBy(col("doc_id"), col("ci"))
+        chunks
+          .withColumn("keep", row_number().over(wFirst) === 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            array_join(transform(filter(
+              sort_array(collect_list(struct(col("ci"), col("keep"),
+                col("chunk")))),
+              x => x.getField("keep")), x => x.getField("chunk")), " ")
+              .as("new_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH chunks AS (
+        SELECT doc_id, i AS ci,
+          array_to_string(toks[(i*16+1):(i*16+16)], ' ') AS chunk
+        FROM (
+          SELECT doc_id, str_split(text, ' ') AS toks,
+            unnest(generate_series(0,
+              CAST(ceil(len(str_split(text, ' ')) / 16.0) AS INT) - 1))
+              AS i
+          FROM documents) t),
+      flagged AS (
+        SELECT doc_id, ci, chunk,
+          ROW_NUMBER() OVER (PARTITION BY chunk
+            ORDER BY doc_id, ci) = 1 AS keep
+        FROM chunks)
+      SELECT doc_id, COUNT(1) AS n_chunks,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        COALESCE(string_agg(chunk, ' ' ORDER BY ci)
+          FILTER (WHERE keep), '') AS new_text
+      FROM flagged GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- mixture REBALANCING sampler: materialize the t22 recipe.
     //      Each source's sampling rate is min(1, target_share /
     //      actual_share) — sources over-represented relative to their
@@ -1504,6 +1562,79 @@ object Text {
         COALESCE(k.tokens_kept, 0) AS tokens_kept
       FROM rates r LEFT JOIN kept k ON r.source = k.source
       ORDER BY r.source""")),
+
+    // ---- token-budget selection: keep the highest-quality docs
+    //      until a token budget (25% of the corpus) is spent — the
+    //      "take the best N tokens" curation cut every data recipe
+    //      ends with. The global ordered prefix sum is built the
+    //      DISTRIBUTED way: docs bucket by floor(quality·20) (a
+    //      monotone function of the sort key, so bucket-then-within
+    //      order ≡ global order), the running sum is a window WITHIN
+    //      each bounded bucket, and the ≤21 bucket totals become
+    //      broadcast offsets. The DOC-sized window is hash-partitioned
+    //      (PlanSpec asserts it partitions by bkt); the only
+    //      unpartitioned window runs over the ≤21 bucket-total rows —
+    //      bounded by the quality range, not the corpus, which is
+    //      what the classic global-cumsum anti-pattern gets wrong.
+    //      Quality is the exact t04 arithmetic, so both
+    //      engines order identically and the oracle — which uses the
+    //      naive SUM() OVER (ORDER BY …) — hash-matches the
+    //      distributed formulation. ----
+    QuerySpec(
+      "t32_budget_select",
+      (s, d) => {
+        val nTok = size(toks).cast("long")
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), nTok.as("n_tokens"),
+            qualityExpr.as("quality"))
+          .withColumn("bkt", floor(col("quality") * 20).cast("int"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bkt"))
+          .orderBy(desc("quality"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val withIn = base.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+        // bucket totals -> cumulative offset of every HIGHER bucket
+        // (bounded: ≤ 21 rows, broadcast back)
+        val wOff = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("bkt"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val offsets = base.groupBy(col("bkt"))
+          .agg(sum(col("n_tokens")).as("bt"))
+          .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+          .select(col("bkt"), col("off"))
+        val budget = base.agg((sum(col("n_tokens")) / 4).cast("long")
+          .as("budget"))
+        withIn.join(broadcast(offsets), "bkt")
+          .crossJoin(broadcast(budget))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("off") + col("cum_in")).as("cum_tokens"),
+            ((col("off") + col("cum_in")) <= col("budget"))
+              .as("selected"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (
+        SELECT doc_id,
+          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+          LEAST(CAST(len(str_split(text, ' ')) AS DOUBLE)/100.0, 1.0)
+              * 0.4
+            + (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / len(str_split(text, ' '))) * 0.4
+            + LEAST((CAST(len(list_filter(str_split(text, ' '),
+                t -> list_contains(['the','a','of','and','to','in'], t)))
+              AS DOUBLE) / len(str_split(text, ' '))) * 5.0, 1.0) * 0.2
+            AS quality
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM q),
+      b AS (SELECT CAST(SUM(n_tokens) // 4 AS BIGINT) AS budget FROM q)
+      SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        cum_tokens <= budget AS selected
+      FROM c, b ORDER BY doc_id""")),
 
     // ---- model-based quality filter: score every doc under the
     //      in-engine-trained hashed-TF logistic regression

@@ -576,6 +576,70 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "fixture produced no funnel at all")
   }
 
+  test("budget select keeps the best docs until the token budget, no gaps") {
+    val rows = SparkEntry.queries("t32_budget_select")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val total = rows.map(_._2).sum
+    val budget = total / 4
+    val kept = rows.filter(_._4)
+    assert(kept.nonEmpty && kept.map(_._2).sum <= budget)
+    // selection is a PREFIX of the quality order: cum_tokens of every
+    // selected doc <= every unselected doc's
+    val maxSel = kept.map(_._3).max
+    rows.filterNot(_._4).foreach { case (id, _, cum, _) =>
+      assert(cum > maxSel, s"doc $id unselected but inside the prefix") }
+    // cum_tokens is a permutation-consistent prefix sum: sorted cums
+    // step exactly by each doc's n_tokens
+    val byCum = rows.sortBy(_._3)
+    byCum.zip(byCum.scanLeft(0L)(_ + _._2).tail).foreach {
+      case ((id, _, cum, _), expect) =>
+        assert(cum == expect, s"doc $id cum $cum != running $expect") }
+  }
+
+  test("dedup rewrite keeps each distinct chunk exactly once, rebuilds in order") {
+    val rows = SparkEntry.queries("t31_dedup_rewrite")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // corpus-level conservation: kept chunks = distinct chunks
+    val allChunks = docs.toSeq.flatMap { case (_, t) =>
+      t.split(" ", -1).grouped(16).map(_.mkString(" ")).toSeq }
+    assert(rows.values.map(_._2).sum == allChunks.distinct.size)
+    assert(rows.values.map(_._1).sum == allChunks.size)
+    // an all-unique doc survives verbatim; something must be dropped
+    var dropped = 0
+    rows.foreach { case (id, (n, kept, newText)) =>
+      assert(kept <= n)
+      if (kept == n) assert(newText == docs(id),
+        s"doc $id rewritten despite no duplicate chunks")
+      else dropped += 1
+    }
+    assert(dropped > 0, "fixture has duplicate chunks; none dropped")
+    // order preserved: each doc's new_text chunks appear in original
+    // relative order (spot-check all docs cheaply via subsequence test
+    // on chunk lists)
+    rows.foreach { case (id, (_, _, newText)) =>
+      val orig = docs(id).split(" ", -1).grouped(16)
+        .map(_.mkString(" ")).toSeq
+      val kept = if (newText.isEmpty) Seq.empty[String]
+        else {
+          // rebuild chunk list by walking orig and matching greedily
+          val toksN = newText.split(" ", -1)
+          toksN.grouped(16).map(_.mkString(" ")).toSeq
+        }
+      // greedy subsequence check
+      var oi = 0
+      kept.foreach { c =>
+        val at = orig.indexOf(c, oi)
+        assert(at >= 0, s"doc $id: kept chunk not in original order")
+        oi = at + 1
+      }
+    }
+  }
+
   test("IVF-PQ over the stored coded table equals the inline s11 exactly") {
     val inline = SparkEntry.queries("s11_ivfpq_knn")(spark, sf0001)
       .collect().map(r =>

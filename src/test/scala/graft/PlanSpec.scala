@@ -165,6 +165,13 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("t32: the doc-sized running sum is partitioned by bucket") {
+    val p = plan("t32_budget_select")
+    // the corpus prefix sum must hash-partition by the quality bucket;
+    // only the <=21-row bucket-offset window may be unpartitioned
+    assert(p.contains("windowspecdefinition(bkt"), p.take(800))
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(
