@@ -143,4 +143,32 @@ object Aggregators {
         width: Int): Long =
       (0 until depth).map(d => sketch(d * width + bucket(t, d, width))).min
   }
+
+  /** Deterministic bottom-k-by-hash sampler (the KMV / bottom-k
+    * sketch selection rule, Bar-Yossef et al. 2002): keep the k
+    * input records with the smallest (hashHex, id) — a pure function
+    * of the input SET, so the "sample" is order-independent, merge-
+    * associative (map-side partials for free), bounded at k entries
+    * of state per group, and bit-reproducible across runs and
+    * cluster sizes — none of which holds for classic RNG reservoir
+    * sampling under Spark's nondeterministic merge order. Input is
+    * (hashHex, id); output is the comma-joined ids of the k smallest
+    * hashes (flat string so the driver comparator can sort it). */
+  final class BottomKByHash(k: Int)
+      extends Aggregator[(String, Long), Seq[(String, Long)], String] {
+    private val ord = Ordering.Tuple2[String, Long]
+    override def zero: Seq[(String, Long)] = Vector.empty
+    override def reduce(buf: Seq[(String, Long)],
+        x: (String, Long)): Seq[(String, Long)] =
+      if (buf.length >= k && ord.gteq(x, buf.last)) buf
+      else ((buf :+ x).sorted(ord)).take(k)
+    override def merge(a: Seq[(String, Long)],
+        b: Seq[(String, Long)]): Seq[(String, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    override def finish(buf: Seq[(String, Long)]): String =
+      buf.sorted(ord).map(_._2).mkString(",")
+    override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+      ExpressionEncoder()
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
 }

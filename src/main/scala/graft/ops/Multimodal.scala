@@ -213,6 +213,64 @@ object Multimodal {
                   64 + (n_chars % 577) AS w,
                   64 + ((n_chars * 7) % 431) AS h
                 FROM documents WHERE doc_id < 200) dims) tq) t
-      ORDER BY doc_id, tx, ty"""))
+      ORDER BY doc_id, tx, ty""")),
+
+    // ---- modality routing by magic bytes: the dispatch step in
+    //      front of every multimodal decode fan-out. Mixed-modality
+    //      ingest (the reference's drive listing returns pdf, docx,
+    //      png, … side by side — `sharepoint_to_bronze_delta.py:
+    //      163-176` fetches them all through one blob path) cannot
+    //      trust metadata columns; production routers SNIFF the
+    //      payload's leading bytes (JPEG FF D8 FF, PNG 89 50 4E 47,
+    //      RIFF 52 49 46 46) and route each row to its decoder.
+    //      Fixtures have no real media, so the payload is synthesized
+    //      by prepending a signature header chosen from the source id
+    //      — the ROUTER then recovers modality from the BYTES ALONE
+    //      (sniff = hex of the first 4 bytes; the metadata column is
+    //      only used to prove lineage via n_sources). Per-row
+    //      projection + one rollup: no extra shuffle beyond the
+    //      4-group aggregate; at 100 TB the same `repartition(
+    //      $"modality")` feeds per-modality decoder pools. ----
+    QuerySpec(
+      "m06_modality_route",
+      (s, d) => {
+        val srcN = substring(col("source"), 4, 10).cast("int")
+        val hdrHex = when(pmod(srcN, lit(4)) === 0, lit("FFD8FFE0"))
+          .when(pmod(srcN, lit(4)) === 1, lit("89504E47"))
+          .when(pmod(srcN, lit(4)) === 2, lit("52494646"))
+          .otherwise(lit(""))
+        val sniffed = Tables.documents(s, d)
+          .select(col("source"),
+            concat(unhex(hdrHex), payload).as("payload"))
+          .withColumn("sig", hex(expr("substring(payload, 1, 4)")))
+        sniffed
+          .withColumn("modality",
+            when(col("sig").startsWith("FFD8FF"), "image/jpeg")
+              .when(col("sig").startsWith("89504E47"), "image/png")
+              .when(col("sig").startsWith("52494646"), "audio/riff")
+              .otherwise("text/plain"))
+          .groupBy(col("modality"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(octet_length(col("payload"))).as("n_bytes"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("modality")
+      },
+      Some("""WITH p AS (SELECT source,
+          CASE CAST(substr(source, 4) AS INT) % 4
+            WHEN 0 THEN unhex('FFD8FFE0') || encode(text)
+            WHEN 1 THEN unhex('89504E47') || encode(text)
+            WHEN 2 THEN unhex('52494646') || encode(text)
+            ELSE encode(text) END AS payload
+        FROM documents),
+      s AS (SELECT source, payload,
+          substr(hex(payload), 1, 8) AS sig FROM p)
+      SELECT CASE WHEN sig LIKE 'FFD8FF%' THEN 'image/jpeg'
+                  WHEN sig LIKE '89504E47%' THEN 'image/png'
+                  WHEN sig LIKE '52494646%' THEN 'audio/riff'
+                  ELSE 'text/plain' END AS modality,
+        COUNT(1) AS n_docs,
+        CAST(SUM(octet_length(payload)) AS BIGINT) AS n_bytes,
+        COUNT(DISTINCT source) AS n_sources
+      FROM s GROUP BY 1 ORDER BY 1"""))
   )
 }

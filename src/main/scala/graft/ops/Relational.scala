@@ -1034,6 +1034,58 @@ object Relational {
             FROM lineitem) f
       JOIN (SELECT p_partkey % 1000 AS k, MIN(p_partkey) % 7 AS d_tag
             FROM part GROUP BY 1) dim USING (k)
-      GROUP BY d_tag ORDER BY d_tag"""))
+      GROUP BY d_tag ORDER BY d_tag""")),
+
+    // ---- PIVOT: long → wide reshaping with explicit pivot values.
+    //      Spark's .pivot over a KNOWN value list is one hash
+    //      aggregate (each cell is a filtered partial — map-side
+    //      combined, single shuffle on the row key); omitting the
+    //      value list would add a distinct-scan job to discover it,
+    //      so at 100 TB the explicit list is the only sane form.
+    //      Cells sum in decimal (dsum) so both engines emit the
+    //      identical double; absent cells are NULL in both. ----
+    QuerySpec(
+      "q43_pivot",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("O", "F"))
+          .agg(sum(col("l_quantity").cast(DecimalType(28, 10)))
+            .cast("double"))
+          .select(col("l_returnflag"), col("O").as("qty_open"),
+            col("F").as("qty_filled"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10)))
+          FILTER (WHERE l_linestatus = 'O') AS VARCHAR) AS DOUBLE)
+          AS qty_open,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10)))
+          FILTER (WHERE l_linestatus = 'F') AS VARCHAR) AS DOUBLE)
+          AS qty_filled
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- CUBE / grouping sets: all four (returnflag × linestatus)
+    //      marginals in one pass. Spark expands the cube BEFORE the
+    //      shuffle (each input row feeds 4 grouping sets, partials
+    //      map-side combined) — one shuffle total vs four for the
+    //      UNION-of-GROUP-BYs a naive user writes. grouping_id()
+    //      disambiguates real NULL keys from subtotal rows; both
+    //      engines use the same bit order (first column = MSB). ----
+    QuerySpec(
+      "q44_cube",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("gid", "l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COUNT(1) AS n, ${dsumSql("l_extendedprice")} AS revenue
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus"""))
   )
 }

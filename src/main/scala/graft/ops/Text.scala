@@ -98,6 +98,46 @@ object Text {
   private val BandRows = 4
   private val NumBands = NumPerms / BandRows
 
+  // Universal-hash mixers behind the 72 MinHash "permutations"
+  // (h_j = (a_j·h + b_j) mod p over the 32-bit-masked shingle hash);
+  // hoisted so the batch path and the streaming twin derive the
+  // IDENTICAL signatures.
+  private val HashP = 2147483647L // Mersenne prime 2^31-1
+  private val (mixA, mixB) = {
+    val rnd = new scala.util.Random(7)
+    (Array.fill(NumPerms)(1L + rnd.nextInt(Int.MaxValue - 1)),
+      Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** LSH band keys `(doc_id, band, bh)` of a `(doc_id, text)`
+    * relation — one row per (doc, band), bh = 64-bit hash of the
+    * band's 4 MinHash rows. A pure stateless projection (fused
+    * shingle+signature codegen, no shuffle), which is what makes it
+    * legal on a STREAMING DataFrame: the streaming near-dup twin
+    * ([[graft.streaming.Streams.lshCandidatePairs]]) applies this
+    * very column pipeline to the stream and keys its state store by
+    * the output, guaranteeing stream and batch bucket identically. */
+  def lshBandKeys(docs: DataFrame): DataFrame =
+    lshBandKeysFromSh(docs
+      .select(col("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0))
+
+  /** Band keys from an already-shingled `(doc_id, sh)` relation (the
+    * batch path persists that relation for verification reuse). */
+  private def lshBandKeysFromSh(docsSh: DataFrame): DataFrame = {
+    val withSig = docsSh.withColumn("sig",
+      graft.functions.TextExprs.minHashSig(
+        col("sh"), mixA.toSeq, mixB.toSeq, HashP))
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
+    }
+    withSig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bh").as("bh"))
+  }
+
   /** Min-label propagation to fixpoint over an undirected edge list
     * `(da, db)` — the connected-components engine shared by t12
     * (shingle near-dup clustering) and s12 (embedding semantic dedup,
@@ -186,30 +226,15 @@ object Text {
       .select(col("doc_id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
     ) // read by the sig pipeline + both verify branches
-    // the shingles are already 64-bit hashes; derive the 72
-    // permutations with the universal hash family h_j = (a_j·h +
-    // b_j) mod p, p = 2^31-1 (MinHashSig masks h to 32 bits). The
-    // mod is essential: without it the map is monotonic in h and
-    // every "permutation" would pick the same min. a_j·h stays
-    // under 2^63 (31+32 bits), so ANSI mode sees no overflow.
-    val P = 2147483647L // Mersenne prime 2^31-1
-    val rnd = new scala.util.Random(7)
-    val mixA = Array.fill(NumPerms)(1L + rnd.nextInt(Int.MaxValue - 1))
-    val mixB = Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong)
-    // all 72 permuted minima in ONE pass over sh (the declarative
-    // 72 × array_min(transform(...)) walked the array 72 times and
-    // was 28% of the whole bench) — fused codegen expression
-    val withSig = docsSh.withColumn("sig",
-      graft.functions.TextExprs.minHashSig(
-        col("sh"), mixA.toSeq, mixB.toSeq, P))
-    val bandCols = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * BandRows + 1, BandRows)).as("bh"))
-    }
-    val bands = withSig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .distinct()
+    // the shingles are already 64-bit hashes; [[lshBandKeysFromSh]]
+    // derives the 72 permuted minima with the universal hash family
+    // h_j = (a_j·h + b_j) mod p, p = 2^31-1 (MinHashSig masks h to
+    // 32 bits; the mod keeps the map non-monotonic, a_j·h stays
+    // under 2^63 so ANSI mode sees no overflow) — all 72 minima in
+    // ONE fused-codegen pass over sh (the declarative 72 ×
+    // array_min(transform(...)) walked the array 72 times and was
+    // 28% of the whole bench).
+    val bands = lshBandKeysFromSh(docsSh).distinct()
     val cands = bands.toDF("da", "band", "bh")
       .join(bands.toDF("db", "band", "bh"), Seq("band", "bh"))
       .filter(col("da") < col("db"))
@@ -1648,6 +1673,96 @@ object Text {
     QuerySpec(
       "t29_classifier_score",
       (s, d) => lrScore(s, d),
-      None)
+      None),
+
+    // ---- Gopher-style rule filter (Rae et al. 2021, "Scaling
+    //      Language Models: Methods, Analysis & Insights from
+    //      Training Gopher", table A1): the heuristic document-
+    //      quality gates every big text pipeline runs BEFORE any
+    //      model-based scoring — word count bounds, mean-word-length
+    //      band, stopword floor, and a repetition gate (share of the
+    //      single most frequent token). All four metrics are per-row
+    //      HOF projections over the token array: zero shuffles, zero
+    //      UDFs, embarrassingly parallel at any scale. Ratios are
+    //      int/int divisions so both engines produce the identical
+    //      doubles and the boolean gate hash-matches. ----
+    QuerySpec(
+      "t33_gopher_rules",
+      (s, d) => {
+        val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+        val nW = size(toks)
+        val meanLen = aggregate(toks, lit(0), (acc, w) => acc + length(w))
+          .cast("double") / nW
+        val stopRatio =
+          size(filter(toks, t => array_contains(stop, t))).cast("double") / nW
+        val topTokenRatio =
+          array_max(transform(array_distinct(toks),
+            t => size(filter(toks, x => x === t)))).cast("double") / nW
+        Tables.documents(s, d)
+          .select(col("doc_id"), nW.as("n_words"),
+            meanLen.as("mean_word_len"), stopRatio.as("stop_ratio"),
+            topTokenRatio.as("top_token_ratio"))
+          .withColumn("pass",
+            col("n_words").between(50, 100000) &&
+              col("mean_word_len").between(3.0, 10.0) &&
+              col("stop_ratio") >= 0.02 && col("top_token_ratio") <= 0.3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws
+        FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(ws) AS INT) AS n_words,
+        CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE)
+          / len(ws) AS mean_word_len,
+        CAST(len(list_filter(ws,
+            t -> list_contains(['the','a','of','and','to','in'], t)))
+          AS DOUBLE) / len(ws) AS stop_ratio,
+        CAST(list_max(list_transform(list_distinct(ws),
+            t -> len(list_filter(ws, x -> x = t))))
+          AS DOUBLE) / len(ws) AS top_token_ratio
+      FROM w)
+      SELECT doc_id, n_words, mean_word_len, stop_ratio, top_token_ratio,
+        (n_words BETWEEN 50 AND 100000
+          AND mean_word_len BETWEEN 3.0 AND 10.0
+          AND stop_ratio >= 0.02 AND top_token_ratio <= 0.3) AS pass
+      FROM m ORDER BY doc_id""")),
+
+    // ---- deterministic per-group uniform sample: bottom-k by a
+    //      fixed hash (the KMV/bottom-k sketch idea, Bar-Yossef et
+    //      al. 2002, applied as a sampler). Classic reservoir
+    //      sampling is ORDER-DEPENDENT — under Spark's nondetermin-
+    //      istic partition/merge order it returns a different sample
+    //      every run, which is poison for reproducible training
+    //      sets. Keeping the k records with the SMALLEST md5(key)
+    //      instead is a pure function of the input SET: merge-
+    //      associative (a typed Aggregator with map-side partials,
+    //      bounded k memory per group), exactly reproducible across
+    //      runs/cluster sizes, and still uniform because the hash is
+    //      uncorrelated with content. That purity is what lets the
+    //      oracle HASH-CHECK a sampler — impossible for any RNG
+    //      reservoir. ----
+    QuerySpec(
+      "t34_bottomk_sample",
+      (s, d) => {
+        import s.implicits._
+        val agg = new graft.functions.Aggregators.BottomKByHash(4)
+        Tables.documents(s, d)
+          .select(col("lang"),
+            md5(col("doc_id").cast("string")).as("h"), col("doc_id"))
+          .as[(String, String, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(agg.toColumn.name("sample_ids"))
+          .toDF("lang", "sample_ids")
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+        string_agg(CAST(doc_id AS VARCHAR), ','
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_ids
+      FROM (SELECT lang, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents) t
+      WHERE rk <= 4 GROUP BY lang ORDER BY lang"""))
   )
 }

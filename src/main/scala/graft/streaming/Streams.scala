@@ -128,6 +128,57 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class CandPair(da: Long, db: Long)
+
+  /** Streaming MinHash-LSH near-dup candidates — the streaming twin
+    * of the batch t09 band join. The column pipeline
+    * ([[graft.ops.Text.lshBandKeys]]) is a stateless projection, so
+    * it runs unchanged on the stream; the BAND-BUCKET JOIN becomes a
+    * state store keyed by (band, bh): each bucket remembers the doc
+    * ids it has seen, and a newcomer emits one candidate pair per
+    * prior resident. Union over buckets = exactly the batch band
+    * join's candidate set, discovered incrementally — every pair
+    * appears when its second member arrives (possibly re-emitted
+    * via a different shared band; consumers dedup downstream, same
+    * as the batch path's `.distinct()`).
+    *
+    * Scale: state per bucket is the resident id list, capped at
+    * `cap` ids — the SAME skew guard as the batch path
+    * ([[graft.ops.Similarity]] `lshBucketJoin`): a pathological hot
+    * bucket (near-dup cluster, zero vectors) stops admitting
+    * residents at the cap instead of emitting O(n²) pairs, and
+    * recall for genuinely-similar pairs survives via their other 17
+    * bands. Verification (exact Jaccard on the candidate pairs) is
+    * a stream-static join downstream, same split as
+    * [[scoreAgainstModel]]'s train-offline/apply-online seam. */
+  def lshCandidatePairs(docs: DataFrame, cap: Int = 4096)(
+      implicit spark: SparkSession): Dataset[CandPair] = {
+    import spark.implicits._
+    graft.ops.Text.lshBandKeys(docs)
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Seq[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+            state: GroupState[Seq[Long]]) =>
+          var seen = state.getOption.getOrElse(Vector.empty[Long])
+          val out = Vector.newBuilder[CandPair]
+          rows.foreach { case (id, _, _) =>
+            if (!seen.contains(id)) {
+              // ≤ cap pairs per newcomer — bounded work even when the
+              // bucket is hot; a full bucket still pairs newcomers
+              // against its residents, it just stops admitting more
+              seen.foreach { o =>
+                out += (if (o < id) CandPair(o, id) else CandPair(id, o))
+              }
+              if (seen.length < cap) seen = seen :+ id
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks in the preceding hour — the streaming twin of the
     * batch range join (e11). Both sides carry watermarks and the join

@@ -119,6 +119,64 @@ class StreamsSpec extends SparkSpec {
       ("apple", 5L, 0L), ("kiwi", 3L, 0L)))
   }
 
+  test("streaming LSH near-dup candidates equal the batch band join across chunks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = (1 to 40).map(i => s"w${i % 13}x$i").mkString(" ")
+    val edited = base.split(" ").updated(5, "CHANGED").mkString(" ")
+    val noise = (1 to 40).map(i => s"z${i * 31 % 17}y$i").mkString(" ")
+    val docs = Seq(
+      1L -> base, 2L -> base, 3L -> noise, 4L -> edited, // chunk 1
+      5L -> base, 6L -> noise, 7L -> edited)             // chunk 2
+    // batch twin: band self-join over the same lshBandKeys projection
+    val bk = graft.ops.Text.lshBandKeys(docs.toDF("doc_id", "text"))
+    val batchPairs = bk.toDF("da", "band", "bh")
+      .join(bk.toDF("db", "band", "bh"), Seq("band", "bh"))
+      .filter($"da" < $"db").select("da", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.lshCandidatePairs(ms.toDS.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lshcand")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(docs.take(4).map(d => (d._1, d._2)): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(4).map(d => (d._1, d._2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lshcand").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batchPairs)
+    // identical docs share all 18 bands — certain candidates, incl.
+    // pairs whose members arrived in DIFFERENT chunks
+    assert(Set((1L, 2L), (1L, 5L), (2L, 5L)).subsetOf(streamed))
+    assert(!streamed.exists { case (a, b) => a == b })
+  }
+
+  test("streaming LSH bucket cap bounds state but still pairs against residents") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = (1 to 40).map(i => s"c${i % 7}v$i").mkString(" ")
+    val ms = MemoryStream[(Long, String)]
+    // cap = 1: every bucket admits one resident; later identical docs
+    // still pair against it (bounded ≤ cap pairs each) but are not
+    // admitted, so state cannot grow on a hot bucket
+    val q = Streams.lshCandidatePairs(ms.toDS.toDF("doc_id", "text"), cap = 1)
+      .writeStream.format("memory").queryName("lshcap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((1L, base), (2L, base), (3L, base))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lshcap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 is the sole resident everywhere: pairs (1,2), (1,3) exist,
+    // (2,3) is suppressed by the cap
+    assert(streamed == Set((1L, 2L), (1L, 3L)))
+  }
+
   test("streaming Count-Min sketch is bit-identical to the batch sketch") {
     import spark.implicits._
     import graft.functions.Aggregators
