@@ -2,11 +2,20 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Throwaway profiling harness for bench outliers (round 3: q31/q35 —
-  * verdict: machine contention, see git history; round 4: q01, the
-  * flagship decimal-sum aggregation at 2.11 s in BENCH_r03). */
+  * verdict: machine contention; round 4 first half: q01 decimal-agg
+  * decomposition — verdict: the decimal(28,10) partials ARE the cost
+  * and buy oracle exactness, documented in SCALE.md; both harnesses
+  * in git history).
+  *
+  * Current target: s15_semantic_dedup_lsh, the slowest BENCH_r04 line
+  * (4.97 s vs its exact twin s12 at 3.11 s — the LSH scale path
+  * should not lose to the N² baseline, even at sf0.1). Decomposition:
+  * candidate generation (multi-probe bucket join) → exact-cosine edge
+  * verification → connected components → full query, against s12's
+  * crossJoin pair source + the same CC tail.
+  */
 object Profile {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -15,6 +24,7 @@ object Profile {
     val t0 = System.nanoTime()
     materialize(df)
     val t1 = System.nanoTime()
+    Scoped.release() // same cache scoping as Bench/Verify
     println(f"PROFILE $name%-28s ${(t1 - t0) / 1e9}%8.3f s")
   }
 
@@ -33,112 +43,41 @@ object Profile {
     // warmup
     SparkEntry.entry(spark).count()
 
-    import graft.ops.{dsum, davg, ts}
+    import graft.functions.VectorExprs.{vecDot, vecNorm}
+    def withVec = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"), vecNorm(col("embedding")).as("nrm"))
+    def cands = graft.ops.Similarity.lshCandidatePairs(s, d)
+    def edges = cands
+      .join(withVec.toDF("va", "ea", "na"), "va")
+      .join(withVec.toDF("vb", "eb", "nb"), "vb")
+      .filter((vecDot(col("ea"), col("eb")) /
+        (col("na") * col("nb"))) >= 0.4)
+      .select(col("va").as("da"), col("vb").as("db"))
+
     for (round <- 1 to 3) {
       println(s"--- round $round ---")
-      // ---- q01 decomposition: scan floor → double aggs → decimal
-      //      aggs → the as-registered query ----
-      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      def q01Base = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
-      time("q01_asis") {
-        SparkEntry.queries("q01_pricing_summary")(s, d)
+      time("s15_asis") {
+        SparkEntry.queries("s15_semantic_dedup_lsh")(s, d)
       }
-      time("q01_sum_double") {
-        q01Base.groupBy(col("l_returnflag"), col("l_linestatus"))
-          .agg(
-            sum(col("l_quantity").cast("double")).as("sum_qty"),
-            sum(col("l_extendedprice").cast("double")).as("sum_base_price"),
-            sum(rev).as("sum_disc_price"),
-            sum(rev * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-            avg(col("l_quantity")).as("avg_qty"),
-            avg(col("l_discount")).as("avg_disc"),
-            count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus")
+      time("s15_cands_only")(cands)
+      time("s15_edges_verified")(edges)
+      time("s15_cc_tail") {
+        graft.ops.Text.connectedComponents(edges)
       }
-      time("q01_dec18") {
-        q01Base.groupBy(col("l_returnflag"), col("l_linestatus"))
-          .agg(
-            dsum(col("l_quantity"), 18).as("sum_qty"),
-            dsum(col("l_extendedprice"), 18).as("sum_base_price"),
-            dsum(rev, 18).as("sum_disc_price"),
-            dsum(rev * (lit(1.0) + col("l_tax")), 18).as("sum_charge"),
-            davg(col("l_quantity"), 18).as("avg_qty"),
-            davg(col("l_discount"), 18).as("avg_disc"),
-            count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus")
+      time("s12_asis") {
+        SparkEntry.queries("s12_semantic_dedup")(s, d)
       }
-      time("q01_two_aggs_dec28") {
-        q01Base.groupBy(col("l_returnflag"), col("l_linestatus"))
-          .agg(dsum(col("l_quantity")).as("sum_qty"),
-            count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus")
-      }
-      time("q01_scan_only") {
-        q01Base.select("l_returnflag", "l_linestatus", "l_quantity",
-          "l_extendedprice", "l_discount", "l_tax")
-      }
-      time("q31_asis") {
-        SparkEntry.queries("q31_salted_agg")(s, d)
-      }
-      time("q31_sum_double") {
-        Tables.lineitem(s, d)
-          .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
-          .groupBy(col("l_returnflag"), col("salt"))
-          .agg(sum(col("l_quantity").cast("double")).as("part_qty"),
-            count(lit(1)).as("part_n"))
-          .groupBy(col("l_returnflag"))
-          .agg(sum(col("part_qty")).as("total_qty"), sum(col("part_n")).as("n"))
-          .orderBy("l_returnflag")
-      }
-      time("q31_nosalt_decimal") {
-        Tables.lineitem(s, d)
-          .groupBy(col("l_returnflag"))
-          .agg(sum(col("l_quantity").cast(DecimalType(28, 10))).cast("double").as("total_qty"),
-            count(lit(1)).as("n"))
-          .orderBy("l_returnflag")
-      }
-      time("q31_dec18") {
-        Tables.lineitem(s, d)
-          .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
-          .groupBy(col("l_returnflag"), col("salt"))
-          .agg(sum(col("l_quantity").cast(DecimalType(18, 10))).as("part_qty"),
-            count(lit(1)).as("part_n"))
-          .groupBy(col("l_returnflag"))
-          .agg(sum(col("part_qty")).cast("double").as("total_qty"), sum(col("part_n")).as("n"))
-          .orderBy("l_returnflag")
-      }
-      time("q31_scan_only") {
-        Tables.lineitem(s, d).select("l_returnflag", "l_quantity", "l_orderkey")
-      }
-      time("q35_asis") {
-        SparkEntry.queries("q35_sql_api")(s, d)
-      }
-      time("q35_no_distinct") {
-        Tables.orders(s, d).createOrReplaceTempView("orders_p")
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_p")
-        s.sql("""
-          SELECT o_orderpriority,
-            COUNT(1) AS n_rows,
-            CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS total_qty
-          FROM orders_p o JOIN lineitem_p l ON o.o_orderkey = l.l_orderkey
-          WHERE o.o_totalprice > 100000.0
-          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
-      }
-      time("q35_distinct_sum_double") {
-        s.sql("""
-          SELECT o_orderpriority,
-            COUNT(DISTINCT o.o_orderkey) AS n_orders,
-            SUM(CAST(l.l_quantity AS DOUBLE)) AS total_qty
-          FROM orders_p o JOIN lineitem_p l ON o.o_orderkey = l.l_orderkey
-          WHERE o.o_totalprice > 100000.0
-          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
-      }
-      time("q35_join_only") {
-        s.sql("""
-          SELECT o.o_orderpriority, l.l_quantity, o.o_orderkey
-          FROM orders_p o JOIN lineitem_p l ON o.o_orderkey = l.l_orderkey
-          WHERE o.o_totalprice > 100000.0""")
+      time("s12_pairs_only") {
+        val a = Tables.embeddings(s, d).select(
+          col("vec_id").as("da"), col("embedding").as("ea"),
+          vecNorm(col("embedding")).as("na"))
+        val b = Tables.embeddings(s, d).select(
+          col("vec_id").as("db"), col("embedding").as("eb"),
+          vecNorm(col("embedding")).as("nb"))
+        a.crossJoin(b).filter(col("da") < col("db"))
+          .filter((vecDot(col("ea"), col("eb")) /
+            (col("na") * col("nb"))) >= 0.4)
+          .select("da", "db")
       }
     }
     spark.stop()

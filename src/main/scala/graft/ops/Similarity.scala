@@ -269,7 +269,7 @@ object Similarity {
     * expression over ONE scan, Hamming-1 multi-probe on the probe
     * side (Lv et al. 2007), salt-split hot buckets via
     * [[lshBucketJoin]]. Emits each unordered pair once. */
-  private def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val NTables = 12
     val NBits = 8
     // deterministic pseudo-random hyperplanes (fixed seed)
