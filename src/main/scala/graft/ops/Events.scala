@@ -537,6 +537,67 @@ object Events {
       SELECT c.prev, c.cur, c.n,
         CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
       FROM counts c JOIN tot t ON c.prev = t.prev
-      ORDER BY c.prev, c.cur"""))
+      ORDER BY c.prev, c.cur""")),
+
+    // ---- time-series resample + forward fill: regularize a sparse
+    //      per-type daily series onto a complete date spine and
+    //      carry the last observation forward over gaps — the gap-
+    //      filling step in front of any downstream forecasting /
+    //      anomaly model (a 1%-of-users slice makes the gaps real).
+    //      The spine is types × date range — CONTROL-sized (it grows
+    //      with the calendar, not the corpus) and generated by
+    //      sequence(), never scanned; the data-sized work is one
+    //      daily partial-agg shuffle. The fill is last(ignoreNulls)
+    //      over (type, day) windows — per-type partitions, bounded
+    //      by days, no global window. Averages use the decimal-sum
+    //      form so carried values are bitwise identical in both
+    //      engines. ----
+    QuerySpec(
+      "e18_resample_ffill",
+      (s, d) => {
+        val sliced = Tables.events(s, d)
+          .filter(pmod(col("user_id"), lit(100)) === 7)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("value"))
+        val daily = sliced.groupBy(col("event_type"), col("day"))
+          .agg(davg(col("value")).as("day_avg"), count(lit(1)).as("n"))
+        val bounds = sliced.agg(min(col("day")).as("lo"),
+          max(col("day")).as("hi"))
+        val spine = sliced.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"),
+              expr("interval 1 day"))).as("day"))
+        val wFill = Window.partitionBy(col("event_type"))
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        spine.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"), col("day_avg"),
+            last(col("day_avg"), ignoreNulls = true).over(wFill)
+              .as("filled_avg"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH sliced AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value
+        FROM events WHERE user_id % 100 = 7),
+      daily AS (
+        SELECT event_type, day, ${davgSql("value")} AS day_avg,
+          COUNT(1) AS n
+        FROM sliced GROUP BY 1, 2),
+      bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM sliced),
+      spine AS (
+        SELECT t.event_type,
+          CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+            AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM sliced) t, bounds b)
+      SELECT s.event_type, s.day,
+        CAST(COALESCE(d.n, 0) AS BIGINT) AS n, d.day_avg,
+        last_value(d.day_avg IGNORE NULLS) OVER (
+          PARTITION BY s.event_type ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS filled_avg
+      FROM spine s LEFT JOIN daily d USING (event_type, day)
+      ORDER BY event_type, day"""))
   )
 }

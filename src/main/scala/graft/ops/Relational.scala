@@ -1086,6 +1086,66 @@ object Relational {
         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         COUNT(1) AS n, ${dsumSql("l_extendedprice")} AS revenue
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-      ORDER BY gid, l_returnflag, l_linestatus"""))
+      ORDER BY gid, l_returnflag, l_linestatus""")),
+
+    // ---- LATERAL join: per-outer-row correlated subquery with its
+    //      own ORDER BY/LIMIT — the SQL-standard spelling of "top-N
+    //      per group" (here: 2 best-funded suppliers per nation).
+    //      Catalyst DECORRELATES it (DecorrelateInnerQuery +
+    //      RewriteLateralSubquery): the per-nation limit becomes a
+    //      rank-over-window on ONE pass of supplier — the same plan
+    //      q37 builds by hand — never a per-row re-execution; N
+    //      outer rows at 100 TB cost one shuffle of the inner side,
+    //      not N queries. ----
+    QuerySpec(
+      "q45_lateral_topn",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_lat")
+        s.sql("""
+          SELECT n.n_name, l.s_name, l.s_acctbal
+          FROM nation_lat n, LATERAL (
+            SELECT s_name, s_acctbal FROM supplier_lat s
+            WHERE s.s_nationkey = n.n_nationkey
+            ORDER BY s_acctbal DESC, s_name LIMIT 2) l
+          ORDER BY n_name, s_acctbal DESC, s_name""")
+      },
+      Some("""SELECT n.n_name, l.s_name, l.s_acctbal
+      FROM nation n, LATERAL (
+        SELECT s_name, s_acctbal FROM supplier s
+        WHERE s.s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_name LIMIT 2) l
+      ORDER BY n_name, s_acctbal DESC, s_name""")),
+
+    // ---- recursive CTE: the iteration generates a BOUNDED control
+    //      relation (doubling price bands, O(log maxprice) rows) and
+    //      the data-sized work is a single broadcast range join +
+    //      one aggregation — the right division of labor for
+    //      recursion on a cluster: recurse over metadata, join over
+    //      data ONCE. Contrast t12/s12, where the data itself is the
+    //      fixpoint: there the engine uses the checkpointed
+    //      label-propagation loop, not WITH RECURSIVE. Band bounds
+    //      are powers of two times 1000 — exact doubles, so both
+    //      engines agree bitwise. ----
+    QuerySpec(
+      "q46_recursive_bands",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_rec")
+        s.sql("""
+          WITH RECURSIVE bands(lo, hi) AS (
+            SELECT CAST(0 AS DOUBLE), CAST(1000 AS DOUBLE)
+            UNION ALL SELECT hi, hi * 2 FROM bands WHERE hi < 600000)
+          SELECT b.lo, b.hi, COUNT(o.o_orderkey) AS n
+          FROM bands b LEFT JOIN orders_rec o
+            ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+          GROUP BY b.lo, b.hi ORDER BY b.lo""")
+      },
+      Some("""WITH RECURSIVE bands(lo, hi) AS (
+        SELECT CAST(0 AS DOUBLE), CAST(1000 AS DOUBLE)
+        UNION ALL SELECT hi, hi * 2 FROM bands WHERE hi < 600000)
+      SELECT b.lo, b.hi, COUNT(o.o_orderkey) AS n
+      FROM bands b LEFT JOIN orders o
+        ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+      GROUP BY b.lo, b.hi ORDER BY b.lo"""))
   )
 }

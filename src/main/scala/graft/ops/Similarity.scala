@@ -987,6 +987,48 @@ object Similarity {
           .filter(col("rk") <= 5)
           .orderBy("qid", "rk")
       },
-      None)
+      None),
+
+    // ---- metadata-FILTERED vector search: top-5 cosine neighbors
+    //      restricted to the query's own label — the "where category
+    //      = X" retrieval every production vector store must answer.
+    //      This is the exact PRE-FILTER formulation: the predicate
+    //      composes with the scan (pushable to parquet row groups;
+    //      with the corpus partitioned by label at rest — the s16
+    //      layout — it becomes directory pruning and the scan reads
+    //      only the label's shard). The alternative, POST-filtering
+    //      an unfiltered ANN shortlist, under-returns when the label
+    //      is rare (a top-50 shortlist may contain < 5 of a 1%
+    //      label); at scale you pre-filter when selectivity is high
+    //      and oversample+post-filter when it is mild — both end in
+    //      this query's rank-join shape, and the ANN chain (s05–s11)
+    //      applies unchanged within the filtered slice. Exact and
+    //      deterministic → oracle hash-checked. ----
+    QuerySpec(
+      "s17_filtered_knn",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("label").as("qlbl"),
+            col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid") &&
+            col("label") === col("qlbl"))
+          .select(col("qid"), col("vec_id"), col("label"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .orderBy("qid", "rk")
+      },
+      Some(s"""SELECT qid, vec_id, label, cos, rk FROM (
+        SELECT q.vec_id AS qid, e.vec_id, e.label,
+          ${cosineSql("q", "e")} AS cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS INT) AS rk
+        FROM embeddings q JOIN embeddings e ON q.vec_id < $QueryIds
+          AND e.vec_id <> q.vec_id AND e.label = q.label) t
+      WHERE rk <= 5 ORDER BY qid, rk"""))
   )
 }
