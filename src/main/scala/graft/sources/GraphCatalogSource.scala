@@ -3,7 +3,8 @@ package graft.sources
 import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -99,13 +100,34 @@ private class GraphItemsTable(folders: Int, filesPerFolder: Int,
 private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
     pageSize: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = GraphCatalogSource.Schema
   private var keptFolders: Option[Set[String]] = None // None = all
   private var keptMimes: Option[Set[String]] = None   // None = all
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countPushed = false
+
+  // COMPLETE aggregate push for a group-less COUNT(*): the Graph API
+  // answers `$count=true` from its index without enumerating items —
+  // modeled here by computing the listing cardinality arithmetically
+  // (it composes with the pushed folder/mime filters) and serving ONE
+  // row from ONE partition, zero pages fetched. `df.count()` on a
+  // remote catalog then costs one metadata call instead of paging the
+  // tenant. Grouped/other aggregates and limit interplay are refused
+  // → Spark falls back to the row scan, which stays correct.
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && limit.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    countPushed = true
+    required = new StructType().add("count", LongType, nullable = false)
+    true
+  }
 
   // PARTIAL limit push: each partition (folder) stops listing after
   // `limit` items — a `limit 1` fetches one page, not the tenant.
@@ -156,19 +178,41 @@ private class GraphItemsScanBuilder(folders: Int, filesPerFolder: Int,
       s"graph-items folders=${keptFolders.fold("*")(_.mkString(","))} " +
         s"mimes=${keptMimes.fold("*")(_.mkString(","))} " +
         s"cols=${required.fieldNames.mkString(",")}" +
-        limit.fold("")(l => s" limit=$l")
+        limit.fold("")(l => s" limit=$l") +
+        (if (countPushed) " agg=count-pushed" else "")
 
-    override def planInputPartitions(): Array[InputPartition] =
-      (0 until folders)
+    override def planInputPartitions(): Array[InputPartition] = {
+      val keptFolderIdx = (0 until folders)
         .filter(f => keptFolders.forall(_.contains(
           GraphCatalogSource.folderName(f))))
+      if (countPushed) {
+        // the remote index answers the cardinality; no listing happens
+        val perFolder = (0 until filesPerFolder).count(j =>
+          keptMimes.forall(_.contains(GraphCatalogSource.fileMime(j))))
+        Array(GraphCountPartition(keptFolderIdx.size.toLong * perFolder))
+      } else keptFolderIdx
         .map(f => GraphFolderPartition(f, filesPerFolder, pageSize,
           limit, keptMimes): InputPartition)
         .toArray
+    }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraphItemsReaderFactory(required)
+      if (countPushed) new GraphCountReaderFactory
+      else new GraphItemsReaderFactory(required)
   }
+}
+
+private case class GraphCountPartition(count: Long) extends InputPartition
+
+private class GraphCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val n = p.asInstanceOf[GraphCountPartition].count
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = InternalRow(n)
+      override def close(): Unit = ()
+    }
 }
 
 private case class GraphFolderPartition(folder: Int, files: Int,

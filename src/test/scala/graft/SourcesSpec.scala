@@ -125,6 +125,32 @@ class SourcesSpec extends SparkSpec {
       s"served ${GraphCatalogSource.pagesServed.get()} pages")
   }
 
+  test("COUNT(*) is answered by the source without listing a single page") {
+    import graft.sources.GraphCatalogSource
+    // plain count: complete aggregate pushdown → one metadata answer,
+    // zero listing pages (Graph's $count=true pattern)
+    GraphCatalogSource.pagesServed.set(0)
+    val df = catalog(folders = 6, files = 30)
+    assert(df.count() == 6 * 30)
+    assert(GraphCatalogSource.pagesServed.get() == 0,
+      s"count listed ${GraphCatalogSource.pagesServed.get()} pages")
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("agg=count-pushed"))
+    // the pushed count COMPOSES with pushed filters: csv is 1 of 3
+    GraphCatalogSource.pagesServed.set(0)
+    assert(df.filter(col("file_mime") === "text/csv").count() == 6 * 10)
+    assert(df.filter(col("folder_name") === "folder_2").count() == 30)
+    assert(GraphCatalogSource.pagesServed.get() == 0)
+    // grouped aggregates are NOT pushed — the row scan still runs and
+    // stays correct
+    GraphCatalogSource.pagesServed.set(0)
+    val grouped = df.groupBy("file_mime").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped == Map("text/csv" -> 60L, "application/pdf" -> 60L,
+      "image/png" -> 60L))
+    assert(GraphCatalogSource.pagesServed.get() > 0)
+  }
+
   test("column pruning reaches the reader") {
     val df = catalog().select("folder_name", "size")
     val plan = df.queryExecution.executedPlan.toString
