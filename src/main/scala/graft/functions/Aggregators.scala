@@ -154,6 +154,60 @@ object Aggregators {
     * sampling under Spark's nondeterministic merge order. Input is
     * (hashHex, id); output is the comma-joined ids of the k smallest
     * hashes (flat string so the driver comparator can sort it). */
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    * 2002; Beyer et al. 2007 unbiased estimator): the k smallest
+    * 64-bit hash values of a set determine its cardinality — the kth
+    * smallest of n uniform hashes sits near k/n of the hash space, so
+    * n ≈ (k−1)/u_k with relative error ~1/√k. The buffer IS the
+    * bottom-k hash set (sorted, unsigned order), which makes it
+    * mergeable by sorted-union-truncate — commutative, associative,
+    * idempotent on overlap — so map-side partials, shuffle order and
+    * re-aggregation cannot change it. Unlike HLL (q23/e09) the sketch
+    * supports SET ALGEBRA after the fact: union = merge; intersection
+    * via the Jaccard of the union's bottom-k ([[Kmv.jaccard]]) — the
+    * "distinct users in A∪B / A∩B without re-scanning" answer. Input
+    * is pre-hashed longs (xxhash64 on the query side). */
+  final class Kmv(k: Int)
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+      Kmv.merge(buf, Vector(h), k)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      Kmv.merge(a, b, k)
+    override def finish(buf: Seq[Long]): Seq[Long] = buf
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  object Kmv {
+    private val ord = Ordering.fromLessThan[Long](
+      (a, b) => (a ^ Long.MinValue) < (b ^ Long.MinValue)) // unsigned
+    /** Sorted-union-truncate of two bottom-k sets. */
+    def merge(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
+      (a ++ b).distinct.sorted(ord).take(k)
+    /** Hash value as a uniform in [0, 1). */
+    private def u(h: Long): Double =
+      ((h ^ Long.MinValue).toDouble - Long.MinValue.toDouble) /
+        math.pow(2.0, 64)
+    /** Unbiased distinct estimate: exact below k, (k−1)/u_k above. */
+    def estimate(sk: Seq[Long], k: Int): Double =
+      if (sk.size < k) sk.size.toDouble
+      else (k - 1).toDouble / u(sk.last)
+    /** Jaccard estimate of the two ORIGINAL sets from their sketches:
+      * fraction of the union's bottom-k present in both. */
+    def jaccard(a: Seq[Long], b: Seq[Long], k: Int): Double = {
+      val un = merge(a, b, k)
+      if (un.isEmpty) 0.0
+      else {
+        val sa = a.toSet; val sb = b.toSet
+        un.count(h => sa.contains(h) && sb.contains(h)).toDouble / un.size
+      }
+    }
+    /** Intersection cardinality via ρ·|A∪B|. */
+    def intersectEstimate(a: Seq[Long], b: Seq[Long], k: Int): Double =
+      jaccard(a, b, k) * estimate(merge(a, b, k), k)
+  }
+
   final class BottomKByHash(k: Int)
       extends Aggregator[(String, Long), Seq[(String, Long)], String] {
     private val ord = Ordering.Tuple2[String, Long]

@@ -598,6 +598,70 @@ object Events {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           AS filled_avg
       FROM spine s LEFT JOIN daily d USING (event_type, day)
-      ORDER BY event_type, day"""))
+      ORDER BY event_type, day""")),
+
+    // ---- VARIANT semi-structured access: `parse_json` ONCE into the
+    //      binary-encoded VARIANT type, then typed `variant_get`
+    //      extractions — the engine-native successor to per-field
+    //      string re-parsing (e05's get_json_object walks the JSON
+    //      text once PER FIELD; variant decodes once per row and
+    //      fields are O(1) offset lookups, the columnar-shredding
+    //      path for open schemas). Integer extractions and sums keep
+    //      both engines exact. ----
+    QuerySpec(
+      "e19_variant_props",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events_var")
+        s.sql("""
+          SELECT event_type, COUNT(1) AS n,
+            MIN(variant_get(parse_json(props), '$.k', 'long')) AS k_min,
+            MAX(variant_get(parse_json(props), '$.k', 'long')) AS k_max,
+            SUM(variant_get(parse_json(props), '$.k', 'long')) AS k_sum
+          FROM events_var GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, COUNT(1) AS n,
+        MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
+        MAX(CAST(props->>'k' AS BIGINT)) AS k_max,
+        CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- KMV distinct-set algebra: per-type distinct-user sketches
+    //      that answer UNION and INTERSECTION questions after the
+    //      fact — "how many users did A and B share?" without
+    //      re-scanning, the question HLL (e09) cannot answer. Each
+    //      sketch is the k smallest user-id hashes (mergeable bottom-k
+    //      — map-side partials, any merge order, identical sketch);
+    //      the pairwise analysis runs on the COLLECTED sketches: 5
+    //      types × k longs is model-sized driver state, same bounded-
+    //      metadata adjudication as the k-means/PQ codebooks. Rows-
+    //      only by design (the estimator is the point); OpsSpec bounds
+    //      estimates against exact distinct counts, proves the
+    //      all-types sketch equals the merged per-type sketches
+    //      bit-for-bit, and pins the exact regime (k ≥ distinct). ----
+    QuerySpec(
+      "e20_kmv_users",
+      (s, d) => {
+        import s.implicits._
+        val k = 256
+        val agg = new graft.functions.Aggregators.Kmv(k)
+        val sketches = Tables.events(s, d)
+          .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(agg.toColumn.name("sk"))
+          .collect().toSeq.sortBy(_._1)
+        import graft.functions.Aggregators.Kmv
+        val pairs = for {
+          (ta, ska) <- sketches; (tb, skb) <- sketches if ta < tb
+        } yield (ta, tb,
+          math.rint(Kmv.estimate(ska, k)),
+          math.rint(Kmv.estimate(skb, k)),
+          math.rint(Kmv.estimate(Kmv.merge(ska, skb, k), k)),
+          math.rint(Kmv.intersectEstimate(ska, skb, k)))
+        pairs.toDF("ta", "tb", "est_a", "est_b",
+          "est_union", "est_intersect")
+          .orderBy("ta", "tb")
+      },
+      None)
   )
 }

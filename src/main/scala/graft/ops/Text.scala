@@ -1763,6 +1763,74 @@ object Text {
               ROW_NUMBER() OVER (PARTITION BY lang
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
             FROM documents) t
-      WHERE rk <= 4 GROUP BY lang ORDER BY lang"""))
+      WHERE rk <= 4 GROUP BY lang ORDER BY lang""")),
+
+    // ---- split-drift audit: Pearson chi-square contingency of
+    //      language composition ACROSS the t26 train/validation/test
+    //      splits — the check a pipeline runs before trusting a split
+    //      (a validation set whose language mix drifts from train
+    //      invalidates every eval on it). Expected cell count is the
+    //      independence model e = rowTot·colTot/N; the statistic sums
+    //      (o−e)²/e over the |splits|×|langs| table. Everything
+    //      derives from ONE groupBy on the (split, lang) cell — the
+    //      marginals are bounded relations broadcast back, the
+    //      per-cell arithmetic is single-rounded IEEE division on
+    //      integer counts, so the oracle hash-matches the statistic
+    //      bitwise. At 100 TB: one shuffle of pre-aggregated cells;
+    //      the contingency table itself never exceeds splits×langs
+    //      rows no matter the corpus. ----
+    QuerySpec(
+      "t35_split_drift",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val cells = Tables.documents(s, d)
+          .withColumn("split",
+            when(h < "c", "train")
+              .when(h < "e", "validation")
+              .otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("o"))
+        val rowTot = cells.groupBy("split")
+          .agg(sum(col("o")).as("rt"))
+        val colTot = cells.groupBy("lang")
+          .agg(sum(col("o")).as("ct"))
+        val n = cells.agg(sum(col("o")).as("n"))
+        val e = col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double")
+        cells
+          .join(broadcast(rowTot), "split")
+          .join(broadcast(colTot), "lang")
+          .crossJoin(broadcast(n))
+          .select(col("split"), col("lang"), col("o"), e.as("e"),
+            ((col("o").cast("double") - e) * (col("o").cast("double") - e)
+              / e).as("contrib"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH cells AS (
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                 THEN 'validation'
+               ELSE 'test' END AS split,
+          lang, COUNT(1) AS o
+        FROM documents GROUP BY 1, 2),
+      rt AS (SELECT split, CAST(SUM(o) AS BIGINT) AS rt
+             FROM cells GROUP BY split),
+      ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct
+             FROM cells GROUP BY lang),
+      n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+      SELECT c.split, c.lang, c.o,
+        CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE) / CAST(n.n AS DOUBLE)
+          AS e,
+        (CAST(c.o AS DOUBLE)
+           - CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE)
+             / CAST(n.n AS DOUBLE))
+          * (CAST(c.o AS DOUBLE)
+             - CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE)
+               / CAST(n.n AS DOUBLE))
+          / (CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE)
+             / CAST(n.n AS DOUBLE)) AS contrib
+      FROM cells c JOIN rt r USING (split) JOIN ct t USING (lang), n
+      ORDER BY split, lang"""))
   )
 }

@@ -749,4 +749,53 @@ class OpsSpec extends SparkSpec {
     val again = graft.ops.Text.lrModel(spark, sf0001)
     assert(again._1 eq w)
   }
+
+  test("KMV sketches: bounded estimates, exact regime, bitwise mergeability") {
+    import spark.implicits._
+    import graft.functions.Aggregators.Kmv
+    val k = 256
+    val agg = new graft.functions.Aggregators.Kmv(k)
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+    val sketches = ev.as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("sk")).collect().toMap
+    val exact = Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-type estimate within 20% of exact (error ~1/sqrt(k) = 6%)
+    exact.foreach { case (t, n) =>
+      val est = Kmv.estimate(sketches(t), k)
+      assert(math.abs(est - n) <= 0.2 * n, s"$t: est $est vs exact $n")
+    }
+    // union/intersection against exact set algebra for one pair
+    val types = exact.keys.toSeq.sorted
+    val (ta, tb) = (types.head, types(1))
+    def users(t: String) = Tables.events(spark, sf0001)
+      .filter(col("event_type") === t)
+      .select("user_id").distinct().as[Long].collect().toSet
+    val (ua, ub) = (users(ta), users(tb))
+    val unionEst = Kmv.estimate(Kmv.merge(sketches(ta), sketches(tb), k), k)
+    val interEst = Kmv.intersectEstimate(sketches(ta), sketches(tb), k)
+    assert(math.abs(unionEst - (ua ++ ub).size) <= 0.2 * (ua ++ ub).size)
+    val interExact = (ua intersect ub).size
+    assert(math.abs(interEst - interExact) <= 0.3 * interExact + 5,
+      s"intersect est $interEst vs exact $interExact")
+    // MERGEABILITY, bitwise: sketch over all events == fold of the
+    // per-type sketches in any order
+    val all = ev.select("h").as[Long]
+      .groupByKey(_ => 0).mapValues(identity)
+      .agg(agg.toColumn.name("sk")).collect().head._2
+    val folded = types.map(sketches)
+      .reduce((a, b) => Kmv.merge(a, b, k))
+    val foldedRev = types.reverse.map(sketches)
+      .reduce((a, b) => Kmv.merge(a, b, k))
+    assert(all == folded && folded == foldedRev)
+    // exact regime: k >= distinct => the sketch IS the hash set
+    val few = Seq("x", "y", "z", "x").toDS()
+      .select(xxhash64(col("value")).as("h")).as[Long]
+      .groupByKey(_ => 0).mapValues(identity)
+      .agg(agg.toColumn.name("sk")).collect().head._2
+    assert(few.size == 3 && Kmv.estimate(few, k) == 3.0)
+  }
 }
