@@ -39,4 +39,53 @@ object PropertySpec extends Properties("archive") {
       val h2 = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
       h == h2 && h >= 0 && h < 1000000007L
     }
+
+  // --- KMV sketch: the buffer must be a pure function of the input
+  //     SET, however the stream is partitioned or ordered — that is
+  //     the property that makes map-side partials and shuffle-order
+  //     nondeterminism invisible. ---
+  import graft.functions.Aggregators.Kmv
+
+  private val hashSets: Gen[List[Long]] =
+    Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+
+  property("KMV sketch is partition- and order-invariant") =
+    forAll(hashSets, Gen.choose(1, 16), Gen.choose(0, 1 << 30)) {
+      (hs, k, seed) =>
+        val direct = hs.foldLeft(Seq.empty[Long])(
+          (b, h) => Kmv.merge(b, Vector(h), k))
+        val shuffled = new scala.util.Random(seed).shuffle(hs)
+        // arbitrary 3-way partition, each reduced independently, then
+        // merged in a different order
+        val parts = shuffled.zipWithIndex.groupBy(_._2 % 3)
+          .values.map(_.map(_._1)).toList
+        val merged = parts.reverse
+          .map(_.foldLeft(Seq.empty[Long])(
+            (b, h) => Kmv.merge(b, Vector(h), k)))
+          .foldLeft(Seq.empty[Long])((a, b) => Kmv.merge(a, b, k))
+        direct == merged
+    }
+
+  property("KMV estimate is exact below capacity") =
+    forAll(hashSets, Gen.choose(1, 64)) { (hs, extra) =>
+      val distinct = hs.distinct
+      val k = distinct.size + extra
+      val sk = distinct.foldLeft(Seq.empty[Long])(
+        (b, h) => Kmv.merge(b, Vector(h), k))
+      Kmv.estimate(sk, k) == distinct.size.toDouble
+    }
+
+  property("bottom-k-by-hash sampler is partition-invariant") = {
+    import graft.functions.Aggregators.BottomKByHash
+    forAll(Gen.listOf(Gen.zip(Gen.alphaNumStr, Gen.long)),
+      Gen.choose(1, 8), Gen.choose(0, 1 << 30)) { (xs, k, seed) =>
+      val agg = new BottomKByHash(k)
+      val direct = xs.foldLeft(agg.zero)(agg.reduce)
+      val parts = new scala.util.Random(seed).shuffle(xs)
+        .zipWithIndex.groupBy(_._2 % 4).values
+        .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = parts.foldLeft(agg.zero)(agg.merge)
+      agg.finish(direct) == agg.finish(merged)
+    }
+  }
 }
