@@ -344,6 +344,82 @@ object BronzeMerge {
     }.reduce(_ unionByName _)
   }
 
+  /** Incrementally-maintained materialized view: the per-extension
+    * rollup (ext, n_files, total_bytes) of the bronze table, refreshed
+    * from the CHANGE FEED instead of recomputed — the
+    * incremental-view-maintenance pattern every silver-layer rollup
+    * at 100 TB needs (a full recompute re-reads the table; the
+    * refresh reads only the batches appended since the view's
+    * version). Additive aggregates + an append-only feed make the
+    * algebra exact: new_mv = old_mv ⊎ agg(delta), outer-merged on the
+    * group key with counter addition. The view directory carries its
+    * own `_version` marker, so refresh is idempotent (same-version
+    * refresh is a no-op) and resumable. If the feed window is
+    * unrepresentable (compaction/delete rewrote batches —
+    * [[readChanges]] refuses), the caller falls back to
+    * [[rebuildRollup]]; that refusal-then-rebuild is the same
+    * contract Delta's CDF readers live by. Returns (fromVersion,
+    * toVersion, deltaRows). */
+  def refreshRollup(spark: SparkSession, table: String,
+      mvPath: String): (Int, Int, Long) = {
+    val f = fs(spark, table)
+    val (to, _) = currentCommit(spark, table)
+    val verFile = new Path(mvPath, "_version")
+    val from =
+      if (!f.exists(verFile)) 0
+      else {
+        val in = f.open(verFile)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          .trim.toInt
+        finally in.close()
+      }
+    if (from >= to) return (from, to, 0L) // idempotent no-op
+    val delta = readChanges(spark, table, from, to)
+    val deltaAgg = rollupOf(delta)
+    val merged =
+      if (from == 0) deltaAgg
+      else spark.read.parquet(s"$mvPath/data").toDF("ext", "n0", "b0")
+        .join(deltaAgg.toDF("ext", "n1", "b1"), Seq("ext"), "full_outer")
+        .select(col("ext"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+            .as("n_files"),
+          (coalesce(col("b0"), lit(0L)) + coalesce(col("b1"), lit(0L)))
+            .as("total_bytes"))
+    // stage the new view, then flip the version marker last: a reader
+    // pairing data with _version never sees a torn refresh
+    merged.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$mvPath/data")
+    val out = f.create(verFile, true)
+    try out.write(s"$to\n".getBytes("UTF-8")) finally out.close()
+    (from, to, delta.count())
+  }
+
+  /** Full recompute of the same rollup — the fallback when the change
+    * feed cannot represent the window, and the equivalence oracle the
+    * spec holds [[refreshRollup]] to. */
+  def rebuildRollup(spark: SparkSession, table: String,
+      mvPath: String): Unit = {
+    val f = fs(spark, table)
+    val (to, _) = currentCommit(spark, table)
+    rollupOf(snapshot(spark, table)).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$mvPath/data")
+    val out = f.create(new Path(mvPath, "_version"), true)
+    try out.write(s"$to\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The view definition, shared by refresh and rebuild. */
+  private def rollupOf(rows: DataFrame): DataFrame =
+    rows.select(
+        lower(substring_index(col("file_name"), ".", -1)).as("ext"),
+        col("length"))
+      .groupBy(col("ext"))
+      .agg(count(lit(1)).as("n_files"), sum(col("length")).as("total_bytes"))
+
+  /** Read the materialized rollup as of its own version. */
+  def readRollup(spark: SparkSession, mvPath: String): DataFrame =
+    spark.read.parquet(s"$mvPath/data")
+
   /** Write the version file via temp + atomic rename; an existing
     * target means a concurrent writer committed first — fail loudly.
     * Package-visible so IngestSpec can drive the CAS conflict

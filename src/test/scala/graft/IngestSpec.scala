@@ -332,4 +332,54 @@ class IngestSpec extends SparkSpec {
     val cols = spark.read.parquet(sink.toString).columns.toSet
     assert(cols == Set("id", "amount", "_ingest_file"))
   }
+
+  test("incremental rollup refresh from the change feed equals full recompute") {
+    import graft.ingest.BronzeMerge
+    val dir = Files.createTempDirectory("graft-ivm")
+    val table = Files.createTempDirectory("graft-ivm-out")
+      .resolve("bronze").toString
+    val mv = Files.createTempDirectory("graft-ivm-mv").resolve("mv").toString
+    def rollup() = BronzeMerge.readRollup(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def expected() = {
+      val t = Files.createTempDirectory("graft-ivm-exp")
+        .resolve("exp").toString
+      BronzeMerge.rebuildRollup(spark, table, t)
+      BronzeMerge.readRollup(spark, t).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+
+    Files.writeString(dir.resolve("a.txt"), "alpha")
+    Files.writeString(dir.resolve("b.csv"), "bravo-2")
+    BronzeMerge.mergeIngest(spark, dir.toString, table)
+    val (f1, t1, d1) = BronzeMerge.refreshRollup(spark, table, mv)
+    assert((f1, t1, d1) == ((0, 1, 2L)))
+    assert(rollup() == expected())
+
+    // second batch: the refresh reads ONLY the delta (2 new rows, not
+    // the 4-row table) and still lands on the full-recompute answer
+    Files.writeString(dir.resolve("c.txt"), "charlie!")
+    Files.writeString(dir.resolve("d.csv"), "delta-four")
+    BronzeMerge.mergeIngest(spark, dir.toString, table)
+    val (f2, t2, d2) = BronzeMerge.refreshRollup(spark, table, mv)
+    assert((f2, t2, d2) == ((1, 2, 2L)))
+    assert(rollup() == expected())
+    assert(rollup().map(_._1) == Set("txt", "csv"))
+
+    // idempotent: same-version refresh is a no-op
+    assert(BronzeMerge.refreshRollup(spark, table, mv) == ((2, 2, 0L)))
+
+    // compaction rewrites batches → the feed window is unrepresentable
+    // and refresh REFUSES (no silent wrong answer); rebuild recovers
+    Files.writeString(dir.resolve("e.txt"), "echo")
+    BronzeMerge.mergeIngest(spark, dir.toString, table)
+    BronzeMerge.compact(spark, table)
+    val err = intercept[IllegalArgumentException] {
+      BronzeMerge.refreshRollup(spark, table, mv)
+    }
+    assert(err.getMessage.contains("change feed"))
+    BronzeMerge.rebuildRollup(spark, table, mv)
+    assert(rollup() == expected())
+    assert(rollup().exists { case (e, n, _) => e == "txt" && n == 3 })
+  }
 }
