@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass polynomial rolling hash over a string's code points —
@@ -293,4 +293,52 @@ object TextExprs {
 
   def charNGrams(c: Column, n: Int): Column =
     GraftSqlBridge.column(CharNGrams(GraftSqlBridge.expression(c), n))
+
+  /** Shared by interpreted eval and generated code: the multiplicity
+    * of the most frequent element of a token array, in ONE hash-count
+    * pass — the fused form of `array_max(transform(array_distinct(ts),
+    * t => size(filter(ts, x => x = t))))` (Text t33's repetition
+    * gate), which is O(distinct·n) per row with an intermediate array
+    * per distinct token. This is O(n) with one map. */
+  def topTokenFreq(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val prev = counts.get(t)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(t, c)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
+  case class TopTokenFreq(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"top_token_freq expects array<string>, got ${other.sql}")
+      }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "top_token_freq"
+
+    override protected def nullSafeEval(a: Any): Any =
+      topTokenFreq(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$.topTokenFreq($a);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): TopTokenFreq =
+      copy(child = c)
+  }
+
+  def topTokenFreq(c: Column): Column =
+    GraftSqlBridge.column(TopTokenFreq(GraftSqlBridge.expression(c)))
 }

@@ -1710,9 +1710,12 @@ object Text {
           .cast("double") / nW
         val stopRatio =
           size(filter(toks, t => array_contains(stop, t))).cast("double") / nW
+        // fused O(n) hash-count kernel; the declarative form —
+        // array_max(transform(array_distinct(ts), t => size(filter(
+        // ts, x => x === t)))) — is O(distinct·n) per row and was the
+        // whole query's cost (ExprEquivSpec pins value equality)
         val topTokenRatio =
-          array_max(transform(array_distinct(toks),
-            t => size(filter(toks, x => x === t)))).cast("double") / nW
+          graft.functions.TextExprs.topTokenFreq(toks).cast("double") / nW
         Tables.documents(s, d)
           .select(col("doc_id"), nW.as("n_words"),
             meanLen.as("mean_word_len"), stopRatio.as("stop_ratio"),

@@ -103,4 +103,15 @@ class ExprEquivSpec extends SparkSpec {
         transform(split(col("text"), ""), c => ascii(c).cast("long")),
         lit(0L), (acc, cp) => (acc * 31L + cp) % 1000000007L))
   }
+
+  test("TopTokenFreq == array_max of per-distinct-token filter counts") {
+    val toks = split(col("text"), " ")
+    assertAllEqual(textDf,
+      TextExprs.topTokenFreq(toks),
+      // declarative O(distinct·n) twin (empty array -> null max; the
+      // fused kernel returns 0 for an empty input, which split never
+      // produces — guard with coalesce-on-empty for the comparison)
+      coalesce(array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))), lit(0)))
+  }
 }
