@@ -333,6 +333,40 @@ class IngestSpec extends SparkSpec {
     assert(cols == Set("id", "amount", "_ingest_file"))
   }
 
+  test("expectations route violators to quarantine with reasons, one pass") {
+    import graft.ingest.Expectations
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("good.txt", 5L, "hello"),
+      ("empty.txt", 0L, ""),            // fails nonempty
+      ("big.bin", 999999L, "x"),        // fails size_sane
+      (null, 3L, "abc"))                // fails named (null predicate)
+      .toDF("file_name", "length", "content")
+    val checks = Seq(
+      "named" -> col("file_name").isNotNull,
+      "nonempty" -> (col("length") > 0),
+      "size_sane" -> (col("length") < 100000L))
+    val (clean, dead) = Expectations.route(rows, checks)
+    assert(clean.collect().map(_.getString(0)).toSeq == Seq("good.txt"))
+    assert(!clean.columns.contains("_violations"))
+    val reasons = dead.collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        r.getSeq[String](r.fieldIndex("_violations")).toSet).toMap
+    assert(reasons == Map(
+      "empty.txt" -> Set("nonempty"),
+      "big.bin" -> Set("size_sane"),
+      "<null>" -> Set("named")))
+
+    // single-pass partitioned write: both directories from one job
+    val dest = Files.createTempDirectory("graft-dlq").resolve("routed")
+    val (nClean, nDead) = Expectations.writeRouted(rows, checks,
+      dest.toString)
+    assert((nClean, nDead) == ((1L, 3L)))
+    assert(Files.exists(dest.resolve("_quarantined=true")))
+    assert(Files.exists(dest.resolve("_quarantined=false")))
+  }
+
   test("incremental rollup refresh from the change feed equals full recompute") {
     import graft.ingest.BronzeMerge
     val dir = Files.createTempDirectory("graft-ivm")
