@@ -662,6 +662,45 @@ object Events {
           "est_union", "est_intersect")
           .orderBy("ta", "tb")
       },
-      None)
+      None),
+
+    // ---- RANGE frame over event time: trailing-7-day average on a
+    //      SPARSE daily series. The frame is a VALUE range (day ≥
+    //      current − 6 days), not a row count — on a gappy series a
+    //      `ROWS 6 PRECEDING` frame silently reaches weeks back,
+    //      which is the classic sliding-window bug this query's
+    //      days_in_win column makes visible. Execution: one daily
+    //      partial-agg shuffle, then per-type sorted windows with
+    //      BOUNDED frame state (≤7 days); the range comparison rides
+    //      the same sort. AVG divides an exact integer sum once →
+    //      both engines emit identical doubles. ----
+    QuerySpec(
+      "e21_range_frame",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events_rf")
+        s.sql("""
+          WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(1) AS n
+            FROM events_rf WHERE user_id % 100 = 7 GROUP BY 1, 2)
+          SELECT event_type, day, n,
+            CAST(AVG(n) OVER (PARTITION BY event_type ORDER BY day
+              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS avg7,
+            COUNT(1) OVER (PARTITION BY event_type ORDER BY day
+              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+              AS days_in_win
+          FROM daily ORDER BY event_type, day""")
+      },
+      Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(1) AS n
+        FROM events WHERE user_id % 100 = 7 GROUP BY 1, 2)
+      SELECT event_type, day, n,
+        CAST(AVG(n) OVER (PARTITION BY event_type ORDER BY day
+          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS avg7,
+        CAST(COUNT(1) OVER (PARTITION BY event_type ORDER BY day
+          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS days_in_win
+      FROM daily ORDER BY event_type, day"""))
   )
 }
