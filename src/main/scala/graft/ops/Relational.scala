@@ -1146,6 +1146,45 @@ object Relational {
       SELECT b.lo, b.hi, COUNT(o.o_orderkey) AS n
       FROM bands b LEFT JOIN orders o
         ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
-      GROUP BY b.lo, b.hi ORDER BY b.lo"""))
+      GROUP BY b.lo, b.hi ORDER BY b.lo""")),
+
+    // ---- multiset set operations: INTERSECT ALL / EXCEPT ALL —
+    //      bag semantics (multiplicity = min / difference of counts)
+    //      vs q27's set forms. Spark plans both as a single
+    //      count-and-compare aggregation per key (one shuffle each,
+    //      no distinct pass, no join): the generated plan literally
+    //      materializes the min/difference of per-side counts —
+    //      which is also the right mental model for their cost at
+    //      100 TB: same price as a groupBy on the compared columns,
+    //      duplicates preserved without a window. ----
+    QuerySpec(
+      "q47_multiset_ops",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_ms")
+        s.sql("""
+          WITH a AS (SELECT o_orderpriority FROM orders_ms
+                     WHERE o_totalprice > 150000),
+          b AS (SELECT o_orderpriority FROM orders_ms
+                WHERE o_custkey % 2 = 0),
+          i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+          e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+          SELECT 'intersect_all' AS op, o_orderpriority, COUNT(1) AS n
+          FROM i GROUP BY o_orderpriority
+          UNION ALL
+          SELECT 'except_all' AS op, o_orderpriority, COUNT(1) AS n
+          FROM e GROUP BY o_orderpriority
+          ORDER BY op, o_orderpriority""")
+      },
+      Some("""WITH a AS (SELECT o_orderpriority FROM orders
+                 WHERE o_totalprice > 150000),
+      b AS (SELECT o_orderpriority FROM orders WHERE o_custkey % 2 = 0),
+      i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+      e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      SELECT 'intersect_all' AS op, o_orderpriority, COUNT(1) AS n
+      FROM i GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'except_all' AS op, o_orderpriority, COUNT(1) AS n
+      FROM e GROUP BY o_orderpriority
+      ORDER BY op, o_orderpriority"""))
   )
 }
