@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Fused vector arithmetic as native codegen'd Catalyst expressions.
   *
@@ -250,6 +250,64 @@ object VectorExprs {
 
   def vecNorm(a: Column): Column =
     GraftSqlBridge.column(VecNorm(GraftSqlBridge.expression(a)))
+
+  /** Asymmetric-distance (ADC) score: Σᵢ lut[i][codes[i]] — the PQ
+    * scoring inner loop shared by s10/s11/s16, fused. The
+    * declarative form — `aggregate(zip_with(codes, lut, (c, row) =>
+    * get(row, c)), 0.0, _ + _)` — allocates a zipped
+    * array-of-arrays per corpus row before folding; this is the
+    * direct m-step loop (sequential adds in index order, so the
+    * value is bitwise-identical to the left fold it replaces). */
+  case class AdcScore(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _),
+              ArrayType(ArrayType(DoubleType, _), _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"adc_score expects (array<int>, array<array<double>>), " +
+            s"got ${l.sql} / ${r.sql}")
+      }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "adc_score"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]
+      val lut = b.asInstanceOf[ArrayData]
+      val m = math.min(codes.numElements(), lut.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        acc += lut.getArray(i).getDouble(codes.getInt(i))
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val m = ctx.freshName("m")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+          int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+          double $acc = 0.0;
+          for (int $i = 0; $i < $m; $i++) {
+            $acc += $b.getArray($i).getDouble($a.getInt($i));
+          }
+          ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): AdcScore =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def adcScore(codes: Column, lut: Column): Column =
+    GraftSqlBridge.column(AdcScore(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(lut)))
 
   /** Register `vec_dot` / `vec_norm` as SQL functions on a session
     * (the imperative twin of [[GraftExtensions]] for sessions built

@@ -662,8 +662,7 @@ object Similarity {
         val shortlist = pqCodes(s, d, m, k).crossJoin(broadcast(qdf))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            aggregate(zip_with(col("codes"), col("lut"),
-              (c, row) => get(row, c)), lit(0.0), (acc, x) => acc + x)
+            graft.functions.VectorExprs.adcScore(col("codes"), col("lut"))
               .as("adc"))
           .withColumn("ark", row_number().over(wAdc))
           .filter(col("ark") <= 50)
@@ -729,8 +728,7 @@ object Similarity {
             array_contains(col("probes"), col("cid")) &&
               col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            aggregate(zip_with(col("codes"), col("lut"),
-              (c, row) => get(row, c)), lit(0.0), (acc, x) => acc + x)
+            graft.functions.VectorExprs.adcScore(col("codes"), col("lut"))
               .as("adc"))
           .withColumn("ark", row_number().over(wAdc))
           .filter(col("ark") <= 50)
@@ -967,8 +965,7 @@ object Similarity {
             array_contains(col("probes"), col("cid")) &&
               col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            aggregate(zip_with(col("codes"), col("lut"),
-              (c, row) => get(row, c)), lit(0.0), (acc, x) => acc + x)
+            graft.functions.VectorExprs.adcScore(col("codes"), col("lut"))
               .as("adc"))
           .withColumn("ark", row_number().over(wAdc))
           .filter(col("ark") <= 50)

@@ -104,6 +104,20 @@ class ExprEquivSpec extends SparkSpec {
         lit(0L), (acc, cp) => (acc * 31L + cp) % 1000000007L))
   }
 
+  test("AdcScore == aggregate(zip_with) left fold over the LUT") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(64)((
+      Seq.fill(8)(rnd.nextInt(16)),
+      Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian())))) :+
+      ((Seq.empty[Int], Seq.empty[Seq[Double]]))
+    val df = rows.toDF("codes", "lut")
+    assertAllEqual(df,
+      VectorExprs.adcScore(col("codes"), col("lut")),
+      aggregate(zip_with(col("codes"), col("lut"),
+        (c, row) => get(row, c)), lit(0.0), (acc, x) => acc + x))
+  }
+
   test("TopTokenFreq == array_max of per-distinct-token filter counts") {
     val toks = split(col("text"), " ")
     assertAllEqual(textDf,
