@@ -321,6 +321,10 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("zvalue",
       (es: Seq[Expression]) => ZOrderExprs.ZValue(es(0), es(1)),
       "built-in")
+    reg.createOrReplaceTempFunction("adc_score",
+      (es: Seq[Expression]) => AdcScore(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("top_token_freq",
+      (es: Seq[Expression]) => TextExprs.TopTokenFreq(es.head), "built-in")
   }
 }
 
@@ -357,6 +361,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[ZOrderExprs.ZValue].getName, "zvalue"),
       (es: Seq[Expression]) => ZOrderExprs.ZValue(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("adc_score"),
+      new ExpressionInfo(classOf[VectorExprs.AdcScore].getName, "adc_score"),
+      (es: Seq[Expression]) => VectorExprs.AdcScore(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_token_freq"),
+      new ExpressionInfo(
+        classOf[TextExprs.TopTokenFreq].getName, "top_token_freq"),
+      (es: Seq[Expression]) => TextExprs.TopTokenFreq(es.head)))
     ext.injectOptimizerRule(_ => FuseSelfDot)
   }
 }

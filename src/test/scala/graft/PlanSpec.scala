@@ -182,5 +182,13 @@ class PlanSpec extends SparkSpec {
     // ZORDER path; codegen'd, matches the Scala-side codec
     val z = spark.sql("SELECT zvalue(8, 8) AS z").head().getLong(0)
     assert(z == graft.functions.ZOrderCodec.morton(8, 8))
+    // the round-4 kernels are SQL surface too
+    val adc = spark.sql(
+      "SELECT adc_score(array(1, 0), array(array(1.0D, 2.0D)," +
+        " array(3.0D, 4.0D))) AS a").head().getDouble(0)
+    assert(adc == 2.0 + 3.0)
+    val ttf = spark.sql(
+      "SELECT top_token_freq(array('a', 'b', 'a')) AS f").head().getInt(0)
+    assert(ttf == 2)
   }
 }
