@@ -79,6 +79,17 @@ object Profile {
             (col("na") * col("nb"))) >= 0.4)
           .select("da", "db")
       }
+      // ---- s11 vs s16: where does the inline IVF×PQ spend its
+      //      time? (encode-on-the-fly vs the at-rest coded table) ----
+      time("s11_asis") {
+        SparkEntry.queries("s11_ivfpq_knn")(s, d)
+      }
+      time("s11_encode_only") {
+        graft.ops.Similarity.pqCodes(s, d)
+      }
+      time("s16_asis") {
+        SparkEntry.queries("s16_ivfpq_stored")(s, d)
+      }
     }
     spark.stop()
   }
