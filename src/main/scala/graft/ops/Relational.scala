@@ -1185,6 +1185,33 @@ object Relational {
       UNION ALL
       SELECT 'except_all' AS op, o_orderpriority, COUNT(1) AS n
       FROM e GROUP BY o_orderpriority
-      ORDER BY op, o_orderpriority"""))
+      ORDER BY op, o_orderpriority""")),
+
+    // ---- NULL semantics, made explicit: NULLIF manufactures NULL
+    //      keys, GROUP BY keeps them as ONE group (SQL null grouping,
+    //      not row-dropping), `IS DISTINCT FROM` is the null-safe
+    //      comparison (NULL counts as distinct from '2-HIGH' instead
+    //      of evaporating into UNKNOWN), and the sort order pins
+    //      NULLS FIRST explicitly — engines DIFFER on the default
+    //      (Spark ASC = nulls first, DuckDB ASC = nulls last), so
+    //      portable SQL must say it. The aggregate itself is one
+    //      partial-agg shuffle; a NULL group key hashes like any
+    //      other value — no skew, no special-casing at scale. ----
+    QuerySpec(
+      "q48_null_semantics",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_ns")
+        s.sql("""
+          SELECT NULLIF(o_orderpriority, '1-URGENT') AS p, COUNT(1) AS n,
+            SUM(CASE WHEN NULLIF(o_orderpriority, '1-URGENT')
+              IS DISTINCT FROM '2-HIGH' THEN 1 ELSE 0 END) AS n_not_high
+          FROM orders_ns GROUP BY p ORDER BY p NULLS FIRST""")
+      },
+      Some("""SELECT NULLIF(o_orderpriority, '1-URGENT') AS p,
+        COUNT(1) AS n,
+        CAST(SUM(CASE WHEN NULLIF(o_orderpriority, '1-URGENT')
+          IS DISTINCT FROM '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_not_high
+      FROM orders GROUP BY p ORDER BY p NULLS FIRST"""))
   )
 }
