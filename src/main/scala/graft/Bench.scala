@@ -56,19 +56,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failures = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // per-query detail: its own earlier line + a file; the driver-
-    // parsed line is the compact one printed LAST (round 1's single
-    // giant line was truncated by the driver's stdout tail).
-    // EVERY round's raw time ships alongside the min: the q31/q35
-    // episode (round 2) needed a bespoke harness to prove a 7 s bill
-    // was one contention window, not the query — with the per-round
-    // arrays in the detail file that forensics is a jq one-liner.
+    // EVERY round's raw time ships alongside the min in the DETAIL FILE
+    // only: the q31/q35 episode (round 2) needed a bespoke harness to
+    // prove a 7 s bill was one contention window, not the query — with
+    // the per-round arrays in the detail file that forensics is a jq
+    // one-liner. The rounds map must NOT go to stdout: the driver keeps
+    // a fixed-size stdout TAIL, and round 4's tail window landed inside
+    // the trailing r3 array, so the driver-visible per-query numbers
+    // were the noisy LAST round (s15 read 14.2 s vs its true 6.5 s min).
+    // Stdout carries only the compact min-of-rounds map + the total.
     val roundsJson = rounds.zipWithIndex.map { case (r, i) =>
       s""""r${i + 1}":""" + r.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val detail =
+    val detailFile =
       s"""{"metric":"queries","queries":$qs,"rounds":$roundsJson,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}"""
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failures":$failures,"sf":"$sfDir"}"""
     // sbt appends its own "[success] Total time…" after our stdout, so
@@ -77,7 +81,7 @@ object Bench {
     def writeFile(path: String, s: String): Unit =
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), s)
       catch { case _: Throwable => () }
-    writeFile("target/bench_detail.json", detail)
+    writeFile("target/bench_detail.json", detailFile)
     writeFile("target/bench_total.json", totalLine)
     failed.foreach { case (n, msg) => System.err.println(s"[bench] FAILED $n: $msg") }
     println(detail)
