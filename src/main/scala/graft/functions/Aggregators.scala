@@ -170,8 +170,16 @@ object Aggregators {
   final class Kmv(k: Int)
       extends Aggregator[Long, Seq[Long], Seq[Long]] {
     override def zero: Seq[Long] = Vector.empty
-    override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
-      Kmv.merge(buf, Vector(h), k)
+    // fast path first: once the buffer is full, a hash at or above
+    // the current kth-smallest (or already present) can't change the
+    // bottom-k — O(1)/O(k) per row instead of the full concat-dedup-
+    // sort (O(k log k) per input row, the dominant reduce cost)
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+      val hu = h ^ Long.MinValue
+      if (buf.size == k && hu >= (buf.last ^ Long.MinValue)) buf
+      else if (buf.contains(h)) buf
+      else Kmv.merge(buf, Vector(h), k)
+    }
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
       Kmv.merge(a, b, k)
     override def finish(buf: Seq[Long]): Seq[Long] = buf

@@ -307,11 +307,16 @@ object TextExprs {
     var best = 0
     var i = 0
     while (i < n) {
-      val t = arr.getUTF8String(i)
-      val prev = counts.get(t)
-      val c = if (prev == null) 1 else prev.intValue() + 1
-      counts.put(t, c)
-      if (c > best) best = c
+      // null elements are NOT counted (SQL-registered function, so
+      // array('a', NULL) is reachable; a typed getter on a null slot
+      // of UnsafeArrayData reads unspecified bytes)
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val prev = counts.get(t)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(t, c)
+        if (c > best) best = c
+      }
       i += 1
     }
     best

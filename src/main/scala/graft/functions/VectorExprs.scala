@@ -271,6 +271,12 @@ object VectorExprs {
       }
     override def dataType: DataType = DoubleType
     override def prettyName: String = "adc_score"
+    // NULL even on non-null inputs: a null element, a null LUT row,
+    // or a code outside its LUT row yields NULL (matching what the
+    // declarative get(row, c) form it replaced did null-safely) —
+    // adc_score is SQL-registered, so inputs are user-controlled and
+    // an unchecked UnsafeArrayData read would be a raw memory access.
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val codes = a.asInstanceOf[ArrayData]
@@ -279,7 +285,11 @@ object VectorExprs {
       var acc = 0.0
       var i = 0
       while (i < m) {
-        acc += lut.getArray(i).getDouble(codes.getInt(i))
+        if (codes.isNullAt(i) || lut.isNullAt(i)) return null
+        val row = lut.getArray(i)
+        val c = codes.getInt(i)
+        if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+        acc += row.getDouble(c)
         i += 1
       }
       acc
@@ -289,12 +299,20 @@ object VectorExprs {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val m = ctx.freshName("m")
         val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        val row = ctx.freshName("row")
         val acc = ctx.freshName("acc")
         s"""
           int $m = java.lang.Math.min($a.numElements(), $b.numElements());
           double $acc = 0.0;
-          for (int $i = 0; $i < $m; $i++) {
-            $acc += $b.getArray($i).getDouble($a.getInt($i));
+          for (int $i = 0; $i < $m && !${ev.isNull}; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($i);
+            int $c = $a.getInt($i);
+            if ($c < 0 || $c >= $row.numElements() || $row.isNullAt($c)) {
+              ${ev.isNull} = true; break;
+            }
+            $acc += $row.getDouble($c);
           }
           ${ev.value} = $acc;
         """

@@ -364,34 +364,32 @@ object BronzeMerge {
       mvPath: String): (Int, Int, Long) = {
     val f = fs(spark, table)
     val (to, _) = currentCommit(spark, table)
-    val verFile = new Path(mvPath, "_version")
-    val from =
-      if (!f.exists(verFile)) 0
-      else {
-        val in = f.open(verFile)
-        try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-          .trim.toInt
-        finally in.close()
-      }
+    val from = mvVersion(spark, mvPath)
     if (from >= to) return (from, to, 0L) // idempotent no-op
     val delta = readChanges(spark, table, from, to)
     val deltaAgg = rollupOf(delta)
     val merged =
       if (from == 0) deltaAgg
-      else spark.read.parquet(s"$mvPath/data").toDF("ext", "n0", "b0")
+      else spark.read.parquet(mvData(mvPath, from)).toDF("ext", "n0", "b0")
         .join(deltaAgg.toDF("ext", "n1", "b1"), Seq("ext"), "full_outer")
         .select(col("ext"),
           (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
             .as("n_files"),
           (coalesce(col("b0"), lit(0L)) + coalesce(col("b1"), lit(0L)))
             .as("total_bytes"))
-    // stage the new view, then flip the version marker last: a reader
-    // pairing data with _version never sees a torn refresh
+    // stage the new view in its OWN versioned directory, then flip the
+    // `_version` pointer (temp + atomic rename) last. The old version's
+    // data is never touched, so a crash anywhere before the flip leaves
+    // a consistent (data_v$from, _version=$from) pair — the next
+    // refresh recomputes the same delta and overwrites the orphan
+    // data_v$to; nothing double-counts. Overwriting a live directory
+    // in place (the previous layout) is committer/filesystem-dependent
+    // and unsafe on object stores; the rename of a one-line pointer
+    // file is the only operation that needs atomicity.
     merged.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$mvPath/data")
-    val out = f.create(verFile, true)
-    try out.write(s"$to\n".getBytes("UTF-8")) finally out.close()
+      .parquet(mvData(mvPath, to))
+    flipVersion(spark, mvPath, to)
+    gcRollup(f, mvPath, keep = to)
     (from, to, delta.count())
   }
 
@@ -403,9 +401,57 @@ object BronzeMerge {
     val f = fs(spark, table)
     val (to, _) = currentCommit(spark, table)
     rollupOf(snapshot(spark, table)).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$mvPath/data")
-    val out = f.create(new Path(mvPath, "_version"), true)
+      .write.mode(SaveMode.Overwrite).parquet(mvData(mvPath, to))
+    flipVersion(spark, mvPath, to)
+    gcRollup(f, mvPath, keep = to)
+  }
+
+  private def mvData(mvPath: String, v: Int): String =
+    f"$mvPath/data_v$v%08d"
+
+  /** The view's committed version: what the `_version` pointer names;
+    * 0 = no view materialized yet. */
+  private def mvVersion(spark: SparkSession, mvPath: String): Int = {
+    val f = fs(spark, mvPath)
+    val verFile = new Path(mvPath, "_version")
+    if (!f.exists(verFile)) 0
+    else {
+      val in = f.open(verFile)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Atomically repoint `_version` → `to` (temp file + rename with
+    * OVERWRITE via FileContext — atomic on HDFS and local FS). */
+  private def flipVersion(spark: SparkSession, mvPath: String,
+      to: Int): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(mvPath).toUri, spark.sessionState.newHadoopConf())
+    val tmp = new Path(mvPath, s"._version-$to.tmp")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
     try out.write(s"$to\n".getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, new Path(mvPath, "_version"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Drop every data_v* directory except the live one — run strictly
+    * after the pointer flip, so failures here cost disk, not
+    * correctness. */
+  private def gcRollup(f: FileSystem, mvPath: String, keep: Int): Unit = {
+    val dir = new Path(mvPath)
+    if (!f.exists(dir)) return
+    f.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("data_v") &&
+          n.stripPrefix("data_v").toIntOption.exists(_ != keep))
+        f.delete(p, true)
+    }
   }
 
   /** The view definition, shared by refresh and rebuild. */
@@ -416,9 +462,13 @@ object BronzeMerge {
       .groupBy(col("ext"))
       .agg(count(lit(1)).as("n_files"), sum(col("length")).as("total_bytes"))
 
-  /** Read the materialized rollup as of its own version. */
-  def readRollup(spark: SparkSession, mvPath: String): DataFrame =
-    spark.read.parquet(s"$mvPath/data")
+  /** Read the materialized rollup as of its own version, resolved
+    * through the `_version` pointer. */
+  def readRollup(spark: SparkSession, mvPath: String): DataFrame = {
+    val v = mvVersion(spark, mvPath)
+    require(v > 0, s"no materialized view at $mvPath")
+    spark.read.parquet(mvData(mvPath, v))
+  }
 
   /** Write the version file via temp + atomic rename; an existing
     * target means a concurrent writer committed first — fail loudly.

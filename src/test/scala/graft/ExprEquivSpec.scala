@@ -118,6 +118,49 @@ class ExprEquivSpec extends SparkSpec {
         (c, row) => get(row, c)), lit(0.0), (acc, x) => acc + x))
   }
 
+  test("AdcScore: out-of-range / negative / null codes and null LUT rows " +
+      "yield NULL, matching the declarative twin") {
+    import TestSpark.spark.implicits._
+    // adc_score is SQL-registered, so adversarial inputs are reachable;
+    // the unchecked form read raw UnsafeArrayData bytes on these
+    val rows: Seq[(Seq[Option[Int]], Seq[Option[Seq[Double]]])] = Seq(
+      (Seq(Some(0), Some(99)), Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))),
+      (Seq(Some(0), Some(-1)), Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))),
+      (Seq(Some(0), None), Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))),
+      (Seq(Some(0), Some(1)), Seq(Some(Seq(1.0, 2.0)), None)),
+      (Seq(Some(1), Some(0)), Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0)))))
+    val df = rows.toDF("codes", "lut")
+    assertAllEqual(df,
+      VectorExprs.adcScore(col("codes"), col("lut")),
+      aggregate(zip_with(col("codes"), col("lut"),
+        (c, row) => get(row, c)), lit(0.0), (acc, x) => acc + x))
+    // literal args constant-fold at optimize time → interpreted eval
+    VectorExprs.register(TestSpark.spark)
+    assert(TestSpark.spark.sql(
+      "SELECT adc_score(array(5), array(array(1.0D))) AS s").head().isNullAt(0))
+    assert(TestSpark.spark.sql(
+      "SELECT adc_score(array(-1), array(array(1.0D))) AS s").head().isNullAt(0))
+  }
+
+  test("TopTokenFreq ignores null tokens, matching the declarative twin") {
+    import TestSpark.spark.implicits._
+    val rows: Seq[Seq[Option[String]]] = Seq(
+      Seq(Some("a"), None, Some("a"), Some("b")),
+      Seq(None, None),
+      Seq(None, Some("x")))
+    val df = rows.toDF("toks")
+    val toks = col("toks")
+    assertAllEqual(df,
+      TextExprs.topTokenFreq(toks),
+      coalesce(array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))), lit(0)))
+    // interpreted (constant-folded) path
+    VectorExprs.register(TestSpark.spark)
+    assert(TestSpark.spark.sql(
+      "SELECT top_token_freq(array('a', NULL, 'a')) AS f")
+      .head().getInt(0) == 2)
+  }
+
   test("TopTokenFreq == array_max of per-distinct-token filter counts") {
     val toks = split(col("text"), " ")
     assertAllEqual(textDf,
