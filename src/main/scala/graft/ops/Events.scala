@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
@@ -625,19 +626,23 @@ object Events {
         CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // ---- KMV distinct-set algebra: per-type distinct-user sketches
+    // ---- KMV distinct-set algebra: per-type distinct-cohort sketches
     //      that answer UNION and INTERSECTION questions after the
-    //      fact — "how many users did A and B share?" without
+    //      fact — "how many cohorts did A and B share?" without
     //      re-scanning, the question HLL (e09) cannot answer. Each
-    //      sketch is the k smallest user-id hashes (mergeable bottom-k
-    //      — map-side partials, any merge order, identical sketch);
-    //      the pairwise analysis runs on the COLLECTED sketches: 5
-    //      types × k longs is model-sized driver state, same bounded-
-    //      metadata adjudication as the k-means/PQ codebooks. Rows-
-    //      only by design (the estimator is the point); OpsSpec bounds
-    //      estimates against exact distinct counts, proves the
-    //      all-types sketch equals the merged per-type sketches
-    //      bit-for-bit, and pins the exact regime (k ≥ distinct). ----
+    //      sketch is the k smallest hashes (mergeable bottom-k —
+    //      map-side partials, any merge order, identical sketch). The
+    //      pairwise analysis is a SELF-JOIN on the sketch relation —
+    //      types² stays in dataflow, and the whole estimator algebra
+    //      (bottom-k merge, (k−1)/u_k, union-Jaccard intersection) is
+    //      column expressions over the sketch arrays, no driver loop
+    //      and no UDF. EXACT REGIME pinned for the oracle: the
+    //      sketched key is the user cohort (user_id % 200), so
+    //      per-type and union cardinality ≤ 200 < k — the bottom-k IS
+    //      the whole set and every estimate is provably exact (t20's
+    //      Space-Saving pattern), hash-matched against DuckDB's exact
+    //      distinct counts. The estimator path itself is unchanged;
+    //      OpsSpec keeps the scale-regime bounds on raw user_id. ----
     QuerySpec(
       "e20_kmv_users",
       (s, d) => {
@@ -645,24 +650,55 @@ object Events {
         val k = 256
         val agg = new graft.functions.Aggregators.Kmv(k)
         val sketches = Tables.events(s, d)
-          .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+          .select(col("event_type"),
+            xxhash64(col("user_id") % 200).as("h"))
           .as[(String, Long)]
           .groupByKey(_._1).mapValues(_._2)
           .agg(agg.toColumn.name("sk"))
-          .collect().toSeq.sortBy(_._1)
-        import graft.functions.Aggregators.Kmv
-        val pairs = for {
-          (ta, ska) <- sketches; (tb, skb) <- sketches if ta < tb
-        } yield (ta, tb,
-          math.rint(Kmv.estimate(ska, k)),
-          math.rint(Kmv.estimate(skb, k)),
-          math.rint(Kmv.estimate(Kmv.merge(ska, skb, k), k)),
-          math.rint(Kmv.intersectEstimate(ska, skb, k)))
-        pairs.toDF("ta", "tb", "est_a", "est_b",
-          "est_union", "est_intersect")
+          .toDF("event_type", "sk")
+        // KMV algebra as column expressions (unsigned hash order)
+        def unsigned(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
+        def u01(c: Column): Column =
+          (unsigned(c).cast("double") - lit(Long.MinValue.toDouble)) /
+            lit(math.pow(2.0, 64))
+        def est(sk: Column): Column =
+          when(size(sk) < k, size(sk).cast("double"))
+            .otherwise(lit((k - 1).toDouble) / u01(element_at(sk, -1)))
+        def kmvMerge(x: Column, y: Column): Column =
+          slice(array_sort(array_distinct(concat(x, y)),
+            (l, r) => when(unsigned(l) < unsigned(r), -1)
+              .when(unsigned(l) > unsigned(r), 1).otherwise(0)), 1, k)
+        val joined = sketches.toDF("ta", "ska")
+          .join(sketches.toDF("tb", "skb"), col("ta") < col("tb"))
+          .withColumn("un", kmvMerge(col("ska"), col("skb")))
+        val inter = size(filter(col("un"), h =>
+          array_contains(col("ska"), h) && array_contains(col("skb"), h)))
+        joined.select(col("ta"), col("tb"),
+            est(col("ska")).as("est_a"),
+            est(col("skb")).as("est_b"),
+            est(col("un")).as("est_union"),
+            // ρ·|A∪B|; round because the Jaccard division and multiply
+            // round-trip an integer through two float ops
+            round(inter.cast("double") / size(col("un")) * est(col("un")))
+              .as("est_intersect"))
           .orderBy("ta", "tb")
       },
-      None),
+      Some("""WITH pt AS (
+        SELECT DISTINCT event_type, user_id % 200 AS cohort FROM events),
+      c AS (SELECT event_type, COUNT(*) AS n FROM pt GROUP BY 1),
+      inter AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS m
+        FROM pt a JOIN pt b
+          ON a.cohort = b.cohort AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT ca.event_type AS ta, cb.event_type AS tb,
+        CAST(ca.n AS DOUBLE) AS est_a,
+        CAST(cb.n AS DOUBLE) AS est_b,
+        CAST(ca.n + cb.n - COALESCE(i.m, 0) AS DOUBLE) AS est_union,
+        CAST(COALESCE(i.m, 0) AS DOUBLE) AS est_intersect
+      FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+      LEFT JOIN inter i ON i.ta = ca.event_type AND i.tb = cb.event_type
+      ORDER BY ta, tb""")),
 
     // ---- RANGE frame over event time: trailing-7-day average on a
     //      SPARSE daily series. The frame is a VALUE range (day ≥

@@ -1278,36 +1278,48 @@ object Text {
       FROM t LEFT JOIN pp USING (source) LEFT JOIN ff USING (source)
       ORDER BY source""")),
 
-    // ---- Count-Min point queries: build the 4×256 CMS over every
-    //      corpus token (one pass, elementwise-mergeable partials —
-    //      2 KB of state per partition regardless of corpus size),
-    //      then answer frequency queries for the exact top-10 terms
-    //      against it. Complements t20: Space-Saving finds WHICH terms
-    //      are heavy; CMS answers "how often did THIS term occur" for
-    //      any term decided after the scan. The sketch and the probe
-    //      list are both bounded driver collects (the s10 LUT
-    //      pattern). Estimates are deterministic (fixed hash family)
-    //      but hash-collision-dependent → rows-only; OpsSpec asserts
-    //      the one-sided CMS guarantee (never under, bounded over). ----
+    // ---- Count-Min point queries in the EXACT regime: build the
+    //      4×4096 CMS over the (lang, source) pair key (one pass,
+    //      elementwise-mergeable partials — 128 KB of state per
+    //      partition regardless of corpus size), then answer point
+    //      frequency queries for every observed pair against it. The
+    //      key domain is ≤ ~100 pairs at any SF, far under the 4096
+    //      counters per row, so for each key at least one of the 4
+    //      rows is collision-free and the min IS the exact count —
+    //      hash-matched against DuckDB's GROUP BY (t20's Space-Saving
+    //      exactness pattern, the CMS instance). Complements t20:
+    //      Space-Saving finds WHICH keys are heavy; CMS answers "how
+    //      often did THIS key occur" for any key decided after the
+    //      scan. The sketch and the probe list are bounded driver
+    //      collects (the s10 LUT pattern). The full-vocabulary SCALE
+    //      regime (collisions, one-sided ε-bound) is pinned in
+    //      OpsSpec on the same sketch type. ----
     QuerySpec(
       "t25_cms_counts",
       (s, d) => {
         import s.implicits._
-        val depth = 4; val width = 256
+        val depth = 4; val width = 4096
         val cms = udaf(new graft.functions.Aggregators.CountMin(depth, width),
           org.apache.spark.sql.Encoders.STRING)
-        val terms = Tables.documents(s, d).select(explode(toks).as("t"))
-        val sketch = terms.agg(cms(col("t")).as("s"))
+        val pairs = Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            concat_ws(":", col("lang"), col("source")).as("t"))
+        val sketch = pairs.agg(cms(col("t")).as("s"))
           .head.getSeq[Long](0) // depth×width longs — bounded
-        val top = terms.groupBy(col("t")).agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), col("t")).limit(10)
-          .collect().map(r => (r.getString(0), r.getLong(1))) // 10 rows
-        top.zipWithIndex.map { case ((t, n), i) =>
-          (i + 1, t, n, graft.functions.Aggregators.CountMin
+        val keys = pairs.groupBy(col("lang"), col("source"), col("t"))
+          .agg(count(lit(1)).as("n"))
+          .collect() // ≤ |lang|×|source| rows — bounded
+          .map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getLong(3)))
+        keys.toSeq.map { case (lang, source, t, n) =>
+          (lang, source, n, graft.functions.Aggregators.CountMin
             .estimate(sketch, t, depth, width))
-        }.toSeq.toDF("rk", "term", "n_exact", "n_cms")
+        }.toDF("lang", "source", "n_exact", "n_cms")
+          .orderBy("lang", "source")
       },
-      None),
+      Some("""SELECT lang, source, COUNT(1) AS n_exact,
+        CAST(COUNT(1) AS BIGINT) AS n_cms
+      FROM documents GROUP BY lang, source ORDER BY lang, source""")),
 
     // ---- deterministic train/validation/test split: route each doc
     //      by the first hex char of md5(doc_id) — 12/16 train, 2/16
