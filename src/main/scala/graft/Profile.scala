@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * and buy oracle exactness, documented in SCALE.md; both harnesses
   * in git history).
   *
-  * Current target: s15_semantic_dedup_lsh, the slowest BENCH_r04 line
-  * (4.97 s vs its exact twin s12 at 3.11 s — the LSH scale path
-  * should not lose to the N² baseline, even at sf0.1). Decomposition:
-  * candidate generation (multi-probe bucket join) → exact-cosine edge
-  * verification → connected components → full query, against s12's
-  * crossJoin pair source + the same CC tail.
+  * Current target: s05_ann_lsh, the round-4 regression (1.42 → 2.11 s
+  * stable across rounds after candidate generation moved to the shared
+  * `lshCandidatePairs`). Decomposition: signature computation → bucket
+  * join without the global pair distinct → with the distinct → the
+  * full query, plus a signature-persisted variant (the probe and build
+  * sides each scan the corpus and evaluate the 96-dot fused kernel;
+  * persisting the signature relation halves that).
   */
 object Profile {
   private def materialize(df: DataFrame): Unit =
@@ -43,52 +44,57 @@ object Profile {
     // warmup
     SparkEntry.entry(spark).count()
 
-    import graft.functions.VectorExprs.{vecDot, vecNorm}
-    def withVec = Tables.embeddings(s, d).select(col("vec_id"),
-      col("embedding"), vecNorm(col("embedding")).as("nrm"))
-    def cands = graft.ops.Similarity.lshCandidatePairs(s, d)
-    def edges = cands
-      .join(withVec.toDF("va", "ea", "na"), "va")
-      .join(withVec.toDF("vb", "eb", "nb"), "vb")
-      .filter((vecDot(col("ea"), col("eb")) /
-        (col("na") * col("nb"))) >= 0.4)
-      .select(col("va").as("da"), col("vb").as("db"))
+    import graft.functions.VectorExprs
+
+    val NTables = 12
+    val NBits = 8
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(NTables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
+    def sigs = Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(VectorExprs.hyperplaneSigs(
+          col("embedding"), planes, NBits)))
+      .toDF("vec_id", "tbl", "sig")
+    val probeKeys = array((lit(0) +: (0 until NBits).map(b =>
+      lit(1 << b))): _*)
+    def pairsFrom(sg: DataFrame): DataFrame = {
+      val a = sg
+        .select(col("vec_id").as("va"), col("tbl"),
+          explode(probeKeys).as("flip"), col("sig"))
+        .select(col("va"), col("tbl"),
+          col("sig").bitwiseXOR(col("flip")).as("sig"))
+      val b = sg.toDF("vb", "tbl", "sig")
+      graft.ops.Similarity.lshBucketJoin(a, b, cap = 4096)
+        .filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"))
+    }
+    def top100(cands: DataFrame): DataFrame = {
+      val withVec = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"), VectorExprs.vecNorm(col("embedding")).as("nrm"))
+      cands
+        .join(withVec.toDF("va", "ea", "na"), "va")
+        .join(withVec.toDF("vb", "eb", "nb"), "vb")
+        .select(col("va"), col("vb"),
+          (VectorExprs.vecDot(col("ea"), col("eb")) /
+            (col("na") * col("nb"))).as("cos"))
+        .orderBy(desc("cos"), col("va"), col("vb"))
+        .limit(100)
+    }
 
     for (round <- 1 to 3) {
       println(s"--- round $round ---")
-      time("s15_asis") {
-        SparkEntry.queries("s15_semantic_dedup_lsh")(s, d)
+      time("s05_asis") {
+        SparkEntry.queries("s05_ann_lsh")(s, d)
       }
-      time("s15_cands_only")(cands)
-      time("s15_edges_verified")(edges)
-      time("s15_cc_tail") {
-        graft.ops.Text.connectedComponents(edges)
+      time("s05_sigs_only")(sigs)
+      time("s05_cands_nodistinct")(pairsFrom(sigs))
+      time("s05_cands_distinct")(pairsFrom(sigs).distinct())
+      time("s05_sig_persisted") {
+        val sg = Scoped.persist(sigs)
+        top100(pairsFrom(sg).distinct())
       }
-      time("s12_asis") {
-        SparkEntry.queries("s12_semantic_dedup")(s, d)
-      }
-      time("s12_pairs_only") {
-        val a = Tables.embeddings(s, d).select(
-          col("vec_id").as("da"), col("embedding").as("ea"),
-          vecNorm(col("embedding")).as("na"))
-        val b = Tables.embeddings(s, d).select(
-          col("vec_id").as("db"), col("embedding").as("eb"),
-          vecNorm(col("embedding")).as("nb"))
-        a.crossJoin(b).filter(col("da") < col("db"))
-          .filter((vecDot(col("ea"), col("eb")) /
-            (col("na") * col("nb"))) >= 0.4)
-          .select("da", "db")
-      }
-      // ---- s11 vs s16: where does the inline IVF×PQ spend its
-      //      time? (encode-on-the-fly vs the at-rest coded table) ----
-      time("s11_asis") {
-        SparkEntry.queries("s11_ivfpq_knn")(s, d)
-      }
-      time("s11_encode_only") {
-        graft.ops.Similarity.pqCodes(s, d)
-      }
-      time("s16_asis") {
-        SparkEntry.queries("s16_ivfpq_stored")(s, d)
+      time("s05_nodistinct_top100") {
+        top100(pairsFrom(sigs))
       }
     }
     spark.stop()

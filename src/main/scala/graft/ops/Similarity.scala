@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QuerySpec, SessionMemo, Tables}
+import graft.{QuerySpec, Scoped, SessionMemo, Tables}
 import graft.functions.VectorExprs.{vecDot, vecNorm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -263,28 +263,46 @@ object Similarity {
       .select(col("va"), col("vb"))
   }
 
+  /** Tables × probe-radius multiplicity bound of
+    * [[lshCandidatePairs]]: a Hamming-≤1 pair collides at most once
+    * per table (exact bucket via flip=0 or the single differing-bit
+    * probe), so an undeduped candidate pair appears ≤ NTables times. */
+  private[graft] val LshTables = 12
+
   /** LSH candidate pairs over the whole corpus — the shared candidate
     * generator of s05 (ANN pairs) and s15 (semantic dedup at scale):
     * 12 tables × 8-bit random-hyperplane signatures fused into ONE
     * expression over ONE scan, Hamming-1 multi-probe on the probe
     * side (Lv et al. 2007), salt-split hot buckets via
-    * [[lshBucketJoin]]. Emits each unordered pair once. */
-  private[graft] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val NTables = 12
+    * [[lshBucketJoin]].
+    *
+    * `dedup = true` emits each unordered pair once — a global
+    * pair-distinct shuffle. Consumers that apply a SELECTIVE step
+    * anyway (s05's top-k cut, s15's cosine-threshold verify) pass
+    * `dedup = false` and dedup AFTER that step instead: the round-4
+    * bench regression profiled to exactly this distinct (~0.6 s of
+    * s05's 2.1 s at sf0.1) paid on the full candidate multiset when
+    * ≤ [[LshTables]]-fold duplication is removable later at a
+    * fraction of the rows. */
+  private[graft] def lshCandidatePairs(s: SparkSession, d: String,
+      dedup: Boolean = true): DataFrame = {
     val NBits = 8
     // deterministic pseudo-random hyperplanes (fixed seed)
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Double]] =
-      Seq.fill(NTables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
+      Seq.fill(LshTables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
     val e = Tables.embeddings(s, d)
     // all 96 plane dots fused into ONE expression over ONE scan
     // (the per-table union re-scanned the corpus 12×, re-reading
     // each vector 96 times); signatures carry only ids — candidate
-    // dedup shuffles 2 longs per pair, not two 64-float arrays
-    val sigs = e.select(col("vec_id"),
+    // dedup shuffles 2 longs per pair, not two 64-float arrays.
+    // PERSISTED: the relation is read three times (probe side, build
+    // side, bucket-size guard) — without the persist each read
+    // re-evaluates the 96-dot kernel over the corpus scan.
+    val sigs = Scoped.persist(e.select(col("vec_id"),
         posexplode(graft.functions.VectorExprs.hyperplaneSigs(
           col("embedding"), planes, NBits)))
-      .toDF("vec_id", "tbl", "sig")
+      .toDF("vec_id", "tbl", "sig"))
     // probe side: the exact bucket + every 1-bit-flipped bucket
     // (9 keys/vec/table); build side keeps exact buckets only, so
     // a Hamming-≤1 signature pair collides exactly once per table
@@ -298,9 +316,10 @@ object Similarity {
     val b = sigs.toDF("vb", "tbl", "sig")
     // skew guard: hot buckets (duplicate clusters, zero vectors)
     // are salt-split so no task pairs more than cap build rows
-    lshBucketJoin(a, b, cap = 4096)
+    val pairs = lshBucketJoin(a, b, cap = 4096)
       .filter(col("va") < col("vb"))
-      .select(col("va"), col("vb")).distinct()
+      .select(col("va"), col("vb"))
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** Per-query ADC lookup tables: for each of the (bounded) query
@@ -500,7 +519,17 @@ object Similarity {
       "s05_ann_lsh",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val cands = lshCandidatePairs(s, d)
+        // UNDEDUPED candidates: score first, dedup at the top. The
+        // global pair-distinct shuffled the full candidate multiset
+        // (the round-4 +49% regression); scoring is a broadcast join
+        // + one fused dot per row, and orderBy+limit compiles to
+        // TakeOrderedAndProject (per-partition top-k, no global
+        // sort). A pair appears ≤ LshTables times and duplicates are
+        // IDENTICAL rows, so the top NTables·100 rows are guaranteed
+        // to contain every distinct top-100 pair (≤ 99·NTables rows
+        // can outrank the 100th pair's copies, + its own ≤ NTables
+        // copies); the final distinct+sort runs on 1200 rows.
+        val cands = lshCandidatePairs(s, d, dedup = false)
         val withVec = e.select(col("vec_id"), col("embedding"),
           l2(col("embedding")).as("nrm"))
         cands
@@ -508,6 +537,9 @@ object Similarity {
           .join(withVec.toDF("vb", "eb", "nb"), "vb")
           .select(col("va"), col("vb"),
             (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+          .orderBy(desc("cos"), col("va"), col("vb"))
+          .limit(LshTables * 100)
+          .distinct()
           .orderBy(desc("cos"), col("va"), col("vb"))
           .limit(100)
       },
@@ -915,12 +947,20 @@ object Similarity {
         val e = Tables.embeddings(s, d)
         val withVec = e.select(col("vec_id"), col("embedding"),
           l2(col("embedding")).as("nrm"))
-        val edges = lshCandidatePairs(s, d)
+        // dedup AFTER the cosine threshold, not before: the distinct
+        // then shuffles only the surviving edges (the selective ≥0.4
+        // set) instead of the full ≤12×-duplicated candidate multiset;
+        // duplicate candidates cost one extra fused dot each, far
+        // cheaper than the global pair-distinct they replaced. CC
+        // still requires distinct edges only to keep its per-
+        // generation relations minimal — semantics are unchanged.
+        val edges = lshCandidatePairs(s, d, dedup = false)
           .join(withVec.toDF("va", "ea", "na"), "va")
           .join(withVec.toDF("vb", "eb", "nb"), "vb")
           .filter((dot(col("ea"), col("eb")) /
             (col("na") * col("nb"))) >= 0.4)
           .select(col("va").as("da"), col("vb").as("db"))
+          .distinct()
         val labels = Text.connectedComponents(edges)
         e.select(col("vec_id"))
           .join(labels.toDF("vec_id", "component"), Seq("vec_id"), "left")
