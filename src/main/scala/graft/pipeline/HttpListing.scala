@@ -37,6 +37,17 @@ object HttpListing {
     def get(url: String): HttpResponse
   }
 
+  /** Write-side verbs — the reference's folder-ensure POST, `:/copy`
+    * POST and item DELETE (`sharepoint_to_bronze_delta.py:80-109`)
+    * plus the OAuth2 token POST (`:17-33`) need exactly these two on
+    * top of GET. Kept as a separate trait so read-only consumers keep
+    * the minimal surface. */
+  trait WriteTransport extends Transport {
+    def post(url: String, body: String,
+        contentType: String = "application/json"): HttpResponse
+    def delete(url: String): HttpResponse
+  }
+
   /** Bearer-token source for the transport — the S2 seam
     * (`sharepoint_to_bronze_delta.py:40-49` acquires one via MSAL;
     * here the acquisition stays a connector concern and the engine
@@ -45,6 +56,10 @@ object HttpListing {
   trait CredentialProvider extends Serializable {
     /** Current bearer token, or null/empty for anonymous. */
     def token(): String
+    /** Drop any cached token so the next [[token]] re-acquires —
+      * the 401 recovery hook ([[AuthRefreshTransport]]). No-op for
+      * providers with nothing cached. */
+    def invalidate(): Unit = ()
   }
   object CredentialProvider {
     /** Fixed token (tests, pre-acquired credentials). */
@@ -55,6 +70,85 @@ object HttpListing {
     case object Anonymous extends CredentialProvider {
       override def token(): String = null
     }
+  }
+
+  /** OAuth2 client-credentials token provider — the engine-side twin
+    * of the reference's `AzureAuthenticator`
+    * (`sharepoint_to_bronze_delta.py:17-33`: MSAL
+    * `ConfidentialClientApplication.acquire_token_for_client`, which
+    * performs exactly this form POST and caches the result). The grant
+    * is one POST to the tenant token endpoint with
+    * `grant_type=client_credentials`; the response's `access_token` is
+    * cached until `expires_in` minus a skew window, so steady-state
+    * requests pay zero token calls and a refresh happens at most once
+    * per expiry (double-checked under the lock — concurrent executors
+    * can't stampede the endpoint). A non-200 token response fails
+    * fast (C5: auth errors are RuntimeErrors in the reference `:33`).
+    * The POST rides the same injectable [[WriteTransport]] as every
+    * other call, so the whole flow is scripted in HttpListingSpec. */
+  final class OAuth2ClientCredentials(
+      transport: WriteTransport,
+      tokenUrl: String,
+      clientId: String,
+      clientSecret: String,
+      scope: String = "https://graph.microsoft.com/.default",
+      clock: () => Long = () => System.currentTimeMillis(),
+      skewMs: Long = 60000) extends CredentialProvider {
+
+    @volatile private var cached: (String, Long) = null // (token, expiresAt)
+
+    override def token(): String = {
+      val c = cached
+      if (c != null && clock() < c._2) c._1 else acquire()
+    }
+
+    override def invalidate(): Unit = synchronized { cached = null }
+
+    private def enc(s: String): String =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+    private def acquire(): String = synchronized {
+      val c = cached
+      if (c != null && clock() < c._2) return c._1 // raced: already fresh
+      val form = s"grant_type=client_credentials&client_id=${enc(clientId)}" +
+        s"&client_secret=${enc(clientSecret)}&scope=${enc(scope)}"
+      val resp = transport.post(tokenUrl, form,
+        "application/x-www-form-urlencoded")
+      if (resp.status != 200)
+        throw new RuntimeException(
+          s"Failed to acquire access token: ${resp.status} ${resp.body.take(200)}")
+      val root = new ObjectMapper().readTree(resp.body)
+      val tok = Option(root.get("access_token")).map(_.asText())
+        .filter(_.nonEmpty)
+        .getOrElse(throw new RuntimeException(
+          s"token response carries no access_token: ${resp.body.take(200)}"))
+      val ttlMs = Option(root.get("expires_in")).map(_.asLong() * 1000)
+        .getOrElse(3600L * 1000)
+      cached = (tok, clock() + math.max(ttlMs - skewMs, 0))
+      tok
+    }
+  }
+
+  /** 401 → invalidate → single retry, on any verb: an expired or
+    * revoked bearer gets ONE fresh-token re-send; a second 401 (bad
+    * credentials, not a stale token) surfaces to the caller, where
+    * [[getWithRetry]] fails fast (401 is not retryable). Wraps the
+    * transport rather than the retry loop so the same recovery applies
+    * to the write-side file ops. */
+  final class AuthRefreshTransport(inner: WriteTransport,
+      creds: CredentialProvider) extends WriteTransport {
+    private def refreshing(r: => HttpResponse): HttpResponse = {
+      val first = r
+      if (first.status != 401) first
+      else { creds.invalidate(); r }
+    }
+    override def get(url: String): HttpResponse =
+      refreshing(inner.get(url))
+    override def post(url: String, body: String,
+        contentType: String): HttpResponse =
+      refreshing(inner.post(url, body, contentType))
+    override def delete(url: String): HttpResponse =
+      refreshing(inner.delete(url))
   }
 
   /** The production transport: one plain-JDK `HttpURLConnection` GET
@@ -70,22 +164,32 @@ object HttpListing {
   final class HttpUrlConnectionTransport(
       creds: CredentialProvider = CredentialProvider.Anonymous,
       connectTimeoutMs: Int = 15000,
-      readTimeoutMs: Int = 60000) extends Transport {
-    override def get(url: String): HttpResponse = {
+      readTimeoutMs: Int = 60000) extends WriteTransport {
+
+    private def send(method: String, url: String,
+        body: Option[(String, String)]): HttpResponse = {
       val conn = java.net.URI.create(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       try {
-        conn.setRequestMethod("GET")
+        conn.setRequestMethod(method)
         conn.setConnectTimeout(connectTimeoutMs)
         conn.setReadTimeout(readTimeoutMs)
         conn.setRequestProperty("Accept", "application/json")
         val tok = creds.token()
         if (tok != null && tok.nonEmpty)
           conn.setRequestProperty("Authorization", s"Bearer $tok")
+        body.foreach { case (payload, contentType) =>
+          conn.setRequestProperty("Content-Type", contentType)
+          conn.setDoOutput(true)
+          val os = conn.getOutputStream
+          try os.write(payload.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally os.close()
+        }
         val status = conn.getResponseCode
         val is = if (status >= 400) conn.getErrorStream
                  else conn.getInputStream
-        val body =
+        val respBody =
           if (is == null) ""
           else try new String(is.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8)
@@ -96,9 +200,16 @@ object HttpListing {
             case (k, vs) if k != null && !vs.isEmpty => k -> vs.get(0)
           }.toMap
         }
-        HttpResponse(status, body, headers)
+        HttpResponse(status, respBody, headers)
       } finally conn.disconnect()
     }
+
+    override def get(url: String): HttpResponse = send("GET", url, None)
+    override def post(url: String, body: String,
+        contentType: String): HttpResponse =
+      send("POST", url, Some((body, contentType)))
+    override def delete(url: String): HttpResponse =
+      send("DELETE", url, None)
   }
 
   /** Retry 429/5xx with capped exponential backoff; honor

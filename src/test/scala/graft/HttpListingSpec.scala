@@ -168,6 +168,121 @@ class HttpListingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  // ---- OAuth2 client-credentials provider (S2, reference
+  //      sharepoint_to_bronze_delta.py:17-33) ----
+
+  /** WriteTransport fake: GETs per-URL scripted like FakeTransport;
+    * POSTs pop a queue per URL, recording bodies. */
+  private class FakeWriteTransport(
+      getScript: Map[String, Seq[HttpResponse]],
+      postScript: Map[String, Seq[HttpResponse]])
+      extends HttpListing.WriteTransport {
+    val gets = mutable.Buffer[String]()
+    val posts = mutable.Buffer[(String, String, String)]()
+    val deletes = mutable.Buffer[String]()
+    // like the production transport, consult the credential provider
+    // once per request (recorded, so the 401 test can assert the
+    // re-send really carried a FRESH token)
+    var creds: HttpListing.CredentialProvider = null
+    val auths = mutable.Buffer[String]()
+    private val gq = mutable.Map(getScript.map { case (u, rs) =>
+      u -> mutable.Queue(rs: _*) }.toSeq: _*)
+    private val pq = mutable.Map(postScript.map { case (u, rs) =>
+      u -> mutable.Queue(rs: _*) }.toSeq: _*)
+    private def pop(q: mutable.Queue[HttpResponse]): HttpResponse =
+      if (q.size > 1) q.dequeue() else q.head
+    override def get(url: String): HttpResponse = {
+      gets += url
+      if (creds != null) auths += creds.token()
+      pop(gq.getOrElse(url, fail(s"unexpected GET $url")))
+    }
+    override def post(url: String, body: String,
+        contentType: String): HttpResponse = {
+      posts += ((url, body, contentType))
+      pop(pq.getOrElse(url, fail(s"unexpected POST $url")))
+    }
+    override def delete(url: String): HttpResponse = {
+      deletes += url
+      HttpResponse(204, "")
+    }
+  }
+
+  private val tokUrl = "https://login.example.test/t1/oauth2/v2.0/token"
+  private def tokenResp(tok: String, ttlSec: Long): HttpResponse =
+    HttpResponse(200,
+      s"""{"token_type":"Bearer","expires_in":$ttlSec,"access_token":"$tok"}""")
+
+  test("OAuth2: one form POST, cached until expiry, refresh after") {
+    var now = 1000000L
+    val t = new FakeWriteTransport(Map.empty, Map(
+      tokUrl -> Seq(tokenResp("tok-A", 3600), tokenResp("tok-B", 3600))))
+    val creds = new HttpListing.OAuth2ClientCredentials(
+      t, tokUrl, "client-1", "s3cr&t=chars", clock = () => now)
+    assert(creds.token() == "tok-A")
+    assert(creds.token() == "tok-A") // cached — no second POST
+    assert(t.posts.size == 1)
+    val (u, body, ct) = t.posts.head
+    assert(u == tokUrl && ct == "application/x-www-form-urlencoded")
+    assert(body.contains("grant_type=client_credentials"))
+    assert(body.contains("client_id=client-1"))
+    // reserved chars in the secret are form-encoded, not spliced raw
+    assert(body.contains("client_secret=s3cr%26t%3Dchars"))
+    assert(body.contains(
+      "scope=https%3A%2F%2Fgraph.microsoft.com%2F.default"))
+    // advance past expires_in minus skew: the next token() re-acquires
+    now += (3600 - 30) * 1000L
+    assert(creds.token() == "tok-B")
+    assert(t.posts.size == 2)
+  }
+
+  test("OAuth2: non-200 token response fails fast (C5), nothing cached") {
+    val t = new FakeWriteTransport(Map.empty, Map(
+      tokUrl -> Seq(HttpResponse(400,
+        """{"error":"invalid_client"}"""), tokenResp("tok-A", 3600))))
+    val creds = new HttpListing.OAuth2ClientCredentials(
+      t, tokUrl, "c", "s")
+    val e = intercept[RuntimeException](creds.token())
+    assert(e.getMessage.contains("400"))
+    // failure cached nothing: the next call re-POSTs and succeeds
+    assert(creds.token() == "tok-A")
+    assert(t.posts.size == 2)
+  }
+
+  test("401 refreshes the token ONCE and re-sends; repeat 401 fails fast") {
+    fresh()
+    val listUrl = url("F")
+    val t = new FakeWriteTransport(
+      Map(listUrl -> Seq(
+        HttpResponse(401, """{"error":{"code":"InvalidAuthenticationToken"}}"""),
+        page(Seq(("a.txt", true, 1L)), None))),
+      Map(tokUrl -> Seq(tokenResp("tok-A", 3600), tokenResp("tok-B", 3600))))
+    val creds = new HttpListing.OAuth2ClientCredentials(t, tokUrl, "c", "s")
+    t.creds = creds // per-request token() like the production transport
+    creds.token() // warm the cache so the 401 models an EXPIRED token
+    val authed = new HttpListing.AuthRefreshTransport(t, creds)
+    val out = new HttpListingProvider(base, authed,
+      RetryPolicy(), sleeper).list("F")
+    assert(out.map(_.name) == Seq("a.txt"))
+    assert(t.gets == Seq(listUrl, listUrl)) // one re-send, not a loop
+    assert(t.posts.size == 2) // initial acquire + the 401-triggered refresh
+    assert(t.auths.toSeq == Seq("tok-A", "tok-B")) // re-send used the FRESH token
+    assert(sleeps.isEmpty) // auth recovery never backs off
+
+    // persistent 401 (revoked app, not a stale token): one refresh
+    // attempt, then the 401 surfaces and the retry policy fails fast
+    val t2 = new FakeWriteTransport(
+      Map(listUrl -> Seq(HttpResponse(401, ""))),
+      Map(tokUrl -> Seq(tokenResp("tok-A", 3600))))
+    val creds2 = new HttpListing.OAuth2ClientCredentials(t2, tokUrl, "c", "s")
+    val e = intercept[RuntimeException] {
+      new HttpListingProvider(base,
+        new HttpListing.AuthRefreshTransport(t2, creds2),
+        RetryPolicy(), sleeper).list("F")
+    }
+    assert(e.getMessage.contains("401"))
+    assert(t2.gets.size == 2 && sleeps.isEmpty)
+  }
+
   test("a retry mid-pagination retries only the failing page") {
     fresh()
     val t = new FakeTransport(
