@@ -133,4 +133,101 @@ object Archive {
       Files.delete(src(f)) // K4: only reached after archive success
     }
   }
+
+  /** Graph-backed FileOps over the injectable
+    * [[graft.pipeline.HttpListing.WriteTransport]] — the HTTP twin of
+    * [[LocalFileOps]], wiring the reference's write-side calls
+    * (`sharepoint_to_bronze_delta.py:80-109`) into the same C2/C3
+    * state machine:
+    *
+    *  - `upload`: GET `root:/{folder}/{file}:/content` (the
+    *    download-then-cp at `:163-176`, collapsed to one fetch) →
+    *    bytes land under `bronzeRoot/lakehouse_folder/`; the fetch
+    *    runs with the 429/5xx retry policy (reads are idempotent).
+    *  - `ensureArchiveDir`: GET existence check, else POST
+    *    `{name, folder:{}}` to the parent's `:/children` (two-level
+    *    split exactly like `:85-91`); 200/201 accepted (`:92-94`).
+    *  - `archiveCopy`: POST `:/copy` with a parentReference path and
+    *    the timestamped name (`:96-103`); 200/202 accepted (202 is
+    *    Graph's async-copy accept).
+    *  - `deleteOriginal`: DELETE the item, 204 required (`:105-109`).
+    *
+    * Writes are deliberately single-shot (no 429/5xx retry): `:/copy`
+    * is not idempotent — a retried timeout could double-copy — and the
+    * pipeline's at-least-once contract (C4) already re-archives under
+    * a fresh timestamped name on re-run, matching the reference's
+    * no-retry writes. 401 recovery belongs to the transport layer
+    * (wrap in [[graft.pipeline.HttpListing.AuthRefreshTransport]]).
+    * The drive id lives in `driveBaseUrl`
+    * (`.../drives/{id}`), so payloads carry only the path reference.
+    * Bodies ride [[graft.pipeline.HttpListing.HttpResponse]]'s UTF-8
+    * text surface — fine for the scripted parity tests this twin
+    * exists for; bulk binary ingest stays on the `binaryFile` path
+    * ([[graft.ingest.Ingest]]), which never buffers bodies as
+    * strings. */
+  class HttpFileOps(
+      driveBaseUrl: String,
+      bronzeRoot: String,
+      transport: graft.pipeline.HttpListing.WriteTransport,
+      policy: graft.pipeline.HttpListing.RetryPolicy =
+        graft.pipeline.HttpListing.RetryPolicy(),
+      sleeper: Long => Unit = Thread.sleep,
+      archiveFolderOf: FileMeta => String =
+        f => s"${f.folder_name}/archive")
+      extends FileOps {
+    import graft.pipeline.HttpListing
+    import java.nio.file.{Files, Paths}
+
+    private def itemUrl(f: FileMeta): String =
+      s"$driveBaseUrl/root:/${f.folder_name}/${f.file_name}"
+
+    override def upload(f: FileMeta): Unit = {
+      val resp = HttpListing.getWithRetry(transport, policy, sleeper)(
+        s"${itemUrl(f)}:/content")
+      val dest = Paths.get(bronzeRoot, f.lakehouse_folder,
+        sanitize(f.file_name))
+      Files.createDirectories(dest.getParent)
+      Files.write(dest,
+        resp.body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+
+    override def ensureArchiveDir(f: FileMeta): Unit = {
+      val path = archiveFolderOf(f)
+      val check = transport.get(s"$driveBaseUrl/root:/$path")
+      if (check.status == 200) return // exists — idempotent (K2)
+      val (parent, sub) = path.lastIndexOf('/') match {
+        case -1 => ("", path)
+        case i  => (path.substring(0, i), path.substring(i + 1))
+      }
+      val createUrl =
+        if (parent.nonEmpty) s"$driveBaseUrl/root:/$parent:/children"
+        else s"$driveBaseUrl/root/children"
+      val resp = transport.post(createUrl,
+        s"""{"name":"$sub","folder":{}}""")
+      if (resp.status != 200 && resp.status != 201)
+        throw new RuntimeException(
+          s"Failed to create archive folder '$path': " +
+            s"${resp.status} | ${resp.body.take(200)}")
+    }
+
+    override def archiveCopy(f: FileMeta, archivedName: String): Unit = {
+      val payload =
+        s"""{"parentReference":{"path":"/drive/root:/${archiveFolderOf(f)}"},""" +
+          s""""name":"$archivedName"}"""
+      val resp = transport.post(s"${itemUrl(f)}:/copy", payload)
+      if (resp.status != 200 && resp.status != 202)
+        throw new RuntimeException(
+          s"Failed to copy to archive. Status: ${resp.status} | " +
+            resp.body.take(200))
+    }
+
+    override def deleteOriginal(f: FileMeta): Unit = {
+      val resp = transport.delete(itemUrl(f))
+      if (resp.status != 204)
+        throw new RuntimeException(
+          s"Failed to delete original file. Status: ${resp.status} | " +
+            resp.body.take(200))
+    }
+  }
 }

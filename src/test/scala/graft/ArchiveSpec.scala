@@ -71,6 +71,94 @@ class ArchiveSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(src, "B", "move.csv")))
   }
 
+  test("HTTP FileOps: upload → ensure → copy → delete over scripted Graph calls") {
+    import spark.implicits._
+    ScriptedGraphTransport.reset()
+    val bronze = Files.createTempDirectory("graft-bronze-http").toString
+    val base = "https://graph.example.test/drives/d1"
+    val t = new ScriptedGraphTransport(Map(
+      s"GET $base/root:/Invoices/a.csv:/content" -> ((200, "c1,c2\n1,2")),
+      // archive dir absent (404 default) → created at the parent
+      s"POST $base/root:/Invoices:/children" -> ((201, "{}")),
+      s"POST $base/root:/Invoices/a.csv:/copy" -> ((202, "")),
+      s"DELETE $base/root:/Invoices/a.csv" -> ((204, ""))))
+    val ops = new HttpFileOps(base, bronze, t,
+      graft.pipeline.HttpListing.RetryPolicy(baseDelayMs = 1), _ => ())
+    val m = Archive.run(Seq(meta("a.csv", "Invoices", "True", "True")).toDS,
+      ops, clock).collect().head
+    assert(m.uploaded && m.archived && m.deleted && m.error == null)
+    // content landed under the lakehouse folder
+    assert(Files.readString(
+      Paths.get(bronze, "lh/Invoices", "a.csv")) == "c1,c2\n1,2")
+    // wire order matches the reference state machine; DELETE strictly last
+    val calls = ScriptedGraphTransport.snapshot()
+    assert(calls == Seq(
+      s"GET $base/root:/Invoices/a.csv:/content",
+      s"GET $base/root:/Invoices/archive",
+      s"POST $base/root:/Invoices:/children",
+      s"POST $base/root:/Invoices/a.csv:/copy",
+      s"DELETE $base/root:/Invoices/a.csv"))
+    // folder-create and copy payloads carry the reference's shapes
+    // (name + folder facet; parentReference path + timestamped name)
+    val mk = ScriptedGraphTransport.bodyOf(s"$base/root:/Invoices:/children")
+    assert(mk == """{"name":"archive","folder":{}}""")
+    val cp = ScriptedGraphTransport.bodyOf(s"$base/root:/Invoices/a.csv:/copy")
+    assert(cp.contains(""""name":"141125173005_a.csv""""))
+    assert(cp.contains(""""path":"/drive/root:/Invoices/archive""""))
+  }
+
+  test("HTTP FileOps: existing archive dir skips the create POST (K2)") {
+    import spark.implicits._
+    ScriptedGraphTransport.reset()
+    val bronze = Files.createTempDirectory("graft-bronze-http2").toString
+    val base = "https://graph.example.test/drives/d1"
+    val t = new ScriptedGraphTransport(Map(
+      s"GET $base/root:/A/f.txt:/content" -> ((200, "x")),
+      s"GET $base/root:/A/archive" -> ((200, """{"folder":{}}""")),
+      s"POST $base/root:/A/f.txt:/copy" -> ((200, "")),
+      s"DELETE $base/root:/A/f.txt" -> ((204, ""))))
+    val m = Archive.run(Seq(meta("f.txt", "A", "True", "True")).toDS,
+      new HttpFileOps(base, bronze, t,
+        graft.pipeline.HttpListing.RetryPolicy(baseDelayMs = 1), _ => ()),
+      clock).collect().head
+    assert(m.uploaded && m.archived && m.deleted)
+    assert(!ScriptedGraphTransport.snapshot().exists(_.contains(":/children")))
+  }
+
+  test("HTTP FileOps: failed copy POST retains the original (C3), failed upload isolates (C2)") {
+    import spark.implicits._
+    ScriptedGraphTransport.reset()
+    val bronze = Files.createTempDirectory("graft-bronze-http3").toString
+    val base = "https://graph.example.test/drives/d1"
+    val t = new ScriptedGraphTransport(Map(
+      // badcopy: uploads fine, archive-create fine, copy blows up 500
+      s"GET $base/root:/A/badcopy.txt:/content" -> ((200, "x")),
+      s"GET $base/root:/A/archive" -> ((200, "{}")),
+      s"POST $base/root:/A/badcopy.txt:/copy" -> ((500, """{"error":"boom"}""")),
+      // ok: full happy path
+      s"GET $base/root:/A/ok.txt:/content" -> ((200, "y")),
+      s"POST $base/root:/A/ok.txt:/copy" -> ((202, "")),
+      s"DELETE $base/root:/A/ok.txt" -> ((204, ""))))
+      // badup: content GET stays unscripted → 404 → fail-fast
+    val files = Seq(meta("badcopy.txt", "A", "True", "True"),
+      meta("ok.txt", "A", "True", "True"),
+      meta("badup.txt", "A", "True", "True"))
+    val m = Archive.run(files.toDS,
+      new HttpFileOps(base, bronze, t,
+        graft.pipeline.HttpListing.RetryPolicy(baseDelayMs = 1), _ => ()),
+      clock).collect().map(x => x.file_name -> x).toMap
+    // C3: the 500 on :/copy surfaces as an archive error; DELETE never sent
+    val bad = m("badcopy.txt")
+    assert(bad.uploaded && !bad.archived && !bad.deleted)
+    assert(bad.error.contains("archive") && bad.error.contains("500"))
+    assert(!ScriptedGraphTransport.snapshot()
+      .contains(s"DELETE $base/root:/A/badcopy.txt"))
+    // C2: the 404 upload fails that file only; ok.txt ran to completion
+    assert(!m("badup.txt").uploaded &&
+      m("badup.txt").error.contains("upload"))
+    assert(m("ok.txt").uploaded && m("ok.txt").archived && m("ok.txt").deleted)
+  }
+
   test("delete is gated on archive success; failures isolate per file") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-src2").toString
@@ -101,4 +189,41 @@ class ArchiveSpec extends SparkSpec {
     assert(bad.error.contains("archive"))
     assert(Files.exists(Paths.get(src, "A", "badarch.csv")))
   }
+}
+
+/** Scripted WriteTransport for executor-side FileOps tests. The
+  * response script rides the serialized instance (immutable map);
+  * recorded calls/bodies ride the companion's STATIC buffers —
+  * `Archive.run` serializes the ops into tasks, so instance-field
+  * recording would land in the task's clone, invisible to the driver
+  * (local mode shares the JVM, statics don't get cloned). Unscripted
+  * URLs answer 404 (absent resource / fail-fast probe). */
+class ScriptedGraphTransport(script: Map[String, (Int, String)])
+    extends graft.pipeline.HttpListing.WriteTransport {
+  import graft.pipeline.HttpListing.HttpResponse
+  private def resp(key: String): HttpResponse = {
+    ScriptedGraphTransport.calls.add(key)
+    script.get(key).map { case (st, b) => HttpResponse(st, b) }
+      .getOrElse(HttpResponse(404, s"""{"error":"no script for $key"}"""))
+  }
+  override def get(url: String): HttpResponse = resp(s"GET $url")
+  override def post(url: String, body: String,
+      contentType: String): HttpResponse = {
+    ScriptedGraphTransport.bodies.put(url, body)
+    resp(s"POST $url")
+  }
+  override def delete(url: String): HttpResponse = resp(s"DELETE $url")
+}
+
+object ScriptedGraphTransport {
+  private val calls =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  private val bodies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def reset(): Unit = { calls.clear(); bodies.clear() }
+  def snapshot(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    calls.asScala.toSeq
+  }
+  def bodyOf(url: String): String = bodies.get(url)
 }

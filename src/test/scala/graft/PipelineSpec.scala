@@ -112,6 +112,49 @@ class PipelineSpec extends SparkSpec {
       assert(Files.exists(Paths.get(bronze, "lh/inv", f))))
   }
 
+  test("full HTTP lifecycle: list → fetch → archive copy → gated delete on one scripted transport") {
+    import graft.pipeline.HttpListingProvider
+    import graft.pipeline.HttpListing.RetryPolicy
+    // the whole reference pipeline (S5 listing + :80-109 write ops)
+    // against ONE scripted Graph endpoint: discovery and the per-file
+    // state machine both ride the same WriteTransport, with the C3
+    // gate proven over HTTP (500 on :/copy ⇒ no DELETE ever sent)
+    ScriptedGraphTransport.reset()
+    val bronze = Files.createTempDirectory("graft-pipe-http-full").toString
+    val base = "https://graph.example.test/drives/d1"
+    val t = new ScriptedGraphTransport(Map(
+      s"GET $base/root:/Invoices:/children" -> ((200,
+        """{"value":[{"name":"a.csv","size":6,"file":{"mimeType":"text/csv"}},
+          {"name":"bad.csv","size":8,"file":{"mimeType":"text/csv"}},
+          {"name":"Sub","folder":{"childCount":1}}]}""")),
+      s"GET $base/root:/Invoices/a.csv:/content" -> ((200, "data-a")),
+      s"GET $base/root:/Invoices/bad.csv:/content" -> ((200, "data-bad")),
+      s"GET $base/root:/Invoices/archive" -> ((200, "{}")),
+      s"POST $base/root:/Invoices/a.csv:/copy" -> ((202, "")),
+      s"POST $base/root:/Invoices/bad.csv:/copy" ->
+        ((500, """{"error":"copy boom"}""")),
+      s"DELETE $base/root:/Invoices/a.csv" -> ((204, ""))))
+    val res = TransferPipeline.run(spark,
+      Seq(SourceFolderCfg("Invoices", "Fin", "lh/inv", "True", "True")),
+      new HttpListingProvider(base, t, RetryPolicy(baseDelayMs = 1), _ => ()),
+      new Archive.HttpFileOps(base, bronze, t,
+        RetryPolicy(baseDelayMs = 1), _ => ()),
+      clock).get
+    // the folder facet was filtered (P1); both files transferred
+    assert(res.catalog.collect().map(_.file_name).sorted.toSeq ==
+      Seq("a.csv", "bad.csv"))
+    val m = res.manifest.collect().map(x => x.file_name -> x).toMap
+    assert(m("a.csv").uploaded && m("a.csv").archived && m("a.csv").deleted)
+    assert(Files.readString(
+      Paths.get(bronze, "lh/inv", "a.csv")) == "data-a")
+    // C3 over HTTP: failed :/copy retains the original — no DELETE
+    val bad = m("bad.csv")
+    assert(bad.uploaded && !bad.archived && !bad.deleted)
+    assert(bad.error.contains("archive") && bad.error.contains("500"))
+    assert(!ScriptedGraphTransport.snapshot()
+      .contains(s"DELETE $base/root:/Invoices/bad.csv"))
+  }
+
   test("production path end-to-end: real HTTP transport over a loopback server → catalog → bronze") {
     import graft.pipeline.{HttpListing, HttpListingProvider}
     import graft.pipeline.HttpListing.{CredentialProvider, RetryPolicy}
