@@ -374,6 +374,27 @@ object Similarity {
   // The memo holds only the temp PATH — the data lives in parquet.
   private val codedMemo = new SessionMemo[(String, Int, Int, Int), String]
 
+  /** (vec_id, cid, codes) projection of an arbitrary corpus under the
+    * FROZEN model trained on `modelDir` — coarse cell AND 8-byte PQ
+    * codes from one scan, no join. Shared by the initial coded-table
+    * build ([[codedCorpusPath]]) and incremental maintenance
+    * ([[appendToCodedCorpus]]): index maintenance never retrains —
+    * the layout IS the model's, new vectors are assigned into it, and
+    * retraining is a rebuild, not an append. */
+  private[graft] def encodeWith(s: SparkSession, modelDir: String,
+      corpus: DataFrame, m: Int = 8, k: Int = 16,
+      kCells: Int = 8): DataFrame = {
+    val (centroids, _) = kMeansModel(s, modelDir, kCells)
+    val books = pqModel(s, modelDir, m, k)
+    val allBooks = array(books.map(centroidLit): _*)
+    val sub = 64 / m
+    corpus.select(col("vec_id"),
+      nearest(centroids, vec(col("embedding"))).getField("cid").as("cid"),
+      transform(sequence(lit(0), lit(m - 1)), mi =>
+        nearestIn(element_at(allBooks, mi + 1), subVec(mi, sub))
+          .getField("cid")).as("codes"))
+  }
+
   /** Write (vec_id, cid, codes) partitioned by cid — one corpus scan,
     * once per session; returns the table path. This is the storage
     * half of the IVF×PQ design: at 100 TB the codes table is ~32×
@@ -382,21 +403,78 @@ object Similarity {
   def codedCorpusPath(s: SparkSession, d: String, m: Int = 8,
       k: Int = 16, kCells: Int = 8): String =
     codedMemo.getOrCompute(s, (d, m, k, kCells)) {
-      val (centroids, _) = kMeansModel(s, d, kCells)
-      val books = pqModel(s, d, m, k)
-      val allBooks = array(books.map(centroidLit): _*)
-      val sub = 64 / m
       val out = java.nio.file.Files
         .createTempDirectory("graft-coded-").toString
-      Tables.embeddings(s, d).select(col("vec_id"),
-          nearest(centroids, vec(col("embedding"))).getField("cid")
-            .as("cid"),
-          transform(sequence(lit(0), lit(m - 1)), mi =>
-            nearestIn(element_at(allBooks, mi + 1), subVec(mi, sub))
-              .getField("cid")).as("codes"))
+      encodeWith(s, d, Tables.embeddings(s, d), m, k, kCells)
         .write.partitionBy("cid").mode("overwrite").parquet(out)
       out
     }
+
+  /** Incremental coded-table maintenance (the consumer-side freshness
+    * story of the at-rest IVF×PQ layout): encode ONLY the delta under
+    * the frozen `modelDir` model and APPEND it into the partitioned
+    * coded table — new parquet files land inside the existing
+    * `cid=` directories, committed bytes are never rewritten, and the
+    * stored search ([[ivfPqSearch]] / s16) sees the union on its next
+    * scan with the same directory pruning. Wire it to the bronze
+    * change feed ([[graft.ingest.BronzeMerge.readChanges]]): the
+    * consumer checkpoints a version, reads the appended window, and
+    * pays encode cost proportional to the DELTA, not the corpus —
+    * the at-100-TB requirement (re-encoding the corpus per arrival
+    * is the rebuild this function exists to avoid). Returns the
+    * table path. */
+  def appendToCodedCorpus(s: SparkSession, modelDir: String,
+      delta: DataFrame, m: Int = 8, k: Int = 16,
+      kCells: Int = 8): String = {
+    val path = codedCorpusPath(s, modelDir, m, k, kCells)
+    encodeWith(s, modelDir, delta, m, k, kCells)
+      .write.partitionBy("cid").mode("append").parquet(path)
+    path
+  }
+
+  /** The IVF×PQ search plan over an explicit coded table + rerank
+    * corpus, model frozen to `modelDir` — the shared engine of s16
+    * (stored layout) and the maintenance spec (post-append ≡ inline
+    * on the union). Probed cells arrive as a partition FILTER
+    * (directory pruning on the `cid=` layout, PlanSpec-pinned via
+    * s16); the ADC fold runs on stored codes; only the top-50
+    * shortlist touches float vectors. */
+  private[graft] def ivfPqSearch(s: SparkSession, modelDir: String,
+      codedTable: DataFrame, corpus: DataFrame, m: Int = 8,
+      k: Int = 16, kCells: Int = 8, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val probes = queryProbes(s, modelDir, kCells, nprobe)
+    val qdf = queryLuts(s, modelDir, m, k)
+      .map { case (qid, lut) => (qid, lut, probes(qid)) }
+      .toDF("qid", "lut", "probes")
+    val allProbed = probes.values.flatten.toSeq.distinct.sorted
+    val coded = codedTable
+      .filter(col("cid").isin(allProbed: _*)) // partition pruning
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(desc("adc"), col("vec_id"))
+    val shortlist = coded.join(broadcast(qdf),
+        array_contains(col("probes"), col("cid")) &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorExprs.adcScore(col("codes"), col("lut"))
+          .as("adc"))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= 50)
+      .select(col("qid"), col("vec_id"))
+    val qe = Tables.embeddings(s, modelDir)
+      .filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wCos = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos"), col("vec_id"))
+    shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qe), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(wCos))
+      .filter(col("rk") <= 5)
+      .orderBy("qid", "rk")
+  }
 
   /** (vec_id, codes) under the trained codebooks — one corpus scan,
     * all m argmaxes fused into a single projection. */
@@ -989,40 +1067,10 @@ object Similarity {
     QuerySpec(
       "s16_ivfpq_stored",
       (s, d) => {
-        import s.implicits._
-        val m = 8; val k = 16
-        val kCells = 8; val nprobe = 4
-        val probes = queryProbes(s, d, kCells, nprobe)
-        val qdf = queryLuts(s, d, m, k)
-          .map { case (qid, lut) => (qid, lut, probes(qid)) }
-          .toDF("qid", "lut", "probes")
-        val allProbed = probes.values.flatten.toSeq.distinct.sorted
-        val coded = s.read.parquet(codedCorpusPath(s, d, m, k, kCells))
-          .filter(col("cid").isin(allProbed: _*)) // partition pruning
-        val wAdc = Window.partitionBy(col("qid"))
-          .orderBy(desc("adc"), col("vec_id"))
-        val shortlist = coded.join(broadcast(qdf),
-            array_contains(col("probes"), col("cid")) &&
-              col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            graft.functions.VectorExprs.adcScore(col("codes"), col("lut"))
-              .as("adc"))
-          .withColumn("ark", row_number().over(wAdc))
-          .filter(col("ark") <= 50)
-          .select(col("qid"), col("vec_id"))
-        val e = Tables.embeddings(s, d)
-        val qe = e.filter(col("vec_id") < QueryIds)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val wCos = Window.partitionBy(col("qid"))
-          .orderBy(desc("cos"), col("vec_id"))
-        shortlist
-          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-          .join(broadcast(qe), "qid")
-          .select(col("qid"), col("vec_id"),
-            cosine(col("qv"), col("embedding")).as("cos"))
-          .withColumn("rk", row_number().over(wCos))
-          .filter(col("rk") <= 5)
-          .orderBy("qid", "rk")
+        val m = 8; val k = 16; val kCells = 8
+        ivfPqSearch(s, d,
+          s.read.parquet(codedCorpusPath(s, d, m, k, kCells)),
+          Tables.embeddings(s, d), m, k, kCells)
       },
       None),
 

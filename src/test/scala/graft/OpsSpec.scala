@@ -267,6 +267,76 @@ class OpsSpec extends SparkSpec {
       s"hash split degenerated: max group $groupMax vs cap $cap")
   }
 
+  test("incremental ANN maintenance: change-feed delta appended; stored search ≡ frozen-model inline on the union") {
+    import graft.ops.Similarity
+    import graft.ingest.BronzeMerge
+    import java.nio.file.{Files, Path, Paths}
+    Similarity.clearModels() // fresh memos → fresh coded table
+    val all = Tables.embeddings(spark, sf0001)
+    val tmp = Files.createTempDirectory("ann-maint")
+    val baseDir = tmp.resolve("base").toString
+    val bronze = tmp.resolve("bronze").toString
+    val base = all.filter(col("vec_id") < 400)
+    val delta = all.filter(col("vec_id") >= 400)
+    base.write.parquet(s"$baseDir/embeddings.parquet")
+
+    // embeddings arrive through the bronze table: base at v1, the new
+    // batch at v2; the maintenance consumer checkpoints v1 and reads
+    // ONLY the appended window via the change feed
+    def withKeys(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("file_name", concat(lit("vec_"), col("vec_id")))
+      .withColumn("length", col("vec_id"))
+      .withColumn("modified", lit("2026-01-01 00:00:00").cast("timestamp"))
+    assert(BronzeMerge.mergeIngestDf(spark, withKeys(base), bronze) == 400L)
+    assert(BronzeMerge.mergeIngestDf(spark, withKeys(delta), bronze) ==
+      delta.count())
+    val feed = BronzeMerge.readChanges(spark, bronze, 1, 2)
+      .select("vec_id", "embedding")
+    assert(feed.count() == delta.count())
+
+    // initial coded table from the base corpus (frozen model)
+    val path = Similarity.codedCorpusPath(spark, baseDir)
+    def parquetFiles(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map[String, Long]()
+      Files.walk(Paths.get(path)).forEach { (p: Path) =>
+        if (p.toString.endsWith(".parquet"))
+          out += (p.toString -> Files.size(p))
+      }
+      out.toMap
+    }
+    val before = parquetFiles()
+    val baseRows = spark.read.parquet(path).count()
+    assert(baseRows == 400L)
+
+    Similarity.appendToCodedCorpus(spark, baseDir, feed)
+
+    // ONLY the delta was encoded: every pre-existing file survives
+    // byte-identical (name + size), and the appended files carry
+    // exactly the delta's rows
+    val after = parquetFiles()
+    assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
+      "append rewrote committed coded files")
+    assert(spark.read.parquet(path).count() == baseRows + delta.count())
+    val newFiles = (after.keySet -- before.keySet).toSeq
+    assert(newFiles.nonEmpty)
+    assert(spark.read.parquet(newFiles: _*)
+      .agg(min("vec_id"), count(lit(1))).head() match {
+        case r => r.getLong(0) >= 400L && r.getLong(1) == delta.count()
+      })
+
+    // stored search over the appended table answers EXACTLY like the
+    // frozen-model inline plan over the unioned corpus, row for row —
+    // the index stays a pure acceleration structure after maintenance
+    val union = base.unionByName(delta)
+    val stored = Similarity.ivfPqSearch(spark, baseDir,
+      spark.read.parquet(path), union).collect().toSeq
+    val inline = Similarity.ivfPqSearch(spark, baseDir,
+      Similarity.encodeWith(spark, baseDir, union), union).collect().toSeq
+    assert(stored == inline)
+    assert(stored.nonEmpty)
+    Similarity.clearModels() // drop the per-test coded table memo
+  }
+
   test("model memos are per-session, weakly keyed, and clearable") {
     import graft.ops.Similarity
     Similarity.clearModels()
