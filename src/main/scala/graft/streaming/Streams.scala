@@ -350,6 +350,41 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming ANN index maintenance — the always-on twin of
+    * [[graft.ops.Similarity.appendToCodedCorpus]]: each micro-batch
+    * of (vec_id, embedding) rows is encoded under the FROZEN
+    * `modelDir` model and appended into the at-rest coded table, so
+    * the stored search (s16) answers over everything ingested so far
+    * without ever re-encoding the corpus. Per-batch cost is
+    * O(micro-batch); committed coded files are never rewritten.
+    * Returns the started query — drive it with the default trigger
+    * for continuous freshness or `Trigger.AvailableNow` for
+    * checkpointed catch-up. Delivery: the checkpoint gives
+    * effectively-once batches; a mid-batch crash can replay one
+    * append, so the exactly-once composition routes embeddings
+    * through the bronze table first ([[streamMergeIngest]]'s
+    * identity anti-join) and feeds this from the change feed. */
+  def maintainCodedCorpus(embeddings: DataFrame, modelDir: String,
+      checkpoint: String, m: Int = 8, k: Int = 16, kCells: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the memoized model/table lookups must see the SOURCE session:
+    // foreachBatch runs under a per-query CLONE (batch.sparkSession),
+    // and a clone-keyed memo miss would silently rebuild the coded
+    // table at a fresh path and append the delta there
+    val session = embeddings.sparkSession
+    embeddings.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Similarity.appendToCodedCorpus(session,
+            modelDir, batch.select(col("vec_id"), col("embedding")),
+            m, k, kCells)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Checkpointed file ingest: every file that appears in `srcDir` is
     * ingested exactly once across runs — the streaming-native
     * replacement for the reference's archive-so-not-reingested

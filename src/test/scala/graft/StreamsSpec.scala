@@ -450,4 +450,46 @@ class StreamsSpec extends SparkSpec {
       assert(batch(id)._2 == pred)
     }
   }
+
+  test("streaming ANN maintenance: out-of-order micro-batches keep stored search ≡ inline") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    Similarity.clearModels()
+    val tmp = Files.createTempDirectory("ann-stream")
+    val baseDir = tmp.resolve("base").toString
+    val all = Tables.embeddings(spark, sf0001)
+    val base = all.filter(col("vec_id") < 400)
+    base.write.parquet(s"$baseDir/embeddings.parquet")
+    val path = Similarity.codedCorpusPath(spark, baseDir)
+    assert(spark.read.parquet(path).count() == 400L)
+
+    // new embeddings arrive as a STREAM, in two micro-batches, out of
+    // id order — batch boundaries and arrival order must be invisible
+    // to the search
+    val delta: Seq[(Long, Seq[Float])] = all.filter(col("vec_id") >= 400)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val (late, early) = delta.partition(_._1 % 3 == 0)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.maintainCodedCorpus(
+      ms.toDF.toDF("vec_id", "embedding"), baseDir,
+      tmp.resolve("ckpt").toString)
+    try {
+      ms.addData(early: _*); q.processAllAvailable()
+      ms.addData(late: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(spark.read.parquet(path).count() == 400L + delta.size)
+    // stored search over the maintained table ≡ frozen-model inline
+    // over the full corpus, row for row
+    val union = all
+    val stored = Similarity.ivfPqSearch(spark, baseDir,
+      spark.read.parquet(path), union).collect().toSeq
+    val inline = Similarity.ivfPqSearch(spark, baseDir,
+      Similarity.encodeWith(spark, baseDir, union), union).collect().toSeq
+    assert(stored == inline && stored.nonEmpty)
+    Similarity.clearModels()
+  }
 }
