@@ -1114,6 +1114,139 @@ object Similarity {
             ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS INT) AS rk
         FROM embeddings q JOIN embeddings e ON q.vec_id < $QueryIds
           AND e.vec_id <> q.vec_id AND e.label = q.label) t
-      WHERE rk <= 5 ORDER BY qid, rk"""))
+      WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    // ---- HYBRID retrieval: reciprocal-rank fusion (Cormack et al.
+    //      SIGIR'09, k=60) of a LEXICAL BM25 rank list (t36's scoring
+    //      over the documents text) and a SEMANTIC cosine rank list
+    //      (the s03 metric over embeddings, query vector = the query's
+    //      id) — the two-tower retrieval shape every RAG/training-
+    //      retrieval stack runs, fused WITHOUT score calibration
+    //      (RRF uses only integer ranks, which is why it composes
+    //      lists whose scores live on different scales). Candidates =
+    //      top-50 of each list; a doc missing from one list simply
+    //      contributes nothing there (at sf0.1 only 40% of docs have
+    //      embeddings — fusing partial coverage is the point). All
+    //      arithmetic is deterministic: ranks are integers, each RRF
+    //      term is one IEEE division, the fuse is one fixed-order
+    //      addition — hash-matched end to end. At 100 TB each list is
+    //      the operator it reuses (BM25 = query-vocab-pruned postings;
+    //      cosine = the ANN chain s05/s11/s16 stands in for the
+    //      brute-force rank here), and the fuse joins two ≤50-row
+    //      lists per query. ----
+    QuerySpec(
+      "s18_hybrid_rrf",
+      (s, d) => {
+        import s.implicits._
+        val queries = Seq(
+          (1L, "vector"), (1L, "hash"), (1L, "join"),
+          (2L, "stream"), (2L, "window"), (2L, "agg"),
+          (3L, "scan"), (3L, "filter"), (3L, "sort"))
+          .toDF("qid", "t")
+        // lexical list: BM25 (k1=1.2, b=0.75), rank within query
+        val docs = Tables.documents(s, d)
+        val dtoks = split(col("text"), " ")
+        val lens = docs.select(col("doc_id"),
+          size(dtoks).cast("long").as("dl"))
+        val stats = lens.agg(count(lit(1)).as("n"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = docs.select(col("doc_id"), explode(dtoks).as("t"))
+          .join(broadcast(queries.select("t").distinct()), "t")
+          .groupBy(col("doc_id"), col("t"))
+          .agg(count(lit(1)).as("tf"))
+        val w = tf
+          .join(broadcast(tf.groupBy(col("t"))
+            .agg(count(lit(1)).as("df"))), "t")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .join(broadcast(queries), "t")
+          .select(col("qid"), col("doc_id"),
+            (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              .as("w"))
+        val wLex = Window.partitionBy(col("qid"))
+          .orderBy(desc("score"), col("doc_id"))
+        val lex = w.groupBy(col("qid"), col("doc_id"))
+          .agg(dsum(col("w")).as("score"))
+          .withColumn("lrk", row_number().over(wLex))
+          .filter(col("lrk") <= 50)
+          .select(col("qid"), col("doc_id"), col("lrk"))
+        // semantic list: cosine of the query's own embedding
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wSem = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("doc_id"))
+        val sem = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("srk", row_number().over(wSem))
+          .filter(col("srk") <= 50)
+          .select(col("qid"), col("doc_id"), col("srk"))
+        // fuse: rrf = 1/(60+lrk) + 1/(60+srk), absent list ⇒ 0
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(desc("rrf"), col("doc_id"))
+        lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+          .select(col("qid"), col("doc_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("lrk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("srk")), lit(0.0)))
+              .as("rrf"),
+            col("lrk"), col("srk"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 10)
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH q(qid, t) AS (VALUES
+        (1,'vector'),(1,'hash'),(1,'join'),
+        (2,'stream'),(2,'window'),(2,'agg'),
+        (3,'scan'),(3,'filter'),(3,'sort')),
+      lens AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
+                 AS dl FROM documents),
+      stats AS (SELECT COUNT(1) AS n,
+                  CAST(SUM(dl) AS DOUBLE) / COUNT(1) AS avgdl FROM lens),
+      tf AS (SELECT doc_id, t, COUNT(1) AS tf FROM (
+               SELECT doc_id, unnest(str_split(text, ' ')) AS t
+               FROM documents)
+             WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
+      dft AS (SELECT t, COUNT(1) AS df FROM tf GROUP BY 1),
+      w AS (SELECT q.qid, tf.doc_id,
+              ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / s.avgdl)) AS w
+            FROM tf
+            JOIN dft USING (t)
+            JOIN lens USING (doc_id)
+            JOIN q ON q.t = tf.t, stats s),
+      lex AS (SELECT qid, doc_id, lrk FROM (
+          SELECT qid, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score DESC, doc_id) AS INT) AS lrk
+          FROM (SELECT qid, doc_id, ${dsumSql("w")} AS score
+                FROM w GROUP BY 1, 2))
+        WHERE lrk <= 50),
+      sem AS (SELECT qid, doc_id, srk FROM (
+          SELECT qv.vec_id AS qid, e.vec_id AS doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+              ORDER BY ${cosineSql("qv", "e")} DESC, e.vec_id) AS INT)
+              AS srk
+          FROM embeddings qv JOIN embeddings e
+            ON qv.vec_id IN (1, 2, 3) AND e.vec_id <> qv.vec_id)
+        WHERE srk <= 50),
+      fused AS (SELECT CAST(COALESCE(lex.qid, sem.qid) AS BIGINT) AS qid,
+          COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+          (COALESCE(CAST(1.0 AS DOUBLE) / (60 + lrk), CAST(0 AS DOUBLE))
+            + COALESCE(CAST(1.0 AS DOUBLE) / (60 + srk),
+                CAST(0 AS DOUBLE))) AS rrf,
+          lrk, srk
+        FROM lex FULL OUTER JOIN sem
+          ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id)
+      SELECT qid, doc_id, rrf, lrk, srk,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY rrf DESC, doc_id) AS INT) AS rk
+      FROM fused QUALIFY rk <= 10 ORDER BY qid, rk"""))
   )
 }

@@ -1861,6 +1861,96 @@ object Text {
           / (CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE)
              / CAST(n.n AS DOUBLE)) AS contrib
       FROM cells c JOIN rt r USING (split) JOIN ct t USING (lang), n
-      ORDER BY split, lang"""))
+      ORDER BY split, lang""")),
+
+    // ---- BM25 top-k retrieval (Robertson/Sparck Jones; k1=1.2,
+    //      b=0.75): the LEXICAL half of hybrid retrieval, next to the
+    //      vector chain (s03…s16) and over the same corpus as t27's
+    //      inverted index. Everything is one token scan restricted to
+    //      the query vocabulary (a 9-term broadcast): tf per
+    //      (doc, term), df per term from those postings, corpus
+    //      length stats as a broadcast scalar — no full-vocab state
+    //      anywhere, so the plan carries O(matching postings), not
+    //      O(corpus vocabulary). Per-term weights are single-rounded
+    //      IEEE arithmetic on integer counts (both engines compute
+    //      the identical double, ln included to ≤1 ulp); the per-doc
+    //      SUM crosses the order-dependence line and takes the
+    //      decimal-exact dsum hop, so ranking and the rounded score
+    //      hash-match. Ties (duplicate docs score identically) break
+    //      on doc_id in both engines. At 100 TB: query-vocab
+    //      restriction prunes the token explode at the scan, the only
+    //      shuffle is the (doc, term)→(doc) rollup of ≤|q| rows per
+    //      doc, and top-10-per-query is a bounded window. ----
+    QuerySpec(
+      "t36_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        val queries = Seq(
+          (1, "vector"), (1, "hash"), (1, "join"),
+          (2, "stream"), (2, "window"), (2, "agg"),
+          (3, "scan"), (3, "filter"), (3, "sort"))
+          .toDF("qid", "t")
+        val docs = Tables.documents(s, d)
+        val lens = docs.select(col("doc_id"),
+          size(toks).cast("long").as("dl"))
+        val stats = lens.agg(count(lit(1)).as("n"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = docs.select(col("doc_id"), explode(toks).as("t"))
+          .join(broadcast(queries.select("t").distinct()), "t")
+          .groupBy(col("doc_id"), col("t"))
+          .agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy(col("t"))
+          .agg(count(lit(1)).as("df"))
+        val w = tf
+          .join(broadcast(dft), "t")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .join(broadcast(queries), "t")
+          .select(col("qid"), col("doc_id"),
+            (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              .as("w"))
+        val sc = w.groupBy(col("qid"), col("doc_id"))
+          .agg(dsum(col("w")).as("score"))
+        val rk = Window.partitionBy(col("qid"))
+          .orderBy(desc("score"), col("doc_id"))
+        sc.withColumn("rk", row_number().over(rk))
+          .filter(col("rk") <= 10)
+          .select(col("qid"), col("rk"), col("doc_id"),
+            round(col("score"), 6).as("score"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH q(qid, t) AS (VALUES
+        (1,'vector'),(1,'hash'),(1,'join'),
+        (2,'stream'),(2,'window'),(2,'agg'),
+        (3,'scan'),(3,'filter'),(3,'sort')),
+      lens AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
+                 AS dl FROM documents),
+      stats AS (SELECT COUNT(1) AS n,
+                  CAST(SUM(dl) AS DOUBLE) / COUNT(1) AS avgdl FROM lens),
+      tf AS (SELECT doc_id, t, COUNT(1) AS tf FROM (
+               SELECT doc_id, unnest(str_split(text, ' ')) AS t
+               FROM documents)
+             WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
+      dft AS (SELECT t, COUNT(1) AS df FROM tf GROUP BY 1),
+      w AS (SELECT q.qid, tf.doc_id,
+              ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / s.avgdl)) AS w
+            FROM tf
+            JOIN dft USING (t)
+            JOIN lens USING (doc_id)
+            JOIN q ON q.t = tf.t, stats s),
+      sc AS (SELECT qid, doc_id, ${dsumSql("w")} AS score
+             FROM w GROUP BY 1, 2),
+      ranked AS (SELECT qid, doc_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id) AS INT) AS rk
+             FROM sc)
+      SELECT qid, rk, doc_id, ROUND(score, 6) AS score
+      FROM ranked WHERE rk <= 10 ORDER BY qid, rk"""))
   )
 }
