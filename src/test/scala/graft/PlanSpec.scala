@@ -172,6 +172,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(bkt"), p.take(800))
   }
 
+  test("t36: query vocabulary broadcasts against the token explode; no cartesian") {
+    val p = plan("t36_bm25_topk")
+    // the 9-term vocabulary must reach the exploded tokens as a
+    // broadcast (postings pruned at the scan side), never a shuffle
+    // of the full token relation against 9 rows — and nothing in the
+    // BM25 plan is a cartesian product
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // stats (n, avgdl) ride a broadcast nested-loop of ONE row, not
+    // a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(

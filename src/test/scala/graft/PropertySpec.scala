@@ -66,6 +66,18 @@ object PropertySpec extends Properties("archive") {
         direct == merged
     }
 
+  property("KMV reduce fast path ≡ merge-based reduce") =
+    // the round-5 O(1) skip (buffer full, hash ≥ current kth, or
+    // already present) must be semantically invisible: folding the
+    // stream through Aggregator.reduce equals the naive merge fold
+    forAll(hashSets, Gen.choose(1, 16)) { (hs, k) =>
+      val agg = new Kmv(k)
+      val viaReduce = hs.foldLeft(agg.zero)(agg.reduce)
+      val viaMerge = hs.foldLeft(Seq.empty[Long])(
+        (b, h) => Kmv.merge(b, Vector(h), k))
+      viaReduce == viaMerge
+    }
+
   property("KMV estimate is exact below capacity") =
     forAll(hashSets, Gen.choose(1, 64)) { (hs, extra) =>
       val distinct = hs.distinct
