@@ -129,6 +129,25 @@ object HttpListing {
     }
   }
 
+  /** The production Graph stack in one call — the wiring the
+    * reference assembles across `AzureAuthenticator` +
+    * `SharePointService._headers` (`sharepoint_to_bronze_delta.py:
+    * 17-49`): an anonymous transport carries the token POST, the
+    * credential cache sits between, and API calls ride an authorized
+    * transport with 401 → refresh → single-re-send recovery. The
+    * result plugs directly into [[HttpListingProvider]],
+    * [[graft.sources.GraphCatalogSource]] option maps (via the creds
+    * it closes over), and [[graft.archive.Archive.HttpFileOps]]. */
+  def graphTransport(tokenUrl: String, clientId: String,
+      clientSecret: String,
+      scope: String = "https://graph.microsoft.com/.default")
+      : WriteTransport = {
+    val creds = new OAuth2ClientCredentials(
+      new HttpUrlConnectionTransport(), tokenUrl, clientId, clientSecret,
+      scope)
+    new AuthRefreshTransport(new HttpUrlConnectionTransport(creds), creds)
+  }
+
   /** 401 → invalidate → single retry, on any verb: an expired or
     * revoked bearer gets ONE fresh-token re-send; a second 401 (bad
     * credentials, not a stale token) surfaces to the caller, where

@@ -283,6 +283,55 @@ class HttpListingSpec extends AnyFunSuite {
     assert(t2.gets.size == 2 && sleeps.isEmpty)
   }
 
+  test("graphTransport over a loopback server: token POST → authorized GET → 401 → refresh → re-send") {
+    fresh()
+    import java.util.concurrent.atomic.AtomicInteger
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    val srvBase = s"http://127.0.0.1:$port/drives/d1"
+    val tokenHits = new AtomicInteger
+    val listAuths = mutable.Buffer[String]()
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      def send(status: Int, body: String): Unit = {
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length.toLong)
+        if (b.nonEmpty) ex.getResponseBody.write(b)
+        ex.close()
+      }
+      ex.getRequestURI.getPath match {
+        case "/token" =>
+          val form = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          assert(form.contains("grant_type=client_credentials"))
+          val n = tokenHits.incrementAndGet()
+          send(200, s"""{"token_type":"Bearer","expires_in":3600,"access_token":"tok-$n"}""")
+        case "/drives/d1/root:/F:/children" =>
+          val auth = ex.getRequestHeaders.getFirst("Authorization")
+          listAuths.synchronized { listAuths += auth }
+          // the FIRST token is treated as expired server-side: 401
+          // forces the stack to refresh and re-send
+          if (auth == "Bearer tok-1")
+            send(401, """{"error":{"code":"InvalidAuthenticationToken"}}""")
+          else send(200,
+            """{"value":[{"name":"x.csv","size":1,"file":{"mimeType":"text/csv"}}]}""")
+        case _ => send(500, "")
+      }
+    })
+    server.start()
+    try {
+      val transport = HttpListing.graphTransport(
+        s"http://127.0.0.1:$port/token", "client-1", "s3cret")
+      val out = new HttpListingProvider(srvBase, transport,
+        RetryPolicy(baseDelayMs = 1), sleeper).list("F")
+      assert(out.map(_.name) == Seq("x.csv"))
+      // one acquire + one 401-triggered refresh, two list attempts
+      // carrying tok-1 then tok-2, no backoff in the recovery path
+      assert(tokenHits.get() == 2)
+      assert(listAuths.toSeq == Seq("Bearer tok-1", "Bearer tok-2"))
+      assert(sleeps.isEmpty)
+    } finally server.stop(0)
+  }
+
   test("a retry mid-pagination retries only the failing page") {
     fresh()
     val t = new FakeTransport(
