@@ -135,9 +135,8 @@ object HttpListing {
     * 17-49`): an anonymous transport carries the token POST, the
     * credential cache sits between, and API calls ride an authorized
     * transport with 401 → refresh → single-re-send recovery. The
-    * result plugs directly into [[HttpListingProvider]],
-    * [[graft.sources.GraphCatalogSource]] option maps (via the creds
-    * it closes over), and [[graft.archive.Archive.HttpFileOps]]. */
+    * result plugs directly into [[HttpListingProvider]] and
+    * [[graft.archive.Archive.HttpFileOps]]. */
   def graphTransport(tokenUrl: String, clientId: String,
       clientSecret: String,
       scope: String = "https://graph.microsoft.com/.default")
