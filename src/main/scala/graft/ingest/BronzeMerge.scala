@@ -389,7 +389,7 @@ object BronzeMerge {
     merged.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(mvData(mvPath, to))
     flipVersion(spark, mvPath, to)
-    gcRollup(f, mvPath, keep = to)
+    gcRollup(f, mvPath, keep = Set(to, from))
     (from, to, delta.count())
   }
 
@@ -400,10 +400,11 @@ object BronzeMerge {
       mvPath: String): Unit = {
     val f = fs(spark, table)
     val (to, _) = currentCommit(spark, table)
+    val prev = mvVersion(spark, mvPath)
     rollupOf(snapshot(spark, table)).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(mvData(mvPath, to))
     flipVersion(spark, mvPath, to)
-    gcRollup(f, mvPath, keep = to)
+    gcRollup(f, mvPath, keep = Set(to, prev))
   }
 
   private def mvData(mvPath: String, v: Int): String =
@@ -440,16 +441,21 @@ object BronzeMerge {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Drop every data_v* directory except the live one — run strictly
+  /** Drop data_v* directories outside the keep set — run strictly
     * after the pointer flip, so failures here cost disk, not
-    * correctness. */
-  private def gcRollup(f: FileSystem, mvPath: String, keep: Int): Unit = {
+    * correctness. The keep set carries the live version AND its
+    * predecessor: a reader that resolved `_version` just before the
+    * flip may still be scanning the previous directory, so the
+    * predecessor survives one refresh cycle as its grace window
+    * (the Delta-vacuum retention idea, collapsed to depth 1). */
+  private def gcRollup(f: FileSystem, mvPath: String,
+      keep: Set[Int]): Unit = {
     val dir = new Path(mvPath)
     if (!f.exists(dir)) return
     f.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith("data_v") &&
-          n.stripPrefix("data_v").toIntOption.exists(_ != keep))
+          n.stripPrefix("data_v").toIntOption.exists(!keep.contains(_)))
         f.delete(p, true)
     }
   }
