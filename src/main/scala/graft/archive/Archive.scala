@@ -178,8 +178,29 @@ object Archive {
     import graft.pipeline.HttpListing
     import java.nio.file.{Files, Paths}
 
+    /** Percent-encode one path segment (SharePoint names routinely
+      * carry spaces, '#', '%' — raw splicing would make URI.create
+      * throw and the file silently un-ingestable). URLEncoder is
+      * form-encoding, so its '+' must become '%20' for a path. */
+    private def seg(s: String): String =
+      java.net.URLEncoder
+        .encode(s, java.nio.charset.StandardCharsets.UTF_8)
+        .replace("+", "%20")
+
+    /** Encode a path that may itself contain '/' separators
+      * (two-level archive folders): each segment encoded, separators
+      * kept. */
+    private def segPath(p: String): String =
+      p.split("/", -1).map(seg).mkString("/")
+
+    /** JSON string literal with proper escaping — names with quotes
+      * or backslashes must not produce malformed payloads. */
+    private def jstr(s: String): String =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(s)
+
     private def itemUrl(f: FileMeta): String =
-      s"$driveBaseUrl/root:/${f.folder_name}/${f.file_name}"
+      s"$driveBaseUrl/root:/${segPath(f.folder_name)}/${seg(f.file_name)}"
 
     override def upload(f: FileMeta): Unit = {
       val resp = HttpListing.getWithRetry(transport, policy, sleeper)(
@@ -194,18 +215,28 @@ object Archive {
 
     override def ensureArchiveDir(f: FileMeta): Unit = {
       val path = archiveFolderOf(f)
-      val check = transport.get(s"$driveBaseUrl/root:/$path")
+      val check = transport.get(s"$driveBaseUrl/root:/${segPath(path)}")
       if (check.status == 200) return // exists — idempotent (K2)
+      // ONLY 404 means "absent, create it"; a 429/5xx/401 on the
+      // existence probe must surface, not trigger a blind create
+      // against a folder that may well exist
+      if (check.status != 404)
+        throw new RuntimeException(
+          s"Archive-folder check for '$path' failed: " +
+            s"${check.status} | ${check.body.take(200)}")
       val (parent, sub) = path.lastIndexOf('/') match {
         case -1 => ("", path)
         case i  => (path.substring(0, i), path.substring(i + 1))
       }
       val createUrl =
-        if (parent.nonEmpty) s"$driveBaseUrl/root:/$parent:/children"
+        if (parent.nonEmpty)
+          s"$driveBaseUrl/root:/${segPath(parent)}:/children"
         else s"$driveBaseUrl/root/children"
       val resp = transport.post(createUrl,
-        s"""{"name":"$sub","folder":{}}""")
-      if (resp.status != 200 && resp.status != 201)
+        s"""{"name":${jstr(sub)},"folder":{}}""")
+      // 409 nameAlreadyExists = a concurrent ensure won the race —
+      // the folder exists, which is all this op promises (K2)
+      if (resp.status != 200 && resp.status != 201 && resp.status != 409)
         throw new RuntimeException(
           s"Failed to create archive folder '$path': " +
             s"${resp.status} | ${resp.body.take(200)}")
@@ -213,8 +244,9 @@ object Archive {
 
     override def archiveCopy(f: FileMeta, archivedName: String): Unit = {
       val payload =
-        s"""{"parentReference":{"path":"/drive/root:/${archiveFolderOf(f)}"},""" +
-          s""""name":"$archivedName"}"""
+        s"""{"parentReference":{"path":${jstr(
+          s"/drive/root:/${archiveFolderOf(f)}")}},""" +
+          s""""name":${jstr(archivedName)}}"""
       val resp = transport.post(s"${itemUrl(f)}:/copy", payload)
       if (resp.status != 200 && resp.status != 202)
         throw new RuntimeException(

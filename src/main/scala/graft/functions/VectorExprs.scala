@@ -272,16 +272,21 @@ object VectorExprs {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "adc_score"
     // NULL even on non-null inputs: a null element, a null LUT row,
-    // or a code outside its LUT row yields NULL (matching what the
-    // declarative get(row, c) form it replaced did null-safely) —
-    // adc_score is SQL-registered, so inputs are user-controlled and
-    // an unchecked UnsafeArrayData read would be a raw memory access.
+    // a code outside its LUT row, or a codes/LUT length mismatch
+    // yields NULL (matching the declarative zip_with+get twin, which
+    // null-pads the shorter side) — adc_score is SQL-registered, so
+    // inputs are user-controlled and an unchecked UnsafeArrayData
+    // read would be a raw memory access.
     override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val codes = a.asInstanceOf[ArrayData]
       val lut = b.asInstanceOf[ArrayData]
-      val m = math.min(codes.numElements(), lut.numElements())
+      val m = codes.numElements()
+      // length mismatch is NULL too: the declarative zip_with twin
+      // pads the shorter array with nulls, and a null-padded fold is
+      // NULL — min-length summation would silently drop subspaces
+      if (lut.numElements() != m) return null
       var acc = 0.0
       var i = 0
       while (i < m) {
@@ -303,8 +308,9 @@ object VectorExprs {
         val row = ctx.freshName("row")
         val acc = ctx.freshName("acc")
         s"""
-          int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+          int $m = $a.numElements();
           double $acc = 0.0;
+          if ($b.numElements() != $m) { ${ev.isNull} = true; }
           for (int $i = 0; $i < $m && !${ev.isNull}; $i++) {
             if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
             org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($i);

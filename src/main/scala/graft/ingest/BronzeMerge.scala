@@ -362,15 +362,15 @@ object BronzeMerge {
     * toVersion, deltaRows). */
   def refreshRollup(spark: SparkSession, table: String,
       mvPath: String): (Int, Int, Long) = {
-    val f = fs(spark, table)
     val (to, _) = currentCommit(spark, table)
-    val from = mvVersion(spark, mvPath)
+    val ptr = mvPointer(spark, mvPath)
+    val from = ptr.map(mvVersionOf).getOrElse(0)
     if (from >= to) return (from, to, 0L) // idempotent no-op
     val delta = readChanges(spark, table, from, to)
     val deltaAgg = rollupOf(delta)
     val merged =
       if (from == 0) deltaAgg
-      else spark.read.parquet(mvData(mvPath, from)).toDF("ext", "n0", "b0")
+      else spark.read.parquet(s"$mvPath/${ptr.get}").toDF("ext", "n0", "b0")
         .join(deltaAgg.toDF("ext", "n1", "b1"), Seq("ext"), "full_outer")
         .select(col("ext"),
           (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
@@ -380,82 +380,106 @@ object BronzeMerge {
     // stage the new view in its OWN versioned directory, then flip the
     // `_version` pointer (temp + atomic rename) last. The old version's
     // data is never touched, so a crash anywhere before the flip leaves
-    // a consistent (data_v$from, _version=$from) pair — the next
-    // refresh recomputes the same delta and overwrites the orphan
-    // data_v$to; nothing double-counts. Overwriting a live directory
-    // in place (the previous layout) is committer/filesystem-dependent
-    // and unsafe on object stores; the rename of a one-line pointer
-    // file is the only operation that needs atomicity.
+    // a consistent (old dir, pointer → old dir) pair — the next
+    // refresh recomputes the same delta and overwrites the orphan new
+    // directory; nothing double-counts. Overwriting a live directory
+    // in place (the pre-round-5 layout) is committer/filesystem-
+    // dependent and unsafe on object stores; the rename of a one-line
+    // pointer file is the only operation that needs atomicity.
+    // from < to, so the target dir is never the pointed-to live dir.
+    val newDir = mvDirName(to)
     merged.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(mvData(mvPath, to))
-    flipVersion(spark, mvPath, to)
-    gcRollup(f, mvPath, keep = Set(to, from))
+      .parquet(s"$mvPath/$newDir")
+    flipPointer(spark, mvPath, newDir)
+    gcRollup(spark, mvPath, keep = Set(newDir) ++ ptr)
     (from, to, delta.count())
   }
 
   /** Full recompute of the same rollup — the fallback when the change
     * feed cannot represent the window, and the equivalence oracle the
-    * spec holds [[refreshRollup]] to. */
+    * spec holds [[refreshRollup]] to. Safe to run at ANY time,
+    * including at the view's current version (the recovery case): the
+    * rebuild always stages into a directory that is NOT the live one
+    * (a `-rN` suffix when the plain version dir is live), so readers
+    * and crash-recovery keep the refresh path's guarantees. */
   def rebuildRollup(spark: SparkSession, table: String,
       mvPath: String): Unit = {
-    val f = fs(spark, table)
+    val f = fs(spark, mvPath)
     val (to, _) = currentCommit(spark, table)
-    val prev = mvVersion(spark, mvPath)
+    val ptr = mvPointer(spark, mvPath)
+    val base = mvDirName(to)
+    val newDir =
+      if (!ptr.contains(base)) base
+      else {
+        var k = 1
+        while (f.exists(new Path(mvPath, s"$base-r$k"))) k += 1
+        s"$base-r$k"
+      }
     rollupOf(snapshot(spark, table)).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(mvData(mvPath, to))
-    flipVersion(spark, mvPath, to)
-    gcRollup(f, mvPath, keep = Set(to, prev))
+      .write.mode(SaveMode.Overwrite).parquet(s"$mvPath/$newDir")
+    flipPointer(spark, mvPath, newDir)
+    gcRollup(spark, mvPath, keep = Set(newDir) ++ ptr)
   }
 
-  private def mvData(mvPath: String, v: Int): String =
-    f"$mvPath/data_v$v%08d"
+  private def mvDirName(v: Int): String = f"data_v$v%08d"
 
-  /** The view's committed version: what the `_version` pointer names;
-    * 0 = no view materialized yet. */
-  private def mvVersion(spark: SparkSession, mvPath: String): Int = {
+  /** Version encoded in a data directory name (`data_vNNNNNNNN`,
+    * optionally `-rN`-suffixed by a rebuild). */
+  private def mvVersionOf(dirName: String): Int =
+    dirName.stripPrefix("data_v").takeWhile(_.isDigit).toInt
+
+  /** The `_version` pointer: the LIVE data directory's NAME (the
+    * version is its parseable prefix); None = no view materialized.
+    * Naming the directory rather than the bare version is what lets
+    * a rebuild at an unchanged table version stage somewhere fresh
+    * instead of overwriting the live directory in place. */
+  private def mvPointer(spark: SparkSession,
+      mvPath: String): Option[String] = {
     val f = fs(spark, mvPath)
     val verFile = new Path(mvPath, "_version")
-    if (!f.exists(verFile)) 0
+    if (!f.exists(verFile)) None
     else {
       val in = f.open(verFile)
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        .trim.toInt
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+        .filter(_.nonEmpty)
       finally in.close()
     }
   }
 
-  /** Atomically repoint `_version` → `to` (temp file + rename with
-    * OVERWRITE via FileContext — atomic on HDFS and local FS). */
-  private def flipVersion(spark: SparkSession, mvPath: String,
-      to: Int): Unit = {
+  /** Atomically repoint `_version` → `dirName` (temp file + rename
+    * with OVERWRITE via FileContext — atomic on HDFS and local FS). */
+  private def flipPointer(spark: SparkSession, mvPath: String,
+      dirName: String): Unit = {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new Path(mvPath).toUri, spark.sessionState.newHadoopConf())
-    val tmp = new Path(mvPath, s"._version-$to.tmp")
+    val tmp = new Path(mvPath, s"._version-$dirName.tmp")
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),
       org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try out.write(s"$to\n".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$dirName\n".getBytes("UTF-8")) finally out.close()
     fc.rename(tmp, new Path(mvPath, "_version"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Drop data_v* directories outside the keep set — run strictly
     * after the pointer flip, so failures here cost disk, not
-    * correctness. The keep set carries the live version AND its
+    * correctness. The keep set carries the live directory AND its
     * predecessor: a reader that resolved `_version` just before the
     * flip may still be scanning the previous directory, so the
     * predecessor survives one refresh cycle as its grace window
-    * (the Delta-vacuum retention idea, collapsed to depth 1). */
-  private def gcRollup(f: FileSystem, mvPath: String,
-      keep: Set[Int]): Unit = {
+    * (the Delta-vacuum retention idea, collapsed to depth 1). The
+    * FileSystem is resolved from mvPath — the view may live on a
+    * different filesystem than the table. */
+  private def gcRollup(spark: SparkSession, mvPath: String,
+      keep: Set[String]): Unit = {
+    val f = fs(spark, mvPath)
     val dir = new Path(mvPath)
     if (!f.exists(dir)) return
     f.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith("data_v") &&
-          n.stripPrefix("data_v").toIntOption.exists(!keep.contains(_)))
+      if (n.startsWith("data_v") && !keep.contains(n))
         f.delete(p, true)
     }
   }
@@ -471,9 +495,9 @@ object BronzeMerge {
   /** Read the materialized rollup as of its own version, resolved
     * through the `_version` pointer. */
   def readRollup(spark: SparkSession, mvPath: String): DataFrame = {
-    val v = mvVersion(spark, mvPath)
-    require(v > 0, s"no materialized view at $mvPath")
-    spark.read.parquet(mvData(mvPath, v))
+    val ptr = mvPointer(spark, mvPath)
+    require(ptr.isDefined, s"no materialized view at $mvPath")
+    spark.read.parquet(s"$mvPath/${ptr.get}")
   }
 
   /** Write the version file via temp + atomic rename; an existing

@@ -108,7 +108,9 @@ object Similarity {
 
   /** Test/ops hook: drop every cached model (k-means and PQ) across
     * all sessions. */
-  def clearModels(): Unit = { modelMemo.clear(); pqMemo.clear() }
+  def clearModels(): Unit = {
+    modelMemo.clear(); pqMemo.clear(); codedMemo.clear()
+  }
 
   /** Test-visible: number of sessions currently holding cached models
     * (weakly — a collected session's entry vanishes on its own). */
@@ -1138,39 +1140,15 @@ object Similarity {
       "s18_hybrid_rrf",
       (s, d) => {
         import s.implicits._
-        val queries = Seq(
-          (1L, "vector"), (1L, "hash"), (1L, "join"),
-          (2L, "stream"), (2L, "window"), (2L, "agg"),
-          (3L, "scan"), (3L, "filter"), (3L, "sort"))
-          .toDF("qid", "t")
-        // lexical list: BM25 (k1=1.2, b=0.75), rank within query
-        val docs = Tables.documents(s, d)
-        val dtoks = split(col("text"), " ")
-        val lens = docs.select(col("doc_id"),
-          size(dtoks).cast("long").as("dl"))
-        val stats = lens.agg(count(lit(1)).as("n"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        val tf = docs.select(col("doc_id"), explode(dtoks).as("t"))
-          .join(broadcast(queries.select("t").distinct()), "t")
-          .groupBy(col("doc_id"), col("t"))
-          .agg(count(lit(1)).as("tf"))
-        val w = tf
-          .join(broadcast(tf.groupBy(col("t"))
-            .agg(count(lit(1)).as("df"))), "t")
-          .join(lens, "doc_id")
-          .crossJoin(broadcast(stats))
-          .join(broadcast(queries), "t")
-          .select(col("qid"), col("doc_id"),
-            (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
-                (col("df") + lit(0.5))) *
-              (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-              .as("w"))
+        // lexical list: the SHARED BM25 engine (Text.bm25Scores —
+        // t36's scoring, one implementation), rank within query. qid
+        // is widened to long so it joins the vec_id-keyed semantic
+        // list without a cast on the fused key.
+        val queries = Text.RetrievalQueryTerms
+          .map { case (q, t) => (q.toLong, t) }.toDF("qid", "t")
         val wLex = Window.partitionBy(col("qid"))
           .orderBy(desc("score"), col("doc_id"))
-        val lex = w.groupBy(col("qid"), col("doc_id"))
-          .agg(dsum(col("w")).as("score"))
+        val lex = Text.bm25Scores(s, d, queries)
           .withColumn("lrk", row_number().over(wLex))
           .filter(col("lrk") <= 50)
           .select(col("qid"), col("doc_id"), col("lrk"))
@@ -1200,33 +1178,12 @@ object Similarity {
           .filter(col("rk") <= 10)
           .orderBy("qid", "rk")
       },
-      Some(s"""WITH q(qid, t) AS (VALUES
-        (1,'vector'),(1,'hash'),(1,'join'),
-        (2,'stream'),(2,'window'),(2,'agg'),
-        (3,'scan'),(3,'filter'),(3,'sort')),
-      lens AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
-                 AS dl FROM documents),
-      stats AS (SELECT COUNT(1) AS n,
-                  CAST(SUM(dl) AS DOUBLE) / COUNT(1) AS avgdl FROM lens),
-      tf AS (SELECT doc_id, t, COUNT(1) AS tf FROM (
-               SELECT doc_id, unnest(str_split(text, ' ')) AS t
-               FROM documents)
-             WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
-      dft AS (SELECT t, COUNT(1) AS df FROM tf GROUP BY 1),
-      w AS (SELECT q.qid, tf.doc_id,
-              ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
-                * (tf.tf * 2.2)
-                / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / s.avgdl)) AS w
-            FROM tf
-            JOIN dft USING (t)
-            JOIN lens USING (doc_id)
-            JOIN q ON q.t = tf.t, stats s),
+      Some(s"""WITH ${Text.bm25SqlCtes},
       lex AS (SELECT qid, doc_id, lrk FROM (
           SELECT qid, doc_id,
             CAST(ROW_NUMBER() OVER (PARTITION BY qid
               ORDER BY score DESC, doc_id) AS INT) AS lrk
-          FROM (SELECT qid, doc_id, ${dsumSql("w")} AS score
-                FROM w GROUP BY 1, 2))
+          FROM sc)
         WHERE lrk <= 50),
       sem AS (SELECT qid, doc_id, srk FROM (
           SELECT qv.vec_id AS qid, e.vec_id AS doc_id,

@@ -27,6 +27,76 @@ object Text {
 
   private val toks = split(col("text"), " ")
 
+  /** The shared retrieval query set (t36 BM25, s18 hybrid RRF): three
+    * queries of three terms each over the fixture vocabulary. */
+  private[graft] val RetrievalQueryTerms: Seq[(Int, String)] = Seq(
+    (1, "vector"), (1, "hash"), (1, "join"),
+    (2, "stream"), (2, "window"), (2, "agg"),
+    (3, "scan"), (3, "filter"), (3, "sort"))
+
+  private[graft] def retrievalQueryValuesSql: String =
+    RetrievalQueryTerms.map { case (q, t) => s"($q,'$t')" }.mkString(",")
+
+  /** BM25 per-(query, doc) scores (k1=1.2, b=0.75) — the shared
+    * scoring engine of t36 (lexical top-k) and s18 (hybrid fusion).
+    * `queries` is a (qid, t) relation of any qid type; the token
+    * explode joins the BROADCAST query vocabulary at the scan, so the
+    * plan carries O(matching postings), never full-vocabulary state;
+    * df/tf/length stats all derive from that pruned relation. The
+    * per-doc sum is the decimal-exact [[dsum]] hop, so both the
+    * ranking and the rounded score are engine-portable. Returns
+    * (qid, doc_id, score). */
+  private[graft] def bm25Scores(s: SparkSession, d: String,
+      queries: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("t"))
+      .join(broadcast(queries.select("t").distinct()), "t")
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    tf
+      .join(broadcast(tf.groupBy(col("t")).agg(count(lit(1)).as("df"))),
+        "t")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queries), "t")
+      .select(col("qid"), col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("w"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(dsum(col("w")).as("score"))
+  }
+
+  /** DuckDB twin of [[bm25Scores]] as a WITH-clause body ending in
+    * `sc(qid, doc_id, score)` — splice as `WITH ${bm25SqlCtes}, ...`. */
+  private[graft] def bm25SqlCtes: String =
+    s"""q(qid, t) AS (VALUES $retrievalQueryValuesSql),
+      lens AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
+                 AS dl FROM documents),
+      stats AS (SELECT COUNT(1) AS n,
+                  CAST(SUM(dl) AS DOUBLE) / COUNT(1) AS avgdl FROM lens),
+      tf AS (SELECT doc_id, t, COUNT(1) AS tf FROM (
+               SELECT doc_id, unnest(str_split(text, ' ')) AS t
+               FROM documents)
+             WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
+      dft AS (SELECT t, COUNT(1) AS df FROM tf GROUP BY 1),
+      w AS (SELECT q.qid, tf.doc_id,
+              ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / s.avgdl)) AS w
+            FROM tf
+            JOIN dft USING (t)
+            JOIN lens USING (doc_id)
+            JOIN q ON q.t = tf.t, stats s),
+      sc AS (SELECT qid, doc_id, ${dsumSql("w")} AS score
+             FROM w GROUP BY 1, 2)"""
+
   /** Distinct word 3-gram shingles of `text` as 64-bit hashes, fused
     * into one pass over the bytes ([[graft.functions.TextExprs
     * .ShingleHashes]]). The dedup queries only ever COUNT shingle-set
@@ -1312,8 +1382,19 @@ object Text {
           .map(r => (r.getString(0), r.getString(1), r.getString(2),
             r.getLong(3)))
         keys.toSeq.map { case (lang, source, t, n) =>
-          (lang, source, n, graft.functions.Aggregators.CountMin
-            .estimate(sketch, t, depth, width))
+          val est = graft.functions.Aggregators.CountMin
+            .estimate(sketch, t, depth, width)
+          // the exact regime here is EMPIRICAL, not structural (unlike
+          // t20's capacity ≥ vocabulary): ~100 keys in 4×4096 counters
+          // collide in all 4 rows with probability ~3e-7 per key, and
+          // the outcome is a fixed function of the key strings. Fail
+          // LOUDLY with the colliding key if a fixture change ever
+          // lands on one, instead of surfacing as a bare oracle
+          // hash mismatch with no code bug to find.
+          require(est == n,
+            s"CMS exact-regime collision: key '$t' est $est != exact $n " +
+              "(all 4 rows collided — widen the sketch or drop the oracle)")
+          (lang, source, n, est)
         }.toDF("lang", "source", "n_exact", "n_cms")
           .orderBy("lang", "source")
       },
@@ -1885,36 +1966,7 @@ object Text {
       "t36_bm25_topk",
       (s, d) => {
         import s.implicits._
-        val queries = Seq(
-          (1, "vector"), (1, "hash"), (1, "join"),
-          (2, "stream"), (2, "window"), (2, "agg"),
-          (3, "scan"), (3, "filter"), (3, "sort"))
-          .toDF("qid", "t")
-        val docs = Tables.documents(s, d)
-        val lens = docs.select(col("doc_id"),
-          size(toks).cast("long").as("dl"))
-        val stats = lens.agg(count(lit(1)).as("n"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        val tf = docs.select(col("doc_id"), explode(toks).as("t"))
-          .join(broadcast(queries.select("t").distinct()), "t")
-          .groupBy(col("doc_id"), col("t"))
-          .agg(count(lit(1)).as("tf"))
-        val dft = tf.groupBy(col("t"))
-          .agg(count(lit(1)).as("df"))
-        val w = tf
-          .join(broadcast(dft), "t")
-          .join(lens, "doc_id")
-          .crossJoin(broadcast(stats))
-          .join(broadcast(queries), "t")
-          .select(col("qid"), col("doc_id"),
-            (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
-                (col("df") + lit(0.5))) *
-              (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-              .as("w"))
-        val sc = w.groupBy(col("qid"), col("doc_id"))
-          .agg(dsum(col("w")).as("score"))
+        val sc = bm25Scores(s, d, RetrievalQueryTerms.toDF("qid", "t"))
         val rk = Window.partitionBy(col("qid"))
           .orderBy(desc("score"), col("doc_id"))
         sc.withColumn("rk", row_number().over(rk))
@@ -1923,29 +1975,7 @@ object Text {
             round(col("score"), 6).as("score"))
           .orderBy("qid", "rk")
       },
-      Some(s"""WITH q(qid, t) AS (VALUES
-        (1,'vector'),(1,'hash'),(1,'join'),
-        (2,'stream'),(2,'window'),(2,'agg'),
-        (3,'scan'),(3,'filter'),(3,'sort')),
-      lens AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
-                 AS dl FROM documents),
-      stats AS (SELECT COUNT(1) AS n,
-                  CAST(SUM(dl) AS DOUBLE) / COUNT(1) AS avgdl FROM lens),
-      tf AS (SELECT doc_id, t, COUNT(1) AS tf FROM (
-               SELECT doc_id, unnest(str_split(text, ' ')) AS t
-               FROM documents)
-             WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
-      dft AS (SELECT t, COUNT(1) AS df FROM tf GROUP BY 1),
-      w AS (SELECT q.qid, tf.doc_id,
-              ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
-                * (tf.tf * 2.2)
-                / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / s.avgdl)) AS w
-            FROM tf
-            JOIN dft USING (t)
-            JOIN lens USING (doc_id)
-            JOIN q ON q.t = tf.t, stats s),
-      sc AS (SELECT qid, doc_id, ${dsumSql("w")} AS score
-             FROM w GROUP BY 1, 2),
+      Some(s"""WITH $bm25SqlCtes,
       ranked AS (SELECT qid, doc_id, score,
                CAST(ROW_NUMBER() OVER (PARTITION BY qid
                  ORDER BY score DESC, doc_id) AS INT) AS rk

@@ -128,7 +128,13 @@ class ExprEquivSpec extends SparkSpec {
       (Seq(Some(0), Some(-1)), Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))),
       (Seq(Some(0), None), Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))),
       (Seq(Some(0), Some(1)), Seq(Some(Seq(1.0, 2.0)), None)),
-      (Seq(Some(1), Some(0)), Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0)))))
+      (Seq(Some(1), Some(0)), Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0)))),
+      // LENGTH MISMATCH both ways: zip_with null-pads the shorter
+      // side, so the declarative fold is NULL — the fused kernel must
+      // agree, not silently sum the min-length prefix
+      (Seq(Some(0), Some(1), Some(0)),
+        Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))),
+      (Seq(Some(0)), Seq(Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))))
     val df = rows.toDF("codes", "lut")
     assertAllEqual(df,
       VectorExprs.adcScore(col("codes"), col("lut")),

@@ -415,5 +415,21 @@ class IngestSpec extends SparkSpec {
     BronzeMerge.rebuildRollup(spark, table, mv)
     assert(rollup() == expected())
     assert(rollup().exists { case (e, n, _) => e == "txt" && n == 3 })
+
+    // rebuild at the SAME table version (the recovery case): must not
+    // overwrite the live directory in place — a reader holding the
+    // pre-rebuild frame keeps working, the pointer lands on a fresh
+    // -rN staging dir, and the answer is unchanged
+    val preFrame = BronzeMerge.readRollup(spark, mv)
+    val preRows = preFrame.collect().toSet
+    BronzeMerge.rebuildRollup(spark, table, mv) // same version again
+    assert(rollup() == expected())
+    assert(preFrame.collect().toSet == preRows) // old frame still readable
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(mv))
+      .iterator()
+    val names = scala.collection.mutable.Buffer[String]()
+    dirs.forEachRemaining(p => names += p.getFileName.toString)
+    assert(names.exists(_.matches("data_v\\d{8}-r\\d+")),
+      s"expected a -rN staging dir, got ${names.mkString(",")}")
   }
 }
