@@ -1981,6 +1981,57 @@ object Text {
                  ORDER BY score DESC, doc_id) AS INT) AS rk
              FROM sc)
       SELECT qid, rk, doc_id, ROUND(score, 6) AS score
-      FROM ranked WHERE rk <= 10 ORDER BY qid, rk"""))
+      FROM ranked WHERE rk <= 10 ORDER BY qid, rk""")),
+
+    // ---- character-entropy quality signal: Shannon entropy of the
+    //      per-doc character distribution, in bits/char — the cheap
+    //      gibberish/repetition gate web-scale pipelines run before
+    //      anything tokenizes (boilerplate, key-mashing, and
+    //      single-char floods all crater it; normal prose sits near
+    //      the corpus band, here ≈3.7–4.2). Each −p·log₂p term is
+    //      single-rounded IEEE on integer counts (identical doubles
+    //      in both engines); the per-doc sum crosses the order-
+    //      dependence line and takes the decimal-exact dsum hop, so
+    //      the statistic hash-matches bitwise. One explode + one
+    //      (doc, char) rollup — state is ≤ |alphabet| rows per doc
+    //      regardless of corpus size, and the gate composes with
+    //      t04/t13/t33 in the same scan pass. ----
+    QuerySpec(
+      "t37_char_entropy",
+      (s, d) => {
+        val chars = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        val cnt = chars.groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("c"))
+        val n = cnt.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+        val p = col("c").cast("double") / col("n")
+        cnt.join(n, "doc_id")
+          .select(col("doc_id"), col("n"), col("k"),
+            (-p * log2(p)).as("term"))
+          .groupBy(col("doc_id"), col("n"), col("k"))
+          .agg(dsum(col("term")).as("ent"))
+          .select(col("doc_id"), col("n").as("n_chars"),
+            col("k").cast("int").as("n_distinct"),
+            round(col("ent"), 6).as("entropy_bits"),
+            (round(col("ent"), 6) < 3.9).as("low_entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents),
+      cnt AS (SELECT doc_id, ch, COUNT(1) AS c FROM chars GROUP BY 1, 2),
+      n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+              CAST(COUNT(1) AS INT) AS k FROM cnt GROUP BY 1),
+      e AS (SELECT c.doc_id, n.n, n.k,
+              ${dsumSql(
+                "-(CAST(c.c AS DOUBLE) / n.n) " +
+                  "* log2(CAST(c.c AS DOUBLE) / n.n)")} AS ent
+            FROM cnt c JOIN n ON c.doc_id = n.doc_id
+            GROUP BY 1, 2, 3)
+      SELECT doc_id, n AS n_chars, k AS n_distinct,
+        ROUND(ent, 6) AS entropy_bits,
+        ROUND(ent, 6) < 3.9 AS low_entropy
+      FROM e ORDER BY doc_id"""))
   )
 }
