@@ -194,10 +194,13 @@ object Archive {
       p.split("/", -1).map(seg).mkString("/")
 
     /** JSON string literal with proper escaping — names with quotes
-      * or backslashes must not produce malformed payloads. */
-    private def jstr(s: String): String =
+      * or backslashes must not produce malformed payloads. The mapper
+      * is shared (construction is Jackson's expensive step; writes
+      * are thread-safe) and transient (FileOps serializes into
+      * executor tasks; each task lazily builds its own). */
+    @transient private lazy val mapper =
       new com.fasterxml.jackson.databind.ObjectMapper()
-        .writeValueAsString(s)
+    private def jstr(s: String): String = mapper.writeValueAsString(s)
 
     private def itemUrl(f: FileMeta): String =
       s"$driveBaseUrl/root:/${segPath(f.folder_name)}/${seg(f.file_name)}"
@@ -215,11 +218,15 @@ object Archive {
 
     override def ensureArchiveDir(f: FileMeta): Unit = {
       val path = archiveFolderOf(f)
-      val check = transport.get(s"$driveBaseUrl/root:/${segPath(path)}")
+      // the probe is an idempotent read → it rides the retry policy
+      // like upload()'s content GET, but through getResilient: its
+      // 404 is a semantic answer ("absent"), not a failure
+      val check = HttpListing.getResilient(transport, policy, sleeper)(
+        s"$driveBaseUrl/root:/${segPath(path)}")
       if (check.status == 200) return // exists — idempotent (K2)
-      // ONLY 404 means "absent, create it"; a 429/5xx/401 on the
-      // existence probe must surface, not trigger a blind create
-      // against a folder that may well exist
+      // ONLY 404 means "absent, create it"; an unretryable or
+      // retry-exhausted status must surface, not trigger a blind
+      // create against a folder that may well exist
       if (check.status != 404)
         throw new RuntimeException(
           s"Archive-folder check for '$path' failed: " +

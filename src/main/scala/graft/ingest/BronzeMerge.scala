@@ -408,8 +408,13 @@ object BronzeMerge {
     val (to, _) = currentCommit(spark, table)
     val ptr = mvPointer(spark, mvPath)
     val base = mvDirName(to)
+    // stage into a fresh -rN dir whenever the base dir EXISTS on disk
+    // (not merely when it is live): after rebuilds #1 and #2 the base
+    // dir is the kept grace-window predecessor — overwriting it in
+    // place would clobber a reader mid-scan, the exact hazard this
+    // layout exists to rule out
     val newDir =
-      if (!ptr.contains(base)) base
+      if (!f.exists(new Path(mvPath, base))) base
       else {
         var k = 1
         while (f.exists(new Path(mvPath, s"$base-r$k"))) k += 1
@@ -443,6 +448,11 @@ object BronzeMerge {
       try Some(new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
         .filter(_.nonEmpty)
+        // migration shim: pointers written by the bare-integer format
+        // ("5") resolve to their versioned directory name — views
+        // materialized before the pointer-names-a-directory change
+        // stay readable and refreshable
+        .map(p => if (p.forall(_.isDigit)) mvDirName(p.toInt) else p)
       finally in.close()
     }
   }

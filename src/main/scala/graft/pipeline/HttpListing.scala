@@ -249,23 +249,16 @@ object HttpListing {
         .getOrElse(math.min(baseDelayMs << math.min(attempt, 20), maxDelayMs))
   }
 
-  /** GET with the retry policy applied. Returns the first success
-    * (2xx); throws on non-retryable status (fail fast, C5) or after
-    * `maxRetries` retryable failures (C6-normalized: loud, not
-    * print-and-continue). */
-  def getWithRetry(transport: Transport, policy: RetryPolicy,
+  /** GET with the retry policy applied, returning the FINAL response
+    * (2xx, the first non-retryable status, or the last retryable one
+    * after `maxRetries`) — for probes whose non-2xx answers are
+    * semantic (an existence check's 404 means "absent", not
+    * "failure"). Status interpretation stays with the caller. */
+  def getResilient(transport: Transport, policy: RetryPolicy,
       sleeper: Long => Unit)(url: String): HttpResponse = {
     var attempt = 0
-    while (true) {
-      val resp = transport.get(url)
-      if (resp.status >= 200 && resp.status < 300) return resp
-      if (!policy.retryable(resp.status))
-        throw new RuntimeException(
-          s"GET $url failed with ${resp.status} (not retryable)")
-      if (attempt >= policy.maxRetries)
-        throw new RuntimeException(
-          s"GET $url failed with ${resp.status} after " +
-            s"${policy.maxRetries} retries")
+    var resp = transport.get(url)
+    while (policy.retryable(resp.status) && attempt < policy.maxRetries) {
       // case-insensitive: header case is the server's choice on the
       // wire (the JDK's own test server sends "Retry-after")
       val retryAfter = resp.headers.collectFirst {
@@ -273,8 +266,25 @@ object HttpListing {
       }.flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       sleeper(policy.delayMs(attempt, retryAfter))
       attempt += 1
+      resp = transport.get(url)
     }
-    throw new IllegalStateException("unreachable")
+    resp
+  }
+
+  /** GET with the retry policy applied. Returns the first success
+    * (2xx); throws on non-retryable status (fail fast, C5) or after
+    * `maxRetries` retryable failures (C6-normalized: loud, not
+    * print-and-continue). */
+  def getWithRetry(transport: Transport, policy: RetryPolicy,
+      sleeper: Long => Unit)(url: String): HttpResponse = {
+    val resp = getResilient(transport, policy, sleeper)(url)
+    if (resp.status >= 200 && resp.status < 300) resp
+    else if (policy.retryable(resp.status))
+      throw new RuntimeException(
+        s"GET $url failed with ${resp.status} after " +
+          s"${policy.maxRetries} retries")
+    else throw new RuntimeException(
+      s"GET $url failed with ${resp.status} (not retryable)")
   }
 }
 

@@ -425,11 +425,21 @@ class IngestSpec extends SparkSpec {
     BronzeMerge.rebuildRollup(spark, table, mv) // same version again
     assert(rollup() == expected())
     assert(preFrame.collect().toSet == preRows) // old frame still readable
-    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(mv))
-      .iterator()
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(mv))
     val names = scala.collection.mutable.Buffer[String]()
-    dirs.forEachRemaining(p => names += p.getFileName.toString)
+    try listing.iterator()
+      .forEachRemaining(p => names += p.getFileName.toString)
+    finally listing.close()
     assert(names.exists(_.matches("data_v\\d{8}-r\\d+")),
       s"expected a -rN staging dir, got ${names.mkString(",")}")
+
+    // third rebuild: the plain-version dir now exists only as the
+    // grace-window predecessor — staging must pick a fresh -rN and
+    // never overwrite an existing dir in place
+    val pre3 = BronzeMerge.readRollup(spark, mv)
+    val pre3Rows = pre3.collect().toSet
+    BronzeMerge.rebuildRollup(spark, table, mv)
+    assert(rollup() == expected())
+    assert(pre3.collect().toSet == pre3Rows)
   }
 }
