@@ -1212,6 +1212,46 @@ object Relational {
         CAST(SUM(CASE WHEN NULLIF(o_orderpriority, '1-URGENT')
           IS DISTINCT FROM '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
           AS n_not_high
-      FROM orders GROUP BY p ORDER BY p NULLS FIRST"""))
+      FROM orders GROUP BY p ORDER BY p NULLS FIRST""")),
+
+    // ---- second columnar SOURCE FORMAT: the same relational engine
+    //      over ORC. lineitem is rewritten to ORC once per session
+    //      (memoized temp table) and the query runs ENTIRELY against
+    //      the ORC scan — predicate pushdown and column pruning reach
+    //      the ORC reader exactly as they reach parquet (PlanSpec pins
+    //      PushedFilters on the OrcScan), and the DuckDB oracle reads
+    //      the original parquet, so the hash-match proves the engine
+    //      is FORMAT-AGNOSTIC: same bytes-in-rows semantics, same
+    //      exact-decimal aggregates, different storage. At 100 TB
+    //      this is the migration/interop story — a lakehouse rarely
+    //      owns one format. ----
+    QuerySpec(
+      "q49_orc_source",
+      (s, d) => {
+        val path = orcMemo.getOrCompute(s, d) {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-orc-").toString
+          Tables.lineitem(s, d).write.mode("overwrite").orc(out)
+          out
+        }
+        s.read.orc(path)
+          .filter(col("l_shipdate") <= ts("1997-06-30 00:00:00") &&
+            col("l_quantity") >= 25)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(rev).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(1) AS n,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        ${dsumSql(revSql)} AS revenue
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
+        AND l_quantity >= 25
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
+
+  /** Session-memoized ORC copy of lineitem (q49's source). */
+  private val orcMemo = new graft.SessionMemo[String, String]
 }

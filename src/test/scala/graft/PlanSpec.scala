@@ -185,6 +185,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q49: filters push into the ORC scan and the schema is pruned") {
+    val p = plan("q49_orc_source")
+    // the second source format gets the same scan-level treatment as
+    // parquet: predicate pushdown + column pruning at the ORC reader
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1200))
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_orderkey"), p.take(1200)) // pruned to used columns
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(
