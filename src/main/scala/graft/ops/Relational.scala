@@ -1249,9 +1249,45 @@ object Relational {
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
         AND l_quantity >= 25
-      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- text-line SOURCE FORMAT: the same engine over JSON lines.
+    //      Exactness across the round-trip is the point being proven:
+    //      Spark writes doubles as shortest-round-trip decimals and
+    //      timestamps as ISO strings, the read applies the ORIGINAL
+    //      schema (schema-on-read — no inference drift), and the
+    //      decimal-exact aggregates then hash-match the oracle read
+    //      from parquet. With q49 (ORC) this completes the format
+    //      matrix: columnar-binary ×2, text ×1, plus the csv/binary
+    //      ingest paths — one relational engine, any storage. ----
+    QuerySpec(
+      "q50_json_source",
+      (s, d) => {
+        val src = Tables.lineitem(s, d)
+        val path = jsonMemo.getOrCompute(s, d) {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-json-").toString
+          src.write.mode("overwrite").json(out)
+          out
+        }
+        s.read.schema(src.schema).json(path)
+          .filter(col("l_returnflag") === "R" &&
+            col("l_discount") >= 0.05)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            dsum(rev).as("revenue"))
+          .orderBy("l_linestatus")
+      },
+      Some(s"""SELECT l_linestatus, COUNT(1) AS n,
+        ${dsumSql("l_extendedprice")} AS sum_price,
+        ${dsumSql(revSql)} AS revenue
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_discount >= 0.05
+      GROUP BY l_linestatus ORDER BY l_linestatus"""))
   )
 
-  /** Session-memoized ORC copy of lineitem (q49's source). */
+  /** Session-memoized ORC / JSON copies of lineitem (q49/q50). */
   private val orcMemo = new graft.SessionMemo[String, String]
+  private val jsonMemo = new graft.SessionMemo[String, String]
 }

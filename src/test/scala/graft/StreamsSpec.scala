@@ -492,4 +492,48 @@ class StreamsSpec extends SparkSpec {
     assert(stored == inline && stored.nonEmpty)
     Similarity.clearModels()
   }
+
+  test("streaming ANN maintenance survives a restart: checkpointed batches never re-append") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    Similarity.clearModels()
+    val tmp = Files.createTempDirectory("ann-restart")
+    val baseDir = tmp.resolve("base").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val all = Tables.embeddings(spark, sf0001)
+    all.filter(col("vec_id") < 400).write
+      .parquet(s"$baseDir/embeddings.parquet")
+    val path = Similarity.codedCorpusPath(spark, baseDir)
+    val delta: Seq[(Long, Seq[Float])] = all.filter(col("vec_id") >= 400)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val (c1, c2) = delta.splitAt(delta.size / 2)
+
+    // first query: process chunk 1, then STOP (a crash/redeploy)
+    val ms1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = Streams.maintainCodedCorpus(
+      ms1.toDF.toDF("vec_id", "embedding"), baseDir, ckpt)
+    try { ms1.addData(c1: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(path).count() == 400L + c1.size)
+
+    // second query, SAME checkpoint, and the source REPLAYS chunk 1
+    // (block 0) before offering chunk 2 (block 1) — exactly what a
+    // durable source does after a crash. The committed offset in the
+    // checkpoint must skip block 0: only chunk 2 may land, else
+    // re-delivery double-encodes every chunk-1 vector.
+    val ms2 = MemoryStream[(Long, Seq[Float])]
+    ms2.addData(c1: _*) // replayed history
+    val q2 = Streams.maintainCodedCorpus(
+      ms2.toDF.toDF("vec_id", "embedding"), baseDir, ckpt)
+    try { ms2.addData(c2: _*); q2.processAllAvailable() } finally q2.stop()
+
+    val coded = spark.read.parquet(path)
+    assert(coded.count() == 400L + delta.size)
+    // every vector appears EXACTLY once — no duplicate appends
+    assert(coded.groupBy("vec_id").count()
+      .filter(col("count") > 1).isEmpty)
+    Similarity.clearModels()
+  }
 }
