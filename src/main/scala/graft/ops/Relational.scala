@@ -29,6 +29,17 @@ object Relational {
   private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   private val revSql = "l_extendedprice * (1.0 - l_discount)"
 
+  /** lineitem columns profiled by q52, with their profiling kind.
+    * Declared before [[specs]]: the oracle strings are built eagerly
+    * during object init.
+    */
+  private val profileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+    "l_linenumber" -> "num", "l_quantity" -> "num",
+    "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str",
+    "l_shipdate" -> "ts")
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- Q1-style pricing summary (flagship; scan→filter→agg→sort) ----
@@ -1284,10 +1295,113 @@ object Relational {
         ${dsumSql(revSql)} AS revenue
       FROM lineitem
       WHERE l_returnflag = 'R' AND l_discount >= 0.05
-      GROUP BY l_linestatus ORDER BY l_linestatus"""))
+      GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- delimited-text SOURCE FORMAT: the same engine over CSV,
+    //      completing the format matrix q49 (ORC) and q50 (JSON lines)
+    //      started: columnar-binary ×2, structured text ×1, delimited
+    //      text ×1. CSV is the weakest format (no types, no nesting),
+    //      which is exactly why the proof matters: Spark writes
+    //      doubles as shortest-round-trip decimals and ms timestamps
+    //      in its default ISO form, the read applies the ORIGINAL
+    //      schema (schema-on-read, no inference drift), and the
+    //      decimal-exact aggregates hash-match an oracle reading
+    //      parquet. At 100 TB, CSV is what the upstream vendor drop
+    //      actually looks like — the engine must not bend semantics
+    //      to the lowest-common-denominator format. ----
+    QuerySpec(
+      "q51_csv_source",
+      (s, d) => {
+        val src = Tables.lineitem(s, d)
+        val path = csvMemo.getOrCompute(s, d) {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-csv-").toString
+          src.write.mode("overwrite").option("header", "true").csv(out)
+          out
+        }
+        s.read.schema(src.schema).option("header", "true").csv(path)
+          .filter(col("l_linestatus") === "F" && col("l_tax") >= 0.04)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_discount") * col("l_extendedprice")).as("disc_amt"),
+            dsum(rev).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(1) AS n,
+        ${dsumSql("l_discount * l_extendedprice")} AS disc_amt,
+        ${dsumSql(revSql)} AS revenue
+      FROM lineitem
+      WHERE l_linestatus = 'F' AND l_tax >= 0.04
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- COLUMN PROFILING: the audit pass every ingest runs before
+    //      trusting a new table — per-column row/null/distinct counts,
+    //      numeric min/max, string mean length — as ONE declarative
+    //      plan: a single wide aggregate over the scan (Catalyst
+    //      expands the 11 exact COUNT(DISTINCT)s into one multi-way
+    //      expand + partial agg, so the table is read ONCE), unpivoted
+    //      to a row per column. Exact NDV is the oracle-exactness
+    //      trade, same as q01's decimal sums: at 100 TB swap
+    //      count_distinct for approx_count_distinct (e09's HLL
+    //      pattern) and the plan shape — one scan, one shuffle —
+    //      is unchanged. ----
+    QuerySpec(
+      "q52_column_profile",
+      (s, d) => {
+        val aggs = profileCols.flatMap { case (c, kind) =>
+          Seq(count(col(c)).as(s"${c}__cnt"),
+            countDistinct(col(c)).as(s"${c}__ndv")) ++ (kind match {
+            case "num" => Seq(
+              min(col(c)).cast("double").as(s"${c}__min"),
+              max(col(c)).cast("double").as(s"${c}__max"),
+              lit(null).cast("double").as(s"${c}__len"))
+            case "str" => Seq(
+              lit(null).cast("double").as(s"${c}__min"),
+              lit(null).cast("double").as(s"${c}__max"),
+              davg(length(col(c))).as(s"${c}__len"))
+            case _ => Seq(
+              lit(null).cast("double").as(s"${c}__min"),
+              lit(null).cast("double").as(s"${c}__max"),
+              lit(null).cast("double").as(s"${c}__len"))
+          })
+        }
+        val one = Tables.lineitem(s, d)
+          .agg(count(lit(1)).as("__n"), aggs: _*)
+        one.select(explode(array(profileCols.map { case (c, _) =>
+            struct(lit(c).as("col_name"),
+              col("__n").as("n_rows"),
+              (col("__n") - col(s"${c}__cnt")).as("n_nulls"),
+              col(s"${c}__ndv").as("n_distinct"),
+              col(s"${c}__min").as("min_num"),
+              col(s"${c}__max").as("max_num"),
+              col(s"${c}__len").as("avg_len"))
+          }: _*)).as("p"))
+          .select("p.*")
+          .orderBy("col_name")
+      },
+      Some {
+        val parts = profileCols.map { case (c, kind) =>
+          val minmax =
+            if (kind == "num")
+              s"CAST(MIN($c) AS DOUBLE) AS min_num, " +
+                s"CAST(MAX($c) AS DOUBLE) AS max_num"
+            else "CAST(NULL AS DOUBLE) AS min_num, " +
+              "CAST(NULL AS DOUBLE) AS max_num"
+          val len =
+            if (kind == "str") s"${davgSql(s"LENGTH($c)")} AS avg_len"
+            else "CAST(NULL AS DOUBLE) AS avg_len"
+          s"""SELECT '$c' AS col_name, COUNT(1) AS n_rows,
+            COUNT(1) - COUNT($c) AS n_nulls,
+            COUNT(DISTINCT $c) AS n_distinct, $minmax, $len
+          FROM lineitem"""
+        }
+        s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) " +
+          "ORDER BY col_name"
+      })
   )
 
-  /** Session-memoized ORC / JSON copies of lineitem (q49/q50). */
+  /** Session-memoized ORC / JSON / CSV copies of lineitem (q49–q51). */
   private val orcMemo = new graft.SessionMemo[String, String]
   private val jsonMemo = new graft.SessionMemo[String, String]
+  private val csvMemo = new graft.SessionMemo[String, String]
 }
