@@ -2032,6 +2032,76 @@ object Text {
       SELECT doc_id, n AS n_chars, k AS n_distinct,
         ROUND(ent, 6) AS entropy_bits,
         ROUND(ent, 6) < 3.9 AS low_entropy
-      FROM e ORDER BY doc_id"""))
+      FROM e ORDER BY doc_id""")),
+
+    // ---- cross-split DECONTAMINATION: near-duplicate leakage between
+    //      the t26 train split and the test split — the eval-integrity
+    //      check every training pipeline runs before trusting a
+    //      benchmark number (a test doc whose 3-gram Jaccard vs some
+    //      train doc is >= 0.8 is a contaminated eval item). The query
+    //      runs the PRODUCTION path: MinHash band keys (t09's fused
+    //      signature kernel) on each side, band-bucket equi-join for
+    //      candidates — O(N·bands), never the cross-split all-pairs —
+    //      then exact Jaccard verification on candidates only. The
+    //      ORACLE is the exact all-pairs cross join, so the hash-match
+    //      is a 100%-recall proof of the LSH path at this threshold
+    //      (1-(1-0.8^4)^18 ≈ 0.99992 per pair), same adjudication as
+    //      t09. Splits are md5-hash-stable (t26), so the report is
+    //      reproducible under any partitioning or corpus growth. ----
+    QuerySpec(
+      "t39_split_decontam",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val docsSh = Scoped.persist(Tables.documents(s, d)
+          .select(col("doc_id"), shingles.as("sh"),
+            when(h < "c", "train").when(h < "e", "validation")
+              .otherwise("test").as("split"))
+          .filter(size(col("sh")) > 0))
+        val testB = lshBandKeysFromSh(
+          docsSh.filter(col("split") === "test")).distinct()
+        val trainB = lshBandKeysFromSh(
+          docsSh.filter(col("split") === "train")).distinct()
+        val cands = testB.toDF("test_doc", "band", "bh")
+          .join(trainB.toDF("train_doc", "band", "bh"), Seq("band", "bh"))
+          .select("test_doc", "train_doc").distinct()
+        cands
+          .join(docsSh.select(col("doc_id").as("test_doc"),
+            col("sh").as("sha")), "test_doc")
+          .join(docsSh.select(col("doc_id").as("train_doc"),
+            col("sh").as("shb")), "train_doc")
+          .select(col("test_doc"), col("train_doc"),
+            size(array_intersect(col("sha"), col("shb"))).as("ni"),
+            size(col("sha")).as("na"), size(col("shb")).as("nb"))
+          .select(col("test_doc"), col("train_doc"),
+            (col("ni").cast("double") /
+              (col("na") + col("nb") - col("ni"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .orderBy("test_doc", "train_doc")
+      },
+      Some(s"""WITH sp AS (
+        SELECT doc_id,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM documents),
+      shs AS (
+        SELECT g.doc_id, g.s, sp.split
+        FROM ($shinglesSql) g JOIN sp USING (doc_id)),
+      sizes AS (SELECT doc_id, COUNT(1) AS n FROM shs GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS test_doc, b.doc_id AS train_doc,
+          COUNT(1) AS ni
+        FROM shs a JOIN shs b ON a.s = b.s
+        WHERE a.split = 'test' AND b.split = 'train'
+        GROUP BY 1, 2)
+      SELECT test_doc, train_doc,
+        CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+      FROM i
+      JOIN sizes sa ON i.test_doc = sa.doc_id
+      JOIN sizes sb ON i.train_doc = sb.doc_id
+      WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8
+      ORDER BY test_doc, train_doc"""))
   )
 }
