@@ -179,6 +179,52 @@ object Text {
       Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  /** BPE merge rounds trained by t38 (bounded driver loop: one 1-row
+    * collect per round). */
+  private val BpeRounds = 12
+
+  /** DuckDB twin of t38's BPE training loop: `k` chained MATERIALIZED
+    * CTE rounds over the word-frequency state. MATERIALIZED is load-
+    * bearing — round r references round r-1 several times, and inlined
+    * CTEs would re-expand the whole prefix exponentially. Merge
+    * application is `replace(' l r ' -> ' lr ')` on the space-joined
+    * symbol state: both engines scan left-to-right, non-overlapping,
+    * resuming after each replacement, so greedy-application semantics
+    * agree byte-for-byte.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+      SELECT w, COUNT(1) AS f FROM (
+        SELECT unnest(str_split(text, ' ')) AS w FROM documents) u
+      WHERE len(w) > 0 GROUP BY w),
+    s0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(str_split(w, ''), ' ') || ' ' AS st, f
+      FROM w0)"""
+    for (r <- 1 to k) {
+      sb ++= s""",
+    b$r AS MATERIALIZED (
+      SELECT l, rgt, c FROM (
+        SELECT l, rgt, CAST(SUM(f) AS BIGINT) AS c FROM (
+          SELECT f, toks[i] AS l, toks[i+1] AS rgt FROM (
+            SELECT f, str_split(trim(st), ' ') AS toks,
+              unnest(generate_series(1,
+                len(str_split(trim(st), ' ')) - 1)) AS i
+            FROM s${r - 1}) t) pp
+        GROUP BY 1, 2) g
+      ORDER BY c DESC, l, rgt LIMIT 1),
+    s$r AS MATERIALIZED (
+      SELECT replace(st, ' ' || b.l || ' ' || b.rgt || ' ',
+                     ' ' || b.l || b.rgt || ' ') AS st, f
+      FROM s${r - 1}, b$r b)"""
+    }
+    sb ++= "\nSELECT * FROM (" + (1 to k).map { r =>
+      s"SELECT CAST($r AS INT) AS merge_round, l AS lhs, rgt AS rhs, " +
+        s"l || rgt AS merged, c AS pair_count FROM b$r"
+    }.mkString(" UNION ALL ") + ") ORDER BY merge_round"
+    sb.toString
+  }
+
   /** LSH band keys `(doc_id, band, bh)` of a `(doc_id, text)`
     * relation — one row per (doc, band), bh = 64-bit hash of the
     * band's 4 MinHash rows. A pure stateless projection (fused
@@ -2102,6 +2148,63 @@ object Text {
       JOIN sizes sa ON i.test_doc = sa.doc_id
       JOIN sizes sb ON i.train_doc = sb.doc_id
       WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8
-      ORDER BY test_doc, train_doc"""))
+      ORDER BY test_doc, train_doc""")),
+
+    // ---- BPE VOCABULARY TRAINING (Sennrich 2016): learn the first
+    //      12 byte-pair merges from the corpus — the tokenizer-
+    //      induction step a training-data engine must own, not just
+    //      consume. Structure is the SentencePiece-at-scale shape:
+    //      the ONLY corpus-scale stage is the word-frequency
+    //      histogram (one shuffle on the word); every merge round
+    //      then runs on the (distinct word, freq) MODEL table —
+    //      millions of rows at web scale, never the corpus — as a
+    //      distributed adjacent-pair count (weighted by freq, one
+    //      shuffle on the pair key) + a 1-row argmax collect
+    //      (count DESC, pair ASC — fully ordered, deterministic),
+    //      and the chosen merge is applied ROW-LOCALLY via
+    //      left-to-right non-overlapping string replace on the
+    //      space-joined symbol state. Driver state after k rounds: k
+    //      rows — bounded model, same rule as s08's centroids. The
+    //      DuckDB oracle replays the identical loop as chained
+    //      materialized CTEs, so rounds, tie-breaks, greedy
+    //      application, and counts all hash-match. ----
+    QuerySpec(
+      "t38_bpe_merges",
+      (s, d) => {
+        val words = Scoped.persist(Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("f")))
+        var state = words.select(
+          concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
+            .as("st"),
+          col("f"))
+        val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+        for (r <- 1 to BpeRounds) {
+          val best = state
+            .select(col("f"), split(trim(col("st")), " ").as("toks"))
+            .filter(size(col("toks")) > 1)
+            .select(col("f"), explode(transform(
+              sequence(lit(1), size(col("toks")) - 1),
+              i => struct(element_at(col("toks"), i).as("l"),
+                element_at(col("toks"), i + 1).as("r")))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("f")).as("c"))
+            .orderBy(desc("c"), col("l"), col("r"))
+            .limit(1).collect()(0)
+          val (l, rgt, c) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((r, l, rgt, l + rgt, c))
+          state = state.select(
+            replace(col("st"), lit(s" $l $rgt "), lit(s" $l$rgt "))
+              .as("st"),
+            col("f"))
+        }
+        import s.implicits._
+        merges.result()
+          .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+          .orderBy("merge_round")
+      },
+      Some(bpeOracleSql(BpeRounds)))
   )
 }
