@@ -183,8 +183,52 @@ object Text {
     * collect per round). */
   private val BpeRounds = 12
 
+  /** Learned BPE merges, memoized per (session, sfDir): t38 reports
+    * the table, t40 applies it — training runs once either way. */
+  private val bpeMemo =
+    new graft.SessionMemo[String, Seq[(Int, String, String, String, Long)]]
+
+  /** t38's training loop (see the t38 scale notes). Returns one row
+    * per round: (round, lhs, rhs, merged, weighted pair count). */
+  private def trainBpe(s: SparkSession, d: String)
+      : Seq[(Int, String, String, String, Long)] =
+    bpeMemo.getOrCompute(s, d) {
+      val words = Scoped.persist(Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("f")))
+      var state = words.select(
+        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
+          .as("st"),
+        col("f"))
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (r <- 1 to BpeRounds) {
+        val best = state
+          .select(col("f"), split(trim(col("st")), " ").as("toks"))
+          .filter(size(col("toks")) > 1)
+          .select(col("f"), explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("l"),
+              element_at(col("toks"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("f")).as("c"))
+          .orderBy(desc("c"), col("l"), col("r"))
+          .limit(1).collect()(0)
+        val (l, rgt, c) =
+          (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r, l, rgt, l + rgt, c))
+        state = state.select(
+          replace(col("st"), lit(s" $l $rgt "), lit(s" $l$rgt "))
+            .as("st"),
+          col("f"))
+      }
+      merges.result()
+    }
+
   /** DuckDB twin of t38's BPE training loop: `k` chained MATERIALIZED
-    * CTE rounds over the word-frequency state. MATERIALIZED is load-
+    * CTE rounds over the word-frequency state, ending with the b1..bk
+    * one-row best-pair relations in scope (shared by the t38 and t40
+    * oracles). MATERIALIZED is load-
     * bearing — round r references round r-1 several times, and inlined
     * CTEs would re-expand the whole prefix exponentially. Merge
     * application is `replace(' l r ' -> ' lr ')` on the space-joined
@@ -192,7 +236,7 @@ object Text {
     * resuming after each replacement, so greedy-application semantics
     * agree byte-for-byte.
     */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeTrainCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS MATERIALIZED (
       SELECT w, COUNT(1) AS f FROM (
@@ -218,10 +262,48 @@ object Text {
                      ' ' || b.l || b.rgt || ' ') AS st, f
       FROM s${r - 1}, b$r b)"""
     }
-    sb ++= "\nSELECT * FROM (" + (1 to k).map { r =>
-      s"SELECT CAST($r AS INT) AS merge_round, l AS lhs, rgt AS rhs, " +
-        s"l || rgt AS merged, c AS pair_count FROM b$r"
-    }.mkString(" UNION ALL ") + ") ORDER BY merge_round"
+    sb.toString
+  }
+
+  /** t38 oracle: the training CTEs + the merge table itself. */
+  private def bpeOracleSql(k: Int): String =
+    bpeTrainCtes(k) +
+      "\nSELECT * FROM (" + (1 to k).map { r =>
+        s"SELECT CAST($r AS INT) AS merge_round, l AS lhs, rgt AS rhs, " +
+          s"l || rgt AS merged, c AS pair_count FROM b$r"
+      }.mkString(" UNION ALL ") + ") ORDER BY merge_round"
+
+  /** t40 oracle: the training CTEs + per-document application — the
+    * same ' l r ' -> ' lr ' replace chain over each doc's symbol
+    * state, word boundaries guarded by a '|' symbol no learned pair
+    * can contain (training states are per-word). */
+  private def bpeTokenizeSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeTrainCtes(k)
+    sb ++= """,
+    d0 AS MATERIALIZED (
+      SELECT doc_id, text, ' ' || array_to_string(list_transform(
+          list_filter(str_split(text, ' '), w -> len(w) > 0),
+          w -> array_to_string(str_split(w, ''), ' ')), ' | ') || ' '
+        AS st
+      FROM documents)"""
+    for (r <- 1 to k) {
+      sb ++= s""",
+    d$r AS MATERIALIZED (
+      SELECT doc_id, text,
+        replace(st, ' ' || b.l || ' ' || b.rgt || ' ',
+                ' ' || b.l || b.rgt || ' ') AS st
+      FROM d${r - 1}, b$r b)"""
+    }
+    sb ++= s"""
+    SELECT doc_id,
+      CAST(len(list_filter(str_split(trim(st), ' '), t -> t <> '|'))
+        AS INT) AS n_tokens,
+      CAST(len(replace(text, ' ', '')) AS INT) AS n_chars,
+      CAST(len(replace(text, ' ', '')) AS DOUBLE) /
+        len(list_filter(str_split(trim(st), ' '), t -> t <> '|'))
+        AS chars_per_token
+    FROM d$k ORDER BY doc_id"""
     sb.toString
   }
 
@@ -2171,40 +2253,46 @@ object Text {
     QuerySpec(
       "t38_bpe_merges",
       (s, d) => {
-        val words = Scoped.persist(Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")) > 0)
-          .groupBy(col("w")).agg(count(lit(1)).as("f")))
-        var state = words.select(
-          concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
-            .as("st"),
-          col("f"))
-        val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-        for (r <- 1 to BpeRounds) {
-          val best = state
-            .select(col("f"), split(trim(col("st")), " ").as("toks"))
-            .filter(size(col("toks")) > 1)
-            .select(col("f"), explode(transform(
-              sequence(lit(1), size(col("toks")) - 1),
-              i => struct(element_at(col("toks"), i).as("l"),
-                element_at(col("toks"), i + 1).as("r")))).as("p"))
-            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-            .agg(sum(col("f")).as("c"))
-            .orderBy(desc("c"), col("l"), col("r"))
-            .limit(1).collect()(0)
-          val (l, rgt, c) =
-            (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((r, l, rgt, l + rgt, c))
-          state = state.select(
-            replace(col("st"), lit(s" $l $rgt "), lit(s" $l$rgt "))
-              .as("st"),
-            col("f"))
-        }
         import s.implicits._
-        merges.result()
+        trainBpe(s, d)
           .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
           .orderBy("merge_round")
       },
-      Some(bpeOracleSql(BpeRounds)))
+      Some(bpeOracleSql(BpeRounds))),
+
+    // ---- BPE TOKENIZATION: apply t38's learned merges to encode
+    //      every document — the consumer half of vocabulary
+    //      induction (train once, tokenize the corpus). The merge
+    //      table is bounded model state (12 rows, session-memoized
+    //      with t38), broadcast into the plan as 12 chained literal
+    //      `replace` kernels over each doc's symbol state — pure
+    //      row-local projection, ZERO shuffles at any corpus size;
+    //      word boundaries ride a '|' guard symbol no learned pair
+    //      can contain, so merges never cross words. Output is the
+    //      per-doc token count and compression ratio (raw IEEE
+    //      division — bitwise-comparable, no rounding trade). The
+    //      oracle replays training AND application, so the
+    //      hash-match covers the full train→apply loop. ----
+    QuerySpec(
+      "t40_bpe_tokenize",
+      (s, d) => {
+        val merges = trainBpe(s, d)
+        val st0 = concat(lit(" "), array_join(transform(
+            filter(split(col("text"), " "), w => length(w) > 0),
+            w => array_join(split(w, ""), " ")), " | "), lit(" "))
+        val applied = merges.foldLeft(st0) { case (st, (_, l, r, _, _)) =>
+          replace(st, lit(s" $l $r "), lit(s" $l$r "))
+        }
+        val nTokens =
+          size(filter(split(trim(applied), " "), t => t =!= "|"))
+        val nChars = length(translate(col("text"), " ", ""))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            nTokens.as("n_tokens"),
+            nChars.as("n_chars"),
+            (nChars.cast("double") / nTokens).as("chars_per_token"))
+          .orderBy("doc_id")
+      },
+      Some(bpeTokenizeSql(BpeRounds)))
   )
 }
