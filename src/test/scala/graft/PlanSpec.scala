@@ -194,6 +194,33 @@ class PlanSpec extends SparkSpec {
       !p.contains("l_orderkey"), p.take(1200)) // pruned to used columns
   }
 
+  test("q51: filters push into the CSV scan and the schema is pruned") {
+    val p = plan("q51_csv_source")
+    // delimited text gets the same scan-level treatment: predicate
+    // pushdown + column pruning at the CSV reader
+    assert(p.contains("Scan csv"), p.take(1200))
+    assert(p.contains("PushedFilters: [IsNotNull(l_linestatus)"),
+      p.take(1200))
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      p.take(1200))
+  }
+
+  test("q52: the 11-column profile reads the table ONCE (expand, not 11 scans)") {
+    val p = plan("q52_column_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(800))
+    // 11 exact COUNT(DISTINCT)s compile to one multi-way Expand over
+    // the single scan, not repeated passes
+    assert(p.contains("Expand"), p.take(800))
+  }
+
+  test("t40: tokenization is map-only — the single exchange is the presentation sort") {
+    val p = plan("t40_bpe_tokenize")
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(800))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(800))
+    // the learned merges are inlined literal replace kernels
+    assert(p.contains("replace("), p.take(800))
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(
