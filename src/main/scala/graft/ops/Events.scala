@@ -737,6 +737,73 @@ object Events {
         CAST(COUNT(1) OVER (PARTITION BY event_type ORDER BY day
           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
           AS BIGINT) AS days_in_win
-      FROM daily ORDER BY event_type, day"""))
+      FROM daily ORDER BY event_type, day""")),
+
+    // ---- SCD TYPE 2 interval construction: compress each user's
+    //      event stream into validity intervals of their current
+    //      event_type — the warehouse dimension-history build
+    //      (valid_from / valid_to / is_current) from an append-only
+    //      log. Islands pattern: a change marker vs lag, running sum
+    //      → run id, one group per run, then valid_to = next run's
+    //      valid_from via lead. Two windows, both partitioned by
+    //      user_id (one hash shuffle, per-user sorted state); the
+    //      second window runs on the RUNS relation, already
+    //      compressed. Ordering inside a user is (ts, event_id) —
+    //      the unique tiebreak that makes the whole history a pure
+    //      function of the log, so the oracle hash-checks it.
+    //      Cohort-restricted like e21 to keep test output bounded;
+    //      the plan is cohort-free at 100 TB (user_id is the only
+    //      shuffle key either way). ----
+    QuerySpec(
+      "e22_scd2_intervals",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val prevType = lag(col("event_type"), 1).over(w)
+        val runs = Tables.events(s, d)
+          .filter(col("user_id") % 50 === 7)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("chg",
+            when(prevType.isNull || prevType =!= col("event_type"), 1)
+              .otherwise(0))
+          .withColumn("seq", sum(col("chg"))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("int"))
+          .groupBy(col("user_id"), col("seq"), col("event_type"))
+          .agg(min(col("ts")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+        val w2 = Window.partitionBy(col("user_id")).orderBy(col("seq"))
+        runs
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("user_id", "seq")
+      },
+      Some("""WITH ev AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE user_id % 50 = 7),
+      m AS (
+        SELECT *, CASE WHEN lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          OR lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+          THEN 1 ELSE 0 END AS chg
+        FROM ev),
+      r AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT)
+          AS seq
+        FROM m),
+      g AS (
+        SELECT user_id, seq, event_type, MIN(ts) AS valid_from,
+          CAST(COUNT(1) AS BIGINT) AS n_events
+        FROM r GROUP BY 1, 2, 3)
+      SELECT user_id, seq, event_type, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq)
+          AS valid_to,
+        (lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq)
+          IS NULL) AS is_current,
+        n_events
+      FROM g ORDER BY user_id, seq"""))
   )
 }
