@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QuerySpec, Tables}
+import graft.{QuerySpec, Scoped, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,6 +39,10 @@ object Relational {
     "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
     "l_returnflag" -> "str", "l_linestatus" -> "str",
     "l_shipdate" -> "ts")
+
+  /** Damped PageRank iterations run by q53 (declared before [[specs]]
+    * — the oracle string is built eagerly during object init). */
+  private val PageRankRounds = 10
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -1397,8 +1401,111 @@ object Relational {
         }
         s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) " +
           "ORDER BY col_name"
-      })
+      }),
+
+    // ---- GRAPH ANALYTICS: PageRank over the nation-to-nation trade
+    //      network (customer nation → supplier nation, edges weighted
+    //      by revenue). The decomposition that scales: the ONLY
+    //      data-sized stage is building the weighted edge list — a
+    //      5-way star join + one aggregate, the same shape as q05 —
+    //      after which 10 damped iterations (d=0.85) run on the
+    //      AGGREGATED graph (≤ nations² edges at any SF: the iterate-
+    //      on-the-aggregate twin of the CC loop's iterate-on-data).
+    //      Each round is one join + one group-by in dataflow — no
+    //      driver matrix, no collect of edges; round results are
+    //      scope-persisted (bounded: ≤ nations rows). Every floating
+    //      sum rides the decimal dsum hop, so 10 compounded rounds
+    //      stay bitwise-identical to the DuckDB oracle, which replays
+    //      the same iterations as chained MATERIALIZED CTEs (t38's
+    //      pattern). ----
+    QuerySpec(
+      "q53_nation_pagerank",
+      (s, d) => {
+        val nat = Tables.nation(s, d)
+        val edges = Scoped.persist(Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(nat.select(col("n_nationkey").as("cnk"),
+            col("n_name").as("src")), col("c_nationkey") === col("cnk"))
+          .join(nat.select(col("n_nationkey").as("snk"),
+            col("n_name").as("dst")), col("s_nationkey") === col("snk"))
+          .groupBy(col("src"), col("dst"))
+          .agg(dsum(rev).as("w")))
+        val outW = edges.groupBy(col("src")).agg(dsum(col("w")).as("ow"))
+        val nodes = Scoped.persist(edges.select(col("src").as("n"))
+          .union(edges.select(col("dst").as("n"))).distinct())
+        val nNodes = nodes.count() // bounded: ≤ |nation|
+        var rank = nodes.select(col("n"), (lit(1.0) / nNodes).as("r"))
+        // Each round: broadcast the bounded rank/out-weight relations
+        // against the persisted edge list (map-side join), one tiny
+        // group-by shuffle, then localCheckpoint — the CC-loop idiom:
+        // eager materialization keeps every round a small flat job
+        // instead of one 10-round-deep lazy plan.
+        for (_ <- 1 to PageRankRounds) {
+          val contrib = edges
+            .join(broadcast(outW), "src")
+            .join(broadcast(rank.select(col("n").as("src"), col("r"))),
+              "src")
+            .select(col("dst").as("n"),
+              ((col("w") / col("ow")) * col("r")).as("t"))
+            .groupBy(col("n")).agg(dsum(col("t")).as("c"))
+          rank = nodes.join(broadcast(contrib), Seq("n"), "left")
+            .select(col("n"),
+              (lit(0.15) / nNodes +
+                lit(0.85) * coalesce(col("c"), lit(0.0))).as("r"))
+            .localCheckpoint()
+        }
+        rank.select(col("n").as("nation"), col("r").as("pagerank"))
+          .orderBy("nation")
+      },
+      Some(pageRankSql(PageRankRounds)))
   )
+
+  /** q53 oracle: the identical edge build + `k` damped iterations as
+    * chained MATERIALIZED CTEs (multi-referenced CTEs must not
+    * inline — see bpeTrainCtes' note in Text.scala). */
+  private def pageRankSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH edges AS MATERIALIZED (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+        ${dsumSql(revSql)} AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2),
+    out_w AS MATERIALIZED (
+      SELECT src, ${dsumSql("w")} AS ow FROM edges GROUP BY 1),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT n FROM (
+        SELECT src AS n FROM edges
+        UNION SELECT dst AS n FROM edges) u),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT n, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes)"""
+    for (i <- 1 to k) {
+      sb ++= s""",
+    r$i AS MATERIALIZED (
+      SELECT nodes.n,
+        0.15 / (SELECT cnt FROM nn) +
+          0.85 * COALESCE(contrib.c, 0.0) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS n, ${dsumSql("(e.w / o.ow) * p.r")} AS c
+        FROM edges e
+        JOIN out_w o ON e.src = o.src
+        JOIN r${i - 1} p ON e.src = p.n
+        GROUP BY 1) contrib ON nodes.n = contrib.n)"""
+    }
+    sb ++= s"""
+    SELECT n AS nation, r AS pagerank FROM r$k ORDER BY nation"""
+    sb.toString
+  }
 
   /** Session-memoized ORC / JSON / CSV copies of lineitem (q49–q51). */
   private val orcMemo = new graft.SessionMemo[String, String]
