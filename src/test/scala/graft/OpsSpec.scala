@@ -951,4 +951,65 @@ class OpsSpec extends SparkSpec {
       .agg(agg.toColumn.name("sk")).collect().head._2
     assert(few.size == 3 && Kmv.estimate(few, k) == 3.0)
   }
+
+  test("BPE merges: non-increasing counts, consistent table, partition-invariant") {
+    val rows = SparkEntry.queries("t38_bpe_merges")(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    rows.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0)
+    }
+    // classic BPE property: a merge can only create pairs at the
+    // sites it rewrote, so the best count never increases
+    val counts = rows.map(_.getLong(4)).toSeq
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      counts.mkString(","))
+    // partition invariance: the same corpus at a different layout
+    // trains the identical merge table (hash-shuffle determinism)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bpe-inv-").toString
+    Tables.documents(spark, sf0001).repartition(7)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val again =
+      SparkEntry.queries("t38_bpe_merges")(spark, tmp).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("PageRank conserves mass and keeps every nation above the floor") {
+    val rows =
+      SparkEntry.queries("q53_nation_pagerank")(spark, sf0001).collect()
+    val n = rows.length
+    assert(n == 25)
+    val ranks = rows.map(_.getDouble(1))
+    // damped PageRank with no dangling nodes sums to 1 (up to the
+    // deliberate decimal(28,10) truncation: ≤1e-10 per contribution,
+    // compounded over 10 rounds)
+    assert(math.abs(ranks.sum - 1.0) < 1e-6, s"mass ${ranks.sum}")
+    assert(ranks.forall(r => r > 0.15 / n - 1e-12))
+  }
+
+  test("SCD2 intervals partition each user's timeline exactly") {
+    val rows = SparkEntry.queries("e22_scd2_intervals")(spark, sf0001)
+      .collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.head.getInt(1) == 1, s"user $u first seq")
+      // columns: user_id, seq, event_type, valid_from, n_events,
+      // valid_to, is_current (withColumn appends)
+      // intervals chain: valid_to == next interval's valid_from;
+      // exactly the last one is open/current
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(5) == b.getTimestamp(3), s"user $u gap")
+          assert(!a.getBoolean(6))
+        case _ =>
+      }
+      assert(sorted.last.getBoolean(6) && sorted.last.isNullAt(5))
+    }
+    // every cohort event lands in exactly one interval
+    val nEvents = Tables.events(spark, sf0001)
+      .filter(col("user_id") % 50 === 7).count()
+    assert(rows.map(_.getLong(4)).sum == nEvents)
+  }
 }
