@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QuerySpec, Scoped, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1462,7 +1462,90 @@ object Relational {
         rank.select(col("n").as("nation"), col("r").as("pagerank"))
           .orderBy("nation")
       },
-      Some(pageRankSql(PageRankRounds)))
+      Some(pageRankSql(PageRankRounds)),
+    ),
+
+    // ---- REFERENTIAL-INTEGRITY AUDIT: the constraint checks an
+    //      ingest runs after q52's statistical profile — orphan
+    //      foreign keys (anti-joins), duplicate natural keys, domain
+    //      ranges — as ONE declarative union of violation counts.
+    //      Plan shape at 100 TB: the three range checks fold into a
+    //      SINGLE conditional-sum pass over lineitem; the key-dup
+    //      check is one groupBy on the composite key; the orphan
+    //      checks are anti-joins that ship only the key columns
+    //      (left_semi/anti prune everything else at the scan). A
+    //      clean corpus reports zeros — the AUDIT is the product, so
+    //      zero rows-with-violations is still a hash-checkable
+    //      result, not an empty one. ----
+    QuerySpec(
+      "q54_integrity_audit",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        def one(name: String, v: Column): DataFrame => DataFrame =
+          df => df.agg(coalesce(v, lit(0L)).cast("long").as("n_violations"))
+            .select(lit(name).as("check_name"), col("n_violations"))
+        val ranges = li.agg(
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+            .otherwise(0L)).as("disc"),
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("qty"),
+          sum(when(col("l_shipdate") < ts("1992-01-01 00:00:00") ||
+            col("l_shipdate") >= ts("1999-01-01 00:00:00"), 1L)
+            .otherwise(0L)).as("ship"))
+        val rangeRows = ranges.select(explode(array(
+          struct(lit("discount_range").as("check_name"),
+            col("disc").as("n_violations")),
+          struct(lit("nonpositive_qty").as("check_name"),
+            col("qty").as("n_violations")),
+          struct(lit("shipdate_range").as("check_name"),
+            col("ship").as("n_violations")))).as("p"))
+          .select("p.*")
+        val dupKeys = one("dup_lineitem_key", sum(col("c") - 1))(
+          li.groupBy(col("l_orderkey"), col("l_linenumber"))
+            .agg(count(lit(1)).as("c")).filter(col("c") > 1))
+        val orphanLi = one("orphan_lineitem", count(lit(1)))(
+          li.join(ord, col("l_orderkey") === col("o_orderkey"),
+            "left_anti"))
+        val orphanOrd = one("orphan_order", count(lit(1)))(
+          ord.join(cust, col("o_custkey") === col("c_custkey"),
+            "left_anti"))
+        rangeRows.unionByName(dupKeys).unionByName(orphanLi)
+          .unionByName(orphanOrd)
+          .orderBy("check_name")
+      },
+      Some("""SELECT * FROM (
+        SELECT 'discount_range' AS check_name,
+          CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'nonpositive_qty',
+          CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'shipdate_range',
+          CAST(SUM(CASE WHEN
+            l_shipdate < TIMESTAMP '1992-01-01 00:00:00'
+            OR l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+            THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'dup_lineitem_key',
+          COALESCE(CAST(SUM(c - 1) AS BIGINT), 0)
+        FROM (SELECT COUNT(1) AS c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber) g
+        WHERE c > 1
+        UNION ALL
+        SELECT 'orphan_lineitem', CAST(COUNT(1) AS BIGINT)
+        FROM lineitem WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orphan_order', CAST(COUNT(1) AS BIGINT)
+        FROM orders WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer)
+      ) ORDER BY check_name"""))
   )
 
   /** q53 oracle: the identical edge build + `k` damped iterations as
