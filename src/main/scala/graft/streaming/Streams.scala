@@ -198,6 +198,47 @@ object Streams {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  final case class ScdEv(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  final case class ScdCurrent(user_id: Long, seq: Int, event_type: String,
+      valid_from: java.sql.Timestamp, n_events: Long)
+  // not `private`: the state encoder's generated code must reach it
+  final case class ScdState(curType: String,
+      validFrom: java.sql.Timestamp, seq: Int, nEvents: Long)
+
+  /** Streaming twin of e22's SCD-2 build: the per-user CURRENT
+    * dimension row (open interval) maintained via mapGroupsWithState.
+    * The batch query owns the closed-interval history; the stream
+    * owns "what is true now" — exactly the row a MERGE upserts into
+    * the serving dimension on every micro-batch. Events are ordered
+    * (event-time µs, event_id) inside each batch — the identical
+    * total order the batch islands pass uses — so given chunks in
+    * event-time order (the session twins' contract) the final state
+    * per user equals the batch `is_current` slice row-for-row,
+    * including the µs-exact valid_from (the transition Timestamp is
+    * carried through state untouched). State per user: one type,
+    * one timestamp, two counters — O(users) total, no history. */
+  def scd2CurrentState(events: Dataset[ScdEv])
+      (implicit spark: SparkSession): Dataset[ScdCurrent] = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[ScdState, ScdCurrent](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[ScdEv], state: GroupState[ScdState]) =>
+          val sorted = evs.toArray.sortBy(e =>
+            (DateTimeUtils.fromJavaTimestamp(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(ScdState(null, null, 0, 0L))
+          sorted.foreach { e =>
+            if (st.curType == null || st.curType != e.event_type)
+              st = ScdState(e.event_type, e.ts, st.seq + 1, 1L)
+            else st = st.copy(nEvents = st.nEvents + 1)
+          }
+          state.update(st)
+          ScdCurrent(user, st.seq, st.curType, st.validFrom, st.nEvents)
+      }
+  }
+
   /** Per-type `value` moments trained in BATCH — the model side of
     * [[scoreAgainstModel]]. At 100 TB this aggregation runs offline
     * over the full history (one bounded-key shuffle); the resulting

@@ -536,4 +536,46 @@ class StreamsSpec extends SparkSpec {
       .filter(col("count") > 1).isEmpty)
     Similarity.clearModels()
   }
+
+  test("streaming SCD2 current rows equal the batch is_current slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    implicit val sq = spark.sqlContext
+    // the e22 cohort, in the op's total order, split into two
+    // event-time-ordered chunks (the session twins' contract)
+    val cohort = Tables.events(spark, sf0001)
+      .filter(col("user_id") % 50 === 7)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[Streams.ScdEv].collect()
+      .sortBy(e => (DateTimeUtils.fromJavaTimestamp(e.ts), e.event_id))
+    val (c1, c2) = cohort.splitAt(cohort.length / 2)
+
+    val ms = MemoryStream[Streams.ScdEv]
+    val q = Streams.scd2CurrentState(ms.toDS)
+      .writeStream.format("memory").queryName("scd2cur")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(c1.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(c2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // final state per user = its maximal (seq, n_events) emission
+    // (a batch-2 row always dominates the batch-1 row it supersedes)
+    val streamed = spark.table("scd2cur").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), r.getLong(4)))
+      .groupBy(_._1).values
+      .map(_.maxBy(t => (t._2, t._5))).toSet
+    val batch = SparkEntry.queries("e22_scd2_intervals")(spark, sf0001)
+      .filter(col("is_current"))
+      .select("user_id", "seq", "event_type", "valid_from", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), r.getLong(4))).toSet
+    assert(streamed == batch)
+  }
 }
