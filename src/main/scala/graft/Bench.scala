@@ -31,8 +31,13 @@ object Bench {
     // query would make the bench FASTER and still exit 0); collect
     // failures, report them, and exit non-zero.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // optional builder-side profiling filter (comma-separated names);
+    // the driver never sets it, so driver runs always time everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def timeAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir))
         catch { case e: Throwable =>

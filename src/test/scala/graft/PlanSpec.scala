@@ -205,12 +205,14 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
-  test("q52: the 11-column profile reads the table ONCE (expand, not 11 scans)") {
+  test("q52: the 11-column profile is two passes, not 11 COUNT(DISTINCT) scans") {
     val p = plan("q52_column_profile")
-    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(800))
-    // 11 exact COUNT(DISTINCT)s compile to one multi-way Expand over
-    // the single scan, not repeated passes
-    assert(p.contains("Expand"), p.take(800))
+    // one scan for the base stats aggregate + one for the exploded
+    // NDV distinct — never a scan (or an Expand) per column
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(800))
+    assert(!p.contains("Expand"), p.take(800))
+    // the NDV pass dedups map-side before its single shuffle
+    assert(p.contains("partial_"), p.take(800))
   }
 
   test("t40: tokenization is map-only — the single exchange is the presentation sort") {
