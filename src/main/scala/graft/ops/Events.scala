@@ -804,6 +804,98 @@ object Events {
         (lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq)
           IS NULL) AS is_current,
         n_events
-      FROM g ORDER BY user_id, seq"""))
+      FROM g ORDER BY user_id, seq""")),
+
+    // ---- EXPONENTIAL DECAY over a trailing window: per-type daily
+    //      revenue discounted at 2^-age over the last 8 days — the
+    //      time-series smoothing primitive (EWMA-style) that naive
+    //      float plans can't oracle-check. Exactness design: daily
+    //      revenue is summed in INTEGER CENTS (floor(value*100) —
+    //      floor, not round: HALF_UP vs banker's diverges between
+    //      engines), the decay weight 2^(7-age) is an exact integer,
+    //      so the weighted numerator is pure int64 arithmetic —
+    //      order-independent, overflow-free (≪ 2^53) — and the single
+    //      final division is one deterministic IEEE op. Scale shape:
+    //      one hash shuffle (groupBy type×day), then a RANGE-framed
+    //      window over the already-compressed daily relation — the
+    //      window input is |types|·|days| rows regardless of event
+    //      count. ----
+    QuerySpec(
+      "e23_decayed_revenue",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+          .withColumn("di",
+            datediff(col("day").cast("date"), to_date(lit("1970-01-01"))))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+          .rangeBetween(-7, 0)
+        daily
+          .withColumn("wl",
+            collect_list(struct(col("di").as("d"), col("cents").as("c")))
+              .over(w))
+          .select(col("event_type"), col("day"), col("cents"),
+            (aggregate(col("wl"), lit(0L), (acc, e) =>
+              acc + e.getField("c") *
+                pow(lit(2.0), lit(7) - (col("di") - e.getField("d")))
+                  .cast("long"))
+              .cast("double") / lit(12800.0)).as("decayed_rev"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+          CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+      d2 AS (
+        SELECT *, CAST(CAST(day AS DATE) - DATE '1970-01-01' AS INT) AS di
+        FROM daily)
+      SELECT a.event_type, a.day, a.cents,
+        CAST(SUM(b.cents * CAST(power(2, 7 - (a.di - b.di)) AS BIGINT))
+          AS DOUBLE) / 12800.0 AS decayed_rev
+      FROM d2 a JOIN d2 b
+        ON a.event_type = b.event_type AND b.di BETWEEN a.di - 7 AND a.di
+      GROUP BY a.event_type, a.day, a.cents
+      ORDER BY a.event_type, a.day""")),
+
+    // ---- LAST-TOUCH ATTRIBUTION: credit each purchase's value to the
+    //      user's most recent preceding non-purchase event type (the
+    //      "channel"), 'direct' when the purchase is the user's first
+    //      touch. The conditional last_value(... IGNORE NULLS) over a
+    //      rows-to-1-preceding frame is the attribution primitive;
+    //      revenue re-aggregates with the decimal-exact dsum so the
+    //      rollup hash-matches. One shuffle on user_id for the window,
+    //      one on channel (5 values) for the rollup. ----
+    QuerySpec(
+      "e24_attribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("channel",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(coalesce(col("channel"), lit("direct")).as("channel"),
+            col("value"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"),
+            dsum(col("value")).as("revenue"),
+            davg(col("value")).as("avg_purchase"))
+          .orderBy("channel")
+      },
+      Some(s"""WITH attrib AS (
+        SELECT COALESCE(LAST_VALUE(CASE WHEN event_type <> 'purchase'
+              THEN event_type END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            'direct') AS channel,
+          event_type, value
+        FROM events)
+      SELECT channel, COUNT(1) AS n_purchases,
+        ${dsumSql("value")} AS revenue,
+        ${davgSql("value")} AS avg_purchase
+      FROM attrib WHERE event_type = 'purchase'
+      GROUP BY channel ORDER BY channel"""))
   )
 }

@@ -1204,6 +1204,43 @@ object Similarity {
       SELECT qid, doc_id, rrf, lrk, srk,
         CAST(ROW_NUMBER() OVER (PARTITION BY qid
           ORDER BY rrf DESC, doc_id) AS INT) AS rk
-      FROM fused QUALIFY rk <= 10 ORDER BY qid, rk"""))
+      FROM fused QUALIFY rk <= 10 ORDER BY qid, rk""")),
+
+    // ---- PER-GROUP KNN: top-3 cosine neighbors restricted to the
+    //      query's own label partition — the "dedup within language /
+    //      retrieve within tenant" composition. The group key turns
+    //      the ANN crossJoin into a label EQUI-join: each query row
+    //      only ever meets its own partition's corpus slice, so the
+    //      scored relation is Σ|group|·|queries in group| rows, not
+    //      N·Q — the same restriction a partitioned at-rest corpus
+    //      (s16 layout) would apply as directory pruning. Queries
+    //      still broadcast; top-k is per-partition rank, no global
+    //      sort. ----
+    QuerySpec(
+      "s19_group_knn",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 40)
+          .select(col("label"), col("vec_id").as("qid"),
+            col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        e.join(broadcast(q), "label")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("label"), col("qid"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy("qid", "rk")
+      },
+      Some(s"""SELECT label, qid, vec_id, cos, rk FROM (
+        SELECT q.label, q.vec_id AS qid, e.vec_id,
+          ${cosineSql("q", "e")} AS cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS INT) AS rk
+        FROM embeddings q JOIN embeddings e
+          ON q.label = e.label AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 40) t
+      WHERE rk <= 3 ORDER BY qid, rk"""))
   )
 }

@@ -2293,6 +2293,116 @@ object Text {
             (nChars.cast("double") / nTokens).as("chars_per_token"))
           .orderBy("doc_id")
       },
-      Some(bpeTokenizeSql(BpeRounds)))
+      Some(bpeTokenizeSql(BpeRounds))),
+
+    // ---- ROBUST OUTLIER DETECTION (median / MAD): per-language
+    //      median(n_chars), MAD = median(|n_chars − med|), and the
+    //      count of docs beyond 3·MAD — the heavy-tail-safe quality
+    //      gate (mean/stddev gates break on the very outliers they
+    //      hunt). EXACT percentiles on purpose: both engines
+    //      interpolate the even-count midpoint on integer inputs to
+    //      an exactly-representable half-integer double, so the whole
+    //      table hash-matches — no approximate-quantile escape hatch
+    //      needed. Two-pass shape (median needs a full pass before
+    //      deviations exist): each pass is one groupBy(lang) shuffle
+    //      and the per-lang medians ride back as a broadcast join.
+    //      At 100 TB swap `percentile` for `approx_percentile` and
+    //      the plan shape is unchanged (documented trade: the gate
+    //      becomes approximate, the twin stays the anchor). ----
+    QuerySpec(
+      "t41_mad_outliers",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), col("n_chars"))
+        val med = docs.groupBy("lang")
+          .agg(expr("percentile(n_chars, 0.5)").as("med"))
+        val dev = docs.join(broadcast(med), "lang")
+          .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
+        val mad = dev.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            first(col("med")).as("med"),
+            expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad.select(col("lang"), col("mad"))), "lang")
+          .groupBy("lang")
+          .agg(sum(when(col("adev") > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+          .join(broadcast(mad), "lang")
+          .select(col("lang"), col("n_docs"), col("med"), col("mad"),
+            col("n_outliers"),
+            (col("n_outliers").cast("double") / col("n_docs"))
+              .as("outlier_frac"))
+          .orderBy("lang")
+      },
+      Some("""WITH med AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS med,
+          COUNT(1) AS n_docs
+        FROM documents GROUP BY lang),
+      dev AS (
+        SELECT d.lang, ABS(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+        FROM documents d JOIN med m ON d.lang = m.lang),
+      mad AS (
+        SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev
+        GROUP BY lang)
+      SELECT m.lang, m.n_docs, m.med, a.mad,
+        CAST(SUM(CASE WHEN dv.adev > 3.0 * a.mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers,
+        CAST(SUM(CASE WHEN dv.adev > 3.0 * a.mad THEN 1 ELSE 0 END)
+          AS DOUBLE) / m.n_docs AS outlier_frac
+      FROM dev dv JOIN med m ON dv.lang = m.lang
+        JOIN mad a ON dv.lang = a.lang
+      GROUP BY m.lang, m.n_docs, m.med, a.mad
+      ORDER BY m.lang""")),
+
+    // ---- CLASSIFIER CALIBRATION TABLE: bin the t04 quality score
+    //      into width-0.1 deciles and report, per bin, the observed
+    //      rate of the target ("long doc", n_chars ≥ 600) — the
+    //      reliability diagram behind every score-threshold curation
+    //      decision (is a 0.8-scored doc actually better than a 0.4?).
+    //      Width bins, not quantile bins: the bin id is a pure row
+    //      function, so the table is one scan + one 10-key shuffle and
+    //      the oracle hash-matches without any percentile agreement
+    //      concerns. ----
+    QuerySpec(
+      "t42_calibration",
+      (s, d) => {
+        val nTok = size(toks).cast("double")
+        val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+        val stopRatio =
+          size(filter(toks, t => array_contains(stop, t))).cast("double") / nTok
+        val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+        val lenScore = least(nTok / lit(100.0), lit(1.0))
+        val quality = round(lenScore * lit(0.4) + distinctRatio * lit(0.4) +
+          least(stopRatio * lit(5.0), lit(1.0)) * lit(0.2), 6)
+        Tables.documents(s, d)
+          .select(quality.as("quality"),
+            (col("n_chars") >= 600).cast("long").as("is_long"))
+          .withColumn("bin",
+            least(floor(col("quality") * 10), lit(9.0)).cast("int"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            davg(col("quality")).as("avg_score"),
+            sum(col("is_long")).as("n_long"))
+          .withColumn("long_rate",
+            col("n_long").cast("double") / col("n_docs"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH scored AS (
+        SELECT
+          ROUND(
+            LEAST(CAST(len(str_split(text,' ')) AS DOUBLE)/100.0, 1.0) * 0.4
+            + (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+               / len(str_split(text,' '))) * 0.4
+            + LEAST((CAST(len(list_filter(str_split(text,' '),
+                t -> list_contains(['the','a','of','and','to','in'], t)))
+              AS DOUBLE) / len(str_split(text,' '))) * 5.0, 1.0) * 0.2, 6)
+            AS quality,
+          CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END AS is_long
+        FROM documents)
+      SELECT CAST(LEAST(FLOOR(quality * 10), 9.0) AS INT) AS bin,
+        COUNT(1) AS n_docs,
+        ${davgSql("quality")} AS avg_score,
+        CAST(SUM(is_long) AS BIGINT) AS n_long,
+        CAST(SUM(is_long) AS DOUBLE) / COUNT(1) AS long_rate
+      FROM scored GROUP BY 1 ORDER BY bin"""))
   )
 }

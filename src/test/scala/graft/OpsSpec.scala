@@ -1012,4 +1012,87 @@ class OpsSpec extends SparkSpec {
       .filter(col("user_id") % 50 === 7).count()
     assert(rows.map(_.getLong(4)).sum == nEvents)
   }
+
+  test("decayed revenue dominates the current day and decays the past") {
+    val rows = SparkEntry.queries("e23_decayed_revenue")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cents, decayed) = (r.getLong(2), r.getDouble(3))
+      // weight of the current day is 2^7/12800 = 1/100: with value >= 0
+      // every other term only adds, so decayed >= cents/100 …
+      assert(decayed >= cents / 100.0 - 1e-9)
+      // … and the trailing window is 8 days of weights summing to
+      // (2^8-1)/12800 < 2/100 of the window's max daily revenue
+      val maxCents = rows.map(_.getLong(2)).max
+      assert(decayed <= maxCents * (255.0 / 12800.0) + 1e-9)
+    }
+  }
+
+  test("attribution conserves purchases and revenue") {
+    val attr = SparkEntry.queries("e24_attribution")(spark, sf0001).collect()
+    val purchases = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+    assert(attr.map(_.getLong(1)).sum == purchases.count())
+    // channels only ever carry non-purchase types (or 'direct')
+    assert(attr.map(_.getString(0)).forall(c => c != "purchase"))
+    // decimal-exact per-channel sums re-add to the decimal-exact total
+    val total = purchases
+      .agg(graft.ops.dsum(col("value"))).head.getDouble(0)
+    assert(math.abs(attr.map(_.getDouble(2)).sum - total) < 1e-6)
+  }
+
+  test("MAD outlier gate is robust: under half the corpus is outlying") {
+    val rows = SparkEntry.queries("t41_mad_outliers")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mad, out) = (r.getLong(1), r.getDouble(3), r.getLong(4))
+      assert(mad >= 0.0)
+      // by the definition of the median deviation, at least half the
+      // group sits within 1 MAD, so beyond-3-MAD is always a minority
+      assert(out <= n / 2, s"lang ${r.getString(0)}")
+    }
+  }
+
+  test("calibration table partitions the corpus and bounds rates") {
+    val rows = SparkEntry.queries("t42_calibration")(spark, sf0001)
+      .collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs) // bins partition corpus
+    rows.foreach { r =>
+      val (bin, n, avg, nLong, rate) = (r.getInt(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(bin >= 0 && bin <= 9)
+      assert(avg >= bin / 10.0 - 1e-9 && (bin == 9 || avg < (bin + 1) / 10.0))
+      assert(rate >= 0.0 && rate <= 1.0 && nLong <= n)
+    }
+  }
+
+  test("group KNN stays inside the query's label partition") {
+    val rows = SparkEntry.queries("s19_group_knn")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (label, qid, vid, cos, rk) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))
+      assert(labels(qid) == label && labels(vid) == label)
+      assert(qid != vid && rk >= 1 && rk <= 3)
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    // within-group ranking is consistent with the global brute ranking:
+    // a query's group neighbors appear in the same relative order as in
+    // the unrestricted s03 ranking (same score function, same tiebreak)
+    val brute = SparkEntry.queries("s03_knn_brute")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val bruteRank = brute.map { case (q, v, rk) => (q, v) -> rk }.toMap
+    rows.filter(_.getLong(1) < 8).groupBy(_.getLong(1)).foreach {
+      case (qid, grp) =>
+        val ranked = grp.sortBy(_.getInt(4))
+          .flatMap(r => bruteRank.get((qid, r.getLong(2))))
+        assert(ranked.sameElements(ranked.sorted), s"query $qid order")
+    }
+  }
 }
