@@ -160,11 +160,12 @@ object Archive {
     * (wrap in [[graft.pipeline.HttpListing.AuthRefreshTransport]]).
     * The drive id lives in `driveBaseUrl`
     * (`.../drives/{id}`), so payloads carry only the path reference.
-    * Bodies ride [[graft.pipeline.HttpListing.HttpResponse]]'s UTF-8
-    * text surface — fine for the scripted parity tests this twin
-    * exists for; bulk binary ingest stays on the `binaryFile` path
-    * ([[graft.ingest.Ingest]]), which never buffers bodies as
-    * strings. */
+    * Content downloads ride [[graft.pipeline.HttpListing
+    * .HttpResponse]]'s raw-bytes surface (`bytes`), so binary
+    * payloads (xlsx/pdf — the reference's typical downloads) land
+    * bit-exact; bulk binary ingest still prefers the `binaryFile`
+    * path ([[graft.ingest.Ingest]]), which streams instead of
+    * buffering whole bodies. */
   class HttpFileOps(
       driveBaseUrl: String,
       bronzeRoot: String,
@@ -211,8 +212,10 @@ object Archive {
       val dest = Paths.get(bronzeRoot, f.lakehouse_folder,
         sanitize(f.file_name))
       Files.createDirectories(dest.getParent)
-      Files.write(dest,
-        resp.body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // write the transport's RAW bytes — xlsx/pdf payloads (the
+      // reference's typical downloads) are not UTF-8, and a
+      // String round-trip would corrupt them silently
+      Files.write(dest, resp.bytes)
       ()
     }
 

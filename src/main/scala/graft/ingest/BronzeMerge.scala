@@ -364,13 +364,13 @@ object BronzeMerge {
       mvPath: String): (Int, Int, Long) = {
     val (to, _) = currentCommit(spark, table)
     val ptr = mvPointer(spark, mvPath)
-    val from = ptr.map(mvVersionOf).getOrElse(0)
+    val from = ptr.map(_._2).getOrElse(0)
     if (from >= to) return (from, to, 0L) // idempotent no-op
     val delta = readChanges(spark, table, from, to)
     val deltaAgg = rollupOf(delta)
     val merged =
       if (from == 0) deltaAgg
-      else spark.read.parquet(s"$mvPath/${ptr.get}").toDF("ext", "n0", "b0")
+      else spark.read.parquet(s"$mvPath/${ptr.get._1}").toDF("ext", "n0", "b0")
         .join(deltaAgg.toDF("ext", "n1", "b1"), Seq("ext"), "full_outer")
         .select(col("ext"),
           (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
@@ -391,7 +391,7 @@ object BronzeMerge {
     merged.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$mvPath/$newDir")
     flipPointer(spark, mvPath, newDir)
-    gcRollup(spark, mvPath, keep = Set(newDir) ++ ptr)
+    gcRollup(spark, mvPath, keep = Set(newDir) ++ ptr.map(_._1))
     (from, to, delta.count())
   }
 
@@ -423,7 +423,7 @@ object BronzeMerge {
     rollupOf(snapshot(spark, table)).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$mvPath/$newDir")
     flipPointer(spark, mvPath, newDir)
-    gcRollup(spark, mvPath, keep = Set(newDir) ++ ptr)
+    gcRollup(spark, mvPath, keep = Set(newDir) ++ ptr.map(_._1))
   }
 
   private def mvDirName(v: Int): String = f"data_v$v%08d"
@@ -433,13 +433,15 @@ object BronzeMerge {
   private def mvVersionOf(dirName: String): Int =
     dirName.stripPrefix("data_v").takeWhile(_.isDigit).toInt
 
-  /** The `_version` pointer: the LIVE data directory's NAME (the
-    * version is its parseable prefix); None = no view materialized.
-    * Naming the directory rather than the bare version is what lets
-    * a rebuild at an unchanged table version stage somewhere fresh
-    * instead of overwriting the live directory in place. */
+  /** The `_version` pointer, resolved to (live data directory NAME,
+    * view version); None = no view materialized. Naming the directory
+    * rather than the bare version is what lets a rebuild at an
+    * unchanged table version stage somewhere fresh instead of
+    * overwriting the live directory in place. The version rides
+    * alongside the name because the legacy directory name carries no
+    * parseable version. */
   private def mvPointer(spark: SparkSession,
-      mvPath: String): Option[String] = {
+      mvPath: String): Option[(String, Int)] = {
     val f = fs(spark, mvPath)
     val verFile = new Path(mvPath, "_version")
     if (!f.exists(verFile)) None
@@ -449,10 +451,14 @@ object BronzeMerge {
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
         .filter(_.nonEmpty)
         // migration shim: pointers written by the bare-integer format
-        // ("5") resolve to their versioned directory name — views
-        // materialized before the pointer-names-a-directory change
-        // stay readable and refreshable
-        .map(p => if (p.forall(_.isDigit)) mvDirName(p.toInt) else p)
+        // ("5") belong to the pre-versioned-dir layout, whose parquet
+        // lives under the literal `data` directory — resolve to THAT
+        // name (not data_vNNNNNNNN, which never existed for them) and
+        // carry the parsed version separately, so old views stay
+        // readable and the next refresh merges from the right version
+        // before migrating the view into the versioned-dir layout
+        .map(p => if (p.forall(_.isDigit)) ("data", p.toInt)
+                  else (p, mvVersionOf(p)))
       finally in.close()
     }
   }
@@ -481,7 +487,19 @@ object BronzeMerge {
     * predecessor survives one refresh cycle as its grace window
     * (the Delta-vacuum retention idea, collapsed to depth 1). The
     * FileSystem is resolved from mvPath — the view may live on a
-    * different filesystem than the table. */
+    * different filesystem than the table.
+    *
+    * SINGLE-WRITER INVARIANT: refresh/rebuild assume one writer per
+    * view at a time (the same caveat Delta documents for
+    * non-coordinated multi-cluster writers). Two concurrent writers
+    * could each GC the other's freshly staged directory before the
+    * other's pointer flip — readers are always safe (the grace window
+    * plus the atomic pointer), but a concurrent WRITER needs external
+    * mutual exclusion. Coordinated commits (the table's own
+    * [[commit]]) fail loudly on conflict; the view pointer
+    * deliberately does not, because a view refresh is recomputable
+    * and last-writer-wins is the desired semantic under a single
+    * writer. */
   private def gcRollup(spark: SparkSession, mvPath: String,
       keep: Set[String]): Unit = {
     val f = fs(spark, mvPath)
@@ -507,7 +525,7 @@ object BronzeMerge {
   def readRollup(spark: SparkSession, mvPath: String): DataFrame = {
     val ptr = mvPointer(spark, mvPath)
     require(ptr.isDefined, s"no materialized view at $mvPath")
-    spark.read.parquet(s"$mvPath/${ptr.get}")
+    spark.read.parquet(s"$mvPath/${ptr.get._1}")
   }
 
   /** Write the version file via temp + atomic rename; an existing

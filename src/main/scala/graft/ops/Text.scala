@@ -235,6 +235,17 @@ object Text {
     * symbol state: both engines scan left-to-right, non-overlapping,
     * resuming after each replacement, so greedy-application semantics
     * agree byte-for-byte.
+    *
+    * KNOWN DEVIATION from canonical Sennrich (2016) BPE: the string
+    * replace consumes the trailing space shared with the next pair,
+    * so a repeated-symbol run like `aaaa` becomes [aa, a, a] rather
+    * than the canonical re-pairing greedy [aa, aa], and training
+    * pair counts inherit the same skew on such runs. Both engines
+    * (Spark `replace` kernel and DuckDB `replace`) implement the
+    * identical scan-resume semantics, which is what the hash-match
+    * certifies; callers needing canonical behavior should apply
+    * merges pair-wise over a token array (re-pairing after each
+    * merge) at ~2× the kernel cost.
     */
   private def bpeTrainCtes(k: Int): String = {
     val sb = new StringBuilder
@@ -2272,7 +2283,11 @@ object Text {
     //      per-doc token count and compression ratio (raw IEEE
     //      division — bitwise-comparable, no rounding trade). The
     //      oracle replays training AND application, so the
-    //      hash-match covers the full train→apply loop. ----
+    //      hash-match covers the full train→apply loop. Merge
+    //      application shares bpeTrainCtes' documented deviation
+    //      from canonical BPE on repeated-symbol runs (the replace
+    //      consumes the shared trailing space) — identical in both
+    //      engines, certified by the hash-match. ----
     QuerySpec(
       "t40_bpe_tokenize",
       (s, d) => {

@@ -27,9 +27,21 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object HttpListing {
 
-  /** Minimal response surface the policy needs. */
+  /** Minimal response surface the policy needs. `bodyBytes` is the
+    * transport's RAW payload when it captured one — the `:/content`
+    * download of an xlsx/pdf is not UTF-8 text, and round-tripping it
+    * through `body`'s String would corrupt it. Scripted test
+    * transports that only ever serve JSON/text may leave it null;
+    * [[bytes]] falls back to re-encoding `body`. */
   final case class HttpResponse(status: Int, body: String,
-      headers: Map[String, String] = Map.empty)
+      headers: Map[String, String] = Map.empty,
+      bodyBytes: Array[Byte] = null) {
+    /** Exact payload bytes: the raw capture when present, else the
+      * UTF-8 encoding of `body` (lossless for text responses). */
+    def bytes: Array[Byte] =
+      if (bodyBytes != null) bodyBytes
+      else body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** One GET. Implementations: real HTTP in production
     * ([[HttpUrlConnectionTransport]]), a scripted fake in tests. */
@@ -122,7 +134,13 @@ object HttpListing {
         .filter(_.nonEmpty)
         .getOrElse(throw new RuntimeException(
           s"token response carries no access_token: ${resp.body.take(200)}"))
-      val ttlMs = Option(root.get("expires_in")).map(_.asLong() * 1000)
+      // AAD is known to return expires_in as a STRING on some
+      // endpoints; asLong() parses numeric text and returns 0 for
+      // anything unparseable — a 0 TTL would silently re-POST the
+      // token endpoint on every call, so treat a non-positive parse
+      // like an absent field (1-hour default) instead
+      val ttlMs = Option(root.get("expires_in")).map(_.asLong())
+        .filter(_ > 0).map(_ * 1000)
         .getOrElse(3600L * 1000)
       cached = (tok, clock() + math.max(ttlMs - skewMs, 0))
       tok
@@ -207,18 +225,21 @@ object HttpListing {
         val status = conn.getResponseCode
         val is = if (status >= 400) conn.getErrorStream
                  else conn.getInputStream
+        // capture raw bytes ONCE; `body` is the UTF-8 view (JSON
+        // responses), `bodyBytes` the exact payload (binary content
+        // downloads) — both surfaces from one read
+        val raw =
+          if (is == null) Array.emptyByteArray
+          else try is.readAllBytes() finally is.close()
         val respBody =
-          if (is == null) ""
-          else try new String(is.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally is.close()
+          new String(raw, java.nio.charset.StandardCharsets.UTF_8)
         val headers = {
           import scala.jdk.CollectionConverters._
           conn.getHeaderFields.asScala.collect {
             case (k, vs) if k != null && !vs.isEmpty => k -> vs.get(0)
           }.toMap
         }
-        HttpResponse(status, respBody, headers)
+        HttpResponse(status, respBody, headers, bodyBytes = raw)
       } finally conn.disconnect()
     }
 

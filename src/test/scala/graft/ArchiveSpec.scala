@@ -125,6 +125,34 @@ class ArchiveSpec extends SparkSpec {
     assert(!ScriptedGraphTransport.snapshot().exists(_.contains(":/children")))
   }
 
+  test("HTTP FileOps: binary content lands bit-exact (no UTF-8 round-trip)") {
+    import graft.pipeline.HttpListing.HttpResponse
+    val bronze = Files.createTempDirectory("graft-bronze-bin").toString
+    val base = "https://graph.example.test/drives/d1"
+    // bytes that do NOT survive a UTF-8 String round-trip: an invalid
+    // continuation sequence plus a NUL — the head of a real xlsx/pdf
+    // is exactly this kind of payload
+    val payload = Array[Byte](0x50, 0x4b, 0x03, 0x04, 0xff.toByte,
+      0xfe.toByte, 0x00, 0x80.toByte, 0xc3.toByte)
+    val t = new graft.pipeline.HttpListing.WriteTransport {
+      override def get(url: String): HttpResponse = {
+        assert(url == s"$base/root:/Docs/r.xlsx:/content")
+        // the transport surfaces BOTH views, as the real one does
+        HttpResponse(200, new String(payload,
+          java.nio.charset.StandardCharsets.UTF_8), bodyBytes = payload)
+      }
+      override def post(url: String, body: String,
+          contentType: String): HttpResponse = HttpResponse(500, "")
+      override def delete(url: String): HttpResponse = HttpResponse(500, "")
+    }
+    val ops = new HttpFileOps(base, bronze, t,
+      graft.pipeline.HttpListing.RetryPolicy(baseDelayMs = 1), _ => ())
+    ops.upload(meta("r.xlsx", "Docs", "False", "False"))
+    val got = Files.readAllBytes(Paths.get(bronze, "lh/Docs", "r.xlsx"))
+    assert(got.toSeq == payload.toSeq,
+      "binary payload corrupted by a String round-trip")
+  }
+
   test("HTTP FileOps: failed copy POST retains the original (C3), failed upload isolates (C2)") {
     import spark.implicits._
     ScriptedGraphTransport.reset()

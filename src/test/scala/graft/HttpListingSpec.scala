@@ -235,6 +235,31 @@ class HttpListingSpec extends AnyFunSuite {
     assert(t.posts.size == 2)
   }
 
+  test("OAuth2: string or garbage expires_in never yields a 0-TTL cache") {
+    var now = 1000000L
+    // AAD returns expires_in as a STRING on some endpoints; numeric
+    // text must parse, non-numeric must fall back to the 1h default —
+    // neither may produce TTL 0 (= silent re-POST per call)
+    val t = new FakeWriteTransport(Map.empty, Map(tokUrl -> Seq(
+      HttpResponse(200,
+        """{"token_type":"Bearer","expires_in":"3599","access_token":"tok-S"}"""),
+      HttpResponse(200,
+        """{"token_type":"Bearer","expires_in":"soon","access_token":"tok-G"}"""),
+      tokenResp("tok-X", 3600))))
+    val creds = new HttpListing.OAuth2ClientCredentials(
+      t, tokUrl, "c", "s", clock = () => now)
+    assert(creds.token() == "tok-S")
+    assert(creds.token() == "tok-S") // cached — string TTL parsed, not 0
+    assert(t.posts.size == 1)
+    now += 3600L * 1000 // past the parsed 3599s TTL
+    assert(creds.token() == "tok-G")
+    assert(creds.token() == "tok-G") // garbage TTL → 1h default, cached
+    assert(t.posts.size == 2)
+    now += (3600L - 30) * 1000 // past the default TTL minus skew
+    assert(creds.token() == "tok-X")
+    assert(t.posts.size == 3)
+  }
+
   test("OAuth2: non-200 token response fails fast (C5), nothing cached") {
     val t = new FakeWriteTransport(Map.empty, Map(
       tokUrl -> Seq(HttpResponse(400,

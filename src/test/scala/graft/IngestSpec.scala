@@ -442,4 +442,51 @@ class IngestSpec extends SparkSpec {
     assert(rollup() == expected())
     assert(pre3.collect().toSet == pre3Rows)
   }
+
+  test("legacy bare-integer rollup pointer stays readable and refreshable") {
+    import graft.ingest.BronzeMerge
+    val dir = Files.createTempDirectory("graft-mig")
+    val table = Files.createTempDirectory("graft-mig-out")
+      .resolve("bronze").toString
+    val mv = Files.createTempDirectory("graft-mig-mv").resolve("mv").toString
+    def rollup() = BronzeMerge.readRollup(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // materialize the view at table version 1 with the CURRENT layout…
+    Files.writeString(dir.resolve("a.txt"), "alpha")
+    Files.writeString(dir.resolve("b.csv"), "bravo-2")
+    BronzeMerge.mergeIngest(spark, dir.toString, table)
+    assert(BronzeMerge.refreshRollup(spark, table, mv) == ((0, 1, 2L)))
+    val v1 = rollup()
+
+    // …then rewrite it into the PRE-round-5 layout: parquet under the
+    // literal `data` directory, `_version` holding the bare integer
+    val mvP = java.nio.file.Paths.get(mv)
+    Files.move(mvP.resolve("data_v00000001"), mvP.resolve("data"))
+    Files.writeString(mvP.resolve("_version"), "1\n")
+    // the NIO rewrite above bypasses Hadoop's ChecksumFileSystem —
+    // drop the now-stale sidecar so the read sees the legacy bytes
+    Files.deleteIfExists(mvP.resolve("._version.crc"))
+
+    // old views stay readable through the migration shim
+    assert(rollup() == v1)
+
+    // and refreshable: the refresh must merge FROM version 1 (reading
+    // the legacy `data` dir), land the merged view in the versioned
+    // layout, and agree with a full recompute
+    Files.writeString(dir.resolve("c.txt"), "charlie!")
+    BronzeMerge.mergeIngest(spark, dir.toString, table)
+    assert(BronzeMerge.refreshRollup(spark, table, mv) == ((1, 2, 1L)))
+    val exp = {
+      val t = Files.createTempDirectory("graft-mig-exp")
+        .resolve("exp").toString
+      BronzeMerge.rebuildRollup(spark, table, t)
+      BronzeMerge.readRollup(spark, t).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(rollup() == exp)
+    assert(Files.readString(mvP.resolve("_version")).trim
+      == "data_v00000002") // migrated to the pointer-names-a-dir layout
+    assert(Files.exists(mvP.resolve("data"))) // legacy dir untouched (not GC'd)
+  }
 }
