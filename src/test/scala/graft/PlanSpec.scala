@@ -37,6 +37,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"))
   }
 
+  test("s04/s12 above the anchor scale: NO cartesian product in the plan") {
+    // sf0.1 carries 2000 embeddings > ExactAnchorRows → the default
+    // path must route pair generation through the LSH candidate
+    // equi-join; the O(n²) crossJoin is reserved for the oracle SF
+    val sf01 = "/root/testdata/sf0.1"
+    for (q <- Seq("s04_neardup_pairs", "s12_semantic_dedup")) {
+      val p = SparkEntry.queries(q)(spark, sf01)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q still carries an all-pairs join at the scale SF")
+    }
+    // and the oracle SF keeps the exact anchor (the hash-matched leg)
+    val pAnchor = plan("s04_neardup_pairs")
+    assert(pAnchor.contains("CartesianProduct") ||
+      pAnchor.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("t09: fused shingle + minhash expressions appear in the plan") {
     val p = plan("t09_minhash_lsh")
     assert(p.contains("shingle_hashes") && p.contains("minhash_sig"))
