@@ -6,15 +6,21 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (extension layer): media payloads are
   * opaque `binary` columns + typed metadata, processed by batched
-  * per-partition decode. The container has no image/audio codecs, so
-  * the DECODE STEP IS A DETERMINISTIC STUB ([[Multimodal.decodeStub]])
-  * — the Spark-side contract (schema, binary handling, batch shape,
-  * partition-parallel decode) is real and tested; swap the stub for a
-  * JNI/codec call and nothing else changes.
+  * per-partition decode. The decode step is a REAL pure-JVM 24-bit
+  * BMP codec ([[Multimodal.decodeBmp]]): headers parsed, scanline
+  * padding and bottom-up row order honored, BGR channel order
+  * unwound — no image library needed, which is exactly why BMP is
+  * the honest choice in a zero-egress container. The fixtures carry
+  * no media, so payloads are SYNTHESIZED as real BMP files from a
+  * deterministic pixel formula ([[Multimodal.encodeBmp]]); the
+  * DuckDB oracle recomputes the decoded features from that formula
+  * with pure integer arithmetic, so a decoder that mishandles
+  * padding (means include pad bytes), channel order (r/b swap), or
+  * row direction (corner pixel moves) hash-mismatches.
   *
-  * The `documents.text` bytes stand in for payloads (the fixtures have
-  * no real media); `encode(text)` → BinaryType exercises the same
-  * column machinery the reference's blob path needs (S6/K1 payloads,
+  * For the remaining queries the `documents.text` bytes stand in for
+  * payloads; `encode(text)` → BinaryType exercises the same column
+  * machinery the reference's blob path needs (S6/K1 payloads,
   * `sharepoint_to_bronze_delta.py:163-176`).
   */
 object Multimodal {
@@ -23,32 +29,144 @@ object Multimodal {
   private val payload = encode(col("text"), "UTF-8")
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  /** `head` is a comma-joined string (not array<int>): flat scalar
-    * columns keep the output sortable by any downstream tool — the
-    * driver's rows-only compare chokes on nested arrays. */
-  final case class MediaFeatures(
+
+  /** Decoded-image features: dimensions from the header, per-channel
+    * means over the pixel array, and the top-left pixel (position-
+    * sensitive — the means are permutation-invariant, so this is the
+    * feature that catches a wrong row direction). */
+  final case class BmpFeatures(
       doc_id: Long,
       n_bytes: Int,
-      mean_byte: Double,
-      head: String)
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      r00: Int,
+      g00: Int,
+      b00: Int)
 
-  /** STUB decode: deterministic features from raw bytes (length, mean
-    * byte value, first 4 byte codes). A real impl would decode frames
-    * / spectrograms here; the mapPartitions + grouped-batch shape is
-    * what carries over. */
-  def decodeStub(spark: SparkSession, media: DataFrame,
+  /** Build a REAL 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + padded bottom-up BGR scanlines) whose pixel
+    * (x, y) carries channels B/G/R = (docId·7+3x+5y, docId·11+13x+17y,
+    * docId·19+23x+29y) mod 256 — a formula an oracle can replay with
+    * integer arithmetic. The output opens in any image viewer; this
+    * is a generator of true media bytes, not a stand-in. */
+  private[graft] def encodeBmp(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4 // scanlines pad to 4 bytes
+    val size = 54 + rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(size)      // file size
+    buf.putInt(0)         // reserved
+    buf.putInt(54)        // pixel-array offset
+    buf.putInt(40)        // BITMAPINFOHEADER size
+    buf.putInt(w)
+    buf.putInt(h)         // positive → bottom-up scanlines
+    buf.putShort(1)       // color planes
+    buf.putShort(24)      // bits per pixel
+    buf.putInt(0)         // BI_RGB, uncompressed
+    buf.putInt(rowSize * h)
+    buf.putInt(2835).putInt(2835) // 72 DPI
+    buf.putInt(0).putInt(0)       // palette: none
+    var y = h - 1
+    while (y >= 0) { // bottom row first
+      var x = 0
+      while (x < w) {
+        buf.put(((docId * 7 + x * 3 + y * 5) % 256).toByte)   // B
+        buf.put(((docId * 11 + x * 13 + y * 17) % 256).toByte) // G
+        buf.put(((docId * 19 + x * 23 + y * 29) % 256).toByte) // R
+        x += 1
+      }
+      var p = 3 * w
+      while (p < rowSize) { buf.put(0: Byte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** REAL BMP decode, headers to pixels: validates the `BM` magic,
+    * reads the pixel-array offset / dimensions / bpp / compression
+    * from the little-endian headers, walks the padded scanlines in
+    * image order (honoring the bottom-up convention and the negative-
+    * height top-down variant), and reduces the BGR samples to
+    * (width, height, mean r/g/b, top-left r/g/b). Fails loudly on
+    * anything it does not understand — a decoder that guesses is
+    * worse than none. */
+  private[graft] def decodeBmp(bs: Array[Byte])
+      : (Int, Int, Double, Double, Double, Int, Int, Int) = {
+    def u8(i: Int): Int = bs(i) & 0xff
+    def i32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def i16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    require(bs.length >= 54 && bs(0) == 'B' && bs(1) == 'M',
+      "not a BMP payload")
+    val off = i32(10)
+    require(i32(14) >= 40, s"unsupported DIB header size ${i32(14)}")
+    val w = i32(18)
+    val hRaw = i32(22)
+    val topDown = hRaw < 0 // negative height = top-down pixel order
+    val h = math.abs(hRaw)
+    require(w > 0 && h > 0, s"degenerate dimensions ${w}x$hRaw")
+    require(i16(26) == 1, "color planes must be 1")
+    require(i16(28) == 24, s"only 24bpp supported, got ${i16(28)}")
+    require(i32(30) == 0, "compressed BMP unsupported")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    require(bs.length >= off + rowSize * h, "truncated pixel array")
+    var rSum = 0L; var gSum = 0L; var bSum = 0L
+    var y = 0
+    while (y < h) {
+      val base = off + (if (topDown) y else h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        bSum += u8(base + 3 * x)
+        gSum += u8(base + 3 * x + 1)
+        rSum += u8(base + 3 * x + 2)
+        x += 1
+      }
+      y += 1
+    }
+    val row0 = off + (if (topDown) 0 else (h - 1) * rowSize)
+    val n = w.toLong * h
+    (w, h, rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n,
+      u8(row0 + 2), u8(row0 + 1), u8(row0))
+  }
+
+  /** The per-doc image dimensions, derived from metadata (same trick
+    * as m05's tile grid): small enough that 500 docs × ≤16×9 pixels
+    * synthesize in microseconds, varied enough to exercise every
+    * padding residue (w mod 4 ∈ {0,1,2,3}). */
+  private def bmpDims(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      (lit(4) + pmod(col("n_chars"), lit(13))).cast("int").as("w"),
+      (lit(3) + pmod(col("n_chars"), lit(7))).cast("int").as("h"))
+
+  /** Generated BMP fixture column: (doc_id, payload binary) with real
+    * BMP bytes. Kept separate from [[decodeBmpFeatures]] so the
+    * decode consumes an opaque binary COLUMN, exactly the shape a
+    * real media table has. */
+  private[graft] def bmpFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bmpDims(s, d).as[(Long, Int, Int)]
+      .map { case (id, w, h) => MediaRow(id, encodeBmp(id, w, h)) }
+      .toDF()
+  }
+
+  /** Batched per-partition decode of a binary BMP column → features.
+    * The mapPartitions + grouped-batch shape is the vectorized-decode
+    * loop a JNI codec would slot into; the codec itself is
+    * [[decodeBmp]] — real, not a stub. */
+  def decodeBmpFeatures(spark: SparkSession, media: DataFrame,
       batchSize: Int = 64): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), payload.as("payload")).as[MediaRow]
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions { rows =>
-        // batched like a vectorized (e.g. Arrow) decode loop
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val bs = r.payload
-            MediaFeatures(r.doc_id, bs.length,
-              if (bs.isEmpty) 0.0
-              else bs.map(_.toInt & 0xff).sum.toDouble / bs.length,
-              bs.take(4).map(_.toInt & 0xff).mkString(","))
+            val (w, h, mr, mg, mb, r00, g00, b00) = decodeBmp(r.payload)
+            BmpFeatures(r.doc_id, r.payload.length, w, h,
+              mr, mg, mb, r00, g00, b00)
           }
         }
       }.toDF()
@@ -147,24 +265,45 @@ object Multimodal {
           FROM documents) b) t
       ORDER BY doc_id, sample_idx""")),
 
-    // ---- stubbed decode → features (typed mapPartitions path). The
-    //      stub's features are deterministic byte math, so the oracle
-    //      can recompute them exactly: fixture text is ASCII, hence
-    //      ascii(char) == byte value and char offsets == byte offsets.
-    //      Division parity: int sum / int len is one correctly-rounded
-    //      double op in both engines ----
+    // ---- REAL decode → features (typed mapPartitions path): encode
+    //      each doc as a true 24-bit BMP, then decode it back with
+    //      the header+scanline parser. The oracle recomputes what the
+    //      decode MUST produce from the pixel formula alone (integer
+    //      sums; one double division at the end — correctly-rounded
+    //      identically in both engines), so the hash-match certifies
+    //      the decoder inverted the file format: pad bytes excluded
+    //      from means, BGR unwound to r/g/b, bottom-up rows flipped
+    //      (r00 is the TOP-left pixel; a decoder reading file order
+    //      would emit the bottom-left and mismatch). ----
     QuerySpec(
       "m03_decode_features",
-      (s, d) => decodeStub(s, Tables.documents(s, d)).orderBy("doc_id"),
-      Some("""SELECT doc_id,
-        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        CASE WHEN length(text) = 0 THEN 0.0
-             ELSE CAST(list_sum(list_transform(str_split(text, ''),
-                    c -> ascii(c))) AS DOUBLE) / octet_length(encode(text))
-        END AS mean_byte,
-        array_to_string(list_transform(str_split(text, '')[1:4],
-          c -> CAST(ascii(c) AS VARCHAR)), ',') AS head
-      FROM documents ORDER BY doc_id""")),
+      (s, d) => decodeBmpFeatures(s, bmpFixture(s, d)).orderBy("doc_id"),
+      Some("""WITH dims AS (
+        SELECT doc_id, CAST(4 + (n_chars % 13) AS INT) AS w,
+               CAST(3 + (n_chars % 7) AS INT) AS h
+        FROM documents),
+      grid AS (
+        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h,
+                unnest(generate_series(0, w - 1)) AS x FROM dims) gx),
+      agg AS (
+        SELECT doc_id, w, h,
+          CAST(SUM((doc_id*19 + x*23 + y*29) % 256) AS DOUBLE) / (w*h)
+            AS mean_r,
+          CAST(SUM((doc_id*11 + x*13 + y*17) % 256) AS DOUBLE) / (w*h)
+            AS mean_g,
+          CAST(SUM((doc_id*7 + x*3 + y*5) % 256) AS DOUBLE) / (w*h)
+            AS mean_b
+        FROM grid GROUP BY doc_id, w, h)
+      SELECT d.doc_id,
+        CAST(54 + ((3*d.w + 3) // 4) * 4 * d.h AS INT) AS n_bytes,
+        d.w AS width, d.h AS height,
+        a.mean_r, a.mean_g, a.mean_b,
+        CAST((d.doc_id*19) % 256 AS INT) AS r00,
+        CAST((d.doc_id*11) % 256 AS INT) AS g00,
+        CAST((d.doc_id*7) % 256 AS INT) AS b00
+      FROM dims d JOIN agg a USING (doc_id)
+      ORDER BY doc_id""")),
 
     // ---- image tiling (ViT-style patch grid): synthesize per-doc
     //      image dimensions from metadata (deterministic integer

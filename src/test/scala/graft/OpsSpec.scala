@@ -62,15 +62,75 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal decode stub: batch shape preserves rows and features") {
+  test("BMP decoder: golden hand-written 2x1 file decodes exactly") {
+    // 2×1 px, 24bpp: rowSize = 8 (2 pad bytes). Pixels in file order
+    // (single row): (B,G,R) = (1,2,3) at x=0, (4,5,6) at x=1.
+    val golden = Array[Int](
+      'B', 'M', 62, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 1, 0, 0, 0,            // DIB: 2 x 1
+      1, 0, 24, 0, 0, 0, 0, 0, 8, 0, 0, 0,            // planes/bpp/BI_RGB
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, // dpi + palette
+      1, 2, 3, 4, 5, 6, 0, 0                          // row + 2 pad bytes
+    ).map(_.toByte)
+    val (w, h, mr, mg, mb, r00, g00, b00) = Multimodal.decodeBmp(golden)
+    assert((w, h) == ((2, 1)))
+    assert((mr, mg, mb) == ((4.5, 3.5, 2.5))) // pad bytes NOT in means
+    assert((r00, g00, b00) == ((3, 2, 1)))    // BGR unwound
+  }
+
+  test("BMP round-trip: encode → decode inverts at every padding residue") {
+    // w = 4..7 covers rowSize padding of 0..3 bytes; bottom-up rows
+    for (w <- 4 to 7; h <- Seq(3, 5)) {
+      val id = 37L
+      val (dw, dh, mr, mg, mb, r00, g00, b00) =
+        Multimodal.decodeBmp(Multimodal.encodeBmp(id, w, h))
+      assert((dw, dh) == ((w, h)))
+      val px = for (x <- 0 until w; y <- 0 until h) yield
+        ((id*19 + x*23 + y*29) % 256, (id*11 + x*13 + y*17) % 256,
+         (id*7 + x*3 + y*5) % 256)
+      assert(mr == px.map(_._1).sum.toDouble / (w * h))
+      assert(mg == px.map(_._2).sum.toDouble / (w * h))
+      assert(mb == px.map(_._3).sum.toDouble / (w * h))
+      // top-left pixel = formula at (0,0): catches a decoder that
+      // forgets BMP scanlines are stored bottom-up
+      assert((r00.toLong, g00.toLong, b00.toLong) ==
+        ((id*19 % 256, id*11 % 256, id*7 % 256)))
+    }
+  }
+
+  test("BMP decoder: top-down (negative height) variant and loud failures") {
+    // flip the golden encode to top-down by negating height in place
+    val bs = Multimodal.encodeBmp(7L, 5, 4)
+    val bb = java.nio.ByteBuffer.wrap(bs.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val h = bb.getInt(22)
+    bb.putInt(22, -h)
+    // rows are now interpreted top-down: the FIRST file row becomes
+    // image row 0, which in the bottom-up original was row h-1 — the
+    // corner pixel must move; means are permutation-invariant
+    val (_, _, mr, _, _, r00, _, _) = Multimodal.decodeBmp(bs)
+    val (_, _, mr2, _, _, r00td, _, _) = Multimodal.decodeBmp(bb.array())
+    assert(mr == mr2)
+    assert(r00td == ((7L*19 + 29*(h - 1)) % 256).toInt && r00 != r00td)
+    // not-a-BMP and unsupported bpp fail loudly, never guess
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp("plainly not an image".getBytes)
+    }
+    val bad = bs.clone(); bad(28) = 8 // claim 8bpp
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(bad))
+  }
+
+  test("multimodal decode: batched partition decode preserves rows") {
     val docs = Tables.documents(spark, sf0001)
-    val out = Multimodal.decodeStub(spark, docs, batchSize = 7)
+    val out = Multimodal.decodeBmpFeatures(spark,
+      Multimodal.bmpFixture(spark, sf0001), batchSize = 7)
     assert(out.count() == docs.count())
     val r = out.orderBy("doc_id").head()
-    val text = docs.orderBy("doc_id").select("text").head().getString(0)
-    assert(r.getInt(1) == text.getBytes("UTF-8").length)
-    assert(r.getString(3) ==
-      text.getBytes("UTF-8").take(4).map(_.toInt & 0xff).mkString(","))
+    // n_bytes is the true BMP file size for that doc's dims
+    val nc = docs.orderBy("doc_id").select("n_chars").head().getLong(0)
+    val (w, h) = ((4 + nc % 13).toInt, (3 + nc % 7).toInt)
+    assert(r.getInt(1) == 54 + ((3 * w + 3) / 4) * 4 * h)
+    assert((r.getInt(2), r.getInt(3)) == ((w, h)))
   }
 
   test("grant-if-absent is idempotent: re-applying grants nothing") {
