@@ -268,8 +268,13 @@ object Similarity {
   /** Tables × probe-radius multiplicity bound of
     * [[lshCandidatePairs]]: a Hamming-≤1 pair collides at most once
     * per table (exact bucket via flip=0 or the single differing-bit
-    * probe), so an undeduped candidate pair appears ≤ NTables times. */
-  private[graft] val LshTables = 12
+    * probe), so an undeduped candidate pair appears ≤ NTables times.
+    * 16 tables (up from 12 in round 5) per the measured recall-vs-
+    * cost sweep (OpsSpec "LSH recall vs table count" / SCALE.md):
+    * 0.83 → 0.92 edge recall for +23% candidate pairs — the last
+    * table-count step whose recall gain exceeds its cost growth at
+    * the 0.4 cosine threshold. */
+  private[graft] val LshTables = 16
 
   /** LSH candidate pairs over the whole corpus — the shared candidate
     * generator of s05 (ANN pairs) and s15 (semantic dedup at scale):
@@ -287,17 +292,22 @@ object Similarity {
     * ≤ [[LshTables]]-fold duplication is removable later at a
     * fraction of the rows. */
   private[graft] def lshCandidatePairs(s: SparkSession, d: String,
-      dedup: Boolean = true): DataFrame = {
+      dedup: Boolean = true, tables: Int = LshTables): DataFrame = {
     val NBits = 8
-    // deterministic pseudo-random hyperplanes (fixed seed)
+    // deterministic pseudo-random hyperplanes (fixed seed); `tables`
+    // is overridable so the recall-vs-cost sweep (OpsSpec / SCALE.md)
+    // measures the same generator at different table counts — the
+    // first `tables` tables of the fixed-seed sequence, so T=6 is a
+    // strict prefix of T=12
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Double]] =
-      Seq.fill(LshTables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
+      Seq.fill(tables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
     val e = Tables.embeddings(s, d)
-    // all 96 plane dots fused into ONE expression over ONE scan
-    // (the per-table union re-scanned the corpus 12×, re-reading
-    // each vector 96 times); signatures carry only ids — candidate
-    // dedup shuffles 2 longs per pair, not two 64-float arrays.
+    // all tables×8 plane dots fused into ONE expression over ONE
+    // scan (the per-table union re-scanned the corpus per table,
+    // re-reading each vector once per plane); signatures carry only
+    // ids — candidate dedup shuffles 2 longs per pair, not two
+    // 64-float arrays.
     // PERSISTED: the relation is read three times (probe side, build
     // side, bucket-size guard) — without the persist each read
     // re-evaluates the 96-dot kernel over the corpus scan.

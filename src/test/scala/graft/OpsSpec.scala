@@ -199,7 +199,35 @@ class OpsSpec extends SparkSpec {
     assume(topExact.nonEmpty)
     val recall = topExact.count(lsh.contains).toDouble / topExact.size
     info(s"s05 recall of exact top-${topExact.size}: $recall")
-    assert(recall >= 0.7, s"LSH recall $recall below floor")
+    assert(recall >= 0.9, s"LSH recall $recall below floor")
+  }
+
+  test("LSH recall vs table count: measured sweep behind the 12-table default") {
+    import graft.ops.Similarity
+    // candidate-level recall of the exact near-dup edge set (≥0.4) —
+    // the quantity the table count actually buys; numbers feed the
+    // SCALE.md recall-vs-cost table. Fixed seed + prefix-stable
+    // plane sequence make the sweep deterministic.
+    val exact = SparkEntry.queries("s04_neardup_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(exact.nonEmpty)
+    val sweep = Seq(4, 8, 12, 16).map { t =>
+      val cands = Similarity.lshCandidatePairs(spark, sf0001,
+          dedup = true, tables = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rec = exact.count(cands.contains).toDouble / exact.size
+      t -> (rec, cands.size)
+    }
+    sweep.foreach { case (t, (rec, n)) =>
+      info(f"T=$t%2d tables: edge recall $rec%.3f, ${n}%d candidate pairs") }
+    // recall is monotone in tables (prefix property); the default
+    // T=16 clears the 0.9 edge-recall floor — the sweep's smaller
+    // counts document what each table step buys (see SCALE.md)
+    sweep.map(_._2._1).sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, "recall fell as tables grew") }
+    val atDefault = sweep.find(_._1 == Similarity.LshTables).get._2._1
+    assert(atDefault >= 0.9,
+      s"default-table edge recall $atDefault under floor")
   }
 
   test("k-means inertia falls monotonically and covers the corpus") {
@@ -639,7 +667,7 @@ class OpsSpec extends SparkSpec {
     // fixture the probed cells must hold essentially everything the
     // full ADC scan finds
     assert(r11 >= r10 - 0.1, s"IVF×PQ recall $r11 fell below full-scan $r10")
-    assert(r11 >= 0.5, s"IVF×PQ recall $r11 under floor")
+    assert(r11 >= 0.7, s"IVF×PQ recall $r11 under floor")
     // containment: every returned neighbor lives in one of its query's
     // nprobe=4 nearest coarse cells (WHY the plan reads ~0.1% at scale)
     val (centroids, _) = Similarity.kMeansModel(spark, sf0001)
