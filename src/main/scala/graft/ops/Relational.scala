@@ -1566,7 +1566,120 @@ object Relational {
         SELECT 'orphan_order', CAST(COUNT(1) AS BIGINT)
         FROM orders WHERE o_custkey NOT IN
           (SELECT c_custkey FROM customer)
-      ) ORDER BY check_name"""))
+      ) ORDER BY check_name""")),
+
+    // ---- TPC-H Q2 SHAPE: min-cost correlated scalar subquery across
+    //      FIVE tables (part × lineitem × supplier × nation × region;
+    //      lineitem stands in for partsupp — the fixtures carry no
+    //      partsupp table, and l_extendedprice·(1−l_discount) is the
+    //      per-offer cost). The interesting property is NOT the
+    //      answer, it's the PLAN: a naive engine re-executes the
+    //      4-table subquery once per outer row; Catalyst's
+    //      RewriteCorrelatedScalarSubquery decorrelates it into ONE
+    //      per-part min aggregate joined back to the outer join tree
+    //      (PlanSpec pins: no scalar-subquery node survives in the
+    //      physical plan). At 100 TB that is the difference between
+    //      one shuffle and |part| shuffles. Region filter reaches
+    //      both scans as a pushed predicate; nation/region broadcast
+    //      (≤25 rows). ----
+    QuerySpec(
+      "q55_min_cost_supplier",
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("part_q55")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q55")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_q55")
+        Tables.nation(s, d).createOrReplaceTempView("nation_q55")
+        Tables.region(s, d).createOrReplaceTempView("region_q55")
+        s.sql("""
+          SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+            l.l_extendedprice * (1 - l.l_discount) AS offer_price
+          FROM part_q55 p, lineitem_q55 l, supplier_q55 s,
+               nation_q55 n, region_q55 r
+          WHERE l.l_partkey = p.p_partkey AND s.s_suppkey = l.l_suppkey
+            AND s.s_nationkey = n.n_nationkey
+            AND n.n_regionkey = r.r_regionkey
+            AND r.r_name = 'ASIA' AND p.p_size < 10
+            AND l.l_extendedprice * (1 - l.l_discount) = (
+              SELECT MIN(l2.l_extendedprice * (1 - l2.l_discount))
+              FROM lineitem_q55 l2, supplier_q55 s2,
+                   nation_q55 n2, region_q55 r2
+              WHERE l2.l_partkey = p.p_partkey
+                AND s2.s_suppkey = l2.l_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'ASIA')
+          ORDER BY p_partkey, s_name""")
+      },
+      Some("""SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+        l.l_extendedprice * (1 - l.l_discount) AS offer_price
+      FROM part p, lineitem l, supplier s, nation n, region r
+      WHERE l.l_partkey = p.p_partkey AND s.s_suppkey = l.l_suppkey
+        AND s.s_nationkey = n.n_nationkey
+        AND n.n_regionkey = r.r_regionkey
+        AND r.r_name = 'ASIA' AND p.p_size < 10
+        AND l.l_extendedprice * (1 - l.l_discount) = (
+          SELECT MIN(l2.l_extendedprice * (1 - l2.l_discount))
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p.p_partkey
+            AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'ASIA')
+      ORDER BY p_partkey, s_name""")),
+
+    // ---- TPC-H Q21 SHAPE: the double EXISTS / NOT EXISTS self-join
+    //      on the fact table — suppliers of 'F' orders whose line was
+    //      RETURNED (l_returnflag = 'R'; the fixtures carry no
+    //      receipt/commit dates, so "kept the order waiting" becomes
+    //      "was the returned line") while SOME other supplier shared
+    //      the order (semi-join) and NO other supplier's line was
+    //      returned (anti-join). Catalyst plans both subqueries as
+    //      LeftSemi/LeftAnti joins on l_orderkey against the SAME
+    //      lineitem relation — never a per-row probe (PlanSpec pins
+    //      both join types present, no subquery node). The two
+    //      self-joins share the fact table's shuffle key, so at
+    //      100 TB they ride one exchange of 8-byte keys + flags, not
+    //      two corpus copies. ----
+    QuerySpec(
+      "q56_blame_sole_supplier",
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_q56")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q56")
+        Tables.orders(s, d).createOrReplaceTempView("orders_q56")
+        Tables.nation(s, d).createOrReplaceTempView("nation_q56")
+        s.sql("""
+          SELECT s.s_name, COUNT(*) AS numwait
+          FROM supplier_q56 s, lineitem_q56 l1, orders_q56 o,
+               nation_q56 n
+          WHERE s.s_suppkey = l1.l_suppkey
+            AND o.o_orderkey = l1.l_orderkey
+            AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+            AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+            AND EXISTS (SELECT 1 FROM lineitem_q56 l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem_q56 l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+          GROUP BY s.s_name
+          ORDER BY numwait DESC, s_name""")
+      },
+      Some("""SELECT s.s_name, COUNT(*) AS numwait
+      FROM supplier s, lineitem l1, orders o, nation n
+      WHERE s.s_suppkey = l1.l_suppkey
+        AND o.o_orderkey = l1.l_orderkey
+        AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s_name"""))
   )
 
   /** q53 oracle: the identical edge build + `k` damped iterations as

@@ -37,6 +37,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"))
   }
 
+  test("q55: correlated min-cost subquery decorrelates to one aggregate + join") {
+    val p = plan("q55_min_cost_supplier")
+    // RewriteCorrelatedScalarSubquery must have rewritten the per-row
+    // subquery into a per-part min aggregate joined back — a plan
+    // that still carries a subquery node re-executes the 4-table join
+    // once per outer row
+    assert(!p.contains("scalar-subquery") && !p.contains("Subquery"))
+    assert(p.contains("partial_min") || p.contains("min("))
+    // region/nation are broadcast dims; the rewritten min side joins
+    // hash-to-hash, never nested-loop
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("q56: EXISTS / NOT EXISTS compile to semi and anti joins, no per-row probe") {
+    val p = plan("q56_blame_sole_supplier")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("scalar-subquery") && !p.contains("Subquery"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("s04/s12 above the anchor scale: NO cartesian product in the plan") {
     // sf0.1 carries 2000 embeddings > ExactAnchorRows → the default
     // path must route pair generation through the LSH candidate
