@@ -177,6 +177,77 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == Set((1L, 2L), (1L, 3L)))
   }
 
+  test("hot-bucket LSH: state and per-batch work stay FLAT across 25 adversarial batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // every batch delivers a new doc with IDENTICAL text — all band
+    // keys collide into the same buckets forever, the worst case for
+    // keyed state. The cap must make both the state AND the per-batch
+    // output flat; an uncapped bucket would emit b-1 pairs at batch b
+    // (linear growth) and hold b residents.
+    val hot = (1 to 40).map(i => s"h${i % 5}q$i").mkString(" ")
+    val cap = 4
+    val nBands = graft.ops.Text.lshBandKeys(
+      Seq((1L, hot)).toDF("doc_id", "text")).count()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.lshCandidatePairs(
+        ms.toDS.toDF("doc_id", "text"), cap = cap)
+      .writeStream.format("memory").queryName("lshhot")
+      .outputMode(OutputMode.Append()).start()
+    val stateRows = scala.collection.mutable.Buffer[Long]()
+    val batchPairs = scala.collection.mutable.Buffer[Long]()
+    try {
+      var prev = 0L
+      for (b <- 1 to 25) {
+        ms.addData((b.toLong, hot))
+        q.processAllAvailable()
+        val n = spark.table("lshhot").count()
+        batchPairs += (n - prev); prev = n
+        stateRows += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+    } finally q.stop()
+    // warm-up: batch b ≤ cap pairs against its b-1 residents…
+    assert(batchPairs.take(cap).zipWithIndex.forall {
+      case (n, i) => n == i * nBands })
+    // …then every later newcomer pairs against EXACTLY cap residents
+    // per bucket — per-batch work is a constant, not a function of
+    // stream age
+    assert(batchPairs.drop(cap).forall(_ == cap * nBands),
+      s"per-batch pair emissions grew: $batchPairs")
+    // keyed-state rows = the band-bucket count, never the doc count
+    assert(stateRows.drop(cap).toSet == Set(nBands),
+      s"state rows not flat: $stateRows")
+  }
+
+  test("heavyHitterShards: state rows flat across 50 batches of unbounded vocabulary") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // fresh vocabulary every batch (1000 distinct terms total) — the
+    // regime where a naive per-term state grows linearly forever;
+    // Space-Saving must pin state to shards × capacity counters
+    val capacity = 8; val shards = 4
+    val ms = MemoryStream[String]
+    val q = Streams.heavyHitterShards(ms.toDS, capacity, shards)
+      .writeStream.format("memory").queryName("hhflat")
+      .outputMode(OutputMode.Update()).start()
+    val stateRows = scala.collection.mutable.Buffer[Long]()
+    try {
+      for (b <- 1 to 50) {
+        ms.addData((1 to 20).map(i => s"term-$b-$i"): _*)
+        q.processAllAvailable()
+        stateRows += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+    } finally q.stop()
+    // one state row per shard, from the first batch to the last
+    assert(stateRows.toSet == Set(shards.toLong),
+      s"state rows not flat at $shards: $stateRows")
+    // and every emitted buffer respects the Space-Saving counter
+    // bound — the within-row state is capacity-bounded too
+    val sizes = spark.table("hhflat").as[Streams.ShardHH].collect()
+      .map(_.counters.size)
+    assert(sizes.nonEmpty && sizes.forall(_ <= capacity))
+  }
+
   test("streaming Count-Min sketch is bit-identical to the batch sketch") {
     import spark.implicits._
     import graft.functions.Aggregators
