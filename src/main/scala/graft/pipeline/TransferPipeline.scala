@@ -60,8 +60,36 @@ object TransferPipeline {
       listing: ListingProvider, ops: Archive.FileOps,
       clock: Instant = Instant.now()): Option[Result] = {
     import spark.implicits._
+    validate(folders)
+    // provider path: list exactly the configured folders
+    val listed = folders.flatMap(f => listing.list(f.folder_name)).toDS.toDF()
+    finish(spark, folders, listed, ops, clock)
+  }
 
-    // C5/P7: fail fast on malformed config before any work
+  /** Run the full transfer over an ALREADY-PLANNED listing relation —
+    * the DSv2 seam: pass `spark.read.format("graph-items")….load()`
+    * (or any relation carrying `folder_name`/`name`/`file_mime`
+    * columns) and the catalog query COMPOSES onto the scan, so the
+    * configured-folder predicate pushes down into the connector
+    * (unconfigured folders are never listed remotely — PipelineSpec
+    * pins the page counter) and column pruning drops whatever the
+    * 7-column projection does not need. This is the production
+    * wiring: DSv2 catalog scan → broadcast config join →
+    * [[Archive.run]] lifecycle. */
+  def runWithListing(spark: SparkSession, folders: Seq[SourceFolderCfg],
+      listed: DataFrame, ops: Archive.FileOps,
+      clock: Instant = Instant.now()): Option[Result] = {
+    validate(folders)
+    // the isin lands in the DSv2 scan as a pushed In-filter (S5's
+    // "list only what the config names"), not a post-scan predicate
+    finish(spark, folders,
+      listed.filter(
+        col("folder_name").isin(folders.map(_.folder_name): _*)),
+      ops, clock)
+  }
+
+  /** C5/P7: fail fast on malformed config before any work. */
+  private def validate(folders: Seq[SourceFolderCfg]): Unit = {
     require(folders.nonEmpty, "source_folder_list must not be empty")
     folders.foreach { f =>
       require(f.folder_name != null && f.folder_name.nonEmpty,
@@ -69,9 +97,13 @@ object TransferPipeline {
       require(f.lakehouse_folder != null && f.lakehouse_folder.nonEmpty,
         s"lakehouse_folder is required (folder ${f.folder_name})")
     }
+  }
 
-    // §3.2 catalog query: listing → file filter → broadcast cfg join
-    val listed = folders.flatMap(f => listing.list(f.folder_name)).toDS.toDF()
+  /** The shared catalog query + lifecycle tail of both entry points. */
+  private def finish(spark: SparkSession, folders: Seq[SourceFolderCfg],
+      listed: DataFrame, ops: Archive.FileOps,
+      clock: Instant): Option[Result] = {
+    import spark.implicits._
     val cfg = folders.toDS.toDF()
     val catalog = listed
       .filter(col("file_mime").isNotNull)                       // P1

@@ -155,6 +155,86 @@ class PipelineSpec extends SparkSpec {
       .contains(s"DELETE $base/root:/Invoices/bad.csv"))
   }
 
+  test("DSv2 catalog drives the full lifecycle: pushed listing → ingest → archive → gated delete") {
+    import graft.pipeline.HttpListing.RetryPolicy
+    import graft.sources.GraphCatalogSource
+    // THE production wiring, end to end: the catalog comes from the
+    // DataSource V2 scan (not a fixture DataFrame), the write side is
+    // the HTTP state machine on a scripted transport — list → fetch →
+    // archive → gated delete (C1–C4) with the config-folder predicate
+    // pushed INTO the connector.
+    ScriptedGraphTransport.reset()
+    val bronze = Files.createTempDirectory("graft-pipe-dsv2").toString
+    val base = "https://graph.example.test/drives/d9"
+    // generator: 4 folders × 3 files, names folder_f_doc_j.{csv,pdf,png}
+    val f1 = (0 to 2).map(j => s"folder_1_doc_$j." +
+      Seq("csv", "pdf", "png")(j % 3))
+    val f3 = (0 to 2).map(j => s"folder_3_doc_$j." +
+      Seq("csv", "pdf", "png")(j % 3))
+    val script = Map.newBuilder[String, (Int, String)]
+    for (n <- f1) {
+      script += s"GET $base/root:/folder_1/$n:/content" ->
+        ((200, s"payload-$n"))
+      script += s"POST $base/root:/folder_1/$n:/copy" -> ((202, ""))
+      script += s"DELETE $base/root:/folder_1/$n" -> ((204, ""))
+    }
+    script += s"GET $base/root:/folder_1/archive" -> ((200, "{}"))
+    for (n <- f3) // archive/delete disabled for folder_3: upload only
+      script += s"GET $base/root:/folder_3/$n:/content" ->
+        ((200, s"payload-$n"))
+    val t = new ScriptedGraphTransport(script.result())
+
+    val listed = spark.read.format("graph-items")
+      .option("folders", "4").option("filesPerFolder", "3")
+      .option("pageSize", "2").load()
+    val res = TransferPipeline.runWithListing(spark,
+      Seq(SourceFolderCfg("folder_1", "Fin", "lh/f1", "True", "True"),
+        SourceFolderCfg("folder_3", "Ops", "lh/f3", "False", "False")),
+      listed,
+      new Archive.HttpFileOps(base, bronze, t,
+        RetryPolicy(baseDelayMs = 1), _ => ()),
+      clock).get
+
+    // pushdown through the PIPELINE: one catalog materialization
+    // lists ONLY the 2 configured folders (2 pages each at
+    // pageSize=2) — folder_0/folder_2 are never listed remotely
+    GraphCatalogSource.pagesServed.set(0)
+    assert(res.catalog.collect().length == 6)
+    assert(GraphCatalogSource.pagesServed.get() == 4,
+      s"unconfigured folders were listed: " +
+        s"${GraphCatalogSource.pagesServed.get()} pages")
+
+    // lifecycle over the DSv2-derived catalog (C1/C2 via Archive.run)
+    val m = res.manifest.collect().map(x => x.file_name -> x).toMap
+    assert(m.keySet == (f1 ++ f3).toSet)
+    f1.foreach { n =>
+      assert(m(n).uploaded && m(n).archived && m(n).deleted,
+        s"$n: ${m(n)}") }
+    f3.foreach { n =>
+      assert(m(n).uploaded && !m(n).archived && !m(n).deleted) }
+    // bronze payloads bit-exact under the configured lakehouse roots
+    (f1.map(("lh/f1", _)) ++ f3.map(("lh/f3", _))).foreach {
+      case (lh, n) =>
+        assert(Files.readString(Paths.get(bronze, lh, n)) == s"payload-$n")
+    }
+    // per-file wire order (calls interleave across files — assert the
+    // per-file subsequence): fetch → archive probe → copy → delete
+    // strictly last (K3/K4), and folder_3 files never touch the
+    // archive/delete verbs (P6 gating)
+    val calls = ScriptedGraphTransport.snapshot()
+    f1.foreach { n =>
+      val mine = calls.filter(_.contains(s"/$n"))
+      assert(mine == Seq(
+        s"GET $base/root:/folder_1/$n:/content",
+        s"POST $base/root:/folder_1/$n:/copy",
+        s"DELETE $base/root:/folder_1/$n"), s"wire order for $n: $mine")
+    }
+    f3.foreach { n =>
+      assert(calls.filter(_.contains(s"/$n")) ==
+        Seq(s"GET $base/root:/folder_3/$n:/content"))
+    }
+  }
+
   test("production path end-to-end: real HTTP transport over a loopback server → catalog → bronze") {
     import graft.pipeline.{HttpListing, HttpListingProvider}
     import graft.pipeline.HttpListing.{CredentialProvider, RetryPolicy}
