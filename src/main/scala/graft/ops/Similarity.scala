@@ -292,7 +292,8 @@ object Similarity {
     * ≤ [[LshTables]]-fold duplication is removable later at a
     * fraction of the rows. */
   private[graft] def lshCandidatePairs(s: SparkSession, d: String,
-      dedup: Boolean = true, tables: Int = LshTables): DataFrame = {
+      dedup: Boolean = true, tables: Int = LshTables,
+      corpus: Option[DataFrame] = None): DataFrame = {
     val NBits = 8
     // deterministic pseudo-random hyperplanes (fixed seed); `tables`
     // is overridable so the recall-vs-cost sweep (OpsSpec / SCALE.md)
@@ -302,7 +303,7 @@ object Similarity {
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Double]] =
       Seq.fill(tables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
-    val e = Tables.embeddings(s, d)
+    val e = corpus.getOrElse(Tables.embeddings(s, d))
     // all tables×8 plane dots fused into ONE expression over ONE
     // scan (the per-table union re-scanned the corpus per table,
     // re-reading each vector once per plane); signatures carry only
@@ -362,9 +363,11 @@ object Similarity {
     * distinct shuffles only surviving edges, not the ≤12×-duplicated
     * candidate multiset (the round-4/round-5 lesson). */
   private[graft] def neardupEdges(s: SparkSession, d: String,
-      allPairs: Boolean, thresh: Double): DataFrame = {
-    val withVec = Tables.embeddings(s, d).select(col("vec_id"),
-      col("embedding"), l2(col("embedding")).as("nrm"))
+      allPairs: Boolean, thresh: Double,
+      corpus: Option[DataFrame] = None): DataFrame = {
+    val withVec = corpus.getOrElse(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        col("embedding"), l2(col("embedding")).as("nrm"))
     if (allPairs) {
       val a = withVec.toDF("va", "ea", "na")
       val b = withVec.toDF("vb", "eb", "nb")
@@ -373,7 +376,7 @@ object Similarity {
           (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
         .filter(col("cos") >= thresh)
     } else
-      lshCandidatePairs(s, d, dedup = false)
+      lshCandidatePairs(s, d, dedup = false, corpus = corpus)
         .join(withVec.toDF("va", "ea", "na"), "va")
         .join(withVec.toDF("vb", "eb", "nb"), "vb")
         .select(col("va"), col("vb"),
@@ -396,13 +399,53 @@ object Similarity {
     dedupLabelMemo.getOrCompute(s, d) {
       val out = java.nio.file.Files
         .createTempDirectory("graft-sdlabels-").toString
-      Text.connectedComponents(
-          neardupEdges(s, d, allPairs = false, 0.4)
-            .select(col("va").as("da"), col("vb").as("db")))
-        .toDF("vec_id", "component")
+      semanticDedupLabels(s, Tables.embeddings(s, d))
         .write.mode("overwrite").parquet(out)
       out
     }
+
+  /** Component labels (vec_id, component) of the LSH semantic-dedup
+    * graph, EXACT-COLLAPSE FIRST: bit-identical vectors are grouped
+    * to one representative (a linear shuffle), LSH + cosine verify +
+    * connected components run on representatives only, and members
+    * expand back in at the end. Identical answer to running on the
+    * raw corpus — exact duplicates sit at cosine 1.0 ≥ any sane
+    * threshold, so a duplicate group is always one cluster glued to
+    * its representative, and a member pair's cosine equals its rep
+    * pair's (the floats are bit-identical) — but the COST no longer
+    * explodes under duplication. Measured (SCALE.md sf1 rehearsal):
+    * 10 exact copies of every vector turned each LSH bucket join
+    * quadratic (~100× work for 10× rows); collapsing first restores
+    * the sf0.1-shaped candidate load. This mirrors production
+    * SemDeDup practice: exact dedup (t07's hash-groupBy) always runs
+    * before pair-based near-dedup. */
+  private[graft] def semanticDedupLabels(s: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    // one shuffle on the vector bytes: every duplicate group learns
+    // its min-id representative
+    val mapping = Scoped.persist(corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("rep",
+        min(col("vec_id")).over(Window.partitionBy(col("embedding")))))
+    val reps = mapping.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+    val repEdges = neardupEdges(s, d = null, allPairs = false,
+        thresh = 0.4, corpus = Some(reps))
+      .select(col("va").as("da"), col("vb").as("db"))
+    val repLabels = Text.connectedComponents(repEdges)
+      .toDF("rep", "comp")
+    val lab0 = mapping.select(col("vec_id"), col("rep"))
+      .join(repLabels, Seq("rep"), "left")
+      .withColumn("comp0", coalesce(col("comp"), col("rep")))
+    // restore the uncollapsed min-label contract: the component id is
+    // the min MEMBER id, which may be smaller than the min rep id
+    // only when the component's smallest vertex is a duplicate — the
+    // rep is its group's min, so rep ids and member minima coincide;
+    // the aggregate keeps the invariant explicit and cheap
+    val minMember = lab0.groupBy(col("comp0"))
+      .agg(min(col("vec_id")).as("component"))
+    lab0.join(minMember, "comp0").select(col("vec_id"), col("component"))
+  }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023), pair source
     * parameterized: connected components over the near-dup edge set,

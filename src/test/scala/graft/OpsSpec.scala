@@ -202,6 +202,41 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below floor")
   }
 
+  test("semantic dedup labels: exact-duplicate collapse preserves components") {
+    import graft.ops.Similarity
+    // the sf1 rehearsal regime: exact copies of every vector at
+    // shifted ids (the duplication that made raw LSH bucket joins
+    // quadratic). The collapsed path must produce EXACTLY the labels
+    // of the uncollapsed LSH pipeline — identical vectors share all
+    // exact-bucket probes, so duplicate gluing is deterministic, not
+    // probabilistic.
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = (0 to 3).map(k => base.select(
+        (col("vec_id") + lit(k * 100000L)).as("vec_id"),
+        col("embedding"))).reduce(_ union _)
+    val collapsed = Similarity.semanticDedupLabels(spark, corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // uncollapsed twin: LSH edges over the raw duplicated corpus
+    val rawEdges = Similarity.neardupEdges(spark, null,
+        allPairs = false, 0.4, Some(corpus))
+      .select(col("va").as("da"), col("vb").as("db"))
+    val raw = graft.ops.Text.connectedComponents(rawEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = base.count()
+    assert(collapsed.size == 4 * n) // every member labeled
+    // no vertex is edgeless here (each has 3 exact copies), so the
+    // two maps must coincide on every vertex
+    assert(raw.size == collapsed.size)
+    assert(collapsed == raw)
+    // duplicates of one vector always share a component, and the
+    // label honors the min-member contract
+    collapsed.foreach { case (id, c) =>
+      assert(collapsed(id % 100000L) == c, s"copies of $id split") }
+    collapsed.values.toSet.foreach { c: Long =>
+      assert(collapsed(c) == c, s"component $c not labeled by its min") }
+  }
+
   test("LSH recall vs table count: measured sweep behind the 12-table default") {
     import graft.ops.Similarity
     // candidate-level recall of the exact near-dup edge set (≥0.4) —
