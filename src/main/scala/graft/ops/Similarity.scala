@@ -419,14 +419,118 @@ object Similarity {
     * the sf0.1-shaped candidate load. This mirrors production
     * SemDeDup practice: exact dedup (t07's hash-groupBy) always runs
     * before pair-based near-dedup. */
+  /** (vec_id, embedding, rep) with rep = the min vec_id among
+    * bit-identical vectors — the exact-collapse pre-stage shared by
+    * the semantic-dedup labels and the s04 scale path. One linear
+    * shuffle on the vector bytes. */
+  private def embDupMapping(s: SparkSession,
+      corpus: DataFrame): DataFrame =
+    Scoped.persist(corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("rep",
+        min(col("vec_id")).over(Window.partitionBy(col("embedding")))))
+
+  /** Near-dup pairs at scale with exact-duplicate collapse: LSH +
+    * cosine verify on distinct vectors only, member pairs expanded
+    * back in. Cross-group members inherit the representative pair's
+    * cosine bit-for-bit (identical floats → identical arithmetic);
+    * intra-group pairs carry the COMPUTED self-cosine — not
+    * `lit(1.0)`, because sqrt(d)·sqrt(d) ≠ d in IEEE and the oracle
+    * computes the same dot/(‖·‖‖·‖) expression — so the expansion is
+    * hash-exact wherever the candidate generator's recall allows.
+    * SCALE.md sf1 rehearsal: this removes the quadratic bucket load
+    * duplication induces (s04 was 44× for 10× rows). */
+  private[graft] def neardupPairsCollapsed(s: SparkSession, d: String,
+      thresh: Double, corpus: Option[DataFrame] = None): DataFrame = {
+    val mapping = embDupMapping(s,
+      corpus.getOrElse(Tables.embeddings(s, d)))
+    val reps = mapping.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+    val repEdges = neardupEdges(s, d, allPairs = false, thresh,
+      corpus = Some(reps))
+    val members = mapping.select(col("rep"), col("vec_id"))
+    val cross = repEdges
+      .join(members.toDF("va", "ma"), "va")
+      .join(members.toDF("vb", "mb"), "vb")
+      .select(least(col("ma"), col("mb")).as("va"),
+        greatest(col("ma"), col("mb")).as("vb"), col("cos"))
+    val selfCos = reps.select(col("vec_id").as("rep"),
+      (dot(col("embedding"), col("embedding")) /
+        (l2(col("embedding")) * l2(col("embedding")))).as("cos"))
+    val intra = members.toDF("rep", "ma")
+      .join(members.toDF("rep", "mb"), "rep")
+      .filter(col("ma") < col("mb"))
+      .join(selfCos, "rep")
+      .filter(col("cos") >= thresh)
+      .select(col("ma").as("va"), col("mb").as("vb"), col("cos"))
+    cross.unionByName(intra)
+  }
+
+  /** Global top-k most-similar pairs (s05's operator) with the same
+    * exact-duplicate collapse: LSH candidates + cosine over DISTINCT
+    * vectors, member pairs expanded back, global top-k last. Member
+    * expansion is capped at k+1 per duplicate group — safe because
+    * under the output order (cos DESC, va ASC, vb ASC) any pair
+    * touching a member ranked > k+1 within its group has ≥ k+1
+    * predecessors AT THE SAME COSINE from its own group/rep-pair
+    * block (swap the member for each lower-ranked group-mate: the
+    * swapped pair is lexicographically smaller whichever side of the
+    * least/greatest normalization it lands on), so it can never reach
+    * the global top k. Expansion cost is therefore ≤ (k+1)² rows per
+    * surviving rep pair / duplicate group — linear in the corpus with
+    * a constant, never quadratic in duplication. Ties BETWEEN distinct
+    * rep pairs at identical double cosine carry the same >k-way-tie
+    * caveat as the uncollapsed form's limit-then-distinct (scaladoc at
+    * the s05 registration); duplicate-group ties are exact by
+    * construction and handled by the proof above. */
+  private[graft] def annTopPairsCollapsed(s: SparkSession, d: String,
+      k: Int, corpus: Option[DataFrame] = None): DataFrame = {
+    val mapping = embDupMapping(s,
+      corpus.getOrElse(Tables.embeddings(s, d)))
+    val reps = mapping.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+    val members = mapping.select(col("rep"), col("vec_id"))
+      .withColumn("mrank", row_number().over(
+        Window.partitionBy(col("rep")).orderBy(col("vec_id"))))
+      .filter(col("mrank") <= k + 1).drop("mrank")
+    val withVec = reps.select(col("vec_id"), col("embedding"),
+      l2(col("embedding")).as("nrm"))
+    // UNDEDUPED rep candidates: score first, dedup at the top (the
+    // round-4 lesson — see the s05 registration comment). A rep pair
+    // appears ≤ LshTables times, so the top LshTables·k rows contain
+    // every distinct top-k rep pair; distinct then runs on ≤ 12k rows.
+    val repTop = lshCandidatePairs(s, d, dedup = false,
+        corpus = Some(reps))
+      .join(withVec.toDF("va", "ea", "na"), "va")
+      .join(withVec.toDF("vb", "eb", "nb"), "vb")
+      .select(col("va"), col("vb"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .orderBy(desc("cos"), col("va"), col("vb"))
+      .limit(LshTables * k)
+      .distinct()
+    val cross = repTop
+      .join(members.toDF("va", "ma"), "va")
+      .join(members.toDF("vb", "mb"), "vb")
+      .select(least(col("ma"), col("mb")).as("va"),
+        greatest(col("ma"), col("mb")).as("vb"), col("cos"))
+    val selfCos = reps.select(col("vec_id").as("rep"),
+      (dot(col("embedding"), col("embedding")) /
+        (l2(col("embedding")) * l2(col("embedding")))).as("cos"))
+    val intra = members.toDF("rep", "ma")
+      .join(members.toDF("rep", "mb"), "rep")
+      .filter(col("ma") < col("mb"))
+      .join(selfCos, "rep")
+      .select(col("ma").as("va"), col("mb").as("vb"), col("cos"))
+    cross.unionByName(intra)
+      .orderBy(desc("cos"), col("va"), col("vb"))
+      .limit(k)
+  }
+
   private[graft] def semanticDedupLabels(s: SparkSession,
       corpus: DataFrame): DataFrame = {
     // one shuffle on the vector bytes: every duplicate group learns
     // its min-id representative
-    val mapping = Scoped.persist(corpus
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("rep",
-        min(col("vec_id")).over(Window.partitionBy(col("embedding")))))
+    val mapping = embDupMapping(s, corpus)
     val reps = mapping.filter(col("vec_id") === col("rep"))
       .select(col("vec_id"), col("embedding"))
     val repEdges = neardupEdges(s, d = null, allPairs = false,
@@ -716,8 +820,10 @@ object Similarity {
     //      bound by construction. ----
     QuerySpec(
       "s04_neardup_pairs",
-      (s, d) => neardupEdges(s, d, exactAnchor(s, d), 0.4)
-        .orderBy("va", "vb"),
+      (s, d) =>
+        (if (exactAnchor(s, d)) neardupEdges(s, d, allPairs = true, 0.4)
+         else neardupPairsCollapsed(s, d, 0.4))
+          .orderBy("va", "vb"),
       Some(s"""SELECT a.vec_id AS va, b.vec_id AS vb,
         ${cosineSql("a", "b")} AS cos
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -738,32 +844,23 @@ object Similarity {
     //      independently as the corpus grows). ----
     QuerySpec(
       "s05_ann_lsh",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        // UNDEDUPED candidates: score first, dedup at the top. The
-        // global pair-distinct shuffled the full candidate multiset
-        // (the round-4 +49% regression); scoring is a broadcast join
-        // + one fused dot per row, and orderBy+limit compiles to
-        // TakeOrderedAndProject (per-partition top-k, no global
-        // sort). A pair appears ≤ LshTables times and duplicates are
-        // IDENTICAL rows, so the top NTables·100 rows are guaranteed
-        // to contain every distinct top-100 pair (≤ 99·NTables rows
-        // can outrank the 100th pair's copies, + its own ≤ NTables
-        // copies); the final distinct+sort runs on 1200 rows.
-        val cands = lshCandidatePairs(s, d, dedup = false)
-        val withVec = e.select(col("vec_id"), col("embedding"),
-          l2(col("embedding")).as("nrm"))
-        cands
-          .join(withVec.toDF("va", "ea", "na"), "va")
-          .join(withVec.toDF("vb", "eb", "nb"), "vb")
-          .select(col("va"), col("vb"),
-            (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-          .orderBy(desc("cos"), col("va"), col("vb"))
-          .limit(LshTables * 100)
-          .distinct()
-          .orderBy(desc("cos"), col("va"), col("vb"))
-          .limit(100)
-      },
+      // UNDEDUPED candidates: score first, dedup at the top. The
+      // global pair-distinct shuffled the full candidate multiset
+      // (the round-4 +49% regression); scoring is a broadcast join
+      // + one fused dot per row, and orderBy+limit compiles to
+      // TakeOrderedAndProject (per-partition top-k, no global
+      // sort). A rep pair appears ≤ LshTables times and duplicates
+      // are IDENTICAL rows, so the top NTables·100 rows are
+      // guaranteed to contain every distinct top-100 pair (≤
+      // 99·NTables rows can outrank the 100th pair's copies, + its
+      // own ≤ NTables copies); the final distinct+sort runs on 1200
+      // rows. Since round 6 the whole pipeline runs on DISTINCT
+      // vectors with capped member expansion at the end
+      // ([[annTopPairsCollapsed]]): identical vectors share every
+      // bucket probe, so duplication multiplied bucket-join work
+      // quadratically (sf1 rehearsal: 60× cost for 10× rows) while
+      // changing no answer the expansion can't reconstruct.
+      (s, d) => annTopPairsCollapsed(s, d, 100),
       None),
 
     // ---- IVF-style partition-restricted top-3: search only the

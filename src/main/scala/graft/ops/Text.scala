@@ -107,7 +107,7 @@ object Text {
     * `array_distinct(transform(sequence(...), i =>
     * array_join(slice(split(text, " "), i, 3), " ")))` — never
     * materializes its token/slice/joined-string intermediates. */
-  private val shingles: Column =
+  private[graft] val shingles: Column =
     graft.functions.TextExprs.shingleHashes(col("text"), 3)
 
   /** DuckDB equivalent of [[shingles]] as exploded (doc_id, s) rows. */
@@ -142,21 +142,65 @@ object Text {
     Scoped.persist(Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles).as("s")))
 
-  /** Exact near-dup pairs via shingle self-join (see scale notes). */
+  /** (doc_id, text, rep) with rep = the min doc_id among bit-identical
+    * texts — the exact-collapse pre-stage of the pair operators
+    * (SCALE.md sf1 rehearsal: duplicated texts made shingle/band
+    * buckets quadratic — 112× cost for 10× rows at t08). One linear
+    * shuffle on the text bytes. */
+  private def textDupMapping(s: SparkSession, d: String): DataFrame =
+    Scoped.persist(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(col("text")))))
+
+  /** Expand representative-level (ra, rb, jaccard) pairs back to
+    * member pairs: cross-group members inherit the rep pair's J
+    * bit-for-bit (identical shingle sets → identical arithmetic), and
+    * intra-group pairs sit at exactly 1.0 — but only for texts that
+    * shingle at all (`shingled` = reps with ≥1 shingle; the
+    * uncollapsed join emits nothing for shingle-less duplicates, and
+    * so must we). The expansion output is the SAME relation the
+    * uncollapsed join produces at every SF, so the oracle hash-match
+    * keeps binding. */
+  private def expandDupPairs(mapping: DataFrame, repPairs: DataFrame,
+      shingled: DataFrame, thr: Double): DataFrame = {
+    val members = mapping.select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(members.toDF("ra", "ma"), "ra")
+      .join(members.toDF("rb", "mb"), "rb")
+      .select(least(col("ma"), col("mb")).as("da"),
+        greatest(col("ma"), col("mb")).as("db"), col("jaccard"))
+    val intra = members.toDF("rep", "ma")
+      .join(shingled, "rep")
+      .join(members.toDF("rep", "mb"), "rep")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("da"), col("mb").as("db"),
+        lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= thr)
+    cross.unionByName(intra)
+  }
+
+  /** Exact near-dup pairs via shingle self-join over DISTINCT texts
+    * only ([[textDupMapping]] collapse + [[expandDupPairs]] expansion
+    * — same answer, no duplication blow-up). */
   private def exactJaccardPairs(s: SparkSession, d: String, thr: Double): DataFrame = {
-    val sh = shingleRows(s, d)
+    val mapping = textDupMapping(s, d)
+    val sh = Scoped.persist(mapping.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), explode(shingles).as("s")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.toDF("da", "s")
-      .join(sh.toDF("db", "s"), Seq("s"))
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
-    inter
-      .join(sizes.toDF("da", "na"), "da")
-      .join(sizes.toDF("db", "nb"), "db")
-      .select(col("da"), col("db"),
+    val inter = sh.toDF("ra", "s")
+      .join(sh.toDF("rb", "s"), Seq("s"))
+      .filter(col("ra") < col("rb"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("ni"))
+    val repPairs = inter
+      .join(sizes.toDF("ra", "na"), "ra")
+      .join(sizes.toDF("rb", "nb"), "rb")
+      .select(col("ra"), col("rb"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
           .as("jaccard"))
       .filter(col("jaccard") >= thr)
+    expandDupPairs(mapping, repPairs,
+        sizes.select(col("doc_id").as("rep")), thr)
       .orderBy("da", "db")
   }
 
@@ -431,7 +475,12 @@ object Text {
     * and t12 (the clustering runs on the scale path's pairs). */
   private def lshJaccardPairs(s: SparkSession, d: String,
       thr: Double): DataFrame = {
-    val docsSh = Scoped.persist(Tables.documents(s, d)
+    // exact-collapse first, like t08: identical texts share every
+    // band key, so duplicates make the bucket join quadratic; the
+    // band join runs on distinct texts and members expand back in
+    val mapping = textDupMapping(s, d)
+    val docsSh = Scoped.persist(mapping
+      .filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
     ) // read by the sig pipeline + both verify branches
@@ -448,16 +497,18 @@ object Text {
       .join(bands.toDF("db", "band", "bh"), Seq("band", "bh"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    cands
-      .join(docsSh.toDF("da", "sha"), "da")
-      .join(docsSh.toDF("db", "shb"), "db")
-      .select(col("da"), col("db"),
+    val scored = cands.toDF("ra", "rb")
+      .join(docsSh.toDF("ra", "sha"), "ra")
+      .join(docsSh.toDF("rb", "shb"), "rb")
+      .select(col("ra"), col("rb"),
         size(array_intersect(col("sha"), col("shb"))).as("ni"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
-      .select(col("da"), col("db"),
+      .select(col("ra"), col("rb"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
           .as("jaccard"))
       .filter(col("jaccard") >= thr)
+    expandDupPairs(mapping, scored,
+      docsSh.select(col("doc_id").as("rep")), thr)
   }
 
   /** Scale path for t14 decontamination: probe a BLOOM FILTER of the

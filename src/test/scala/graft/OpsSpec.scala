@@ -39,6 +39,111 @@ class OpsSpec extends SparkSpec {
     assert(lsh.toSet == exact.toSet)
   }
 
+  test("text pair collapse: duplicated corpus yields the brute-force pairs") {
+    // the sf1 rehearsal regime for the TEXT pair family: bit-identical
+    // copies of every document at shifted ids turn the shingle/band
+    // self-joins quadratic, so t08/t09 collapse identical texts to a
+    // min-id representative and expand member pairs back. The expanded
+    // output must be EXACTLY the relation the uncollapsed enumeration
+    // defines — including intra-group pairs at 1.0 and the absence of
+    // pairs for shingle-less duplicates.
+    val off = 100000L
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dup-docs").toString
+    val docs = Tables.documents(spark, sf0001)
+    (0 to 3).map(k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * off)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // brute-force twin computed inline with the same shingle
+    // expression — the pre-collapse plan, verbatim
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(Text.shingles).as("s")).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.toDF("da", "s").join(sh.toDF("db", "s"), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .select(col("da"), col("db"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val t08 = SparkEntry.queries("t08_jaccard_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val t09 = SparkEntry.queries("t09_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    sh.unpersist()
+    assert(brute.nonEmpty)
+    assert(t08 == brute)
+    assert(t09 == brute)
+  }
+
+  test("s04 collapse equals the uncollapsed LSH pipeline under duplication") {
+    import graft.ops.Similarity
+    // same regime for the embedding pair family: the collapsed path
+    // (LSH + cosine on distinct vectors, members expanded back) must
+    // equal the raw LSH pipeline over the duplicated corpus pair-for-
+    // pair AND cosine-for-cosine — identical vectors share every
+    // bucket probe, so the comparison is deterministic.
+    val off = 100000L
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = (0 to 3).map(k => base.select(
+        (col("vec_id") + lit(k * off)).as("vec_id"),
+        col("embedding"))).reduce(_ union _)
+    val collapsed = Similarity
+      .neardupPairsCollapsed(spark, null, 0.4, Some(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val raw = Similarity
+      .neardupEdges(spark, null, allPairs = false, 0.4, Some(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(raw.nonEmpty)
+    assert(collapsed == raw)
+  }
+
+  test("s05 collapse equals the uncollapsed top-k pipeline under duplication") {
+    import graft.ops.Similarity
+    import graft.functions.VectorExprs.{vecDot, vecNorm}
+    val off = 100000L
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = (0 to 3).map(k => base.select(
+        (col("vec_id") + lit(k * off)).as("vec_id"),
+        col("embedding"))).reduce(_ union _)
+    val collapsed = Similarity
+      .annTopPairsCollapsed(spark, null, 100, Some(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // uncollapsed twin: the pre-round-6 s05 plan verbatim over the
+    // raw duplicated corpus (top-LshTables·k undeduped cut → distinct
+    // → top-k; the cut bound counts DISTINCT pairs, so it survives
+    // duplication)
+    val withVec = corpus.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nrm"))
+    val raw = Similarity
+      .lshCandidatePairs(spark, null, dedup = false, corpus = Some(corpus))
+      .join(withVec.toDF("va", "ea", "na"), "va")
+      .join(withVec.toDF("vb", "eb", "nb"), "vb")
+      .select(col("va"), col("vb"),
+        (vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .orderBy(desc("cos"), col("va"), col("vb"))
+      .limit(Similarity.LshTables * 100)
+      .distinct()
+      .orderBy(desc("cos"), col("va"), col("vb"))
+      .limit(100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(raw.size == 100)
+    assert(collapsed == raw)
+  }
+
   test("exact dedup accounting is self-consistent") {
     val rows = SparkEntry.queries("t07_exact_dedup")(spark, sf0001).collect()
     rows.foreach { r =>

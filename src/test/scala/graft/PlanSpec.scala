@@ -95,7 +95,15 @@ class PlanSpec extends SparkSpec {
   test("s05: fused hyperplane signatures, one corpus scan") {
     val p = plan("s05_ann_lsh")
     assert(p.contains("hyperplane_sigs"))
-    assert(!p.contains("Union")) // the 12-scan union shape is gone
+    // exactly ONE Union — the duplicate-member expansion of the
+    // round-6 exact-collapse; the old 12-scan per-table union shape
+    // stays gone (it put a Union UNDER the signature generation;
+    // this one sits above the scored rep pairs)
+    assert("Union".r.findAllIn(p).size == 1)
+    // both the rep cut and the final top-k stay per-partition top-k,
+    // never a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("e05: JSON extraction prunes to the props column") {
