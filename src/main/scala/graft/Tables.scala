@@ -31,23 +31,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). The raw int64 nanos
-    * are read via `spark.sql.legacy.parquet.nanosAsLong` — set where
-    * the session is BUILT (Bench/Verify/Explain/TestSpark), never here:
-    * a loader must not flip session-global flags mid-query — and
-    * truncated to µs TimestampType, exactly what DuckDB does with the
-    * same column, so oracles agree.
+  /** `events.ts` has shipped in two parquet physical types across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark 4 refuses to
+    * read as a timestamp — [PARQUET_TYPE_ILLEGAL] — so sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong` and the int64 nanos arrive
+    * as LongType) and plain TIMESTAMP(MICROS) (reads as TimestampType
+    * directly). Branch on the LOADED type: truncate nanos→µs only when
+    * the column came back as a long; pass a native timestamp through
+    * unchanged. Either way the result is µs TimestampType, exactly what
+    * DuckDB materializes for the same column, so oracles agree.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(events.ts is parquet TIMESTAMP(NANOS))")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val withTs = raw.schema("ts").dataType match {
+      case LongType =>
+        require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "events.ts read as long: session must be built with " +
+            "spark.sql.legacy.parquet.nanosAsLong=true (parquet TIMESTAMP(NANOS))")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        // timestamp[us] with isAdjustedToUTC=false. All graft sessions
+        // run with spark.sql.session.timeZone=UTC, so NTZ→TZ cast is an
+        // epoch-preserving relabel — same micros DuckDB's epoch_us sees.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unexpected type $other")
+    }
+    withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

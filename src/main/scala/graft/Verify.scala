@@ -21,6 +21,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must surface as an EXPLICIT failure in the
+    // driver's compare, not a silent omission (round-6 lesson: 24 broken
+    // queries vanished from CORRECTNESS and the artifact read as green).
+    // Write a one-row `__error` parquet in its place — guaranteed
+    // schema/hash mismatch vs any oracle — and summarize on stderr.
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -28,9 +34,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName))
+            .toDF("__error").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       finally Scoped.release()
     }
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} FAILED: ${failed.reverse.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
