@@ -44,57 +44,35 @@ object Profile {
     // warmup
     SparkEntry.entry(spark).count()
 
-    import graft.functions.VectorExprs
-
-    val NTables = 12
-    val NBits = 8
-    val rnd = new scala.util.Random(42)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(NTables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
-    def sigs = Tables.embeddings(s, d).select(col("vec_id"),
-        posexplode(VectorExprs.hyperplaneSigs(
-          col("embedding"), planes, NBits)))
-      .toDF("vec_id", "tbl", "sig")
-    val probeKeys = array((lit(0) +: (0 until NBits).map(b =>
-      lit(1 << b))): _*)
-    def pairsFrom(sg: DataFrame): DataFrame = {
-      val a = sg
-        .select(col("vec_id").as("va"), col("tbl"),
-          explode(probeKeys).as("flip"), col("sig"))
-        .select(col("va"), col("tbl"),
-          col("sig").bitwiseXOR(col("flip")).as("sig"))
-      val b = sg.toDF("vb", "tbl", "sig")
-      graft.ops.Similarity.lshBucketJoin(a, b, cap = 4096)
-        .filter(col("va") < col("vb"))
-        .select(col("va"), col("vb"))
-    }
-    def top100(cands: DataFrame): DataFrame = {
-      val withVec = Tables.embeddings(s, d).select(col("vec_id"),
-        col("embedding"), VectorExprs.vecNorm(col("embedding")).as("nrm"))
-      cands
-        .join(withVec.toDF("va", "ea", "na"), "va")
-        .join(withVec.toDF("vb", "eb", "nb"), "vb")
-        .select(col("va"), col("vb"),
-          (VectorExprs.vecDot(col("ea"), col("eb")) /
-            (col("na") * col("nb"))).as("cos"))
-        .orderBy(desc("cos"), col("va"), col("vb"))
-        .limit(100)
-    }
-
+    // Decompose q53_nation_pagerank: edge build (data-sized) vs the
+    // 10 iteration rounds (tiny aggregated graph, suspected pure
+    // scheduling overhead at 32 shuffle partitions).
     for (round <- 1 to 3) {
       println(s"--- round $round ---")
-      time("s05_asis") {
-        SparkEntry.queries("s05_ann_lsh")(s, d)
+      time("q53_asis") {
+        SparkEntry.queries("q53_nation_pagerank")(s, d)
       }
-      time("s05_sigs_only")(sigs)
-      time("s05_cands_nodistinct")(pairsFrom(sigs))
-      time("s05_cands_distinct")(pairsFrom(sigs).distinct())
-      time("s05_sig_persisted") {
-        val sg = Scoped.persist(sigs)
-        top100(pairsFrom(sg).distinct())
+      time("q53_edges_only") {
+        val nat = Tables.nation(s, d)
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(nat.select(col("n_nationkey").as("cnk"), col("n_name").as("src")),
+            col("c_nationkey") === col("cnk"))
+          .join(nat.select(col("n_nationkey").as("snk"), col("n_name").as("dst")),
+            col("s_nationkey") === col("snk"))
+          .groupBy(col("src"), col("dst"))
+          .agg(expr("count(1)").as("w"))
       }
-      time("s05_nodistinct_top100") {
-        top100(pairsFrom(sigs))
+      time("q52_asis") {
+        SparkEntry.queries("q52_column_profile")(s, d)
+      }
+      time("s11_asis") {
+        SparkEntry.queries("s11_ivfpq_knn")(s, d)
+      }
+      time("s10_asis") {
+        SparkEntry.queries("s10_pq_adc_knn")(s, d)
       }
     }
     spark.stop()

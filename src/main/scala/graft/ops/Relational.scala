@@ -1426,21 +1426,30 @@ object Relational {
     //      by revenue). The decomposition that scales: the ONLY
     //      data-sized stage is building the weighted edge list — a
     //      5-way star join + one aggregate, the same shape as q05 —
-    //      after which 10 damped iterations (d=0.85) run on the
-    //      AGGREGATED graph (≤ nations² edges at any SF: the iterate-
-    //      on-the-aggregate twin of the CC loop's iterate-on-data).
-    //      Each round is one join + one group-by in dataflow — no
-    //      driver matrix, no collect of edges; round results are
-    //      scope-persisted (bounded: ≤ nations rows). Every floating
-    //      sum rides the decimal dsum hop, so 10 compounded rounds
-    //      stay bitwise-identical to the DuckDB oracle, which replays
-    //      the same iterations as chained MATERIALIZED CTEs (t38's
-    //      pattern). ----
+    //      which runs fully distributed. The AGGREGATED graph is
+    //      bounded by construction at ≤ nations² rows (25² = 625 at
+    //      EVERY scale factor — nation is a fixed dimension), so the
+    //      10 damped iterations (d=0.85) run on the driver over the
+    //      collected transition table: the same bounded-model-collect
+    //      pattern as kMeansModel (Similarity.scala) — collect a
+    //      statistics table that is small by construction, never
+    //      corpus data. The previous dataflow loop (broadcast join +
+    //      group-by + localCheckpoint per round) was semantically
+    //      identical but paid ~0.3 s of job scheduling per round on a
+    //      625-row relation — 3.2 s of pure overhead at any SF.
+    //      Arithmetic is replicated bit-for-bit: each per-edge term
+    //      p·r is quantized to decimal(28,10) through the exact
+    //      Double.toString route Spark's Cast(double→decimal) uses
+    //      (java BigDecimal.valueOf), summed exactly, and converted
+    //      once to double — the dsum contract — so 10 compounded
+    //      rounds stay bitwise-identical to the DuckDB oracle, which
+    //      replays the same iterations as chained MATERIALIZED CTEs
+    //      (t38's pattern). ----
     QuerySpec(
       "q53_nation_pagerank",
       (s, d) => {
         val nat = Tables.nation(s, d)
-        val edges = Scoped.persist(Tables.lineitem(s, d)
+        val edges = Tables.lineitem(s, d)
           .join(Tables.orders(s, d),
             col("l_orderkey") === col("o_orderkey"))
           .join(Tables.customer(s, d),
@@ -1452,36 +1461,44 @@ object Relational {
           .join(nat.select(col("n_nationkey").as("snk"),
             col("n_name").as("dst")), col("s_nationkey") === col("snk"))
           .groupBy(col("src"), col("dst"))
-          .agg(dsum(rev).as("w")))
+          .agg(dsum(rev).as("w"))
         val outW = edges.groupBy(col("src")).agg(dsum(col("w")).as("ow"))
-        // transition probabilities, normalized ONCE: each round then
-        // needs a single broadcast (the rank vector) and one join
-        val edgesP = Scoped.persist(edges.join(outW, "src")
-          .select(col("src"), col("dst"),
-            (col("w") / col("ow")).as("p")))
-        val nodes = Scoped.persist(edges.select(col("src").as("n"))
-          .union(edges.select(col("dst").as("n"))).distinct())
-        val nNodes = nodes.count() // bounded: ≤ |nation|
-        var rank = nodes.select(col("n"), (lit(1.0) / nNodes).as("r"))
-        // Each round: broadcast the bounded rank vector against the
-        // persisted probability edges (map-side join), one tiny
-        // group-by shuffle, then localCheckpoint — the CC-loop idiom:
-        // eager materialization keeps every round a small flat job
-        // instead of one 10-round-deep lazy plan.
+        // transition probabilities, normalized once — w and ow are
+        // doubles (dsum's contract), so p is one IEEE double division,
+        // identical in Spark and on the driver
+        val edgesP = edges.join(outW, "src")
+          .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+        // ONE distributed job; ≤ nations² rows come back
+        val ep: Array[(String, String, Double)] =
+          edgesP.collect().map(r =>
+            (r.getString(0), r.getString(1), r.getDouble(2)))
+        val nodes: Array[String] =
+          (ep.map(_._1) ++ ep.map(_._2)).distinct.sorted
+        val nNodes = nodes.length
+        // Spark's Cast(double → decimal(28,10)): BigDecimal.valueOf
+        // (the Double.toString route, NOT the exact binary expansion),
+        // then HALF_UP to scale 10 — replicated exactly.
+        def q10(x: Double): java.math.BigDecimal =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(10, java.math.RoundingMode.HALF_UP)
+        var rank: Map[String, Double] =
+          nodes.map(_ -> 1.0 / nNodes).toMap
         for (_ <- 1 to PageRankRounds) {
-          val contrib = edgesP
-            .join(broadcast(rank.select(col("n").as("src"), col("r"))),
-              "src")
-            .select(col("dst").as("n"), (col("p") * col("r")).as("t"))
-            .groupBy(col("n")).agg(dsum(col("t")).as("c"))
-          rank = nodes.join(broadcast(contrib), Seq("n"), "left")
-            .select(col("n"),
-              (lit(0.15) / nNodes +
-                lit(0.85) * coalesce(col("c"), lit(0.0))).as("r"))
-            .localCheckpoint()
+          val contrib = new scala.collection.mutable.HashMap[
+            String, java.math.BigDecimal]()
+          ep.foreach { case (src, dst, p) =>
+            val t = q10(p * rank(src)) // dsum's per-term quantization
+            contrib.update(dst,
+              contrib.getOrElse(dst, java.math.BigDecimal.ZERO).add(t))
+          }
+          rank = nodes.map { n =>
+            val c = contrib.get(n).map(_.doubleValue).getOrElse(0.0)
+            n -> (0.15 / nNodes + 0.85 * c)
+          }.toMap
         }
-        rank.select(col("n").as("nation"), col("r").as("pagerank"))
-          .orderBy("nation")
+        import s.implicits._
+        nodes.map(n => (n, rank(n))).toSeq
+          .toDF("nation", "pagerank").orderBy("nation")
       },
       Some(pageRankSql(PageRankRounds)),
     ),
