@@ -133,6 +133,165 @@ object Multimodal {
       u8(row0 + 2), u8(row0 + 1), u8(row0))
   }
 
+  /** Decoded-audio features: format fields from the chunk headers,
+    * per-channel sample means (interleave-sensitive via ch0/ch1
+    * separation), the first channel-0 sample (position-sensitive),
+    * and the peak absolute amplitude. `mean_ch1` is None for mono. */
+  final case class WavFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      sample_rate: Int,
+      n_channels: Int,
+      n_frames: Int,
+      duration_sec: Double,
+      mean_ch0: Double,
+      mean_ch1: Option[Double],
+      s0_ch0: Int,
+      peak: Int)
+
+  /** Build a REAL RIFF/WAVE file (canonical 16-bit PCM): "RIFF" size
+    * "WAVE", a 16-byte "fmt " chunk, an INFO "LIST" chunk (so decoders
+    * must genuinely WALK chunks rather than assume data at offset 36),
+    * then "data" with interleaved little-endian int16 frames. Sample
+    * (frame i, channel c) = ((docId·31 + 7i + 13c) mod 65536) − 32768 —
+    * integer arithmetic an oracle replays exactly. Plays in any audio
+    * player; a generator of true media bytes, not a stand-in. */
+  private[graft] def encodeWav(docId: Long, rate: Int, nch: Int,
+      nFrames: Int, listSize: Int): Array[Byte] = {
+    val dataSize = nFrames * nch * 2
+    val total = 12 + 24 + (8 + listSize) + 8 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                    // PCM
+      .putShort(nch.toShort)
+      .putInt(rate)
+      .putInt(rate * nch * 2)         // byte rate
+      .putShort((nch * 2).toShort)    // block align
+      .putShort(16)                   // bits per sample
+    buf.put("LIST".getBytes("US-ASCII")).putInt(listSize)
+      .put("INFO".getBytes("US-ASCII"))
+    var p = 4
+    while (p < listSize) { buf.put(0: Byte); p += 1 }
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < nch) {
+        buf.putShort((((docId * 31 + i * 7 + c * 13) % 65536) - 32768)
+          .toShort)
+        c += 1
+      }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL WAV decode, chunks to samples: validates RIFF/WAVE magic,
+    * walks subchunks (odd sizes pad to word boundaries per the RIFF
+    * spec), parses "fmt " (PCM, 16-bit only, cross-checked byte rate
+    * and block align), skips everything else, and reduces the "data"
+    * frames to per-channel means, first sample, and peak amplitude.
+    * Fails loudly on anything it does not understand. */
+  private[graft] def decodeWav(bs: Array[Byte])
+      : (Int, Int, Int, Double, Option[Double], Int, Int) = {
+    def u8(i: Int): Int = bs(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def i16(i: Int): Int = u16(i).toShort.toInt
+    def i32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int): String =
+      new String(bs, i, 4, "US-ASCII")
+    require(bs.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    require(i32(4) == bs.length - 8,
+      s"RIFF size ${i32(4)} != ${bs.length - 8}")
+    var off = 12
+    var rate = -1; var nch = -1
+    var dataOff = -1; var dataSize = -1
+    while (off + 8 <= bs.length && dataOff < 0) {
+      val id = tag(off); val size = i32(off + 4)
+      require(size >= 0 && off + 8 + size <= bs.length,
+        s"truncated '$id' chunk")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
+          require(u16(off + 8) == 1, "only PCM supported")
+          nch = u16(off + 10)
+          rate = i32(off + 12)
+          require(nch > 0 && rate > 0, s"degenerate fmt ${nch}ch@$rate")
+          require(u16(off + 22) == 16, "only 16-bit samples supported")
+          require(i32(off + 16) == rate * nch * 2, "byte rate mismatch")
+          require(u16(off + 20) == nch * 2, "block align mismatch")
+        case "data" => dataOff = off + 8; dataSize = size
+        case _ => () // LIST/fact/cue…: skip
+      }
+      off += 8 + size + (size & 1) // RIFF chunks pad to even offsets
+    }
+    require(rate > 0, "no fmt chunk before data")
+    require(dataOff >= 0, "no data chunk")
+    require(dataSize % (nch * 2) == 0, "data not a whole frame multiple")
+    val nFrames = dataSize / (nch * 2)
+    require(nFrames > 0, "empty data chunk")
+    var sum0 = 0L; var sum1 = 0L; var peak = 0
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < nch) {
+        val v = i16(dataOff + (i * nch + c) * 2)
+        if (c == 0) sum0 += v else if (c == 1) sum1 += v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        c += 1
+      }
+      i += 1
+    }
+    (rate, nch, nFrames, sum0.toDouble / nFrames,
+      if (nch >= 2) Some(sum1.toDouble / nFrames) else None,
+      i16(dataOff), peak)
+  }
+
+  /** Per-doc audio parameters, derived from metadata (the bmpDims
+    * trick): rates across the common telephony/speech/CD set, mono and
+    * stereo both exercised, frame counts varied mod a prime. */
+  private def wavDims(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(pmod(col("n_chars"), lit(3)) === 0, 8000)
+        .when(pmod(col("n_chars"), lit(3)) === 1, 16000)
+        .otherwise(44100).cast("int").as("rate"),
+      (lit(1) + pmod(col("n_chars"), lit(2))).cast("int").as("nch"),
+      (lit(50) + pmod(col("n_chars"), lit(211))).cast("int").as("nf"),
+      (lit(4) + lit(2) * pmod(col("n_chars"), lit(3))).cast("int")
+        .as("lsize"))
+
+  /** Generated WAV fixture column: (doc_id, payload binary) with real
+    * RIFF/PCM bytes — the audio twin of [[bmpFixture]]. */
+  private[graft] def wavFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavDims(s, d).as[(Long, Int, Int, Int, Int)]
+      .map { case (id, rate, nch, nf, lsize) =>
+        MediaRow(id, encodeWav(id, rate, nch, nf, lsize)) }
+      .toDF()
+  }
+
+  /** Batched per-partition decode of a binary WAV column → features;
+    * same vectorized-decode loop shape as [[decodeBmpFeatures]]. */
+  def decodeWavFeatures(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val (rate, nch, nf, m0, m1, s0, pk) = decodeWav(r.payload)
+            WavFeatures(r.doc_id, r.payload.length, rate, nch, nf,
+              nf.toDouble / rate, m0, m1, s0, pk)
+          }
+        }
+      }.toDF()
+  }
+
   /** The per-doc image dimensions, derived from metadata (same trick
     * as m05's tile grid): small enough that 500 docs × ≤16×9 pixels
     * synthesize in microseconds, varied enough to exercise every
@@ -410,6 +569,53 @@ object Multimodal {
         COUNT(1) AS n_docs,
         CAST(SUM(octet_length(payload)) AS BIGINT) AS n_bytes,
         COUNT(DISTINCT source) AS n_sources
-      FROM s GROUP BY 1 ORDER BY 1"""))
+      FROM s GROUP BY 1 ORDER BY 1""")),
+
+    // ---- REAL audio decode: generate true RIFF/WAVE bytes (16-bit
+    //      PCM, mono and stereo, an INFO LIST chunk forcing genuine
+    //      chunk-walking) into a binary column, then batch-decode
+    //      through the chunk parser — the audio twin of m03's BMP
+    //      path. The oracle recomputes what the decode MUST produce
+    //      from the sample formula alone (integer sums; IEEE double
+    //      divisions identical in both engines), so the hash-match
+    //      certifies the decoder inverted the format: fmt fields
+    //      cross-checked, LIST skipped with even padding, int16
+    //      frames de-interleaved (mean_ch1 null for mono; s0_ch0 is
+    //      channel 0's first sample — an interleave-order mistake
+    //      mismatches immediately). ----
+    QuerySpec(
+      "m07_wav_decode",
+      (s, d) => decodeWavFeatures(s, wavFixture(s, d)).orderBy("doc_id"),
+      Some("""WITH dims AS (
+        SELECT doc_id,
+          CASE n_chars % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 44100 END AS rate,
+          CAST(1 + (n_chars % 2) AS INT) AS nch,
+          CAST(50 + (n_chars % 211) AS INT) AS nf,
+          CAST(4 + 2 * (n_chars % 3) AS INT) AS lsize
+        FROM documents),
+      g AS (SELECT doc_id, nch, nf,
+              unnest(generate_series(0, nf - 1)) AS i FROM dims),
+      v AS (SELECT doc_id, nch,
+              ((doc_id*31 + i*7) % 65536) - 32768 AS v0,
+              ((doc_id*31 + i*7 + 13) % 65536) - 32768 AS v1
+            FROM g),
+      a AS (SELECT doc_id,
+              CAST(SUM(v0) AS DOUBLE) / COUNT(1) AS mean_ch0,
+              CASE WHEN MAX(nch) = 2
+                THEN CAST(SUM(v1) AS DOUBLE) / COUNT(1) END AS mean_ch1,
+              MAX(CASE WHEN nch = 2 THEN GREATEST(ABS(v0), ABS(v1))
+                       ELSE ABS(v0) END) AS peak
+            FROM v GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(12 + 24 + 8 + d.lsize + 8 + d.nf * d.nch * 2 AS INT)
+          AS n_bytes,
+        CAST(d.rate AS INT) AS sample_rate,
+        d.nch AS n_channels, d.nf AS n_frames,
+        CAST(d.nf AS DOUBLE) / d.rate AS duration_sec,
+        a.mean_ch0, a.mean_ch1,
+        CAST(((d.doc_id*31) % 65536) - 32768 AS INT) AS s0_ch0,
+        CAST(a.peak AS INT) AS peak
+      FROM dims d JOIN a USING (doc_id) ORDER BY doc_id"""))
   )
 }

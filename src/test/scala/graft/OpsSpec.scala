@@ -238,6 +238,108 @@ class OpsSpec extends SparkSpec {
     assert((r.getInt(2), r.getInt(3)) == ((w, h)))
   }
 
+  test("WAV decoder: golden hand-written mono file decodes exactly") {
+    // canonical minimal PCM WAV: fmt(16) + data with 2 frames 100, -200
+    val golden = Array[Int](
+      'R', 'I', 'F', 'F', 40, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0,            // PCM
+      1, 0,            // mono
+      64, 31, 0, 0,    // 8000 Hz
+      128, 62, 0, 0,   // byte rate 16000
+      2, 0,            // block align
+      16, 0,           // bits
+      'd', 'a', 't', 'a', 4, 0, 0, 0,
+      100, 0,          // +100
+      56, 255          // -200 (0xFF38)
+    ).map(_.toByte)
+    val (rate, nch, nf, m0, m1, s0, pk) = Multimodal.decodeWav(golden)
+    assert((rate, nch, nf) == ((8000, 1, 2)))
+    assert(m0 == -50.0 && m1.isEmpty) // mono: no ch1 mean
+    assert((s0, pk) == ((100, 200)))
+  }
+
+  test("WAV round-trip: encode → decode inverts, mono and stereo") {
+    for (nch <- 1 to 2; rate <- Seq(8000, 44100); nf <- Seq(50, 97);
+         lsize <- Seq(4, 8)) {
+      val id = 37L
+      val (dr, dc, dn, m0, m1, s0, pk) =
+        Multimodal.decodeWav(Multimodal.encodeWav(id, rate, nch, nf, lsize))
+      assert((dr, dc, dn) == ((rate, nch, nf)))
+      def v(i: Int, c: Int): Long = ((id * 31 + i * 7 + c * 13) % 65536) - 32768
+      assert(m0 == (0 until nf).map(v(_, 0)).sum.toDouble / nf)
+      assert(m1 == (if (nch == 2)
+        Some((0 until nf).map(v(_, 1)).sum.toDouble / nf) else None))
+      assert(s0.toLong == v(0, 0))
+      assert(pk.toLong == (for (i <- 0 until nf; c <- 0 until nch)
+        yield math.abs(v(i, c))).max)
+    }
+  }
+
+  test("WAV decoder: walks odd-size chunks with padding; loud failures") {
+    // splice an odd-sized junk chunk between fmt and LIST: the RIFF
+    // spec pads chunk bodies to even offsets, so a walker that forgets
+    // the pad byte desyncs and fails on a garbage tag
+    val base = Multimodal.encodeWav(7L, 8000, 2, 10, 4)
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.slice(0, 36) ++ junk ++ base.slice(36, base.length)
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8) // fix RIFF size
+    assert(Multimodal.decodeWav(spliced) == Multimodal.decodeWav(base))
+    // not-RIFF, non-PCM, and inconsistent-header payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("plainly not audio bytes xxxx".getBytes)
+    }
+    val bad8 = base.clone(); bad8(34) = 8 // claim 8-bit samples
+    intercept[IllegalArgumentException](Multimodal.decodeWav(bad8))
+    val badRate = base.clone(); badRate(28) = (badRate(28) + 1).toByte
+    intercept[IllegalArgumentException](Multimodal.decodeWav(badRate))
+  }
+
+  test("WAV batched partition decode preserves rows and file sizes") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Multimodal.decodeWavFeatures(spark,
+      Multimodal.wavFixture(spark, sf0001), batchSize = 7)
+    assert(out.count() == docs.count())
+    val r = out.orderBy("doc_id").head()
+    val nc = docs.orderBy("doc_id").select("n_chars").head().getLong(0)
+    val (nch, nf, ls) =
+      ((1 + nc % 2).toInt, (50 + nc % 211).toInt, (4 + 2 * (nc % 3)).toInt)
+    assert(r.getInt(1) == 12 + 24 + 8 + ls + 8 + nf * nch * 2)
+    assert(r.getInt(3) == nch && r.getInt(4) == nf)
+  }
+
+  test("events loader: accepts both ts physical types, rejects others") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = "target/tmp/events_ts_variants"
+    val micros = 1500000000123456L // 2017-07-14T02:40:00.123456Z
+    def pad(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("event_id", lit(1L))
+        .withColumn("user_id", lit(2L))
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+    // generation A: int64 nanos read back as LongType (nanosAsLong)
+    pad(Seq(micros * 1000).toDF("ts"))
+      .write.mode("overwrite").parquet(s"$base/long/events.parquet")
+    // generation B: timestamp[us] isAdjustedToUTC=false → TimestampNTZ
+    pad(Seq(micros).toDF("us")
+        .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+      .write.mode("overwrite").parquet(s"$base/ntz/events.parquet")
+    for (gen <- Seq("long", "ntz")) {
+      val ev = Tables.events(spark, s"$base/$gen")
+      assert(ev.schema("ts").dataType == TimestampType, gen)
+      val got = ev.select(unix_micros(col("ts"))).head().getLong(0)
+      assert(got == micros, s"$gen: epoch micros must be preserved")
+    }
+    // an unexpected physical type fails loudly, never silently casts
+    pad(Seq("2017-07-14").toDF("ts"))
+      .write.mode("overwrite").parquet(s"$base/str/events.parquet")
+    intercept[IllegalStateException](Tables.events(spark, s"$base/str"))
+  }
+
   test("grant-if-absent is idempotent: re-applying grants nothing") {
     import spark.implicits._
     val perms = Parity.permissionsDf(spark)
