@@ -44,35 +44,41 @@ object Profile {
     // warmup
     SparkEntry.entry(spark).count()
 
-    // Decompose q53_nation_pagerank: edge build (data-sized) vs the
-    // 10 iteration rounds (tiny aggregated graph, suspected pure
-    // scheduling overhead at 32 shuffle partitions).
+    // Decompose q52_column_profile: base stats pass vs the exact-NDV
+    // explode-distinct pass, plus NDV variants (drop heavy columns /
+    // pre-size the explode).
     for (round <- 1 to 3) {
       println(s"--- round $round ---")
-      time("q53_asis") {
-        SparkEntry.queries("q53_nation_pagerank")(s, d)
-      }
-      time("q53_edges_only") {
-        val nat = Tables.nation(s, d)
-        Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-          .join(nat.select(col("n_nationkey").as("cnk"), col("n_name").as("src")),
-            col("c_nationkey") === col("cnk"))
-          .join(nat.select(col("n_nationkey").as("snk"), col("n_name").as("dst")),
-            col("s_nationkey") === col("snk"))
-          .groupBy(col("src"), col("dst"))
-          .agg(expr("count(1)").as("w"))
-      }
       time("q52_asis") {
         SparkEntry.queries("q52_column_profile")(s, d)
       }
-      time("s11_asis") {
-        SparkEntry.queries("s11_ivfpq_knn")(s, d)
+      val li = Tables.lineitem(s, d)
+      val pcols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      time("q52_base_only") {
+        li.agg(count(lit(1)).as("n"),
+          pcols.map(c => count(col(c)).as(c + "_c")): _*)
       }
-      time("s10_asis") {
-        SparkEntry.queries("s10_pq_adc_knn")(s, d)
+      time("q52_ndv_explode") {
+        li.select(explode(array(pcols.map(c =>
+            struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+            .as("p"))
+          .select("p.*").filter(col("v").isNotNull)
+          .distinct()
+          .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
+      }
+      time("q52_ndv_expand") {
+        li.agg(countDistinct(col(pcols.head)).as("d0"),
+          pcols.tail.map(c => countDistinct(col(c)).as("d_" + c)): _*)
+      }
+      time("q52_ndv_hash64") {
+        li.select(explode(array(pcols.map(c =>
+            struct(lit(c).as("col_name"), xxhash64(col(c)).as("v"))): _*))
+            .as("p"))
+          .select("p.*")
+          .distinct()
+          .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
       }
     }
     spark.stop()

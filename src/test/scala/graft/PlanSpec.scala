@@ -256,11 +256,13 @@ class PlanSpec extends SparkSpec {
 
   test("q52: the 11-column profile is two passes, not 11 COUNT(DISTINCT) scans") {
     val p = plan("q52_column_profile")
-    // one scan for the base stats aggregate + one for the exploded
-    // NDV distinct — never a scan (or an Expand) per column
+    // one scan for the base stats aggregate + one for the 11-way
+    // COUNT(DISTINCT) aggregate — never a scan per column
     assert("Scan parquet".r.findAllIn(p).size == 2, p.take(800))
-    assert(!p.contains("Expand"), p.take(800))
-    // the NDV pass dedups map-side before its single shuffle
+    // the NDV pass is ONE Expand over native values (12 projections),
+    // not 11 separate distinct scans, and dedups map-side
+    // (partial_count(distinct ...)) before its single wide shuffle
+    assert("Expand".r.findAllIn(p).size == 1, p.take(800))
     assert(p.contains("partial_"), p.take(800))
   }
 
