@@ -238,7 +238,186 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** Shared inner loop of [[NearestCell]]: argmin over `k` centroids
+    * (flattened row-major into `flat`, cid = row index) of the
+    * sequential Σ(vᵢ−cᵢ)² distance — element order and the strict-<
+    * comparison (ties keep the LOWEST cid) exactly mirror the
+    * `aggregate`-fold form this replaces, so results are bitwise
+    * unchanged. */
+  def nearestCellEval(a: ArrayData, flat: Array[Double], k: Int,
+      dim: Int, floatElems: Boolean)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var bestD = Double.MaxValue
+    var bestC = -1
+    // a length mismatch null-pads the declarative zip_with on either
+    // side, making EVERY candidate's distance null — the fold keeps
+    // its init (MaxValue, -1); mirror that exactly
+    if (n == dim) {
+      var c = 0
+      while (c < k) {
+        val base = c * dim
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          val v = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
+          val diff = v - flat(base + i)
+          acc += diff * diff
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; bestC = c }
+        c += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestC))
+  }
+
+  /** Nearest-centroid argmin as ONE codegen'd expression —
+    * `struct(d2, cid)` against a literal codebook. The declarative
+    * twin (`aggregate` over an array-of-structs literal with a
+    * `zip_with` distance per candidate) evaluates interpreted
+    * higher-order lambdas per row — measured as the dominant cost of
+    * the IVF/PQ encode path (s08–s11). cid is the centroid's index:
+    * callers guarantee cids are 0..k-1 in order. */
+  case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
+      extends UnaryExpression {
+    require(centroids.nonEmpty &&
+      centroids.forall(_.length == centroids.head.length),
+      "nearest_cell: centroids must be non-empty and rectangular")
+    private val k = centroids.length
+    private val dim = centroids.head.length
+    private lazy val flat: Array[Double] = centroids.flatten.toArray
+    private def floatElems = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"nearest_cell expects array<float|double>, got " +
+          child.dataType.sql)
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("d2", DoubleType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("cid", IntegerType,
+          nullable = false)))
+    override def prettyName: String = "nearest_cell"
+
+    override protected def nullSafeEval(a: Any): Any =
+      nearestCellEval(a.asInstanceOf[ArrayData], flat, k, dim, floatElems)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val flatRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.VectorExprs$$.MODULE$$
+          .nearestCellEval($a, $flatRef, $k, $dim, $floatElems);
+      """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): NearestCell =
+      copy(child = c)
+  }
+
+  /** Shared inner loop of [[PqEncode]]: L2-normalize the raw vector
+    * (same sequential norm as [[VecNorm]]; zero vectors map to 0.0
+    * elements), then per subspace mi pick the nearest of `k` codebook
+    * rows (flattened m·k·sub row-major) with the [[nearestCellEval]]
+    * comparison contract. A vector too short for a subspace yields
+    * code -1 — the fold twin's null-distance behavior. */
+  def pqEncodeEval(a: ArrayData, flat: Array[Double], m: Int, k: Int,
+      sub: Int, floatElems: Boolean): ArrayData = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += v * v
+      i += 1
+    }
+    val nrm = math.sqrt(acc)
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      if ((mi + 1) * sub > n) codes(mi) = -1
+      else {
+        val off = mi * sub
+        var bestD = Double.MaxValue
+        var bestC = -1
+        var c = 0
+        while (c < k) {
+          val base = (mi * k + c) * sub
+          var d = 0.0
+          var j = 0
+          while (j < sub) {
+            val e =
+              if (floatElems) a.getFloat(off + j).toDouble
+              else a.getDouble(off + j)
+            val v = if (nrm > 0) e / nrm else 0.0
+            val diff = v - flat(base + j)
+            d += diff * diff
+            j += 1
+          }
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        codes(mi) = bestC
+      }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Full PQ encode — m nearest-subcentroid codes from ONE fused pass
+    * over the embedding — as a single codegen'd expression. Replaces
+    * `transform(sequence(0, m-1), mi => nearestIn(element_at(books,
+    * mi+1), subVec(mi)))`: that form re-derives the norm and walks
+    * interpreted lambdas per subspace per row. Normalization, element
+    * order, and tie-breaks mirror the declarative twin bit for bit. */
+  case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+    require(books.nonEmpty && books.forall(_.length == books.head.length) &&
+      books.forall(_.forall(_.length == books.head.head.length)),
+      "pq_encode: books must be non-empty and rectangular (m × k × sub)")
+    private val m = books.length
+    private val k = books.head.length
+    private val sub = books.head.head.length
+    private lazy val flat: Array[Double] =
+      books.flatten.flatten.toArray
+    private def floatElems = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects array<float|double>, got ${child.dataType.sql}")
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+
+    override protected def nullSafeEval(a: Any): Any =
+      pqEncodeEval(a.asInstanceOf[ArrayData], flat, m, k, sub, floatElems)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val flatRef = ctx.addReferenceObj("booksFlat", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.VectorExprs$$.MODULE$$
+          .pqEncodeEval($a, $flatRef, $m, $k, $sub, $floatElems);
+      """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): PqEncode =
+      copy(child = c)
+  }
+
   // ---- Column API ----
+
+  def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(NearestCell(GraftSqlBridge.expression(v), centroids))
+
+  def pqEncode(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(emb), books))
 
   def hyperplaneSigs(a: Column, planes: Seq[Seq[Double]], nBits: Int): Column =
     GraftSqlBridge.column(HyperplaneSigs(

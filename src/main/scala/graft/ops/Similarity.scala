@@ -61,7 +61,12 @@ object Similarity {
   private val QueryIds = 8
 
   /** One codebook as a literal array<struct<cid,c>> column. */
-  private def centroidLit(cs: Seq[(Int, Seq[Double])]): Column =
+  // centroidLit/nearestIn are the DECLARATIVE twins of the fused
+  // codegen expressions (VectorExprs.NearestCell / PqEncode) that
+  // replaced them on the hot paths; they stay private[graft] as the
+  // reference implementations ExprEquivSpec proves bitwise equivalence
+  // against.
+  private[graft] def centroidLit(cs: Seq[(Int, Seq[Double])]): Column =
     array(cs.map { case (cid, c) =>
       struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c"))
     }: _*)
@@ -70,7 +75,7 @@ object Similarity {
     * (array<struct<cid,c>>) — a per-row argmax with no join and no
     * shuffle (the t05 broadcast-profile pattern). Strict < keeps the
     * lowest cid on exact ties — deterministic. */
-  private def nearestIn(cands: Column, v: Column): Column = {
+  private[graft] def nearestIn(cands: Column, v: Column): Column = {
     // explicit struct type: aliases inside nested lambdas can be
     // stripped during resolution, leaving col1-named branches that
     // fail the when/otherwise type check — the cast pins field names
@@ -88,9 +93,28 @@ object Similarity {
       })
   }
 
-  /** [[nearestIn]] against one fixed literal codebook. */
-  private def nearest(centroids: Seq[(Int, Seq[Double])], v: Column): Column =
-    nearestIn(centroidLit(centroids), v)
+  /** [[nearestIn]] against one fixed literal codebook, as the fused
+    * codegen'd [[graft.functions.VectorExprs.NearestCell]] (same
+    * `struct<d2,cid>` result, bitwise-identical distance fold and
+    * tie-break; the interpreted HOF form was the dominant cost of the
+    * IVF/PQ encode path). Centroid tables are cid = 0..k-1 in order
+    * by construction — asserted, since the expression returns the
+    * INDEX as the cid. */
+  private def nearest(centroids: Seq[(Int, Seq[Double])], v: Column): Column = {
+    require(centroids.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "nearest: centroid cids must be 0..k-1 in order")
+    graft.functions.VectorExprs.nearestCell(v, centroids.map(_._2))
+  }
+
+  /** Codebooks as the plain m×k×sub value [[graft.functions
+    * .VectorExprs.PqEncode]] takes, asserting cid = row index. */
+  private def bookVals(books: Seq[Seq[(Int, Seq[Double])]])
+      : Seq[Seq[Seq[Double]]] = {
+    books.foreach(b => require(b.zipWithIndex.forall {
+      case ((cid, _), i) => cid == i },
+      "pq books: cids must be 0..k-1 in order"))
+    books.map(_.map(_._2))
+  }
 
   // The trained model is a deterministic function of (dir, k, iters);
   // s08 and s09 share it, so train ONCE per session — round 2 paid the
@@ -185,7 +209,7 @@ object Similarity {
     * embedding. PQ codebooks are trained and probed on unit vectors so
     * the ADC dot product approximates COSINE (the s03 metric) instead
     * of the norm-biased raw dot — the standard PQ-for-cosine setup. */
-  private def subVec(mi: Column, sub: Int): Column = {
+  private[graft] def subVec(mi: Column, sub: Int): Column = {
     val nrm = l2(col("embedding"))
     transform(slice(col("embedding"), mi * sub + 1, lit(sub)),
       x => when(nrm > 0, x.cast("double") / nrm).otherwise(lit(0.0)))
@@ -215,9 +239,19 @@ object Similarity {
             .map { case (r, i) => i -> r.getSeq[Double](2).toSeq }.toSeq
         }
         for (_ <- 0 until iters) {
-          val allBooks = array(books.map(centroidLit): _*)
-          val cid = nearestIn(element_at(allBooks, col("sub") + 1),
-            col("sv")).getField("cid")
+          // per-subspace assignment via a CASE over m fused codegen'd
+          // [[VectorExprs.NearestCell]]s — only the matched branch
+          // evaluates, so each row runs exactly one k×sub distance
+          // loop (the prior interpreted nearestIn-over-element_at fold
+          // dominated cold training time; same argmin, bitwise)
+          val cid = books.zipWithIndex.tail.foldLeft(
+            when(col("sub") === 0, graft.functions.VectorExprs
+              .nearestCell(col("sv"), bookVals(books.take(1)).head)
+              .getField("cid"))) { case (acc, (book, mi)) =>
+            acc.when(col("sub") === mi, graft.functions.VectorExprs
+              .nearestCell(col("sv"), bookVals(Seq(book)).head)
+              .getField("cid"))
+          }
           val agg = rows
             .select(col("sub"), cid.as("cid"), posexplode(col("sv")))
             .groupBy(col("sub"), col("cid"), col("pos"))
@@ -639,13 +673,10 @@ object Similarity {
       kCells: Int = 8): DataFrame = {
     val (centroids, _) = kMeansModel(s, modelDir, kCells)
     val books = pqModel(s, modelDir, m, k)
-    val allBooks = array(books.map(centroidLit): _*)
-    val sub = 64 / m
     corpus.select(col("vec_id"),
       nearest(centroids, vec(col("embedding"))).getField("cid").as("cid"),
-      transform(sequence(lit(0), lit(m - 1)), mi =>
-        nearestIn(element_at(allBooks, mi + 1), subVec(mi, sub))
-          .getField("cid")).as("codes"))
+      graft.functions.VectorExprs.pqEncode(col("embedding"), bookVals(books))
+        .as("codes"))
   }
 
   /** Write (vec_id, cid, codes) partitioned by cid — one corpus scan,
@@ -734,12 +765,9 @@ object Similarity {
   def pqCodes(s: SparkSession, d: String, m: Int = 8, k: Int = 16)
       : DataFrame = {
     val books = pqModel(s, d, m, k)
-    val sub = 64 / m
-    val allBooks = array(books.map(centroidLit): _*)
     Tables.embeddings(s, d).select(col("vec_id"),
-      transform(sequence(lit(0), lit(m - 1)), mi =>
-        nearestIn(element_at(allBooks, mi + 1), subVec(mi, sub))
-          .getField("cid")).as("codes"))
+      graft.functions.VectorExprs.pqEncode(col("embedding"), bookVals(books))
+        .as("codes"))
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -1064,14 +1092,11 @@ object Similarity {
         // that stored layout and must equal this query bit for bit)
         val (centroids, _) = kMeansModel(s, d, kCells)
         val books = pqModel(s, d, m, k)
-        val allBooks = array(books.map(centroidLit): _*)
-        val sub = 64 / m
         val coded = Tables.embeddings(s, d).select(col("vec_id"),
           nearest(centroids, vec(col("embedding"))).getField("cid")
             .as("cid"),
-          transform(sequence(lit(0), lit(m - 1)), mi =>
-            nearestIn(element_at(allBooks, mi + 1), subVec(mi, sub))
-              .getField("cid")).as("codes"))
+          graft.functions.VectorExprs.pqEncode(col("embedding"),
+            bookVals(books)).as("codes"))
         val wAdc = Window.partitionBy(col("qid"))
           .orderBy(desc("adc"), col("vec_id"))
         val shortlist = coded.join(broadcast(qdf),

@@ -177,4 +177,49 @@ class ExprEquivSpec extends SparkSpec {
       coalesce(array_max(transform(array_distinct(toks),
         t => size(filter(toks, x => x === t)))), lit(0)))
   }
+
+  // real fixture vectors + adversarial edges: a zero vector (normalizes
+  // to all-0.0), an empty vector, a short vector (length mismatch →
+  // the declarative zip_with null-pads → cid -1), and exact duplicates
+  // of a centroid (tie-break must keep the lowest cid)
+  private lazy val vecDf = {
+    import TestSpark.spark.implicits._
+    val real = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(64).select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val edges: Seq[Seq[Double]] = Seq(
+      Seq.fill(64)(0.0), Seq.empty[Double], Seq(1.0, 2.0, 3.0),
+      real.head)
+    (real ++ edges).toDF("embedding")
+  }
+
+  test("NearestCell == aggregate-fold over a struct-literal codebook") {
+    val rnd = new scala.util.Random(7)
+    // duplicate centroid 0 as centroid 3: ties must keep the lowest cid
+    val c0 = Seq.fill(64)(rnd.nextGaussian())
+    val cents: Seq[(Int, Seq[Double])] = Seq(
+      0 -> c0,
+      1 -> Seq.fill(64)(rnd.nextGaussian()),
+      2 -> Seq.fill(64)(rnd.nextGaussian()),
+      3 -> c0)
+    val v = col("embedding")
+    assertAllEqual(vecDf,
+      VectorExprs.nearestCell(v, cents.map(_._2)),
+      graft.ops.Similarity.nearestIn(
+        graft.ops.Similarity.centroidLit(cents), v))
+  }
+
+  test("PqEncode == transform(subVec → nearestIn) composition") {
+    val m = 8; val k = 4; val sub = 8
+    val rnd = new scala.util.Random(11)
+    val books: Seq[Seq[(Int, Seq[Double])]] = Seq.fill(m)(
+      (0 until k).map(c => c -> Seq.fill(sub)(rnd.nextGaussian())))
+    val allBooks = array(books.map(graft.ops.Similarity.centroidLit): _*)
+    assertAllEqual(vecDf,
+      VectorExprs.pqEncode(col("embedding"), books.map(_.map(_._2))),
+      transform(sequence(lit(0), lit(m - 1)), mi =>
+        graft.ops.Similarity.nearestIn(element_at(allBooks, mi + 1),
+          graft.ops.Similarity.subVec(mi, sub)).getField("cid")))
+  }
 }
