@@ -346,4 +346,107 @@ object TextExprs {
 
   def topTokenFreq(c: Column): Column =
     GraftSqlBridge.column(TopTokenFreq(GraftSqlBridge.expression(c)))
+
+  /** Shared by interpreted eval and generated code: best-overlap
+    * profile pick. `map` sends a trigram to the BITMASK of profiles
+    * containing it; counts accumulate per profile in one pass over the
+    * (distinct) input trigrams, then the argmax scans profiles in
+    * DECLARATION order with the fold contract it replaces: init score
+    * −1, strict `>` (ties keep the FIRST profile; any profile beats
+    * the init even at overlap 0). Null input elements are skipped. */
+  def profileArgmax(arr: ArrayData,
+      map: java.util.HashMap[UTF8String, java.lang.Long],
+      langs: Array[UTF8String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = new Array[Int](langs.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val m = map.get(arr.getUTF8String(i))
+        if (m != null) {
+          var mask = m.longValue()
+          while (mask != 0L) {
+            counts(java.lang.Long.numberOfTrailingZeros(mask)) += 1
+            mask &= mask - 1
+          }
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var bestL = -1
+    var l = 0
+    while (l < langs.length) {
+      if (counts(l) > best) { best = counts(l); bestL = l }
+      l += 1
+    }
+    val pl = if (bestL < 0) UTF8String.EMPTY_UTF8 else langs(bestL)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, pl))
+  }
+
+  /** Classify-by-profile-overlap as ONE codegen'd expression:
+    * `struct(score, pl)` = the profile with the largest
+    * |input ∩ profile| (inputs distinct, as [[CharNGrams]] emits).
+    * Replaces the `aggregate` fold over a struct-literal profile
+    * array computing `size(array_intersect(...))` per profile —
+    * interpreted lambdas plus an intersection allocation per profile
+    * per row. One hash-map pass instead; bitmask per trigram, so at
+    * most 64 profiles. */
+  case class ProfileArgmax(child: Expression,
+      profiles: Seq[(String, Seq[String])]) extends UnaryExpression {
+    require(profiles.length <= 64,
+      "profile_argmax: at most 64 profiles (bitmask per trigram)")
+    @transient private lazy val langs: Array[UTF8String] =
+      profiles.map(p => UTF8String.fromString(p._1)).toArray
+    @transient private lazy val tgMap
+        : java.util.HashMap[UTF8String, java.lang.Long] = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+      profiles.zipWithIndex.foreach { case ((_, tgs), i) =>
+        tgs.foreach { tg =>
+          val k = UTF8String.fromString(tg)
+          val prev = m.get(k)
+          m.put(k, java.lang.Long.valueOf(
+            (if (prev == null) 0L else prev.longValue()) | (1L << i)))
+        }
+      }
+      m
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"profile_argmax expects array<string>, got ${other.sql}")
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("score", IntegerType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("pl", StringType,
+          nullable = false)))
+    override def prettyName: String = "profile_argmax"
+
+    override protected def nullSafeEval(a: Any): Any =
+      profileArgmax(a.asInstanceOf[ArrayData], tgMap, langs)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mapRef = ctx.addReferenceObj("profileMap", tgMap,
+        "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String," +
+          "java.lang.Long>")
+      val langsRef = ctx.addReferenceObj("profileLangs", langs,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$
+          .profileArgmax($a, $mapRef, $langsRef);
+      """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): ProfileArgmax =
+      copy(child = c)
+  }
+
+  def profileArgmax(c: Column,
+      profiles: Seq[(String, Seq[String])]): Column =
+    GraftSqlBridge.column(ProfileArgmax(GraftSqlBridge.expression(c),
+      profiles))
 }

@@ -836,22 +836,17 @@ object Text {
         // fused pass (they stay strings: the profile rank tie-breaks
         // on the trigram itself, which hashing would scramble)
         val tgs = graft.functions.TextExprs.charNGrams(col("text"), 3)
-        // all profiles ride as ONE literal (sorted by lang) →
-        // classification is per-row array math: score each lang by
-        // |doc trigrams ∩ profile| and fold to the argmax. Strict `>`
-        // keeps the FIRST (smallest) lang on ties, matching the
-        // oracle's (score DESC, lang ASC) rank; docs overlapping no
-        // profile (score 0 beats the -1 seed but nothing else) are
-        // dropped like the oracle's inner join
-        val ps = typedlit(langProfiles(s, d))
-        val best = aggregate(ps,
-          struct(lit(-1).as("score"), lit("").as("pl")),
-          (acc, p) => {
-            val sc = size(array_intersect(col("tgs"), p.getField("ptgs")))
-            when(sc > acc.getField("score"),
-              struct(sc.as("score"), p.getField("lang").as("pl")))
-              .otherwise(acc)
-          })
+        // all profiles ride INSIDE one fused codegen'd expression
+        // ([[graft.functions.TextExprs.ProfileArgmax]], trigram →
+        // lang-bitmask map, profiles in lang order): classification is
+        // one hash pass per row. Same contract as the aggregate-fold
+        // it replaces (ExprEquivSpec): strict `>` keeps the FIRST
+        // (smallest) lang on ties, matching the oracle's (score DESC,
+        // lang ASC) rank; docs overlapping no profile (score 0 beats
+        // the -1 seed but nothing else) are dropped like the oracle's
+        // inner join
+        val best = graft.functions.TextExprs.profileArgmax(col("tgs"),
+          langProfiles(s, d).map(p => p.lang -> p.ptgs))
         docs.select(col("doc_id"), col("lang"), tgs.as("tgs"))
           .select(col("lang"), best.as("best"))
           .filter(col("best.score") > 0)

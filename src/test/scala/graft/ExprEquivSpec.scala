@@ -210,6 +210,27 @@ class ExprEquivSpec extends SparkSpec {
         graft.ops.Similarity.centroidLit(cents), v))
   }
 
+  test("ProfileArgmax == aggregate-fold of array_intersect scores") {
+    // overlapping profiles (shared trigrams), a doc matching none, and
+    // ties (doc intersects p1 and p2 equally → first profile wins)
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("ein", "der", "sch"),
+      "en" -> Seq("the", "ing", "ion"),
+      "fr" -> Seq("les", "ion", "der"))
+    val tgs = TextExprs.charNGrams(col("text"), 3)
+    val ps = typedlit(profiles.map { case (l, t) => (l, t) })
+    val fold = aggregate(ps,
+      struct(lit(-1).as("score"), lit("").as("pl")),
+      (acc, p) => {
+        val sc = size(array_intersect(tgs, p.getField("_2")))
+        when(sc > acc.getField("score"),
+          struct(sc.as("score"), p.getField("_1").as("pl")))
+          .otherwise(acc)
+      })
+    assertAllEqual(textDf,
+      TextExprs.profileArgmax(tgs, profiles), fold)
+  }
+
   test("PqEncode == transform(subVec → nearestIn) composition") {
     val m = 8; val k = 4; val sub = 8
     val rnd = new scala.util.Random(11)
