@@ -449,4 +449,77 @@ object TextExprs {
       profiles: Seq[(String, Seq[String])]): Column =
     GraftSqlBridge.column(ProfileArgmax(GraftSqlBridge.expression(c),
       profiles))
+
+  /** Shared by interpreted eval and generated code: per-code-point
+    * occurrence counts as a map, exactly the multiset `split(text,'')`
+    * explodes to — including the Java regex quirk that an EMPTY string
+    * splits to [""] (one empty-string element), which the fused form
+    * must reproduce or empty docs vanish from the downstream explode.
+    * First-appearance key order (deterministic; map order is
+    * irrelevant to every consumer, but determinism keeps plans
+    * replayable). */
+  def charCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val str = s.toString
+    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    if (str.isEmpty) m.put("", 1L)
+    else {
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        val w = Character.charCount(cp)
+        val ch = str.substring(i, i + w)
+        val prev = m.get(ch)
+        m.put(ch, if (prev == null) 1L else prev.longValue() + 1L)
+        i += w
+      }
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue.longValue()
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+
+  /** `map<char, count>` of a text's code points in ONE pass — the
+    * fused form of `explode(split(text, '')) → groupBy(ch) → count`:
+    * the declarative form shuffles EVERY character of the corpus
+    * (t37 moved 10M exploded single-char rows at sf0.1) where this
+    * emits only the ≤|alphabet| distinct counts per row, shrinking
+    * the exploded relation ~25× before any exchange. Counting is
+    * row-local, so downstream arithmetic (log2 / decimal sums) stays
+    * in Spark's built-in expressions — bitwise identity with the
+    * unfused plan needs no numeric argument at all. */
+  case class CharCounts(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"char_counts expects string, got ${other.sql}")
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.MapType(
+      StringType, LongType, valueContainsNull = false)
+    override def prettyName: String = "char_counts"
+
+    override protected def nullSafeEval(a: Any): Any =
+      charCounts(a.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$.charCounts($a);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): CharCounts =
+      copy(child = c)
+  }
+
+  def charCounts(c: Column): Column =
+    GraftSqlBridge.column(CharCounts(GraftSqlBridge.expression(c)))
 }

@@ -2184,10 +2184,19 @@ object Text {
     QuerySpec(
       "t37_char_entropy",
       (s, d) => {
-        val chars = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        val cnt = chars.groupBy(col("doc_id"), col("ch"))
-          .agg(count(lit(1)).as("c"))
+        // per-doc char counts are ROW-LOCAL: the fused
+        // [[graft.functions.TextExprs.CharCounts]] kernel emits each
+        // doc's ≤|alphabet| distinct counts map-side, so no exploded
+        // per-character relation ever reaches an exchange (the prior
+        // explode→groupBy shuffled every character of the corpus —
+        // 10M rows at sf0.1 — to compute counts a single row already
+        // determines). All entropy arithmetic (log2, decimal sums)
+        // stays in Spark's built-in expressions, so the result is
+        // bitwise-identical to the unfused plan by construction.
+        val cnt = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.TextExprs.charCounts(col("text"))))
+          .toDF("doc_id", "ch", "c")
         val n = cnt.groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
         val p = col("c").cast("double") / col("n")

@@ -210,6 +210,16 @@ class ExprEquivSpec extends SparkSpec {
         graft.ops.Similarity.centroidLit(cents), v))
   }
 
+  test("CharCounts == explode(split)->count multiset, incl. empty-text quirk") {
+    // declarative twin per text: count of each distinct split element
+    val chars = split(col("text"), "")
+    val twin = array_sort(transform(array_distinct(chars), ch =>
+      struct(ch.as("key"),
+        size(filter(chars, x => x === ch)).cast("long").as("value"))))
+    assertAllEqual(textDf,
+      array_sort(map_entries(TextExprs.charCounts(col("text")))), twin)
+  }
+
   test("ProfileArgmax == aggregate-fold of array_intersect scores") {
     // overlapping profiles (shared trigrams), a doc matching none, and
     // ties (doc intersects p1 and p2 equally → first profile wins)
