@@ -37,6 +37,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"))
   }
 
+  test("s11: the IVF×PQ encode runs the fused kernels, not HOF folds") {
+    val p = plan("s11_ivfpq_knn")
+    assert(p.contains("pq_encode") && p.contains("nearest_cell"),
+      p.take(800))
+    assert(!p.contains("aggregate(") && !p.contains("zip_with"),
+      "interpreted HOF fold crept back into the encode path")
+  }
+
+  test("t05: classification is the fused profile argmax on one scan") {
+    val p = plan("t05_language_id")
+    assert(p.contains("profile_argmax"), p.take(800))
+    assert(!p.contains("array_intersect"),
+      "per-profile intersection fold crept back")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("t37: char counting is row-local — no per-character shuffle") {
+    val p = plan("t37_char_entropy")
+    assert(p.contains("char_counts"), p.take(800))
+    // the explode feeds from the fused per-doc counts map, so every
+    // exchange moves (doc, ch, count) rows, never raw characters:
+    // the count aggregation must sit UNDER the first exchange
+    assert(!p.contains("split("), "raw per-character explode returned")
+  }
+
   test("q55: correlated min-cost subquery decorrelates to one aggregate + join") {
     val p = plan("q55_min_cost_supplier")
     // RewriteCorrelatedScalarSubquery must have rewritten the per-row
