@@ -522,4 +522,68 @@ object TextExprs {
 
   def charCounts(c: Column): Column =
     GraftSqlBridge.column(CharCounts(GraftSqlBridge.expression(c)))
+
+  /** Shared by interpreted eval and generated code: the token twin of
+    * [[charCounts]] — per-row occurrence counts of an array's
+    * elements, first-appearance order. Null elements are skipped
+    * (the [[topTokenFreq]] contract; map keys cannot be null, and the
+    * tokenizers feeding this never produce null tokens). */
+  def tokenCounts(arr: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val prev = m.get(t)
+        m.put(t, if (prev == null) 1L else prev.longValue() + 1L)
+      }
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue.longValue()
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+
+  /** `map<token, count>` of an array's elements in ONE pass — the
+    * fused form of `explode(tokens) → groupBy(token) → count` when the
+    * grouping is per-row (term frequency): counting is row-local, so
+    * the exploded relation shrinks to the DISTINCT tokens per row
+    * before any exchange, and the (row, token) count shuffle
+    * disappears entirely. */
+  case class TokenCounts(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"token_counts expects array<string>, got ${other.sql}")
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.MapType(
+      StringType, LongType, valueContainsNull = false)
+    override def prettyName: String = "token_counts"
+
+    override protected def nullSafeEval(a: Any): Any =
+      tokenCounts(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$.tokenCounts($a);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): TokenCounts =
+      copy(child = c)
+  }
+
+  def tokenCounts(c: Column): Column =
+    GraftSqlBridge.column(TokenCounts(GraftSqlBridge.expression(c)))
 }

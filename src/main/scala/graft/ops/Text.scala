@@ -52,10 +52,16 @@ object Text {
     val lens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = docs.select(col("doc_id"), explode(toks).as("t"))
+    // term frequency is ROW-LOCAL: the fused token_counts kernel
+    // ([[graft.functions.TextExprs.TokenCounts]]) emits per-doc
+    // (term, tf) map-side, so no (doc, token) occurrence relation
+    // ever reaches an exchange — the semi-join to query terms then
+    // prunes before anything shuffles
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.tokenCounts(toks)))
+      .toDF("doc_id", "t", "tf")
       .join(broadcast(queries.select("t").distinct()), "t")
-      .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
     tf
       .join(broadcast(tf.groupBy(col("t")).agg(count(lit(1)).as("df"))),
         "t")
@@ -1089,11 +1095,16 @@ object Text {
         val nBi = greatest(size(toks) - 1, lit(0))
         val nBiDistinct =
           size(graft.functions.TextExprs.shingleHashes(col("text"), 2))
-        val topTok = docs
-          .select(col("doc_id"), explode(toks).as("tok"))
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+        // both statistics are ROW-LOCAL: max token multiplicity is the
+        // fused topTokenFreq kernel, total tokens is size(toks) — the
+        // two-level explode→groupBy chain this replaces shuffled every
+        // token occurrence to compute per-row facts (values identical:
+        // sum of per-token counts = token count; split() never emits
+        // null tokens, so the kernel's null-skip contract is vacuous)
+        val topTok = docs.select(col("doc_id"),
+          graft.functions.TextExprs.topTokenFreq(toks)
+            .cast("long").as("top_c"),
+          size(toks).cast("long").as("n_tok"))
         docs
           .select(col("doc_id"), nBi.as("n_bi"),
             nBiDistinct.as("n_bi_distinct"))
@@ -1209,9 +1220,13 @@ object Text {
     QuerySpec(
       "t18_term_salience",
       (s, d) => {
+        // tf is row-local (token_counts kernel): the (doc, term)
+        // occurrence shuffle disappears; df then counts rows of the
+        // already-per-doc-distinct relation exactly as before
         val tf = Tables.documents(s, d)
-          .select(col("doc_id"), explode(toks).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .select(col("doc_id"),
+            explode(graft.functions.TextExprs.tokenCounts(toks)))
+          .toDF("doc_id", "term", "tf")
         val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(desc("score"), col("term"))
@@ -1646,8 +1661,10 @@ object Text {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("t")).orderBy(col("doc_id"))
+        // (doc, term) uniqueness is PER-DOC uniqueness — array_distinct
+        // inside the row replaces a corpus-wide distinct() shuffle
         Tables.documents(s, d)
-          .select(col("doc_id"), explode(toks).as("t")).distinct()
+          .select(col("doc_id"), explode(array_distinct(toks)).as("t"))
           .withColumn("rn", row_number().over(w))
           .groupBy(col("t"))
           .agg(count(lit(1)).as("df"),

@@ -220,6 +220,15 @@ class ExprEquivSpec extends SparkSpec {
       array_sort(map_entries(TextExprs.charCounts(col("text")))), twin)
   }
 
+  test("TokenCounts == explode->count multiset over the token array") {
+    val toks = split(col("text"), " ")
+    val twin = array_sort(transform(array_distinct(toks), t =>
+      struct(t.as("key"),
+        size(filter(toks, x => x === t)).cast("long").as("value"))))
+    assertAllEqual(textDf,
+      array_sort(map_entries(TextExprs.tokenCounts(toks))), twin)
+  }
+
   test("ProfileArgmax == aggregate-fold of array_intersect scores") {
     // overlapping profiles (shared trigrams), a doc matching none, and
     // ties (doc intersects p1 and p2 equally → first profile wins)
