@@ -100,4 +100,94 @@ object PropertySpec extends Properties("archive") {
       agg.finish(direct) == agg.finish(merged)
     }
   }
+
+  // --- fused text/vector kernels: the pure eval helpers against
+  //     straight-line Scala references, on arbitrary inputs (the
+  //     fixture-driven equivalence suite is ExprEquivSpec; this is
+  //     the fuzz layer). ---
+  import graft.functions.{TextExprs, VectorExprs}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  property("charCounts == code-point multiset (empty text -> {\"\": 1})") =
+    forAll { (s: String) =>
+      val got = TextExprs.charCounts(UTF8String.fromString(s))
+      val keys = got.keyArray.toArray[AnyRef](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+      val vals = got.valueArray.toLongArray()
+      val ref: Map[String, Long] =
+        if (s.isEmpty) Map("" -> 1L)
+        else s.codePoints().toArray.toSeq
+          .map(cp => new String(Character.toChars(cp)))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      keys.length == keys.distinct.length &&
+        keys.zip(vals).toMap == ref
+    }
+
+  property("tokenCounts == list multiset, null tokens skipped") =
+    forAll(Gen.listOf(Gen.option(Gen.alphaStr))) { toks =>
+      val arr = new GenericArrayData(
+        toks.map(_.map(UTF8String.fromString).orNull).toArray[Any])
+      val got = TextExprs.tokenCounts(arr)
+      val keys = got.keyArray.toArray[AnyRef](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+      val vals = got.valueArray.toLongArray()
+      val ref = toks.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      keys.zip(vals).toMap == ref
+    }
+
+  private val vecGen: Gen[Seq[Double]] =
+    Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0, 10.0)).map(_.toSeq))
+
+  property("nearestCellEval == brute argmin with first-min tie-break") =
+    forAll(vecGen, Gen.choose(1, 6), Gen.long) { (v, k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // duplicate a centroid sometimes to force exact ties
+      val base = Seq.fill(k)(Seq.fill(v.length)(
+        (rnd.nextInt(7) - 3).toDouble))
+      val cents = if (k > 1) base.updated(k - 1, base.head) else base
+      val row = VectorExprs.nearestCellEval(
+        new GenericArrayData(v.toArray[Any]),
+        cents.flatten.toArray, cents.length, v.length,
+        floatElems = false)
+      val d2s = cents.map(c =>
+        v.zip(c).foldLeft(0.0) { case (a, (x, y)) =>
+          a + (x - y) * (x - y) })
+      val best = d2s.zipWithIndex.minBy { case (d, i) => (d, i) }
+      row.getDouble(0) == best._1 && row.getInt(1) == best._2
+    }
+
+  property("nearestCellEval: length mismatch yields (-1, MaxValue)") =
+    forAll(vecGen, Gen.choose(1, 4)) { (v, k) =>
+      val cents = Seq.fill(k)(Seq.fill(v.length + 1)(0.0))
+      val row = VectorExprs.nearestCellEval(
+        new GenericArrayData(v.toArray[Any]),
+        cents.flatten.toArray, k, v.length + 1, floatElems = false)
+      row.getInt(1) == -1 && row.getDouble(0) == Double.MaxValue
+    }
+
+  property("pqEncodeEval == per-subspace brute argmin on the unit vector") =
+    forAll(Gen.choose(1, 4), Gen.choose(1, 4), Gen.choose(1, 4), Gen.long) {
+      (m, k, sub, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val v = Seq.fill(m * sub)(rnd.nextDouble() * 4 - 2)
+      val books = Seq.fill(m, k, sub)(
+        (rnd.nextInt(5) - 2).toDouble)
+      val got = VectorExprs.pqEncodeEval(
+        new GenericArrayData(v.toArray[Any]),
+        books.flatten.flatten.toArray, m, k, sub, floatElems = false)
+        .toIntArray().toSeq
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      val unit = v.map(x => if (nrm > 0) x / nrm else 0.0)
+      val ref = (0 until m).map { mi =>
+        val sv = unit.slice(mi * sub, (mi + 1) * sub)
+        books(mi).zipWithIndex.map { case (c, i) =>
+          (sv.zip(c).foldLeft(0.0) { case (a, (x, y)) =>
+            a + (x - y) * (x - y) }, i)
+        }.minBy { case (d, i) => (d, i) }._2
+      }
+      got == ref
+    }
 }
