@@ -945,13 +945,19 @@ object Text {
     QuerySpec(
       "t10_simhash",
       (s, d) => {
+        // votes ride per-doc DISTINCT tokens weighted by multiplicity
+        // (token_counts kernel): Σ_occurrences ±1 ≡ Σ_distinct ±c,
+        // integer-exact, with the exploded relation shrunk to the
+        // distinct vocabulary of each doc before the aggregation
         val th = xxhash64(col("t"))
         val bitVotes = (0 until 64).map { i =>
-          sum(when(shiftright(th, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-            .as(s"b$i")
+          sum(when(shiftright(th, i).bitwiseAND(1) === 1, col("c"))
+            .otherwise(-col("c"))).as(s"b$i")
         }
         val votes = Tables.documents(s, d)
-          .select(col("doc_id"), explode(toks).as("t"))
+          .select(col("doc_id"),
+            explode(graft.functions.TextExprs.tokenCounts(toks)))
+          .toDF("doc_id", "t", "c")
           .groupBy(col("doc_id"))
           .agg(bitVotes.head, bitVotes.tail: _*)
         val sig = (0 until 64).map { i =>
