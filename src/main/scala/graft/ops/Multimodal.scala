@@ -46,6 +46,24 @@ object Multimodal {
       g00: Int,
       b00: Int)
 
+  /** [[BmpFeatures]] plus file-listing identity, for the binaryFile
+    * source path: the doc id rides the file NAME, not a column. */
+  final case class BmpFileFeatures(
+      file_name: String,
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      r00: Int,
+      g00: Int,
+      b00: Int)
+
+  /** One materialized `<doc_id>.bmp` tree per (session, sf dir). */
+  private val bmpDirMemo = new graft.SessionMemo[String, String]
+
   /** Build a REAL 24-bit uncompressed BMP (BITMAPFILEHEADER +
     * BITMAPINFOHEADER + padded bottom-up BGR scanlines) whose pixel
     * (x, y) carries channels B/G/R = (docId·7+3x+5y, docId·11+13x+17y,
@@ -616,6 +634,86 @@ object Multimodal {
         a.mean_ch0, a.mean_ch1,
         CAST(((d.doc_id*31) % 65536) - 32768 AS INT) AS s0_ch0,
         CAST(a.peak AS INT) AS peak
-      FROM dims d JOIN a USING (doc_id) ORDER BY doc_id"""))
+      FROM dims d JOIN a USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- binary-FILE source: the same real decode, but over FILES —
+    //      how a 100 TB media corpus actually arrives (a blob per
+    //      asset under an object-store prefix, not a parquet binary
+    //      column). Each doc's true BMP is materialized once per
+    //      session as `<doc_id>.bmp`; `spark.read.format("binaryFile")`
+    //      lists and reads them back (path + length metadata, content
+    //      bytes), identity is recovered from the file NAME, and the
+    //      content flows through the same batched decodeBmp loop. The
+    //      oracle recomputes the name, the byte length, and every
+    //      decoded feature from the pixel formula alone, so a wrong
+    //      listing, a truncated read, or a path↔content mix-up all
+    //      hash-mismatch; the listed length is also asserted against
+    //      the read content inside the decode batch. Scale shape:
+    //      binaryFile splits by file under files.maxPartitionBytes
+    //      exactly like parquet, the decode is per-partition with no
+    //      shuffle, and the local temp dir stands in for the store
+    //      prefix. ----
+    QuerySpec(
+      "m08_binary_source",
+      (s, d) => {
+        import s.implicits._
+        val dir = bmpDirMemo.getOrCompute(s, d) {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-bmp-").toString
+          bmpFixture(s, d).as[MediaRow].foreachPartition {
+            (it: Iterator[MediaRow]) =>
+              it.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(out, s"${r.doc_id}.bmp"),
+                  r.payload)
+              }
+          }
+          out
+        }
+        s.read.format("binaryFile").option("pathGlobFilter", "*.bmp")
+          .load(dir)
+          .select(
+            regexp_extract(col("path"), "([0-9]+\\.bmp)$", 1)
+              .as("file_name"),
+            regexp_extract(col("path"), "([0-9]+)\\.bmp$", 1)
+              .cast("long").as("doc_id"),
+            col("length"), col("content"))
+          .as[(String, Long, Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.map { case (fn, id, len, bs) =>
+              require(len == bs.length,
+                s"$fn: listed $len bytes, read ${bs.length}")
+              val (w, h, mr, mg, mb, r00, g00, b00) = decodeBmp(bs)
+              BmpFileFeatures(fn, id, bs.length, w, h,
+                mr, mg, mb, r00, g00, b00)
+            })
+          }.toDF().orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+        SELECT doc_id, CAST(4 + (n_chars % 13) AS INT) AS w,
+               CAST(3 + (n_chars % 7) AS INT) AS h
+        FROM documents),
+      grid AS (
+        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h,
+                unnest(generate_series(0, w - 1)) AS x FROM dims) gx),
+      agg AS (
+        SELECT doc_id, w, h,
+          CAST(SUM((doc_id*19 + x*23 + y*29) % 256) AS DOUBLE) / (w*h)
+            AS mean_r,
+          CAST(SUM((doc_id*11 + x*13 + y*17) % 256) AS DOUBLE) / (w*h)
+            AS mean_g,
+          CAST(SUM((doc_id*7 + x*3 + y*5) % 256) AS DOUBLE) / (w*h)
+            AS mean_b
+        FROM grid GROUP BY doc_id, w, h)
+      SELECT d.doc_id || '.bmp' AS file_name, d.doc_id,
+        CAST(54 + ((3*d.w + 3) // 4) * 4 * d.h AS INT) AS n_bytes,
+        d.w AS width, d.h AS height,
+        a.mean_r, a.mean_g, a.mean_b,
+        CAST((d.doc_id*19) % 256 AS INT) AS r00,
+        CAST((d.doc_id*11) % 256 AS INT) AS g00,
+        CAST((d.doc_id*7) % 256 AS INT) AS b00
+      FROM dims d JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""))
   )
 }

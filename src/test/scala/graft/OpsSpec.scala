@@ -238,6 +238,22 @@ class OpsSpec extends SparkSpec {
     assert((r.getInt(2), r.getInt(3)) == ((w, h)))
   }
 
+  test("multimodal binaryFile source: m08 round-trips files ≡ the column path") {
+    // the file-source path must produce exactly the column-path (m03)
+    // features, plus the path-derived name agreeing with doc_id
+    val viaFiles = SparkEntry.queries("m08_binary_source")(spark, sf0001)
+      .orderBy("doc_id")
+    val viaColumn = SparkEntry.queries("m03_decode_features")(spark, sf0001)
+      .orderBy("doc_id")
+    val f = viaFiles.collect()
+    val c = viaColumn.collect()
+    assert(f.length == c.length && f.length > 0)
+    f.zip(c).foreach { case (a, b) =>
+      assert(a.getString(0) == s"${b.getLong(0)}.bmp") // file_name ↔ doc_id
+      assert(a.toSeq.drop(1) == b.toSeq)               // identical features
+    }
+  }
+
   test("WAV decoder: golden hand-written mono file decodes exactly") {
     // canonical minimal PCM WAV: fmt(16) + data with 2 frames 100, -200
     val golden = Array[Int](
