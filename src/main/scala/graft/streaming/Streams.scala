@@ -446,4 +446,53 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming media decode: every binary file that appears under
+    * `srcDir` is decoded to features exactly once across runs — the
+    * streaming twin of m08's batch binaryFile path, and the
+    * streaming-native form of the reference's poll-the-folder ingest
+    * (files keep arriving; the reference's archive+delete bookkeeping
+    * is what kept re-polls idempotent — the checkpoint gives that for
+    * free). Identity rides the file name, content flows through the
+    * same batched real-BMP decode as m03/m08, features append to a
+    * parquet sink. AvailableNow drains what exists, then returns;
+    * re-running picks up only files the checkpoint has not seen. */
+  def decodeMediaStream(spark: SparkSession, srcDir: String,
+      destDir: String, checkpoint: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // file stream sources require an explicit schema; binaryFile's is
+    // fixed by the format
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val feats = spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "*.bmp").load(srcDir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+\\.bmp)$", 1).as("file_name"),
+        regexp_extract(col("path"), "([0-9]+)\\.bmp$", 1)
+          .cast("long").as("doc_id"),
+        col("length"), col("content"))
+      .as[(String, Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.map { case (fn, id, len, bs) =>
+          require(len == bs.length,
+            s"$fn: listed $len bytes, read ${bs.length}")
+          val (w, h, mr, mg, mb, r00, g00, b00) =
+            graft.ops.Multimodal.decodeBmp(bs)
+          graft.ops.Multimodal.BmpFileFeatures(fn, id, bs.length, w, h,
+            mr, mg, mb, r00, g00, b00)
+        })
+      }
+    val q = feats.writeStream
+      .format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

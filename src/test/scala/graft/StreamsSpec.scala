@@ -489,6 +489,43 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(dest.toString).count() == 3)
   }
 
+  test("streaming media decode: each arriving file decoded once; ≡ batch decode") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val src = Files.createTempDirectory("graft-md-src")
+    val dest = Files.createTempDirectory("graft-md-out").resolve("feats")
+    val ckpt = Files.createTempDirectory("graft-md-ckpt").toString
+    val media = Multimodal.bmpFixture(spark, sf0001)
+      .as[Multimodal.MediaRow].collect().sortBy(_.doc_id)
+
+    // first wave of arrivals
+    media.take(5).foreach(r =>
+      Files.write(src.resolve(s"${r.doc_id}.bmp"), r.payload))
+    Streams.decodeMediaStream(spark, src.toString, dest.toString, ckpt)
+    assert(spark.read.parquet(dest.toString).count() == 5)
+
+    // re-poll with nothing new: no re-decode, no duplicates
+    Streams.decodeMediaStream(spark, src.toString, dest.toString, ckpt)
+    assert(spark.read.parquet(dest.toString).count() == 5)
+
+    // late arrivals: only the new files are decoded
+    media.slice(5, 8).foreach(r =>
+      Files.write(src.resolve(s"${r.doc_id}.bmp"), r.payload))
+    Streams.decodeMediaStream(spark, src.toString, dest.toString, ckpt)
+    val streamed = spark.read.parquet(dest.toString)
+    assert(streamed.count() == 8)
+
+    // streamed features ≡ the batch decode of the same payloads
+    val ids = media.take(8).map(_.doc_id).toSet
+    val batch = Multimodal.decodeBmpFeatures(spark,
+        Multimodal.bmpFixture(spark, sf0001))
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        .isin(ids.toSeq: _*))
+      .orderBy("doc_id").collect()
+    val got = streamed.drop("file_name").orderBy("doc_id").collect()
+    assert(got.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
   test("corpus-trained classifier gates a doc stream; stream preds equal batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
