@@ -896,6 +896,75 @@ object Events {
         ${dsumSql("value")} AS revenue,
         ${davgSql("value")} AS avg_purchase
       FROM attrib WHERE event_type = 'purchase'
-      GROUP BY channel ORDER BY channel"""))
+      GROUP BY channel ORDER BY channel""")),
+
+    // ---- sweep-line interval overlap: peak concurrent sessions per
+    //      day. Sessions (e03's gap rule) become ±1 deltas at their
+    //      endpoints; same-instant deltas MERGE to a net (= ends
+    //      processed before starts — a session ending exactly as
+    //      another starts never overlaps it, and zero-duration
+    //      sessions never count). The running sum is the textbook
+    //      scale-killer (one global ordered window), so it ships as a
+    //      DISTRIBUTED prefix sum: within-day running sums partitioned
+    //      by day (parallel, data-sized), then a day-level carry table
+    //      (bounded by distinct days — tiny forever) cumulated in one
+    //      single-partition window over days only. A day's peak must
+    //      include the overnight carry itself: a day of pure endings
+    //      peaks at its first instant, BEFORE any delta lands. ----
+    QuerySpec(
+      "e25_peak_concurrency",
+      (s, d) => {
+        val sess = sessionized(Tables.events(s, d))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        val deltas = sess.select(col("st").as("ts"), lit(1L).as("delta"))
+          .union(sess.select(col("en").as("ts"), lit(-1L).as("delta")))
+          .groupBy(col("ts")).agg(sum(col("delta")).as("net"))
+          .withColumn("day", to_date(col("ts")))
+        val byDay = Window.partitionBy(col("day")).orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val perDay = deltas
+          .withColumn("run", sum(col("net")).over(byDay))
+          .groupBy(col("day"))
+          .agg(max(col("run")).as("peak_rel"), sum(col("net")).as("day_net"))
+        val overDays = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perDay
+          .withColumn("carry",
+            coalesce(sum(col("day_net")).over(overDays), lit(0L)))
+          .select(col("day"),
+            greatest(col("carry"), col("carry") + col("peak_rel"))
+              .as("peak_concurrent"),
+            (col("carry") + col("day_net")).as("open_at_eod"))
+          .orderBy("day")
+      },
+      Some(s"""WITH sess AS (
+        SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+        FROM ($sessionizedSql) x GROUP BY user_id, session_id),
+      deltas AS (
+        SELECT ts, CAST(SUM(delta) AS BIGINT) AS net FROM (
+          SELECT st AS ts, 1 AS delta FROM sess
+          UNION ALL SELECT en AS ts, -1 AS delta FROM sess) u
+        GROUP BY ts),
+      runs AS (
+        SELECT CAST(ts AS DATE) AS day, net,
+          CAST(SUM(net) OVER (ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS run
+        FROM deltas),
+      per_day AS (
+        SELECT day, CAST(MAX(run) AS BIGINT) AS peak_run,
+          CAST(SUM(net) AS BIGINT) AS day_net
+        FROM runs GROUP BY day)
+      SELECT day,
+        greatest(
+          CAST(COALESCE(SUM(day_net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT),
+          peak_run) AS peak_concurrent,
+        CAST(SUM(day_net) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS open_at_eod
+      FROM per_day ORDER BY day"""))
   )
 }

@@ -151,6 +151,75 @@ object Multimodal {
       u8(row0 + 2), u8(row0 + 1), u8(row0))
   }
 
+  /** Per-image average-hash row: dimensions plus the 64-bit aHash
+    * split into four 16-bit bands (b0 = bits 0–15 …) — band ints keep
+    * every downstream comparison (LSH band join, Hamming popcount)
+    * inside exact 32-bit arithmetic that an oracle replays. */
+  final case class AhashRow(
+      doc_id: Long, width: Int, height: Int,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** REAL BMP decode → 64-bit average hash: the perceptual-hash
+    * "decode, downsample 8×8, threshold against the mean" pipeline,
+    * exact-integer throughout. Pixel (x, y) lands in block
+    * (x·8/w, y·8/h) (w, h ≥ 8 so every block is non-empty); block
+    * luminance is the raw r+g+b sum (no division anywhere); bit
+    * by·8+bx is set iff blockSum·(w·h) > totalSum·blockCount — the
+    * cross-multiplied form of "block mean > global mean", exact in
+    * 64-bit integers. Header handling matches [[decodeBmp]]. */
+  private[graft] def decodeBmpAhash(docId: Long, bs: Array[Byte]): AhashRow = {
+    def u8(i: Int): Int = bs(i) & 0xff
+    def i32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def i16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    require(bs.length >= 54 && bs(0) == 'B' && bs(1) == 'M',
+      "not a BMP payload")
+    val off = i32(10)
+    val w = i32(18)
+    val hRaw = i32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    require(w >= 8 && h >= 8, s"aHash needs >=8x8 pixels, got ${w}x$h")
+    require(i16(28) == 24 && i32(30) == 0, "only uncompressed 24bpp")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    require(bs.length >= off + rowSize * h, "truncated pixel array")
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val base = off + (if (topDown) y else h - 1 - y) * rowSize
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gray = u8(base + 3 * x) + u8(base + 3 * x + 1) +
+          u8(base + 3 * x + 2)
+        val blk = by * 8 + (x * 8 / w)
+        sums(blk) += gray
+        cnts(blk) += 1
+        total += gray
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val bands = new Array[Int](4)
+    var i = 0
+    while (i < 64) {
+      if (sums(i) * n > total * cnts(i)) bands(i / 16) |= 1 << (i % 16)
+      i += 1
+    }
+    AhashRow(docId, w, h, bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** Per-doc aHash image dimensions: ≥8 on both axes so the 8×8 block
+    * grid has no empty cells (distinct derivation from [[bmpDims]],
+    * whose 4×3 minimum is there to exercise padding residues). */
+  private def ahashDims(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      (lit(8) + pmod(col("n_chars"), lit(17))).cast("int").as("w"),
+      (lit(8) + pmod(col("n_chars") * 3, lit(13))).cast("int").as("h"))
+
   /** Decoded-audio features: format fields from the chunk headers,
     * per-channel sample means (interleave-sensitive via ch0/ch1
     * separation), the first channel-0 sample (position-sensitive),
@@ -714,6 +783,103 @@ object Multimodal {
         CAST((d.doc_id*11) % 256 AS INT) AS g00,
         CAST((d.doc_id*7) % 256 AS INT) AS b00
       FROM dims d JOIN agg a USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- perceptual-hash image near-dedup: decode each BMP through
+    //      [[decodeBmpAhash]] (REAL codec, exact-integer aHash), then
+    //      find near-duplicate images by banded LSH over the 64-bit
+    //      hash — the image twin of t09's MinHash banding. Candidate
+    //      generation is a self-equi-join on (band, 16-bit value);
+    //      by pigeonhole that is LOSSLESS for Hamming ≤ 3 (4 bands
+    //      can't all differ), and for the 4–6 range it is the standard
+    //      LSH trade: a pair must still agree on one whole band. The
+    //      oracle applies the SAME banded rule, so the emitted
+    //      relation is exactly specified, not "approximately top".
+    //      Verification is popcount over the band XORs, exact 32-bit
+    //      ints end to end. The oracle replays decode + hash + pairs from the
+    //      pixel formula in pure integer SQL, so a hash-match
+    //      certifies codec, thresholding, banding, and Hamming all at
+    //      once. Scale: the hash table is 4 ints/image; the join key
+    //      is (band, u16) — never pixels; pair blowup is bounded by
+    //      bucket sizes exactly like t09 (same skew ladder applies).
+    //      Decode is map-only on the scan — payloads never shuffle. ----
+    QuerySpec(
+      "m09_ahash_pairs",
+      (s, d) => {
+        import s.implicits._
+        val hashes = ahashDims(s, d).as[(Long, Int, Int)]
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.map { case (id, w, h) =>
+              decodeBmpAhash(id, encodeBmp(id, w, h))
+            })
+          }.toDF()
+        val bands = graft.Scoped.persist(
+          hashes.select(col("doc_id"), col("b0"), col("b1"),
+            col("b2"), col("b3"),
+            posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+            .toDF("doc_id", "b0", "b1", "b2", "b3", "band", "v"))
+        val a = bands.select(col("doc_id").as("doc_a"),
+          col("b0").as("ab0"), col("b1").as("ab1"),
+          col("b2").as("ab2"), col("b3").as("ab3"),
+          col("band"), col("v"))
+        val b = bands.select(col("doc_id").as("doc_b"),
+          col("b0").as("bb0"), col("b1").as("bb1"),
+          col("b2").as("bb2"), col("b3").as("bb3"),
+          col("band"), col("v"))
+        a.join(b, Seq("band", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("hamming", expr(
+            "int(bit_count(ab0 ^ bb0) + bit_count(ab1 ^ bb1) + " +
+              "bit_count(ab2 ^ bb2) + bit_count(ab3 ^ bb3))"))
+          .filter(col("hamming") <= 6)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH dims AS (
+        SELECT doc_id, CAST(8 + n_chars % 17 AS BIGINT) AS w,
+               CAST(8 + (n_chars * 3) % 13 AS BIGINT) AS h
+        FROM documents),
+      grid AS (
+        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h,
+                unnest(generate_series(0, w - 1)) AS x FROM dims) g),
+      px AS (
+        SELECT doc_id, w, h,
+          (doc_id*19 + x*23 + y*29) % 256 + (doc_id*11 + x*13 + y*17) % 256
+            + (doc_id*7 + x*3 + y*5) % 256 AS gray,
+          (y * 8) // h AS by, (x * 8) // w AS bx
+        FROM grid),
+      blocks AS (
+        SELECT doc_id, w, h, by, bx, SUM(gray) AS bs, COUNT(*) AS bc
+        FROM px GROUP BY doc_id, w, h, by, bx),
+      tot AS (
+        SELECT doc_id, SUM(bs) AS tsum, w * h AS n
+        FROM blocks GROUP BY doc_id, w, h),
+      bits AS (
+        SELECT b.doc_id, by * 8 + bx AS idx,
+          CASE WHEN bs * n > tsum * bc THEN 1 ELSE 0 END AS bit
+        FROM blocks b JOIN tot t ON b.doc_id = t.doc_id),
+      bands AS (
+        SELECT doc_id, idx // 16 AS band,
+          CAST(SUM(bit * (1 << (idx % 16))) AS INT) AS val
+        FROM bits GROUP BY doc_id, band),
+      wide AS (
+        SELECT doc_id,
+          MAX(CASE WHEN band = 0 THEN val END) AS b0,
+          MAX(CASE WHEN band = 1 THEN val END) AS b1,
+          MAX(CASE WHEN band = 2 THEN val END) AS b2,
+          MAX(CASE WHEN band = 3 THEN val END) AS b3
+        FROM bands GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+          AS INT) AS hamming
+      FROM wide a JOIN wide b
+        ON a.doc_id < b.doc_id
+        AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 6
+      ORDER BY doc_a, doc_b"""))
   )
 }

@@ -1694,7 +1694,69 @@ object Relational {
             AND l3.l_suppkey <> l1.l_suppkey
             AND l3.l_returnflag = 'R')
       GROUP BY s.s_name
-      ORDER BY numwait DESC, s_name"""))
+      ORDER BY numwait DESC, s_name""")),
+
+    // ---- TPC-H Q20 SHAPE: the nested IN → IN → correlated-scalar
+    //      stack ("excess suppliers"). The fixtures have no partsupp,
+    //      so availability becomes the supplier's own 1997 shipped
+    //      quantity per part, and the demand benchmark is that part's
+    //      corpus-wide 1996 quantity — the same three-deep nesting:
+    //      an IN over parts (name prefix), a grouped derived table,
+    //      and a scalar subquery correlated on the group key. Catalyst
+    //      decorrelates all three (PlanSpec pins: no per-row subquery
+    //      probe; the correlated SUM becomes an aggregate joined on
+    //      l_partkey). Quantity sums ride DECIMAL(28,10) so the
+    //      2·q97 > q96 gate is exact-arithmetic in both engines —
+    //      a double SUM here would make membership order-dependent.
+    //      At 100 TB: two filtered fact scans shuffled on the same
+    //      8-byte part key, then a key-only semi-join chain up to the
+    //      25-row supplier dimension — no data-sized broadcast. ----
+    QuerySpec(
+      "q57_excess_suppliers",
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_q57")
+        Tables.nation(s, d).createOrReplaceTempView("nation_q57")
+        Tables.part(s, d).createOrReplaceTempView("part_q57")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q57")
+        s.sql("""
+          SELECT s.s_name, s.s_acctbal, n.n_name
+          FROM supplier_q57 s, nation_q57 n
+          WHERE s.s_nationkey = n.n_nationkey
+            AND s.s_suppkey IN (
+              SELECT g.suppkey FROM (
+                SELECT l.l_suppkey AS suppkey, l.l_partkey AS partkey,
+                  SUM(CAST(l.l_quantity AS DECIMAL(28,10))) AS q97
+                FROM lineitem_q57 l
+                WHERE l.l_partkey IN (
+                    SELECT p_partkey FROM part_q57
+                    WHERE p_name LIKE 'small%')
+                  AND year(l.l_shipdate) = 1997
+                GROUP BY l.l_suppkey, l.l_partkey) g
+              WHERE 2 * g.q97 > (
+                SELECT SUM(CAST(l2.l_quantity AS DECIMAL(28,10)))
+                FROM lineitem_q57 l2
+                WHERE l2.l_partkey = g.partkey
+                  AND year(l2.l_shipdate) = 1996))
+          ORDER BY s.s_name""")
+      },
+      Some("""SELECT s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s, nation n
+      WHERE s.s_nationkey = n.n_nationkey
+        AND s.s_suppkey IN (
+          SELECT g.suppkey FROM (
+            SELECT l.l_suppkey AS suppkey, l.l_partkey AS partkey,
+              SUM(CAST(l.l_quantity AS DECIMAL(28,10))) AS q97
+            FROM lineitem l
+            WHERE l.l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              AND year(l.l_shipdate) = 1997
+            GROUP BY l.l_suppkey, l.l_partkey) g
+          WHERE 2 * g.q97 > (
+            SELECT SUM(CAST(l2.l_quantity AS DECIMAL(28,10)))
+            FROM lineitem l2
+            WHERE l2.l_partkey = g.partkey
+              AND year(l2.l_shipdate) = 1996))
+      ORDER BY s.s_name"""))
   )
 
   /** q53 oracle: the identical edge build + `k` damped iterations as

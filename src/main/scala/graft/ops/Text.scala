@@ -2496,6 +2496,81 @@ object Text {
         ${davgSql("quality")} AS avg_score,
         CAST(SUM(is_long) AS BIGINT) AS n_long,
         CAST(SUM(is_long) AS DOUBLE) / COUNT(1) AS long_rate
-      FROM scored GROUP BY 1 ORDER BY bin"""))
+      FROM scored GROUP BY 1 ORDER BY bin""")),
+
+    // ---- cross-doc boilerplate signal: per-doc duplicate-text
+    //      fraction by n-gram DOCUMENT frequency (the CCNet/RefinedWeb
+    //      "dup fraction" quality gate). Distinct from t28 (which
+    //      counts window OCCURRENCES, within-doc repeats included):
+    //      here a 5-gram is boilerplate iff it appears in ≥3 DISTINCT
+    //      docs, and each doc is scored by what fraction of its
+    //      distinct 5-grams are boilerplate. Scale shape: windows
+    //      dedup ROW-LOCALLY (array_distinct before the explode — the
+    //      t10 vocabulary trick), so the exchange carries per-doc
+    //      distinct 5-grams hashed to 8 bytes, never occurrences; DF
+    //      is one window count over that hash (each doc contributes
+    //      once by construction); the per-doc rollup reuses the same
+    //      partitioning. At 100 TB: one shuffle of (doc, hash) pairs
+    //      + a broadcast-free self-rollup — same budget as t28. ----
+    QuerySpec(
+      "t43_boiler_ngrams",
+      (s, d) => {
+        val nWin = (size(toks) - 4).cast("int")
+        val wins = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(when(nWin > 0,
+              array_distinct(transform(sequence(lit(0), nWin - 1),
+                i => array_join(slice(toks, i + 1, lit(5)), " "))))
+              .otherwise(array().cast("array<string>"))).as("win"))
+          .select(col("doc_id"), xxhash64(col("win")).as("wh"))
+        val df = count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("wh")))
+        val scored = wins
+          .withColumn("df", df)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct_l"),
+            sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler_l"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), greatest(nWin, lit(0)).as("n_windows"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_distinct_l"), lit(0L)).as("n_distinct_windows"),
+            coalesce(col("n_boiler_l"), lit(0L)).as("n_boiler_windows"))
+          .withColumn("boiler_ratio",
+            when(col("n_distinct_windows") > 0,
+              col("n_boiler_windows").cast("double") /
+                col("n_distinct_windows")).otherwise(0.0))
+          .withColumn("is_boiler", col("boiler_ratio") >= 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH wins AS (
+        SELECT DISTINCT doc_id,
+          array_to_string(toks[(i+1):(i+5)], ' ') AS win
+        FROM (
+          SELECT doc_id, str_split(text, ' ') AS toks,
+            unnest(generate_series(0,
+              CAST(len(str_split(text, ' ')) AS INT) - 5)) AS i
+          FROM documents
+          WHERE len(str_split(text, ' ')) >= 5) t),
+      scored AS (
+        SELECT doc_id, COUNT(1) AS n_distinct,
+          CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_boiler
+        FROM (SELECT doc_id, COUNT(1) OVER (PARTITION BY win) AS df
+              FROM wins) w
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(greatest(len(str_split(d.text, ' ')) - 4, 0) AS INT)
+          AS n_windows,
+        COALESCE(s.n_distinct, 0) AS n_distinct_windows,
+        COALESCE(s.n_boiler, 0) AS n_boiler_windows,
+        CASE WHEN COALESCE(s.n_distinct, 0) > 0
+          THEN CAST(COALESCE(s.n_boiler, 0) AS DOUBLE) / s.n_distinct
+          ELSE 0.0 END AS boiler_ratio,
+        (CASE WHEN COALESCE(s.n_distinct, 0) > 0
+          THEN CAST(COALESCE(s.n_boiler, 0) AS DOUBLE) / s.n_distinct
+          ELSE 0.0 END) >= 0.5 AS is_boiler
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      ORDER BY d.doc_id"""))
   )
 }

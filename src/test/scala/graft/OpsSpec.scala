@@ -1441,4 +1441,102 @@ class OpsSpec extends SparkSpec {
         assert(ranked.sameElements(ranked.sorted), s"query $qid order")
     }
   }
+
+  test("e25: distributed prefix sum equals a driver-side sweep line") {
+    val out = SparkEntry.queries("e25_peak_concurrency")(spark, sf0001)
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // brute twin: intervals from e03 (same session rule), one global
+    // in-memory sweep with the same ends-merge-with-starts semantics
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant // keep µs: getTime would truncate to millis
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val sess = SparkEntry.queries("e03_sessionization")(spark, sf0001)
+      .select("session_start", "session_end").collect()
+      .map(r => (micros(r.getTimestamp(0)), micros(r.getTimestamp(1))))
+    val net = scala.collection.mutable.TreeMap[Long, Long]()
+    sess.foreach { case (st, en) =>
+      net(st) = net.getOrElse(st, 0L) + 1
+      net(en) = net.getOrElse(en, 0L) - 1
+    }
+    val days = scala.collection.mutable.LinkedHashMap[
+      java.time.LocalDate, (Long, Long)]() // day -> (peak, eod)
+    var run = 0L
+    net.foreach { case (ts, d) =>
+      val day = java.time.Instant.ofEpochSecond(Math.floorDiv(ts, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val carryPeak = days.get(day).map(_._1).getOrElse(run) // day start
+      run += d
+      val peak = math.max(carryPeak, run)
+      days(day) = (peak, run)
+    }
+    assert(out.toSeq == days.toSeq.map { case (d, (p, e)) => (d, p, e) })
+    assert(out.last._3 == 0L) // every session that opens also closes
+    out.foreach { case (_, peak, eod) => assert(peak >= eod && peak >= 0) }
+  }
+
+  test("m09: banded pair relation matches the driver-side brute force") {
+    val got = SparkEntry.queries("m09_ahash_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    // brute twin: re-derive every hash through the same REAL codec,
+    // then apply the banded rule by definition over all pairs
+    val hashes = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map { r =>
+        val (id, nc) = (r.getLong(0), r.getAs[Number](1).intValue)
+        Multimodal.decodeBmpAhash(id,
+          Multimodal.encodeBmp(id, 8 + nc % 17, 8 + (nc * 3) % 13))
+      }.sortBy(_.doc_id)
+    val want = for {
+      a <- hashes; b <- hashes
+      if a.doc_id < b.doc_id
+      if a.b0 == b.b0 || a.b1 == b.b1 || a.b2 == b.b2 || a.b3 == b.b3
+      ham = Integer.bitCount(a.b0 ^ b.b0) + Integer.bitCount(a.b1 ^ b.b1) +
+        Integer.bitCount(a.b2 ^ b.b2) + Integer.bitCount(a.b3 ^ b.b3)
+      if ham <= 6
+    } yield (a.doc_id, b.doc_id, ham)
+    assert(got.toSet == want.toSet)
+    // pigeonhole: nothing with Hamming ≤ 3 can escape the band join
+    val all3 = for {
+      a <- hashes; b <- hashes
+      if a.doc_id < b.doc_id
+      ham = Integer.bitCount(a.b0 ^ b.b0) + Integer.bitCount(a.b1 ^ b.b1) +
+        Integer.bitCount(a.b2 ^ b.b2) + Integer.bitCount(a.b3 ^ b.b3)
+      if ham <= 3
+    } yield (a.doc_id, b.doc_id, ham)
+    assert(all3.toSet.subsetOf(got.toSet))
+  }
+
+  test("t43: planted cross-doc boilerplate is flagged; counts nest") {
+    val rows = SparkEntry.queries("t43_boiler_ngrams")(spark, sf0001)
+      .collect()
+    rows.foreach { r =>
+      val (nw, nd, nb) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(nb <= nd && nd <= nw.toLong)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getBoolean(5) == (r.getDouble(4) >= 0.5))
+    }
+    // planted fixture: one 5-gram shared by three docs is boilerplate
+    // (df = 3 meets the gate); a fourth doc shares nothing
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-boiler-docs").toString
+    import spark.implicits._
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+      (1L, "x alpha beta gamma delta epsilon", "en", "s", 32),
+      (2L, "p q alpha beta gamma delta epsilon", "en", "s", 34),
+      (3L, "one two three four five six", "en", "s", 27))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("t43_boiler_ngrams")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getBoolean(5))).toMap
+    assert(planted(0L) == ((1L, true)))  // 1 of 2 windows → ratio 0.5
+    assert(planted(1L) == ((1L, true)))  // 1 of 2
+    assert(planted(2L) == ((1L, false))) // 1 of 3 → ratio 1/3
+    assert(planted(3L) == ((0L, false)))
+  }
 }

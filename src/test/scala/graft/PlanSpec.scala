@@ -85,6 +85,23 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"))
   }
 
+  test("q57: three-deep nesting decorrelates — semi joins, no per-row probe") {
+    val p = plan("q57_excess_suppliers")
+    // the IN chains become semi joins; the correlated SUM becomes an
+    // aggregate joined on l_partkey — a surviving subquery node would
+    // re-scan lineitem once per group
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("scalar-subquery") && !p.contains("Subquery"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("m09: aHash candidates ride an equi-join on (band, value) — no all-pairs") {
+    val p = plan("m09_ahash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("s04/s12 above the anchor scale: NO cartesian product in the plan") {
     // sf0.1 carries 2000 embeddings > ExactAnchorRows → the default
     // path must route pair generation through the LSH candidate

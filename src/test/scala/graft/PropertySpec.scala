@@ -190,4 +190,31 @@ object PropertySpec extends Properties("archive") {
       }
       got == ref
     }
+
+  // --- aHash codec round-trip: decode(encode(id, w, h)) must equal a
+  //     straight-line recomputation from the pixel FORMULA (never the
+  //     bytes) — certifying header parse, bottom-up scanline order,
+  //     BGR unwind, block binning, and the cross-multiplied mean
+  //     threshold in one property. ---
+  import graft.ops.Multimodal
+
+  property("decodeBmpAhash == formula-level reference on arbitrary dims") =
+    forAll(Gen.choose(0L, 1L << 40), Gen.choose(8, 40), Gen.choose(8, 40)) {
+      (id, w, h) =>
+      val got = Multimodal.decodeBmpAhash(id, Multimodal.encodeBmp(id, w, h))
+      val sums = Array.fill(64)(0L); val cnts = Array.fill(64)(0L)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = (id * 19 + x * 23 + y * 29) % 256 +
+          (id * 11 + x * 13 + y * 17) % 256 + (id * 7 + x * 3 + y * 5) % 256
+        val blk = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(blk) += gray; cnts(blk) += 1; total += gray
+      }
+      val bands = Array.fill(4)(0)
+      for (i <- 0 until 64)
+        if (sums(i) * w * h > total * cnts(i)) bands(i / 16) |= 1 << (i % 16)
+      got.width == w && got.height == h &&
+        got.b0 == bands(0) && got.b1 == bands(1) &&
+        got.b2 == bands(2) && got.b3 == bands(3)
+    }
 }
