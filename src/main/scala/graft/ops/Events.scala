@@ -965,6 +965,57 @@ object Events {
         CAST(SUM(day_net) OVER (ORDER BY day
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           AS open_at_eod
-      FROM per_day ORDER BY day"""))
+      FROM per_day ORDER BY day""")),
+
+    // ---- sliding-window COUNT(DISTINCT): rolling 7-day active users
+    //      (DAU/WAU/stickiness). A windowed distinct cannot ride a
+    //      running sum — distinct is not subtractable — and the naive
+    //      per-day re-scan is O(days · window). The scale shape:
+    //      dedup to (day, user) FIRST (the only data-sized shuffle),
+    //      then explode each pair to the ≤7 observation days it
+    //      serves and count distinct users per day — a bounded 7×
+    //      fan-out of the deduped relation in place of a sliding
+    //      re-scan, the same trick as e11's range-join bucketing.
+    //      Report days come from the activity spine, so the relation
+    //      is a pure function of the log. ----
+    QuerySpec(
+      "e26_rolling_wau",
+      (s, d) => {
+        val pairs = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val spine = pairs.select(col("day")).distinct()
+        val wau = pairs
+          .select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("off"),
+            col("day"))
+          .select(date_add(col("day"), col("off")).as("day"),
+            col("user_id"))
+          .join(spine, Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(count_distinct(col("user_id")).as("wau"))
+        pairs.groupBy(col("day")).agg(count_distinct(col("user_id")).as("dau"))
+          .join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            (col("dau").cast("double") / col("wau")).as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      spine AS (SELECT DISTINCT day FROM pairs),
+      wau AS (
+        SELECT obs_day AS day, COUNT(DISTINCT user_id) AS wau FROM (
+          SELECT day + CAST(i AS INT) AS obs_day, user_id
+          FROM (SELECT day, user_id,
+                  unnest(generate_series(0, 6)) AS i
+                FROM pairs) e) x
+        WHERE obs_day IN (SELECT day FROM spine)
+        GROUP BY obs_day),
+      dau AS (
+        SELECT day, COUNT(DISTINCT user_id) AS dau FROM pairs GROUP BY day)
+      SELECT d.day, d.dau, w.wau,
+        CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+      FROM dau d JOIN wau w USING (day)
+      ORDER BY d.day"""))
   )
 }

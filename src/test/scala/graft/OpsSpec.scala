@@ -1477,6 +1477,28 @@ class OpsSpec extends SparkSpec {
     out.foreach { case (_, peak, eod) => assert(peak >= eod && peak >= 0) }
   }
 
+  test("e26: offset-explode rolling distinct equals the by-definition WAU") {
+    val out = SparkEntry.queries("e26_rolling_wau")(spark, sf0001)
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    val pairs = Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = pairs.map(_._1).distinct.sorted
+    val want = days.map { d =>
+      val win = pairs.filter { case (pd, _) =>
+        !pd.isAfter(d) && pd.isAfter(d.minusDays(7)) }
+      val dau = pairs.filter(_._1 == d).map(_._2).distinct.size.toLong
+      (d, dau, win.map(_._2).distinct.size.toLong)
+    }
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == want.toSeq)
+    out.foreach { case (_, dau, wau, stick) =>
+      assert(dau <= wau && math.abs(stick - dau.toDouble / wau) == 0.0)
+    }
+  }
+
   test("m09: banded pair relation matches the driver-side brute force") {
     val got = SparkEntry.queries("m09_ahash_pairs")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
