@@ -44,41 +44,35 @@ object Profile {
     // warmup
     SparkEntry.entry(spark).count()
 
-    // Decompose q52_column_profile: base stats pass vs the exact-NDV
-    // explode-distinct pass, plus NDV variants (drop heavy columns /
-    // pre-size the explode).
+    // Decompose t43_boiler_ngrams at sf1 (24 s for 10x data, 12x the
+    // sf0.1 cost): is the window build re-evaluating split(text) per
+    // window element inside the transform lambda?
     for (round <- 1 to 3) {
       println(s"--- round $round ---")
-      time("q52_asis") {
-        SparkEntry.queries("q52_column_profile")(s, d)
+      time("t43_asis") {
+        SparkEntry.queries("t43_boiler_ngrams")(s, d)
       }
-      val li = Tables.lineitem(s, d)
-      val pcols = Seq("l_orderkey", "l_partkey", "l_suppkey",
-        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
-        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
-      time("q52_base_only") {
-        li.agg(count(lit(1)).as("n"),
-          pcols.map(c => count(col(c)).as(c + "_c")): _*)
+      val toks = split(col("text"), " ")
+      val nWin = (size(toks) - 4).cast("int")
+      time("t43_wins_inline_toks") { // toks referenced inside the lambda
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(when(nWin > 0,
+              array_distinct(transform(sequence(lit(0), nWin - 1),
+                i => array_join(slice(toks, i + 1, lit(5)), " "))))
+              .otherwise(array().cast("array<string>"))).as("win"))
+          .select(col("doc_id"), xxhash64(col("win")).as("wh"))
       }
-      time("q52_ndv_explode") {
-        li.select(explode(array(pcols.map(c =>
-            struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
-            .as("p"))
-          .select("p.*").filter(col("v").isNotNull)
-          .distinct()
-          .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
-      }
-      time("q52_ndv_expand") {
-        li.agg(countDistinct(col(pcols.head)).as("d0"),
-          pcols.tail.map(c => countDistinct(col(c)).as("d_" + c)): _*)
-      }
-      time("q52_ndv_hash64") {
-        li.select(explode(array(pcols.map(c =>
-            struct(lit(c).as("col_name"), xxhash64(col(c)).as("v"))): _*))
-            .as("p"))
-          .select("p.*")
-          .distinct()
-          .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
+      time("t43_wins_presplit") { // toks materialized once as a column
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("tk"))
+          .select(col("doc_id"),
+            explode(when(size(col("tk")) > 4,
+              array_distinct(transform(
+                sequence(lit(0), size(col("tk")) - 5),
+                i => array_join(slice(col("tk"), i + 1, lit(5)), " "))))
+              .otherwise(array().cast("array<string>"))).as("win"))
+          .select(col("doc_id"), xxhash64(col("win")).as("wh"))
       }
     }
     spark.stop()

@@ -1711,14 +1711,15 @@ object Text {
       "t28_span_dedup",
       (s, d) => {
         val nWin = (size(toks) - 7).cast("int")
+        // fused NgramHashes kernel (ordered, non-distinct): same
+        // hashes as posexploding the window strings and hashing after
+        // — but one codegen'd pass instead of an interpreted HOF that
+        // re-splits the text per window (ExprEquivSpec)
         val wins = Tables.documents(s, d)
           .select(col("doc_id"),
-            posexplode(when(nWin > 0,
-              transform(sequence(lit(0), nWin - 1),
-                i => array_join(slice(toks, i + 1, lit(8)), " ")))
-              .otherwise(array().cast("array<string>"))))
-          .toDF("doc_id", "widx", "win")
-          .select(col("doc_id"), col("widx"), xxhash64(col("win")).as("wh"))
+            posexplode(graft.functions.TextExprs
+              .ngramHashes(toks, 8, distinct = false)))
+          .toDF("doc_id", "widx", "wh")
         val dupWins = wins
           .withColumn("c", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))))
@@ -2516,13 +2517,14 @@ object Text {
       "t43_boiler_ngrams",
       (s, d) => {
         val nWin = (size(toks) - 4).cast("int")
+        // fused NgramHashes kernel: hash-identical to exploding
+        // array_distinct(transform(.. xxhash64(array_join(slice)))) —
+        // the HOF form re-runs split(text) per window in the
+        // interpreted evaluator (ExprEquivSpec pins the equivalence)
         val wins = Tables.documents(s, d)
           .select(col("doc_id"),
-            explode(when(nWin > 0,
-              array_distinct(transform(sequence(lit(0), nWin - 1),
-                i => array_join(slice(toks, i + 1, lit(5)), " "))))
-              .otherwise(array().cast("array<string>"))).as("win"))
-          .select(col("doc_id"), xxhash64(col("win")).as("wh"))
+            explode(graft.functions.TextExprs
+              .ngramHashes(toks, 5, distinct = true)).as("wh"))
         val df = count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("wh")))
         val scored = wins

@@ -262,4 +262,27 @@ class ExprEquivSpec extends SparkSpec {
         graft.ops.Similarity.nearestIn(element_at(allBooks, mi + 1),
           graft.ops.Similarity.subVec(mi, sub)).getField("cid")))
   }
+
+  test("NgramHashes(ordered) == transform(xxhash64(array_join(slice)))") {
+    val n = 5
+    val toks = split(col("text"), " ")
+    val nWin = size(toks) - (n - 1)
+    val idx = when(nWin >= 1, sequence(lit(0), nWin - 1))
+      .otherwise(array().cast("array<int>"))
+    assertAllEqual(textDf,
+      TextExprs.ngramHashes(toks, n, distinct = false),
+      transform(idx, i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  test("NgramHashes(distinct) == first-appearance distinct of the ordered form") {
+    val n = 3
+    val toks = split(col("text"), " ")
+    val nWin = size(toks) - (n - 1)
+    val idx = when(nWin >= 1, sequence(lit(0), nWin - 1))
+      .otherwise(array().cast("array<int>"))
+    assertAllEqual(textDf,
+      TextExprs.ngramHashes(toks, n, distinct = true),
+      array_distinct(transform(idx,
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))))
+  }
 }

@@ -217,4 +217,34 @@ object PropertySpec extends Properties("archive") {
         got.b0 == bands(0) && got.b1 == bands(1) &&
         got.b2 == bands(2) && got.b3 == bands(3)
     }
+
+  // --- NgramHashes kernel vs a straight-line reference: window
+  //     enumeration, null-skip joining, seed-42 xxhash64, and the
+  //     first-appearance distinct contract, on arbitrary token lists
+  //     (nulls, unicode, empties) the fixtures never produce. ---
+  import graft.functions.TextExprs
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val tokenLists: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf(Gen.const(null: String), Gen.const(""),
+      Gen.alphaNumStr, Gen.const("日本語"), Gen.const("a b")))
+
+  property("ngramHashes == straight-line window hashing on any tokens") =
+    forAll(tokenLists, Gen.choose(1, 4)) { (tokens, n) =>
+      val arr = new GenericArrayData(tokens.map(t =>
+        if (t == null) null else UTF8String.fromString(t)).toArray[Any])
+      val got = TextExprs.ngramHashes(arr, n, distinct = false)
+        .toLongArray().toSeq
+      val ref =
+        if (tokens.size < n) Seq.empty
+        else tokens.sliding(n).map { w =>
+          val s = UTF8String.fromString(w.filter(_ != null).mkString(" "))
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, 42L)
+        }.toSeq
+      val gotD = TextExprs.ngramHashes(arr, n, distinct = true)
+        .toLongArray().toSeq
+      got == ref && gotD == got.distinct
+    }
 }
