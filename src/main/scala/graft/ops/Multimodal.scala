@@ -220,6 +220,42 @@ object Multimodal {
       (lit(8) + pmod(col("n_chars"), lit(17))).cast("int").as("w"),
       (lit(8) + pmod(col("n_chars") * 3, lit(13))).cast("int").as("h"))
 
+  /** Near-duplicate image pairs `(doc_a, doc_b, hamming)` with
+    * Hamming ≤ `maxHam`, banded-candidate form (see m09's spec notes;
+    * `maxHam ≤ 3` makes banding LOSSLESS by pigeonhole, so that
+    * threshold yields the exact brute-force relation). Shared by m09
+    * (the pair report) and m10 (the clustering decision). */
+  private def ahashPairs(s: SparkSession, d: String, maxHam: Int): DataFrame = {
+    import s.implicits._
+    val hashes = ahashDims(s, d).as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.map { case (id, w, h) =>
+          decodeBmpAhash(id, encodeBmp(id, w, h))
+        })
+      }.toDF()
+    val bands = graft.Scoped.persist(
+      hashes.select(col("doc_id"), col("b0"), col("b1"),
+        col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .toDF("doc_id", "b0", "b1", "b2", "b3", "band", "v"))
+    val a = bands.select(col("doc_id").as("doc_a"),
+      col("b0").as("ab0"), col("b1").as("ab1"),
+      col("b2").as("ab2"), col("b3").as("ab3"),
+      col("band"), col("v"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("b0").as("bb0"), col("b1").as("bb1"),
+      col("b2").as("bb2"), col("b3").as("bb3"),
+      col("band"), col("v"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr(
+        "int(bit_count(ab0 ^ bb0) + bit_count(ab1 ^ bb1) + " +
+          "bit_count(ab2 ^ bb2) + bit_count(ab3 ^ bb3))"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+
   /** Decoded-audio features: format fields from the chunk headers,
     * per-channel sample means (interleave-sensitive via ch0/ch1
     * separation), the first channel-0 sample (position-sensitive),
@@ -805,37 +841,7 @@ object Multimodal {
     //      Decode is map-only on the scan — payloads never shuffle. ----
     QuerySpec(
       "m09_ahash_pairs",
-      (s, d) => {
-        import s.implicits._
-        val hashes = ahashDims(s, d).as[(Long, Int, Int)]
-          .mapPartitions { rows =>
-            rows.grouped(64).flatMap(_.map { case (id, w, h) =>
-              decodeBmpAhash(id, encodeBmp(id, w, h))
-            })
-          }.toDF()
-        val bands = graft.Scoped.persist(
-          hashes.select(col("doc_id"), col("b0"), col("b1"),
-            col("b2"), col("b3"),
-            posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
-            .toDF("doc_id", "b0", "b1", "b2", "b3", "band", "v"))
-        val a = bands.select(col("doc_id").as("doc_a"),
-          col("b0").as("ab0"), col("b1").as("ab1"),
-          col("b2").as("ab2"), col("b3").as("ab3"),
-          col("band"), col("v"))
-        val b = bands.select(col("doc_id").as("doc_b"),
-          col("b0").as("bb0"), col("b1").as("bb1"),
-          col("b2").as("bb2"), col("b3").as("bb3"),
-          col("band"), col("v"))
-        a.join(b, Seq("band", "v"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("hamming", expr(
-            "int(bit_count(ab0 ^ bb0) + bit_count(ab1 ^ bb1) + " +
-              "bit_count(ab2 ^ bb2) + bit_count(ab3 ^ bb3))"))
-          .filter(col("hamming") <= 6)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => ahashPairs(s, d, maxHam = 6).orderBy("doc_a", "doc_b"),
       Some("""WITH dims AS (
         SELECT doc_id, CAST(8 + n_chars % 17 AS BIGINT) AS w,
                CAST(8 + (n_chars * 3) % 13 AS BIGINT) AS h
@@ -880,6 +886,86 @@ object Multimodal {
         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
       WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 6
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b""")),
+
+    // ---- image dedup DECISION: m09 measures near-dup pairs; m10
+    //      turns them into clusters and picks survivors — the same
+    //      measure→decide pairing as t09→t12 for text. Edges are the
+    //      Hamming ≤ 3 pairs, where 4-band LSH is LOSSLESS by
+    //      pigeonhole, so the edge relation is the exact brute-force
+    //      one and the oracle needs no banding clause. Clustering is
+    //      the shared min-label-propagation engine (Text.scala: one
+    //      edge⨝label join + min-agg per generation, per-generation
+    //      localCheckpoint — O(log diameter), no driver-side graph);
+    //      images in no pair keep themselves. At 100 TB: the label
+    //      table is O(images), edges are int pairs, pixels appear in
+    //      NO stage past the map-side decode. ----
+    QuerySpec(
+      "m10_ahash_groups",
+      (s, d) => {
+        val labels = Text.connectedComponents(
+          ahashPairs(s, d, maxHam = 3).select(
+            col("doc_a").as("da"), col("doc_b").as("db")))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lbl"), col("doc_id")).as("group_id"))
+          .withColumn("keep", col("doc_id") === col("group_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE dims AS (
+        SELECT doc_id, CAST(8 + n_chars % 17 AS BIGINT) AS w,
+               CAST(8 + (n_chars * 3) % 13 AS BIGINT) AS h
+        FROM documents),
+      grid AS (
+        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h,
+                unnest(generate_series(0, w - 1)) AS x FROM dims) g),
+      px AS (
+        SELECT doc_id, w, h,
+          (doc_id*19 + x*23 + y*29) % 256 + (doc_id*11 + x*13 + y*17) % 256
+            + (doc_id*7 + x*3 + y*5) % 256 AS gray,
+          (y * 8) // h AS by, (x * 8) // w AS bx
+        FROM grid),
+      blocks AS (
+        SELECT doc_id, w, h, by, bx, SUM(gray) AS bs, COUNT(*) AS bc
+        FROM px GROUP BY doc_id, w, h, by, bx),
+      tot AS (
+        SELECT doc_id, SUM(bs) AS tsum, w * h AS n
+        FROM blocks GROUP BY doc_id, w, h),
+      bits AS (
+        SELECT b.doc_id, by * 8 + bx AS idx,
+          CASE WHEN bs * n > tsum * bc THEN 1 ELSE 0 END AS bit
+        FROM blocks b JOIN tot t ON b.doc_id = t.doc_id),
+      bands AS (
+        SELECT doc_id, idx // 16 AS band,
+          CAST(SUM(bit * (1 << (idx % 16))) AS INT) AS val
+        FROM bits GROUP BY doc_id, band),
+      wide AS (
+        SELECT doc_id,
+          MAX(CASE WHEN band = 0 THEN val END) AS b0,
+          MAX(CASE WHEN band = 1 THEN val END) AS b1,
+          MAX(CASE WHEN band = 2 THEN val END) AS b2,
+          MAX(CASE WHEN band = 3 THEN val END) AS b3
+        FROM bands GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+      edges AS (SELECT da AS a, db AS b FROM pairs
+                UNION ALL SELECT db, da FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labels AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS lbl
+        FROM reach GROUP BY a)
+      SELECT d.doc_id,
+        COALESCE(l.lbl, d.doc_id) AS group_id,
+        d.doc_id = COALESCE(l.lbl, d.doc_id) AS keep
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+      ORDER BY d.doc_id"""))
   )
 }

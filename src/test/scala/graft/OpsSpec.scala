@@ -1532,6 +1532,25 @@ class OpsSpec extends SparkSpec {
     assert(all3.toSet.subsetOf(got.toSet))
   }
 
+  test("m10: groups are the transitive closure of the Hamming<=3 pairs") {
+    val groups = SparkEntry.queries("m10_ahash_groups")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(groups.nonEmpty)
+    // every close pair (ham <= 3 slice of m09) lands in one group
+    val pairs = SparkEntry.queries("m09_ahash_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= 3)
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, _) =>
+      assert(groups(a)._1 == groups(b)._1, s"pair ($a,$b) split") }
+    // representative = the group's minimum member; keep iff rep
+    groups.groupBy(_._2._1).foreach { case (gid, members) =>
+      assert(gid == members.keys.min)
+      members.foreach { case (id, (_, keep)) => assert(keep == (id == gid)) }
+    }
+  }
+
   test("t43: planted cross-doc boilerplate is flagged; counts nest") {
     val rows = SparkEntry.queries("t43_boiler_ngrams")(spark, sf0001)
       .collect()
