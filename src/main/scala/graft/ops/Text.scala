@@ -1440,12 +1440,16 @@ object Text {
     QuerySpec(
       "t23_passage_dedup",
       (s, d) => {
-        val nChunks = ceil(size(toks) / 16.0).cast("int")
+        // tk materialized BEFORE the lambda: a HOF lambda re-evaluates
+        // its body per element, and `split` can't be hoisted out of it
+        // by the optimizer (the t43/NgramHashes lesson, presplit form)
+        val nChunks = ceil(size(col("tk")) / 16.0).cast("int")
         val chunks = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("tk"))
           .select(col("doc_id"),
             posexplode(when(nChunks > 0,
               transform(sequence(lit(0), nChunks - 1),
-                i => array_join(slice(toks, i * 16 + 1, lit(16)), " ")))
+                i => array_join(slice(col("tk"), i * 16 + 1, lit(16)), " ")))
               .otherwise(array().cast("array<string>"))))
           .toDF("doc_id", "chunk_idx", "chunk")
         val counts = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("c"))
@@ -1788,12 +1792,14 @@ object Text {
     QuerySpec(
       "t31_dedup_rewrite",
       (s, d) => {
-        val nChunks = ceil(size(toks) / 16.0).cast("int")
+        // presplit tk before the lambda — same rationale as t23
+        val nChunks = ceil(size(col("tk")) / 16.0).cast("int")
         val chunks = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("tk"))
           .select(col("doc_id"),
             posexplode(when(nChunks > 0,
               transform(sequence(lit(0), nChunks - 1),
-                i => array_join(slice(toks, i * 16 + 1, lit(16)), " ")))
+                i => array_join(slice(col("tk"), i * 16 + 1, lit(16)), " ")))
               .otherwise(array().cast("array<string>"))))
           .toDF("doc_id", "ci", "chunk")
         val wFirst = org.apache.spark.sql.expressions.Window
