@@ -478,16 +478,21 @@ object Multimodal {
     QuerySpec(
       "m02_chunking",
       (s, d) => {
-        val nChunks = ceil(octet_length(payload) / lit(256.0)).cast("int")
+        // pl materialized BEFORE the lambda: the HOF body re-evaluates
+        // per chunk, and that would re-encode the payload each time
+        // (the t43/NgramHashes lesson applied to binary columns)
+        val pl = col("pl")
+        val nChunks = ceil(octet_length(pl) / lit(256.0)).cast("int")
         // guard nChunks=0: sequence(0, -1) counts DOWN ([0,-1]) instead
         // of yielding an empty list — an empty payload must chunk to
         // zero rows, like the oracle's generate_series(1, 0)
         val idx = when(nChunks > 0, sequence(lit(0), nChunks - 1))
           .otherwise(array().cast("array<int>"))
         Tables.documents(s, d)
+          .select(col("doc_id"), payload.as("pl"))
           .select(col("doc_id"),
             posexplode(transform(idx,
-              i => substring(payload, i * 256 + 1, lit(256)))))
+              i => substring(pl, i * 256 + 1, lit(256)))))
           .select(col("doc_id"), col("pos").as("chunk_idx"),
             octet_length(col("col")).as("chunk_bytes"),
             md5(col("col")).as("chunk_md5"))
@@ -514,7 +519,9 @@ object Multimodal {
       (s, d) => {
         val frameSz = 64
         val maxFrames = 8
-        val nFrames = ceil(octet_length(payload) / lit(frameSz.toDouble))
+        // pl presplit before the lambda — same rationale as m02
+        val pl = col("pl")
+        val nFrames = ceil(octet_length(pl) / lit(frameSz.toDouble))
           .cast("int")
         val stride = greatest(
           ceil(nFrames / lit(maxFrames.toDouble)).cast("int"), lit(1))
@@ -522,9 +529,10 @@ object Multimodal {
           sequence(lit(0), nFrames - 1, stride))
           .otherwise(array().cast("array<int>"))
         Tables.documents(s, d)
+          .select(col("doc_id"), payload.as("pl"))
           .select(col("doc_id"), nFrames.as("n_frames"),
             posexplode(transform(idx,
-              i => substring(payload, i * frameSz + 1, lit(frameSz)))))
+              i => substring(pl, i * frameSz + 1, lit(frameSz)))))
           .select(col("doc_id"), col("n_frames"),
             col("pos").as("sample_idx"),
             octet_length(col("col")).as("frame_bytes"),
