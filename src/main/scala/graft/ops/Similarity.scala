@@ -934,11 +934,15 @@ object Similarity {
       (s, d) => {
         val x = col("embedding")
         val scale = array_max(transform(x, v => abs(v.cast("double"))))
-        val codes = when(scale > 0,
-          transform(x, v => round(v.cast("double") * 127 / scale)
+        // scale materialized BEFORE the code lambda: referenced inside
+        // it, the interpreted HOF would recompute the O(dim) max per
+        // element — O(dim²)/row (the t43/NgramHashes hoist, vectors)
+        val codes = when(col("s") > 0,
+          transform(x, v => round(v.cast("double") * 127 / col("s"))
             .cast("int")))
           .otherwise(transform(x, _ => lit(0)))
         val qz = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), scale.as("s"))
           .select(col("vec_id"), codes.as("codes"))
         val q = qz.filter(col("vec_id") < QueryIds)
           .select(col("vec_id").as("qid"), col("codes").as("qc"))
