@@ -914,9 +914,12 @@ object Events {
     QuerySpec(
       "e25_peak_concurrency",
       (s, d) => {
-        val sess = sessionized(Tables.events(s, d))
-          .groupBy(col("user_id"), col("session_id"))
-          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        // persisted: both delta branches read it — without the persist
+        // the sessionization window + min/max aggregate run twice
+        val sess = graft.Scoped.persist(
+          sessionized(Tables.events(s, d))
+            .groupBy(col("user_id"), col("session_id"))
+            .agg(min(col("ts")).as("st"), max(col("ts")).as("en")))
         val deltas = sess.select(col("st").as("ts"), lit(1L).as("delta"))
           .union(sess.select(col("en").as("ts"), lit(-1L).as("delta")))
           .groupBy(col("ts")).agg(sum(col("delta")).as("net"))
@@ -927,14 +930,23 @@ object Events {
           .withColumn("run", sum(col("net")).over(byDay))
           .groupBy(col("day"))
           .agg(max(col("run")).as("peak_rel"), sum(col("net")).as("day_net"))
+        // day SPINE: a day wholly inside an open session has no delta
+        // rows, yet its peak is the overnight carry — without the fill
+        // such days would be silently absent and read as zero. The
+        // spine is bounded by calendar time, like the carry table.
+        val spine = perDay
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
         val overDays = Window.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        perDay
+        spine.join(perDay, Seq("day"), "left")
+          .withColumn("day_net", coalesce(col("day_net"), lit(0L)))
           .withColumn("carry",
             coalesce(sum(col("day_net")).over(overDays), lit(0L)))
           .select(col("day"),
-            greatest(col("carry"), col("carry") + col("peak_rel"))
-              .as("peak_concurrent"),
+            when(col("peak_rel").isNotNull,
+              greatest(col("carry"), col("carry") + col("peak_rel")))
+              .otherwise(col("carry")).as("peak_concurrent"),
             (col("carry") + col("day_net")).as("open_at_eod"))
           .orderBy("day")
       },
@@ -955,17 +967,27 @@ object Events {
       per_day AS (
         SELECT day, CAST(MAX(run) AS BIGINT) AS peak_run,
           CAST(SUM(net) AS BIGINT) AS day_net
-        FROM runs GROUP BY day)
+        FROM runs GROUP BY day),
+      spine AS (
+        SELECT CAST(unnest(generate_series(
+          (SELECT MIN(day) FROM per_day),
+          (SELECT MAX(day) FROM per_day),
+          INTERVAL 1 DAY)) AS DATE) AS day),
+      filled AS (
+        SELECT s.day, p.peak_run, COALESCE(p.day_net, 0) AS day_net
+        FROM spine s LEFT JOIN per_day p USING (day))
       SELECT day,
-        greatest(
+        CASE WHEN peak_run IS NOT NULL
+          THEN greatest(carry, peak_run) ELSE carry END
+          AS peak_concurrent,
+        carry + day_net AS open_at_eod
+      FROM (
+        SELECT day, peak_run, day_net,
           CAST(COALESCE(SUM(day_net) OVER (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS BIGINT),
-          peak_run) AS peak_concurrent,
-        CAST(SUM(day_net) OVER (ORDER BY day
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-          AS open_at_eod
-      FROM per_day ORDER BY day""")),
+            AS BIGINT) AS carry
+        FROM filled) t
+      ORDER BY day""")),
 
     // ---- sliding-window COUNT(DISTINCT): rolling 7-day active users
     //      (DAU/WAU/stickiness). A windowed distinct cannot ride a
@@ -981,9 +1003,12 @@ object Events {
     QuerySpec(
       "e26_rolling_wau",
       (s, d) => {
-        val pairs = Tables.events(s, d)
-          .select(to_date(col("ts")).as("day"), col("user_id"))
-          .distinct()
+        // persisted: three branches (fan-out, spine, dau) read it —
+        // without the persist each re-runs the scan + distinct
+        val pairs = graft.Scoped.persist(
+          Tables.events(s, d)
+            .select(to_date(col("ts")).as("day"), col("user_id"))
+            .distinct())
         val spine = pairs.select(col("day")).distinct()
         val wau = pairs
           .select(col("user_id"),

@@ -220,6 +220,46 @@ object Multimodal {
       (lit(8) + pmod(col("n_chars"), lit(17))).cast("int").as("w"),
       (lit(8) + pmod(col("n_chars") * 3, lit(13))).cast("int").as("h"))
 
+  /** Shared oracle CTE prefix for m09/m10: replay the pixel formula →
+    * aHash bits → band ints in pure integer SQL, ending in
+    * `wide(doc_id, b0..b3)`. One constant so the two oracles cannot
+    * silently diverge (the sessionizedSql pattern from Events). */
+  private val ahashWideCtes = """dims AS (
+        SELECT doc_id, CAST(8 + n_chars % 17 AS BIGINT) AS w,
+               CAST(8 + (n_chars * 3) % 13 AS BIGINT) AS h
+        FROM documents),
+      grid AS (
+        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h,
+                unnest(generate_series(0, w - 1)) AS x FROM dims) g),
+      px AS (
+        SELECT doc_id, w, h,
+          (doc_id*19 + x*23 + y*29) % 256 + (doc_id*11 + x*13 + y*17) % 256
+            + (doc_id*7 + x*3 + y*5) % 256 AS gray,
+          (y * 8) // h AS by, (x * 8) // w AS bx
+        FROM grid),
+      blocks AS (
+        SELECT doc_id, w, h, by, bx, SUM(gray) AS bs, COUNT(*) AS bc
+        FROM px GROUP BY doc_id, w, h, by, bx),
+      tot AS (
+        SELECT doc_id, SUM(bs) AS tsum, w * h AS n
+        FROM blocks GROUP BY doc_id, w, h),
+      bits AS (
+        SELECT b.doc_id, by * 8 + bx AS idx,
+          CASE WHEN bs * n > tsum * bc THEN 1 ELSE 0 END AS bit
+        FROM blocks b JOIN tot t ON b.doc_id = t.doc_id),
+      bands AS (
+        SELECT doc_id, idx // 16 AS band,
+          CAST(SUM(bit * (1 << (idx % 16))) AS INT) AS val
+        FROM bits GROUP BY doc_id, band),
+      wide AS (
+        SELECT doc_id,
+          MAX(CASE WHEN band = 0 THEN val END) AS b0,
+          MAX(CASE WHEN band = 1 THEN val END) AS b1,
+          MAX(CASE WHEN band = 2 THEN val END) AS b2,
+          MAX(CASE WHEN band = 3 THEN val END) AS b3
+        FROM bands GROUP BY doc_id)"""
+
   /** Near-duplicate image pairs `(doc_a, doc_b, hamming)` with
     * Hamming ≤ `maxHam`, banded-candidate form (see m09's spec notes;
     * `maxHam ≤ 3` makes banding LOSSLESS by pigeonhole, so that
@@ -850,41 +890,7 @@ object Multimodal {
     QuerySpec(
       "m09_ahash_pairs",
       (s, d) => ahashPairs(s, d, maxHam = 6).orderBy("doc_a", "doc_b"),
-      Some("""WITH dims AS (
-        SELECT doc_id, CAST(8 + n_chars % 17 AS BIGINT) AS w,
-               CAST(8 + (n_chars * 3) % 13 AS BIGINT) AS h
-        FROM documents),
-      grid AS (
-        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
-        FROM (SELECT doc_id, w, h,
-                unnest(generate_series(0, w - 1)) AS x FROM dims) g),
-      px AS (
-        SELECT doc_id, w, h,
-          (doc_id*19 + x*23 + y*29) % 256 + (doc_id*11 + x*13 + y*17) % 256
-            + (doc_id*7 + x*3 + y*5) % 256 AS gray,
-          (y * 8) // h AS by, (x * 8) // w AS bx
-        FROM grid),
-      blocks AS (
-        SELECT doc_id, w, h, by, bx, SUM(gray) AS bs, COUNT(*) AS bc
-        FROM px GROUP BY doc_id, w, h, by, bx),
-      tot AS (
-        SELECT doc_id, SUM(bs) AS tsum, w * h AS n
-        FROM blocks GROUP BY doc_id, w, h),
-      bits AS (
-        SELECT b.doc_id, by * 8 + bx AS idx,
-          CASE WHEN bs * n > tsum * bc THEN 1 ELSE 0 END AS bit
-        FROM blocks b JOIN tot t ON b.doc_id = t.doc_id),
-      bands AS (
-        SELECT doc_id, idx // 16 AS band,
-          CAST(SUM(bit * (1 << (idx % 16))) AS INT) AS val
-        FROM bits GROUP BY doc_id, band),
-      wide AS (
-        SELECT doc_id,
-          MAX(CASE WHEN band = 0 THEN val END) AS b0,
-          MAX(CASE WHEN band = 1 THEN val END) AS b1,
-          MAX(CASE WHEN band = 2 THEN val END) AS b2,
-          MAX(CASE WHEN band = 3 THEN val END) AS b3
-        FROM bands GROUP BY doc_id)
+      Some(s"""WITH $ahashWideCtes
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
@@ -921,41 +927,7 @@ object Multimodal {
           .withColumn("keep", col("doc_id") === col("group_id"))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE dims AS (
-        SELECT doc_id, CAST(8 + n_chars % 17 AS BIGINT) AS w,
-               CAST(8 + (n_chars * 3) % 13 AS BIGINT) AS h
-        FROM documents),
-      grid AS (
-        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
-        FROM (SELECT doc_id, w, h,
-                unnest(generate_series(0, w - 1)) AS x FROM dims) g),
-      px AS (
-        SELECT doc_id, w, h,
-          (doc_id*19 + x*23 + y*29) % 256 + (doc_id*11 + x*13 + y*17) % 256
-            + (doc_id*7 + x*3 + y*5) % 256 AS gray,
-          (y * 8) // h AS by, (x * 8) // w AS bx
-        FROM grid),
-      blocks AS (
-        SELECT doc_id, w, h, by, bx, SUM(gray) AS bs, COUNT(*) AS bc
-        FROM px GROUP BY doc_id, w, h, by, bx),
-      tot AS (
-        SELECT doc_id, SUM(bs) AS tsum, w * h AS n
-        FROM blocks GROUP BY doc_id, w, h),
-      bits AS (
-        SELECT b.doc_id, by * 8 + bx AS idx,
-          CASE WHEN bs * n > tsum * bc THEN 1 ELSE 0 END AS bit
-        FROM blocks b JOIN tot t ON b.doc_id = t.doc_id),
-      bands AS (
-        SELECT doc_id, idx // 16 AS band,
-          CAST(SUM(bit * (1 << (idx % 16))) AS INT) AS val
-        FROM bits GROUP BY doc_id, band),
-      wide AS (
-        SELECT doc_id,
-          MAX(CASE WHEN band = 0 THEN val END) AS b0,
-          MAX(CASE WHEN band = 1 THEN val END) AS b1,
-          MAX(CASE WHEN band = 2 THEN val END) AS b2,
-          MAX(CASE WHEN band = 3 THEN val END) AS b3
-        FROM bands GROUP BY doc_id),
+      Some(s"""WITH RECURSIVE $ahashWideCtes,
       pairs AS (
         SELECT a.doc_id AS da, b.doc_id AS db
         FROM wide a JOIN wide b ON a.doc_id < b.doc_id

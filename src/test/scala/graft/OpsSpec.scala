@@ -1472,9 +1472,44 @@ class OpsSpec extends SparkSpec {
       val peak = math.max(carryPeak, run)
       days(day) = (peak, run)
     }
-    assert(out.toSeq == days.toSeq.map { case (d, (p, e)) => (d, p, e) })
+    // gap days (inside the span but without any session endpoint)
+    // report the carried-over open count as both peak and eod
+    var open = 0L
+    val expected = Iterator.iterate(days.head._1)(_.plusDays(1))
+      .takeWhile(!_.isAfter(days.last._1)).map { d =>
+        val row = days.get(d) match {
+          case Some((p, e)) => (d, p, e)
+          case None => (d, open, open)
+        }
+        open = row._3
+        row
+      }.toSeq
+    assert(out.toSeq == expected)
     assert(out.last._3 == 0L) // every session that opens also closes
     out.foreach { case (_, peak, eod) => assert(peak >= eod && peak >= 0) }
+    // constructed fixture: zero-activity days inside the span surface
+    // as explicit zero rows instead of being silently absent (under
+    // the 30-min gap rule a session can never span a deltaless day,
+    // so the only gap days are exactly the zero-activity ones)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-e25-gap").toString
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-01 10:10:00"), 1L, "click", 1.0, "{}"),
+      (3L, t("2024-01-04 09:00:00"), 2L, "view", 1.0, "{}"),
+      // two events: a single-event session is zero-duration (its
+      // +1/-1 merge at one instant) and by design never counts
+      (4L, t("2024-01-04 09:05:00"), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val gap = SparkEntry.queries("e25_peak_concurrency")(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(gap.toSeq == Seq(
+      ("2024-01-01", 1L, 0L), ("2024-01-02", 0L, 0L),
+      ("2024-01-03", 0L, 0L), ("2024-01-04", 1L, 0L)))
   }
 
   test("e26: offset-explode rolling distinct equals the by-definition WAU") {
