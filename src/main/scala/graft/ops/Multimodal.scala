@@ -220,6 +220,71 @@ object Multimodal {
       (lit(8) + pmod(col("n_chars"), lit(17))).cast("int").as("w"),
       (lit(8) + pmod(col("n_chars") * 3, lit(13))).cast("int").as("h"))
 
+  /** Resized-image features: the source dimensions from the header
+    * plus the feature row of the nearest-neighbor downsample — the
+    * thumbnail step of a vision pipeline, with the top-left pixel as
+    * the row-direction sentinel exactly like [[BmpFeatures]]. */
+  final case class ResizedFeatures(
+      doc_id: Long,
+      src_w: Int,
+      src_h: Int,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      r00: Int,
+      g00: Int,
+      b00: Int)
+
+  /** REAL BMP decode → nearest-neighbor RESIZE to `tw`×`th` →
+    * features of the resampled image. Source pixel for target
+    * (x', y') is (x'·w/tw, y'·h/th) (floor — the standard NN index
+    * map; upsampling duplicates pixels, downsampling drops them), so
+    * the whole path is exact integer arithmetic an oracle replays.
+    * Header handling matches [[decodeBmp]]. */
+  private[graft] def decodeBmpResize(docId: Long, bs: Array[Byte],
+      tw: Int, th: Int): ResizedFeatures = {
+    def u8(i: Int): Int = bs(i) & 0xff
+    def i32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def i16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    require(bs.length >= 54 && bs(0) == 'B' && bs(1) == 'M',
+      "not a BMP payload")
+    require(tw > 0 && th > 0, s"degenerate target ${tw}x$th")
+    val off = i32(10)
+    val w = i32(18)
+    val hRaw = i32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    require(w > 0 && h > 0, s"degenerate dimensions ${w}x$hRaw")
+    require(i16(28) == 24 && i32(30) == 0, "only uncompressed 24bpp")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    require(bs.length >= off + rowSize * h, "truncated pixel array")
+    var rSum = 0L; var gSum = 0L; var bSum = 0L
+    var r00 = 0; var g00 = 0; var b00 = 0
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * h / th // image-order row (0 = top)
+      val base = off + (if (topDown) sy else h - 1 - sy) * rowSize
+      var tx = 0
+      while (tx < tw) {
+        val sx = tx * w / tw
+        val b = u8(base + 3 * sx)
+        val g = u8(base + 3 * sx + 1)
+        val r = u8(base + 3 * sx + 2)
+        if (tx == 0 && ty == 0) { r00 = r; g00 = g; b00 = b }
+        rSum += r; gSum += g; bSum += b
+        tx += 1
+      }
+      ty += 1
+    }
+    val n = tw.toLong * th
+    ResizedFeatures(docId, w, h, tw, th,
+      rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n,
+      r00, g00, b00)
+  }
+
   /** Shared oracle CTE prefix for m09/m10: replay the pixel formula →
     * aHash bits → band ints in pure integer SQL, ending in
     * `wide(doc_id, b0..b3)`. One constant so the two oracles cannot
@@ -946,6 +1011,53 @@ object Multimodal {
         COALESCE(l.lbl, d.doc_id) AS group_id,
         d.doc_id = COALESCE(l.lbl, d.doc_id) AS keep
       FROM documents d LEFT JOIN labels l USING (doc_id)
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // ---- REAL resize (thumbnail step): decode each BMP, resample to
+    //      a fixed 8×6 with nearest-neighbor (source pixel for target
+    //      (x', y') is (x'·w/tw, y'·h/th) — exact integer index math,
+    //      duplicating pixels when upsampling and dropping them when
+    //      downsampling), emit the thumbnail's features. Completes the
+    //      literal decode / feature-extract / RESIZE / frame-sample /
+    //      tile set over true media bytes. The oracle replays the NN
+    //      index map against the pixel formula, so a resampler that
+    //      rounds instead of floors, swaps axes, or reads bottom-up
+    //      rows as top-down hash-mismatches. Scale: map-only on the
+    //      fixture scan, features are the only output — the same
+    //      no-shuffle decode shape as m03/m07. ----
+    QuerySpec(
+      "m11_resize",
+      (s, d) => {
+        import s.implicits._
+        bmpFixture(s, d).as[MediaRow]
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.map(r =>
+              decodeBmpResize(r.doc_id, r.payload, 8, 6)))
+          }.toDF().orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+        SELECT doc_id, CAST(4 + (n_chars % 13) AS BIGINT) AS w,
+               CAST(3 + (n_chars % 7) AS BIGINT) AS h
+        FROM documents),
+      tgt AS (
+        SELECT doc_id, w, h, tx, unnest(generate_series(0, 5)) AS ty
+        FROM (SELECT doc_id, w, h,
+                unnest(generate_series(0, 7)) AS tx FROM dims) g),
+      ch AS (
+        SELECT doc_id, w, h, tx, ty,
+          (doc_id*19 + ((tx*w)//8)*23 + ((ty*h)//6)*29) % 256 AS r,
+          (doc_id*11 + ((tx*w)//8)*13 + ((ty*h)//6)*17) % 256 AS g,
+          (doc_id*7 + ((tx*w)//8)*3 + ((ty*h)//6)*5) % 256 AS b
+        FROM tgt)
+      SELECT doc_id,
+        CAST(MAX(w) AS INT) AS src_w, CAST(MAX(h) AS INT) AS src_h,
+        8 AS width, 6 AS height,
+        CAST(SUM(r) AS DOUBLE) / 48 AS mean_r,
+        CAST(SUM(g) AS DOUBLE) / 48 AS mean_g,
+        CAST(SUM(b) AS DOUBLE) / 48 AS mean_b,
+        CAST(MAX(CASE WHEN tx = 0 AND ty = 0 THEN r END) AS INT) AS r00,
+        CAST(MAX(CASE WHEN tx = 0 AND ty = 0 THEN g END) AS INT) AS g00,
+        CAST(MAX(CASE WHEN tx = 0 AND ty = 0 THEN b END) AS INT) AS b00
+      FROM ch GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

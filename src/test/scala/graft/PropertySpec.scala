@@ -218,6 +218,31 @@ object PropertySpec extends Properties("archive") {
         got.b2 == bands(2) && got.b3 == bands(3)
     }
 
+  // --- NN resize: decode(encode) → resample must equal the formula-
+  //     level reference for any source dims and target size — wrong
+  //     floor/round, swapped axes, or bottom-up-as-top-down all
+  //     diverge on some (w, h, tw, th). ---
+  property("decodeBmpResize == formula-level NN resample on any dims") =
+    forAll(Gen.choose(0L, 1L << 40), Gen.choose(1, 24), Gen.choose(1, 24),
+      Gen.choose(1, 12), Gen.choose(1, 12)) { (id, w, h, tw, th) =>
+      val got = Multimodal.decodeBmpResize(id,
+        Multimodal.encodeBmp(id, w, h), tw, th)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (ty <- 0 until th; tx <- 0 until tw) {
+        val sx = tx * w / tw; val sy = ty * h / th
+        rs += (id * 19 + sx * 23 + sy * 29) % 256
+        gs += (id * 11 + sx * 13 + sy * 17) % 256
+        bs += (id * 7 + sx * 3 + sy * 5) % 256
+      }
+      val n = tw.toDouble * th
+      got.src_w == w && got.src_h == h &&
+        got.width == tw && got.height == th &&
+        got.mean_r == rs / n && got.mean_g == gs / n &&
+        got.mean_b == bs / n &&
+        got.r00 == (id * 19) % 256 && got.g00 == (id * 11) % 256 &&
+        got.b00 == (id * 7) % 256
+    }
+
   // --- NgramHashes kernel vs a straight-line reference: window
   //     enumeration, null-skip joining, seed-42 xxhash64, and the
   //     first-appearance distinct contract, on arbitrary token lists
