@@ -1756,7 +1756,51 @@ object Relational {
             FROM lineitem l2
             WHERE l2.l_partkey = g.partkey
               AND year(l2.l_shipdate) = 1996))
-      ORDER BY s.s_name"""))
+      ORDER BY s.s_name""")),
+
+    // ---- TPC-H Q22 SHAPE: "lost customers" — an UNCORRELATED scalar
+    //      subquery (global positive-balance average, executed ONCE as
+    //      a SubqueryExec, never per row) combined with a NOT EXISTS
+    //      anti-join against the fact table, rolled up per nation.
+    //      (Every fixture customer has SOME order, so the churn gate
+    //      is "no order since 2000" — the anti-join runs against a
+    //      date-filtered fact scan, same shape, nonempty answer.)
+    //      The average rides the dsum/davg decimal route on BOTH
+    //      sides: a double SUM would make the qualifying SET itself
+    //      order-dependent, not just a statistic. At 100 TB: one
+    //      customer scan + a key-only anti-join against orders on the
+    //      8-byte custkey; the scalar is a broadcast of ONE row. ----
+    QuerySpec(
+      "q58_lost_customers",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_q58")
+        Tables.orders(s, d).createOrReplaceTempView("orders_q58")
+        s.sql("""
+          SELECT c.c_nationkey AS cntry, COUNT(*) AS numcust,
+            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+              AS totacctbal
+          FROM customer_q58 c
+          WHERE c.c_acctbal > (
+              SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,10)))
+                     AS DOUBLE) / COUNT(*)
+              FROM customer_q58 c2 WHERE c2.c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders_q58 o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+          GROUP BY c.c_nationkey
+          ORDER BY cntry""")
+      },
+      Some(s"""SELECT c.c_nationkey AS cntry, COUNT(*) AS numcust,
+        ${dsumSql("c.c_acctbal")} AS totacctbal
+      FROM customer c
+      WHERE c.c_acctbal > (
+          SELECT ${davgSql("c2.c_acctbal")}
+          FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY c.c_nationkey
+      ORDER BY cntry"""))
   )
 
   /** q53 oracle: the identical edge build + `k` damped iterations as

@@ -96,6 +96,15 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"))
   }
 
+  test("q58: anti-join + once-executed scalar subquery, no per-row probe") {
+    val p = plan("q58_lost_customers")
+    // NOT EXISTS compiles to LeftAnti on the custkey; the uncorrelated
+    // average executes once as a subquery, never per customer row
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("m09: aHash candidates ride an equi-join on (band, value) — no all-pairs") {
     val p = plan("m09_ahash_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
