@@ -344,6 +344,48 @@ object Streams {
   def mergeCms(sketches: Seq[Seq[Long]]): Seq[Long] =
     sketches.reduce((a, b) => a.lazyZip(b).map(_ + _))
 
+  final case class DayWau(day: String, version: Long, wau_est: Double,
+      sketch: Seq[Long])
+
+  /** Streaming rolling 7-day distinct users — the streaming twin of
+    * batch e26's windowed COUNT(DISTINCT), at KMV sketch precision.
+    * Each event fans out to the ≤7 observation days it serves (the
+    * same bounded fan-out that turns the batch sliding distinct into
+    * one equi-aggregation — a distinct is not subtractable, so no
+    * incremental window trick exists), and every observation day
+    * folds the user's 64-bit hash into ONE bounded KMV buffer in
+    * keyed state: ≤ k longs per calendar day, forever — an unbounded
+    * stream cannot grow it. The buffer is a pure function of the
+    * observed (day, user) SET (order-independent, merge-idempotent,
+    * duplicate-proof), so streamed chunks equal the batch sketch
+    * EXACTLY, and while a day's distinct users stay under k the
+    * estimate is exact (StreamsSpec asserts both). `version` is the
+    * monotone processed-row count; a consumer keeps the newest row
+    * per day and filters to its activity spine (days past the last
+    * event carry partial look-ahead state by construction). */
+  def rollingWauDays(events: Dataset[Ev], k: Int = 256)(
+      implicit spark: SparkSession): Dataset[DayWau] = {
+    import spark.implicits._
+    val agg = new graft.functions.Aggregators.Kmv(k)
+    events.flatMap { e =>
+      val day = e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(e.user_id, 42L)
+      (0 until 7).map(off => (day.plusDays(off).toString, h))
+    }
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Seq[Long]), DayWau](
+        GroupStateTimeout.NoTimeout) {
+        (day: String, rows: Iterator[(String, Long)],
+            state: GroupState[(Long, Seq[Long])]) =>
+          var (n, buf) = state.getOption.getOrElse((0L, agg.zero))
+          rows.foreach { case (_, h) => buf = agg.reduce(buf, h); n += 1 }
+          state.update((n, buf))
+          DayWau(day, n,
+            graft.functions.Aggregators.Kmv.estimate(buf, k), buf)
+      }
+  }
+
   /** Fold emitted shard buffers into the global top-k with the batch
     * Aggregator's merge (callers pass each shard's LATEST buffer —
     * highest `version`). Exact (err=0) when no shard ever evicted. */

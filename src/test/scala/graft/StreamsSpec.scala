@@ -686,4 +686,51 @@ class StreamsSpec extends SparkSpec {
         r.getTimestamp(3), r.getLong(4))).toSet
     assert(streamed == batch)
   }
+
+  test("streaming rolling-WAU KMV state equals the batch sketch and exact e26") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val k = 512
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts")).as[Streams.Ev].collect()
+    val (c1, c2) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.rollingWauDays(ms.toDS, k)
+      .writeStream.format("memory").queryName("wau")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(c1.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(c2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("wau").as[Streams.DayWau].collect()
+      .groupBy(_.day).map { case (d, rows) => d -> rows.maxBy(_.version) }
+    // state bound: ≤ k hashes per day, no matter the stream length
+    latest.values.foreach(r => assert(r.sketch.size <= k))
+    // batch sketch twin: the same fan-out folded through the same
+    // Aggregator on the driver (order-independent, so fold order is
+    // irrelevant) must equal the streamed buffer EXACTLY
+    val agg = new graft.functions.Aggregators.Kmv(k)
+    val batchSketch = evs.flatMap { e =>
+      val day = e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(e.user_id, 42L)
+      (0 until 7).map(off => (day.plusDays(off).toString, h))
+    }.groupBy(_._1).map { case (d, rows) =>
+      d -> rows.foldLeft(agg.zero) { case (b, (_, h)) => agg.reduce(b, h) }
+    }
+    assert(latest.keySet == batchSketch.keySet)
+    batchSketch.foreach { case (d, sk) =>
+      assert(latest(d).sketch == sk, s"day $d sketch diverged") }
+    // exact regime: k ≥ distinct users, so on the activity spine the
+    // estimate IS the e26 exact WAU
+    val exact = SparkEntry.queries("e26_rolling_wau")(spark, sf0001)
+      .select("day", "wau").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+    assert(exact.nonEmpty)
+    exact.foreach { case (d, wau) =>
+      assert(latest(d).wau_est == wau.toDouble, s"day $d estimate") }
+  }
 }
