@@ -2579,6 +2579,54 @@ object Text {
           THEN CAST(COALESCE(s.n_boiler, 0) AS DOUBLE) / s.n_distinct
           ELSE 0.0 END) >= 0.5 AS is_boiler
       FROM documents d LEFT JOIN scored s USING (doc_id)
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // ---- k-anonymity release with a generalization ladder: the
+    //      privacy gate a dataset release runs AFTER t16's PII scrub.
+    //      Quasi-identifier (lang, source); a group smaller than k is
+    //      not released at full granularity — its rows generalize to
+    //      (lang, *), and if even the language-level residue is under
+    //      k it is suppressed outright into the (*, *) bucket. Pure
+    //      aggregation algebra: one groupBy at each ladder rung over
+    //      progressively tiny relations (|langs|, then 1 row) — at
+    //      100 TB the only data-sized stage is the first groupBy, and
+    //      it shuffles (lang, source, count) partials, not rows. ----
+    QuerySpec(
+      "t44_k_anonymity",
+      (s, d) => {
+        val k = 7
+        val g = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+        val big = g.filter(col("n") >= k)
+          .select(col("lang"), col("source").as("source_out"), col("n"))
+        val la = g.filter(col("n") < k)
+          .groupBy(col("lang")).agg(sum(col("n")).as("m"))
+        val langBig = la.filter(col("m") >= k)
+          .select(col("lang"), lit("*").as("source_out"), col("m").as("n"))
+        val supp = la.filter(col("m") < k)
+          .agg(sum(col("m")).as("n")).filter(col("n").isNotNull)
+          .select(lit("*").as("lang"), lit("*").as("source_out"), col("n"))
+        big.unionByName(langBig).unionByName(supp)
+          .select(col("lang"), col("source_out"), col("n").as("n_docs"))
+          .orderBy("lang", "source_out")
+      },
+      Some("""WITH g AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source),
+      big AS (
+        SELECT lang, source AS source_out, n FROM g WHERE n >= 7),
+      la AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS m
+        FROM g WHERE n < 7 GROUP BY lang),
+      lb AS (SELECT lang, '*' AS source_out, m AS n FROM la WHERE m >= 7),
+      sp AS (
+        SELECT '*' AS lang, '*' AS source_out,
+          CAST(SUM(m) AS BIGINT) AS n
+        FROM la WHERE m < 7 HAVING SUM(m) IS NOT NULL)
+      SELECT lang, source_out, n AS n_docs FROM (
+        SELECT * FROM big UNION ALL SELECT * FROM lb
+        UNION ALL SELECT * FROM sp) u
+      ORDER BY lang, source_out"""))
   )
 }

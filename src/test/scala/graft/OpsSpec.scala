@@ -1586,6 +1586,16 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("t44: k-anonymity conserves the corpus and respects the k floor") {
+    val rows = SparkEntry.queries("t44_k_anonymity")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // conservation: released + generalized + suppressed = every doc
+    assert(rows.map(_._3).sum == Tables.documents(spark, sf0001).count())
+    // every non-suppressed release meets the k floor
+    rows.foreach { case (lang, _, n) => if (lang != "*") assert(n >= 7) }
+    assert(rows.exists(_._2 == "*")) // the generalization ladder fired
+  }
+
   test("t43: planted cross-doc boilerplate is flagged; counts nest") {
     val rows = SparkEntry.queries("t43_boiler_ngrams")(spark, sf0001)
       .collect()
