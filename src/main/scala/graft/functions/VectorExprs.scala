@@ -528,7 +528,20 @@ object VectorExprs {
       (es: Seq[Expression]) => AdcScore(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("top_token_freq",
       (es: Seq[Expression]) => TextExprs.TopTokenFreq(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ngram_hashes", ngramHashesBuilder,
+      "built-in")
   }
+
+  /** `ngram_hashes(toks, n, distinct)` — n and distinct must be
+    * foldable literals (they parameterize the kernel, not the data). */
+  private[functions] val ngramHashesBuilder: Seq[Expression] => Expression =
+    (es: Seq[Expression]) => {
+      require(es.length == 3 && es(1).foldable && es(2).foldable,
+        "ngram_hashes(tokens, n, distinct) needs literal n/distinct")
+      TextExprs.NgramHashes(es(0),
+        es(1).eval().asInstanceOf[Number].intValue,
+        es(2).eval().asInstanceOf[Boolean])
+    }
 }
 
 /** Custom optimizer rule: `vec_dot(x, x)` ⇒ `vec_normsq(x)` — halves
@@ -573,6 +586,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[TextExprs.TopTokenFreq].getName, "top_token_freq"),
       (es: Seq[Expression]) => TextExprs.TopTokenFreq(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(
+        classOf[TextExprs.NgramHashes].getName, "ngram_hashes"),
+      VectorExprs.ngramHashesBuilder))
     ext.injectOptimizerRule(_ => FuseSelfDot)
   }
 }

@@ -343,5 +343,11 @@ class PlanSpec extends SparkSpec {
     val ttf = spark.sql(
       "SELECT top_token_freq(array('a', 'b', 'a')) AS f").head().getInt(0)
     assert(ttf == 2)
+    // the round-8 window kernel: SQL result == xxhash64 of the joined
+    // window strings, distinct keeps first appearance
+    val ng = spark.sql(
+      "SELECT ngram_hashes(array('a', 'b', 'a', 'b'), 2, true) AS h," +
+        " xxhash64('a b') AS ab, xxhash64('b a') AS ba").head()
+    assert(ng.getSeq[Long](0) == Seq(ng.getLong(1), ng.getLong(2)))
   }
 }
