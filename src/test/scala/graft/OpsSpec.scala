@@ -225,6 +225,44 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeBmp(bad))
   }
 
+  test("aHash and resize decoders: top-down variant and loud failures") {
+    // top-down flip: aHash blocks/bits and the resize features are
+    // defined in IMAGE coordinates, so both decoders must agree with
+    // the bottom-up original bit-for-bit
+    val bs = Multimodal.encodeBmp(11L, 9, 8)
+    val bb = java.nio.ByteBuffer.wrap(bs.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // a top-down file stores image rows in reverse file order: rebuild
+    // by swapping whole scanlines, then negate the height field
+    val w = bb.getInt(18); val h = bb.getInt(22)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val td = bs.clone()
+    for (y <- 0 until h)
+      System.arraycopy(bs, 54 + (h - 1 - y) * rowSize, td,
+        54 + y * rowSize, rowSize)
+    val tb = java.nio.ByteBuffer.wrap(td)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tb.putInt(22, -h)
+    assert(Multimodal.decodeBmpAhash(11L, bs) ==
+      Multimodal.decodeBmpAhash(11L, tb.array()))
+    assert(Multimodal.decodeBmpResize(11L, bs, 4, 3) ==
+      Multimodal.decodeBmpResize(11L, tb.array(), 4, 3))
+    // loud failures: garbage, sub-8x8 aHash input, truncated pixels,
+    // degenerate resize target
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmpAhash(1L, "not an image at all!".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmpAhash(1L, Multimodal.encodeBmp(1L, 5, 4))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmpResize(1L, bs.take(60), 4, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmpResize(1L, bs, 0, 3)
+    }
+  }
+
   test("multimodal decode: batched partition decode preserves rows") {
     val docs = Tables.documents(spark, sf0001)
     val out = Multimodal.decodeBmpFeatures(spark,

@@ -111,6 +111,22 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"))
   }
 
+  test("t43: the window build is the fused kernel, windows dedup row-locally") {
+    val p = plan("t43_boiler_ngrams")
+    // the exchange must carry per-doc distinct hashes from ngram_hashes,
+    // never window strings from an interpreted transform
+    assert(p.contains("ngram_hashes"))
+    assert(!p.contains("array_join"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e26: the WAU fan-out joins the spine as a semi-join") {
+    val p = plan("e26_rolling_wau")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("s04/s12 above the anchor scale: NO cartesian product in the plan") {
     // sf0.1 carries 2000 embeddings > ExactAnchorRows → the default
     // path must route pair generation through the LSH candidate
