@@ -533,14 +533,25 @@ object VectorExprs {
   }
 
   /** `ngram_hashes(toks, n, distinct)` — n and distinct must be
-    * foldable literals (they parameterize the kernel, not the data). */
+    * foldable literals (they parameterize the kernel, not the data).
+    * Wrong-typed or NULL parameters get a clean analysis-time error,
+    * not a raw cast/NPE from the eval. */
   private[functions] val ngramHashesBuilder: Seq[Expression] => Expression =
     (es: Seq[Expression]) => {
       require(es.length == 3 && es(1).foldable && es(2).foldable,
         "ngram_hashes(tokens, n, distinct) needs literal n/distinct")
-      TextExprs.NgramHashes(es(0),
-        es(1).eval().asInstanceOf[Number].intValue,
-        es(2).eval().asInstanceOf[Boolean])
+      val n = es(1).eval() match {
+        case i: java.lang.Number => i.intValue
+        case other => throw new IllegalArgumentException(
+          s"ngram_hashes: n must be a non-null integer literal, got $other")
+      }
+      val distinct = es(2).eval() match {
+        case b: java.lang.Boolean => b.booleanValue
+        case other => throw new IllegalArgumentException(
+          s"ngram_hashes: distinct must be a non-null boolean literal, " +
+            s"got $other")
+      }
+      TextExprs.NgramHashes(es(0), n, distinct)
     }
 }
 

@@ -175,11 +175,13 @@ object Multimodal {
     require(bs.length >= 54 && bs(0) == 'B' && bs(1) == 'M',
       "not a BMP payload")
     val off = i32(10)
+    require(i32(14) >= 40, s"unsupported DIB header size ${i32(14)}")
     val w = i32(18)
     val hRaw = i32(22)
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
     require(w >= 8 && h >= 8, s"aHash needs >=8x8 pixels, got ${w}x$h")
+    require(i16(26) == 1, "color planes must be 1")
     require(i16(28) == 24 && i32(30) == 0, "only uncompressed 24bpp")
     val rowSize = ((3 * w + 3) / 4) * 4
     require(bs.length >= off + rowSize * h, "truncated pixel array")
@@ -253,11 +255,13 @@ object Multimodal {
       "not a BMP payload")
     require(tw > 0 && th > 0, s"degenerate target ${tw}x$th")
     val off = i32(10)
+    require(i32(14) >= 40, s"unsupported DIB header size ${i32(14)}")
     val w = i32(18)
     val hRaw = i32(22)
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
     require(w > 0 && h > 0, s"degenerate dimensions ${w}x$hRaw")
+    require(i16(26) == 1, "color planes must be 1")
     require(i16(28) == 24 && i32(30) == 0, "only uncompressed 24bpp")
     val rowSize = ((3 * w + 3) / 4) * 4
     require(bs.length >= off + rowSize * h, "truncated pixel array")

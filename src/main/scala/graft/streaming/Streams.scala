@@ -367,8 +367,13 @@ object Streams {
       implicit spark: SparkSession): Dataset[DayWau] = {
     import spark.implicits._
     val agg = new graft.functions.Aggregators.Kmv(k)
+    // day bucketing follows the SESSION time zone, like the batch
+    // twin's to_date(ts) — a hardcoded UTC would silently shift every
+    // near-midnight event's window under a non-UTC session
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
     events.flatMap { e =>
-      val day = e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val day = e.ts.toInstant.atZone(zone).toLocalDate
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashLong(e.user_id, 42L)
       (0 until 7).map(off => (day.plusDays(off).toString, h))
