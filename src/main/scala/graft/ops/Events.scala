@@ -1041,6 +1041,69 @@ object Events {
       SELECT d.day, d.dau, w.wau,
         CAST(d.dau AS DOUBLE) / w.wau AS stickiness
       FROM dau d JOIN wau w USING (day)
-      ORDER BY d.day"""))
+      ORDER BY d.day""")),
+
+    // ---- inter-arrival statistics: per event type, the distribution
+    //      of gaps between a user's consecutive events of that type —
+    //      mean/max plus the coefficient of variation (CV ≈ 1 is
+    //      Poisson arrivals, CV > 1 is bursty), the queueing signal
+    //      behind rate-limit and capacity models. The variance rides
+    //      EXACT decimal sums of gap and gap² (gap² needs DECIMAL(38,0)
+    //      — microsecond gaps square to 10²⁵), then a fixed sequence
+    //      of double ops both engines execute identically — a plain
+    //      STDDEV would be order-dependent and unhashable. One lag
+    //      window per (user, type) partition + one per-type rollup. ----
+    QuerySpec(
+      "e27_interarrival",
+      (s, d) => {
+        val byUserType = Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.events(s, d)
+          .withColumn("prev_us", lag(tsUs, 1).over(byUserType))
+          .filter(col("prev_us").isNotNull)
+          .select(col("event_type"),
+            (tsUs - col("prev_us")).as("gap_us"))
+        // squares must ride decimal BEFORE the multiply: µs gaps square
+        // past Long.Max (a 5h gap is 2e10 µs → 4e20), and DuckDB's
+        // BIGINT multiply would error on the same overflow
+        val gapDec = col("gap_us").cast("decimal(19,0)")
+        gaps.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            (dsum(col("gap_us")) / count(lit(1)) / 1e6).as("avg_gap_s"),
+            (max(col("gap_us")).cast("double") / 1e6).as("max_gap_s"),
+            sum(gapDec * gapDec).cast("double").as("sum_sq"),
+            dsum(col("gap_us")).as("sum_us"))
+          .select(col("event_type"), col("n_gaps"), col("avg_gap_s"),
+            col("max_gap_s"),
+            (sqrt(greatest(
+              col("sum_sq") / col("n_gaps") -
+                (col("sum_us") / col("n_gaps")) *
+                (col("sum_us") / col("n_gaps")),
+              lit(0.0))) /
+              (col("sum_us") / col("n_gaps"))).as("cv"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH gaps AS (
+        SELECT event_type,
+          epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS gap_us
+        FROM events),
+      agg AS (
+        SELECT event_type, COUNT(1) AS n_gaps,
+          ${dsumSql("gap_us")} / COUNT(1) / 1e6 AS avg_gap_s,
+          CAST(MAX(gap_us) AS DOUBLE) / 1e6 AS max_gap_s,
+          CAST(CAST(SUM(CAST(gap_us AS DECIMAL(19,0)) *
+            CAST(gap_us AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+            AS sum_sq,
+          ${dsumSql("gap_us")} AS sum_us
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY event_type)
+      SELECT event_type, n_gaps, avg_gap_s, max_gap_s,
+        sqrt(greatest(
+          sum_sq / n_gaps - (sum_us / n_gaps) * (sum_us / n_gaps),
+          0.0)) / (sum_us / n_gaps) AS cv
+      FROM agg ORDER BY event_type"""))
   )
 }

@@ -1572,6 +1572,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("e27: gap counts conserve and the moment algebra is sane") {
+    val rows = SparkEntry.queries("e27_interarrival")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // every (user, type) chain of length n contributes n-1 gaps
+    val ev = Tables.events(spark, sf0001)
+    val total = ev.count()
+    val chains = ev.select("user_id", "event_type").distinct().count()
+    assert(rows.map(_._2).sum == total - chains)
+    rows.foreach { case (_, n, avg, mx, cv) =>
+      assert(n > 0 && avg > 0 && avg <= mx && cv >= 0)
+    }
+  }
+
   test("m09: banded pair relation matches the driver-side brute force") {
     val got = SparkEntry.queries("m09_ahash_pairs")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
