@@ -1104,6 +1104,64 @@ object Events {
         sqrt(greatest(
           sum_sq / n_gaps - (sum_us / n_gaps) * (sum_us / n_gaps),
           0.0)) / (sum_us / n_gaps) AS cv
-      FROM agg ORDER BY event_type"""))
+      FROM agg ORDER BY event_type""")),
+
+    // ---- trend detection: each (event_type, day) count against its
+    //      own trailing 7-day baseline — the monitoring query behind
+    //      "is this event spiking today?". The baseline is a RANGE
+    //      frame over the integer epoch-day (7 PRECEDING .. 1
+    //      PRECEDING), so missing days genuinely shrink the window
+    //      instead of silently sliding a row frame over gaps; days
+    //      with no prior baseline drop out rather than fabricating a
+    //      ratio. All inputs are exact integer counts; the ratio is a
+    //      fixed double-division sequence both engines execute
+    //      identically → hash-exact. Scale: one shuffle to the
+    //      (type, day) aggregate — |types|×|days| rows at ANY corpus
+    //      size — then the window rides that tiny relation. ----
+    QuerySpec(
+      "e28_trending",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .as("day_num"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("day_num")).rangeBetween(-7, -1)
+        daily
+          .withColumn("b_sum", sum(col("n")).over(w))
+          .withColumn("b_days", count(col("n")).over(w))
+          .filter(col("b_days") > 0)
+          .select(col("event_type"),
+            date_add(lit("1970-01-01").cast("date"), col("day_num"))
+              .as("day"),
+            col("n"), col("b_days"),
+            (col("b_sum").cast("double") / col("b_days").cast("double"))
+              .as("baseline"),
+            (col("n").cast("double") /
+              (col("b_sum").cast("double") / col("b_days").cast("double")))
+              .as("trend"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+        SELECT event_type,
+          datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+          COUNT(1) AS n
+        FROM events GROUP BY 1, 2),
+      base AS (
+        SELECT event_type, day_num, n,
+          SUM(n) OVER (PARTITION BY event_type ORDER BY day_num
+            RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS b_sum,
+          COUNT(n) OVER (PARTITION BY event_type ORDER BY day_num
+            RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS b_days
+        FROM daily)
+      SELECT event_type,
+        DATE '1970-01-01' + CAST(day_num AS INT) AS day,
+        n, b_days,
+        CAST(b_sum AS DOUBLE) / CAST(b_days AS DOUBLE) AS baseline,
+        CAST(n AS DOUBLE) /
+          (CAST(b_sum AS DOUBLE) / CAST(b_days AS DOUBLE)) AS trend
+      FROM base WHERE b_days > 0
+      ORDER BY event_type, day"""))
   )
 }

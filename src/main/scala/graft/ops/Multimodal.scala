@@ -427,11 +427,11 @@ object Multimodal {
     * and block align), skips everything else, and reduces the "data"
     * frames to per-channel means, first sample, and peak amplitude.
     * Fails loudly on anything it does not understand. */
-  private[graft] def decodeWav(bs: Array[Byte])
-      : (Int, Int, Int, Double, Option[Double], Int, Int) = {
+  /** Chunk walk + validation only: (rate, nch, dataOff, nFrames).
+    * Shared by the feature decode and the frame analyzer. */
+  private[graft] def wavLayout(bs: Array[Byte]): (Int, Int, Int, Int) = {
     def u8(i: Int): Int = bs(i) & 0xff
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    def i16(i: Int): Int = u16(i).toShort.toInt
     def i32(i: Int): Int =
       u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     def tag(i: Int): String =
@@ -467,6 +467,14 @@ object Multimodal {
     require(dataSize % (nch * 2) == 0, "data not a whole frame multiple")
     val nFrames = dataSize / (nch * 2)
     require(nFrames > 0, "empty data chunk")
+    (rate, nch, dataOff, nFrames)
+  }
+
+  private[graft] def decodeWav(bs: Array[Byte])
+      : (Int, Int, Int, Double, Option[Double], Int, Int) = {
+    val (rate, nch, dataOff, nFrames) = wavLayout(bs)
+    def i16(i: Int): Int =
+      ((bs(i) & 0xff) | ((bs(i + 1) & 0xff) << 8)).toShort.toInt
     var sum0 = 0L; var sum1 = 0L; var peak = 0
     var i = 0
     while (i < nFrames) {
@@ -482,6 +490,36 @@ object Multimodal {
     (rate, nch, nFrames, sum0.toDouble / nFrames,
       if (nch >= 2) Some(sum1.toDouble / nFrames) else None,
       i16(dataOff), peak)
+  }
+
+  final case class AudioFrame(doc_id: Long, frame_id: Int, start: Int,
+      n_samples: Int, energy: Long, n_zero_cross: Int, max_abs: Int)
+
+  /** Frame-level analysis of channel 0: fixed-length windows over the
+    * decoded PCM, per-frame energy (Σv², exact in Long: 32 768² ×
+    * frameLen ≪ 2⁶³), zero crossings (sign changes between
+    * consecutive samples; 0 counts as non-negative), and peak.
+    * Partial tail frames are dropped — a frame either has frameLen
+    * samples or is not emitted. */
+  private[graft] def decodeWavFrames(docId: Long, bs: Array[Byte],
+      frameLen: Int): Seq[AudioFrame] = {
+    val (_, nch, dataOff, nFrames) = wavLayout(bs)
+    def i16(i: Int): Int =
+      ((bs(i) & 0xff) | ((bs(i + 1) & 0xff) << 8)).toShort.toInt
+    def ch0(frame: Int): Int = i16(dataOff + frame * nch * 2)
+    (0 until nFrames / frameLen).map { f =>
+      var e = 0L; var zc = 0; var ma = 0; var prev = 0
+      var j = 0
+      while (j < frameLen) {
+        val v = ch0(f * frameLen + j)
+        e += v.toLong * v
+        if (math.abs(v) > ma) ma = math.abs(v)
+        if (j > 0 && ((prev < 0) != (v < 0))) zc += 1
+        prev = v
+        j += 1
+      }
+      AudioFrame(docId, f, f * frameLen, frameLen, e, zc, ma)
+    }
   }
 
   /** Per-doc audio parameters, derived from metadata (the bmpDims
@@ -1062,6 +1100,53 @@ object Multimodal {
         CAST(MAX(CASE WHEN tx = 0 AND ty = 0 THEN r END) AS INT) AS r00,
         CAST(MAX(CASE WHEN tx = 0 AND ty = 0 THEN g END) AS INT) AS g00,
         CAST(MAX(CASE WHEN tx = 0 AND ty = 0 THEN b END) AS INT) AS b00
-      FROM ch GROUP BY doc_id ORDER BY doc_id"""))
+      FROM ch GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- audio FRAME features: fixed 25-sample windows over the
+    //      REAL decoded PCM (channel 0) — per-frame energy Σv², zero
+    //      crossings, peak — the framing step in front of any
+    //      spectral/VAD feature extractor, over true RIFF bytes via
+    //      the same chunk-walking decoder as m07. Exact integers end
+    //      to end (energy in Long: 25·32768² ≈ 2.7e10), zero-crossing
+    //      uses the lag-within-frame rule on both sides, partial tail
+    //      frames are dropped, not padded — each contract the oracle
+    //      replays from the sample formula, so a framing off-by-one,
+    //      interleave mistake, or sign-convention slip
+    //      hash-mismatches. Scale: map-only flatMap on the fixture
+    //      scan (the m04 fan-out shape on decoded media) — frames
+    //      multiply rows ~8×, payloads never shuffle, the only sort
+    //      is the output ORDER BY. ----
+    QuerySpec(
+      "m12_audio_frames",
+      (s, d) => {
+        import s.implicits._
+        wavFixture(s, d).as[MediaRow]
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.flatMap(r =>
+              decodeWavFrames(r.doc_id, r.payload, 25)))
+          }.toDF().orderBy("doc_id", "frame_id")
+      },
+      Some("""WITH dims AS (
+        SELECT doc_id, CAST(50 + (n_chars % 211) AS INT) AS nf
+        FROM documents),
+      g AS (
+        SELECT doc_id, i, CAST(i // 25 AS INT) AS frame_id,
+          ((doc_id*31 + i*7) % 65536) - 32768 AS v
+        FROM (SELECT doc_id,
+                unnest(generate_series(0, (nf // 25) * 25 - 1)) AS i
+              FROM dims) t),
+      lg AS (
+        SELECT doc_id, frame_id, v,
+          LAG(v) OVER (PARTITION BY doc_id, frame_id ORDER BY i) AS pv
+        FROM g)
+      SELECT doc_id, frame_id,
+        CAST(frame_id * 25 AS INT) AS start,
+        25 AS n_samples,
+        CAST(SUM(v * v) AS BIGINT) AS energy,
+        CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+          THEN 1 ELSE 0 END) AS INT) AS n_zero_cross,
+        CAST(MAX(ABS(v)) AS INT) AS max_abs
+      FROM lg GROUP BY doc_id, frame_id
+      ORDER BY doc_id, frame_id"""))
   )
 }

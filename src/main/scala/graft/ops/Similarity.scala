@@ -1468,6 +1468,70 @@ object Similarity {
         FROM embeddings q JOIN embeddings e
           ON q.label = e.label AND e.vec_id <> q.vec_id
         WHERE q.vec_id < 40) t
-      WHERE rk <= 3 ORDER BY qid, rk"""))
+      WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    // ---- KNN CLASSIFICATION (auto-labeling): predict each held-out
+    //      vector's label by majority vote over its 10 nearest
+    //      labeled neighbors — the label-propagation step a training
+    //      pipeline runs to label raw data from a small curated seed
+    //      set. Queries (vec_id < 40) are EXCLUDED from the neighbor
+    //      pool, so this is genuine train/infer separation, not
+    //      self-retrieval. Every stage is deterministic: neighbor
+    //      rank ties break on vec_id, vote ties break on (votes desc,
+    //      label asc) — hash-exact against the oracle, no float
+    //      aggregation (votes are integer counts). Scale: identical
+    //      to s03 (broadcast query set, one corpus scan, per-qid
+    //      rank); the vote is a second aggregate over k·Q rows —
+    //      nothing. Swap the brute scan for the s11/s16 shortlist and
+    //      the vote is unchanged. ----
+    QuerySpec(
+      "s20_knn_classify",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("qid"), col("label").as("true_label"),
+            col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        val topk = e.filter(col("vec_id") >= 40).crossJoin(broadcast(q))
+          .select(col("qid"), col("true_label"), col("vec_id"),
+            col("label"), cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+        val wVote = Window.partitionBy(col("qid"))
+          .orderBy(desc("votes"), col("label"))
+        topk.groupBy(col("qid"), col("true_label"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vrk", row_number().over(wVote))
+          .withColumn("n_labels",
+            count(lit(1)).over(Window.partitionBy(col("qid"))))
+          .filter(col("vrk") === 1)
+          .select(col("qid"), col("true_label"),
+            col("label").as("pred_label"), col("votes"),
+            col("n_labels"),
+            when(col("label") === col("true_label"), 1)
+              .otherwise(0).as("agree"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH topk AS (
+        SELECT qid, true_label, label FROM (
+          SELECT q.vec_id AS qid, q.label AS true_label, e.label,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS rk
+          FROM embeddings q JOIN embeddings e ON e.vec_id >= 40
+          WHERE q.vec_id < 40) t
+        WHERE rk <= 10),
+      votes AS (
+        SELECT qid, true_label, label, COUNT(1) AS votes
+        FROM topk GROUP BY qid, true_label, label),
+      ranked AS (
+        SELECT qid, true_label, label, votes,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY votes DESC, label) AS vrk,
+          COUNT(1) OVER (PARTITION BY qid) AS n_labels
+        FROM votes)
+      SELECT qid, true_label, label AS pred_label, votes, n_labels,
+        CASE WHEN label = true_label THEN 1 ELSE 0 END AS agree
+      FROM ranked WHERE vrk = 1 ORDER BY qid"""))
   )
 }

@@ -2627,6 +2627,72 @@ object Text {
       SELECT lang, source_out, n AS n_docs FROM (
         SELECT * FROM big UNION ALL SELECT * FROM lb
         UNION ALL SELECT * FROM sp) u
-      ORDER BY lang, source_out"""))
+      ORDER BY lang, source_out""")),
+
+    // ---- tokenizer-vocabulary coverage: build the top-2000 token
+    //      vocabulary from the TRAIN split (t26's leak-proof md5
+    //      assignment), then measure the out-of-vocabulary rate on
+    //      the held-out splits per (split, lang) — the QA gate run
+    //      before freezing a tokenizer: a vocab that covers train but
+    //      not validation means the splits are distributionally
+    //      skewed or the vocab is too small. Determinism: vocab ties
+    //      break (freq desc, token asc); OOV is an integer count; the
+    //      rate is one double division. Scale: vocab build is t11's
+    //      shuffle (token-keyed, AQE-coalesced); the 2000-row vocab
+    //      BROADCASTS to the held-out token stream, so coverage is a
+    //      map-side join on the explode — no second shuffle of the
+    //      corpus, only of the (split, lang) rollup. ----
+    QuerySpec(
+      "t45_vocab_coverage",
+      (s, d) => {
+        val vocabSize = 2000
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val docs = Tables.documents(s, d).withColumn("split",
+          when(h < "c", "train").when(h < "e", "validation")
+            .otherwise("test"))
+        // top-V via sort+limit → TakeOrderedAndProject (per-partition
+        // heaps + driver merge of V rows), never a 1-partition window
+        val vocab = docs.filter(col("split") === "train")
+          .select(explode(toks).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("t")).limit(vocabSize)
+          .select(col("t"), lit(1).as("in_vocab"))
+        docs.filter(col("split") =!= "train")
+          .select(col("split"), col("lang"), explode(toks).as("t"))
+          .join(broadcast(vocab), Seq("t"), "left")
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+              .as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH sp AS (
+        SELECT doc_id, lang, text,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM documents),
+      vocab AS (
+        SELECT t FROM (
+          SELECT t, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk
+          FROM (SELECT t, COUNT(1) AS n FROM (
+                  SELECT unnest(str_split(text, ' ')) AS t
+                  FROM sp WHERE split = 'train') u
+                GROUP BY t) c) r
+        WHERE rk <= 2000),
+      held AS (
+        SELECT split, lang, unnest(str_split(text, ' ')) AS t
+        FROM sp WHERE split <> 'train')
+      SELECT h.split, h.lang, COUNT(1) AS n_tokens,
+        CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(COUNT(1) AS DOUBLE) AS oov_rate
+      FROM held h LEFT JOIN vocab v ON h.t = v.t
+      GROUP BY h.split, h.lang ORDER BY h.split, h.lang"""))
   )
 }

@@ -1679,4 +1679,122 @@ class OpsSpec extends SparkSpec {
     assert(planted(2L) == ((1L, false))) // 1 of 3 → ratio 1/3
     assert(planted(3L) == ((0L, false)))
   }
+
+  test("e28: trend rows match a driver-side trailing-baseline replay") {
+    val got = SparkEntry.queries("e28_trending")(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.nonEmpty)
+    // replay: daily counts from the raw table, then the 7-day trailing
+    // RANGE window by definition (missing days shrink the window)
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    var checked = 0
+    byType.foreach { case (et, rows) =>
+      val m = rows.map(r => r._2 -> r._3).toMap
+      m.keys.foreach { day =>
+        val window = (day - 7 to day - 1).flatMap(m.get)
+        if (window.nonEmpty) {
+          val date = java.time.LocalDate.ofEpochDay(day.toLong).toString
+          val (n, bDays, baseline, trend) = got((et, date))
+          assert(n == m(day) && bDays == window.size)
+          assert(baseline == window.sum.toDouble / window.size)
+          assert(trend == n.toDouble / baseline)
+          checked += 1
+        } else assert(!got.contains((et, java.time.LocalDate
+          .ofEpochDay(day.toLong).toString)))
+      }
+    }
+    assert(checked == got.size)
+  }
+
+  test("s20: prediction is the exact mode of the brute top-10 vote") {
+    val got = SparkEntry.queries("s20_knn_classify")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .toMap
+    assert(got.size == 40)
+    // brute replay with the engine's sequential fold order
+    val vecs = Tables.embeddings(spark, sf0001)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def l2(a: Array[Double]) = math.sqrt(dot(a, a))
+    val corpus = vecs.filter(_._1 >= 40)
+    vecs.filter(_._1 < 40).foreach { case (qid, qv, ql) =>
+      val top = corpus
+        .map { case (id, v, l) => (id, l, dot(qv, v) / (l2(qv) * l2(v))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(10)
+      val votes = top.groupBy(_._2).view.mapValues(_.length)
+      val (pl, pv) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      val (trueL, predL, nVotes, nLabels, agree) = got(qid)
+      assert(trueL == ql && predL == pl && nVotes == pv.toLong)
+      assert(nLabels == votes.size)
+      assert(agree == (if (pl == ql) 1 else 0))
+    }
+  }
+
+  test("t45: OOV rate replays from the md5 split and top-2000 vocab") {
+    val got = SparkEntry.queries("t45_vocab_coverage")(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+      if (h < 'c') "train" else if (h < 'e') "validation" else "test"
+    }
+    val vocab = docs.filter(d => split(d._1) == "train")
+      .flatMap(_._3.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(2000).map(_._1).toSet
+    val held = docs.filter(d => split(d._1) != "train")
+    val want = held.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).map(t => ((split(id), lang), t)) }
+      .groupBy(_._1).view.mapValues { ts =>
+        val n = ts.length.toLong
+        val oov = ts.count(p => !vocab.contains(p._2)).toLong
+        (n, oov, oov.toDouble / n)
+      }.toMap
+    assert(got == want)
+  }
+
+  test("m12: frame features replay from the PCM formula; tails drop") {
+    val got = SparkEntry.queries("m12_audio_frames")(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5), r.getInt(6))))
+      .toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    var total = 0
+    docs.foreach { case (id, nc) =>
+      val nf = (50 + nc % 211).toInt
+      def v(i: Int): Int = (((id * 31 + i * 7) % 65536) - 32768).toInt
+      (0 until nf / 25).foreach { f =>
+        val xs = (f * 25 until (f + 1) * 25).map(v)
+        val zc = xs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+        assert(got((id, f)) == ((f * 25, 25,
+          xs.map(x => x.toLong * x).sum, zc, xs.map(math.abs).max)))
+        total += 1
+      }
+      // a partial tail frame is never emitted
+      assert(!got.contains((id, nf / 25)))
+    }
+    assert(total == got.size)
+  }
 }
