@@ -1162,6 +1162,74 @@ object Events {
         CAST(n AS DOUBLE) /
           (CAST(b_sum AS DOUBLE) / CAST(b_days AS DOUBLE)) AS trend
       FROM base WHERE b_days > 0
-      ORDER BY event_type, day"""))
+      ORDER BY event_type, day""")),
+
+    // ---- growth accounting: classify every active (user, day) as
+    //      NEW (first day ever), RETAINED (also active the previous
+    //      calendar day) or RESURRECTED (returning after a gap), and
+    //      count CHURNED (active yesterday, absent today) — the
+    //      standard DAU decomposition (new + retained + resurrected =
+    //      active; churn is yesterday's actives who left). One lag and
+    //      one lead over the same (user → day) partition classify and
+    //      emit churn events; churn days that fall outside the
+    //      observed day spine (the day after the last day of data)
+    //      are dropped, not fabricated. Integer counts end to end →
+    //      hash-exact. Scale: the distinct (user, day) relation is
+    //      the only shuffle (user-keyed window after it); per-day
+    //      output is |days| rows at any corpus size. ----
+    QuerySpec(
+      "e29_growth_accounting",
+      (s, d) => {
+        val actives = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val classed = actives
+          .withColumn("prev", lag(col("day"), 1).over(wU))
+          .withColumn("next", lead(col("day"), 1).over(wU))
+        val perDay = classed.groupBy(col("day")).agg(
+          count(lit(1)).as("n_active"),
+          sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(datediff(col("day"), col("prev")) === 1, 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when(col("prev").isNotNull &&
+            datediff(col("day"), col("prev")) > 1, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+        val churn = classed
+          .filter(col("next").isNull ||
+            datediff(col("next"), col("day")) > 1)
+          .groupBy(date_add(col("day"), 1).as("day"))
+          .agg(count(lit(1)).as("n_churned"))
+        perDay.join(churn, Seq("day"), "left")
+          .select(col("day"), col("n_active"), col("n_new"),
+            col("n_retained"), col("n_resurrected"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+          .orderBy("day")
+      },
+      Some("""WITH actives AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      classed AS (
+        SELECT user_id, day,
+          LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+          LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+        FROM actives),
+      per_day AS (
+        SELECT day, COUNT(1) AS n_active,
+          CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+          CAST(SUM(CASE WHEN datediff('day', prev, day) = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+          CAST(SUM(CASE WHEN prev IS NOT NULL
+            AND datediff('day', prev, day) > 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM classed GROUP BY day),
+      churn AS (
+        SELECT day + 1 AS day, COUNT(1) AS n_churned
+        FROM classed
+        WHERE next IS NULL OR datediff('day', day, next) > 1
+        GROUP BY day + 1)
+      SELECT p.day, p.n_active, p.n_new, p.n_retained, p.n_resurrected,
+        CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+      FROM per_day p LEFT JOIN churn c USING (day)
+      ORDER BY p.day"""))
   )
 }

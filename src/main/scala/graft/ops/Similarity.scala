@@ -1532,6 +1532,80 @@ object Similarity {
         FROM votes)
       SELECT qid, true_label, label AS pred_label, votes, n_labels,
         CASE WHEN label = true_label THEN 1 ELSE 0 END AS agree
-      FROM ranked WHERE vrk = 1 ORDER BY qid"""))
+      FROM ranked WHERE vrk = 1 ORDER BY qid""")),
+
+    // ---- embedding DRIFT between splits: per label, the euclidean
+    //      distance between the train-split and held-split centroids
+    //      (t26's leak-proof md5 assignment on vec_id) — the
+    //      distribution-shift monitor a training pipeline runs before
+    //      trusting a split: a label whose held centroid sits far
+    //      from its train centroid is skewed, not sampled. Numeric
+    //      determinism is s02's contract twice over: each centroid
+    //      component is a SORTED sequential fold, and the cross-
+    //      dimension Σd² folds in pos order — both engines execute
+    //      the identical IEEE sequence → hash-exact. Labels missing
+    //      a side drop (inner join), not fabricate a distance.
+    //      Scale: one shuffle on (label, pos, split) — 64·|labels|·2
+    //      groups; the collect_list per group holds that label-
+    //      split's component values only, and the final relation is
+    //      |labels| rows at any corpus size. ----
+    QuerySpec(
+      "s21_embedding_drift",
+      (s, d) => {
+        val h = substring(md5(col("vec_id").cast("string")), 1, 1)
+        val cent = Tables.embeddings(s, d)
+          .withColumn("grp", when(h < "c", "train").otherwise("held"))
+          .select(col("label"), col("grp"),
+            posexplode(vec(col("embedding"))))
+          .groupBy(col("label"), col("pos"), col("grp"))
+          .agg(sort_array(collect_list(col("col"))).as("vs"))
+          .select(col("label"), col("pos"), col("grp"),
+            (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x) /
+              size(col("vs"))).as("c"),
+            size(col("vs")).as("n"))
+        val tr = cent.filter(col("grp") === "train")
+          .select(col("label"), col("pos"), col("c").as("ct"),
+            col("n").as("nt"))
+        val hd = cent.filter(col("grp") === "held")
+          .select(col("label"), col("pos"), col("c").as("ch"),
+            col("n").as("nh"))
+        tr.join(hd, Seq("label", "pos"))
+          .select(col("label"), col("pos"),
+            ((col("ct") - col("ch")) * (col("ct") - col("ch"))).as("d2"),
+            col("nt"), col("nh"))
+          .groupBy(col("label"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("d2"))))
+            .as("ds"),
+            max(col("nt")).as("n_train"), max(col("nh")).as("n_held"))
+          .select(col("label"),
+            sqrt(aggregate(col("ds"), lit(0.0),
+              (acc, p) => acc + p.getField("d2"))).as("drift"),
+            col("n_train"), col("n_held"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (
+        SELECT label, embedding,
+          CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < 'c'
+            THEN 'train' ELSE 'held' END AS grp
+        FROM embeddings),
+      cent AS (
+        SELECT label, grp, CAST(g.i - 1 AS INT) AS pos,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_sort(list(CAST(embedding[g.i] AS DOUBLE)))),
+            (acc, x) -> acc + x) / COUNT(1) AS c,
+          COUNT(1) AS n
+        FROM e, generate_series(1, 64) AS g(i)
+        GROUP BY label, grp, pos),
+      j AS (
+        SELECT t.label, t.pos, (t.c - h.c) * (t.c - h.c) AS d2,
+          t.n AS nt, h.n AS nh
+        FROM cent t JOIN cent h ON t.label = h.label AND t.pos = h.pos
+        WHERE t.grp = 'train' AND h.grp = 'held')
+      SELECT label,
+        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(d2 ORDER BY pos)), (acc, x) -> acc + x)) AS drift,
+        CAST(MAX(nt) AS INT) AS n_train,
+        CAST(MAX(nh) AS INT) AS n_held
+      FROM j GROUP BY label ORDER BY label"""))
   )
 }

@@ -2693,6 +2693,55 @@ object Text {
         CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
           CAST(COUNT(1) AS DOUBLE) AS oov_rate
       FROM held h LEFT JOIN vocab v ON h.t = v.t
-      GROUP BY h.split, h.lang ORDER BY h.split, h.lang"""))
+      GROUP BY h.split, h.lang ORDER BY h.split, h.lang""")),
+
+    // ---- cross-split leakage: held-out documents whose EXACT text
+    //      also appears in the train split — the eval-integrity gate
+    //      (a test set contaminated by train duplicates inflates
+    //      every downstream score). Composes t07's exact-dup identity
+    //      with t26's md5 split; the join key is md5(text) — both
+    //      engines compute identical digests, and the shuffle moves
+    //      32-char keys, never document payloads. Counts are exact
+    //      integers; the rate is one double division → hash-exact.
+    //      Scale: one distinct over train keys, one key-equi-join
+    //      (AQE-coalesced), rollup to |splits|×|sources| rows. ----
+    QuerySpec(
+      "t46_split_leakage",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val docs = Tables.documents(s, d)
+          .withColumn("split",
+            when(h < "c", "train").when(h < "e", "validation")
+              .otherwise("test"))
+          .select(col("split"), col("source"), md5(col("text")).as("k"))
+        val trainKeys = docs.filter(col("split") === "train")
+          .select(col("k")).distinct().withColumn("leak", lit(1))
+        docs.filter(col("split") =!= "train")
+          .join(trainKeys, Seq("k"), "left")
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("leak").isNotNull, 1L).otherwise(0L))
+              .as("n_leaked"))
+          .withColumn("leak_rate",
+            col("n_leaked").cast("double") / col("n_docs").cast("double"))
+          .orderBy("split", "source")
+      },
+      Some("""WITH sp AS (
+        SELECT source, md5(text) AS k,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM documents),
+      tk AS (SELECT DISTINCT k FROM sp WHERE split = 'train')
+      SELECT s.split, s.source, COUNT(1) AS n_docs,
+        CAST(SUM(CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_leaked,
+        CAST(SUM(CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(1) AS DOUBLE) AS leak_rate
+      FROM sp s LEFT JOIN tk t ON s.k = t.k
+      WHERE s.split <> 'train'
+      GROUP BY s.split, s.source ORDER BY s.split, s.source"""))
   )
 }

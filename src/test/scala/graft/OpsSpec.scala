@@ -1797,4 +1797,109 @@ class OpsSpec extends SparkSpec {
     }
     assert(total == got.size)
   }
+
+  test("e29: growth accounting decomposes DAU and conserves churn") {
+    val got = SparkEntry.queries("e29_growth_accounting")(spark, sf0001)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    // decomposition: new + retained + resurrected = active, every day
+    got.values.foreach { case (act, nw, ret, res, _) =>
+      assert(nw + ret + res == act)
+    }
+    // replay from the raw distinct (user, day) pairs
+    val pairs = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byUser = pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_.toEpochDay)).toMap
+    // sum of n_new over all days = number of distinct users
+    assert(got.values.map(_._2).sum == byUser.size)
+    // churn replay: a user active on d and not on d+1 churns at d+1,
+    // counted only if d+1 is an observed active day
+    val activeDays = pairs.map(_._2).toSet
+    val churnByDay = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .toMap.toSeq
+      .flatMap { case (_, ds) =>
+        ds.filter(d => !ds.contains(d.plusDays(1))).map(_.plusDays(1)) }
+      .filter(activeDays.contains)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (day, (_, _, _, _, churned)) =>
+      assert(churned ==
+        churnByDay.getOrElse(java.time.LocalDate.parse(day), 0L))
+    }
+  }
+
+  test("s21: drift replays from split centroids with the sorted fold") {
+    val got = SparkEntry.queries("s21_embedding_drift")(spark, sf0001)
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def grp(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+      if (h < 'c') "train" else "held"
+    }
+    vecs.groupBy(_._3).foreach { case (label, members) =>
+      val tr = members.filter(m => grp(m._1) == "train").map(_._2)
+      val hd = members.filter(m => grp(m._1) == "held").map(_._2)
+      if (tr.isEmpty || hd.isEmpty) assert(!got.contains(label))
+      else {
+        def cent(vs: Array[Array[Double]], pos: Int): Double =
+          vs.map(_(pos)).sorted.foldLeft(0.0)(_ + _) / vs.length
+        val d2s = (0 until 64).map { p =>
+          val d = cent(tr, p) - cent(hd, p); d * d
+        }
+        val drift = math.sqrt(d2s.foldLeft(0.0)(_ + _))
+        assert(got(label) == ((drift, tr.length, hd.length)))
+      }
+    }
+  }
+
+  test("t46: leakage counts replay from exact text identity") {
+    val got = SparkEntry.queries("t46_split_leakage")(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+      if (h < 'c') "train" else if (h < 'e') "validation" else "test"
+    }
+    val trainTexts = docs.filter(d => split(d._1) == "train")
+      .map(_._3).toSet
+    val want = docs.filter(d => split(d._1) != "train")
+      .groupBy(d => (split(d._1), d._2)).view.mapValues { ds =>
+        val n = ds.length.toLong
+        val leaked = ds.count(d => trainTexts.contains(d._3)).toLong
+        (n, leaked, leaked.toDouble / n)
+      }.toMap
+    assert(got == want)
+    // planted positive: doc 4 is train (md5 "a87f…"), doc 3 is test
+    // (md5 "eccb…"); give them identical text and the gate must fire
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-leak-docs").toString
+    import spark.implicits._
+    Seq(
+      (3L, "the shared leaked text", "en", "s", 22),
+      (4L, "the shared leaked text", "en", "s", 22),
+      (0L, "unique validation text", "en", "s", 22),
+      (5L, "unique test text", "en", "s", 16))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("t46_split_leakage")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(planted("test") == ((2L, 1L)))       // doc 3 leaked, doc 5 not
+    assert(planted("validation") == ((1L, 0L))) // doc 0 clean
+  }
 }
