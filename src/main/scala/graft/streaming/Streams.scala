@@ -391,6 +391,84 @@ object Streams {
       }
   }
 
+  final case class GrowthInc(day_num: Long, kind: String)
+  final case class GrowthState(lastDay: Long, churned: Boolean)
+
+  /** Streaming twin of batch e29 growth accounting: classify each
+    * user-day on arrival (new / retained / resurrected) and emit
+    * churn increments — per-user state is ONE (lastDay, churned)
+    * pair forever, on an unbounded stream. Churn at lastDay+1 is
+    * emitted either eagerly (the user reappears after a gap, or the
+    * watermark has already passed the end of day lastDay+1 when the
+    * batch closes) or via event-time TIMEOUT once that day fully
+    * elapses — so "never returns" users still produce their churn
+    * exactly once (the `churned` flag makes replays idempotent).
+    * Day bucketing follows the session time zone like the batch
+    * twin's `to_date(ts)`. Days at or before the user's lastDay are
+    * ignored (at-least-once re-delivery safe). A consumer joins the
+    * increments to its observed day spine, which is where the batch
+    * twin's "churn days outside the spine drop" rule lives —
+    * per-user state cannot know the global spine. */
+  def growthIncrements(events: Dataset[Ev])(
+      implicit spark: SparkSession): Dataset[GrowthInc] = {
+    import spark.implicits._
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    def dayEndMs(d: Long): Long = java.time.LocalDate.ofEpochDay(d + 1)
+      .atStartOfDay(zone).toInstant.toEpochMilli
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GrowthState, GrowthInc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, evs: Iterator[Ev], state: GroupState[GrowthState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            if (!s.churned) {
+              state.update(GrowthState(s.lastDay, churned = true))
+              Iterator(GrowthInc(s.lastDay + 1, "churned"))
+            } else Iterator.empty
+          } else {
+            val days = evs
+              .map(e => e.ts.toInstant.atZone(zone).toLocalDate.toEpochDay)
+              .toArray.distinct.sorted
+            val out = Seq.newBuilder[GrowthInc]
+            var st = state.getOption
+            days.foreach { d =>
+              st match {
+                case None =>
+                  out += GrowthInc(d, "new")
+                  st = Some(GrowthState(d, churned = false))
+                case Some(s) if d <= s.lastDay => () // replay: ignore
+                case Some(s) =>
+                  if (d == s.lastDay + 1) out += GrowthInc(d, "retained")
+                  else {
+                    if (!s.churned)
+                      out += GrowthInc(s.lastDay + 1, "churned")
+                    out += GrowthInc(d, "resurrected")
+                  }
+                  st = Some(GrowthState(d, churned = false))
+              }
+            }
+            st.foreach { s =>
+              val wm = state.getCurrentWatermarkMs()
+              val due = dayEndMs(s.lastDay + 1)
+              if (due <= wm) {
+                // day lastDay+1 already fully past: decide churn now —
+                // a timeout at `due` would be rejected as in-the-past
+                if (!s.churned)
+                  out += GrowthInc(s.lastDay + 1, "churned")
+                state.update(GrowthState(s.lastDay, churned = true))
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(due)
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Fold emitted shard buffers into the global top-k with the batch
     * Aggregator's merge (callers pass each shard's LATEST buffer —
     * highest `version`). Exact (err=0) when no shard ever evicted. */

@@ -733,4 +733,51 @@ class StreamsSpec extends SparkSpec {
     exact.foreach { case (d, wau) =>
       assert(latest(d).wau_est == wau.toDouble, s"day $d estimate") }
   }
+
+  test("streaming growth increments ≡ batch e29 on the day spine") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = Tables.events(spark, sf0001)
+      .select("user_id", "ts").collect()
+      .map(r => Streams.Ev(r.getLong(0), r.getTimestamp(1)))
+      .sortBy(_.ts.getTime)
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.growthIncrements(ms.toDS)
+      .writeStream.format("memory").queryName("growth")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // day-ordered chunks (event-time order, like a real ingest);
+      // a final far-future sentinel pushes the watermark past every
+      // pending churn timeout
+      evs.grouped(evs.length / 3 + 1)
+        .foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      ms.addData(Streams.Ev(-1L,
+        new Timestamp(evs.last.ts.getTime + 5L * 86400000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val inc = spark.table("growth").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val batch = SparkEntry.queries("e29_growth_accounting")(spark, sf0001)
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(batch.nonEmpty)
+    // on every spine day the streamed increments reproduce the batch
+    // decomposition exactly (the sentinel's own "new" day and churn
+    // days beyond the spine are exactly what the spine join drops)
+    batch.foreach { case (d, (act, nw, ret, res, churned)) =>
+      def n(kind: String) = inc.getOrElse((d, kind), 0L)
+      assert(n("new") == nw, s"day $d new")
+      assert(n("retained") == ret, s"day $d retained")
+      assert(n("resurrected") == res, s"day $d resurrected")
+      assert(n("churned") == churned, s"day $d churned")
+      assert(n("new") + n("retained") + n("resurrected") == act)
+    }
+    // off-spine noise is only the sentinel and boundary churn
+    val spine = batch.keySet
+    val offSpine = inc.keys.filterNot(k => spine.contains(k._1)).toSeq
+    assert(offSpine.forall { case (_, kind) =>
+      kind == "churned" || kind == "new" })
+  }
 }
