@@ -341,6 +341,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("replace("), p.take(800))
   }
 
+  test("t45: vocab is a top-V heap merge that broadcasts; no sort-merge") {
+    val p = plan("t45_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("m12: frame fan-out is map-only — one exchange, the output sort") {
+    val p = plan("m12_audio_frames")
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(800))
+    assert(p.contains("MapPartitions"), p.take(800))
+  }
+
+  test("e28: the window rides the tiny (type, day) aggregate") {
+    val p = plan("e28_trending")
+    // scan → partial/final agg (1 exchange) → window re-key (1) →
+    // presentation sort (1); anything more means the window touched
+    // raw events
+    assert("Exchange".r.findAllIn(p).size == 3, p.take(800))
+    assert(p.contains("Window"), p.take(800))
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(
