@@ -1,7 +1,7 @@
 package graft.ingest
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -282,6 +282,37 @@ object BronzeMerge {
       .write.mode(SaveMode.Overwrite).parquet(s"$table/_keys/$batchName")
     commit(f, table, ver + 1, batches :+ batchName)
     appended
+  }
+
+  /** Delta-style CHECK-constraint gate in front of [[mergeIngestDf]]:
+    * the whole source batch is rejected if ANY row violates ANY named
+    * predicate — all-or-nothing, like a Delta `ADD CONSTRAINT` table
+    * writing a bad batch. SQL CHECK semantics: only FALSE violates;
+    * NULL passes (so `col.isNotNull` is how NOT NULL is spelled).
+    * All constraints evaluate in ONE aggregate pass over the source —
+    * no per-constraint scans — and the pass happens BEFORE any batch
+    * directory is written, so a rejected batch leaves no trace to
+    * vacuum. Returns appended rows; throws with per-constraint
+    * violation counts otherwise. */
+  def mergeIngestChecked(spark: SparkSession, src: DataFrame,
+      table: String, constraints: Seq[(String, Column)]): Long = {
+    if (constraints.nonEmpty) {
+      val counts = src.agg(
+        count(lit(1)).as("__n"),
+        constraints.map { case (name, pred) =>
+          sum(when(not(coalesce(pred, lit(true))), 1L).otherwise(0L))
+            .as(name)
+        }: _*).head()
+      val violated = constraints.map(_._1)
+        .map(n => n -> Option(counts.getAs[Long](n)).getOrElse(0L))
+        .filter(_._2 > 0)
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException(
+          "CHECK constraint violation, batch rejected: " +
+            violated.map { case (n, c) => s"$n ($c rows)" }
+              .mkString(", "))
+    }
+    mergeIngestDf(spark, src, table)
   }
 
   /** Publish the current snapshot (and its identity keys) as bucketed

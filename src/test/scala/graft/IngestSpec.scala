@@ -110,6 +110,44 @@ class IngestSpec extends SparkSpec {
     assert(BronzeMerge.mergeIngestDf(spark, v2, table) == 0)
   }
 
+  test("CHECK constraints: a violating batch rejects atomically; NULL passes") {
+    import graft.ingest.BronzeMerge
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length => slen}
+    val table = Files.createTempDirectory("graft-check")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val cons = Seq(
+      "len_positive" -> (col("length") > 0L),
+      "name_nonempty" -> (slen(col("file_name")) > 0))
+    val good = Seq(("a.txt", 5L, ts(1), Array[Byte](1)))
+      .toDF("file_name", "length", "modified", "content")
+    assert(BronzeMerge.mergeIngestChecked(spark, good, table, cons) == 1)
+    // one bad row poisons the WHOLE batch — nothing lands, no new
+    // version, not even the clean rows
+    val mixed = Seq(
+      ("b.txt", 7L, ts(2), Array[Byte](2)),
+      ("c.txt", -1L, ts(3), Array[Byte](3)))
+      .toDF("file_name", "length", "modified", "content")
+    val ex = intercept[IllegalArgumentException] {
+      BronzeMerge.mergeIngestChecked(spark, mixed, table, cons)
+    }
+    assert(ex.getMessage.contains("len_positive (1 rows)"))
+    assert(BronzeMerge.currentCommit(spark, table)._1 == 1)
+    assert(BronzeMerge.snapshot(spark, table).count() == 1)
+    // SQL CHECK semantics: a NULL predicate result is NOT a violation
+    val withNull = Seq(("d.txt", null.asInstanceOf[java.lang.Long],
+        ts(4), Array[Byte](4)))
+      .toDF("file_name", "length", "modified", "content")
+    assert(BronzeMerge.mergeIngestChecked(spark, withNull, table,
+      cons) == 1)
+    // and col.isNotNull is how NOT NULL is spelled when wanted
+    intercept[IllegalArgumentException] {
+      BronzeMerge.mergeIngestChecked(spark, withNull, table,
+        Seq("len_not_null" -> col("length").isNotNull))
+    }
+  }
+
   test("compaction folds batches into one; time travel + vacuum") {
     import graft.ingest.BronzeMerge
     val dir = Files.createTempDirectory("graft-compact")
