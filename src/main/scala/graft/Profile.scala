@@ -44,36 +44,18 @@ object Profile {
     // warmup
     SparkEntry.entry(spark).count()
 
-    // Decompose t43_boiler_ngrams at sf1 (24 s for 10x data, 12x the
-    // sf0.1 cost): is the window build re-evaluating split(text) per
-    // window element inside the transform lambda?
+    // Round-7 rehearsal: min-of-3 for the round's new queries at the
+    // given SF dir (run once at sf0.1 and once at the synthesized sf1
+    // to read the scaling exponent; see SCALE.md).
+    val names = args.toSeq match {
+      case Nil => Seq("e28_trending", "e29_growth_accounting",
+        "s20_knn_classify", "s21_embedding_drift", "t45_vocab_coverage",
+        "t46_split_leakage", "m12_audio_frames")
+      case xs => xs
+    }
     for (round <- 1 to 3) {
       println(s"--- round $round ---")
-      time("t43_asis") {
-        SparkEntry.queries("t43_boiler_ngrams")(s, d)
-      }
-      val toks = split(col("text"), " ")
-      val nWin = (size(toks) - 4).cast("int")
-      time("t43_wins_inline_toks") { // toks referenced inside the lambda
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(when(nWin > 0,
-              array_distinct(transform(sequence(lit(0), nWin - 1),
-                i => array_join(slice(toks, i + 1, lit(5)), " "))))
-              .otherwise(array().cast("array<string>"))).as("win"))
-          .select(col("doc_id"), xxhash64(col("win")).as("wh"))
-      }
-      time("t43_wins_presplit") { // toks materialized once as a column
-        Tables.documents(s, d)
-          .select(col("doc_id"), toks.as("tk"))
-          .select(col("doc_id"),
-            explode(when(size(col("tk")) > 4,
-              array_distinct(transform(
-                sequence(lit(0), size(col("tk")) - 5),
-                i => array_join(slice(col("tk"), i + 1, lit(5)), " "))))
-              .otherwise(array().cast("array<string>"))).as("win"))
-          .select(col("doc_id"), xxhash64(col("win")).as("wh"))
-      }
+      names.foreach(n => time(n)(SparkEntry.queries(n)(s, d)))
     }
     spark.stop()
   }
