@@ -1800,7 +1800,64 @@ object Relational {
           WHERE o.o_custkey = c.c_custkey
             AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       GROUP BY c.c_nationkey
-      ORDER BY cntry"""))
+      ORDER BY cntry""")),
+
+    // ---- CUMULATIVE DISTINCT over an ordered window — the query
+    //      neither engine supports directly (COUNT(DISTINCT) OVER
+    //      (ORDER BY …) is rejected by Spark AND DuckDB), rewritten
+    //      the way an engine should: distinct-first-touch (each
+    //      supplier collapses to its FIRST ship month — one groupBy
+    //      on the supplier key) then a running SUM of first-touch
+    //      counts per nation. The rewrite turns an O(window²)
+    //      dedup-per-frame into one aggregate + a window over the
+    //      |nations|×|months| relation. Both sides implement the SAME
+    //      rewrite, so the hash-match certifies it IS the cumulative
+    //      distinct. Months where no supplier debuts carry no row
+    //      (the cum value resumes at the next debut month) — the
+    //      sparse-series form, like e28's shrinking baseline. Scale:
+    //      the only data-sized shuffle is the per-supplier min;
+    //      dimensions broadcast; the window input is bounded. ----
+    QuerySpec(
+      "q59_cumulative_distinct",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))
+        val firstShip = li
+          .select(col("l_suppkey"),
+            to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+          .groupBy(col("l_suppkey"))
+          .agg(min(col("month")).as("first_month"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        val w = Window.partitionBy(col("nation")).orderBy(col("month"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firstShip
+          .groupBy(col("n_name").as("nation"),
+            col("first_month").as("month"))
+          .agg(count(lit(1)).as("n_new_suppliers"))
+          .withColumn("cum_suppliers",
+            sum(col("n_new_suppliers")).over(w))
+          .orderBy("nation", "month")
+      },
+      Some("""WITH fs AS (
+        SELECT l_suppkey,
+          MIN(CAST(date_trunc('month', l_shipdate) AS DATE)) AS first_month
+        FROM lineitem GROUP BY l_suppkey),
+      cnt AS (
+        SELECT n.n_name AS nation, f.first_month AS month,
+          COUNT(1) AS n_new_suppliers
+        FROM fs f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2)
+      SELECT nation, month, n_new_suppliers,
+        CAST(SUM(n_new_suppliers) OVER (PARTITION BY nation
+          ORDER BY month
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_suppliers
+      FROM cnt ORDER BY nation, month"""))
   )
 
   /** q53 oracle: the identical edge build + `k` damped iterations as

@@ -1902,4 +1902,32 @@ class OpsSpec extends SparkSpec {
     assert(planted("test") == ((2L, 1L)))       // doc 3 leaked, doc 5 not
     assert(planted("validation") == ((1L, 0L))) // doc 0 clean
   }
+
+  test("q59: the first-touch rewrite IS the cumulative distinct") {
+    val got = SparkEntry.queries("q59_cumulative_distinct")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // replay the DEFINITION (per-frame distinct), not the rewrite
+    val ship = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("m"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val supNat = Tables.supplier(spark, sf0001)
+      .join(Tables.nation(spark, sf0001),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.groupBy(_._1).foreach { case (nation, rows) =>
+      rows.foreach { case (_, month, nNew, cum) =>
+        val upTo = ship.filter { case (sk, m) =>
+          supNat(sk) == nation && !m.isAfter(month) }.map(_._1).toSet
+        assert(cum == upTo.size.toLong, s"$nation $month cum")
+        val before = ship.filter { case (sk, m) =>
+          supNat(sk) == nation && m.isBefore(month) }.map(_._1).toSet
+        assert(nNew == (upTo -- before).size.toLong, s"$nation $month new")
+      }
+    }
+  }
 }
