@@ -44,13 +44,13 @@ object Profile {
     // warmup
     SparkEntry.entry(spark).count()
 
-    // Round-7 rehearsal: min-of-3 for the round's new queries at the
-    // given SF dir (run once at sf0.1 and once at the synthesized sf1
-    // to read the scaling exponent; see SCALE.md).
+    // Round rehearsal: min-of-3 for the named queries (default: the
+    // latest round's additions) at the given SF dir — run once at
+    // sf0.1 and once at the synthesized sf1 for the scaling exponent.
     val names = args.toSeq match {
       case Nil => Seq("e28_trending", "e29_growth_accounting",
         "s20_knn_classify", "s21_embedding_drift", "t45_vocab_coverage",
-        "t46_split_leakage", "m12_audio_frames")
+        "t46_split_leakage", "m12_audio_frames", "q59_cumulative_distinct")
       case xs => xs
     }
     for (round <- 1 to 3) {

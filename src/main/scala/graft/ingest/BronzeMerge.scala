@@ -296,23 +296,29 @@ object BronzeMerge {
     * violation counts otherwise. */
   def mergeIngestChecked(spark: SparkSession, src: DataFrame,
       table: String, constraints: Seq[(String, Column)]): Long = {
-    if (constraints.nonEmpty) {
-      val counts = src.agg(
-        count(lit(1)).as("__n"),
-        constraints.map { case (name, pred) =>
-          sum(when(not(coalesce(pred, lit(true))), 1L).otherwise(0L))
-            .as(name)
-        }: _*).head()
-      val violated = constraints.map(_._1)
-        .map(n => n -> Option(counts.getAs[Long](n)).getOrElse(0L))
+    if (constraints.isEmpty) return mergeIngestDf(spark, src, table)
+    // pin the batch: the checked rows MUST be the written rows — an
+    // unpinned source over a live directory (or any non-deterministic
+    // column) could re-evaluate differently between the two jobs
+    val pinned = src.persist()
+    try {
+      val exprs = constraints.map { case (_, pred) =>
+        sum(when(not(coalesce(pred, lit(true))), 1L).otherwise(0L))
+      }
+      // read positionally — constraint names are caller-supplied
+      // strings and must not collide with anything
+      val row = pinned.agg(exprs.head, exprs.tail: _*).head()
+      val violated = constraints.zipWithIndex
+        .map { case ((name, _), i) =>
+          name -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
         .filter(_._2 > 0)
       if (violated.nonEmpty)
         throw new IllegalArgumentException(
           "CHECK constraint violation, batch rejected: " +
             violated.map { case (n, c) => s"$n ($c rows)" }
               .mkString(", "))
-    }
-    mergeIngestDf(spark, src, table)
+      mergeIngestDf(spark, pinned, table)
+    } finally pinned.unpersist()
   }
 
   /** Publish the current snapshot (and its identity keys) as bucketed

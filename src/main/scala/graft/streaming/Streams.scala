@@ -392,24 +392,30 @@ object Streams {
   }
 
   final case class GrowthInc(day_num: Long, kind: String)
-  final case class GrowthState(lastDay: Long, churned: Boolean)
+  final case class GrowthState(lastDay: Long, churned: Boolean,
+      pending: Seq[Long])
 
-  /** Streaming twin of batch e29 growth accounting: classify each
-    * user-day on arrival (new / retained / resurrected) and emit
-    * churn increments — per-user state is ONE (lastDay, churned)
-    * pair forever, on an unbounded stream. Churn at lastDay+1 is
-    * emitted either eagerly (the user reappears after a gap, or the
-    * watermark has already passed the end of day lastDay+1 when the
-    * batch closes) or via event-time TIMEOUT once that day fully
-    * elapses — so "never returns" users still produce their churn
-    * exactly once (the `churned` flag makes replays idempotent).
-    * Day bucketing follows the session time zone like the batch
-    * twin's `to_date(ts)`. Days at or before the user's lastDay are
-    * ignored (at-least-once re-delivery safe). A consumer joins the
-    * increments to its observed day spine, which is where the batch
-    * twin's "churn days outside the spine drop" rule lives —
-    * per-user state cannot know the global spine. */
-  def growthIncrements(events: Dataset[Ev])(
+  /** Streaming twin of batch e29 growth accounting: decompose each
+    * user-day into new / retained / resurrected and emit churn
+    * increments. A day is CLASSIFIED ONLY ONCE THE WATERMARK CLOSES
+    * IT (any still-missing event for an earlier day would be late
+    * beyond the watermark), so out-of-order arrival WITHIN the
+    * watermark across micro-batches classifies identically to the
+    * batch twin — arrival order inside the tolerance never fabricates
+    * a churn or drops a day. Per-user state is (lastFinalizedDay,
+    * churnEmitted, pending not-yet-closed days): the pending buffer
+    * is bounded by the watermark horizon in DAYS, not by stream
+    * length. Churn at lastDay+1 fires when that day closes — via
+    * event-time timeout when no data arrives — exactly once (the
+    * `churned` flag survives replays). Day bucketing follows the
+    * session time zone like the batch twin's `to_date(ts)`; days at
+    * or before the finalized frontier are ignored (at-least-once
+    * safe). A consumer joins the increments to its observed day
+    * spine, which is where the batch twin's "churn days outside the
+    * spine drop" rule lives — per-user state cannot know the global
+    * spine. */
+  def growthIncrements(events: Dataset[Ev],
+      watermark: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[GrowthInc] = {
     import spark.implicits._
     val zone = java.time.ZoneId.of(
@@ -417,55 +423,56 @@ object Streams {
     def dayEndMs(d: Long): Long = java.time.LocalDate.ofEpochDay(d + 1)
       .atStartOfDay(zone).toInstant.toEpochMilli
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[GrowthState, GrowthInc](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, evs: Iterator[Ev], state: GroupState[GrowthState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            if (!s.churned) {
-              state.update(GrowthState(s.lastDay, churned = true))
-              Iterator(GrowthInc(s.lastDay + 1, "churned"))
-            } else Iterator.empty
-          } else {
-            val days = evs
+          val wm = state.getCurrentWatermarkMs()
+          val newDays = if (state.hasTimedOut) Array.empty[Long]
+            else evs
               .map(e => e.ts.toInstant.atZone(zone).toLocalDate.toEpochDay)
-              .toArray.distinct.sorted
-            val out = Seq.newBuilder[GrowthInc]
-            var st = state.getOption
-            days.foreach { d =>
-              st match {
-                case None =>
-                  out += GrowthInc(d, "new")
-                  st = Some(GrowthState(d, churned = false))
-                case Some(s) if d <= s.lastDay => () // replay: ignore
-                case Some(s) =>
-                  if (d == s.lastDay + 1) out += GrowthInc(d, "retained")
-                  else {
-                    if (!s.churned)
-                      out += GrowthInc(s.lastDay + 1, "churned")
-                    out += GrowthInc(d, "resurrected")
-                  }
-                  st = Some(GrowthState(d, churned = false))
-              }
+              .toArray.distinct
+          var st = state.getOption
+            .getOrElse(GrowthState(Long.MinValue, churned = true, Nil))
+          val pending = (st.pending ++ newDays).distinct
+            .filter(d => st.lastDay == Long.MinValue || d > st.lastDay)
+            .sorted
+          val out = Seq.newBuilder[GrowthInc]
+          var last = st.lastDay; var churned = st.churned
+          var rest = pending
+          // finalize every pending day the watermark has closed, in
+          // order; each finalization may first settle the churn gap
+          // behind it
+          while (rest.nonEmpty && dayEndMs(rest.head) <= wm) {
+            val d = rest.head
+            if (last == Long.MinValue) out += GrowthInc(d, "new")
+            else if (d == last + 1) out += GrowthInc(d, "retained")
+            else {
+              if (!churned) out += GrowthInc(last + 1, "churned")
+              out += GrowthInc(d, "resurrected")
             }
-            st.foreach { s =>
-              val wm = state.getCurrentWatermarkMs()
-              val due = dayEndMs(s.lastDay + 1)
-              if (due <= wm) {
-                // day lastDay+1 already fully past: decide churn now —
-                // a timeout at `due` would be rejected as in-the-past
-                if (!s.churned)
-                  out += GrowthInc(s.lastDay + 1, "churned")
-                state.update(GrowthState(s.lastDay, churned = true))
-              } else {
-                state.update(s)
-                state.setTimeoutTimestamp(due)
-              }
-            }
-            out.result().iterator
+            last = d; churned = false
+            rest = rest.tail
           }
+          // churn behind the frontier: decidable once day last+1 closes
+          // and no pending day can fill it
+          if (last != Long.MinValue && !churned &&
+              dayEndMs(last + 1) <= wm &&
+              (rest.isEmpty || rest.head > last + 1)) {
+            out += GrowthInc(last + 1, "churned")
+            churned = true
+          }
+          state.update(GrowthState(last, churned, rest))
+          // wake when the next decision point closes: the first
+          // pending day, or the churn day behind an idle frontier
+          val next =
+            if (rest.nonEmpty) Some(dayEndMs(rest.head))
+            else if (last != Long.MinValue && !churned)
+              Some(dayEndMs(last + 1))
+            else None
+          next.foreach(t => state.setTimeoutTimestamp(math.max(t, wm + 1)))
+          out.result().iterator
       }
   }
 

@@ -780,4 +780,39 @@ class StreamsSpec extends SparkSpec {
     assert(offSpine.forall { case (_, kind) =>
       kind == "churned" || kind == "new" })
   }
+
+  test("growth increments: disorder inside the watermark never fabricates churn") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // user active days D, D+1 (23:59), D+2 (00:05) — the D+2 event is
+    // processed one micro-batch BEFORE the D+1 event, 6 minutes of
+    // disorder, inside the 10-minute watermark. Classification must
+    // wait for the watermark to close each day: D+1 retained, D+2
+    // retained, and NO churn anywhere on the active range.
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.growthIncrements(ms.toDS)
+      .writeStream.format("memory").queryName("growth_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(
+        Streams.Ev(1, ts("2024-03-10 09:00:00")),
+        Streams.Ev(1, ts("2024-03-12 00:05:00")))
+      q.processAllAvailable()
+      ms.addData(Streams.Ev(1, ts("2024-03-11 23:59:00")))
+      q.processAllAvailable()
+      // sentinel pushes the watermark far past every pending day
+      ms.addData(Streams.Ev(-1L, ts("2024-03-20 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val day0 = java.time.LocalDate.parse("2024-03-10").toEpochDay
+    val got = spark.table("growth_ooo").collect()
+      .map(r => (r.getLong(0) - day0, r.getString(1))).toSet
+    assert(got.contains((0L, "new")))
+    assert(got.contains((1L, "retained")), got.toString)
+    assert(got.contains((2L, "retained")), got.toString)
+    // the only churn is behind the final frontier (day D+3), never
+    // inside the active range
+    assert(!got.contains((1L, "churned")) && !got.contains((2L, "churned")))
+    assert(!got.exists(_._2 == "resurrected"), got.toString)
+  }
 }
