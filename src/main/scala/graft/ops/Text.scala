@@ -1868,8 +1868,19 @@ object Text {
             least(lit(1.0), col("w") / col("totw") *
               col("tott").cast("double") / col("n_tokens").cast("double"))
               .as("rate"))
-        val u = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-          .cast("double") / lit(4294967296.0)
+        // (doc_id·K) mod 2³² via split multiply — doc_id·K directly
+        // overflows Long once ids pass ~3.5e9 (the sf1 rehearsal's
+        // reseeded keys did; real corpus ids would too). Reduce first
+        // (multiplication mod 2³² respects it), then 16-bit-split so
+        // every intermediate stays under 2⁴⁹ — bitwise-identical to
+        // the naive form wherever that form doesn't overflow.
+        val K = 2654435761L
+        val a = pmod(col("doc_id"), lit(4294967296L))
+        val a1 = floor(a / lit(65536L)).cast("long")
+        val a0 = pmod(a, lit(65536L))
+        val u = pmod(
+          pmod(a1 * lit(K), lit(4294967296L)) * lit(65536L) + a0 * lit(K),
+          lit(4294967296L)).cast("double") / lit(4294967296.0)
         val kept = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), size(toks).as("nt"))
           .join(broadcast(rates.select(col("source"), col("rate"))),
@@ -1902,7 +1913,9 @@ object Text {
         SELECT d.source, COUNT(1) AS docs_kept,
           CAST(SUM(len(str_split(d.text, ' '))) AS BIGINT) AS tokens_kept
         FROM documents d JOIN rates r ON d.source = r.source
-        WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        WHERE CAST(((((d.doc_id % 4294967296) // 65536 * 2654435761)
+            % 4294967296) * 65536
+            + (d.doc_id % 65536) * 2654435761) % 4294967296 AS DOUBLE)
           / 4294967296.0 < r.rate
         GROUP BY d.source)
       SELECT r.source, r.n_docs, r.n_tokens, r.rate,
