@@ -272,4 +272,27 @@ object PropertySpec extends Properties("archive") {
         .toLongArray().toSeq
       got == ref && gotD == got.distinct
     }
+
+  property("WAV frame analysis replays the sample formula on random layouts") =
+    forAll(Gen.choose(1L, 1L << 40), Gen.oneOf(8000, 16000, 44100),
+      Gen.choose(1, 2), Gen.choose(1, 300), Gen.oneOf(4, 6, 8),
+      Gen.choose(1, 64)) { (id, rate, nch, nf, lsize, frameLen) =>
+      import graft.ops.Multimodal
+      val frames = Multimodal.decodeWavFrames(id,
+        Multimodal.encodeWav(id, rate, nch, nf, lsize), frameLen)
+      def v(i: Int): Long = ((id * 31 + i * 7) % 65536) - 32768
+      val (_, _, _, _, _, _, globalPeak) = Multimodal.decodeWav(
+        Multimodal.encodeWav(id, rate, nch, nf, lsize))
+      frames.size == nf / frameLen &&
+        frames.zipWithIndex.forall { case (f, idx) =>
+          val xs = (idx * frameLen until (idx + 1) * frameLen).map(v)
+          f.frame_id == idx && f.start == idx * frameLen &&
+            f.n_samples == frameLen &&
+            f.energy == xs.map(x => x * x).sum &&
+            f.max_abs == xs.map(math.abs).max &&
+            f.max_abs <= globalPeak &&
+            f.n_zero_cross == xs.sliding(2)
+              .count(p => p.length == 2 && (p(0) < 0) != (p(1) < 0))
+        }
+    }
 }
