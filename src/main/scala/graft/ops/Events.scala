@@ -1230,6 +1230,43 @@ object Events {
       SELECT p.day, p.n_active, p.n_new, p.n_retained, p.n_resurrected,
         CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
       FROM per_day p LEFT JOIN churn c USING (day)
-      ORDER BY p.day"""))
+      ORDER BY p.day""")),
+
+    // ---- hour-of-week seasonality profile: the 168-cell
+    //      (weekday × hour) activity fingerprint capacity planning
+    //      and anomaly baselines start from — event counts, distinct
+    //      users, decimal-exact value totals, and each cell's share
+    //      of the whole. Weekday alignment is the classic cross-
+    //      engine trap: Spark's dayofweek is Sunday=1 while DuckDB's
+    //      isodow is Monday=1 — both sides use the Monday=0 form
+    //      (Spark `weekday`, DuckDB `isodow - 1`) so the cells line
+    //      up. Scale: one shuffle to at most 168 groups; the share
+    //      joins a broadcast 1-row total. ----
+    QuerySpec(
+      "e30_seasonality",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .groupBy(weekday(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            dsum(col("value")).as("total_value"))
+        val tot = cells.agg(sum(col("n_events")).as("tot"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("dow"), col("hr"), col("n_events"), col("n_users"),
+            col("total_value"),
+            (col("n_events").cast("double") / col("tot").cast("double"))
+              .as("share"))
+          .orderBy("dow", "hr")
+      },
+      Some(s"""WITH cells AS (
+        SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+          CAST(hour(ts) AS INT) AS hr,
+          COUNT(1) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+          ${dsumSql("value")} AS total_value
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM cells)
+      SELECT dow, hr, n_events, n_users, total_value,
+        CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      FROM cells, tot ORDER BY dow, hr"""))
   )
 }

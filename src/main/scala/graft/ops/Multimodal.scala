@@ -112,8 +112,11 @@ object Multimodal {
     * (width, height, mean r/g/b, top-left r/g/b). Fails loudly on
     * anything it does not understand — a decoder that guesses is
     * worse than none. */
-  private[graft] def decodeBmp(bs: Array[Byte])
-      : (Int, Int, Double, Double, Double, Int, Int, Int) = {
+  /** Header parse + validation only: (w, h, pixel offset, padded row
+    * size, top-down flag). Shared by the feature decode and the
+    * histogram decode. */
+  private[graft] def bmpLayout(bs: Array[Byte])
+      : (Int, Int, Int, Int, Boolean) = {
     def u8(i: Int): Int = bs(i) & 0xff
     def i32(i: Int): Int =
       u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
@@ -132,6 +135,13 @@ object Multimodal {
     require(i32(30) == 0, "compressed BMP unsupported")
     val rowSize = ((3 * w + 3) / 4) * 4
     require(bs.length >= off + rowSize * h, "truncated pixel array")
+    (w, h, off, rowSize, topDown)
+  }
+
+  private[graft] def decodeBmp(bs: Array[Byte])
+      : (Int, Int, Double, Double, Double, Int, Int, Int) = {
+    def u8(i: Int): Int = bs(i) & 0xff
+    val (w, h, off, rowSize, topDown) = bmpLayout(bs)
     var rSum = 0L; var gSum = 0L; var bSum = 0L
     var y = 0
     while (y < h) {
@@ -149,6 +159,33 @@ object Multimodal {
     val n = w.toLong * h
     (w, h, rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n,
       u8(row0 + 2), u8(row0 + 1), u8(row0))
+  }
+
+  final case class HistRow(doc_id: Long, bin: Int,
+      n_r: Long, n_g: Long, n_b: Long)
+
+  /** 16-bin per-channel histogram of the decoded pixels (bin =
+    * value / 16) — all 16 bins emitted per doc, zeros included, so
+    * the relation shape is doc-count × 16 regardless of content. */
+  private[graft] def decodeBmpHistogram(docId: Long,
+      bs: Array[Byte]): Seq[HistRow] = {
+    def u8(i: Int): Int = bs(i) & 0xff
+    val (w, h, off, rowSize, topDown) = bmpLayout(bs)
+    val hr = new Array[Long](16); val hg = new Array[Long](16)
+    val hb = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      val base = off + (if (topDown) y else h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        hb(u8(base + 3 * x) / 16) += 1
+        hg(u8(base + 3 * x + 1) / 16) += 1
+        hr(u8(base + 3 * x + 2) / 16) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (0 until 16).map(b => HistRow(docId, b, hr(b), hg(b), hb(b)))
   }
 
   /** Per-image average-hash row: dimensions plus the 64-bit aHash
@@ -1147,6 +1184,58 @@ object Multimodal {
           THEN 1 ELSE 0 END) AS INT) AS n_zero_cross,
         CAST(MAX(ABS(v)) AS INT) AS max_abs
       FROM lg GROUP BY doc_id, frame_id
-      ORDER BY doc_id, frame_id"""))
+      ORDER BY doc_id, frame_id""")),
+
+    // ---- per-channel COLOR HISTOGRAMS over the decoded pixels: 16
+    //      bins × 3 channels per image, zeros included (the relation
+    //      is docs × 16 whatever the content) — the feature the
+    //      dedup/quality side of an image pipeline bins on before
+    //      anything learned. Decode honors the same contracts as
+    //      m03 (bottom-up rows, 4-byte padding, BGR order) through
+    //      the shared [[bmpLayout]]; the oracle replays pixel →
+    //      bin = value/16 → count from the formula, so a channel
+    //      swap or padding slip shifts counts and hash-mismatches.
+    //      Map-only fan-out ×16, payloads never shuffle. ----
+    QuerySpec(
+      "m13_color_histogram",
+      (s, d) => {
+        import s.implicits._
+        bmpFixture(s, d).as[MediaRow]
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.flatMap(r =>
+              decodeBmpHistogram(r.doc_id, r.payload)))
+          }.toDF().orderBy("doc_id", "bin")
+      },
+      Some("""WITH dims AS (
+        SELECT doc_id, CAST(4 + (n_chars % 13) AS INT) AS w,
+               CAST(3 + (n_chars % 7) AS INT) AS h
+        FROM documents),
+      grid AS (
+        SELECT doc_id, x, unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h,
+                unnest(generate_series(0, w - 1)) AS x FROM dims) gx),
+      px AS (
+        SELECT doc_id,
+          ((doc_id*19 + x*23 + y*29) % 256) // 16 AS rb,
+          ((doc_id*11 + x*13 + y*17) % 256) // 16 AS gb,
+          ((doc_id*7 + x*3 + y*5) % 256) // 16 AS bb
+        FROM grid),
+      bins AS (SELECT doc_id, unnest(generate_series(0, 15)) AS bin
+               FROM dims),
+      rc AS (SELECT doc_id, rb AS bin, COUNT(1) AS n FROM px
+             GROUP BY 1, 2),
+      gc AS (SELECT doc_id, gb AS bin, COUNT(1) AS n FROM px
+             GROUP BY 1, 2),
+      bc AS (SELECT doc_id, bb AS bin, COUNT(1) AS n FROM px
+             GROUP BY 1, 2)
+      SELECT b.doc_id, CAST(b.bin AS INT) AS bin,
+        CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_r,
+        CAST(COALESCE(gc.n, 0) AS BIGINT) AS n_g,
+        CAST(COALESCE(bc.n, 0) AS BIGINT) AS n_b
+      FROM bins b
+      LEFT JOIN rc ON rc.doc_id = b.doc_id AND rc.bin = b.bin
+      LEFT JOIN gc ON gc.doc_id = b.doc_id AND gc.bin = b.bin
+      LEFT JOIN bc ON bc.doc_id = b.doc_id AND bc.bin = b.bin
+      ORDER BY b.doc_id, b.bin"""))
   )
 }

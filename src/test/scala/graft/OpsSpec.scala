@@ -1903,6 +1903,54 @@ class OpsSpec extends SparkSpec {
     assert(planted("validation") == ((1L, 0L))) // doc 0 clean
   }
 
+  test("e30: the 168-cell profile conserves events and replays per cell") {
+    val got = SparkEntry.queries("e30_seasonality")(spark, sf0001)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    assert(got.nonEmpty && got.keys.forall { case (d, h) =>
+      d >= 0 && d <= 6 && h >= 0 && h <= 23 })
+    val evs = Tables.events(spark, sf0001)
+      .select(weekday(col("ts")).as("d"), hour(col("ts")).as("h"),
+        col("user_id"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    assert(got.values.map(_._1).sum == evs.length.toLong)
+    val byCell = evs.groupBy(_._1)
+    assert(got.keySet == byCell.keySet)
+    byCell.foreach { case (cell, rows) =>
+      val (n, users, share) = got(cell)
+      assert(n == rows.length.toLong)
+      assert(users == rows.map(_._2).distinct.length.toLong)
+      assert(share == rows.length.toDouble / evs.length)
+    }
+  }
+
+  test("m13: histograms conserve pixel counts and replay the formula") {
+    val got = SparkEntry.queries("m13_color_histogram")(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    assert(got.size == docs.length * 16)
+    docs.foreach { case (id, nc) =>
+      val (w, h) = ((4 + nc % 13).toInt, (3 + nc % 7).toInt)
+      def binsOf(f: (Int, Int) => Long): Map[Int, Long] =
+        (for (x <- 0 until w; y <- 0 until h)
+          yield (f(x, y) % 256).toInt / 16)
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (rb, gb, bb) = (
+        binsOf((x, y) => id * 19 + x * 23 + y * 29),
+        binsOf((x, y) => id * 11 + x * 13 + y * 17),
+        binsOf((x, y) => id * 7 + x * 3 + y * 5))
+      (0 until 16).foreach { b =>
+        assert(got((id, b)) == ((rb.getOrElse(b, 0L),
+          gb.getOrElse(b, 0L), bb.getOrElse(b, 0L))), s"doc $id bin $b")
+      }
+      // conservation: every channel's bins sum to w*h
+      assert((0 until 16).map(b => got((id, b))._1).sum == w.toLong * h)
+    }
+  }
+
   test("q59: the first-touch rewrite IS the cumulative distinct") {
     val got = SparkEntry.queries("q59_cumulative_distinct")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
