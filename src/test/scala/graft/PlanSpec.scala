@@ -363,6 +363,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(800))
   }
 
+  test("e30: the share join broadcasts the 1-row total; no sort-merge") {
+    val p = plan("e30_seasonality")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("m13: histogram fan-out is map-only — one exchange, the output sort") {
+    val p = plan("m13_color_histogram")
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(800))
+    assert(p.contains("MapPartitions"), p.take(800))
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(
