@@ -104,17 +104,12 @@ object Multimodal {
     buf.array()
   }
 
-  /** REAL BMP decode, headers to pixels: validates the `BM` magic,
-    * reads the pixel-array offset / dimensions / bpp / compression
-    * from the little-endian headers, walks the padded scanlines in
-    * image order (honoring the bottom-up convention and the negative-
-    * height top-down variant), and reduces the BGR samples to
-    * (width, height, mean r/g/b, top-left r/g/b). Fails loudly on
+  /** Header parse + validation only: (w, h, pixel offset, padded row
+    * size, top-down flag) — validates the `BM` magic, little-endian
+    * DIB fields, 24bpp/uncompressed contract, and pixel-array bounds.
+    * Shared by every BMP decoder in this module. Fails loudly on
     * anything it does not understand — a decoder that guesses is
     * worse than none. */
-  /** Header parse + validation only: (w, h, pixel offset, padded row
-    * size, top-down flag). Shared by the feature decode and the
-    * histogram decode. */
   private[graft] def bmpLayout(bs: Array[Byte])
       : (Int, Int, Int, Int, Boolean) = {
     def u8(i: Int): Int = bs(i) & 0xff
@@ -138,6 +133,10 @@ object Multimodal {
     (w, h, off, rowSize, topDown)
   }
 
+  /** REAL BMP decode, headers to pixels: walks the padded scanlines
+    * in image order (honoring the bottom-up convention and the
+    * negative-height top-down variant) and reduces the BGR samples
+    * to (width, height, mean r/g/b, top-left r/g/b). */
   private[graft] def decodeBmp(bs: Array[Byte])
       : (Int, Int, Double, Double, Double, Int, Int, Int) = {
     def u8(i: Int): Int = bs(i) & 0xff
@@ -206,22 +205,8 @@ object Multimodal {
     * 64-bit integers. Header handling matches [[decodeBmp]]. */
   private[graft] def decodeBmpAhash(docId: Long, bs: Array[Byte]): AhashRow = {
     def u8(i: Int): Int = bs(i) & 0xff
-    def i32(i: Int): Int =
-      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
-    def i16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    require(bs.length >= 54 && bs(0) == 'B' && bs(1) == 'M',
-      "not a BMP payload")
-    val off = i32(10)
-    require(i32(14) >= 40, s"unsupported DIB header size ${i32(14)}")
-    val w = i32(18)
-    val hRaw = i32(22)
-    val topDown = hRaw < 0
-    val h = math.abs(hRaw)
+    val (w, h, off, rowSize, topDown) = bmpLayout(bs)
     require(w >= 8 && h >= 8, s"aHash needs >=8x8 pixels, got ${w}x$h")
-    require(i16(26) == 1, "color planes must be 1")
-    require(i16(28) == 24 && i32(30) == 0, "only uncompressed 24bpp")
-    val rowSize = ((3 * w + 3) / 4) * 4
-    require(bs.length >= off + rowSize * h, "truncated pixel array")
     val sums = new Array[Long](64)
     val cnts = new Array[Long](64)
     var total = 0L
@@ -285,23 +270,8 @@ object Multimodal {
   private[graft] def decodeBmpResize(docId: Long, bs: Array[Byte],
       tw: Int, th: Int): ResizedFeatures = {
     def u8(i: Int): Int = bs(i) & 0xff
-    def i32(i: Int): Int =
-      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
-    def i16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    require(bs.length >= 54 && bs(0) == 'B' && bs(1) == 'M',
-      "not a BMP payload")
     require(tw > 0 && th > 0, s"degenerate target ${tw}x$th")
-    val off = i32(10)
-    require(i32(14) >= 40, s"unsupported DIB header size ${i32(14)}")
-    val w = i32(18)
-    val hRaw = i32(22)
-    val topDown = hRaw < 0
-    val h = math.abs(hRaw)
-    require(w > 0 && h > 0, s"degenerate dimensions ${w}x$hRaw")
-    require(i16(26) == 1, "color planes must be 1")
-    require(i16(28) == 24 && i32(30) == 0, "only uncompressed 24bpp")
-    val rowSize = ((3 * w + 3) / 4) * 4
-    require(bs.length >= off + rowSize * h, "truncated pixel array")
+    val (w, h, off, rowSize, topDown) = bmpLayout(bs)
     var rSum = 0L; var gSum = 0L; var bSum = 0L
     var r00 = 0; var g00 = 0; var b00 = 0
     var ty = 0

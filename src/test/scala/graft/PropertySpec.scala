@@ -278,11 +278,10 @@ object PropertySpec extends Properties("archive") {
       Gen.choose(1, 2), Gen.choose(1, 300), Gen.oneOf(4, 6, 8),
       Gen.choose(1, 64)) { (id, rate, nch, nf, lsize, frameLen) =>
       import graft.ops.Multimodal
-      val frames = Multimodal.decodeWavFrames(id,
-        Multimodal.encodeWav(id, rate, nch, nf, lsize), frameLen)
+      val wav = Multimodal.encodeWav(id, rate, nch, nf, lsize)
+      val frames = Multimodal.decodeWavFrames(id, wav, frameLen)
       def v(i: Int): Long = ((id * 31 + i * 7) % 65536) - 32768
-      val (_, _, _, _, _, _, globalPeak) = Multimodal.decodeWav(
-        Multimodal.encodeWav(id, rate, nch, nf, lsize))
+      val (_, _, _, _, _, _, globalPeak) = Multimodal.decodeWav(wav)
       frames.size == nf / frameLen &&
         frames.zipWithIndex.forall { case (f, idx) =>
           val xs = (idx * frameLen until (idx + 1) * frameLen).map(v)
