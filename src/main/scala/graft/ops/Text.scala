@@ -563,6 +563,58 @@ object Text {
     * scan against the literal profile row). Training is one
     * explode→partial-agg pass with a deterministic (cnt DESC, tg)
     * tie-break, identical to the oracle's rank. */
+  /** t05's confusion relation (lang, pred_lang, n): classify every
+    * doc by fused profile-overlap argmax, count per (true, predicted)
+    * pair. CharNGrams extracts each doc's DISTINCT trigrams in one
+    * fused pass (kept as strings: the profile rank tie-breaks on the
+    * trigram itself, which hashing would scramble); all profiles
+    * ride INSIDE one codegen'd expression
+    * ([[graft.functions.TextExprs.ProfileArgmax]]) so classification
+    * is one hash pass per row. Strict `>` keeps the FIRST (smallest)
+    * lang on ties, matching the oracle's (score DESC, lang ASC)
+    * rank; docs overlapping no profile are dropped like the oracle's
+    * inner join. Shared by t05 (raw confusion) and t47 (metrics). */
+  private def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val tgs = graft.functions.TextExprs.charNGrams(col("text"), 3)
+    val best = graft.functions.TextExprs.profileArgmax(col("tgs"),
+      langProfiles(s, d).map(p => p.lang -> p.ptgs))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tgs.as("tgs"))
+      .select(col("lang"), best.as("best"))
+      .filter(col("best.score") > 0)
+      .groupBy(col("lang"), col("best.pl").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The t05 confusion relation as a DuckDB CTE chain ending in
+    * `conf(lang, pred_lang, n)` — shared by the t05 and t47 oracles. */
+  private val langConfusionCtes = """tri AS (
+        SELECT DISTINCT doc_id, lang, unnest(list_transform(
+          generate_series(1, greatest(LENGTH(text) - 2, 0)),
+          i -> substr(text, i, 3))) AS tg
+        FROM documents),
+      profiles AS (
+        SELECT lang AS profile_lang, tg FROM (
+          SELECT lang, tg, ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY COUNT(1) DESC, tg) AS rk
+          FROM tri GROUP BY lang, tg) p
+        WHERE rk <= 20),
+      scores AS (
+        SELECT t.doc_id, p.profile_lang, COUNT(1) AS score
+        FROM (SELECT DISTINCT doc_id, tg FROM tri) t
+        JOIN profiles p ON t.tg = p.tg
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT doc_id, profile_lang AS pred_lang FROM (
+          SELECT doc_id, profile_lang, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rk
+          FROM scores) x
+        WHERE rk = 1),
+      conf AS (
+        SELECT d.lang, pred.pred_lang, COUNT(1) AS n
+        FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+        GROUP BY 1, 2)"""
+
   private[graft] def langProfiles(s: SparkSession, d: String): Seq[LangProfile] =
     langProfMemo.getOrCompute(s, d) {
       val tgs = graft.functions.TextExprs.charNGrams(col("text"), 3)
@@ -836,55 +888,9 @@ object Text {
     //      per-lang confusion counts ----
     QuerySpec(
       "t05_language_id",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        // CharNGrams extracts each doc's DISTINCT trigrams in a single
-        // fused pass (they stay strings: the profile rank tie-breaks
-        // on the trigram itself, which hashing would scramble)
-        val tgs = graft.functions.TextExprs.charNGrams(col("text"), 3)
-        // all profiles ride INSIDE one fused codegen'd expression
-        // ([[graft.functions.TextExprs.ProfileArgmax]], trigram →
-        // lang-bitmask map, profiles in lang order): classification is
-        // one hash pass per row. Same contract as the aggregate-fold
-        // it replaces (ExprEquivSpec): strict `>` keeps the FIRST
-        // (smallest) lang on ties, matching the oracle's (score DESC,
-        // lang ASC) rank; docs overlapping no profile (score 0 beats
-        // the -1 seed but nothing else) are dropped like the oracle's
-        // inner join
-        val best = graft.functions.TextExprs.profileArgmax(col("tgs"),
-          langProfiles(s, d).map(p => p.lang -> p.ptgs))
-        docs.select(col("doc_id"), col("lang"), tgs.as("tgs"))
-          .select(col("lang"), best.as("best"))
-          .filter(col("best.score") > 0)
-          .groupBy(col("lang"), col("best.pl").as("pred_lang"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy("lang", "pred_lang")
-      },
-      Some("""WITH tri AS (
-        SELECT DISTINCT doc_id, lang, unnest(list_transform(
-          generate_series(1, greatest(LENGTH(text) - 2, 0)),
-          i -> substr(text, i, 3))) AS tg
-        FROM documents),
-      profiles AS (
-        SELECT lang AS profile_lang, tg FROM (
-          SELECT lang, tg, ROW_NUMBER() OVER (PARTITION BY lang
-            ORDER BY COUNT(1) DESC, tg) AS rk
-          FROM tri GROUP BY lang, tg) p
-        WHERE rk <= 20),
-      scores AS (
-        SELECT t.doc_id, p.profile_lang, COUNT(1) AS score
-        FROM (SELECT DISTINCT doc_id, tg FROM tri) t
-        JOIN profiles p ON t.tg = p.tg
-        GROUP BY 1, 2),
-      pred AS (
-        SELECT doc_id, profile_lang AS pred_lang FROM (
-          SELECT doc_id, profile_lang, ROW_NUMBER() OVER (
-            PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rk
-          FROM scores) x
-        WHERE rk = 1)
-      SELECT d.lang, pred.pred_lang, COUNT(1) AS n
-      FROM documents d JOIN pred ON d.doc_id = pred.doc_id
-      GROUP BY 1, 2 ORDER BY 1, 2""")),
+      (s, d) => langConfusion(s, d).orderBy("lang", "pred_lang"),
+      Some(s"""WITH $langConfusionCtes
+      SELECT lang, pred_lang, n FROM conf ORDER BY 1, 2""")),
 
     // ---- rolling-hash document fingerprint (portable: 31-base
     //      polynomial over character codes mod 1e9+7), computed by the
@@ -2707,6 +2713,82 @@ object Text {
           CAST(COUNT(1) AS DOUBLE) AS oov_rate
       FROM held h LEFT JOIN vocab v ON h.t = v.t
       GROUP BY h.split, h.lang ORDER BY h.split, h.lang""")),
+
+    // ---- classifier EVALUATION: per-class precision / recall / F1
+    //      from t05's confusion matrix — the metrics layer every
+    //      model gate in a curation pipeline reads (t29's distilled
+    //      quality filter, the language router, any learned gate).
+    //      Classes are the union of true and predicted labels over
+    //      the classified set; a class never predicted gets NULL
+    //      precision, never true gets NULL recall — honest NULLs,
+    //      not fabricated zeros. Ratios and the F1 harmonic mean are
+    //      fixed double-op sequences both engines execute identically
+    //      → hash-exact. Scale: rides the |langs|² confusion relation
+    //      — metrics cost nothing at any corpus size. ----
+    QuerySpec(
+      "t47_langid_metrics",
+      (s, d) => {
+        val conf = Scoped.persist(langConfusion(s, d))
+        val classes = conf.select(col("lang"))
+          .union(conf.select(col("pred_lang"))).distinct()
+        val byTrue = conf.groupBy(col("lang"))
+          .agg(sum(col("n")).as("n_true"))
+        val byPred = conf.groupBy(col("pred_lang").as("lang"))
+          .agg(sum(col("n")).as("n_pred"))
+        val corr = conf.filter(col("lang") === col("pred_lang"))
+          .select(col("lang"), col("n").as("n_correct"))
+        classes.join(byTrue, Seq("lang"), "left")
+          .join(byPred, Seq("lang"), "left")
+          .join(corr, Seq("lang"), "left")
+          .select(col("lang"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+            coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+          .withColumn("precision", when(col("n_pred") > 0,
+            col("n_correct").cast("double") / col("n_pred").cast("double")))
+          .withColumn("recall", when(col("n_true") > 0,
+            col("n_correct").cast("double") / col("n_true").cast("double")))
+          .withColumn("f1", when(
+            col("precision").isNotNull && col("recall").isNotNull &&
+              (col("precision") + col("recall")) > 0,
+            lit(2.0) * col("precision") * col("recall") /
+              (col("precision") + col("recall"))))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $langConfusionCtes,
+      classes AS (
+        SELECT DISTINCT lang FROM (
+          SELECT lang FROM conf
+          UNION SELECT pred_lang AS lang FROM conf) u),
+      bytrue AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true
+        FROM conf GROUP BY lang),
+      bypred AS (
+        SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+        FROM conf GROUP BY 1),
+      corr AS (
+        SELECT lang, n AS n_correct FROM conf WHERE lang = pred_lang),
+      base AS (
+        SELECT c.lang,
+          COALESCE(t.n_true, 0) AS n_true,
+          COALESCE(p.n_pred, 0) AS n_pred,
+          COALESCE(r.n_correct, 0) AS n_correct
+        FROM classes c
+        LEFT JOIN bytrue t USING (lang)
+        LEFT JOIN bypred p USING (lang)
+        LEFT JOIN corr r USING (lang)),
+      pr AS (
+        SELECT lang, n_true, n_pred, n_correct,
+          CASE WHEN n_pred > 0 THEN CAST(n_correct AS DOUBLE)
+            / CAST(n_pred AS DOUBLE) END AS precision,
+          CASE WHEN n_true > 0 THEN CAST(n_correct AS DOUBLE)
+            / CAST(n_true AS DOUBLE) END AS recall
+        FROM base)
+      SELECT lang, n_true, n_pred, n_correct, precision, recall,
+        CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+          AND precision + recall > 0
+          THEN 2.0 * precision * recall / (precision + recall) END AS f1
+      FROM pr ORDER BY lang""")),
 
     // ---- cross-split leakage: held-out documents whose EXACT text
     //      also appears in the train split — the eval-integrity gate

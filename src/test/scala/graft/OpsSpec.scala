@@ -1903,6 +1903,40 @@ class OpsSpec extends SparkSpec {
     assert(planted("validation") == ((1L, 0L))) // doc 0 clean
   }
 
+  test("t47: metrics replay from the t05 confusion matrix") {
+    val conf = SparkEntry.queries("t05_language_id")(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val got = SparkEntry.queries("t47_langid_metrics")(spark, sf0001)
+      .collect().map { r =>
+        def od(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), od(4), od(5), od(6))
+      }.toMap
+    assert(got.nonEmpty && conf.nonEmpty)
+    val classes = conf.flatMap(c => Seq(c._1._1, c._1._2)).distinct
+    assert(got.keySet == classes.toSet)
+    classes.foreach { c =>
+      val nTrue = conf.filter(_._1._1 == c).map(_._2).sum
+      val nPred = conf.filter(_._1._2 == c).map(_._2).sum
+      val nCorr = conf.filter(p => p._1._1 == c && p._1._2 == c)
+        .map(_._2).sum
+      val (gt, gp, gc, prec, rec, f1) = got(c)
+      assert((gt, gp, gc) == ((nTrue, nPred, nCorr)))
+      assert(gc <= math.min(gt, gp))
+      assert(prec == (if (nPred > 0) Some(nCorr.toDouble / nPred) else None))
+      assert(rec == (if (nTrue > 0) Some(nCorr.toDouble / nTrue) else None))
+      (prec, rec) match {
+        case (Some(p), Some(r0)) if p + r0 > 0 =>
+          assert(f1.contains(2.0 * p * r0 / (p + r0)))
+        case _ => assert(f1.isEmpty)
+      }
+    }
+    // conservation: true totals and predicted totals both sum to the
+    // classified-document count
+    val n = conf.map(_._2).sum
+    assert(got.values.map(_._1).sum == n && got.values.map(_._2).sum == n)
+  }
+
   test("e30: the 168-cell profile conserves events and replays per cell") {
     val got = SparkEntry.queries("e30_seasonality")(spark, sf0001)
       .collect().map(r => ((r.getInt(0), r.getInt(1)),

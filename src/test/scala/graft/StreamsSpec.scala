@@ -754,6 +754,12 @@ class StreamsSpec extends SparkSpec {
       ms.addData(Streams.Ev(-1L,
         new Timestamp(evs.last.ts.getTime + 5L * 86400000)))
       q.processAllAvailable()
+      // state bound: one row per user ever seen (+ sentinel), no
+      // matter how many days/batches flowed through — the pending
+      // buffer drains as the watermark closes days
+      val nUsers = evs.map(_.user_id).distinct.length
+      assert(q.lastProgress.stateOperators.head.numRowsTotal
+        <= nUsers + 1)
     } finally q.stop()
     val inc = spark.table("growth").collect()
       .map(r => (r.getLong(0), r.getString(1)))
