@@ -1267,6 +1267,41 @@ object Events {
       tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM cells)
       SELECT dow, hr, n_events, n_users, total_value,
         CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE) AS share
-      FROM cells, tot ORDER BY dow, hr"""))
+      FROM cells, tot ORDER BY dow, hr""")),
+
+    // ---- journey trigrams: the top-10 most common 3-step event-type
+    //      paths walked by any user — the "what do people actually do"
+    //      query behind UX funnels, one order up from e17's pairwise
+    //      Markov matrix (which cannot distinguish a>b>a from a>b>c).
+    //      Two LEADs over the same (user → ts, event_id) partition
+    //      build each consecutive triple; rank ties break on the path
+    //      string; top-10 is sort+limit → TakeOrderedAndProject, never
+    //      a global sort. Scale: one user-keyed shuffle (the window),
+    //      one |types|³-bounded aggregate. ----
+    QuerySpec(
+      "e31_journey_trigrams",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(byUser))
+          .withColumn("t3", lead(col("event_type"), 2).over(byUser))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+            .as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("path")).limit(10)
+      },
+      Some("""SELECT path, n FROM (
+        SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(1) AS n
+        FROM (SELECT event_type AS t1,
+                LEAD(event_type, 1) OVER w AS t2,
+                LEAD(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) x
+        WHERE t3 IS NOT NULL GROUP BY 1) g
+      ORDER BY n DESC, path LIMIT 10"""))
   )
 }

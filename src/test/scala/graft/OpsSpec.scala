@@ -1937,6 +1937,25 @@ class OpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == n && got.values.map(_._2).sum == n)
   }
 
+  test("e31: top journeys replay from the per-user ordered walks") {
+    val got = SparkEntry.queries("e31_journey_trigrams")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.size == 10)
+    // replay: walk each user's (ts, event_id)-ordered types
+    val walks = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._1).values
+      .flatMap { evs =>
+        val ts = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+        ts.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+      }
+    val counts = walks.groupBy(identity).view.mapValues(_.size.toLong)
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(got.toSeq == want)
+  }
+
   test("e30: the 168-cell profile conserves events and replays per cell") {
     val got = SparkEntry.queries("e30_seasonality")(spark, sf0001)
       .collect().map(r => ((r.getInt(0), r.getInt(1)),
