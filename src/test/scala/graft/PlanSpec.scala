@@ -376,6 +376,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), p.take(800))
   }
 
+  test("broadcast fallback: q03 under threshold -1 shuffles and matches") {
+    // at 100 TB a "dimension" can outgrow the broadcast threshold;
+    // the plan must degrade to shuffle joins with IDENTICAL results,
+    // not depend on broadcastability for correctness
+    val want = SparkEntry.queries("q03_shipping_priority")(
+      spark, sf0001).collect().toSeq
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      val df = SparkEntry.queries("q03_shipping_priority")(
+        spark, sf0001)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p.take(600))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(600))
+      assert(df.collect().toSeq == want)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(
