@@ -1606,6 +1606,60 @@ object Similarity {
           list(d2 ORDER BY pos)), (acc, x) -> acc + x)) AS drift,
         CAST(MAX(nt) AS INT) AS n_train,
         CAST(MAX(nh) AS INT) AS n_held
-      FROM j GROUP BY label ORDER BY label"""))
+      FROM j GROUP BY label ORDER BY label""")),
+
+    // ---- QUANTIZATION-ERROR audit: per label, the reconstruction
+    //      RMSE of s07's int8 scalar quantization (dequant = code ·
+    //      scale / 127) — the go/no-go gate before shipping a corpus
+    //      as codes instead of floats: a label whose embeddings
+    //      quantize badly (outlier-dominated scales) needs per-block
+    //      scales or PQ instead. Every step is a fixed double
+    //      sequence both engines execute identically (the round is
+    //      half-away-from-zero in both, s07's contract); the
+    //      per-label mean rides the s02 sorted fold → hash-exact.
+    //      Scale: one map-only pass computes per-vector RMSE; the
+    //      only shuffle carries (label, rmse) pairs. ----
+    QuerySpec(
+      "s22_quant_error",
+      (s, d) => {
+        val de = vec(col("embedding"))
+        val scale = array_max(transform(de, v => abs(v)))
+        // scale materialized BEFORE the error lambda (the s07 hoist:
+        // an expression referenced inside an interpreted HOF would
+        // recompute the O(dim) max per element)
+        val err2 = when(col("s") > 0,
+          aggregate(col("de"), lit(0.0), (acc, v) => {
+            val q = round(v * 127 / col("s")) * col("s") / 127
+            acc + (v - q) * (v - q)
+          })).otherwise(lit(0.0))
+        Tables.embeddings(s, d)
+          .select(col("label"), de.as("de"), scale.as("s"))
+          .select(col("label"), sqrt(err2 / 64).as("rmse"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            (aggregate(sort_array(collect_list(col("rmse"))), lit(0.0),
+              (acc, x) => acc + x) / count(lit(1))).as("mean_rmse"),
+            max(col("rmse")).as("max_rmse"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS de,
+          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+            v -> abs(v))) AS s
+        FROM embeddings),
+      r AS (
+        SELECT label, sqrt(CASE WHEN s > 0 THEN
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(de, v ->
+                (v - round(v * 127 / s) * s / 127) *
+                (v - round(v * 127 / s) * s / 127))),
+              (acc, x) -> acc + x)
+          ELSE 0.0 END / 64) AS rmse
+        FROM e)
+      SELECT label, COUNT(1) AS n_vecs,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(rmse))),
+          (acc, x) -> acc + x) / COUNT(1) AS mean_rmse,
+        MAX(rmse) AS max_rmse
+      FROM r GROUP BY label ORDER BY label"""))
   )
 }

@@ -1937,6 +1937,36 @@ class OpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == n && got.values.map(_._2).sum == n)
   }
 
+  test("s22: quantization RMSE replays from the int8 round-trip") {
+    val got = SparkEntry.queries("s22_quant_error")(spark, sf0001)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .collect().map(r =>
+        (r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    vecs.groupBy(_._2).foreach { case (label, members) =>
+      val rmses = members.map { case (v, _) =>
+        val s = v.map(math.abs).max
+        // half-away-from-zero, the Spark/DuckDB round contract
+        // (math.round is half-towards-positive and differs at -x.5)
+        def r(y: Double) =
+          if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+        val e2 = if (s > 0) v.map { x =>
+          val q = r(x * 127 / s) * s / 127
+          (x - q) * (x - q)
+        }.foldLeft(0.0)(_ + _) else 0.0
+        math.sqrt(e2 / 64)
+      }
+      val (n, mean, mx) = got(label)
+      assert(n == members.length.toLong)
+      assert(mx == rmses.max)
+      assert(math.abs(mean - rmses.sorted.foldLeft(0.0)(_ + _) / n) == 0.0)
+      // int8 at scale 127 bounds per-dim error by s/254 + rounding
+      assert(mx < 0.01, s"label $label rmse $mx implausibly large")
+    }
+  }
+
   test("e31: top journeys replay from the per-user ordered walks") {
     val got = SparkEntry.queries("e31_journey_trigrams")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1)))
