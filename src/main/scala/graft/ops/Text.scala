@@ -2790,6 +2790,91 @@ object Text {
           THEN 2.0 * precision * recall / (precision + recall) END AS f1
       FROM pr ORDER BY lang""")),
 
+    // ---- distributional drift, token level: per-source KL divergence
+    //      from the corpus unigram distribution over the top-500
+    //      corpus vocabulary — the finer-grained complement of t35's
+    //      chi-square (which sees language composition, not word
+    //      choice): a source whose KL spikes writes DIFFERENTLY, not
+    //      just in a different language. Restricting both
+    //      distributions to the shared vocabulary keeps every q_i > 0
+    //      (no smoothing constant to tune); source tokens outside it
+    //      are reported as coverage instead. ln is bitwise-identical
+    //      across engines here (t36's BM25 idf established that); the
+    //      KL sum folds in token order on both sides → hash-exact.
+    //      Scale: two token-keyed aggregates + a broadcast of the
+    //      500-row vocab; the fold rides |sources|×500 rows. ----
+    QuerySpec(
+      "t48_source_kl",
+      (s, d) => {
+        val tokens = Tables.documents(s, d)
+          .select(col("source"), explode(toks).as("t"))
+        val vocab = tokens.groupBy(col("t"))
+          .agg(count(lit(1)).as("nq_i"))
+          .orderBy(desc("nq_i"), col("t")).limit(500)
+        val nq = vocab.agg(sum(col("nq_i")).as("nq"))
+        val srcTot = tokens.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val srcCnt = tokens.join(broadcast(vocab), "t")
+          .groupBy(col("source"), col("t"))
+          .agg(count(lit(1)).as("c"), first(col("nq_i")).as("nq_i"))
+        val srcNp = srcCnt.groupBy(col("source"))
+          .agg(sum(col("c")).as("np"))
+        val terms = srcCnt.join(broadcast(srcNp), "source")
+          .crossJoin(broadcast(nq))
+          .select(col("source"), col("t"),
+            round((col("c").cast("double") / col("np").cast("double")) *
+              log((col("c").cast("double") / col("np").cast("double")) /
+                (col("nq_i").cast("double") / col("nq").cast("double"))), 9)
+              .as("term"))
+        terms.groupBy(col("source"))
+          .agg(aggregate(sort_array(collect_list(struct(col("t"),
+              col("term")))), lit(0.0),
+              (acc, p) => acc + p.getField("term")).as("kl"))
+          .join(broadcast(srcNp), "source")
+          .join(broadcast(srcTot), "source")
+          .select(col("source"), col("n_tokens"),
+            col("np").as("n_vocab_tokens"),
+            (col("np").cast("double") / col("n_tokens").cast("double"))
+              .as("coverage"),
+            col("kl"))
+          .orderBy("source")
+      },
+      Some("""WITH tokens AS (
+        SELECT source, unnest(str_split(text, ' ')) AS t
+        FROM documents),
+      vocab AS (
+        SELECT t, nq_i FROM (
+          SELECT t, COUNT(1) AS nq_i,
+            ROW_NUMBER() OVER (ORDER BY COUNT(1) DESC, t) AS rk
+          FROM tokens GROUP BY t) v
+        WHERE rk <= 500),
+      nq AS (SELECT CAST(SUM(nq_i) AS BIGINT) AS nq FROM vocab),
+      srctot AS (
+        SELECT source, COUNT(1) AS n_tokens FROM tokens GROUP BY source),
+      srccnt AS (
+        SELECT k.source, k.t, COUNT(1) AS c, MAX(v.nq_i) AS nq_i
+        FROM tokens k JOIN vocab v ON k.t = v.t
+        GROUP BY k.source, k.t),
+      srcnp AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS np
+        FROM srccnt GROUP BY source),
+      terms AS (
+        SELECT c.source, c.t,
+          ROUND((CAST(c.c AS DOUBLE) / CAST(p.np AS DOUBLE)) *
+            ln((CAST(c.c AS DOUBLE) / CAST(p.np AS DOUBLE)) /
+              (CAST(c.nq_i AS DOUBLE) / CAST(q.nq AS DOUBLE))), 9) AS term
+        FROM srccnt c JOIN srcnp p USING (source), nq q)
+      SELECT t.source, t.n_tokens, p.np AS n_vocab_tokens,
+        CAST(p.np AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS coverage,
+        k.kl
+      FROM (SELECT source,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list(term ORDER BY t)), (acc, x) -> acc + x) AS kl
+            FROM terms GROUP BY source) k
+      JOIN srcnp p USING (source)
+      JOIN srctot t USING (source)
+      ORDER BY t.source""")),
+
     // ---- cross-split leakage: held-out documents whose EXACT text
     //      also appears in the train split — the eval-integrity gate
     //      (a test set contaminated by train duplicates inflates

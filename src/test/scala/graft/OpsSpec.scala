@@ -1937,6 +1937,42 @@ class OpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == n && got.values.map(_._2).sum == n)
   }
 
+  test("t48: per-source KL replays from the top-500 vocab distributions") {
+    val got = SparkEntry.queries("t48_source_kl")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokens = docs.flatMap { case (src, tx) =>
+      tx.split(" ", -1).map(src -> _) }
+    val vocab = tokens.map(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(500)
+    val vmap = vocab.toMap
+    val nq = vocab.map(_._2).sum
+    tokens.groupBy(_._1).foreach { case (src, ts) =>
+      val inVocab = ts.map(_._2).filter(vmap.contains)
+      val np = inVocab.length.toLong
+      val (gn, gnp, cov, kl) = got(src)
+      assert(gn == ts.length.toLong && gnp == np)
+      assert(cov == np.toDouble / ts.length)
+      val want = inVocab.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (t, occ) =>
+          val p = occ.length.toDouble / np
+          val q = vmap(t).toDouble / nq
+          BigDecimal(p * math.log(p / q))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.foldLeft(0.0)(_ + _)
+      // terms are rounded to 9 decimals before folding; the replay
+      // rounds identically, so equality is exact
+      assert(kl == want, s"source $src kl $kl != $want")
+      assert(kl > -1e-6) // Gibbs: KL >= 0 up to the term rounding
+    }
+  }
+
   test("s22: quantization RMSE replays from the int8 round-trip") {
     val got = SparkEntry.queries("s22_quant_error")(spark, sf0001)
       .collect().map(r => r.getInt(0) ->
