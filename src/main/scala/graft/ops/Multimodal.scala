@@ -163,6 +163,10 @@ object Multimodal {
   final case class HistRow(doc_id: Long, bin: Int,
       n_r: Long, n_g: Long, n_b: Long)
 
+  final case class DecodeAudit(doc_id: Long, ok: Boolean, n_bytes: Int,
+      width: Option[Int], height: Option[Int], mean_r: Option[Double],
+      mean_g: Option[Double], mean_b: Option[Double])
+
   /** 16-bin per-channel histogram of the decoded pixels (bin =
     * value / 16) — all 16 bins emitted per doc, zeros included, so
     * the relation shape is doc-count × 16 regardless of content. */
@@ -1206,6 +1210,67 @@ object Multimodal {
       LEFT JOIN rc ON rc.doc_id = b.doc_id AND rc.bin = b.bin
       LEFT JOIN gc ON gc.doc_id = b.doc_id AND gc.bin = b.bin
       LEFT JOIN bc ON bc.doc_id = b.doc_id AND bc.bin = b.bin
-      ORDER BY b.doc_id, b.bin"""))
+      ORDER BY b.doc_id, b.bin""")),
+
+    // ---- QUARANTINE decode: a 100 TB media corpus CONTAINS corrupt
+    //      files, and one of them must never kill the job — the
+    //      reference's per-file error isolation (C2,
+    //      `sharepoint_to_bronze_delta.py:213-219`) applied to the
+    //      decode stage. The fixture truncates every doc_id ≡ 0
+    //      (mod 7) payload mid-pixel-array; the batched decode
+    //      try/catches PER ROW, emitting decoded features for good
+    //      rows and (ok=false, null features) for bad ones, so the
+    //      oracle can predict the ENTIRE relation — which rows fail
+    //      is part of the contract, not luck. Scale: map-only, same
+    //      shape as m03; the quarantined slice is a filter away. ----
+    QuerySpec(
+      "m14_decode_quarantine",
+      (s, d) => {
+        import s.implicits._
+        bmpFixture(s, d).as[MediaRow]
+          .map(r => MediaRow(r.doc_id,
+            if (r.doc_id % 7 == 0) r.payload.take(40) else r.payload))
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.map { r =>
+              try {
+                val (w, h, mr, mg, mb, _, _, _) = decodeBmp(r.payload)
+                DecodeAudit(r.doc_id, ok = true, r.payload.length,
+                  Some(w), Some(h), Some(mr), Some(mg), Some(mb))
+              } catch { case _: IllegalArgumentException =>
+                DecodeAudit(r.doc_id, ok = false, r.payload.length,
+                  None, None, None, None, None)
+              }
+            })
+          }.toDF().orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+        SELECT doc_id, CAST(4 + (n_chars % 13) AS INT) AS w,
+               CAST(3 + (n_chars % 7) AS INT) AS h
+        FROM documents),
+      grid AS (
+        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h,
+                unnest(generate_series(0, w - 1)) AS x FROM dims) gx),
+      agg AS (
+        SELECT doc_id, w, h,
+          CAST(SUM((doc_id*19 + x*23 + y*29) % 256) AS DOUBLE) / (w*h)
+            AS mean_r,
+          CAST(SUM((doc_id*11 + x*13 + y*17) % 256) AS DOUBLE) / (w*h)
+            AS mean_g,
+          CAST(SUM((doc_id*7 + x*3 + y*5) % 256) AS DOUBLE) / (w*h)
+            AS mean_b
+        FROM grid GROUP BY doc_id, w, h)
+      SELECT d.doc_id,
+        d.doc_id % 7 <> 0 AS ok,
+        CASE WHEN d.doc_id % 7 = 0
+          THEN LEAST(40, 54 + ((3*d.w + 3) // 4) * 4 * d.h)
+          ELSE 54 + ((3*d.w + 3) // 4) * 4 * d.h END AS n_bytes,
+        CASE WHEN d.doc_id % 7 <> 0 THEN d.w END AS width,
+        CASE WHEN d.doc_id % 7 <> 0 THEN d.h END AS height,
+        CASE WHEN d.doc_id % 7 <> 0 THEN a.mean_r END AS mean_r,
+        CASE WHEN d.doc_id % 7 <> 0 THEN a.mean_g END AS mean_g,
+        CASE WHEN d.doc_id % 7 <> 0 THEN a.mean_b END AS mean_b
+      FROM dims d JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""))
   )
 }

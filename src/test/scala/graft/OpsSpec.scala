@@ -1937,6 +1937,25 @@ class OpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == n && got.values.map(_._2).sum == n)
   }
 
+  test("m14: corrupt payloads quarantine per row; good rows decode fully") {
+    val got = SparkEntry.queries("m14_decode_quarantine")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.size == docs.length) // every doc has a verdict
+    docs.foreach(id => assert(got(id) == (id % 7 != 0), s"doc $id"))
+    // good rows carry the same features m03's clean decode produces
+    val clean = SparkEntry.queries("m03_decode_features")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    SparkEntry.queries("m14_decode_quarantine")(spark, sf0001)
+      .collect().filter(_.getBoolean(1)).foreach { r =>
+        val (w, h, mr) = clean(r.getLong(0))
+        assert(r.getInt(3) == w && r.getInt(4) == h &&
+          r.getDouble(5) == mr)
+      }
+  }
+
   test("t48: per-source KL replays from the top-500 vocab distributions") {
     val got = SparkEntry.queries("t48_source_kl")(spark, sf0001)
       .collect().map(r => r.getString(0) ->
