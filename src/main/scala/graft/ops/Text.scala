@@ -2790,6 +2790,89 @@ object Text {
           THEN 2.0 * precision * recall / (precision + recall) END AS f1
       FROM pr ORDER BY lang""")),
 
+    // ---- quality-aware SURVIVORSHIP: when a near-dup cluster
+    //      collapses, keep the BEST document (t04/t13 quality,
+    //      doc_id tie-break), not the first-seen — the curation
+    //      policy that actually matters at collapse time (the min-id
+    //      convention t12/t31 use is a stable default, not a
+    //      preference). One summary row: corpus vs component counts,
+    //      decimal-exact mean quality under the best-keeps policy vs
+    //      the min-id policy, and how many components the two
+    //      policies disagree on. Pairs come from the LSH path (the
+    //      100 TB pair source); the oracle replays clustering with
+    //      the recursive-CTE closure and the same argmax. Scale:
+    //      t12's CC machinery + one per-component rank — nothing new
+    //      shuffles. ----
+    QuerySpec(
+      "t49_quality_survivorship",
+      (s, d) => {
+        val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+        val nTok = size(toks).cast("double")
+        val stopRatio =
+          size(filter(toks, t => array_contains(stop, t))).cast("double") / nTok
+        val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+        val lenScore = least(nTok / lit(100.0), lit(1.0))
+        val quality = round(lenScore * lit(0.4) + distinctRatio * lit(0.4) +
+          least(stopRatio * lit(5.0), lit(1.0)) * lit(0.2), 6)
+        val labels = connectedComponents(
+          lshJaccardPairs(s, d, 0.8).select("da", "db"))
+        val m = Tables.documents(s, d).withColumn("q", quality)
+          .join(labels.select(col("doc_id"), col("lbl")),
+            Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("lbl"), col("doc_id")))
+        val wBest = Window.partitionBy(col("component"))
+          .orderBy(desc("q"), col("doc_id"))
+        m.withColumn("rk", row_number().over(wBest))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("component")).as("n_components"),
+            (count(lit(1)) - countDistinct(col("component")))
+              .as("n_removed"),
+            round(dsum(when(col("rk") === 1, col("q"))) /
+              countDistinct(col("component")), 6).as("avg_best_quality"),
+            round(dsum(when(col("doc_id") === col("component"), col("q"))) /
+              countDistinct(col("component")), 6).as("avg_minid_quality"),
+            sum(when(col("rk") === 1 && col("doc_id") =!= col("component"),
+              1L).otherwise(0L)).as("n_policy_differs"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (${jaccardPairsSql(0.8)}),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT a AS doc_id, LEAST(a, MIN(b)) AS lbl
+          FROM reach GROUP BY a),
+        q AS (SELECT doc_id, ROUND(
+            LEAST(CAST(len(str_split(text,' ')) AS DOUBLE)/100.0, 1.0) * 0.4
+            + (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+               / len(str_split(text,' '))) * 0.4
+            + LEAST((CAST(len(list_filter(str_split(text,' '),
+                t -> list_contains(['the','a','of','and','to','in'], t)))
+              AS DOUBLE) / len(str_split(text,' '))) * 5.0, 1.0) * 0.2, 6)
+            AS q
+          FROM documents),
+        m AS (
+          SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS component, q.q
+          FROM documents d
+          LEFT JOIN labels l ON d.doc_id = l.doc_id
+          JOIN q ON d.doc_id = q.doc_id),
+        r AS (
+          SELECT component, doc_id, q, ROW_NUMBER() OVER (
+            PARTITION BY component ORDER BY q DESC, doc_id) AS rk
+          FROM m)
+      SELECT COUNT(1) AS n_docs,
+        COUNT(DISTINCT component) AS n_components,
+        COUNT(1) - COUNT(DISTINCT component) AS n_removed,
+        ROUND(${dsumSql("CASE WHEN rk = 1 THEN q END")}
+          / COUNT(DISTINCT component), 6) AS avg_best_quality,
+        ROUND(${dsumSql("CASE WHEN doc_id = component THEN q END")}
+          / COUNT(DISTINCT component), 6) AS avg_minid_quality,
+        CAST(SUM(CASE WHEN rk = 1 AND doc_id <> component
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_policy_differs
+      FROM r""")),
+
     // ---- distributional drift, token level: per-source KL divergence
     //      from the corpus unigram distribution over the top-500
     //      corpus vocabulary — the finer-grained complement of t35's

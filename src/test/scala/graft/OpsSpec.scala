@@ -1937,6 +1937,27 @@ class OpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == n && got.values.map(_._2).sum == n)
   }
 
+  test("t49: survivorship algebra is consistent with t12's clustering") {
+    val r = SparkEntry.queries("t49_quality_survivorship")(spark, sf0001)
+      .head()
+    val (nDocs, nComp, nRem) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (best, minid, differs) =
+      (r.getDouble(3), r.getDouble(4), r.getLong(5))
+    assert(nDocs == Tables.documents(spark, sf0001).count())
+    assert(nDocs == nComp + nRem && nComp > 0)
+    // best-keeps can never average WORSE than first-id keeps, and the
+    // policies must actually disagree somewhere on this corpus
+    assert(best >= minid)
+    assert(differs > 0 && differs <= nComp)
+    // cross-check the component count against t12's clustering plus
+    // the singletons t12's pair-graph-only relation omits
+    val t12 = SparkEntry.queries("t12_dedup_groups")(spark, sf0001)
+      .collect().map(re => (re.getLong(0), re.getLong(1)))
+    val inGraphComponents = t12.map(_._2).distinct.length.toLong
+    val singletons = nDocs - t12.length
+    assert(nComp == inGraphComponents + singletons)
+  }
+
   test("m14: corrupt payloads quarantine per row; good rows decode fully") {
     val got = SparkEntry.queries("m14_decode_quarantine")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
