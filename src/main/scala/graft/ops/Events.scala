@@ -1302,6 +1302,51 @@ object Events {
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) x
         WHERE t3 IS NOT NULL GROUP BY 1) g
-      ORDER BY n DESC, path LIMIT 10"""))
+      ORDER BY n DESC, path LIMIT 10""")),
+
+    // ---- conversion-lag distribution: how long from a user's FIRST
+    //      signup to their FIRST subsequent purchase, bucketed by
+    //      whole days — the time-to-value histogram behind e06's
+    //      binary 7-day gate (which says IF users convert; this says
+    //      WHEN). Never-converting users land in a NULL-keyed bucket
+    //      rather than vanishing. Microsecond integer arithmetic end
+    //      to end → hash-exact. Scale: two user-keyed min-aggregates
+    //      and a |days|-bounded rollup. ----
+    QuerySpec(
+      "e32_conversion_lag",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val sign = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(tsUs).as("s_us"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), tsUs.as("p_us"))
+        // the >= predicate must sit IN the join: filtered afterwards,
+        // a user whose only purchases PRECEDE signup would vanish
+        // instead of landing in the never-converted bucket
+        val firstPur = sign.join(pur,
+            col("user_id") === col("p_user") && col("p_us") >= col("s_us"),
+            "left")
+          .groupBy(col("user_id"), col("s_us"))
+          .agg(min(col("p_us")).as("fp_us"))
+        firstPur
+          .select(((col("fp_us") - col("s_us")) / 86400000000L)
+            .cast("long").as("lag_days"))
+          .groupBy(col("lag_days"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(asc_nulls_last("lag_days"))
+      },
+      Some("""WITH sign AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      fp AS (
+        SELECT s.user_id, s.s_us, MIN(p.p_us) AS fp_us
+        FROM sign s LEFT JOIN (
+          SELECT user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase') p
+        ON s.user_id = p.user_id AND p.p_us >= s.s_us
+        GROUP BY s.user_id, s.s_us)
+      SELECT CAST((fp_us - s_us) // 86400000000 AS BIGINT) AS lag_days,
+        COUNT(1) AS n_users
+      FROM fp GROUP BY 1 ORDER BY lag_days NULLS LAST"""))
   )
 }

@@ -1937,6 +1937,30 @@ class OpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == n && got.values.map(_._2).sum == n)
   }
 
+  test("e32: conversion lags replay from first signup / first purchase") {
+    val got = SparkEntry.queries("e32_conversion_lag")(spark, sf0001)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+    val evs = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), us(r.getTimestamp(2))))
+    val want = evs.filter(_._2 == "signup").groupBy(_._1).toSeq
+      .map { case (u, ss) =>
+        val s = ss.map(_._3).min
+        val fp = evs.filter(e => e._1 == u && e._2 == "purchase" &&
+          e._3 >= s).map(_._3).sorted.headOption
+        fp.map(p => (p - s) / 86400000000L)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    // the signup population is conserved across the buckets
+    assert(got.values.sum ==
+      evs.filter(_._2 == "signup").map(_._1).distinct.length.toLong)
+  }
+
   test("t49: survivorship algebra is consistent with t12's clustering") {
     val r = SparkEntry.queries("t49_quality_survivorship")(spark, sf0001)
       .head()
