@@ -1262,9 +1262,9 @@ object Multimodal {
         FROM grid GROUP BY doc_id, w, h)
       SELECT d.doc_id,
         d.doc_id % 7 <> 0 AS ok,
-        CASE WHEN d.doc_id % 7 = 0
+        CAST(CASE WHEN d.doc_id % 7 = 0
           THEN LEAST(40, 54 + ((3*d.w + 3) // 4) * 4 * d.h)
-          ELSE 54 + ((3*d.w + 3) // 4) * 4 * d.h END AS n_bytes,
+          ELSE 54 + ((3*d.w + 3) // 4) * 4 * d.h END AS INT) AS n_bytes,
         CASE WHEN d.doc_id % 7 <> 0 THEN d.w END AS width,
         CASE WHEN d.doc_id % 7 <> 0 THEN d.h END AS height,
         CASE WHEN d.doc_id % 7 <> 0 THEN a.mean_r END AS mean_r,
