@@ -1857,7 +1857,97 @@ object Relational {
           ORDER BY month
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           AS cum_suppliers
-      FROM cnt ORDER BY nation, month"""))
+      FROM cnt ORDER BY nation, month""")),
+
+    // ---- revenue CONCENTRATION (Pareto): how many customers cover
+    //      80% of revenue, and what share the top decile holds — the
+    //      classic "whale" analysis. The global ordered prefix sum is
+    //      built the DISTRIBUTED way (t32's trick on the revenue
+    //      domain): customers bucket by a fixed $25k revenue band (a
+    //      monotone function of the sort key with a bounded, SF-free
+    //      band count), the running sum is a window WITHIN each
+    //      band, and ≤ ~30 band totals become broadcast offsets —
+    //      never a 1-partition window over the customer relation.
+    //      Revenue stays DECIMAL through every cumulative step, so
+    //      order never matters; the 80% crossing is the exact integer
+    //      comparison cum·5 < total·4; only the final shares cast to
+    //      double through the dsum hop. ----
+    QuerySpec(
+      "q60_revenue_pareto",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(28,10)")).as("rev"))
+          .withColumn("bkt", floor(col("rev") / 25000).cast("int"))
+        val wIn = Window.partitionBy(col("bkt"))
+          .orderBy(desc("rev"), col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withIn = base
+          .withColumn("cum_rev_in", sum(col("rev")).over(wIn))
+          .withColumn("cum_n_in", count(lit(1)).over(wIn))
+        val wOff = Window.orderBy(desc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = base.groupBy(col("bkt"))
+          .agg(sum(col("rev")).as("brev"), count(lit(1)).as("bn"))
+          .withColumn("rev_off", coalesce(sum(col("brev")).over(wOff),
+            lit(0).cast("decimal(38,10)")))
+          .withColumn("n_off", coalesce(sum(col("bn")).over(wOff),
+            lit(0L)))
+          .select(col("bkt"), col("rev_off"), col("n_off"))
+        val tot = base.agg(sum(col("rev")).as("trev"),
+          count(lit(1)).as("tn"))
+        withIn.join(broadcast(offs), "bkt").crossJoin(broadcast(tot))
+          .select(col("rev"),
+            (col("rev_off") + col("cum_rev_in")).as("cum_rev"),
+            (col("n_off") + col("cum_n_in")).as("cum_n"),
+            col("trev"), col("tn"))
+          .agg(max(col("tn")).as("n_customers"),
+            max(col("trev")).cast("double").as("total_revenue"),
+            (sum(when(col("cum_rev") * 5 < col("trev") * 4, 1L)
+              .otherwise(0L)) + 1).as("n_top80"),
+            (sum(when(col("cum_n") <= (col("tn") / 10).cast("long"),
+              col("rev"))).cast("double") /
+              max(col("trev")).cast("double")).as("top_decile_share"))
+      },
+      Some("""WITH base AS (
+        SELECT o_custkey,
+          SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS rev
+        FROM orders GROUP BY o_custkey),
+      b2 AS (SELECT o_custkey, rev,
+               CAST(floor(rev / 25000) AS INT) AS bkt FROM base),
+      win AS (
+        SELECT o_custkey, rev, bkt,
+          SUM(rev) OVER (PARTITION BY bkt ORDER BY rev DESC, o_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_rev_in,
+          COUNT(1) OVER (PARTITION BY bkt ORDER BY rev DESC, o_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_n_in
+        FROM b2),
+      offs AS (
+        SELECT bkt,
+          COALESCE(SUM(brev) OVER (ORDER BY bkt DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS rev_off,
+          COALESCE(SUM(bn) OVER (ORDER BY bkt DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS n_off
+        FROM (SELECT bkt, SUM(rev) AS brev, COUNT(1) AS bn
+              FROM b2 GROUP BY bkt) t),
+      tot AS (SELECT SUM(rev) AS trev, COUNT(1) AS tn FROM b2),
+      j AS (
+        SELECT w.rev, o.rev_off + w.cum_rev_in AS cum_rev,
+          o.n_off + w.cum_n_in AS cum_n, t.trev, t.tn
+        FROM win w JOIN offs o USING (bkt), tot t)
+      SELECT MAX(tn) AS n_customers,
+        CAST(CAST(MAX(trev) AS VARCHAR) AS DOUBLE) AS total_revenue,
+        CAST(SUM(CASE WHEN cum_rev * 5 < trev * 4 THEN 1 ELSE 0 END)
+          + 1 AS BIGINT) AS n_top80,
+        CAST(CAST(SUM(CASE WHEN cum_n <= tn // 10 THEN rev END)
+            AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(MAX(trev) AS VARCHAR) AS DOUBLE)
+          AS top_decile_share
+      FROM j"""))
   )
 
   /** q53 oracle: the identical edge build + `k` damped iterations as

@@ -1937,6 +1937,27 @@ class OpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == n && got.values.map(_._2).sum == n)
   }
 
+  test("q60: the bucketed Pareto equals the naive global-sort definition") {
+    val r = SparkEntry.queries("q60_revenue_pareto")(spark, sf0001).head()
+    val (n, total, n80, decShare) =
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))
+    // replay the DEFINITION: one global sort on the driver
+    val revs = Tables.orders(spark, sf0001)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(x => (x.getLong(0), BigDecimal(x.getDouble(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (k, v) => (-v, k) }
+    assert(n == revs.length.toLong)
+    val tot = revs.map(_._2).sum
+    assert(total == tot.toDouble)
+    val cums = revs.scanLeft(BigDecimal(0))(_ + _._2).tail
+    assert(n80 == cums.count(_ * 5 < tot * 4) + 1)
+    val k = revs.length / 10
+    assert(decShare ==
+      revs.take(k).map(_._2).sum.toDouble / tot.toDouble)
+    assert(n80 < n && decShare > 0.1) // revenue IS concentrated
+  }
+
   test("e32: conversion lags replay from first signup / first purchase") {
     val got = SparkEntry.queries("e32_conversion_lag")(spark, sf0001)
       .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)))
