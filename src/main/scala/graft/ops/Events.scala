@@ -1288,7 +1288,11 @@ object Events {
             col("event_type"))
           .withColumn("t2", lead(col("event_type"), 1).over(byUser))
           .withColumn("t3", lead(col("event_type"), 2).over(byUser))
-          .filter(col("t3").isNotNull)
+          // all three legs non-null: concat_ws SKIPS nulls while the
+          // oracle's || propagates them — a null middle leg would
+          // bucket differently on the two engines
+          .filter(col("event_type").isNotNull && col("t2").isNotNull &&
+            col("t3").isNotNull)
           .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
             .as("path"))
           .groupBy(col("path")).agg(count(lit(1)).as("n"))
@@ -1301,7 +1305,8 @@ object Events {
                 LEAD(event_type, 2) OVER w AS t3
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) x
-        WHERE t3 IS NOT NULL GROUP BY 1) g
+        WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY 1) g
       ORDER BY n DESC, path LIMIT 10""")),
 
     // ---- conversion-lag distribution: how long from a user's FIRST

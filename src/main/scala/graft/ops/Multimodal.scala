@@ -1236,9 +1236,15 @@ object Multimodal {
                 val (w, h, mr, mg, mb, _, _, _) = decodeBmp(r.payload)
                 DecodeAudit(r.doc_id, ok = true, r.payload.length,
                   Some(w), Some(h), Some(mr), Some(mg), Some(mb))
-              } catch { case _: IllegalArgumentException =>
-                DecodeAudit(r.doc_id, ok = false, r.payload.length,
-                  None, None, None, None, None)
+              } catch {
+                // NonFatal, not just the validator's IAE: a header
+                // that lies (e.g. a width whose rowSize overflows
+                // Int) can slip the bounds require and surface as an
+                // index error in the pixel loop — still a corrupt
+                // FILE, never a dead JOB
+                case scala.util.control.NonFatal(_) =>
+                  DecodeAudit(r.doc_id, ok = false, r.payload.length,
+                    None, None, None, None, None)
               }
             })
           }.toDF().orderBy("doc_id")

@@ -1875,10 +1875,13 @@ object Relational {
     QuerySpec(
       "q60_revenue_pareto",
       (s, d) => {
-        val base = Tables.orders(s, d)
+        // three plan branches (window, offsets, total) read the same
+        // per-customer aggregate — persist or the orders shuffle
+        // recomputes per branch (package.scala's Scoped convention)
+        val base = graft.Scoped.persist(Tables.orders(s, d)
           .groupBy(col("o_custkey"))
           .agg(sum(col("o_totalprice").cast("decimal(28,10)")).as("rev"))
-          .withColumn("bkt", floor(col("rev") / 25000).cast("int"))
+          .withColumn("bkt", floor(col("rev") / 25000).cast("int")))
         val wIn = Window.partitionBy(col("bkt"))
           .orderBy(desc("rev"), col("o_custkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

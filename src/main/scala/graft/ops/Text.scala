@@ -650,6 +650,15 @@ object Text {
       least(stopRatio * lit(5.0), lit(1.0)) * lit(0.2)
   }
 
+  /** DuckDB twin of round([[qualityExpr]], 6) — identical op order. */
+  private val qualitySqlRounded = """ROUND(
+      LEAST(CAST(len(str_split(text,' ')) AS DOUBLE)/100.0, 1.0) * 0.4
+      + (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+         / len(str_split(text,' '))) * 0.4
+      + LEAST((CAST(len(list_filter(str_split(text,' '),
+          t -> list_contains(['the','a','of','and','to','in'], t)))
+        AS DOUBLE) / len(str_split(text,' '))) * 5.0, 1.0) * 0.2, 6)"""
+
   /** Per-doc feature rows (doc_id, f, x): hashed normalized-TF buckets
     * (feature hashing a la Weinberger et al. 2009) + a bias (f = nF)
     * + two surface statistics — length saturation (f = nF+1) and
@@ -2806,14 +2815,9 @@ object Text {
     QuerySpec(
       "t49_quality_survivorship",
       (s, d) => {
-        val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
-        val nTok = size(toks).cast("double")
-        val stopRatio =
-          size(filter(toks, t => array_contains(stop, t))).cast("double") / nTok
-        val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
-        val lenScore = least(nTok / lit(100.0), lit(1.0))
-        val quality = round(lenScore * lit(0.4) + distinctRatio * lit(0.4) +
-          least(stopRatio * lit(5.0), lit(1.0)) * lit(0.2), 6)
+        // the SHARED t04 heuristic, not a copy — a weight tweak there
+        // moves this survivorship comparison with it
+        val quality = round(qualityExpr, 6)
         val labels = connectedComponents(
           lshJaccardPairs(s, d, 0.8).select("da", "db"))
         val m = Tables.documents(s, d).withColumn("q", quality)
@@ -2844,15 +2848,7 @@ object Text {
         labels AS (
           SELECT a AS doc_id, LEAST(a, MIN(b)) AS lbl
           FROM reach GROUP BY a),
-        q AS (SELECT doc_id, ROUND(
-            LEAST(CAST(len(str_split(text,' ')) AS DOUBLE)/100.0, 1.0) * 0.4
-            + (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
-               / len(str_split(text,' '))) * 0.4
-            + LEAST((CAST(len(list_filter(str_split(text,' '),
-                t -> list_contains(['the','a','of','and','to','in'], t)))
-              AS DOUBLE) / len(str_split(text,' '))) * 5.0, 1.0) * 0.2, 6)
-            AS q
-          FROM documents),
+        q AS (SELECT doc_id, $qualitySqlRounded AS q FROM documents),
         m AS (
           SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS component, q.q
           FROM documents d
@@ -2889,17 +2885,19 @@ object Text {
     QuerySpec(
       "t48_source_kl",
       (s, d) => {
-        val tokens = Tables.documents(s, d)
-          .select(col("source"), explode(toks).as("t"))
+        // tokens feeds three branches, srcCnt two — persist both or
+        // the corpus-wide explode recomputes per branch
+        val tokens = Scoped.persist(Tables.documents(s, d)
+          .select(col("source"), explode(toks).as("t")))
         val vocab = tokens.groupBy(col("t"))
           .agg(count(lit(1)).as("nq_i"))
           .orderBy(desc("nq_i"), col("t")).limit(500)
         val nq = vocab.agg(sum(col("nq_i")).as("nq"))
         val srcTot = tokens.groupBy(col("source"))
           .agg(count(lit(1)).as("n_tokens"))
-        val srcCnt = tokens.join(broadcast(vocab), "t")
+        val srcCnt = Scoped.persist(tokens.join(broadcast(vocab), "t")
           .groupBy(col("source"), col("t"))
-          .agg(count(lit(1)).as("c"), first(col("nq_i")).as("nq_i"))
+          .agg(count(lit(1)).as("c"), first(col("nq_i")).as("nq_i")))
         val srcNp = srcCnt.groupBy(col("source"))
           .agg(sum(col("c")).as("np"))
         val terms = srcCnt.join(broadcast(srcNp), "source")
@@ -2909,16 +2907,19 @@ object Text {
               log((col("c").cast("double") / col("np").cast("double")) /
                 (col("nq_i").cast("double") / col("nq").cast("double"))), 9)
               .as("term"))
-        terms.groupBy(col("source"))
+        val kl = terms.groupBy(col("source"))
           .agg(aggregate(sort_array(collect_list(struct(col("t"),
-              col("term")))), lit(0.0),
-              (acc, p) => acc + p.getField("term")).as("kl"))
-          .join(broadcast(srcNp), "source")
-          .join(broadcast(srcTot), "source")
+            col("term")))), lit(0.0),
+            (acc, p) => acc + p.getField("term")).as("kl"))
+        // LEFT from srcTot: a source with ZERO vocabulary overlap is
+        // the most-drifted case of all — it must appear (coverage 0,
+        // NULL kl), never silently vanish from the drift report
+        srcTot.join(broadcast(srcNp), Seq("source"), "left")
+          .join(broadcast(kl), Seq("source"), "left")
           .select(col("source"), col("n_tokens"),
-            col("np").as("n_vocab_tokens"),
-            (col("np").cast("double") / col("n_tokens").cast("double"))
-              .as("coverage"),
+            coalesce(col("np"), lit(0L)).as("n_vocab_tokens"),
+            (coalesce(col("np"), lit(0L)).cast("double") /
+              col("n_tokens").cast("double")).as("coverage"),
             col("kl"))
           .orderBy("source")
       },
@@ -2947,15 +2948,17 @@ object Text {
             ln((CAST(c.c AS DOUBLE) / CAST(p.np AS DOUBLE)) /
               (CAST(c.nq_i AS DOUBLE) / CAST(q.nq AS DOUBLE))), 9) AS term
         FROM srccnt c JOIN srcnp p USING (source), nq q)
-      SELECT t.source, t.n_tokens, p.np AS n_vocab_tokens,
-        CAST(p.np AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS coverage,
+      SELECT t.source, t.n_tokens,
+        CAST(COALESCE(p.np, 0) AS BIGINT) AS n_vocab_tokens,
+        CAST(COALESCE(p.np, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+          AS coverage,
         k.kl
-      FROM (SELECT source,
+      FROM srctot t
+      LEFT JOIN srcnp p USING (source)
+      LEFT JOIN (SELECT source,
               list_reduce(list_prepend(CAST(0 AS DOUBLE),
                 list(term ORDER BY t)), (acc, x) -> acc + x) AS kl
-            FROM terms GROUP BY source) k
-      JOIN srcnp p USING (source)
-      JOIN srctot t USING (source)
+            FROM terms GROUP BY source) k USING (source)
       ORDER BY t.source""")),
 
     // ---- cross-split leakage: held-out documents whose EXACT text
