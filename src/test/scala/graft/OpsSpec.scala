@@ -81,6 +81,14 @@ class OpsSpec extends SparkSpec {
     assert(brute.nonEmpty)
     assert(t08 == brute)
     assert(t09 == brute)
+    // the duplicated corpus (2000 docs) sits ABOVE the routing anchor,
+    // so the t08 equality above exercised the LSH scale path — pin the
+    // routing itself so a future anchor change can't silently turn
+    // this back into an exact-join test
+    assert(!Text.exactAnchor(spark, dir),
+      "duplicated corpus must route t08 through LSH")
+    assert(Text.exactAnchor(spark, sf0001),
+      "gate SF must stay on the exact oracle anchor")
   }
 
   test("s04 collapse equals the uncollapsed LSH pipeline under duplication") {
