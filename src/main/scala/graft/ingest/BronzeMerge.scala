@@ -299,26 +299,30 @@ object BronzeMerge {
     if (constraints.isEmpty) return mergeIngestDf(spark, src, table)
     // pin the batch: the checked rows MUST be the written rows — an
     // unpinned source over a live directory (or any non-deterministic
-    // column) could re-evaluate differently between the two jobs
-    val pinned = src.persist()
-    try {
-      val exprs = constraints.map { case (_, pred) =>
-        sum(when(not(coalesce(pred, lit(true))), 1L).otherwise(0L))
-      }
-      // read positionally — constraint names are caller-supplied
-      // strings and must not collide with anything
-      val row = pinned.agg(exprs.head, exprs.tail: _*).head()
-      val violated = constraints.zipWithIndex
-        .map { case ((name, _), i) =>
-          name -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
-        .filter(_._2 > 0)
-      if (violated.nonEmpty)
-        throw new IllegalArgumentException(
-          "CHECK constraint violation, batch rejected: " +
-            violated.map { case (n, c) => s"$n ($c rows)" }
-              .mkString(", "))
-      mergeIngestDf(spark, pinned, table)
-    } finally pinned.unpersist()
+    // column) could re-evaluate differently between the two jobs.
+    // localCheckpoint, not persist: a cache is best-effort (an evicted
+    // or lost partition recomputes from lineage, re-opening the same
+    // hole), while a checkpoint SEVERS lineage — after it, the rows
+    // the constraint aggregate saw are the only rows that exist
+    // (the checkpoint blocks are released by the ContextCleaner once
+    // the RDD is unreachable — Dataset.unpersist does not apply here)
+    val pinned = src.localCheckpoint()
+    val exprs = constraints.map { case (_, pred) =>
+      sum(when(not(coalesce(pred, lit(true))), 1L).otherwise(0L))
+    }
+    // read positionally — constraint names are caller-supplied
+    // strings and must not collide with anything
+    val row = pinned.agg(exprs.head, exprs.tail: _*).head()
+    val violated = constraints.zipWithIndex
+      .map { case ((name, _), i) =>
+        name -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+      .filter(_._2 > 0)
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        "CHECK constraint violation, batch rejected: " +
+          violated.map { case (n, c) => s"$n ($c rows)" }
+            .mkString(", "))
+    mergeIngestDf(spark, pinned, table)
   }
 
   /** Publish the current snapshot (and its identity keys) as bucketed

@@ -1333,9 +1333,12 @@ object Events {
             "left")
           .groupBy(col("user_id"), col("s_us"))
           .agg(min(col("p_us")).as("fp_us"))
+        // integral `div`, not double true-division + cast: the join
+        // predicate guarantees fp_us >= s_us, so truncating and floor
+        // division agree, and the arithmetic stays integer end to end
+        // like the oracle's `//` (no 2^53 double-mantissa dependence)
         firstPur
-          .select(((col("fp_us") - col("s_us")) / 86400000000L)
-            .cast("long").as("lag_days"))
+          .select(expr("(fp_us - s_us) div 86400000000").as("lag_days"))
           .groupBy(col("lag_days"))
           .agg(count(lit(1)).as("n_users"))
           .orderBy(asc_nulls_last("lag_days"))

@@ -415,13 +415,24 @@ object Streams {
     * spine drop" rule lives — per-user state cannot know the global
     * spine. */
   def growthIncrements(events: Dataset[Ev],
-      watermark: String = "10 minutes")(
+      watermark: String = "10 minutes",
+      retentionDays: Option[Int] = None)(
       implicit spark: SparkSession): Dataset[GrowthInc] = {
     import spark.implicits._
     val zone = java.time.ZoneId.of(
       spark.sessionState.conf.sessionLocalTimeZone)
     def dayEndMs(d: Long): Long = java.time.LocalDate.ofEpochDay(d + 1)
       .atStartOfDay(zone).toInstant.toEpochMilli
+    // retention horizon: WITHOUT it, one state row per user ever seen
+    // lives forever — bounded per user, unbounded in lifetime user
+    // cardinality. With it, a churned user whose pending buffer has
+    // drained is REMOVED once the watermark passes churn-day-end +
+    // horizon; the documented trade is that a reappearance beyond the
+    // horizon classifies as "new", not "resurrected" (a consumer that
+    // needs lifetime resurrection keeps retentionDays = None and
+    // accepts user-cardinality state, like the batch twin's full
+    // history scan).
+    val retentionMs = retentionDays.map(_ * 86400000L)
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -429,6 +440,15 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, evs: Iterator[Ev], state: GroupState[GrowthState]) =>
           val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut && retentionMs.exists(r =>
+              state.getOption.exists(s => s.churned && s.pending.isEmpty &&
+                s.lastDay != Long.MinValue &&
+                wm >= dayEndMs(s.lastDay + 1) + r))) {
+            // churn already emitted, nothing pending, horizon passed:
+            // retire the user's row
+            state.remove()
+            Iterator.empty
+          } else {
           val newDays = if (state.hasTimedOut) Array.empty[Long]
             else evs
               .map(e => e.ts.toInstant.atZone(zone).toLocalDate.toEpochDay)
@@ -470,9 +490,13 @@ object Streams {
             if (rest.nonEmpty) Some(dayEndMs(rest.head))
             else if (last != Long.MinValue && !churned)
               Some(dayEndMs(last + 1))
-            else None
+            else retentionMs.collect {
+              // fully settled: schedule the retirement sweep
+              case r if last != Long.MinValue => dayEndMs(last + 1) + r
+            }
           next.foreach(t => state.setTimeoutTimestamp(math.max(t, wm + 1)))
           out.result().iterator
+          }
       }
   }
 

@@ -821,4 +821,49 @@ class StreamsSpec extends SparkSpec {
     assert(!got.contains((1L, "churned")) && !got.contains((2L, "churned")))
     assert(!got.exists(_._2 == "resurrected"), got.toString)
   }
+
+  test("growth increments: retention horizon retires churned users") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // user 1 active on day 0 only; with a 2-day retention horizon the
+    // state row must be REMOVED once the watermark passes
+    // churn-day-end + horizon, and a reappearance beyond the horizon
+    // classifies as a fresh "new" (the documented trade), never
+    // "resurrected"
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.growthIncrements(ms.toDS, retentionDays = Some(2))
+      .writeStream.format("memory").queryName("growth_ret")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(Streams.Ev(1, ts("2024-03-10 09:00:00")))
+      q.processAllAvailable()
+      // closes day 0 and (next batch) fires the day-1 churn timeout;
+      // horizon deadline = end(day 1) + 2d = 2024-03-14T00:00
+      ms.addData(Streams.Ev(-1L, ts("2024-03-13 00:00:00")))
+      q.processAllAvailable()
+      // watermark passes the deadline; the batch AFTER that fires the
+      // retirement timeout
+      ms.addData(Streams.Ev(-2L, ts("2024-03-20 00:00:00")))
+      q.processAllAvailable()
+      ms.addData(Streams.Ev(-3L, ts("2024-03-21 00:00:00")))
+      q.processAllAvailable()
+      // user 1 retired: only the three sentinel users hold state
+      assert(q.lastProgress.stateOperators.head.numRowsTotal <= 3,
+        s"state rows = ${q.lastProgress.stateOperators.head.numRowsTotal}")
+      // reappearance beyond the horizon: day 12 (2024-03-22)
+      ms.addData(Streams.Ev(1, ts("2024-03-22 09:00:00")))
+      q.processAllAvailable()
+      ms.addData(Streams.Ev(-4L, ts("2024-03-30 00:00:00")))
+      q.processAllAvailable()
+      ms.addData(Streams.Ev(-5L, ts("2024-03-31 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val day0 = java.time.LocalDate.parse("2024-03-10").toEpochDay
+    val got = spark.table("growth_ret").collect()
+      .map(r => (r.getLong(0) - day0, r.getString(1))).toSeq
+    assert(got.count(_ == (0L, "new")) == 1, got.toString)
+    assert(got.contains((1L, "churned")), got.toString)
+    assert(got.contains((12L, "new")), got.toString)
+    assert(!got.contains((12L, "resurrected")), got.toString)
+  }
 }
