@@ -310,6 +310,16 @@ object Similarity {
     * the 0.4 cosine threshold. */
   private[graft] val LshTables = 16
 
+  /** Build-side bucket ceiling of [[lshCandidatePairs]] — the batch
+    * twin of the streaming admission cap (4096/bucket,
+    * [[graft.streaming.Streams]] `lshCandidatePairs`): dup-collapse
+    * handles buckets made hot by identical vectors, this bounds the
+    * residual case (a degenerate embedding mode shared across
+    * DISTINCT vectors) to ≤ cap·|bucket| candidates. Recall for a
+    * truly-similar pair survives via its other tables and Hamming-1
+    * probes, the same argument the streaming cap documents. */
+  private[graft] val BucketCap = 4096
+
   /** LSH candidate pairs over the whole corpus — the shared candidate
     * generator of s05 (ANN pairs) and s15 (semantic dedup at scale):
     * 12 tables × 8-bit random-hyperplane signatures fused into ONE
@@ -360,7 +370,20 @@ object Similarity {
         explode(probeKeys).as("flip"), col("sig"))
       .select(col("va"), col("tbl"),
         col("sig").bitwiseXOR(col("flip")).as("sig"))
+    // build side: bucket ceiling first (the batch twin of the
+    // streaming admission cap — only the `BucketCap` highest vec ids
+    // of an exact bucket are join residents, so a hot bucket emits
+    // ≤ cap·|bucket| candidates instead of |bucket|²; at/below cap
+    // the cut is the identity, which is every natural bucket at the
+    // gate SFs). The va < vb filter below pairs each probe with the
+    // residents ABOVE it, preserving the uncapped multiplicity for
+    // sub-cap buckets.
     val b = sigs.toDF("vb", "tbl", "sig")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("tbl"), col("sig"))
+          .orderBy(col("vb").desc)))
+      .filter(col("rk") <= BucketCap)
+      .drop("rk")
     // skew guard: hot buckets (duplicate clusters, zero vectors)
     // are salt-split so no task pairs more than cap build rows
     val pairs = lshBucketJoin(a, b, cap = 4096)

@@ -400,6 +400,54 @@ object Text {
       .select(col("doc_id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0))
 
+  /** Document-frequency ceiling on a band bucket — the batch twin of
+    * the streaming admission cap ([[graft.streaming.Streams]]
+    * `lshCandidatePairs`, 4096/bucket): dup-collapse kills buckets
+    * made hot by IDENTICAL texts, but a boilerplate run of shingles
+    * shared across DISTINCT docs (license headers, templated
+    * prefaces) still drives whole bands to a common key, and an
+    * uncapped self-join on that bucket is |bucket|². */
+  private[graft] val BandBucketCap = 4096
+
+  /** Candidate pairs from band keys with the bucket ceiling applied:
+    * only the `cap` HIGHEST doc ids of a bucket are join RESIDENTS;
+    * every member then pairs with the residents above it (da < db,
+    * exactly the multiplicity of the uncapped self-join when the
+    * bucket is at/below cap — the natural-corpus case at every gate
+    * SF), so a hot bucket emits ≤ cap·|bucket| candidates instead of
+    * |bucket|².
+    *
+    * What a BINDING cap trades, precisely (the streaming twin's
+    * admission-cap trade, made explicit): a bucket above the default
+    * cap means ≥4096 DISTINCT texts agree on the same 4 MinHash
+    * minima — a dup-collapse-escaping boilerplate cluster. Pairs
+    * whose similarity is carried by shingles OUTSIDE the cluster's
+    * shared content still surface through their other bands (at
+    * J=0.8, a band agreeing on ≥1 non-shared minimum happens with
+    * per-band probability ≈ 0.41·(1−f⁴) for shared-content fraction
+    * f, ~1 over 18 bands for f ≤ 0.9); pairs whose similarity IS the
+    * shared content thin to member↔resident edges. That preserves
+    * CLUSTER CONNECTIVITY — every member keeps ≥cap verified edges
+    * into the resident hub, so t12/t49 dedup groups are unchanged —
+    * while the exhaustive pair list (the t08/t09 contract) loses
+    * intra-cluster non-resident pairs. The OpsSpec adversarial test
+    * (boilerplate block in 30% of docs) pins all three: bounded
+    * candidates under a binding cap, exact pairs at the default cap,
+    * identical dedup components under the binding cap. */
+  private[graft] def lshBandCandidates(bands: DataFrame,
+      cap: Int = BandBucketCap): DataFrame = {
+    val residents = bands
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("bh"))
+          .orderBy(col("doc_id").desc)))
+      .filter(col("rk") <= cap)
+      .drop("rk")
+    bands.toDF("da", "band", "bh")
+      .join(residents.toDF("db", "band", "bh"), Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
   /** Band keys from an already-shingled `(doc_id, sh)` relation (the
     * batch path persists that relation for verification reuse). */
   private def lshBandKeysFromSh(docsSh: DataFrame): DataFrame = {
@@ -498,8 +546,8 @@ object Text {
     * output as [[exactJaccardPairs]] (candidate recall ~0.99992 at
     * J=0.8), found without the all-pairs shingle join. Shared by t09
     * and t12 (the clustering runs on the scale path's pairs). */
-  private def lshJaccardPairs(s: SparkSession, d: String,
-      thr: Double): DataFrame = {
+  private[graft] def lshJaccardPairs(s: SparkSession, d: String,
+      thr: Double, bucketCap: Int = BandBucketCap): DataFrame = {
     // exact-collapse first, like t08: identical texts share every
     // band key, so duplicates make the bucket join quadratic; the
     // band join runs on distinct texts and members expand back in
@@ -517,11 +565,8 @@ object Text {
     // ONE fused-codegen pass over sh (the declarative 72 ×
     // array_min(transform(...)) walked the array 72 times and was
     // 28% of the whole bench).
-    val bands = lshBandKeysFromSh(docsSh).distinct()
-    val cands = bands.toDF("da", "band", "bh")
-      .join(bands.toDF("db", "band", "bh"), Seq("band", "bh"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+    val cands = lshBandCandidates(
+      lshBandKeysFromSh(docsSh).distinct(), bucketCap)
     val scored = cands.toDF("ra", "rb")
       .join(docsSh.toDF("ra", "sha"), "ra")
       .join(docsSh.toDF("rb", "shb"), "rb")

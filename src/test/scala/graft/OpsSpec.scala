@@ -91,6 +91,75 @@ class OpsSpec extends SparkSpec {
       "gate SF must stay on the exact oracle anchor")
   }
 
+  test("LSH bucket ceiling: boilerplate run bounds candidates, pairs unchanged") {
+    // the adversarial regime dup-collapse does NOT cover: a shared
+    // boilerplate block across DISTINCT docs (license header) drives
+    // whole bands to a common key. Inject a 120-word block into 30%
+    // of docs, then pin the three-way contract of the bucket ceiling:
+    // (a) a BINDING cap bounds candidates to Σ min(cap,|B|)·|B|,
+    //     strictly below the uncapped self-join;
+    // (b) at the DEFAULT cap (binds only at ≥4096-doc band agreement,
+    //     far beyond any bucket here) the pipeline still emits
+    //     exactly the brute-force pairs on the injected corpus;
+    // (c) under the binding cap the dedup CLUSTERING is unchanged —
+    //     thinned intra-cluster pairs keep resident-hub connectivity,
+    //     so t12-style components equal the exact ones.
+    val boiler = (1 to 120).map(i => s"boilerplate$i").mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-boiler-docs").toString
+    Tables.documents(spark, sf0001)
+      .withColumn("text",
+        when(col("doc_id") % 10 < 3,
+          concat(col("text"), lit(" " + boiler)))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bands = Text.lshBandKeys(
+      spark.read.parquet(s"$dir/documents.parquet")).distinct().cache()
+    val uncapped = Text.lshBandCandidates(bands, Int.MaxValue).count()
+    val capped = Text.lshBandCandidates(bands, 4).count()
+    val bound = bands.groupBy("band", "bh").count()
+      .agg(sum(least(lit(4L), col("count")) * col("count")))
+      .head().getLong(0)
+    bands.unpersist()
+    assert(capped <= bound, s"capped=$capped bound=$bound")
+    assert(capped < uncapped,
+      s"cap must bind on the hot buckets: capped=$capped uncapped=$uncapped")
+    // brute-force exact pairs on the injected corpus
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(Text.shingles).as("s")).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.toDF("da", "s").join(sh.toDF("db", "s"), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .select(col("da"), col("db"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    sh.unpersist()
+    val lshDefault = Text.lshJaccardPairs(spark, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(brute.nonEmpty)
+    assert(lshDefault == brute,
+      s"missing=${brute -- lshDefault} extra=${lshDefault -- brute}")
+    // (c): components over binding-cap pairs == components over exact
+    // pairs — the boilerplate cohort stays ONE cluster through its
+    // resident hubs even though its intra-cluster pair list thinned
+    def components(pairs: org.apache.spark.sql.DataFrame) =
+      Text.connectedComponents(pairs.select("da", "db"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val ccCapped = components(
+      Text.lshJaccardPairs(spark, dir, 0.8, bucketCap = 4))
+    val ccExact = components(Text.lshJaccardPairs(spark, dir, 0.8))
+    assert(ccCapped == ccExact,
+      s"capped components diverge: ${ccCapped.size} vs ${ccExact.size}")
+  }
+
   test("s04 collapse equals the uncollapsed LSH pipeline under duplication") {
     import graft.ops.Similarity
     // same regime for the embedding pair family: the collapsed path
