@@ -248,6 +248,16 @@ object Text {
       Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  // t10's 63 per-bit universal hashes over the token polyHash — its
+  // own fixed-seed family (independent of the MinHash mixers), with
+  // the (a, b) literals embedded in the oracle SQL so DuckDB derives
+  // bit-identical signatures.
+  private val (simhashA, simhashB) = {
+    val rnd = new scala.util.Random(11)
+    (Array.fill(63)(1L + rnd.nextInt(Int.MaxValue - 1)),
+      Array.fill(63)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
   /** BPE merge rounds trained by t38 (bounded driver loop: one 1-row
     * collect per round). */
   private val BpeRounds = 12
@@ -1025,32 +1035,62 @@ object Text {
       (s, d) => lshJaccardPairs(s, d, 0.8).orderBy("da", "db"),
       Some(jaccardPairsSql(0.8))),
 
-    // ---- SimHash 64-bit signatures (engine-specific hash bits →
-    //      rows-only check; near-dup = small hamming distance) ----
+    // ---- SimHash 63-bit signatures. Bit i's vote is the PARITY of a
+    //      universal hash (aᵢ·h + bᵢ) mod p over the token's rolling
+    //      polyHash — the same portable-hash recipe t06/t30 proved in
+    //      DuckDB, so the signature is engine-exact and the query is
+    //      hash-matched instead of rows-only. 63 bits, not 64: the
+    //      sign bit stays clear so the signature is a non-negative
+    //      BIGINT in every engine (no wrap-around semantics to
+    //      replicate). Near-dup = small Hamming distance; the metric
+    //      property is additionally pinned by OpsSpec. ----
     QuerySpec(
       "t10_simhash",
       (s, d) => {
         // votes ride per-doc DISTINCT tokens weighted by multiplicity
         // (token_counts kernel): Σ_occurrences ±1 ≡ Σ_distinct ±c,
         // integer-exact, with the exploded relation shrunk to the
-        // distinct vocabulary of each doc before the aggregation
-        val th = xxhash64(col("t"))
-        val bitVotes = (0 until 64).map { i =>
-          sum(when(shiftright(th, i).bitwiseAND(1) === 1, col("c"))
+        // distinct vocabulary of each doc before the aggregation.
+        // aᵢ·h + bᵢ stays < 2⁶¹ (a < 2³¹, h < 2³⁰), no overflow in
+        // either engine.
+        val bitVotes = (0 until 63).map { i =>
+          sum(when(pmod(lit(simhashA(i)) * col("th") + lit(simhashB(i)),
+              lit(HashP)) % 2 === 1, col("c"))
             .otherwise(-col("c"))).as(s"b$i")
         }
         val votes = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(graft.functions.TextExprs.tokenCounts(toks)))
           .toDF("doc_id", "t", "c")
+          .withColumn("th", graft.functions.TextExprs.polyHash(col("t")))
           .groupBy(col("doc_id"))
           .agg(bitVotes.head, bitVotes.tail: _*)
-        val sig = (0 until 64).map { i =>
-          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+        val sig = (0 until 63).map { i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
         }.reduce(_.bitwiseOR(_))
         votes.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
       },
-      None),
+      Some {
+        val hashTerms = (0 until 63).map(i =>
+          s"SUM(CASE WHEN (${simhashA(i)}*th+${simhashB(i)}) % $HashP % 2 = 1 " +
+            s"THEN c ELSE -c END) AS b$i").mkString(", ")
+        val sigTerms = (0 until 63)
+          .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH tok AS (
+          SELECT doc_id, t, COUNT(1) AS c
+          FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+                FROM documents) u
+          GROUP BY 1, 2),
+        h AS (
+          SELECT doc_id, c, list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(str_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+            (acc, ch) -> (acc*31+ch) % 1000000007) AS th
+          FROM tok),
+        v AS (SELECT doc_id, $hashTerms FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST($sigTerms AS BIGINT) AS simhash
+        FROM v ORDER BY doc_id"""
+      }),
 
     // ---- top-5 terms per language (tokenize → explode → rank) ----
     QuerySpec(

@@ -1060,10 +1060,12 @@ class OpsSpec extends SparkSpec {
   }
 
   test("SimHash: near-dup pairs sit far closer in Hamming space than random pairs") {
-    // t10 is rows-only for the oracle (engine-specific hash bits); its
-    // correctness signal is the METRIC property: docs that t08 proved
-    // near-duplicate (Jaccard ≥ 0.8) must have simhashes within a few
-    // bits, while unrelated docs hover near the 32-bit random baseline
+    // t10 is oracle hash-matched (portable polyHash + universal-hash
+    // bit votes); this test additionally pins the METRIC property the
+    // hash-match can't see: docs that t08 proved near-duplicate
+    // (Jaccard ≥ 0.8) must have simhashes within a few bits, while
+    // unrelated docs hover near the random baseline (~31.5 for 63
+    // independent bits, dragged down by shared corpus vocabulary)
     val sims = SparkEntry.queries("t10_simhash")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val near = SparkEntry.queries("t08_jaccard_pairs")(spark, sf0001)
