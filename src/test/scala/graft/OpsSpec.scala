@@ -1095,6 +1095,60 @@ class OpsSpec extends SparkSpec {
       s"near-dup mean $nearMean not separated from random $rndMean")
   }
 
+  test("sketch error bounds: HLL within 3σ, approx_percentile within rank ε (all SFs)") {
+    // q23/e09 (HLL) and q39 (KLL-style quantiles) are no_oracle by
+    // design — the sketches are engine-specific — so pin what IS
+    // checkable: the PUBLISHED accuracy contracts against exact
+    // answers. approx_count_distinct's default rsd is 0.05 (σ of the
+    // HLL++ estimate); assert within 3σ. approx_percentile(…, 1000)
+    // guarantees rank error ≤ 1/1000; assert the returned value's
+    // exact-rank interval overlaps [q − ε, q + ε] with ε = 1/1000
+    // plus one discrete-rank step. Deterministic: both sketches are
+    // data-determined, so these are regression pins, not flaky
+    // statistical tests.
+    val rsd3 = 3 * 0.05
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val li = Tables.lineitem(spark, dir)
+      val exactNdv = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("p"),
+          countDistinct(col("l_orderkey")).as("o"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      SparkEntry.queries("q23_approx_distinct")(spark, dir).collect()
+        .foreach { r =>
+          val (ep, eo) = exactNdv(r.getString(0))
+          assert(math.abs(r.getLong(1) - ep).toDouble / ep <= rsd3,
+            s"$dir q23 parts ${r.getString(0)}: ${r.getLong(1)} vs $ep")
+          assert(math.abs(r.getLong(2) - eo).toDouble / eo <= rsd3,
+            s"$dir q23 orders ${r.getString(0)}: ${r.getLong(2)} vs $eo")
+        }
+      val ev = Tables.events(spark, dir)
+      val exactUsers = ev
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("u"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      SparkEntry.queries("e09_approx_users_daily")(spark, dir).collect()
+        .foreach { r =>
+          val eu = exactUsers(r.getTimestamp(0))
+          assert(math.abs(r.getLong(1) - eu).toDouble / eu <= rsd3,
+            s"$dir e09 ${r.getTimestamp(0)}: ${r.getLong(1)} vs $eu")
+        }
+      SparkEntry.queries("q39_approx_quantiles")(spark, dir).collect()
+        .foreach { r =>
+          val rf = r.getString(0)
+          val grp = li.filter(col("l_returnflag") === rf)
+          val n = grp.count().toDouble
+          for ((q, v) <- Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2))) {
+            val below = grp.filter(col("l_quantity") < v).count() / n
+            val atOrBelow = grp.filter(col("l_quantity") <= v).count() / n
+            val eps = 1.0 / 1000 + 1.0 / n
+            assert(below - eps <= q && q <= atOrBelow + eps,
+              s"$dir q39 $rf q=$q v=$v rank in [$below, $atOrBelow]")
+          }
+        }
+    }
+  }
+
   test("rolling-hash fingerprint is deterministic and order-sensitive") {
     val fp = SparkEntry.queries("t06_fingerprint")(spark, sf0001)
     val a = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
