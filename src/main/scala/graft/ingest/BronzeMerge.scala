@@ -125,6 +125,7 @@ object BronzeMerge {
       .distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$table/_keys/$batchName")
     commit(f, table, ver + 1, Seq(batchName))
+    DeltaLog.sync(spark, table)
     ver + 1
   }
 
@@ -160,7 +161,11 @@ object BronzeMerge {
       }
     }
     if (deleted == 0) (ver, 0L)
-    else { commit(f, table, ver + 1, newBatches); (ver + 1, deleted) }
+    else {
+      commit(f, table, ver + 1, newBatches)
+      DeltaLog.sync(spark, table)
+      (ver + 1, deleted)
+    }
   }
 
   /** Append-only change feed: the rows added between two committed
@@ -191,6 +196,10 @@ object BronzeMerge {
 
   /** Reclaim batches no longer referenced by the LATEST commit and
     * drop older manifest versions — forfeits time travel for space.
+    * The `_delta_log/` mirror is deliberately left intact (as Delta's
+    * own VACUUM does): old log versions reference now-deleted files,
+    * so physical time travel below the current version is forfeited,
+    * while replay to HEAD still resolves exactly the live files.
     * Returns the deleted batch names. */
   def vacuum(spark: SparkSession, table: String): Seq[String] = {
     val f = fs(spark, table)
@@ -281,6 +290,10 @@ object BronzeMerge {
     spark.read.parquet(dataPath).select(KeyCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$table/_keys/$batchName")
     commit(f, table, ver + 1, batches :+ batchName)
+    // mirror the commit into the external-interop _delta_log (see
+    // DeltaLog): sync is idempotent and self-healing, so a crash right
+    // here just leaves the log to be backfilled by the next commit
+    DeltaLog.sync(spark, table)
     appended
   }
 
@@ -303,26 +316,44 @@ object BronzeMerge {
     // localCheckpoint, not persist: a cache is best-effort (an evicted
     // or lost partition recomputes from lineage, re-opening the same
     // hole), while a checkpoint SEVERS lineage — after it, the rows
-    // the constraint aggregate saw are the only rows that exist
-    // (the checkpoint blocks are released by the ContextCleaner once
-    // the RDD is unreachable — Dataset.unpersist does not apply here)
+    // the constraint aggregate saw are the only rows that exist.
+    // KNOWN TRADE: localCheckpoint blocks are NOT fault-tolerant —
+    // losing an executor that holds them between the constraint
+    // aggregate and the merge fails the batch with no recompute path
+    // (notable under dynamic allocation / node decommission). That is
+    // the chosen failure mode: fail-loud-and-retry beats silently
+    // re-evaluating a non-deterministic source past the CHECK gate.
+    // Production merges on preemptible fleets should swap in reliable
+    // checkpoint (spark.sparkContext.setCheckpointDir + .checkpoint()).
     val pinned = src.localCheckpoint()
-    val exprs = constraints.map { case (_, pred) =>
-      sum(when(not(coalesce(pred, lit(true))), 1L).otherwise(0L))
+    try {
+      val exprs = constraints.map { case (_, pred) =>
+        sum(when(not(coalesce(pred, lit(true))), 1L).otherwise(0L))
+      }
+      // read positionally — constraint names are caller-supplied
+      // strings and must not collide with anything
+      val row = pinned.agg(exprs.head, exprs.tail: _*).head()
+      val violated = constraints.zipWithIndex
+        .map { case ((name, _), i) =>
+          name -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+        .filter(_._2 > 0)
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException(
+          "CHECK constraint violation, batch rejected: " +
+            violated.map { case (n, c) => s"$n ($c rows)" }
+              .mkString(", "))
+      mergeIngestDf(spark, pinned, table)
+    } catch {
+      case t: Throwable =>
+        // release the checkpoint blocks promptly on the reject/failure
+        // path instead of waiting for ContextCleaner GC — the pinned
+        // plan is a LogicalRDD over the materialized blocks, and
+        // unpersisting that RDD is the only deterministic release
+        pinned.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
+        throw t
     }
-    // read positionally — constraint names are caller-supplied
-    // strings and must not collide with anything
-    val row = pinned.agg(exprs.head, exprs.tail: _*).head()
-    val violated = constraints.zipWithIndex
-      .map { case ((name, _), i) =>
-        name -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
-      .filter(_._2 > 0)
-    if (violated.nonEmpty)
-      throw new IllegalArgumentException(
-        "CHECK constraint violation, batch rejected: " +
-          violated.map { case (n, c) => s"$n ($c rows)" }
-            .mkString(", "))
-    mergeIngestDf(spark, pinned, table)
   }
 
   /** Publish the current snapshot (and its identity keys) as bucketed

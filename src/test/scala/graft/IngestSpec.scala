@@ -359,6 +359,136 @@ class IngestSpec extends SparkSpec {
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("delta log mirrors commits: an external-style replay reads the table") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-dlog")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    def batch(names: String*) = names.zipWithIndex.map { case (n, i) =>
+      (n, (i + 1).toLong, ts(i), Array[Byte](i.toByte)) }
+      .toDF("file_name", "length", "modified", "content")
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.select("file_name").collect().map(_.getString(0)).sorted.toSeq
+
+    BronzeMerge.mergeIngestDf(spark, batch("a.txt", "b.txt"), table) // v1
+    BronzeMerge.mergeIngestDf(spark, batch("c.txt"), table)          // v2
+
+    // log written alongside every commit: versions 0 and 1, version 0
+    // carrying the protocol + metaData actions per the Delta protocol
+    val logDir = Paths.get(table, "_delta_log")
+    assert(Files.exists(logDir.resolve("00000000000000000000.json")))
+    assert(Files.exists(logDir.resolve("00000000000000000001.json")))
+    val v0 = Files.readString(logDir.resolve("00000000000000000000.json"))
+    assert(v0.contains(""""protocol""""))
+    assert(v0.contains(""""minReaderVersion":1"""))
+    assert(v0.contains(""""metaData""""))
+    assert(v0.contains(""""schemaString""""))
+    assert(v0.contains(""""add""""))
+
+    // the replay resolves live files + schema from the LOG alone and
+    // reads the same rows the manifest snapshot reads
+    assert(names(DeltaLog.read(spark, table)) ==
+      names(BronzeMerge.snapshot(spark, table)))
+    // every logged path exists on disk (an external client would open
+    // exactly these files)
+    val (files, schema) = DeltaLog.state(spark, table)
+    assert(schema.isDefined && files.nonEmpty)
+    files.foreach(a => assert(Files.exists(Paths.get(table, a.path)),
+      s"logged file missing: ${a.path}"))
+    // sizes in the log are the true on-disk sizes
+    files.foreach(a =>
+      assert(Files.size(Paths.get(table, a.path)) == a.size))
+
+    // VERSION AS OF: delta version 0 ≡ manifest version 1
+    assert(names(DeltaLog.read(spark, table, Some(0L))) ==
+      names(BronzeMerge.snapshotAt(spark, table, 1)))
+
+    // copy-on-write delete → remove + add actions; replay tracks it
+    BronzeMerge.deleteWhere(spark, table,
+      org.apache.spark.sql.functions.col("file_name") === "b.txt") // v3
+    assert(DeltaLog.latestLogVersion(spark, table) == 2L)
+    val v2 = Files.readString(logDir.resolve("00000000000000000002.json"))
+    assert(v2.contains(""""remove"""") && v2.contains(""""add""""))
+    assert(names(DeltaLog.read(spark, table)) == Seq("a.txt", "c.txt"))
+
+    // compaction folds everything into one batch; replay agrees and
+    // the pre-compaction version still time-travels through the log
+    BronzeMerge.compact(spark, table) // v4
+    assert(names(DeltaLog.read(spark, table)) == Seq("a.txt", "c.txt"))
+    assert(DeltaLog.state(spark, table)._1
+      .forall(_.path.startsWith("batch-00000004/")))
+    assert(names(DeltaLog.read(spark, table, Some(1L))) ==
+      Seq("a.txt", "b.txt", "c.txt"))
+  }
+
+  test("delta log: schema evolution emits a new metaData action") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-dlog-ev")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val v1 = Seq(("a.txt", 5L, ts(1), Array[Byte](1)))
+      .toDF("file_name", "length", "modified", "content")
+    val v2 = Seq(("b.txt", 7L, ts(2), Array[Byte](2), "graph"))
+      .toDF("file_name", "length", "modified", "content", "source_system")
+    BronzeMerge.mergeIngestDf(spark, v1, table)
+    BronzeMerge.mergeIngestDf(spark, v2, table)
+    // commit 1 evolved the schema → its log version re-declares metaData
+    val l1 = Files.readString(
+      Paths.get(table, "_delta_log", "00000000000000000001.json"))
+    assert(l1.contains(""""metaData"""") &&
+      l1.contains("source_system"))
+    // the replayed read uses the WIDE schema: pre-evolution rows null
+    val back = DeltaLog.read(spark, table)
+      .select("file_name", "source_system").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back == Map("a.txt" -> null, "b.txt" -> "graph"))
+  }
+
+  test("delta log self-heals: a lagging or lost log is rebuilt from manifests") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-dlog-heal")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    def batch(names: String*) = names.zipWithIndex.map { case (n, i) =>
+      (n, (i + 1).toLong, ts(i), Array[Byte](i.toByte)) }
+      .toDF("file_name", "length", "modified", "content")
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.select("file_name").collect().map(_.getString(0)).sorted.toSeq
+
+    BronzeMerge.mergeIngestDf(spark, batch("a.txt"), table)          // v1
+    BronzeMerge.mergeIngestDf(spark, batch("b.txt"), table)          // v2
+    BronzeMerge.mergeIngestDf(spark, batch("c.txt", "d.txt"), table) // v3
+
+    // simulate a crash that lost the whole log: full backfill from
+    // the manifests, byte-for-byte replayable
+    val logDir = Paths.get(table, "_delta_log")
+    Files.list(logDir).forEach(p => Files.delete(p))
+    Files.delete(logDir)
+    assert(DeltaLog.latestLogVersion(spark, table) == -1L)
+    assert(DeltaLog.sync(spark, table) == 2L)
+    assert(names(DeltaLog.read(spark, table)) ==
+      Seq("a.txt", "b.txt", "c.txt", "d.txt"))
+    assert(names(DeltaLog.read(spark, table, Some(1L))) ==
+      Seq("a.txt", "b.txt"))
+
+    // vacuumed-manifest collapse: lose the log AND the old manifests;
+    // sync fills the gap versions with empty commits and lands the
+    // cumulative diff on the final version — replay still equals HEAD
+    Files.list(logDir).forEach(p => Files.delete(p))
+    Files.delete(logDir)
+    BronzeMerge.vacuum(spark, table) // drops manifests v1, v2
+    assert(DeltaLog.sync(spark, table) == 2L)
+    assert(names(DeltaLog.read(spark, table)) ==
+      Seq("a.txt", "b.txt", "c.txt", "d.txt"))
+    val filler = Files.readString(logDir.resolve("00000000000000000000.json"))
+    assert(filler.contains(""""protocol"""")) // protocol still leads v0
+    // re-sync is a no-op (idempotent)
+    assert(DeltaLog.sync(spark, table) == 2L)
+  }
+
   test("csv ingest appends typed rows to the sink table") {
     val dir = Files.createTempDirectory("graft-csv")
     val sink = Files.createTempDirectory("graft-csv-out").resolve("t")
