@@ -44,6 +44,24 @@ object BronzeMerge {
 
   private def manifestDir(table: String) = new Path(table, "_manifest")
 
+  /** First collision-free directory name for a commit attempt: the
+    * deterministic `base` normally; a uniquified `-rXXXX` alternative
+    * when a CRASHED attempt (data written, commit never reached — the
+    * mid-batch-failure streaming case) or a concurrent writer left
+    * the plain name occupied. The orphan stays invisible — readers
+    * resolve names only through committed manifests — and [[vacuum]]
+    * sweeps any `batch-*` directory the live commit doesn't name. */
+  private def freshBatchName(f: FileSystem, table: String,
+      base: String): String = {
+    if (!f.exists(new Path(table, base))) base
+    else {
+      var name = ""
+      do name = f"$base-r${scala.util.Random.nextInt(0x10000)}%04x"
+      while (f.exists(new Path(table, name)))
+      name
+    }
+  }
+
   /** Latest committed (version, batch names); (0, Nil) = empty table. */
   def currentCommit(spark: SparkSession, table: String): (Int, Seq[String]) = {
     val f = fs(spark, table)
@@ -105,7 +123,7 @@ object BronzeMerge {
     val f = fs(spark, table)
     val (ver, batches) = currentCommit(spark, table)
     require(batches.nonEmpty, "nothing to compact")
-    val batchName = f"batch-${ver + 1}%08d"
+    val batchName = freshBatchName(f, table, f"batch-${ver + 1}%08d")
     val snap = spark.read.parquet(batches.map(b => s"$table/$b"): _*)
     val clustered = clusterBy match {
       case Nil => snap.coalesce(nFiles)
@@ -151,7 +169,7 @@ object BronzeMerge {
       if (n == 0) b
       else {
         deleted += n
-        val rewritten = f"batch-${ver + 1}%08d-cow$i"
+        val rewritten = freshBatchName(f, table, f"batch-${ver + 1}%08d-cow$i")
         df.filter(!pred).write
           .mode(SaveMode.ErrorIfExists).parquet(s"$table/$rewritten")
         // keys carry over verbatim: deletion must not reopen ingest
@@ -267,12 +285,16 @@ object BronzeMerge {
   /** [[mergeIngest]] over an arbitrary (file_name, length, modified,
     * content) DataFrame — the seam `foreachBatch` streaming ingest
     * plugs into (`graft.streaming.Streams.streamMergeIngest`).
-    * `onSnapshotRead` is a fault-injection seam: it runs after this
-    * writer has read the commit it will build on, so tests interleave
-    * a competing full commit deterministically (IngestSpec's
-    * concurrent-writer test); production callers leave the default. */
+    * `onSnapshotRead` and `onBeforeCommit` are fault-injection seams:
+    * the first runs after this writer has read the commit it will
+    * build on (tests interleave a competing full commit
+    * deterministically — IngestSpec's concurrent-writer test); the
+    * second runs after data and keys have landed but BEFORE the
+    * manifest commit — the mid-batch-crash point (StreamsSpec's
+    * kill/restart test). Production callers leave both defaults. */
   def mergeIngestDf(spark: SparkSession, src: DataFrame,
-      table: String, onSnapshotRead: () => Unit = () => ()): Long = {
+      table: String, onSnapshotRead: () => Unit = () => (),
+      onBeforeCommit: () => Unit = () => ()): Long = {
     val f = fs(spark, table)
     val (ver, batches) = currentCommit(spark, table)
     onSnapshotRead()
@@ -281,7 +303,12 @@ object BronzeMerge {
       else src.join(
         spark.read.parquet(batches.map(b => s"$table/_keys/$b"): _*),
         KeyCols, "left_anti")
-    val batchName = f"batch-${ver + 1}%08d"
+    // collision-free attempt name: a crash between data-write and
+    // commit leaves an orphan under the deterministic name, and the
+    // RETRY (e.g. a restarted streaming micro-batch) must not trip
+    // over it — the orphan is uncommitted, hence invisible, and
+    // vacuum reclaims it
+    val batchName = freshBatchName(f, table, f"batch-${ver + 1}%08d")
     val dataPath = s"$table/$batchName"
     fresh.write.mode(SaveMode.ErrorIfExists).parquet(dataPath)
     // row count from parquet footers — metadata-only, no content reread
@@ -289,6 +316,7 @@ object BronzeMerge {
     if (appended == 0) { f.delete(new Path(dataPath), true); return 0L }
     spark.read.parquet(dataPath).select(KeyCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$table/_keys/$batchName")
+    onBeforeCommit()
     commit(f, table, ver + 1, batches :+ batchName)
     // mirror the commit into the external-interop _delta_log (see
     // DeltaLog): sync is idempotent and self-healing, so a crash right

@@ -515,9 +515,23 @@ object Streams {
     * the source re-reading files, and the identity-key anti-join stops
     * re-read files re-landing. Losing the checkpoint (the classic
     * streaming dup source) therefore still produces zero duplicates:
-    * the source replays everything, the merge appends nothing. */
+    * the source replays everything, the merge appends nothing.
+    *
+    * Crash anatomy (why restart-from-checkpoint is exact): a crash
+    * BEFORE the manifest commit leaves an orphan uncommitted batch
+    * directory — invisible to readers, side-stepped by the retry's
+    * collision-free batch naming, reclaimed by vacuum; a crash AFTER
+    * the commit but before the checkpoint marks the micro-batch done
+    * replays the same files into the anti-join, which appends nothing.
+    * Either way the restarted run converges on exactly the
+    * uninterrupted run's table. `onBeforeCommit` (forwarded to
+    * `mergeIngestDf`) and `onBatchDone` (after a micro-batch's merge
+    * returns) are the fault-injection seams StreamsSpec drives those
+    * two crash points through; production callers leave the defaults. */
   def streamMergeIngest(spark: SparkSession, srcDir: String,
-      table: String, checkpoint: String): Unit = {
+      table: String, checkpoint: String,
+      onBeforeCommit: () => Unit = () => (),
+      onBatchDone: () => Unit = () => ()): Unit = {
     val q = spark.readStream
       .format("binaryFile")
       // the binaryFile source's fixed schema (streaming requires it
@@ -538,8 +552,8 @@ object Streams {
           batch.select(
             substring_index(col("path"), "/", -1).as("file_name"),
             col("length"), col("modificationTime").as("modified"),
-            col("content")), table)
-        ()
+            col("content")), table, onBeforeCommit = onBeforeCommit)
+        onBatchDone()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -470,6 +470,72 @@ class StreamsSpec extends SparkSpec {
       .toSeq == Seq("a.txt", "b.txt", "c.txt"))
   }
 
+  test("mid-batch crash: restart from checkpoint converges on the uninterrupted run") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    val src = Files.createTempDirectory("graft-kill-src")
+    (1 to 3).foreach(i =>
+      Files.writeString(src.resolve(s"f$i.txt"), s"payload-$i"))
+    def contents(table: String) = BronzeMerge.snapshot(spark, table)
+      .collect().map(r => r.getString(0) ->
+        new String(r.getAs[Array[Byte]]("content"))).toSeq.sorted
+
+    // the uninterrupted control run this crash-recovery must equal
+    val ctl = Files.createTempDirectory("graft-kill-ctl")
+      .resolve("bronze").toString
+    Streams.streamMergeIngest(spark, src.toString, ctl,
+      Files.createTempDirectory("graft-kill-ctl-cp").toString)
+    assert(BronzeMerge.currentCommit(spark, ctl)._1 == 1)
+
+    // CRASH POINT 1: data + keys landed, manifest commit never reached
+    val t1 = Files.createTempDirectory("graft-kill-t1")
+      .resolve("bronze").toString
+    val cp1 = Files.createTempDirectory("graft-kill-cp1").toString
+    var armed = true
+    intercept[Exception] {
+      Streams.streamMergeIngest(spark, src.toString, t1, cp1,
+        onBeforeCommit = () => if (armed) {
+          armed = false
+          throw new RuntimeException("injected crash before commit")
+        })
+    }
+    // nothing committed: the orphan batch dir exists on disk but is
+    // invisible to every reader
+    assert(BronzeMerge.currentCommit(spark, t1)._1 == 0)
+    assert(Files.exists(java.nio.file.Paths.get(t1, "batch-00000001")))
+    assert(BronzeMerge.snapshot(spark, t1).count() == 0)
+    // restart from the SAME checkpoint: the unfinished micro-batch
+    // replays, sidesteps the orphan, and lands exactly once —
+    // manifest version and rows equal the uninterrupted run
+    Streams.streamMergeIngest(spark, src.toString, t1, cp1)
+    assert(BronzeMerge.currentCommit(spark, t1)._1 ==
+      BronzeMerge.currentCommit(spark, ctl)._1)
+    assert(contents(t1) == contents(ctl))
+    // the delta-log mirror replays to the same rows (no orphan leaked)
+    assert(DeltaLog.read(spark, t1).count() == 3)
+    // vacuum reclaims the orphan attempt
+    assert(BronzeMerge.vacuum(spark, t1) == Seq("batch-00000001"))
+    assert(contents(t1) == contents(ctl))
+
+    // CRASH POINT 2: manifest committed, checkpoint never marked done
+    val t2 = Files.createTempDirectory("graft-kill-t2")
+      .resolve("bronze").toString
+    val cp2 = Files.createTempDirectory("graft-kill-cp2").toString
+    var armed2 = true
+    intercept[Exception] {
+      Streams.streamMergeIngest(spark, src.toString, t2, cp2,
+        onBatchDone = () => if (armed2) {
+          armed2 = false
+          throw new RuntimeException("injected crash after commit")
+        })
+    }
+    assert(BronzeMerge.currentCommit(spark, t2)._1 == 1) // commit landed
+    // restart replays the same files; the identity anti-join appends
+    // NOTHING — no duplicate rows, no phantom version
+    Streams.streamMergeIngest(spark, src.toString, t2, cp2)
+    assert(BronzeMerge.currentCommit(spark, t2)._1 == 1)
+    assert(contents(t2) == contents(ctl))
+  }
+
   test("AvailableNow + checkpoint ingests each file exactly once") {
     val src = Files.createTempDirectory("graft-ss-src")
     val dest = Files.createTempDirectory("graft-ss-out").resolve("data")
