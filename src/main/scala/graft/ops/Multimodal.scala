@@ -64,6 +64,89 @@ object Multimodal {
   /** One materialized `<doc_id>.bmp` tree per (session, sf dir). */
   private val bmpDirMemo = new graft.SessionMemo[String, String]
 
+  /** The `<doc_id>.bmp` file tree for this (session, sf dir),
+    * materialized once — the stand-in for the object-store prefix a
+    * media corpus arrives under (m08 lists it; m15 ingests it). */
+  private def bmpFilesDir(s: SparkSession, d: String): String =
+    bmpDirMemo.getOrCompute(s, d) {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bmp-").toString
+      bmpFixture(s, d).as[MediaRow].foreachPartition {
+        (it: Iterator[MediaRow]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"${r.doc_id}.bmp"),
+              r.payload)
+          }
+      }
+      out
+    }
+
+  /** One merge-ingested bronze table over [[bmpFilesDir]] per
+    * (session, sf dir), with per-file `length` stats collected —
+    * m15's manifest-driven listing source. */
+  private val bronzeMediaMemo = new graft.SessionMemo[String, String]
+
+  private def bronzeMediaTable(s: SparkSession, d: String): String =
+    bronzeMediaMemo.getOrCompute(s, d) {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-bronze-media-")
+        .resolve("bronze").toString
+      graft.ingest.BronzeMerge.mergeIngest(s, bmpFilesDir(s, d), table)
+      graft.ingest.BronzeMerge.collectStats(s, table, Seq("length"))
+      table
+    }
+
+  /** Batched real-BMP decode over (file_name, doc_id, listed length,
+    * content) rows — shared by the directory-listing (m08),
+    * manifest-driven (m15), and streaming (decodeMediaStream) paths.
+    * The length check certifies listing↔content integrity. */
+  private[graft] def decodeBmpFileRows(
+      rows: org.apache.spark.sql.Dataset[(String, Long, Long, Array[Byte])])
+      : DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    rows.mapPartitions { it =>
+      it.grouped(64).flatMap(_.map { case (fn, id, len, bs) =>
+        require(len == bs.length,
+          s"$fn: listed $len bytes, read ${bs.length}")
+        val (w, h, mr, mg, mb, r00, g00, b00) = decodeBmp(bs)
+        BmpFileFeatures(fn, id, bs.length, w, h,
+          mr, mg, mb, r00, g00, b00)
+      })
+    }.toDF()
+  }
+
+  /** The binary-file decode contract m08 and m15 both hash-match:
+    * every feature replayed from the pixel formula in integer SQL. */
+  private val bmpFileOracle = """WITH dims AS (
+        SELECT doc_id, CAST(4 + (n_chars % 13) AS INT) AS w,
+               CAST(3 + (n_chars % 7) AS INT) AS h
+        FROM documents),
+      grid AS (
+        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h,
+                unnest(generate_series(0, w - 1)) AS x FROM dims) gx),
+      agg AS (
+        SELECT doc_id, w, h,
+          CAST(SUM((doc_id*19 + x*23 + y*29) % 256) AS DOUBLE) / (w*h)
+            AS mean_r,
+          CAST(SUM((doc_id*11 + x*13 + y*17) % 256) AS DOUBLE) / (w*h)
+            AS mean_g,
+          CAST(SUM((doc_id*7 + x*3 + y*5) % 256) AS DOUBLE) / (w*h)
+            AS mean_b
+        FROM grid GROUP BY doc_id, w, h)
+      SELECT d.doc_id || '.bmp' AS file_name, d.doc_id,
+        CAST(54 + ((3*d.w + 3) // 4) * 4 * d.h AS INT) AS n_bytes,
+        d.w AS width, d.h AS height,
+        a.mean_r, a.mean_g, a.mean_b,
+        CAST((d.doc_id*19) % 256 AS INT) AS r00,
+        CAST((d.doc_id*11) % 256 AS INT) AS g00,
+        CAST((d.doc_id*7) % 256 AS INT) AS b00
+      FROM dims d JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""
+
   /** Build a REAL 24-bit uncompressed BMP (BITMAPFILEHEADER +
     * BITMAPINFOHEADER + padded bottom-up BGR scanlines) whose pixel
     * (x, y) carries channels B/G/R = (docId·7+3x+5y, docId·11+13x+17y,
@@ -928,21 +1011,8 @@ object Multimodal {
       "m08_binary_source",
       (s, d) => {
         import s.implicits._
-        val dir = bmpDirMemo.getOrCompute(s, d) {
-          val out = java.nio.file.Files
-            .createTempDirectory("graft-bmp-").toString
-          bmpFixture(s, d).as[MediaRow].foreachPartition {
-            (it: Iterator[MediaRow]) =>
-              it.foreach { r =>
-                java.nio.file.Files.write(
-                  java.nio.file.Paths.get(out, s"${r.doc_id}.bmp"),
-                  r.payload)
-              }
-          }
-          out
-        }
         s.read.format("binaryFile").option("pathGlobFilter", "*.bmp")
-          .load(dir)
+          .load(bmpFilesDir(s, d))
           .select(
             regexp_extract(col("path"), "([0-9]+\\.bmp)$", 1)
               .as("file_name"),
@@ -950,42 +1020,41 @@ object Multimodal {
               .cast("long").as("doc_id"),
             col("length"), col("content"))
           .as[(String, Long, Long, Array[Byte])]
-          .mapPartitions { rows =>
-            rows.grouped(64).flatMap(_.map { case (fn, id, len, bs) =>
-              require(len == bs.length,
-                s"$fn: listed $len bytes, read ${bs.length}")
-              val (w, h, mr, mg, mb, r00, g00, b00) = decodeBmp(bs)
-              BmpFileFeatures(fn, id, bs.length, w, h,
-                mr, mg, mb, r00, g00, b00)
-            })
-          }.toDF().orderBy("doc_id")
+          .transform(decodeBmpFileRows).orderBy("doc_id")
       },
-      Some("""WITH dims AS (
-        SELECT doc_id, CAST(4 + (n_chars % 13) AS INT) AS w,
-               CAST(3 + (n_chars % 7) AS INT) AS h
-        FROM documents),
-      grid AS (
-        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
-        FROM (SELECT doc_id, w, h,
-                unnest(generate_series(0, w - 1)) AS x FROM dims) gx),
-      agg AS (
-        SELECT doc_id, w, h,
-          CAST(SUM((doc_id*19 + x*23 + y*29) % 256) AS DOUBLE) / (w*h)
-            AS mean_r,
-          CAST(SUM((doc_id*11 + x*13 + y*17) % 256) AS DOUBLE) / (w*h)
-            AS mean_g,
-          CAST(SUM((doc_id*7 + x*3 + y*5) % 256) AS DOUBLE) / (w*h)
-            AS mean_b
-        FROM grid GROUP BY doc_id, w, h)
-      SELECT d.doc_id || '.bmp' AS file_name, d.doc_id,
-        CAST(54 + ((3*d.w + 3) // 4) * 4 * d.h AS INT) AS n_bytes,
-        d.w AS width, d.h AS height,
-        a.mean_r, a.mean_g, a.mean_b,
-        CAST((d.doc_id*19) % 256 AS INT) AS r00,
-        CAST((d.doc_id*11) % 256 AS INT) AS g00,
-        CAST((d.doc_id*7) % 256 AS INT) AS b00
-      FROM dims d JOIN agg a USING (doc_id)
-      ORDER BY doc_id""")),
+      Some(bmpFileOracle)),
+
+    // ---- MANIFEST-driven binary source: the same decode as m08 over
+    //      the same media corpus, but the FILE LIST comes from the
+    //      bronze table's commit metadata instead of re-enumerating
+    //      the source prefix. The corpus is merge-ingested ONCE per
+    //      session (identity-keyed, stats collected); the query then
+    //      resolves its input files through the manifest + per-file
+    //      stats (`BronzeMerge.snapshotBetween`) — the scan's root
+    //      paths are the exact parquet FILES, zero directory listing.
+    //      This is the 100 TB read shape: an object-store LIST over
+    //      ~10⁸ blobs per query (m08's shape) becomes O(batches)
+    //      manifest text + O(files) local metadata rows, and the
+    //      listed length certifies content integrity end-to-end (the
+    //      decode asserts manifest length == read bytes). Oracle:
+    //      byte-identical contract to m08 — same features, same
+    //      names — proving the two listing strategies are
+    //      interchangeable. ----
+    QuerySpec(
+      "m15_bronze_media",
+      (s, d) => {
+        import s.implicits._
+        graft.ingest.BronzeMerge
+          .snapshotBetween(s, bronzeMediaTable(s, d), "length",
+            0L, Long.MaxValue)
+          .select(col("file_name"),
+            regexp_extract(col("file_name"), "^([0-9]+)", 1)
+              .cast("long").as("doc_id"),
+            col("length"), col("content"))
+          .as[(String, Long, Long, Array[Byte])]
+          .transform(decodeBmpFileRows).orderBy("doc_id")
+      },
+      Some(bmpFileOracle)),
 
     // ---- perceptual-hash image near-dedup: decode each BMP through
     //      [[decodeBmpAhash]] (REAL codec, exact-integer aHash), then

@@ -402,6 +402,28 @@ class PlanSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("m15: the manifest-driven media scan lists zero directories") {
+    val df = SparkEntry.queries("m15_bronze_media")(spark, sf0001)
+    // the scan's roots must be the exact parquet FILES named by the
+    // bronze stats (manifest-resolved), never a directory to
+    // enumerate — the property that turns m08's per-query
+    // object-store LIST into O(metadata) at 100 TB
+    val roots = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(roots.nonEmpty)
+    roots.foreach(p => assert(p.getName.endsWith(".parquet"),
+      s"scan root is not a concrete file: $p"))
+    // and the result is the m08 contract (same features, same rows)
+    val viaGlob = SparkEntry.queries("m08_binary_source")(spark, sf0001)
+    assert(df.collect().toSeq == viaGlob.collect().toSeq)
+  }
+
   test("vec_dot is SQL-callable after extension registration") {
     graft.functions.VectorExprs.register(spark)
     val r = spark.sql(
