@@ -378,10 +378,14 @@ object Similarity {
     // gate SFs). The va < vb filter below pairs each probe with the
     // residents ABOVE it, preserving the uncapped multiplicity for
     // sub-cap buckets.
-    val b = sigs.toDF("vb", "tbl", "sig")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("tbl"), col("sig"))
-          .orderBy(col("vb").desc)))
+    val b = CapMetrics.observeCapDrops(
+        sigs.toDF("vb", "tbl", "sig")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("tbl"), col("sig"))
+              .orderBy(col("vb").desc))),
+        "rk", BucketCap, "vector-sig")
+      // a BINDING ceiling WARNs via CapMetrics instead of silently
+      // thinning the pair list
       .filter(col("rk") <= BucketCap)
       .drop("rk")
     // skew guard: hot buckets (duplicate clusters, zero vectors)
@@ -639,6 +643,13 @@ object Similarity {
     * share. Bounded by QueryIds × m × k doubles. */
   private def queryLuts(s: SparkSession, d: String, m: Int, k: Int)
       : Seq[(Long, Seq[Seq[Double]])] = {
+    // the driver-side collect below is sound ONLY because the query
+    // set is a bounded model parameter; fail loudly before a config
+    // bump silently turns it into a data scan (at 1024 queries the
+    // LUT build is still ≤ 1024·m·k doubles ≈ 1 MB — beyond that,
+    // move the LUTs into a broadcast relation instead)
+    require(QueryIds <= 1024,
+      s"QueryIds=$QueryIds exceeds the driver-side LUT bound (1024)")
     val sub = 64 / m
     val books = pqModel(s, d, m, k)
     val qvecs = Tables.embeddings(s, d)

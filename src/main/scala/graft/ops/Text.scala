@@ -163,8 +163,26 @@ object Text {
     * heuristic that keeps one registered query honest at both scales. */
   private[graft] val ExactAnchorRows = 1000L
   private val sizeMemo = new graft.SessionMemo[String, java.lang.Long]
-  private def corpusRows(s: SparkSession, d: String): Long =
-    sizeMemo.getOrCompute(s, d)(Tables.documents(s, d).count())
+  /** Memoized corpus row count, keyed by (dir, cheap change
+    * fingerprint): a `documents` table REWRITTEN within one session
+    * (new files / new mtimes) re-probes instead of returning the
+    * stale count — one O(files) listing per call buys memo safety. */
+  private def corpusRows(s: SparkSession, d: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val fp =
+      if (!fs.exists(p)) 0L
+      else {
+        val kids = fs.listStatus(p)
+        kids.foldLeft(kids.length.toLong) { (acc, st) =>
+          acc ^ st.getModificationTime ^ st.getLen }
+      }
+    // fresh read, not Tables.documents: the probe must see the
+    // CURRENT files, and the Tables plan memo deliberately caches the
+    // first listing (parquet count() is footer metadata only)
+    sizeMemo.getOrCompute(s, s"$d@$fp")(
+      s.read.parquet(s"$d/documents.parquet").count())
+  }
   private[graft] def exactAnchor(s: SparkSession, d: String): Boolean =
     corpusRows(s, d) <= ExactAnchorRows
 
@@ -446,10 +464,15 @@ object Text {
     * identical dedup components under the binding cap. */
   private[graft] def lshBandCandidates(bands: DataFrame,
       cap: Int = BandBucketCap): DataFrame = {
-    val residents = bands
+    val ranked = bands
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("band"), col("bh"))
           .orderBy(col("doc_id").desc)))
+    // a BINDING cap is observable, never silent: the observation
+    // counts ceiling-hit buckets + dropped rows in the same pass and
+    // the session listener WARNs (CapMetrics)
+    val residents = CapMetrics
+      .observeCapDrops(ranked, "rk", cap, "shingle-band")
       .filter(col("rk") <= cap)
       .drop("rk")
     bands.toDF("da", "band", "bh")
@@ -551,6 +574,29 @@ object Text {
     require(converged, s"connectedComponents did not converge in $iters")
     labels
   }
+
+  /** Session-memoized near-dup cluster labels over the LSH pair
+    * graph, keyed by (sf dir, threshold): t12 and t49 — and any
+    * future survivorship/rewrite policy — share ONE
+    * LSH + connected-components computation per session instead of
+    * each re-running the full pair pipeline (~2 s each at sf0.1).
+    * Reuse is COMPUTE reuse, not merely plan reuse: the CC output is
+    * already a projection over per-generation `localCheckpoint`
+    * blocks, so the memoized DataFrame is a leaf scan. Memory held is
+    * O(labels) = O(docs that appear in a pair) per (dir, thr) for the
+    * session's lifetime — the same bounded-model trade as the coded
+    * ANN tables ([[graft.ops.Similarity]] `codedMemo`). Like every
+    * SessionMemo over a directory key, the cache assumes the corpus
+    * at `d` is immutable within a session (the same caveat as
+    * `sizeMemo`). */
+  private val dupLabelsMemo =
+    new graft.SessionMemo[(String, Double), DataFrame]
+
+  private[graft] def dupClusterLabels(s: SparkSession, d: String,
+      thr: Double): DataFrame =
+    dupLabelsMemo.getOrCompute(s, (d, thr)) {
+      connectedComponents(lshJaccardPairs(s, d, thr).select("da", "db"))
+    }
 
   /** Near-dup pairs via MinHash+LSH with exact verification — same
     * output as [[exactJaccardPairs]] (candidate recall ~0.99992 at
@@ -1018,7 +1064,15 @@ object Text {
     // ---- exact n-gram Jaccard near-dup pairs, scale-routed: brute
     //      shingle join at/below the oracle anchor, MinHash+LSH with
     //      exact verification above it (same output contract — t09
-    //      hash-matches this very oracle at every gate SF) ----
+    //      hash-matches this very oracle at every gate SF).
+    //      ORACLE VALIDITY BOUND: the registered SQL is the exact
+    //      all-pairs join, so a hash comparison is guaranteed only
+    //      at/below ExactAnchorRows (all driver gate SFs qualify:
+    //      ≤500 docs); above it the LSH route's ~0.99992 candidate
+    //      recall can miss a pair, and the comparison of record is
+    //      t09's anchored hash-match plus the OpsSpec routing test —
+    //      run an above-anchor oracle diff only as a recall PROBE,
+    //      not a gate. ----
     QuerySpec(
       "t08_jaccard_pairs",
       (s, d) =>
@@ -1071,6 +1125,13 @@ object Text {
         votes.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
       },
       Some {
+        // PARITY ASSUMPTION (same as t06's fingerprint recipe): the
+        // oracle's str_split(t, '') + ascii(ch) iterates per GRAPHEME
+        // and keeps only its first code point, while Scala's polyHash
+        // walks every code point — identical for ASCII/BMP text with
+        // single-code-point graphemes (this corpus), divergent for
+        // ZWJ/modifier emoji clusters. A corpus gaining such content
+        // needs the oracle rewritten over explicit code points.
         val hashTerms = (0 until 63).map(i =>
           s"SUM(CASE WHEN (${simhashA(i)}*th+${simhashB(i)}) % $HashP % 2 = 1 " +
             s"THEN c ELSE -c END) AS b$i").mkString(", ")
@@ -1127,9 +1188,9 @@ object Text {
       (s, d) => {
         // pairs come from the LSH path (same output as the brute join,
         // proven by t09's oracle hash-match) — at 100 TB this IS the
-        // pair source, so the clustering exercises the scale shape
-        val labels = connectedComponents(
-          lshJaccardPairs(s, d, 0.8).select("da", "db"))
+        // pair source, so the clustering exercises the scale shape;
+        // the labels relation is session-shared with t49
+        val labels = dupClusterLabels(s, d, 0.8)
         labels
           .select(col("doc_id"), col("lbl").as("component"),
             (col("doc_id") === col("lbl")).as("keep"))
@@ -2928,8 +2989,8 @@ object Text {
         // the SHARED t04 heuristic, not a copy — a weight tweak there
         // moves this survivorship comparison with it
         val quality = round(qualityExpr, 6)
-        val labels = connectedComponents(
-          lshJaccardPairs(s, d, 0.8).select("da", "db"))
+        // session-shared with t12: one LSH + CC run serves both
+        val labels = dupClusterLabels(s, d, 0.8)
         val m = Tables.documents(s, d).withColumn("q", quality)
           .join(labels.select(col("doc_id"), col("lbl")),
             Seq("doc_id"), "left")

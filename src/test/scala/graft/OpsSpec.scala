@@ -115,8 +115,25 @@ class OpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val bands = Text.lshBandKeys(
       spark.read.parquet(s"$dir/documents.parquet")).distinct().cache()
-    val uncapped = Text.lshBandCandidates(bands, Int.MaxValue).count()
-    val capped = Text.lshBandCandidates(bands, 4).count()
+    val uncappedDf = Text.lshBandCandidates(bands, Int.MaxValue)
+    val uncapped = uncappedDf.collect().length.toLong
+    val cappedDf = Text.lshBandCandidates(bands, 4)
+    val capped = cappedDf.collect().length.toLong
+    // a BINDING cap is observable, never silent: the CollectMetrics
+    // observation on the ranked relation recorded ceiling buckets and
+    // dropped candidate rows in the same pass (and proves the cap
+    // filter did NOT push below the metrics barrier)
+    def capMetric(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.observedMetrics.collectFirst {
+        case (name, row) if name.startsWith("graft_cap_") => row
+      }.get
+    val hit = capMetric(cappedDf)
+    assert(hit.getLong(0) > 0, s"no ceiling bucket observed: $hit")
+    assert(hit.getLong(1) > 0, s"no dropped rows observed: $hit")
+    assert(hit.getString(2) == "shingle-band")
+    val miss = capMetric(uncappedDf)
+    assert(miss.getLong(0) == 0 && miss.getLong(1) == 0,
+      s"non-binding cap reported drops: $miss")
     val bound = bands.groupBy("band", "bh").count()
       .agg(sum(least(lit(4L), col("count")) * col("count")))
       .head().getLong(0)
@@ -158,6 +175,32 @@ class OpsSpec extends SparkSpec {
     val ccExact = components(Text.lshJaccardPairs(spark, dir, 0.8))
     assert(ccCapped == ccExact,
       s"capped components diverge: ${ccCapped.size} vs ${ccExact.size}")
+  }
+
+  test("t08 routing probe re-counts a corpus rewritten within the session") {
+    // the size memo is keyed by (dir, file fingerprint): a REWRITE of
+    // documents.parquet inside one session must flip the exact/LSH
+    // routing decision instead of reusing the stale count
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sizememo").toString
+    def write(n: Int) = spark.range(n)
+      .selectExpr("id AS doc_id", "'alpha beta gamma delta' AS text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(10)
+    assert(Text.exactAnchor(spark, dir))
+    assert(Text.exactAnchor(spark, dir)) // unchanged dir: memo hit
+    write(Text.ExactAnchorRows.toInt + 500)
+    assert(!Text.exactAnchor(spark, dir),
+      "stale size memo survived a corpus rewrite")
+  }
+
+  test("t12/t49 share one session-memoized LSH+CC labels relation") {
+    // compute reuse, not just plan reuse: both consumers must get the
+    // SAME checkpointed labels frame per (dir, threshold)
+    val a = Text.dupClusterLabels(spark, sf0001, 0.8)
+    assert(Text.dupClusterLabels(spark, sf0001, 0.8) eq a)
+    // a different threshold is a different clustering — no false share
+    assert(!(Text.dupClusterLabels(spark, sf0001, 0.7) eq a))
   }
 
   test("s04 collapse equals the uncollapsed LSH pipeline under duplication") {
