@@ -595,7 +595,35 @@ object Text {
   private[graft] def dupClusterLabels(s: SparkSession, d: String,
       thr: Double): DataFrame =
     dupLabelsMemo.getOrCompute(s, (d, thr)) {
-      connectedComponents(lshJaccardPairs(s, d, thr).select("da", "db"))
+      // Cluster at REPRESENTATIVE level, then propagate through the
+      // dup mapping — identical labels to CC over the expanded member
+      // pairs (OpsSpec pins the equivalence), at collapsed cost. Why
+      // equal: a rep IS its group's minimum doc id, so the min member
+      // id of a mixed component equals the min rep id — exactly the
+      // rep-level CC label; and a doc appears in some expanded edge
+      // iff its (shingled) group has ≥2 members (intra pairs at
+      // J=1.0 ≥ thr) or its rep sits in a cross-group pair. Why it
+      // matters: under heavy duplication the expanded graph is
+      // Σ|group|² edges (the sf10 rehearsal's 100-way dup corpus put
+      // 24.7M edges under CC, 66 s cold) while the rep graph is the
+      // verified pair list over DISTINCT texts (~10² edges, CC in
+      // well under a second) — the label join back is one broadcast-
+      // able O(members) hop.
+      val (mapping, docsSh, repPairs) = lshRepPairs(s, d, thr)
+      val repLabels = connectedComponents(
+        repPairs.select(col("ra").as("da"), col("rb").as("db")))
+      val sizes = mapping.groupBy(col("rep"))
+        .agg(count(lit(1)).as("gs"))
+      val eligible = sizes
+        .join(docsSh.select(col("doc_id").as("rep")), "rep")
+        .join(repLabels.toDF("rep", "crossLbl"), Seq("rep"), "left")
+        .filter(col("gs") >= 2 || col("crossLbl").isNotNull)
+        .select(col("rep"),
+          coalesce(col("crossLbl"), col("rep")).as("lbl"))
+      mapping.select(col("doc_id"), col("rep"))
+        .join(eligible, "rep")
+        .select(col("doc_id"), col("lbl"))
+        .localCheckpoint(false)
     }
 
   /** Near-dup pairs via MinHash+LSH with exact verification — same
@@ -604,6 +632,18 @@ object Text {
     * and t12 (the clustering runs on the scale path's pairs). */
   private[graft] def lshJaccardPairs(s: SparkSession, d: String,
       thr: Double, bucketCap: Int = BandBucketCap): DataFrame = {
+    val (mapping, docsSh, scored) = lshRepPairs(s, d, thr, bucketCap)
+    expandDupPairs(mapping, scored,
+      docsSh.select(col("doc_id").as("rep")), thr)
+  }
+
+  /** The representative-level stage of [[lshJaccardPairs]]:
+    * (dup mapping, shingled reps, verified rep pairs ≥ thr). Shared
+    * with [[dupClusterLabels]], which clusters BEFORE the member
+    * expansion. */
+  private def lshRepPairs(s: SparkSession, d: String, thr: Double,
+      bucketCap: Int = BandBucketCap)
+      : (DataFrame, DataFrame, DataFrame) = {
     // exact-collapse first, like t08: identical texts share every
     // band key, so duplicates make the bucket join quadratic; the
     // band join runs on distinct texts and members expand back in
@@ -633,8 +673,7 @@ object Text {
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
           .as("jaccard"))
       .filter(col("jaccard") >= thr)
-    expandDupPairs(mapping, scored,
-      docsSh.select(col("doc_id").as("rep")), thr)
+    (mapping, docsSh, scored)
   }
 
   /** Scale path for t14 decontamination: probe a BLOOM FILTER of the

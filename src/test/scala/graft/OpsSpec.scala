@@ -194,6 +194,33 @@ class OpsSpec extends SparkSpec {
       "stale size memo survived a corpus rewrite")
   }
 
+  test("rep-level dup clustering equals CC over the expanded member pairs") {
+    // dupClusterLabels clusters the REPRESENTATIVE pair graph and
+    // propagates labels through the dup mapping; the definition it
+    // must equal is CC over the fully expanded member pairs — on a
+    // natural corpus AND on the heavy-duplication regime where the
+    // expanded graph inflates quadratically (the sf10 rehearsal's
+    // failure shape: 24.7M expanded edges vs a few hundred rep edges)
+    def expanded(d: String) = Text.connectedComponents(
+        Text.lshJaccardPairs(spark, d, 0.8).select("da", "db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def reps(d: String) = Text.dupClusterLabels(spark, d, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reps(sf0001) == expanded(sf0001))
+    // 7 exact copies of every doc, ids reseeded per copy
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dupcc").toString
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+    (0 until 7)
+      .map(k => base.select(
+        (col("doc_id") + lit(k * 1000000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val viaReps = reps(dir)
+    assert(viaReps == expanded(dir))
+    assert(viaReps.nonEmpty)
+  }
+
   test("t12/t49 share one session-memoized LSH+CC labels relation") {
     // compute reuse, not just plan reuse: both consumers must get the
     // SAME checkpointed labels frame per (dir, threshold)
