@@ -31,15 +31,27 @@ import scala.collection.mutable
   * exactly the current snapshot (Delta's own "log replay" contract).
   *
   * Scale notes (100 TB): sync appends O(changed files) JSON per
-  * commit — the same cost Delta's own writers pay; replay cost grows
-  * with log length, which production Delta bounds with parquet
-  * checkpoints every N commits — [[BronzeMerge]] callers read through
-  * the manifest (O(1) version file) and never replay, so the log here
-  * is purely the interop surface.
+  * commit — the same cost Delta's own writers pay. Replay cost is
+  * bounded the way Delta itself bounds it: every
+  * [[CheckpointInterval]] commits, sync writes a PARQUET CHECKPOINT
+  * (`NNN.checkpoint.parquet`, one row per action with the protocol /
+  * metaData / add struct columns the Delta protocol specifies) plus
+  * the `_last_checkpoint` pointer, and [[state]] replays
+  * checkpoint + JSON tail instead of the whole history. JSON commits
+  * at or below a checkpoint become redundant for HEAD reads and can
+  * be reclaimed with [[cleanObsoleteLogs]] (forfeiting JSON-replay
+  * time travel below the checkpoint — Delta's own log-retention
+  * trade). [[BronzeMerge]] callers still read through the manifest
+  * (O(1) version file) and never replay; the log is the interop
+  * surface.
   */
 object DeltaLog {
 
   val LogDirName = "_delta_log"
+
+  /** Write a parquet checkpoint every this many commits (Delta's own
+    * default cadence). */
+  val CheckpointInterval = 10
 
   /** One live data file in the replayed state. */
   final case class AddFile(path: String, size: Long, modificationTime: Long)
@@ -54,7 +66,8 @@ object DeltaLog {
 
   private val mapper = new ObjectMapper()
 
-  /** Highest delta version present in the log; -1 when none. */
+  /** Highest delta version present in the log — JSON commits or a
+    * checkpoint that outlives cleaned-up JSON; -1 when none. */
   def latestLogVersion(spark: SparkSession, table: String): Long = {
     val f = fs(spark, table)
     val dir = logDir(table)
@@ -62,7 +75,111 @@ object DeltaLog {
     else {
       val vs = f.listStatus(dir).map(_.getPath.getName)
         .filter(_.matches("\\d{20}\\.json"))
-      if (vs.isEmpty) -1L else vs.map(_.stripSuffix(".json").toLong).max
+      val jsonMax =
+        if (vs.isEmpty) -1L else vs.map(_.stripSuffix(".json").toLong).max
+      math.max(jsonMax, lastCheckpoint(f, table).getOrElse(-1L))
+    }
+  }
+
+  private def checkpointFile(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint.parquet")
+
+  /** Version in `_last_checkpoint`, if present and its parquet file
+    * still exists. */
+  private def lastCheckpoint(f: FileSystem, table: String): Option[Long] = {
+    val ptr = new Path(logDir(table), "_last_checkpoint")
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      scala.util.Try(mapper.readTree(content).get("version").asLong())
+        .toOption.filter(v => f.exists(checkpointFile(table, v)))
+    }
+  }
+
+  // checkpoint row layout per the Delta protocol: one action per row,
+  // nullable struct columns (txn omitted: this writer issues none;
+  // remove tombstones omitted: vacuum here is manifest-driven)
+  private[graft] final case class CpFormat(provider: String,
+      options: Map[String, String])
+  private[graft] final case class CpMetaData(id: String, format: CpFormat,
+      schemaString: String, partitionColumns: Seq[String],
+      configuration: Map[String, String], createdTime: Long)
+  private[graft] final case class CpProtocol(minReaderVersion: Int,
+      minWriterVersion: Int)
+  private[graft] final case class CpAdd(path: String,
+      partitionValues: Map[String, String], size: Long,
+      modificationTime: Long, dataChange: Boolean)
+  private[graft] final case class CpRow(protocol: Option[CpProtocol],
+      metaData: Option[CpMetaData], add: Option[CpAdd])
+
+  /** Write the parquet checkpoint of the log state at `v` plus the
+    * `_last_checkpoint` pointer. Idempotent; the checkpoint is ONE
+    * parquet file named per the protocol so an external reader finds
+    * it from the pointer alone. */
+  def writeCheckpoint(spark: SparkSession, table: String, v: Long): Unit = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    val target = checkpointFile(table, v)
+    if (!f.exists(target)) {
+      val (files, schemaOpt) = state(spark, table, Some(v))
+      val schema = schemaOpt.getOrElse(throw new IllegalStateException(
+        s"cannot checkpoint $table at $v: no metaData action"))
+      val rows =
+        CpRow(Some(CpProtocol(1, 2)), None, None) +:
+        CpRow(None, Some(CpMetaData(
+          java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString,
+          CpFormat("parquet", Map.empty), schema.json, Seq.empty,
+          Map.empty, System.currentTimeMillis())), None) +:
+        files.map(a => CpRow(None, None,
+          Some(CpAdd(a.path, Map.empty, a.size, a.modificationTime,
+            dataChange = false))))
+      // spark writes a directory; the protocol wants ONE exactly-named
+      // file — stage, then move the single part file into place
+      val tmpDir = new Path(logDir(table), f".cp-tmp-$v%020d")
+      rows.toDS().coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmpDir.toString)
+      val part = f.listStatus(tmpDir).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"checkpoint staging produced no parquet part under $tmpDir"))
+      if (!f.rename(part, target) && !f.exists(target))
+        throw new IllegalStateException(s"checkpoint rename failed: $target")
+      f.delete(tmpDir, true)
+    }
+    // pointer last: a crash before this line leaves a valid orphan
+    // checkpoint that the next writeCheckpoint call re-points
+    val nActions = spark.read.parquet(target.toString).count()
+    val ptrTmp = new Path(logDir(table), f"._last_checkpoint-$v%020d.tmp")
+    val out = f.create(ptrTmp, true)
+    try out.write(
+      s"""{"version":$v,"size":$nActions}\n""".getBytes("UTF-8"))
+    finally out.close()
+    val ptr = new Path(logDir(table), "_last_checkpoint")
+    f.delete(ptr, false)
+    if (!f.rename(ptrTmp, ptr) && !f.exists(ptr))
+      throw new IllegalStateException(s"_last_checkpoint write failed")
+  }
+
+  /** Drop JSON commits at or below the current checkpoint — Delta's
+    * log-retention cleanup. HEAD reads are unaffected (checkpoint +
+    * tail); JSON-replay time travel BELOW the checkpoint is forfeited,
+    * like any expired Delta log. Returns the deleted file names. */
+  def cleanObsoleteLogs(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, table)
+    lastCheckpoint(f, table) match {
+      case None => Seq.empty
+      case Some(cp) =>
+        f.listStatus(logDir(table)).map(_.getPath).toSeq
+          .filter { p =>
+            p.getName.matches("\\d{20}\\.json") &&
+              p.getName.stripSuffix(".json").toLong <= cp
+          }
+          .sortBy(_.getName)
+          .map { p => f.delete(p, false); p.getName }
     }
   }
 
@@ -81,7 +198,11 @@ object DeltaLog {
   }
 
   /** Replay the log through `version` (inclusive; None = latest):
-    * (live files, table schema from the latest metaData). */
+    * (live files, table schema from the latest metaData). Starts from
+    * the newest usable parquet checkpoint ≤ `version` and replays only
+    * the JSON tail — full-history JSON replay happens only for time
+    * travel below the checkpoint (valid while those commits survive
+    * [[cleanObsoleteLogs]]). */
   def state(spark: SparkSession, table: String,
       version: Option[Long] = None): (Seq[AddFile], Option[StructType]) = {
     val f = fs(spark, table)
@@ -89,6 +210,24 @@ object DeltaLog {
     val live = mutable.LinkedHashMap[String, AddFile]()
     var schema: Option[StructType] = None
     var v = 0L
+    lastCheckpoint(f, table).filter(_ <= top).foreach { cp =>
+      spark.read.parquet(checkpointFile(table, cp).toString)
+        .collect().foreach { row =>
+          val addIdx = row.fieldIndex("add")
+          val mdIdx = row.fieldIndex("metaData")
+          if (!row.isNullAt(addIdx)) {
+            val a = row.getStruct(addIdx)
+            val add = AddFile(a.getAs[String]("path"),
+              a.getAs[Long]("size"), a.getAs[Long]("modificationTime"))
+            live(add.path) = add
+          } else if (!row.isNullAt(mdIdx)) {
+            schema = Some(DataType.fromJson(
+              row.getStruct(mdIdx).getAs[String]("schemaString"))
+              .asInstanceOf[StructType])
+          }
+        }
+      v = cp + 1
+    }
     while (v <= top) {
       val p = logFile(table, v)
       require(f.exists(p), s"delta log version $v missing at ${logDir(table)}")
@@ -199,6 +338,9 @@ object DeltaLog {
           lines += commitInfoJson(v, "WRITE")
       }
       writeVersion(f, table, v, lines.toSeq)
+      // Delta's checkpoint cadence: bound replay (and this sync's own
+      // restart cost) to checkpoint + a ≤interval JSON tail
+      if ((v + 1) % CheckpointInterval == 0) writeCheckpoint(spark, table, v)
       v += 1
     }
     target

@@ -489,6 +489,61 @@ class IngestSpec extends SparkSpec {
     assert(DeltaLog.sync(spark, table) == 2L)
   }
 
+  test("delta log checkpoints: replay = checkpoint + tail, survives log cleanup") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft-dlog-cp")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    def one(n: String) = Seq((n, n.length.toLong, ts(n.hashCode & 127),
+      Array[Byte](1))).toDF("file_name", "length", "modified", "content")
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.select("file_name").collect().map(_.getString(0)).sorted.toSeq
+
+    // 12 commits → delta versions 0..11; the cadence (interval 10)
+    // must have checkpointed at version 9 and pointed _last_checkpoint
+    (1 to 12).foreach(i =>
+      BronzeMerge.mergeIngestDf(spark, one(f"f$i%02d.txt"), table))
+    val logDir = Paths.get(table, "_delta_log")
+    assert(Files.exists(
+      logDir.resolve("00000000000000000009.checkpoint.parquet")))
+    val ptr = Files.readString(logDir.resolve("_last_checkpoint"))
+    assert(ptr.contains("\"version\":9"), ptr)
+    // checkpoint content: one action per row, protocol + metaData +
+    // one add per live file, adds carrying dataChange=false
+    val cp = spark.read.parquet(
+      logDir.resolve("00000000000000000009.checkpoint.parquet").toString)
+    assert(cp.filter(col("protocol").isNotNull).count() == 1)
+    assert(cp.filter(col("metaData").isNotNull).count() == 1)
+    val nAdds = cp.filter(col("add").isNotNull).count()
+    assert(nAdds == 10, s"expected 10 live files at v9, got $nAdds")
+    assert(cp.filter(col("add.dataChange") === true).count() == 0)
+
+    // replay equals the manifest snapshot (checkpoint + 2-commit tail)
+    assert(names(DeltaLog.read(spark, table)) ==
+      names(BronzeMerge.snapshot(spark, table)))
+
+    // log cleanup: JSON ≤ checkpoint version goes away, HEAD replay
+    // still works from checkpoint + tail; sub-checkpoint time travel
+    // now fails loudly (forfeited, like expired Delta history)
+    val cleaned = DeltaLog.cleanObsoleteLogs(spark, table)
+    assert(cleaned.size == 10 &&
+      cleaned.head == "00000000000000000000.json")
+    assert(names(DeltaLog.read(spark, table)) ==
+      names(BronzeMerge.snapshot(spark, table)))
+    assert(names(DeltaLog.read(spark, table, Some(10L))).size == 11)
+    intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, table, Some(5L))
+    }
+
+    // further commits keep extending the tail past the checkpoint
+    BronzeMerge.mergeIngestDf(spark, one("extra.txt"), table)
+    assert(DeltaLog.latestLogVersion(spark, table) == 12L)
+    assert(names(DeltaLog.read(spark, table)) ==
+      names(BronzeMerge.snapshot(spark, table)))
+  }
+
   test("csv ingest appends typed rows to the sink table") {
     val dir = Files.createTempDirectory("graft-csv")
     val sink = Files.createTempDirectory("graft-csv-out").resolve("t")
