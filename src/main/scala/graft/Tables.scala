@@ -13,16 +13,42 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Memoized per (session, dir, table): file listing + parquet footer
-  // schema reads happen once per session instead of once per query —
-  // pure plan-construction reuse, no data is cached. Weakly keyed on
-  // the session (the cached DataFrames reference it) so a dropped
-  // session is collectable.
-  private val memo = new SessionMemo[(String, String), DataFrame]
+  // Memoized per (session, dir, table, content fingerprint): file
+  // listing + parquet footer schema reads happen once per session
+  // instead of once per query — pure plan-construction reuse, no data
+  // is cached. The FINGERPRINT in the key makes an in-session rewrite
+  // of a fixture directory visible: a cached DataFrame's file index
+  // is snapshotted at construction, so without it a rewritten table
+  // would be read through a listing of deleted part files. One cheap
+  // listStatus per call buys that safety. Weakly keyed on the session
+  // (the cached DataFrames reference it) so a dropped session is
+  // collectable.
+  private val memo = new SessionMemo[(String, String, Long), DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.getOrCompute(spark, (dir, name))(
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val fp = dirFingerprint(spark, s"$dir/$name.parquet")
+    memo.getOrCompute(spark, (dir, name, fp))(
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Order-sensitive change fingerprint of a parquet table directory:
+    * a polynomial fold over (name, mtime, length) of the sorted file
+    * listing — unlike a plain XOR, same-millisecond writes and
+    * swapped file lengths cannot cancel out. 0 when the path is
+    * absent. Shared by the [[table]] memo key and the scale-routing
+    * probes (`Text`/`Similarity` `corpusRows`). */
+  private[graft] def dirFingerprint(spark: SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) 0L
+    else f.listStatus(p).sortBy(_.getPath.getName)
+      .foldLeft(1125899906842597L) { (acc, st) =>
+        acc * 1000003L +
+          ((st.getPath.getName.hashCode.toLong * 31L +
+            st.getModificationTime) * 31L + st.getLen)
+      }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

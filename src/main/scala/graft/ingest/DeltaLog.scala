@@ -118,50 +118,76 @@ object DeltaLog {
   /** Write the parquet checkpoint of the log state at `v` plus the
     * `_last_checkpoint` pointer. Idempotent; the checkpoint is ONE
     * parquet file named per the protocol so an external reader finds
-    * it from the pointer alone. */
-  def writeCheckpoint(spark: SparkSession, table: String, v: Long): Unit = {
+    * it from the pointer alone. Returns false (no-op) when the log at
+    * `v` carries no metaData yet — the vacuumed-gap backfill writes
+    * filler commits whose state is uncheckpointable, and a skipped
+    * optimization must never fail a commit that already landed. */
+  def writeCheckpoint(spark: SparkSession, table: String,
+      v: Long): Boolean = {
     import spark.implicits._
     val f = fs(spark, table)
     val target = checkpointFile(table, v)
-    if (!f.exists(target)) {
-      val (files, schemaOpt) = state(spark, table, Some(v))
-      val schema = schemaOpt.getOrElse(throw new IllegalStateException(
-        s"cannot checkpoint $table at $v: no metaData action"))
-      val rows =
-        CpRow(Some(CpProtocol(1, 2)), None, None) +:
-        CpRow(None, Some(CpMetaData(
-          java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString,
-          CpFormat("parquet", Map.empty), schema.json, Seq.empty,
-          Map.empty, System.currentTimeMillis())), None) +:
-        files.map(a => CpRow(None, None,
-          Some(CpAdd(a.path, Map.empty, a.size, a.modificationTime,
-            dataChange = false))))
-      // spark writes a directory; the protocol wants ONE exactly-named
-      // file — stage, then move the single part file into place
-      val tmpDir = new Path(logDir(table), f".cp-tmp-$v%020d")
-      rows.toDS().coalesce(1).write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(tmpDir.toString)
-      val part = f.listStatus(tmpDir).map(_.getPath)
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(
-          s"checkpoint staging produced no parquet part under $tmpDir"))
-      if (!f.rename(part, target) && !f.exists(target))
-        throw new IllegalStateException(s"checkpoint rename failed: $target")
-      f.delete(tmpDir, true)
-    }
+    val written: Option[Long] =
+      if (f.exists(target)) None
+      else {
+        val (files, schemaOpt) = state(spark, table, Some(v))
+        val schema = schemaOpt.getOrElse(return false)
+        val rows =
+          CpRow(Some(CpProtocol(1, 2)), None, None) +:
+          CpRow(None, Some(CpMetaData(
+            java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString,
+            CpFormat("parquet", Map.empty), schema.json, Seq.empty,
+            Map.empty, System.currentTimeMillis())), None) +:
+          files.map(a => CpRow(None, None,
+            Some(CpAdd(a.path, Map.empty, a.size, a.modificationTime,
+              dataChange = false))))
+        // spark writes a directory; the protocol wants ONE
+        // exactly-named file — stage (writer-unique dir), then move
+        // the single part file into place
+        val tmpDir = new Path(logDir(table),
+          f".cp-tmp-$v%020d-${java.util.UUID.randomUUID()}")
+        rows.toDS().coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(tmpDir.toString)
+        val part = f.listStatus(tmpDir).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"checkpoint staging produced no parquet part under $tmpDir"))
+        if (!f.rename(part, target) && !f.exists(target))
+          throw new IllegalStateException(
+            s"checkpoint rename failed: $target")
+        f.delete(tmpDir, true)
+        Some(rows.length.toLong)
+      }
     // pointer last: a crash before this line leaves a valid orphan
-    // checkpoint that the next writeCheckpoint call re-points
-    val nActions = spark.read.parquet(target.toString).count()
-    val ptrTmp = new Path(logDir(table), f"._last_checkpoint-$v%020d.tmp")
-    val out = f.create(ptrTmp, true)
-    try out.write(
-      s"""{"version":$v,"size":$nActions}\n""".getBytes("UTF-8"))
-    finally out.close()
-    val ptr = new Path(logDir(table), "_last_checkpoint")
-    f.delete(ptr, false)
-    if (!f.rename(ptrTmp, ptr) && !f.exists(ptr))
-      throw new IllegalStateException(s"_last_checkpoint write failed")
+    // checkpoint that the next writeCheckpoint call re-points. The
+    // pointer swap is a writer-unique temp + atomic OVERWRITE rename
+    // (the BronzeMerge.flipPointer pattern): there is NO window where
+    // `_last_checkpoint` is absent or partial — a delete-then-rename
+    // here would strand the table unreadable if the JSON history
+    // below the checkpoint was already cleaned.
+    val nActions = written.getOrElse(
+      spark.read.parquet(target.toString).count())
+    atomicOverwrite(spark, logDir(table), "_last_checkpoint",
+      s"""{"version":$v,"size":$nActions}\n""")
+    true
+  }
+
+  /** Publish `content` at `dir/name` via writer-unique temp + atomic
+    * OVERWRITE rename — readers always see a complete old or new
+    * file, never absence or a partial write. */
+  private def atomicOverwrite(spark: SparkSession, dir: Path,
+      name: String, content: String): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, spark.sessionState.newHadoopConf())
+    val tmp = new Path(dir, s".$name-${java.util.UUID.randomUUID()}.tmp")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, new Path(dir, name),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Drop JSON commits at or below the current checkpoint — Delta's
@@ -317,12 +343,27 @@ object DeltaLog {
             .filterNot(a => want.contains(a.path.takeWhile(_ != '/')))
           val addedBatches = batches.filterNot(have.contains)
           val added = addedBatches.flatMap(b => batchFiles(f, table, b))
-          // schema: merged footers of the live batch set; emit a new
-          // metaData action only when it changed (schema evolution)
-          val newSchema =
-            if (batches.isEmpty) schema
-            else Some(spark.read.option("mergeSchema", "true")
-              .parquet(batches.map(b => s"$table/$b"): _*).schema)
+          // schema: evolution here is ADDITIVE (bronze batches only
+          // ever introduce columns), so per-commit cost is the
+          // footers of the ADDED batches merged onto the logged
+          // schema — never a rescan of every live batch (O(changed
+          // files), the streaming hot path's bound). The full
+          // mergeSchema scan happens exactly once: the first commit
+          // that establishes metaData.
+          val newSchema = (schema, addedBatches) match {
+            case (s0, Nil) => s0
+            case (None, _) if batches.nonEmpty =>
+              Some(spark.read.option("mergeSchema", "true")
+                .parquet(batches.map(b => s"$table/$b"): _*).schema)
+            case (Some(prev), adds) =>
+              val addSch = spark.read.option("mergeSchema", "true")
+                .parquet(adds.map(b => s"$table/$b"): _*).schema
+              val known = prev.fieldNames.toSet
+              Some(StructType(
+                prev.fields ++ addSch.fields.filterNot(fd =>
+                  known.contains(fd.name))))
+            case (s0, _) => s0
+          }
           if (newSchema.isDefined && newSchema.map(_.json) != schema.map(_.json)) {
             lines += metaDataJson(table, newSchema.get)
             schema = newSchema
@@ -398,15 +439,18 @@ object DeltaLog {
   /** Temp + rename, mirroring the manifest CAS. Concurrent syncers
     * race benignly: the content of any version is deterministic from
     * the manifests, so an already-present target is SUCCESS, not
-    * conflict. */
+    * conflict. The temp name is WRITER-UNIQUE and created without
+    * overwrite — a shared temp would let writer A publish writer B's
+    * half-written bytes as the committed version file. */
   private def writeVersion(f: FileSystem, table: String, v: Long,
       lines: Seq[String]): Unit = {
     val dir = logDir(table)
     f.mkdirs(dir)
     val target = logFile(table, v)
     if (f.exists(target)) return
-    val tmp = new Path(dir, f".tmp-$v%020d.json")
-    val out = f.create(tmp, true)
+    val tmp = new Path(dir,
+      f".tmp-$v%020d-${java.util.UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, target)) {

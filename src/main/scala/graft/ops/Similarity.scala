@@ -406,8 +406,13 @@ object Similarity {
     * at both scales. */
   private[graft] val ExactAnchorRows = 1000L
   private val sizeMemo = new graft.SessionMemo[String, java.lang.Long]
-  private def corpusRows(s: SparkSession, d: String): Long =
-    sizeMemo.getOrCompute(s, d)(Tables.embeddings(s, d).count())
+  /** Fingerprint-keyed like `Text.corpusRows` (the same staleness
+    * trap): a rewritten embeddings table re-probes, so the
+    * exact-vs-LSH routing decision never rides a stale count. */
+  private def corpusRows(s: SparkSession, d: String): Long = {
+    val fp = Tables.dirFingerprint(s, s"$d/embeddings.parquet")
+    sizeMemo.getOrCompute(s, s"$d@$fp")(Tables.embeddings(s, d).count())
+  }
   private[graft] def exactAnchor(s: SparkSession, d: String): Boolean =
     corpusRows(s, d) <= ExactAnchorRows
 

@@ -163,25 +163,15 @@ object Text {
     * heuristic that keeps one registered query honest at both scales. */
   private[graft] val ExactAnchorRows = 1000L
   private val sizeMemo = new graft.SessionMemo[String, java.lang.Long]
-  /** Memoized corpus row count, keyed by (dir, cheap change
-    * fingerprint): a `documents` table REWRITTEN within one session
-    * (new files / new mtimes) re-probes instead of returning the
-    * stale count — one O(files) listing per call buys memo safety. */
+  /** Memoized corpus row count, keyed by (dir, content fingerprint —
+    * [[Tables.dirFingerprint]]): a `documents` table REWRITTEN within
+    * one session re-probes instead of returning the stale count. The
+    * Tables memo carries the same fingerprint in its key, so the
+    * count AND the data reads behind t08/t12/t49 see the current
+    * files (parquet count() is footer metadata only). */
   private def corpusRows(s: SparkSession, d: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val fp =
-      if (!fs.exists(p)) 0L
-      else {
-        val kids = fs.listStatus(p)
-        kids.foldLeft(kids.length.toLong) { (acc, st) =>
-          acc ^ st.getModificationTime ^ st.getLen }
-      }
-    // fresh read, not Tables.documents: the probe must see the
-    // CURRENT files, and the Tables plan memo deliberately caches the
-    // first listing (parquet count() is footer metadata only)
-    sizeMemo.getOrCompute(s, s"$d@$fp")(
-      s.read.parquet(s"$d/documents.parquet").count())
+    val fp = Tables.dirFingerprint(s, s"$d/documents.parquet")
+    sizeMemo.getOrCompute(s, s"$d@$fp")(Tables.documents(s, d).count())
   }
   private[graft] def exactAnchor(s: SparkSession, d: String): Boolean =
     corpusRows(s, d) <= ExactAnchorRows

@@ -487,6 +487,20 @@ class IngestSpec extends SparkSpec {
     assert(filler.contains(""""protocol"""")) // protocol still leads v0
     // re-sync is a no-op (idempotent)
     assert(DeltaLog.sync(spark, table) == 2L)
+
+    // vacuumed-gap backfill ACROSS a checkpoint boundary: with ≥11
+    // versions of filler, the cadence lands on an uncheckpointable
+    // state (no metaData yet) — the checkpoint must SKIP, never fail
+    // the backfill of commits that already landed
+    (4 to 13).foreach(i =>
+      BronzeMerge.mergeIngestDf(spark, batch(s"x$i.txt"), table))
+    Files.list(logDir).forEach(p => Files.delete(p))
+    Files.delete(logDir)
+    BronzeMerge.vacuum(spark, table)
+    assert(DeltaLog.sync(spark, table) == 12L) // no throw at v9
+    assert(!Files.exists(
+      logDir.resolve("00000000000000000009.checkpoint.parquet")))
+    assert(DeltaLog.read(spark, table).count() == 14)
   }
 
   test("delta log checkpoints: replay = checkpoint + tail, survives log cleanup") {
