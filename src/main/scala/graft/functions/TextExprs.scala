@@ -683,4 +683,114 @@ object TextExprs {
   def ngramHashes(c: Column, n: Int, distinct: Boolean): Column =
     GraftSqlBridge.column(
       NgramHashes(GraftSqlBridge.expression(c), n, distinct))
+
+  /** Fused BPE tokenize-and-count (t40's hot path): the token count
+    * after applying `merges` in order to a document's symbol state.
+    * The declarative form materializes the spaced symbol STRING
+    * (≈3× text bytes) and then 12 chained `replace` passes — 13
+    * full-length string allocations per row; this walks a token array
+    * once per merge with zero intermediate strings.
+    *
+    * EXACT-SEMANTICS contract with the declarative chain (pinned by
+    * ExprEquivSpec):
+    *  - words = regex-split on ' ' with empties dropped; initial
+    *    tokens are per-CODE-POINT (Java regex `split("")` semantics),
+    *    with a '|' guard token between words;
+    *  - each merge pass mirrors `UTF8String.replace(" l r ", " lr ")`
+    *    left-to-right non-overlapping INCLUDING its consumed-
+    *    trailing-space rule: after a match at (i, i+1) the next match
+    *    can start no earlier than token i+3, because the separator
+    *    before token i+2 was consumed by the pattern — so " a a a a "
+    *    merges to " aa a a ", not " aa aa ";
+    *  - a wordless document counts 1 (the `split(trim(x), " ")` of an
+    *    empty string is one empty token), and '|' guards are excluded
+    *    from the final count exactly like the declarative filter.
+    */
+  def bpeTokenCount(s: UTF8String, ls: Array[String],
+      rs: Array[String]): Int = {
+    val text = s.toString
+    val tokens = new java.util.ArrayList[String]()
+    var wordCount = 0
+    var start = 0
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          if (wordCount > 0) tokens.add("|")
+          var j = start
+          while (j < i) {
+            val cp = text.codePointAt(j)
+            val cc = Character.charCount(cp)
+            tokens.add(text.substring(j, j + cc))
+            j += cc
+          }
+          wordCount += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (wordCount == 0) return 1
+    var cur = tokens
+    var m = 0
+    while (m < ls.length) {
+      val l = ls(m)
+      val r = rs(m)
+      val next = new java.util.ArrayList[String](cur.size)
+      var k = 0
+      val sz = cur.size
+      while (k < sz) {
+        if (k + 1 < sz && cur.get(k) == l && cur.get(k + 1) == r) {
+          next.add(l + r)
+          if (k + 2 < sz) next.add(cur.get(k + 2))
+          k += 3
+        } else {
+          next.add(cur.get(k))
+          k += 1
+        }
+      }
+      cur = next
+      m += 1
+    }
+    var cnt = 0
+    var k = 0
+    while (k < cur.size) {
+      if (cur.get(k) != "|") cnt += 1
+      k += 1
+    }
+    cnt
+  }
+
+  case class BpeTokenCount(child: Expression,
+      merges: Seq[(String, String)]) extends UnaryExpression {
+    private lazy val lArr = merges.map(_._1).toArray
+    private lazy val rArr = merges.map(_._2).toArray
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"bpe_token_count expects a string input, got ${child.dataType.sql}")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "bpe_token_count"
+
+    override protected def nullSafeEval(a: Any): Any =
+      bpeTokenCount(a.asInstanceOf[UTF8String], lArr, rArr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lRef = ctx.addReferenceObj("bpeL", lArr, "java.lang.String[]")
+      val rRef = ctx.addReferenceObj("bpeR", rArr, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$.bpeTokenCount(
+          $a, $lRef, $rRef);
+      """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+      copy(child = c)
+  }
+
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(
+      BpeTokenCount(GraftSqlBridge.expression(c), merges))
 }

@@ -277,6 +277,12 @@ object Text {
 
   /** t38's training loop (see the t38 scale notes). Returns one row
     * per round: (round, lhs, rhs, merged, weighted pair count). */
+  /** The learned (lhs, rhs) merge list in round order — t40's kernel
+    * input and the ExprEquivSpec replay handle. */
+  private[graft] def learnedMergePairs(s: SparkSession,
+      d: String): Seq[(String, String)] =
+    trainBpe(s, d).map(m => (m._2, m._3))
+
   private def trainBpe(s: SparkSession, d: String)
       : Seq[(Int, String, String, String, Long)] =
     bpeMemo.getOrCompute(s, d) {
@@ -2604,15 +2610,13 @@ object Text {
     QuerySpec(
       "t40_bpe_tokenize",
       (s, d) => {
-        val merges = trainBpe(s, d)
-        val st0 = concat(lit(" "), array_join(transform(
-            filter(split(col("text"), " "), w => length(w) > 0),
-            w => array_join(split(w, ""), " ")), " | "), lit(" "))
-        val applied = merges.foldLeft(st0) { case (st, (_, l, r, _, _)) =>
-          replace(st, lit(s" $l $r "), lit(s" $l$r "))
-        }
-        val nTokens =
-          size(filter(split(trim(applied), " "), t => t =!= "|"))
+        // fused kernel: token count straight from the text under the
+        // learned merges — the declarative twin (spaced symbol string
+        // + 12 chained replace passes, 13 full-length allocations per
+        // row) lives on in ExprEquivSpec, which pins bitwise equality
+        // including the consumed-trailing-space repeated-run edge
+        val nTokens = graft.functions.TextExprs.bpeTokenCount(
+          col("text"), learnedMergePairs(s, d))
         val nChars = length(translate(col("text"), " ", ""))
         Tables.documents(s, d)
           .select(col("doc_id"),

@@ -285,4 +285,40 @@ class ExprEquivSpec extends SparkSpec {
       array_distinct(transform(idx,
         i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))))
   }
+
+  test("BpeTokenCount == the chained-replace declarative count (t40)") {
+    // the declarative twin is t40's original form verbatim: spaced
+    // symbol state, one replace pass per merge in order, trim-split
+    // count excluding the '|' guard. Merges are chosen to exercise
+    // the deviant edges: repeated-symbol runs (a,a — the consumed-
+    // trailing-space rule), a second round consuming a first-round
+    // product (aa,a), multi-char on the right (b,aa), and a pair that
+    // never occurs
+    def declarativeCount(merges: Seq[(String, String)]): Column = {
+      val st0 = concat(lit(" "), array_join(transform(
+          filter(split(col("text"), " "), w => length(w) > 0),
+          w => array_join(split(w, ""), " ")), " | "), lit(" "))
+      val applied = merges.foldLeft(st0) { case (st, (l, r)) =>
+        replace(st, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      size(filter(split(trim(applied), " "), t => t =!= "|"))
+    }
+    val merges = Seq("a" -> "a", "aa" -> "a", "b" -> "aa", "d" -> "u",
+      "q" -> "z")
+    val runs = Seq("a a", "aaaa", "aaaaa b", "baaa ba", "dup dup",
+      " aa  aaa ", "a|a |b", "ab" * 40)
+    val df = {
+      import TestSpark.spark.implicits._
+      (texts ++ runs).toDF("text")
+    }
+    assertAllEqual(df,
+      TextExprs.bpeTokenCount(col("text"), merges),
+      declarativeCount(merges))
+    // and under the REAL learned merges on the fixture corpus
+    val learned = graft.ops.Text.learnedMergePairs(
+      TestSpark.spark, "/root/testdata/sf0.001")
+    assertAllEqual(textDf,
+      TextExprs.bpeTokenCount(col("text"), learned),
+      declarativeCount(learned))
+  }
 }

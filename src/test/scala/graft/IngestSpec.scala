@@ -558,6 +558,53 @@ class IngestSpec extends SparkSpec {
       names(BronzeMerge.snapshot(spark, table)))
   }
 
+  test("delta log replay tracks the manifest under random operation sequences") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // seeded, hence deterministic — a randomized interleaving of
+    // merge/delete/compact with the replay invariant checked after
+    // EVERY commit; the sequence is long enough to cross the
+    // checkpoint cadence, so mid-sequence replays exercise
+    // checkpoint + tail, not just JSON
+    val rnd = new scala.util.Random(20260814L)
+    val table = Files.createTempDirectory("graft-dlog-prop")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    var next = 0
+    def newBatch(n: Int) = {
+      val rows = (0 until n).map { _ =>
+        next += 1
+        (s"f$next.txt", next.toLong, ts(next),
+          Array[Byte]((next % 127).toByte))
+      }
+      rows.toDF("file_name", "length", "modified", "content")
+    }
+    def check(): Unit = {
+      val snap = BronzeMerge.snapshot(spark, table)
+        .select("file_name").collect().map(_.getString(0)).sorted.toSeq
+      val log = DeltaLog.read(spark, table)
+        .select("file_name").collect().map(_.getString(0)).sorted.toSeq
+      assert(log == snap, s"replay diverged: log=$log snap=$snap")
+    }
+    BronzeMerge.mergeIngestDf(spark, newBatch(3), table)
+    check()
+    (1 to 14).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 | 3 =>
+          BronzeMerge.mergeIngestDf(spark,
+            newBatch(1 + rnd.nextInt(3)), table)
+        case 1 =>
+          BronzeMerge.deleteWhere(spark, table,
+            col("length") === (1 + rnd.nextInt(next)).toLong)
+        case 2 => BronzeMerge.compact(spark, table)
+      }
+      check()
+    }
+    assert(DeltaLog.latestLogVersion(spark, table) ==
+      BronzeMerge.currentCommit(spark, table)._1 - 1L)
+  }
+
   test("csv ingest appends typed rows to the sink table") {
     val dir = Files.createTempDirectory("graft-csv")
     val sink = Files.createTempDirectory("graft-csv-out").resolve("t")

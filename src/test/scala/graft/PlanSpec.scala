@@ -341,8 +341,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("t40_bpe_tokenize")
     assert("Exchange".r.findAllIn(p).size == 1, p.take(800))
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(800))
-    // the learned merges are inlined literal replace kernels
-    assert(p.contains("replace("), p.take(800))
+    // the learned merges ride the fused codegen kernel (one token
+    // walk per merge, no chained full-string replace allocations)
+    assert(p.contains("bpe_token_count"), p.take(800))
   }
 
   test("t45: vocab is a top-V heap merge that broadcasts; no sort-merge") {
