@@ -707,7 +707,7 @@ object TextExprs {
     *    from the final count exactly like the declarative filter.
     */
   def bpeTokenCount(s: UTF8String, ls: Array[String],
-      rs: Array[String]): Int = {
+      rs: Array[String], merged: Array[String]): Int = {
     val text = s.toString
     val tokens = new java.util.ArrayList[String]()
     var wordCount = 0
@@ -740,9 +740,10 @@ object TextExprs {
       val next = new java.util.ArrayList[String](cur.size)
       var k = 0
       val sz = cur.size
+      val lr = merged(m) // precomputed: no per-match concat allocation
       while (k < sz) {
         if (k + 1 < sz && cur.get(k) == l && cur.get(k + 1) == r) {
-          next.add(l + r)
+          next.add(lr)
           if (k + 2 < sz) next.add(cur.get(k + 2))
           k += 3
         } else {
@@ -766,6 +767,7 @@ object TextExprs {
       merges: Seq[(String, String)]) extends UnaryExpression {
     private lazy val lArr = merges.map(_._1).toArray
     private lazy val rArr = merges.map(_._2).toArray
+    private lazy val mArr = merges.map(m => m._1 + m._2).toArray
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -775,14 +777,15 @@ object TextExprs {
     override def prettyName: String = "bpe_token_count"
 
     override protected def nullSafeEval(a: Any): Any =
-      bpeTokenCount(a.asInstanceOf[UTF8String], lArr, rArr)
+      bpeTokenCount(a.asInstanceOf[UTF8String], lArr, rArr, mArr)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val lRef = ctx.addReferenceObj("bpeL", lArr, "java.lang.String[]")
       val rRef = ctx.addReferenceObj("bpeR", rArr, "java.lang.String[]")
+      val mRef = ctx.addReferenceObj("bpeM", mArr, "java.lang.String[]")
       nullSafeCodeGen(ctx, ev, a => s"""
         ${ev.value} = graft.functions.TextExprs$$.MODULE$$.bpeTokenCount(
-          $a, $lRef, $rRef);
+          $a, $lRef, $rRef, $mRef);
       """)
     }
 

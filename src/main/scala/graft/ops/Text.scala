@@ -275,14 +275,14 @@ object Text {
   private val bpeMemo =
     new graft.SessionMemo[String, Seq[(Int, String, String, String, Long)]]
 
-  /** t38's training loop (see the t38 scale notes). Returns one row
-    * per round: (round, lhs, rhs, merged, weighted pair count). */
   /** The learned (lhs, rhs) merge list in round order — t40's kernel
     * input and the ExprEquivSpec replay handle. */
   private[graft] def learnedMergePairs(s: SparkSession,
       d: String): Seq[(String, String)] =
     trainBpe(s, d).map(m => (m._2, m._3))
 
+  /** t38's training loop (see the t38 scale notes). Returns one row
+    * per round: (round, lhs, rhs, merged, weighted pair count). */
   private def trainBpe(s: SparkSession, d: String)
       : Seq[(Int, String, String, String, Long)] =
     bpeMemo.getOrCompute(s, d) {
@@ -2594,8 +2594,9 @@ object Text {
     //      every document — the consumer half of vocabulary
     //      induction (train once, tokenize the corpus). The merge
     //      table is bounded model state (12 rows, session-memoized
-    //      with t38), broadcast into the plan as 12 chained literal
-    //      `replace` kernels over each doc's symbol state — pure
+    //      with t38), inlined into the plan as ONE fused codegen
+    //      kernel (`bpe_token_count`: a token walk per merge, exact
+    //      chained-replace semantics, ExprEquivSpec-pinned) — pure
     //      row-local projection, ZERO shuffles at any corpus size;
     //      word boundaries ride a '|' guard symbol no learned pair
     //      can contain, so merges never cross words. Output is the

@@ -315,8 +315,7 @@ class ExprEquivSpec extends SparkSpec {
       TextExprs.bpeTokenCount(col("text"), merges),
       declarativeCount(merges))
     // and under the REAL learned merges on the fixture corpus
-    val learned = graft.ops.Text.learnedMergePairs(
-      TestSpark.spark, "/root/testdata/sf0.001")
+    val learned = graft.ops.Text.learnedMergePairs(TestSpark.spark, sf0001)
     assertAllEqual(textDf,
       TextExprs.bpeTokenCount(col("text"), learned),
       declarativeCount(learned))
