@@ -888,6 +888,16 @@ class OpsSpec extends SparkSpec {
       Similarity.encodeWith(spark, baseDir, union), union).collect().toSeq
     assert(stored == inline)
     assert(stored.nonEmpty)
+
+    // the exactly-once COMPOSITION under at-least-once redelivery
+    // (the maintainCodedCorpus scaladoc's claim, proven end to end):
+    // the same delta arrives AGAIN — the bronze identity anti-join
+    // appends nothing, no new change-feed window opens, so the coded
+    // table cannot double-append even though the raw appender alone
+    // is at-least-once
+    assert(BronzeMerge.mergeIngestDf(spark, withKeys(delta), bronze) == 0L)
+    assert(BronzeMerge.currentCommit(spark, bronze)._1 == 2)
+    assert(spark.read.parquet(path).count() == baseRows + delta.count())
     Similarity.clearModels() // drop the per-test coded table memo
   }
 
