@@ -273,6 +273,57 @@ object PropertySpec extends Properties("archive") {
       got == ref && gotD == got.distinct
     }
 
+  // --- BPE kernel: the fused token walk must equal the literal
+  //     chained-replace chain for ANY text and merge list — the
+  //     semantics the t40 oracle was derived from. The replica below
+  //     is the declarative chain verbatim in plain Java semantics
+  //     (String.replace is the same left-to-right non-overlapping
+  //     scan as UTF8String.replace). Alphabet includes the '|' guard
+  //     itself, multi-char and astral merge symbols, and doubled
+  //     spaces, so the consumed-trailing-space rule, guard
+  //     collisions, and code-point splitting are all exercised. ---
+  private def bpeReplica(text: String,
+      merges: List[(String, String)]): Int = {
+    val words = text.split(" ", -1).filter(_.nonEmpty)
+    if (words.isEmpty) return 1
+    val spaced = words.map { w =>
+      val sb = new StringBuilder
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        if (sb.nonEmpty) sb += ' '
+        sb.appendAll(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    val st0 = " " + spaced.mkString(" | ") + " "
+    val applied = merges.foldLeft(st0) { case (st, (l, r)) =>
+      st.replace(s" $l $r ", s" $l$r ")
+    }
+    applied.trim.split(" ", -1).count(_ != "|")
+  }
+
+  private val bpeChar = Gen.oneOf("a", "b", "c", "|", "é", "😀")
+  private val bpeText: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, bpeChar).map(_.mkString)),
+      Gen.const(""))).map(_.mkString(" "))
+  private val bpeMergeTok =
+    Gen.oneOf("a", "b", "c", "aa", "ab", "ba", "|", "é", "😀")
+  private val bpeMerges: Gen[List[(String, String)]] =
+    Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(bpeMergeTok, bpeMergeTok)))
+
+  property("bpeTokenCount == the chained literal-replace replica") =
+    forAll(bpeText, bpeMerges) { (text, merges) =>
+      TextExprs.bpeTokenCount(UTF8String.fromString(text),
+        merges.map(_._1).toArray, merges.map(_._2).toArray,
+        merges.map(m => m._1 + m._2).toArray) ==
+        bpeReplica(text, merges)
+    }
+
   property("WAV frame analysis replays the sample formula on random layouts") =
     forAll(Gen.choose(1L, 1L << 40), Gen.oneOf(8000, 16000, 44100),
       Gen.choose(1, 2), Gen.choose(1, 300), Gen.oneOf(4, 6, 8),
