@@ -1487,13 +1487,24 @@ object Text {
     //      add-one-smoothed P(w2|w1) on the whole corpus, then score
     //      each doc by its mean bigram probability and its share of
     //      rare bigrams. Probabilities are single correctly-rounded
-    //      divisions of INTEGER counts and the per-doc mean is a
-    //      SORTED sequential fold (the s02 pattern) — deterministic in
-    //      both engines, no ln/exp drift. Scale: bigram extraction is
-    //      per-row array zipping (no shuffle); the model is one
-    //      (w1,w2) partial-agg shuffle bounded by vocabulary², not
-    //      corpus size; scoring re-joins docs to the model on the
-    //      same bounded key ----
+    //      divisions of INTEGER counts and the per-doc mean is the
+    //      ORDER-INDEPENDENT decimal sum (`davg` — exact
+    //      integer-backed addition, one correctly-rounded cast out),
+    //      so no engine ever buffers or sorts a document's
+    //      probability list: the aggregation is a plain partial+final
+    //      SUM at any scale (the earlier sorted sequential fold kept
+    //      cross-engine addition order at the cost of a per-doc
+    //      collect_list: every probability row shuffled into its
+    //      doc's list with no map-side reduction, memory bounded only
+    //      by document length. Measured trade at sf1: decimal adds
+    //      cost ~1.2 s single-node; the shuffle payload drops from
+    //      one double per BIGRAM to one 16-byte partial per doc per
+    //      mapper — the right side of the trade on a network-shuffled
+    //      cluster). No ln/exp drift either way. Scale: bigram
+    //      extraction is per-row array zipping (no shuffle); the
+    //      model is one (w1,w2) partial-agg shuffle bounded by
+    //      vocabulary², not corpus size; scoring re-joins docs to the
+    //      model on the same bounded key ----
     QuerySpec(
       "t19_bigram_lm",
       (s, d) => {
@@ -1517,13 +1528,12 @@ object Text {
         bi.join(model, Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
-            (aggregate(sort_array(collect_list(col("p"))), lit(0.0),
-              (acc, x) => acc + x) / count(lit(1))).as("avg_p"),
+            davg(col("p")).as("avg_p"),
             (sum(when(col("n12") <= 2, 1L).otherwise(0L)).cast("double") /
               count(lit(1))).as("rare_ratio"))
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
           SELECT doc_id, str_split(text, ' ') AS t FROM documents),
         bi AS (
           SELECT doc_id,
@@ -1534,8 +1544,7 @@ object Text {
         c1 AS (SELECT w1, COUNT(1) AS n1 FROM bi GROUP BY 1),
         v AS (SELECT COUNT(DISTINCT w2) AS v FROM bi)
       SELECT doc_id, COUNT(1) AS n_bigrams,
-        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(p))),
-          (acc, x) -> acc + x) / COUNT(1) AS avg_p,
+        ${davgSql("p")} AS avg_p,
         CAST(SUM(CASE WHEN n12 <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
           / COUNT(1) AS rare_ratio
       FROM (
