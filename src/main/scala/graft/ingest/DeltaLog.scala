@@ -4,9 +4,37 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import scala.collection.mutable
+
+/** Tuning knobs for the `_delta_log/` mirror. Both trade replay /
+  * time-travel depth against log size, exactly as Delta's own
+  * `delta.checkpointInterval` / `delta.logRetentionDuration` do.
+  *
+  * @param checkpointInterval write a parquet checkpoint every this
+  *        many commits. Smaller = cheaper replay + faster sync
+  *        restart, more checkpoint churn; larger = longer JSON tails.
+  * @param retainVersions how many versions behind the current
+  *        checkpoint must stay TIME-TRAVELABLE after
+  *        [[DeltaLog.cleanObsoleteLogs]]. 0 (default) reclaims all
+  *        JSON at/below the checkpoint: HEAD reads are unaffected
+  *        (checkpoint + tail) but JSON-replay time travel below it is
+  *        forfeited — the standard log-retention trade. A positive
+  *        value anchors the cleanup at the newest checkpoint ≤
+  *        (checkpoint − retainVersions): everything from that anchor
+  *        up stays replayable (a retained JSON file is only useful if
+  *        the replay can still reach a checkpoint at or below the
+  *        target version).
+  */
+final case class DeltaLogConfig(checkpointInterval: Int = 10,
+    retainVersions: Int = 0) {
+  require(checkpointInterval > 0,
+    s"checkpointInterval must be positive, got $checkpointInterval")
+  require(retainVersions >= 0,
+    s"retainVersions must be >= 0, got $retainVersions")
+}
 
 /** Minimal Delta-Lake transaction log (`_delta_log/`) alongside
   * [[BronzeMerge]]'s private manifest, so the reference's one named
@@ -17,7 +45,9 @@ import scala.collection.mutable
   * per version, newline-delimited action objects —
   * `protocol` (version 0), `metaData` (version 0 and on schema
   * evolution), `add` / `remove` file actions with sizes and
-  * modification times, and a `commitInfo` provenance line.
+  * modification times, and a `commitInfo` provenance line. `path`
+  * fields are percent-encoded relative paths per the protocol;
+  * [[read]] decodes them before opening files.
   *
   * Design: the manifest stays the COMMIT source of truth (its CAS
   * rename is the atomicity point); the delta log is a deterministic
@@ -30,30 +60,44 @@ import scala.collection.mutable
   * final version carries the cumulative diff — replay still lands on
   * exactly the current snapshot (Delta's own "log replay" contract).
   *
+  * Concurrency: version files are claimed with a no-overwrite rename
+  * (first writer wins, [[writeVersion]]), and after every attempt the
+  * syncer REPLAYS THE FILE THE LOG ACTUALLY CONTAINS into its running
+  * state rather than trusting the diff it computed. Two syncers —
+  * even one racing a concurrent [[BronzeMerge.vacuum]], where the
+  * laggard finds manifests gone and writes filler commits — therefore
+  * converge: every later version is computed against the winner's
+  * published state, never against a private in-memory view the log
+  * does not contain.
+  *
   * Scale notes (100 TB): sync appends O(changed files) JSON per
   * commit — the same cost Delta's own writers pay. Replay cost is
   * bounded the way Delta itself bounds it: every
-  * [[CheckpointInterval]] commits, sync writes a PARQUET CHECKPOINT
-  * (`NNN.checkpoint.parquet`, one row per action with the protocol /
-  * metaData / add struct columns the Delta protocol specifies) plus
-  * the `_last_checkpoint` pointer, and [[state]] replays
-  * checkpoint + JSON tail instead of the whole history. JSON commits
-  * at or below a checkpoint become redundant for HEAD reads and can
-  * be reclaimed with [[cleanObsoleteLogs]] (forfeiting JSON-replay
-  * time travel below the checkpoint — Delta's own log-retention
-  * trade). [[BronzeMerge]] callers still read through the manifest
-  * (O(1) version file) and never replay; the log is the interop
-  * surface.
+  * [[DeltaLogConfig.checkpointInterval]] commits, sync writes a
+  * PARQUET CHECKPOINT (`NNN.checkpoint.parquet`, one row per action
+  * with the protocol / metaData / add struct columns the Delta
+  * protocol specifies) plus the `_last_checkpoint` pointer, and
+  * replay resolves checkpoint + JSON tail instead of the whole
+  * history. The checkpoint-bounded snapshot is computed
+  * DISTRIBUTIVELY ([[stateDf]]): the previous checkpoint is read as
+  * a DataFrame, the ≤interval JSON tail (O(changed files), the only
+  * driver-parsed part) is applied as a broadcast anti-join + union,
+  * and the next checkpoint is written straight from that plan — no
+  * driver-side materialization of the live-file set, which at 100 TB
+  * is millions of rows. JSON commits at or below a checkpoint become
+  * redundant for HEAD reads and can be reclaimed with
+  * [[cleanObsoleteLogs]] (forfeiting JSON-replay time travel below
+  * the checkpoint — Delta's own log-retention trade, see
+  * [[DeltaLogConfig.retainVersions]]). [[BronzeMerge]] callers still
+  * read through the manifest (O(1) version file) and never replay;
+  * the log is the interop surface.
   */
 object DeltaLog {
 
   val LogDirName = "_delta_log"
 
-  /** Write a parquet checkpoint every this many commits (Delta's own
-    * default cadence). */
-  val CheckpointInterval = 10
-
-  /** One live data file in the replayed state. */
+  /** One live data file in the replayed state. `path` is the raw
+    * (percent-encoded) relative path exactly as logged. */
   final case class AddFile(path: String, size: Long, modificationTime: Long)
 
   private def logDir(table: String) = new Path(table, LogDirName)
@@ -65,6 +109,17 @@ object DeltaLog {
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
 
   private val mapper = new ObjectMapper()
+
+  /** Percent-encode a relative path for a `path` field (RFC 2396 via
+    * java.net.URI, as the Delta protocol specifies). Identity for the
+    * `[A-Za-z0-9._/-]` names this writer produces. */
+  private[graft] def encodePath(p: String): String =
+    new java.net.URI(null, null, p, null).getRawPath
+
+  /** Decode a logged `path` field to the on-disk relative path.
+    * Tolerates un-encoded paths (lenient external writers). */
+  private[graft] def decodePath(p: String): String =
+    scala.util.Try(new java.net.URI(p).getPath).toOption.getOrElse(p)
 
   /** Highest delta version present in the log — JSON commits or a
     * checkpoint that outlives cleaned-up JSON; -1 when none. */
@@ -86,17 +141,46 @@ object DeltaLog {
 
   /** Version in `_last_checkpoint`, if present and its parquet file
     * still exists. */
-  private def lastCheckpoint(f: FileSystem, table: String): Option[Long] = {
+  private def lastCheckpoint(f: FileSystem, table: String): Option[Long] =
+    rawCheckpointPointer(f, table)
+      .filter(v => f.exists(checkpointFile(table, v)))
+
+  /** Newest checkpoint usable for a replay through `top`. The pointer
+    * is the O(1) fast path; when it is ahead of `top` (time travel
+    * below the latest checkpoint) or lagging a crash, fall back to
+    * LISTING the log dir for checkpoint files — what external Delta
+    * readers do — so an older retained checkpoint still anchors the
+    * replay. */
+  private def bestCheckpoint(f: FileSystem, table: String,
+      top: Long): Option[Long] = {
+    lastCheckpoint(f, table).filter(_ <= top).orElse {
+      val dir = logDir(table)
+      if (!f.exists(dir)) None
+      else f.listStatus(dir).map(_.getPath.getName).toSeq
+        .filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+        .map(_.stripSuffix(".checkpoint.parquet").toLong)
+        .filter(_ <= top)
+        .maxOption
+    }
+  }
+
+  /** The pointer's version as written, without checking the parquet
+    * file exists — the advance-only guard needs the raw value. */
+  private def rawCheckpointPointer(f: FileSystem,
+      table: String): Option[Long] = {
     val ptr = new Path(logDir(table), "_last_checkpoint")
     if (!f.exists(ptr)) None
     else {
-      val in = f.open(ptr)
-      val content =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
+      val content = readFully(f, ptr)
       scala.util.Try(mapper.readTree(content).get("version").asLong())
-        .toOption.filter(v => f.exists(checkpointFile(table, v)))
+        .toOption
     }
+  }
+
+  private def readFully(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
   // checkpoint row layout per the Delta protocol: one action per row,
@@ -118,58 +202,65 @@ object DeltaLog {
   /** Write the parquet checkpoint of the log state at `v` plus the
     * `_last_checkpoint` pointer. Idempotent; the checkpoint is ONE
     * parquet file named per the protocol so an external reader finds
-    * it from the pointer alone. Returns false (no-op) when the log at
-    * `v` carries no metaData yet — the vacuumed-gap backfill writes
-    * filler commits whose state is uncheckpointable, and a skipped
-    * optimization must never fail a commit that already landed. */
+    * it from the pointer alone. The action rows are produced by the
+    * DISTRIBUTED snapshot plan ([[stateDf]]) — previous checkpoint
+    * parquet + JSON-tail diff — so no driver-side collect of the
+    * live-file set happens even with millions of files. Returns false
+    * (no-op) when the log at `v` carries no metaData yet — the
+    * vacuumed-gap backfill writes filler commits whose state is
+    * uncheckpointable, and a skipped optimization must never fail a
+    * commit that already landed. */
   def writeCheckpoint(spark: SparkSession, table: String,
       v: Long): Boolean = {
     import spark.implicits._
     val f = fs(spark, table)
     val target = checkpointFile(table, v)
-    val written: Option[Long] =
-      if (f.exists(target)) None
-      else {
-        val (files, schemaOpt) = state(spark, table, Some(v))
-        val schema = schemaOpt.getOrElse(return false)
-        val rows =
-          CpRow(Some(CpProtocol(1, 2)), None, None) +:
-          CpRow(None, Some(CpMetaData(
-            java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString,
-            CpFormat("parquet", Map.empty), schema.json, Seq.empty,
-            Map.empty, System.currentTimeMillis())), None) +:
-          files.map(a => CpRow(None, None,
-            Some(CpAdd(a.path, Map.empty, a.size, a.modificationTime,
-              dataChange = false))))
-        // spark writes a directory; the protocol wants ONE
-        // exactly-named file — stage (writer-unique dir), then move
-        // the single part file into place
-        val tmpDir = new Path(logDir(table),
-          f".cp-tmp-$v%020d-${java.util.UUID.randomUUID()}")
-        rows.toDS().coalesce(1).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(tmpDir.toString)
-        val part = f.listStatus(tmpDir).map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"checkpoint staging produced no parquet part under $tmpDir"))
-        if (!f.rename(part, target) && !f.exists(target))
-          throw new IllegalStateException(
-            s"checkpoint rename failed: $target")
-        f.delete(tmpDir, true)
-        Some(rows.length.toLong)
-      }
+    if (!f.exists(target)) {
+      val (filesDf, schemaOpt) = stateDf(spark, table, Some(v))
+      val schema = schemaOpt.getOrElse(return false)
+      val head = Seq(
+        CpRow(Some(CpProtocol(1, 2)), None, None),
+        CpRow(None, Some(CpMetaData(
+          java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString,
+          CpFormat("parquet", Map.empty), schema.json, Seq.empty,
+          Map.empty, System.currentTimeMillis())), None)).toDS()
+      val adds = filesDf.as[AddFile].map(a => CpRow(None, None,
+        Some(CpAdd(a.path, Map.empty, a.size, a.modificationTime,
+          dataChange = false))))
+      // spark writes a directory; the protocol wants ONE
+      // exactly-named file — stage (writer-unique dir), then move
+      // the single part file into place
+      val tmpDir = new Path(logDir(table),
+        f".cp-tmp-$v%020d-${java.util.UUID.randomUUID()}")
+      head.union(adds).coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmpDir.toString)
+      val part = f.listStatus(tmpDir).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"checkpoint staging produced no parquet part under $tmpDir"))
+      if (!f.rename(part, target) && !f.exists(target))
+        throw new IllegalStateException(
+          s"checkpoint rename failed: $target")
+      f.delete(tmpDir, true)
+    }
     // pointer last: a crash before this line leaves a valid orphan
     // checkpoint that the next writeCheckpoint call re-points. The
-    // pointer swap is a writer-unique temp + atomic OVERWRITE rename
-    // (the BronzeMerge.flipPointer pattern): there is NO window where
-    // `_last_checkpoint` is absent or partial — a delete-then-rename
-    // here would strand the table unreadable if the JSON history
-    // below the checkpoint was already cleaned.
-    val nActions = written.getOrElse(
-      spark.read.parquet(target.toString).count())
-    atomicOverwrite(spark, logDir(table), "_last_checkpoint",
-      s"""{"version":$v,"size":$nActions}\n""")
+    // pointer is ADVANCE-ONLY: a stale or lagging caller must never
+    // regress it to an older checkpoint — if cleanObsoleteLogs
+    // already reclaimed the JSON at/below a newer checkpoint, a
+    // regressed pointer would strand state() on the missing tail.
+    // (A pointer whose parquet is missing is corrupt; overwriting it
+    // heals.) The swap is a writer-unique temp + atomic OVERWRITE
+    // rename (the BronzeMerge.flipPointer pattern): there is NO
+    // window where `_last_checkpoint` is absent or partial.
+    val newerExists = rawCheckpointPointer(f, table)
+      .exists(cur => cur > v && f.exists(checkpointFile(table, cur)))
+    if (!newerExists) {
+      val nActions = spark.read.parquet(target.toString).count()
+      atomicOverwrite(spark, logDir(table), "_last_checkpoint",
+        s"""{"version":$v,"size":$nActions}\n""")
+    }
     true
   }
 
@@ -190,19 +281,27 @@ object DeltaLog {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Drop JSON commits at or below the current checkpoint — Delta's
-    * log-retention cleanup. HEAD reads are unaffected (checkpoint +
-    * tail); JSON-replay time travel BELOW the checkpoint is forfeited,
-    * like any expired Delta log. Returns the deleted file names. */
-  def cleanObsoleteLogs(spark: SparkSession, table: String): Seq[String] = {
+  /** Drop JSON commits the current checkpoint makes redundant —
+    * Delta's log-retention cleanup. With the default
+    * [[DeltaLogConfig.retainVersions]] = 0 everything at or below the
+    * checkpoint goes; a positive value keeps that many newest
+    * sub-checkpoint commits as a time-travel window. HEAD reads are
+    * unaffected either way (checkpoint + tail). Returns the deleted
+    * file names. */
+  def cleanObsoleteLogs(spark: SparkSession, table: String,
+      cfg: DeltaLogConfig = DeltaLogConfig()): Seq[String] = {
     val f = fs(spark, table)
     lastCheckpoint(f, table) match {
       case None => Seq.empty
       case Some(cp) =>
+        val horizon =
+          if (cfg.retainVersions == 0) cp
+          else bestCheckpoint(f, table, cp - cfg.retainVersions)
+            .getOrElse(-1L) // no anchor below the window: keep all JSON
         f.listStatus(logDir(table)).map(_.getPath).toSeq
           .filter { p =>
             p.getName.matches("\\d{20}\\.json") &&
-              p.getName.stripSuffix(".json").toLong <= cp
+              p.getName.stripSuffix(".json").toLong <= horizon
           }
           .sortBy(_.getName)
           .map { p => f.delete(p, false); p.getName }
@@ -211,7 +310,7 @@ object DeltaLog {
 
   /** Data files of a committed batch directory, as (relative path,
     * size, mtime) — parquet parts only, never `_SUCCESS`/stats
-    * sidecars. */
+    * sidecars. Paths are percent-encoded for the log. */
   private def batchFiles(f: FileSystem, table: String,
       batch: String): Seq[AddFile] = {
     val dir = new Path(table, batch)
@@ -219,57 +318,35 @@ object DeltaLog {
     else f.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-      .map(s => AddFile(s"$batch/${s.getPath.getName}", s.getLen,
-        s.getModificationTime))
+      .map(s => AddFile(encodePath(s"$batch/${s.getPath.getName}"),
+        s.getLen, s.getModificationTime))
   }
 
-  /** Replay the log through `version` (inclusive; None = latest):
-    * (live files, table schema from the latest metaData). Starts from
-    * the newest usable parquet checkpoint ≤ `version` and replays only
-    * the JSON tail — full-history JSON replay happens only for time
-    * travel below the checkpoint (valid while those commits survive
-    * [[cleanObsoleteLogs]]). */
-  def state(spark: SparkSession, table: String,
-      version: Option[Long] = None): (Seq[AddFile], Option[StructType]) = {
-    val f = fs(spark, table)
-    val top = version.getOrElse(latestLogVersion(spark, table))
-    val live = mutable.LinkedHashMap[String, AddFile]()
+  /** Driver-side replay of the JSON commits in `[from, to]` onto a
+    * running view. Returns, per touched path in first-touch order,
+    * the FINAL outcome across the range — `Some(addFile)` if the last
+    * action was an add, `None` if a remove — plus the last metaData
+    * schema seen (if any). This is the only driver-parsed piece of a
+    * checkpointed replay, and it is bounded: ≤ checkpointInterval
+    * commits of O(changed files) JSON each. */
+  private def tailActions(f: FileSystem, table: String, from: Long,
+      to: Long): (mutable.LinkedHashMap[String, Option[AddFile]],
+        Option[StructType]) = {
+    val touched = mutable.LinkedHashMap[String, Option[AddFile]]()
     var schema: Option[StructType] = None
-    var v = 0L
-    lastCheckpoint(f, table).filter(_ <= top).foreach { cp =>
-      spark.read.parquet(checkpointFile(table, cp).toString)
-        .collect().foreach { row =>
-          val addIdx = row.fieldIndex("add")
-          val mdIdx = row.fieldIndex("metaData")
-          if (!row.isNullAt(addIdx)) {
-            val a = row.getStruct(addIdx)
-            val add = AddFile(a.getAs[String]("path"),
-              a.getAs[Long]("size"), a.getAs[Long]("modificationTime"))
-            live(add.path) = add
-          } else if (!row.isNullAt(mdIdx)) {
-            schema = Some(DataType.fromJson(
-              row.getStruct(mdIdx).getAs[String]("schemaString"))
-              .asInstanceOf[StructType])
-          }
-        }
-      v = cp + 1
-    }
-    while (v <= top) {
+    var v = from
+    while (v <= to) {
       val p = logFile(table, v)
       require(f.exists(p), s"delta log version $v missing at ${logDir(table)}")
-      val in = f.open(p)
-      val content =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      content.linesIterator.filter(_.nonEmpty).foreach { line =>
+      readFully(f, p).linesIterator.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         if (node.has("add")) {
           val a = node.get("add")
           val path = a.get("path").asText()
-          live(path) = AddFile(path, a.get("size").asLong(),
-            a.get("modificationTime").asLong())
+          touched(path) = Some(AddFile(path, a.get("size").asLong(),
+            a.get("modificationTime").asLong()))
         } else if (node.has("remove")) {
-          live.remove(node.get("remove").get("path").asText())
+          touched(node.get("remove").get("path").asText()) = None
         } else if (node.has("metaData")) {
           schema = Some(DataType.fromJson(
             node.get("metaData").get("schemaString").asText())
@@ -278,13 +355,83 @@ object DeltaLog {
       }
       v += 1
     }
-    (live.values.toSeq, schema)
+    (touched, schema)
+  }
+
+  /** DISTRIBUTED snapshot of the log through `version` (inclusive;
+    * None = latest): a DataFrame of live files
+    * `(path, size, modificationTime)` plus the table schema from the
+    * latest metaData. With a usable checkpoint the live set is
+    * resolved as a plan — checkpoint parquet scan, broadcast
+    * anti-join against the (small) set of tail-touched paths, union
+    * of tail adds — and never materializes on the driver; only the
+    * JSON tail (≤ interval commits) is driver-parsed. Without a
+    * checkpoint the whole JSON history is the tail. */
+  def stateDf(spark: SparkSession, table: String,
+      version: Option[Long] = None): (DataFrame, Option[StructType]) = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    val top = version.getOrElse(latestLogVersion(spark, table))
+    bestCheckpoint(f, table, top) match {
+      case None =>
+        val (touched, schema) = tailActions(f, table, 0L, top)
+        val live = touched.valuesIterator.flatten.toSeq
+        (spark.createDataset(live).toDF(), schema)
+      case Some(cp) =>
+        val cpDf = spark.read.parquet(checkpointFile(table, cp).toString)
+        val (touched, tailSchema) = tailActions(f, table, cp + 1, top)
+        val schema = tailSchema.orElse {
+          // ≤1 metaData row in a conformant checkpoint — bounded read
+          cpDf.filter(col("metaData").isNotNull)
+            .select(col("metaData.schemaString")).head(1).headOption
+            .map(r => DataType.fromJson(r.getString(0))
+              .asInstanceOf[StructType])
+        }
+        val cpAdds = cpDf.filter(col("add").isNotNull).select(
+          col("add.path").as("path"), col("add.size").as("size"),
+          col("add.modificationTime").as("modificationTime"))
+        val survivors =
+          if (touched.isEmpty) cpAdds
+          else cpAdds.join(
+            broadcast(touched.keysIterator.toSeq.toDF("path")),
+            Seq("path"), "left_anti")
+        val tailAdds = touched.valuesIterator.flatten.toSeq
+        val result =
+          if (tailAdds.isEmpty) survivors
+          else survivors.unionByName(spark.createDataset(tailAdds).toDF())
+        (result, schema)
+    }
+  }
+
+  /** Replay the log through `version` (inclusive; None = latest):
+    * (live files, table schema from the latest metaData), on the
+    * driver. Checkpointed histories resolve through the distributed
+    * [[stateDf]] plan and collect only the final list (what a path
+    * enumeration inherently needs); checkpoint-free histories replay
+    * the JSON directly. Full-history JSON replay happens only for
+    * time travel below the checkpoint (valid while those commits
+    * survive [[cleanObsoleteLogs]]). */
+  def state(spark: SparkSession, table: String,
+      version: Option[Long] = None): (Seq[AddFile], Option[StructType]) = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    val top = version.getOrElse(latestLogVersion(spark, table))
+    if (top < 0) return (Seq.empty, None)
+    bestCheckpoint(f, table, top) match {
+      case None =>
+        val (touched, schema) = tailActions(f, table, 0L, top)
+        (touched.valuesIterator.flatten.toSeq, schema)
+      case Some(_) =>
+        val (df, schema) = stateDf(spark, table, Some(top))
+        (df.as[AddFile].collect().toSeq, schema)
+    }
   }
 
   /** Read the table the way an external Delta client would: resolve
     * the live file set and schema purely from the log — never from
-    * the manifest — and scan exactly those parquet files. `version`
-    * time-travels (`VERSION AS OF`). */
+    * the manifest — and scan exactly those parquet files (decoding
+    * the protocol's percent-encoded paths). `version` time-travels
+    * (`VERSION AS OF`). */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val (files, schemaOpt) = state(spark, table, version)
@@ -294,14 +441,18 @@ object DeltaLog {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema)
-      .parquet(files.map(a => s"$table/${a.path}"): _*)
+      .parquet(files.map(a => s"$table/${decodePath(a.path)}"): _*)
   }
 
   /** Bring `_delta_log/` up to the manifest's current version; returns
     * the latest delta version after sync (-1 on an empty table).
     * Manifest version N ↔ delta version N−1 (Delta counts from 0).
-    * Idempotent; safe to call after every commit and after crashes. */
-  def sync(spark: SparkSession, table: String): Long = {
+    * Idempotent; safe to call after every commit, after crashes, and
+    * concurrently with other syncers or a vacuum (see the
+    * object-level concurrency note: each version's published content
+    * is adopted into the running state, win or lose). */
+  def sync(spark: SparkSession, table: String,
+      cfg: DeltaLogConfig = DeltaLogConfig()): Long = {
     val f = fs(spark, table)
     val (cur, curBatches) = BronzeMerge.currentCommit(spark, table)
     if (cur == 0) return -1L
@@ -358,30 +509,61 @@ object DeltaLog {
             case (Some(prev), adds) =>
               val addSch = spark.read.option("mergeSchema", "true")
                 .parquet(adds.map(b => s"$table/$b"): _*).schema
+              // the additive assumption must FAIL LOUDLY when broken:
+              // silently keeping the stale type would log a schema
+              // that conflicts with the new files' footers, so an
+              // external reader and the manifest-path mergeSchema
+              // read would disagree
+              val conflicts = addSch.fields.flatMap { fd =>
+                prev.fields.find(_.name == fd.name)
+                  .filter(_.dataType != fd.dataType)
+                  .map(p => s"${fd.name}: ${p.dataType.simpleString} vs " +
+                    s"${fd.dataType.simpleString}")
+              }
+              require(conflicts.isEmpty,
+                s"non-additive schema change in batches " +
+                  s"${adds.mkString(",")} at $table — bronze schema " +
+                  s"evolution is additive-only: ${conflicts.mkString("; ")}")
               val known = prev.fieldNames.toSet
               Some(StructType(
                 prev.fields ++ addSch.fields.filterNot(fd =>
                   known.contains(fd.name))))
             case (s0, _) => s0
           }
-          if (newSchema.isDefined && newSchema.map(_.json) != schema.map(_.json)) {
+          if (newSchema.isDefined && newSchema.map(_.json) != schema.map(_.json))
             lines += metaDataJson(table, newSchema.get)
-            schema = newSchema
-          }
-          removed.foreach { a =>
-            live.remove(a.path)
-            lines += removeJson(a)
-          }
-          added.foreach { a =>
-            live(a.path) = a
-            lines += addJson(a)
-          }
+          removed.foreach(a => lines += removeJson(a))
+          added.foreach(a => lines += addJson(a))
           lines += commitInfoJson(v, "WRITE")
       }
-      writeVersion(f, table, v, lines.toSeq)
+      writeVersion(spark, f, table, v, lines.toSeq)
+      // adopt the version's ACTUAL content — ours if the rename won,
+      // a concurrent syncer's otherwise. Trusting the locally
+      // computed diff here is the vacuum race: a laggard that found
+      // manifests vacuumed writes filler + a cumulative diff, and a
+      // stale winner's later versions could omit removes for files
+      // the real log added. Replaying the published file keeps every
+      // syncer's running state equal to the log itself.
+      readFully(f, logFile(table, v)).linesIterator.filter(_.nonEmpty)
+        .foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("add")) {
+            val a = node.get("add")
+            val path = a.get("path").asText()
+            live(path) = AddFile(path, a.get("size").asLong(),
+              a.get("modificationTime").asLong())
+          } else if (node.has("remove")) {
+            live.remove(node.get("remove").get("path").asText())
+          } else if (node.has("metaData")) {
+            schema = Some(DataType.fromJson(
+              node.get("metaData").get("schemaString").asText())
+              .asInstanceOf[StructType])
+          }
+        }
       // Delta's checkpoint cadence: bound replay (and this sync's own
       // restart cost) to checkpoint + a ≤interval JSON tail
-      if ((v + 1) % CheckpointInterval == 0) writeCheckpoint(spark, table, v)
+      if ((v + 1) % cfg.checkpointInterval == 0)
+        writeCheckpoint(spark, table, v)
       v += 1
     }
     target
@@ -436,27 +618,35 @@ object DeltaLog {
     node.put("size", a.size)
   }
 
-  /** Temp + rename, mirroring the manifest CAS. Concurrent syncers
-    * race benignly: the content of any version is deterministic from
-    * the manifests, so an already-present target is SUCCESS, not
-    * conflict. The temp name is WRITER-UNIQUE and created without
-    * overwrite — a shared temp would let writer A publish writer B's
-    * half-written bytes as the committed version file. */
-  private def writeVersion(f: FileSystem, table: String, v: Long,
-      lines: Seq[String]): Unit = {
+  /** Claim version `v` with a writer-unique temp + NO-OVERWRITE
+    * rename (FileContext's default rejects an existing destination,
+    * unlike FileSystem.rename on a local FS, which would replace the
+    * winner's bytes). First writer wins; a lost race is SUCCESS for
+    * the caller's progress but the caller must then adopt the
+    * winner's content (see [[sync]]) — the content two racers compute
+    * can legitimately differ when a vacuum ran between their state
+    * reads. Returns true iff this call's bytes became the version. */
+  private def writeVersion(spark: SparkSession, f: FileSystem,
+      table: String, v: Long, lines: Seq[String]): Boolean = {
     val dir = logDir(table)
     f.mkdirs(dir)
     val target = logFile(table, v)
-    if (f.exists(target)) return
+    if (f.exists(target)) return false
     val tmp = new Path(dir,
       f".tmp-$v%020d-${java.util.UUID.randomUUID()}.json")
     val out = f.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, target)) {
-      f.delete(tmp, true)
-      require(f.exists(target),
-        s"delta log write failed for version $v at $dir")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, spark.sessionState.newHadoopConf())
+    try {
+      fc.rename(tmp, target) // Options.Rename.NONE: existing target fails
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.IOException if f.exists(target) =>
+        f.delete(tmp, false)
+        false
     }
   }
 }

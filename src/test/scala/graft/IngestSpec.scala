@@ -773,4 +773,174 @@ class IngestSpec extends SparkSpec {
       == "data_v00000002") // migrated to the pointer-names-a-dir layout
     assert(Files.exists(mvP.resolve("data"))) // legacy dir untouched (not GC'd)
   }
+
+  test("delta log: distributed snapshot equals driver replay, incl. many files") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("graft-dlog-dist")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // a many-files batch (multi-partition write → many parquet parts)
+    // plus enough commits to cross the checkpoint cadence, then a
+    // delete so the tail carries removes as well as adds
+    val wide = (1 to 5000).map(i =>
+      (f"w$i%05d.txt", i.toLong, ts(i), Array[Byte]((i % 127).toByte)))
+      .toDF("file_name", "length", "modified", "content")
+      .repartition(16)
+    BronzeMerge.mergeIngestDf(spark, wide, table)
+    (1 to 10).foreach { i =>
+      BronzeMerge.mergeIngestDf(spark,
+        Seq((s"x$i.txt", (10000 + i).toLong, ts(10000 + i),
+          Array[Byte](1))).toDF("file_name", "length", "modified", "content"),
+        table)
+    }
+    BronzeMerge.deleteWhere(spark, table, col("length") <= 2500L)
+    assert(Files.exists(Paths.get(table, "_delta_log",
+      "00000000000000000009.checkpoint.parquet")))
+
+    // both paths agree at HEAD and at the checkpoint boundary itself
+    for (v <- Seq(None, Some(9L), Some(11L))) {
+      val (driverFiles, driverSchema) = DeltaLog.state(spark, table, v)
+      val (df, distSchema) = DeltaLog.stateDf(spark, table, v)
+      val dist = df.as[DeltaLog.AddFile].collect().toSeq
+      assert(dist.sortBy(_.path) == driverFiles.sortBy(_.path),
+        s"distributed/driver state diverged at version $v")
+      assert(distSchema.map(_.json) == driverSchema.map(_.json))
+    }
+    // the distributed plan's answer matches the manifest's truth
+    assert(DeltaLog.read(spark, table).count() ==
+      BronzeMerge.snapshot(spark, table).count())
+  }
+
+  test("delta log config: non-default checkpoint cadence and retention") {
+    import graft.ingest.{BronzeMerge, DeltaLog, DeltaLogConfig}
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-dlog-cfg")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    def one(n: String) = Seq((n, n.length.toLong, ts(n.hashCode & 127),
+      Array[Byte](1))).toDF("file_name", "length", "modified", "content")
+    // build manifests WITHOUT the auto-sync's default cadence seeing
+    // them first: write batches through the normal path, then strip
+    // the auto-written log and re-sync at cadence 3
+    (1 to 7).foreach(i =>
+      BronzeMerge.mergeIngestDf(spark, one(f"c$i%02d.txt"), table))
+    val logDir = Paths.get(table, "_delta_log")
+    Files.list(logDir).forEach(p => Files.delete(p))
+    Files.delete(logDir)
+
+    val cfg = DeltaLogConfig(checkpointInterval = 3, retainVersions = 2)
+    assert(DeltaLog.sync(spark, table, cfg) == 6L)
+    // cadence 3 → checkpoints at delta versions 2 and 5
+    assert(Files.exists(logDir.resolve(
+      "00000000000000000002.checkpoint.parquet")))
+    assert(Files.exists(logDir.resolve(
+      "00000000000000000005.checkpoint.parquet")))
+    assert(Files.readString(logDir.resolve("_last_checkpoint"))
+      .contains("\"version\":5"))
+    // retention 2: versions 3..6 must stay time-travelable, so the
+    // cleanup anchors at checkpoint 2 (newest ≤ 5−2) and reclaims
+    // only the JSON below it
+    val cleaned = DeltaLog.cleanObsoleteLogs(spark, table, cfg)
+    assert(cleaned == Seq(
+      "00000000000000000000.json", "00000000000000000001.json",
+      "00000000000000000002.json"))
+    assert(Files.exists(logDir.resolve("00000000000000000003.json")))
+    // the retained window replays from the anchor checkpoint
+    assert(DeltaLog.read(spark, table, Some(3L)).count() == 4)
+    assert(DeltaLog.read(spark, table, Some(4L)).count() == 5)
+    assert(DeltaLog.read(spark, table).count() == 7)
+  }
+
+  test("delta log: _last_checkpoint never regresses to an older version") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-dlog-ptr")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    def one(n: String) = Seq((n, n.length.toLong, ts(n.hashCode & 127),
+      Array[Byte](1))).toDF("file_name", "length", "modified", "content")
+    (1 to 12).foreach(i =>
+      BronzeMerge.mergeIngestDf(spark, one(f"p$i%02d.txt"), table))
+    val logDir = Paths.get(table, "_delta_log")
+    assert(Files.readString(logDir.resolve("_last_checkpoint"))
+      .contains("\"version\":9"))
+    // a stale/lagging caller re-checkpoints an OLD version: the
+    // parquet is written, but the pointer must not move back
+    assert(DeltaLog.writeCheckpoint(spark, table, 4L))
+    assert(Files.exists(logDir.resolve(
+      "00000000000000000004.checkpoint.parquet")))
+    assert(Files.readString(logDir.resolve("_last_checkpoint"))
+      .contains("\"version\":9"),
+      "pointer regressed to the stale caller's checkpoint")
+    // cleanup reclaims the JSON below v9 — exactly the state where a
+    // regressed pointer would have stranded the table unreadable
+    DeltaLog.cleanObsoleteLogs(spark, table)
+    assert(DeltaLog.writeCheckpoint(spark, table, 4L)) // idempotent retry
+    assert(Files.readString(logDir.resolve("_last_checkpoint"))
+      .contains("\"version\":9"),
+      "pointer regressed to a pre-cleanup checkpoint")
+    assert(DeltaLog.read(spark, table).count() == 12)
+  }
+
+  test("delta log sync fails loudly on a non-additive schema change") {
+    import graft.ingest.BronzeMerge
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-dlog-types")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    BronzeMerge.mergeIngestDf(spark,
+      Seq(("a.txt", 1L, ts(1), Array[Byte](1), "tag-as-string"))
+        .toDF("file_name", "length", "modified", "content", "tag"),
+      table)
+    // same column name, conflicting type: logging the stale
+    // schemaString would hand an external reader a schema that
+    // contradicts the new files' footers — sync must refuse
+    val e = intercept[IllegalArgumentException] {
+      BronzeMerge.mergeIngestDf(spark,
+        Seq(("b.txt", 2L, ts(2), Array[Byte](2), 42L))
+          .toDF("file_name", "length", "modified", "content", "tag"),
+        table)
+    }
+    assert(e.getMessage.contains("additive-only") &&
+      e.getMessage.contains("tag"))
+  }
+
+  test("delta log sync adopts a concurrent winner's version content") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-dlog-race")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    def one(n: String) = Seq((n, n.length.toLong, ts(n.hashCode & 127),
+      Array[Byte](1))).toDF("file_name", "length", "modified", "content")
+    BronzeMerge.mergeIngestDf(spark, one("a.txt"), table) // m1 → delta v0
+    // two more manifest commits whose log versions do NOT exist yet:
+    // strip the auto-sync's v1/v2 to re-create the lagging state
+    BronzeMerge.mergeIngestDf(spark, one("b.txt"), table) // m2 → v1
+    BronzeMerge.mergeIngestDf(spark, one("c.txt"), table) // m3 → v2
+    val logDir = Paths.get(table, "_delta_log")
+    Files.delete(logDir.resolve("00000000000000000001.json"))
+    Files.delete(logDir.resolve("00000000000000000002.json"))
+    // the NIO surgery above bypasses Hadoop's ChecksumFileSystem —
+    // drop the stale sidecars so the replay sees the new bytes
+    Files.deleteIfExists(logDir.resolve(".00000000000000000001.json.crc"))
+    Files.deleteIfExists(logDir.resolve(".00000000000000000002.json.crc"))
+    // a CONCURRENT winner (e.g. one that found m2 vacuumed) already
+    // claimed v1 with filler content — not the add-b.txt diff this
+    // syncer would compute
+    Files.writeString(logDir.resolve("00000000000000000001.json"),
+      """{"commitInfo":{"timestamp":0,"operation":"SKIPPED (manifest vacuumed)","engineInfo":"other-writer"}}""" + "\n")
+    // sync must lose the v1 race, ADOPT the winner's (empty) diff —
+    // not its own in-memory one — and emit b.txt's add at v2, or the
+    // external view would silently lose that file forever
+    assert(DeltaLog.sync(spark, table) == 2L)
+    val v2 = Files.readString(logDir.resolve("00000000000000000002.json"))
+    assert(v2.contains("batch-00000002/") && v2.contains("batch-00000003/"),
+      s"v2 must carry the cumulative diff the winner's filler skipped: $v2")
+    assert(DeltaLog.read(spark, table)
+      .select("file_name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a.txt", "b.txt", "c.txt"))
+  }
 }
