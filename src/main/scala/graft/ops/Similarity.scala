@@ -396,26 +396,6 @@ object Similarity {
     if (dedup) pairs.distinct() else pairs
   }
 
-  /** Corpora at or below this row count take the EXACT all-pairs leg
-    * of [[neardupEdges]] — the oracle anchor scale (the driver's
-    * correctness SFs carry 500 embeddings). Everything larger routes
-    * through the LSH candidate generator: O(n²) all-pairs cannot run
-    * at 100 TB, so the default path must be the one that scales. In
-    * production the routing flag is configuration; the row-count probe
-    * is the testbed heuristic that keeps one registered query honest
-    * at both scales. */
-  private[graft] val ExactAnchorRows = 1000L
-  private val sizeMemo = new graft.SessionMemo[String, java.lang.Long]
-  /** Fingerprint-keyed like `Text.corpusRows` (the same staleness
-    * trap): a rewritten embeddings table re-probes, so the
-    * exact-vs-LSH routing decision never rides a stale count. */
-  private def corpusRows(s: SparkSession, d: String): Long = {
-    val fp = Tables.dirFingerprint(s, s"$d/embeddings.parquet")
-    sizeMemo.getOrCompute(s, s"$d@$fp")(Tables.embeddings(s, d).count())
-  }
-  private[graft] def exactAnchor(s: SparkSession, d: String): Boolean =
-    corpusRows(s, d) <= ExactAnchorRows
-
   /** Near-duplicate edges (va < vb, cos ≥ thresh) with the PAIR SOURCE
     * as the parameter — the single scoring kernel behind s04 and the
     * s12/s15 dedup family. `allPairs = true` is the exact O(n²)
@@ -877,25 +857,41 @@ object Similarity {
           AND e.vec_id <> q.vec_id) t
       WHERE rk <= 5 ORDER BY qid, rk""")),
 
-    // ---- embedding-cosine near-dup pairs: [[neardupEdges]] with the
-    //      pair source routed by scale — exact all-pairs at the
-    //      oracle-anchor SF (≤ [[ExactAnchorRows]] vectors, where the
-    //      DuckDB oracle hash-checks it), LSH candidates + exact
-    //      verify everywhere larger (precision 1, recall ~0.9; the
-    //      plan that survives 100 TB). The oracle below binds at the
-    //      driver's correctness SF, which sits under the anchor
-    //      bound by construction. ----
+    // ---- embedding-cosine near-dup pairs, EXACT twin: the all-pairs
+    //      leg of [[neardupEdges]], hash-checked by the oracle at
+    //      EVERY SF (t08→t09's adjudication, one level up: the exact
+    //      twin anchors, the separately-registered LSH twin — s23,
+    //      and s15 for the dedup labels — scales; random-hyperplane
+    //      recall at the weak 0.4 threshold is ~0.92, so a routed
+    //      registration can never be every-SF hash-green). The
+    //      crossJoin here is the documented anchor cost: it exists to
+    //      pin s23's candidates against truth, not to run at 100 TB.
+    //      ----
     QuerySpec(
       "s04_neardup_pairs",
-      (s, d) =>
-        (if (exactAnchor(s, d)) neardupEdges(s, d, allPairs = true, 0.4)
-         else neardupPairsCollapsed(s, d, 0.4))
-          .orderBy("va", "vb"),
+      (s, d) => neardupEdges(s, d, allPairs = true, 0.4)
+        .orderBy("va", "vb"),
       Some(s"""SELECT a.vec_id AS va, b.vec_id AS vb,
         ${cosineSql("a", "b")} AS cos
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE ${cosineSql("a", "b")} >= 0.4
       ORDER BY va, vb""")),
+
+    // ---- embedding-cosine near-dup pairs, SCALE twin: the standing
+    //      registration of the LSH route (shared [[lshCandidatePairs]]
+    //      generator → exact-duplicate collapse → cosine verify on
+    //      candidates only → member expansion), so the 100 TB plan is
+    //      bench-timed and plan-pinned at every SF alongside its
+    //      exact anchor — the same twin pattern as t08/t09 and
+    //      s12/s15. Every emitted edge is TRUE (candidates are
+    //      exact-verified; precision 1); recall is the LSH catch rate
+    //      (~0.92 at this threshold — OpsSpec pins the floor against
+    //      s04), hence rows-only here. ----
+    QuerySpec(
+      "s23_neardup_pairs_lsh",
+      (s, d) => neardupPairsCollapsed(s, d, 0.4)
+        .orderBy("va", "vb"),
+      None),
 
     // ---- random-hyperplane LSH: 12 tables x 8-bit signatures with
     //      MULTI-PROBE (Hamming-1 bucket probes, Lv et al. VLDB'07);
@@ -1173,15 +1169,16 @@ object Similarity {
     //      the embedding-space complement of the shingle-based t12,
     //      running the SAME min-label-propagation engine
     //      ([[Text.connectedComponents]]). One operator
-    //      ([[semanticDedup]]), pair source routed by scale: the
-    //      exact all-pairs anchor at/below [[ExactAnchorRows]]
-    //      (where the recursive-CTE oracle hash-checks it), the LSH
-    //      candidate path above it — the default path carries NO
-    //      cartesian product at scale. Singletons (no near-dup) keep
-    //      themselves via the left join. ----
+    //      ([[semanticDedup]]) with the pair source as the
+    //      parameter; THIS registration is the exact twin — all-pairs
+    //      edges, hash-checked by the recursive-CTE oracle at every
+    //      SF — and s15 is the standing LSH-mode registration that
+    //      carries no cartesian product (the t08/t09 twin
+    //      adjudication). Singletons (no near-dup) keep themselves
+    //      via the left join. ----
     QuerySpec(
       "s12_semantic_dedup",
-      (s, d) => semanticDedup(s, d, exactAnchor(s, d)),
+      (s, d) => semanticDedup(s, d, allPairs = true),
       Some(s"""WITH RECURSIVE pairs AS (
         SELECT a.vec_id AS da, b.vec_id AS db
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1298,12 +1295,11 @@ object Similarity {
           AND e.vec_id <> q.vec_id) t
       WHERE rk <= 5 ORDER BY qid, rk""")),
 
-    // ---- semantic dedup, LSH pair source FORCED: the same
-    //      [[semanticDedup]] operator as s12, pinned to the scale
-    //      path at every SF (s12 routes by scale; this entry is the
-    //      LSH mode's standing registration, so the approximate leg
-    //      is bench-timed and invariant-tested even at SFs where s12
-    //      takes the exact anchor). Candidates come from the shared
+    // ---- semantic dedup, LSH pair source: the same
+    //      [[semanticDedup]] operator as s12 pinned to the scale
+    //      path at every SF — the standing registration of the
+    //      approximate leg, bench-timed and invariant-tested
+    //      alongside the exact anchor. Candidates come from the shared
     //      LSH generator (one scan → bucketed equi-join,
     //      skew-guarded), only candidates pay the exact cosine
     //      check, and the min-label components run once per session

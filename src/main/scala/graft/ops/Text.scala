@@ -148,7 +148,7 @@ object Text {
     Scoped.persist(Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles).as("s")))
 
-  /** Routing anchor for t08, mirroring [[Similarity.ExactAnchorRows]]:
+  /** Routing anchor for t08:
     * at/below this corpus size the registered query runs the exact
     * all-pairs shingle join (the oracle anchor the driver hash-checks
     * at its correctness SF, which sits under the bound by

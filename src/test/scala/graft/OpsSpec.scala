@@ -200,22 +200,6 @@ class OpsSpec extends SparkSpec {
       Text.ExactAnchorRows + 500)
   }
 
-  test("s-family routing probe re-counts a rewritten embeddings table") {
-    import graft.ops.Similarity
-    // the twin of the t08 probe fix: same staleness trap, same
-    // fingerprint key — exact-vs-LSH routing must follow the rewrite
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-sizememo-emb").toString
-    def write(n: Int) = spark.range(n)
-      .selectExpr("id AS vec_id",
-        "array(CAST(id % 7 AS FLOAT), CAST(1 AS FLOAT)) AS embedding")
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    write(10)
-    assert(Similarity.exactAnchor(spark, dir))
-    write(Similarity.ExactAnchorRows.toInt + 500)
-    assert(!Similarity.exactAnchor(spark, dir),
-      "stale embeddings size memo survived a rewrite")
-  }
 
   test("rep-level dup clustering equals CC over the expanded member pairs") {
     // dupClusterLabels clusters the REPRESENTATIVE pair graph and

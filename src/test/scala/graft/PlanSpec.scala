@@ -131,19 +131,19 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"))
   }
 
-  test("s04/s12 above the anchor scale: NO cartesian product in the plan") {
-    // sf0.1 carries 2000 embeddings > ExactAnchorRows → the default
-    // path must route pair generation through the LSH candidate
-    // equi-join; the O(n²) crossJoin is reserved for the oracle SF
+  test("s23/s15 (the scale twins): NO cartesian product in the plan") {
+    // the LSH-routed twins must carry pair generation through the
+    // bucketed candidate equi-join at every SF; the O(n²) crossJoin
+    // belongs to their exact anchors (s04/s12) alone
     val sf01 = "/root/testdata/sf0.1"
-    for (q <- Seq("s04_neardup_pairs", "s12_semantic_dedup")) {
+    for (q <- Seq("s23_neardup_pairs_lsh", "s15_semantic_dedup_lsh")) {
       val p = SparkEntry.queries(q)(spark, sf01)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
-        s"$q still carries an all-pairs join at the scale SF")
+        s"$q carries an all-pairs join on its scale path")
     }
-    // and the oracle SF keeps the exact anchor (the hash-matched leg)
+    // and the exact anchor twin IS the documented all-pairs leg
     val pAnchor = plan("s04_neardup_pairs")
     assert(pAnchor.contains("CartesianProduct") ||
       pAnchor.contains("BroadcastNestedLoopJoin"))
