@@ -596,6 +596,20 @@ object Streams {
       .start()
   }
 
+  /** The bronze change feed as a first-class streaming input —
+    * `BronzeMerge.readChanges`'s manual version-range polling turned
+    * into checkpointed micro-batches by
+    * [[graft.sources.BronzeChangeFeedSource]] (offsets = manifest
+    * versions, recorded in the query's offset log, so a restarted
+    * query resumes exactly where it stopped). Drive with
+    * `Trigger.AvailableNow` for drain-and-stop catch-up or the
+    * default trigger to tail the table; compose with
+    * [[maintainCodedCorpus]] (project to (vec_id, embedding)) or any
+    * `foreachBatch` consumer for the exactly-once
+    * bronze-identity-then-derive pipeline. */
+  def bronzeChangeFeed(spark: SparkSession, table: String): DataFrame =
+    spark.readStream.format("bronze-cdf").option("table", table).load()
+
   /** Checkpointed file ingest: every file that appears in `srcDir` is
     * ingested exactly once across runs — the streaming-native
     * replacement for the reference's archive-so-not-reingested

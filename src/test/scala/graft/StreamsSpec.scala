@@ -932,4 +932,93 @@ class StreamsSpec extends SparkSpec {
     assert(got.contains((12L, "new")), got.toString)
     assert(!got.contains((12L, "resurrected")), got.toString)
   }
+
+  test("bronze change feed: streamed consumption across restarts = one batch readChanges") {
+    import spark.implicits._
+    import graft.ingest.BronzeMerge
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft-cdf")
+    val table = tmp.resolve("bronze").toString
+    val sink = tmp.resolve("sink").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def ts(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    def one(n: String) = Seq((n, n.length.toLong, ts(n.hashCode & 127),
+      Array[Byte](1))).toDF("file_name", "length", "modified", "content")
+    def drain(): Unit = {
+      val q = Streams.bronzeChangeFeed(spark, table)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def names(p: String) = spark.read.parquet(p)
+      .select("file_name").collect().map(_.getString(0)).sorted.toSeq
+
+    BronzeMerge.mergeIngestDf(spark, one("a.txt"), table)
+    BronzeMerge.mergeIngestDf(spark, one("b.txt"), table)
+    drain()
+    assert(names(sink) == Seq("a.txt", "b.txt"))
+
+    // restart with the SAME checkpoint after more commits: only the
+    // new version window streams — the offset log, not the caller,
+    // remembers the last consumed manifest version
+    BronzeMerge.mergeIngestDf(spark, one("c.txt"), table)
+    BronzeMerge.mergeIngestDf(spark, one("d.txt"), table)
+    drain()
+    assert(names(sink) == Seq("a.txt", "b.txt", "c.txt", "d.txt"))
+
+    // a drain with nothing new appends nothing (no re-delivery)
+    drain()
+    assert(names(sink) == Seq("a.txt", "b.txt", "c.txt", "d.txt"))
+
+    // the streamed union equals ONE batch read of the whole feed
+    val head = BronzeMerge.currentCommit(spark, table)._1
+    val batchAll = BronzeMerge.readChanges(spark, table, 0, head)
+      .select("file_name").collect().map(_.getString(0)).sorted.toSeq
+    assert(names(sink) == batchAll)
+
+    // exactly-once composition downstream: the identity-dedup + CDF
+    // shape means a re-ingest of an already-seen file adds nothing,
+    // and the stream delivers nothing
+    BronzeMerge.mergeIngestDf(spark, one("d.txt"), table)
+    drain()
+    assert(names(sink) == batchAll)
+  }
+
+  test("bronze change feed fails loudly when the window rewrites batches") {
+    import spark.implicits._
+    import graft.ingest.BronzeMerge
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft-cdf-rw")
+    val table = tmp.resolve("bronze").toString
+    def ts(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    def one(n: String) = Seq((n, n.length.toLong, ts(n.hashCode & 127),
+      Array[Byte](1))).toDF("file_name", "length", "modified", "content")
+    def drain(): Unit = {
+      val q = Streams.bronzeChangeFeed(spark, table)
+        .writeStream.format("parquet")
+        .option("path", tmp.resolve("sink").toString)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    BronzeMerge.mergeIngestDf(spark, one("a.txt"), table)
+    BronzeMerge.mergeIngestDf(spark, one("b.txt"), table)
+    drain()
+    // compaction rewrites the live batch set: the next window cannot
+    // be represented as appends and must fail loudly, not silently
+    // re-deliver rewritten rows (Delta's own CDF behavior for
+    // non-append changes)
+    BronzeMerge.compact(spark, table)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("cannot represent"), msg)
+  }
 }
