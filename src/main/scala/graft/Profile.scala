@@ -53,9 +53,31 @@ object Profile {
         "t46_split_leakage", "m12_audio_frames", "q59_cumulative_distinct")
       case xs => xs
     }
-    for (round <- 1 to 3) {
-      println(s"--- round $round ---")
-      names.foreach(n => time(n)(SparkEntry.queries(n)(s, d)))
+    if (names == Seq("t49parts")) {
+      // decomposition of t49's sf10 warm residual
+      import graft.ops.Text
+      for (round <- 1 to 3) {
+        println(s"--- round $round ---")
+        time("labels")(Text.dupClusterLabels(s, d, 0.8))
+        time("quality_scan")(Tables.documents(s, d)
+          .select(org.apache.spark.sql.functions
+            .round(Text.qualityExpr, 6).as("q"))
+          .agg(graft.ops.dsum(col("q")).as("x")))
+        time("qs_kernel_once")(Tables.documents(s, d)
+          .select(graft.functions.TextExprs.qualityStats(col("text"))
+            .getField("n_distinct").as("x"))
+          .agg(sum(col("x"))))
+        time("split_only")(Tables.documents(s, d)
+          .select(size(split(col("text"), " ")).as("x"))
+          .agg(sum(col("x"))))
+        time("t49_full")(SparkEntry.queries(
+          "t49_quality_survivorship")(s, d))
+      }
+    } else {
+      for (round <- 1 to 3) {
+        println(s"--- round $round ---")
+        names.foreach(n => time(n)(SparkEntry.queries(n)(s, d)))
+      }
     }
     spark.stop()
   }

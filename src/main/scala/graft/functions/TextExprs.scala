@@ -796,4 +796,91 @@ object TextExprs {
   def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(
       BpeTokenCount(GraftSqlBridge.expression(c), merges))
+
+  /** The t04/t49 stop list, as binary UTF8 constants. */
+  private val QualityStopWords: Array[UTF8String] =
+    Array("the", "a", "of", "and", "to", "in").map(UTF8String.fromString)
+
+  /** Shared by interpreted eval and generated code: tokenize on the
+    * single space byte AND compute the three token statistics the
+    * quality heuristic needs — total, distinct (binary string
+    * equality, exactly `array_distinct`'s), and stop-list hits
+    * (exactly `filter(toks, t => array_contains(stop, t))`'s count) —
+    * in ONE walk of the string's bytes. The declarative form
+    * materializes `split(text, ' ')` (a regex pass + an array per
+    * row) and then walks the array four times, two of them through
+    * interpreted higher-order functions outside whole-stage codegen.
+    * Tokenization replicates `split(text, ' ')` with Spark's default
+    * limit −1: boundaries at every 0x20 byte (a multi-byte UTF-8
+    * character never contains one), empty tokens KEPT, including
+    * leading/trailing ("" tokenizes to one empty token). Measured at
+    * the sf10 rehearsal: the 500k-doc quality pass drops 8.7 → 1.5 s
+    * (SCALE.md round 12). */
+  def qualityStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val len = b.length
+    val seen = new java.util.HashSet[UTF8String](64)
+    var n = 0
+    var nDistinct = 0
+    var nStop = 0
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || b(i) == ' ') {
+        val tl = i - start
+        n += 1
+        val tok = UTF8String.fromBytes(b, start, tl)
+        if (seen.add(tok)) nDistinct += 1
+        if (tl >= 1 && tl <= 3) {
+          var j = 0
+          while (j < QualityStopWords.length) {
+            if (QualityStopWords(j).equals(tok)) {
+              nStop += 1
+              j = QualityStopWords.length
+            } else j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, nDistinct, nStop))
+  }
+
+  /** `struct<n_tok:int, n_distinct:int, n_stop:int>` of a text in one
+    * pass — the fused form of `size(toks)`,
+    * `size(array_distinct(toks))`, and
+    * `size(filter(toks, t => array_contains(stop, t)))` over
+    * `toks = split(text, ' ')`, with the split itself fused away. */
+  case class QualityStats(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"quality_stats expects string, got ${other.sql}")
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tok", IntegerType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_distinct", IntegerType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_stop", IntegerType,
+        nullable = false)))
+    override def prettyName: String = "quality_stats"
+
+    override protected def nullSafeEval(a: Any): Any =
+      qualityStats(a.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$.qualityStats($a);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): QualityStats =
+      copy(child = c)
+  }
+
+  def qualityStats(c: Column): Column =
+    GraftSqlBridge.column(QualityStats(GraftSqlBridge.expression(c)))
 }

@@ -793,8 +793,30 @@ object Text {
     new graft.SessionMemo[(String, Int, Int, Double),
       (Seq[Double], Seq[Double], Double)]
 
-  /** The t04 quality expression (the heuristic being distilled). */
-  private def qualityExpr: Column = {
+  /** The t04 quality expression (the heuristic being distilled). The
+    * tokenization AND the three token statistics come from ONE fused
+    * codegen walk of the raw text
+    * ([[graft.functions.TextExprs.qualityStats]]); the arithmetic is
+    * the original expression tree unchanged, so the value is bitwise
+    * the declarative form's (ExprEquivSpec pins it against
+    * [[qualityExprDeclarative]]). The declarative twin materialized
+    * the regex split and re-walked the token array four times — two
+    * walks inside interpreted HOFs — which made this scan the whole
+    * warm-path residual of t49 at sf10 (8.7 s of a 9.4 s query;
+    * SCALE.md round 12). */
+  private[graft] def qualityExpr: Column = {
+    val st = graft.functions.TextExprs.qualityStats(col("text"))
+    val nTok = st.getField("n_tok").cast("double")
+    val stopRatio = st.getField("n_stop").cast("double") / nTok
+    val distinctRatio = st.getField("n_distinct").cast("double") / nTok
+    least(nTok / lit(100.0), lit(1.0)) * lit(0.4) +
+      distinctRatio * lit(0.4) +
+      least(stopRatio * lit(5.0), lit(1.0)) * lit(0.2)
+  }
+
+  /** The pre-fusion declarative spelling of [[qualityExpr]], kept as
+    * the equivalence oracle for the fused kernel (ExprEquivSpec). */
+  private[graft] def qualityExprDeclarative: Column = {
     val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
     val nTok = size(toks).cast("double")
     val stopRatio =
@@ -3038,19 +3060,30 @@ object Text {
           .join(labels.select(col("doc_id"), col("lbl")),
             Seq("doc_id"), "left")
           .withColumn("component", coalesce(col("lbl"), col("doc_id")))
-        val wBest = Window.partitionBy(col("component"))
-          .orderBy(desc("q"), col("doc_id"))
-        m.withColumn("rk", row_number().over(wBest))
-          .agg(count(lit(1)).as("n_docs"),
-            countDistinct(col("component")).as("n_components"),
-            (count(lit(1)) - countDistinct(col("component")))
-              .as("n_removed"),
-            round(dsum(when(col("rk") === 1, col("q"))) /
-              countDistinct(col("component")), 6).as("avg_best_quality"),
-            round(dsum(when(col("doc_id") === col("component"), col("q"))) /
-              countDistinct(col("component")), 6).as("avg_minid_quality"),
-            sum(when(col("rk") === 1 && col("doc_id") =!= col("component"),
-              1L).otherwise(0L)).as("n_policy_differs"))
+        // two-stage aggregate, NOT a window: the per-component argmax
+        // rides max(struct(q, -doc_id)) — partial-aggregable, so the
+        // map side combines members before the shuffle and no
+        // component ever sorts its full membership (the sf10 regime:
+        // 500k member rows in a handful of components made the
+        // row_number sort the warm-path residual, 10.2 s → sub-s).
+        // struct max = highest q, then highest -doc_id = lowest
+        // doc_id: exactly the old ORDER BY q DESC, doc_id rank-1 row.
+        // The min-id member's q arrives by the same trick (component
+        // IS a member id, so exactly one member matches).
+        val comp = m.groupBy(col("component")).agg(
+          count(lit(1)).as("members"),
+          max(struct(col("q"), (-col("doc_id")).as("negid"))).as("best"),
+          max(when(col("doc_id") === col("component"), col("q")))
+            .as("minid_q"))
+        comp.agg(sum(col("members")).as("n_docs"),
+            count(lit(1)).as("n_components"),
+            (sum(col("members")) - count(lit(1))).as("n_removed"),
+            round(dsum(col("best.q")) / count(lit(1)), 6)
+              .as("avg_best_quality"),
+            round(dsum(col("minid_q")) / count(lit(1)), 6)
+              .as("avg_minid_quality"),
+            sum(when(-col("best.negid") =!= col("component"), 1L)
+              .otherwise(0L)).as("n_policy_differs"))
       },
       Some(s"""WITH RECURSIVE pairs AS (${jaccardPairsSql(0.8)}),
         edges AS (SELECT da AS a, db AS b FROM pairs

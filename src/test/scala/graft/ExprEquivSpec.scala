@@ -320,4 +320,34 @@ class ExprEquivSpec extends SparkSpec {
       TextExprs.bpeTokenCount(col("text"), learned),
       declarativeCount(learned))
   }
+
+  test("QualityStats == (size, array_distinct, stop-filter) over split") {
+    // the fused kernel replaces split(text,' ') + four array walks;
+    // every statistic must match the declarative forms exactly,
+    // including empty tokens from doubled/leading/trailing spaces
+    // (split keeps them at Spark's default limit -1) and multi-byte
+    // text (0x20 never occurs inside a UTF-8 sequence)
+    val toks = split(col("text"), " ")
+    val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+    val stopTexts = Seq("the a of and to in", "the the the",
+      "a", " the ", "thee of andy in2 a", "of  of", "to")
+    val df = textDf.unionByName {
+      import TestSpark.spark.implicits._
+      stopTexts.toDF("text")
+    }
+    assertAllEqual(df,
+      TextExprs.qualityStats(col("text")),
+      struct(size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(filter(toks, t => array_contains(stop, t))).as("n_stop")))
+  }
+
+  test("fused qualityExpr is bitwise the declarative quality heuristic") {
+    // same arithmetic tree, counts from the fused walk: the DOUBLE
+    // must be bit-identical (the t04/t49 oracles hash it at 6 digits,
+    // but the pin here is exact, not rounded)
+    assertAllEqual(textDf.filter(length(col("text")) > 0),
+      graft.ops.Text.qualityExpr,
+      graft.ops.Text.qualityExprDeclarative)
+  }
 }
