@@ -158,4 +158,98 @@ class SourcesSpec extends SparkSpec {
     assert(df.agg(sum("size")).head().getLong(0) ==
       (for (f <- 0 until 6; j <- 0 until 40) yield (f * 31 + j * 7) % 1000).sum)
   }
+
+  // ---- graft-bronze DSv2 write path -------------------------------
+
+  private def bronzeBatch(names: Seq[String]) = {
+    import TestSpark.spark.implicits._
+    names.map(n => (n, n.length.toLong,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        n.getBytes("UTF-8")))
+      .toDF("file_name", "length", "modified", "content")
+  }
+
+  test("graft-bronze DSv2 write: append routes through the idempotent merge") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-bronze").resolve("t").toString
+
+    // first append through the PUBLIC write API — no graft classes
+    bronzeBatch(Seq("a.txt", "b.txt"))
+      .write.format("graft-bronze").mode("append").save(table)
+    assert(BronzeMerge.currentCommit(spark, table)._1 == 1)
+    assert(BronzeMerge.snapshot(spark, table).count() == 2)
+
+    // exact re-run: MERGE semantics, not blind append — nothing lands,
+    // no empty commit
+    bronzeBatch(Seq("a.txt", "b.txt"))
+      .write.format("graft-bronze").mode("append").save(table)
+    assert(BronzeMerge.currentCommit(spark, table)._1 == 1)
+    assert(BronzeMerge.snapshot(spark, table).count() == 2)
+
+    // overlapping batch: only the new identity lands
+    bronzeBatch(Seq("b.txt", "c.txt"))
+      .write.format("graft-bronze").mode("append").save(table)
+    assert(BronzeMerge.snapshot(spark, table)
+      .select("file_name").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted.toSeq == Seq("a.txt", "b.txt", "c.txt"))
+
+    // the _delta_log mirror advanced with the public-API commits
+    // (delta versions are 0-based: manifest vN ↔ log version N-1)
+    assert(DeltaLog.latestLogVersion(spark, table) ==
+      BronzeMerge.currentCommit(spark, table)._1.toLong - 1)
+
+    // round-trip: content read back bitwise
+    val back = BronzeMerge.snapshot(spark, table)
+      .select("file_name", "content").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+      .toMap
+    assert(back == Map("a.txt" -> "a.txt", "b.txt" -> "b.txt",
+      "c.txt" -> "c.txt"))
+  }
+
+  test("graft-bronze DSv2 write: append-only and key columns enforced") {
+    import TestSpark.spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-guard").resolve("t").toString
+    bronzeBatch(Seq("a.txt"))
+      .write.format("graft-bronze").mode("append").save(table)
+
+    // overwrite: no truncating capability — Spark refuses the plan
+    intercept[Exception] {
+      bronzeBatch(Seq("x.txt"))
+        .write.format("graft-bronze").mode("overwrite").save(table)
+    }
+    assert(graft.ingest.BronzeMerge.snapshot(spark, table).count() == 1)
+
+    // a batch without the identity key fails at plan time, loudly
+    val bad = intercept[Exception] {
+      Seq(("nokey", 1L)).toDF("name", "length")
+        .write.format("graft-bronze").mode("append").save(table)
+    }
+    assert(bad.getMessage.contains("identity key"),
+      s"unexpected: ${bad.getMessage}")
+  }
+
+  test("graft-bronze DSv2 write: additive schema evolution carries through") {
+    import TestSpark.spark.implicits._
+    import graft.ingest.BronzeMerge
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-evolve").resolve("t").toString
+    bronzeBatch(Seq("a.txt"))
+      .write.format("graft-bronze").mode("append").save(table)
+
+    // wider batch via the public API (ACCEPT_ANY_SCHEMA): the store
+    // takes it, mergeSchema reads surface the new column
+    bronzeBatch(Seq("d.txt"))
+      .withColumn("source_url", org.apache.spark.sql.functions
+        .concat(org.apache.spark.sql.functions.lit("https://x/"),
+          org.apache.spark.sql.functions.col("file_name")))
+      .write.format("graft-bronze").mode("append").save(table)
+    val snap = BronzeMerge.snapshot(spark, table, mergeSchema = true)
+    assert(snap.columns.contains("source_url"))
+    assert(snap.count() == 2)
+    assert(snap.filter(org.apache.spark.sql.functions
+      .col("source_url").isNotNull).count() == 1)
+  }
 }
