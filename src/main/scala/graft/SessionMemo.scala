@@ -32,3 +32,37 @@ private[graft] final class SessionMemo[K, V] {
 
   def sessionCount: Int = bySession.synchronized(bySession.size)
 }
+
+/** [[SessionMemo]] variant for entries keyed by a stable identity
+  * plus a VERSION stamp (a [[Tables.dirFingerprint]]): a new version
+  * REPLACES the entry instead of accreting beside it, so a fixture
+  * directory rewritten many times in one session holds exactly one
+  * live memo value per identity — the advisor's accretion note on the
+  * fingerprint-keyed memos. A version mismatch always recomputes
+  * (even "backwards": a dir restored to an old fingerprint gets a
+  * fresh read — correctness over cache retention).
+  */
+private[graft] final class VersionedSessionMemo[K, V] {
+  private val bySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[K, (Long, V)]]()
+
+  private def memoFor(s: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[K, (Long, V)] =
+    bySession.synchronized {
+      var m = bySession.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[K, (Long, V)]()
+        bySession.put(s, m)
+      }
+      m
+    }
+
+  def getOrCompute(s: SparkSession, key: K, version: Long)
+      (compute: => V): V =
+    memoFor(s).compute(key, (_, cur) =>
+      if (cur != null && cur._1 == version) cur
+      else (version, compute))._2
+
+  def entryCount(s: SparkSession): Int = memoFor(s).size
+}

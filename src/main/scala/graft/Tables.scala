@@ -22,14 +22,18 @@ object Tables {
   // would be read through a listing of deleted part files. One cheap
   // listStatus per call buys that safety. Weakly keyed on the session
   // (the cached DataFrames reference it) so a dropped session is
-  // collectable.
-  private val memo = new SessionMemo[(String, String, Long), DataFrame]
+  // collectable; VERSIONED on the fingerprint so a rewrite REPLACES
+  // the entry instead of accreting a new one per rewrite.
+  private val memo = new VersionedSessionMemo[(String, String), DataFrame]
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val fp = dirFingerprint(spark, s"$dir/$name.parquet")
-    memo.getOrCompute(spark, (dir, name, fp))(
+    memo.getOrCompute(spark, (dir, name), fp)(
       spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  private[graft] def memoEntryCount(spark: SparkSession): Int =
+    memo.entryCount(spark)
 
   /** Order-sensitive change fingerprint of a parquet table directory:
     * a polynomial fold over (name, mtime, length) of the sorted file

@@ -162,16 +162,18 @@ object Text {
     * configuration; the memoized row-count probe is the testbed
     * heuristic that keeps one registered query honest at both scales. */
   private[graft] val ExactAnchorRows = 1000L
-  private val sizeMemo = new graft.SessionMemo[String, java.lang.Long]
-  /** Memoized corpus row count, keyed by (dir, content fingerprint —
-    * [[Tables.dirFingerprint]]): a `documents` table REWRITTEN within
-    * one session re-probes instead of returning the stale count. The
-    * Tables memo carries the same fingerprint in its key, so the
-    * count AND the data reads behind t08/t12/t49 see the current
-    * files (parquet count() is footer metadata only). */
+  private val sizeMemo = new graft.VersionedSessionMemo[String, java.lang.Long]
+  /** Memoized corpus row count, keyed by dir and VERSIONED by its
+    * content fingerprint ([[Tables.dirFingerprint]]): a `documents`
+    * table REWRITTEN within one session re-probes instead of
+    * returning the stale count, and the superseded count is replaced,
+    * not kept beside the new one. The Tables memo carries the same
+    * fingerprint versioning, so the count AND the data reads behind
+    * t08/t12/t49 see the current files (parquet count() is footer
+    * metadata only). */
   private def corpusRows(s: SparkSession, d: String): Long = {
     val fp = Tables.dirFingerprint(s, s"$d/documents.parquet")
-    sizeMemo.getOrCompute(s, s"$d@$fp")(Tables.documents(s, d).count())
+    sizeMemo.getOrCompute(s, d, fp)(Tables.documents(s, d).count())
   }
   private[graft] def exactAnchor(s: SparkSession, d: String): Boolean =
     corpusRows(s, d) <= ExactAnchorRows

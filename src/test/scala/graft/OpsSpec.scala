@@ -198,6 +198,15 @@ class OpsSpec extends SparkSpec {
     // scan the current files instead of a snapshot of deleted ones
     assert(Tables.documents(spark, dir).count() ==
       Text.ExactAnchorRows + 500)
+    // ...and superseded fingerprints REPLACE their memo entry rather
+    // than accreting one per rewrite for the session's lifetime
+    val entries = Tables.memoEntryCount(spark)
+    (1 to 3).foreach { k =>
+      write(20 + k)
+      assert(Tables.documents(spark, dir).count() == 20 + k)
+    }
+    assert(Tables.memoEntryCount(spark) == entries,
+      "repeated rewrites accreted memo entries")
   }
 
 
