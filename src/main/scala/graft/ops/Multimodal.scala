@@ -589,6 +589,10 @@ object Multimodal {
   final case class AudioFrame(doc_id: Long, frame_id: Int, start: Int,
       n_samples: Int, energy: Long, n_zero_cross: Int, max_abs: Int)
 
+  /** m16 voiced-frame gate: frame energy ≥ 25·16384² — mean sample
+    * amplitude at least half of int16 full scale. Exact in Long. */
+  private val VadEnergyThreshold: Long = 25L * 16384L * 16384L
+
   /** Frame-level analysis of channel 0: fixed-length windows over the
     * decoded PCM, per-frame energy (Σv², exact in Long: 32 768² ×
     * frameLen ≪ 2⁶³), zero crossings (sign changes between
@@ -1346,6 +1350,86 @@ object Multimodal {
         CASE WHEN d.doc_id % 7 <> 0 THEN a.mean_g END AS mean_g,
         CASE WHEN d.doc_id % 7 <> 0 THEN a.mean_b END AS mean_b
       FROM dims d JOIN agg a USING (doc_id)
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // ---- energy-gated VAD segmentation: threshold m12's per-frame
+    //      energy, then collapse consecutive voiced frames into
+    //      SEGMENTS (gaps-and-islands: frame_id − row_number over the
+    //      voiced frames is constant exactly within a run) with a
+    //      2-frame minimum duration — the silence-trim pass a speech
+    //      corpus runs before any transcription or feature step, over
+    //      the REAL decoded PCM (the same RIFF chunk walk as m07/m12;
+    //      a framing off-by-one moves a segment boundary and
+    //      hash-mismatches). All integer math end to end — threshold
+    //      25·16384² (mean amplitude ≥ half scale), energies exact in
+    //      Long — so no rounding escape hatch. Scale: map-only decode
+    //      fan-out, then the per-doc window and the (doc, run)
+    //      aggregate both partition by doc_id — frames-per-doc is
+    //      bounded by clip length, so the island pass never sees more
+    //      than one clip's frames in a partition task. ----
+    QuerySpec(
+      "m16_audio_vad",
+      (s, d) => {
+        import s.implicits._
+        val frames = wavFixture(s, d).as[MediaRow]
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.flatMap(r =>
+              decodeWavFrames(r.doc_id, r.payload, 25)))
+          }.toDF()
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("frame_id"))
+        val wSeg = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("start_frame"))
+        frames.filter(col("energy") >= VadEnergyThreshold)
+          .withColumn("grp", col("frame_id") - row_number().over(wDoc))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("frame_id")).as("start_frame"),
+            max(col("frame_id")).as("end_frame"),
+            count(lit(1)).cast("int").as("n_frames"),
+            sum(col("energy")).as("energy"),
+            max(col("max_abs")).as("peak"))
+          .filter(col("n_frames") >= 2)
+          .withColumn("seg_id", row_number().over(wSeg))
+          .select(col("doc_id"), col("seg_id"), col("start_frame"),
+            (col("start_frame") * 25).as("start_sample"),
+            col("end_frame"), col("n_frames"),
+            (col("n_frames") * 25).as("n_samples"),
+            col("energy"), col("peak"))
+          .orderBy("doc_id", "seg_id")
+      },
+      Some("""WITH dims AS (
+        SELECT doc_id, CAST(50 + (n_chars % 211) AS INT) AS nf
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(i // 25 AS INT) AS frame_id,
+          ((doc_id*31 + i*7) % 65536) - 32768 AS v
+        FROM (SELECT doc_id,
+                unnest(generate_series(0, (nf // 25) * 25 - 1)) AS i
+              FROM dims) t),
+      f AS (
+        SELECT doc_id, frame_id, CAST(SUM(v * v) AS BIGINT) AS energy,
+          CAST(MAX(ABS(v)) AS INT) AS max_abs
+        FROM g GROUP BY doc_id, frame_id),
+      voiced AS (
+        SELECT doc_id, frame_id, energy, max_abs,
+          frame_id - ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY frame_id) AS grp
+        FROM f WHERE energy >= 6710886400),
+      seg AS (
+        SELECT doc_id, grp,
+          CAST(MIN(frame_id) AS INT) AS start_frame,
+          CAST(MAX(frame_id) AS INT) AS end_frame,
+          CAST(COUNT(1) AS INT) AS n_frames,
+          CAST(SUM(energy) AS BIGINT) AS energy,
+          CAST(MAX(max_abs) AS INT) AS peak
+        FROM voiced GROUP BY doc_id, grp
+        HAVING COUNT(1) >= 2)
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY start_frame) AS INT) AS seg_id,
+        start_frame, CAST(start_frame * 25 AS INT) AS start_sample,
+        end_frame, n_frames, CAST(n_frames * 25 AS INT) AS n_samples,
+        energy, peak
+      FROM seg ORDER BY doc_id, seg_id"""))
   )
 }

@@ -1695,6 +1695,78 @@ object Similarity {
         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(rmse))),
           (acc, x) -> acc + x) / COUNT(1) AS mean_rmse,
         MAX(rmse) AS max_rmse
-      FROM r GROUP BY label ORDER BY label"""))
+      FROM r GROUP BY label ORDER BY label""")),
+
+    // ---- herding CORESET selection: per class (label), keep the 20%
+    //      of vectors CLOSEST to the class mean — Welling's herding
+    //      order truncated at a fixed budget, the class-balanced
+    //      data-pruning baseline (each class keeps its most
+    //      prototypical members; ceil() guarantees every class
+    //      survives, the t17 balanced-sample contract with geometry
+    //      instead of a hash as the keep-rule). Determinism: the
+    //      centroid rides s02's sorted sequential fold, the distance
+    //      is a per-row in-order fold over zipped dims — both bitwise
+    //      cross-engine, so ranks and the d² column hash-match with
+    //      no rounding escape hatch. Scale: centroid is a per-(label,
+    //      pos) aggregate (at 100 TB swap the sorted fold for a plain
+    //      sum — s02's documented oracle-exactness trade) broadcast
+    //      back at |labels| rows; scoring is map-only; the ONLY
+    //      data-sized shuffle is the per-label rank, and a tight
+    //      budget would ride the t49 max(struct) two-stage shape
+    //      instead of a full sort. ----
+    QuerySpec(
+      "s24_herding_coreset",
+      (s, d) => {
+        val cents = Tables.embeddings(s, d)
+          .select(col("label"), posexplode(vec(col("embedding"))))
+          .groupBy(col("label"), col("pos"))
+          .agg(sort_array(collect_list(col("col"))).as("vs"))
+          .select(col("label"), col("pos"),
+            (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x) /
+              size(col("vs"))).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(sort_array(collect_list(struct(col("pos"),
+            col("c")))), p => p.getField("c")).as("cent"))
+        val d2 = aggregate(
+          zip_with(vec(col("embedding")), col("cent"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        val w = Window.partitionBy(col("label"))
+        Tables.embeddings(s, d)
+          .join(broadcast(cents), "label")
+          .select(col("label"), col("vec_id"), d2.as("d2"))
+          .withColumn("rk",
+            row_number().over(w.orderBy(col("d2"), col("vec_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(col("rk") <= floor((col("n") + 4) / 5.0))
+          .select(col("label"), col("vec_id"), col("d2"), col("rk"))
+          .orderBy("label", "rk")
+      },
+      Some("""WITH cent AS (
+        SELECT label, list(c ORDER BY pos) AS cent FROM (
+          SELECT label, pos,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_sort(list(v))), (acc, x) -> acc + x) / COUNT(1) AS c
+          FROM (SELECT label, CAST(g.i - 1 AS INT) AS pos,
+                  CAST(embedding[g.i] AS DOUBLE) AS v
+                FROM embeddings, generate_series(1, 64) AS g(i)) t
+          GROUP BY label, pos) cc
+        GROUP BY label),
+      scored AS (
+        SELECT e.label, e.vec_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list_zip(CAST(e.embedding AS DOUBLE[]),
+              c.cent), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+            (acc, x) -> acc + x) AS d2
+        FROM embeddings e JOIN cent c USING (label)),
+      r AS (
+        SELECT label, vec_id, d2,
+          CAST(ROW_NUMBER() OVER (PARTITION BY label
+            ORDER BY d2, vec_id) AS INT) AS rk,
+          COUNT(1) OVER (PARTITION BY label) AS n
+        FROM scored)
+      SELECT label, vec_id, d2, rk FROM r
+      WHERE rk <= CAST(FLOOR((n + 4) / 5.0) AS BIGINT)
+      ORDER BY label, rk"""))
   )
 }

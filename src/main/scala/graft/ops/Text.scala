@@ -3257,6 +3257,76 @@ object Text {
           / CAST(COUNT(1) AS DOUBLE) AS leak_rate
       FROM sp s LEFT JOIN tk t ON s.k = t.k
       WHERE s.split <> 'train'
-      GROUP BY s.split, s.source ORDER BY s.split, s.source"""))
+      GROUP BY s.split, s.source ORDER BY s.split, s.source""")),
+
+    // ---- n-gram NOVELTY: what fraction of a doc's distinct 5-grams
+    //      appear FIRST (min doc_id order = corpus arrival order) in
+    //      that doc — the marginal-contribution score a curation pass
+    //      ranks candidate docs by before admitting them to a corpus
+    //      (a doc whose windows all arrived earlier adds nothing even
+    //      if no single doc duplicates it — the signal t43's DF
+    //      threshold and t07's exact identity both miss). Same scale
+    //      shape as t43: windows dedup ROW-LOCALLY (the fused
+    //      NgramHashes kernel), the exchange carries (doc, 8-byte
+    //      hash) pairs, first-owner is min(doc_id) over the hash
+    //      partition (each doc contributes once by construction), and
+    //      the per-doc rollup reuses the same partitioning. At 100 TB:
+    //      one shuffle of distinct (doc, hash) pairs — arrival order
+    //      is a stable column, so the score is incremental-friendly
+    //      (new docs can't change old docs' novelty). ----
+    QuerySpec(
+      "t50_ngram_novelty",
+      (s, d) => {
+        val nWin = (size(toks) - 4).cast("int")
+        val wins = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.TextExprs
+              .ngramHashes(toks, 5, distinct = true)).as("wh"))
+        val own = min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("wh")))
+        val scored = wins
+          .withColumn("own", own)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct_l"),
+            sum(when(col("own") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel_l"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), greatest(nWin, lit(0)).as("n_windows"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_distinct_l"), lit(0L)).as("n_distinct_windows"),
+            coalesce(col("n_novel_l"), lit(0L)).as("n_novel_windows"))
+          .withColumn("novelty_ratio",
+            when(col("n_distinct_windows") > 0,
+              col("n_novel_windows").cast("double") /
+                col("n_distinct_windows")).otherwise(0.0))
+          .orderBy("doc_id")
+      },
+      Some("""WITH wins AS (
+        SELECT DISTINCT doc_id,
+          array_to_string(toks[(i+1):(i+5)], ' ') AS win
+        FROM (
+          SELECT doc_id, str_split(text, ' ') AS toks,
+            unnest(generate_series(0,
+              CAST(len(str_split(text, ' ')) AS INT) - 5)) AS i
+          FROM documents
+          WHERE len(str_split(text, ' ')) >= 5) t),
+      scored AS (
+        SELECT doc_id, COUNT(1) AS n_distinct,
+          CAST(SUM(CASE WHEN own = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel
+        FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY win) AS own
+              FROM wins) w
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(greatest(len(str_split(d.text, ' ')) - 4, 0) AS INT)
+          AS n_windows,
+        COALESCE(s.n_distinct, 0) AS n_distinct_windows,
+        COALESCE(s.n_novel, 0) AS n_novel_windows,
+        CASE WHEN COALESCE(s.n_distinct, 0) > 0
+          THEN CAST(COALESCE(s.n_novel, 0) AS DOUBLE) / s.n_distinct
+          ELSE 0.0 END AS novelty_ratio
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      ORDER BY d.doc_id"""))
   )
 }

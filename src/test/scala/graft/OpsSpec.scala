@@ -2411,4 +2411,72 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("t50: every distinct 5-gram is owned exactly once, first doc scores 1.0") {
+    val got = SparkEntry.queries("t50_ngram_novelty")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, nw, nd, nn, ratio) =>
+      assert(nn <= nd && nd <= nw.toLong, s"doc $id bounds")
+      if (nd > 0) assert(ratio == nn.toDouble / nd, s"doc $id ratio")
+      else assert(ratio == 0.0, s"doc $id empty ratio")
+    }
+    // ownership partitions the corpus vocabulary: summed novel counts
+    // equal the corpus-wide distinct-window count
+    val corpusDistinct = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextExprs.ngramHashes(
+        split(col("text"), " "), 5, distinct = true)).as("wh"))
+      .distinct().count()
+    assert(got.map(_._4).sum == corpusDistinct)
+    // the earliest doc with any window contributes only novel windows
+    val first = got.filter(_._3 > 0).minBy(_._1)
+    assert(first._5 == 1.0, s"first doc ${first._1} must be all-novel")
+  }
+
+  test("s24: per-class budget is ceil(n/5) and ranks walk outward from the mean") {
+    val got = SparkEntry.queries("s24_herding_coreset")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(got.nonEmpty)
+    val classSizes = Tables.embeddings(spark, sf0001)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (label, rows) =>
+      val want = (classSizes(label) + 4) / 5 // ceil(n/5)
+      assert(rows.length.toLong == want, s"label $label budget")
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rows.length), s"label $label ranks")
+      // herding order: d² never decreases as rank grows
+      assert(byRank.map(_._3).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)), s"label $label monotone")
+    }
+    // every class survives selection (the class-balance contract)
+    assert(got.map(_._1).toSet == classSizes.keySet)
+  }
+
+  test("m16: segments are exactly the maximal >=2-frame voiced runs") {
+    val segs = SparkEntry.queries("m16_audio_vad")(spark, sf0001)
+      .select("doc_id", "start_frame", "end_frame", "n_frames")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)))
+    assert(segs.nonEmpty)
+    // replay the gate over the same decoded frames, island-by-island
+    val thr = 25L * 16384L * 16384L
+    val voiced = Multimodal.wavFixture(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .flatMap { case (id, bytes) =>
+        Multimodal.decodeWavFrames(id, bytes, 25)
+          .filter(_.energy >= thr).map(f => (id, f.frame_id))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val wantIslands = voiced.toSeq.flatMap { case (id, fs) =>
+      // split the sorted voiced frame ids into consecutive runs
+      fs.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (run :: rest), f) if f == run.head + 1 =>
+          (f :: run) :: rest
+        case (acc, f) => List(f) :: acc
+      }.map(r => (id, r.min, r.max, r.length)).filter(_._4 >= 2)
+    }.toSet
+    assert(segs.toSet == wantIslands)
+  }
 }
