@@ -450,4 +450,34 @@ class PlanSpec extends SparkSpec {
         " xxhash64('a b') AS ab, xxhash64('b a') AS ba").head()
     assert(ng.getSeq[Long](0) == Seq(ng.getLong(1), ng.getLong(2)))
   }
+
+  test("t50: novelty rides the fused window kernel, no all-pairs") {
+    val p = plan("t50_ngram_novelty")
+    // same exchange contract as t43: per-doc distinct 8-byte hashes,
+    // never window strings
+    assert(p.contains("ngram_hashes"), p.take(800))
+    assert(!p.contains("array_join"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("s24: centroids broadcast; scoring never sort-merges") {
+    val p = plan("s24_herding_coreset")
+    // the |labels|-row centroid table must reach the corpus scan as a
+    // broadcast — a shuffled join would move the corpus for a
+    // bounded-size model table
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("m16: the island pass reuses the frame fan-out's doc partitioning") {
+    val p = plan("m16_audio_vad")
+    // decode fan-out is map-only (the m12 shape); ONE hash exchange on
+    // doc_id serves the voiced window, the (doc, run) aggregate AND
+    // the seg_id window — the run-group aggregate must not re-key
+    assert(p.contains("MapPartitions"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(800))
+  }
 }
