@@ -3265,37 +3265,51 @@ object Text {
     //      ranks candidate docs by before admitting them to a corpus
     //      (a doc whose windows all arrived earlier adds nothing even
     //      if no single doc duplicates it — the signal t43's DF
-    //      threshold and t07's exact identity both miss). Same scale
-    //      shape as t43: windows dedup ROW-LOCALLY (the fused
-    //      NgramHashes kernel), the exchange carries (doc, 8-byte
-    //      hash) pairs, first-owner is min(doc_id) over the hash
-    //      partition (each doc contributes once by construction), and
-    //      the per-doc rollup reuses the same partitioning. At 100 TB:
-    //      one shuffle of distinct (doc, hash) pairs — arrival order
-    //      is a stable column, so the score is incremental-friendly
-    //      (new docs can't change old docs' novelty). ----
+    //      threshold and t07's exact identity both miss). Scale shape:
+    //      windows dedup ROW-LOCALLY (the fused NgramHashes kernel)
+    //      and are built over DISTINCT texts only (the pair family's
+    //      [[textDupMapping]] collapse): a window's global owner is
+    //      the min doc containing it = the min REPRESENTATIVE (reps
+    //      are per-text min members, and a non-rep member can never
+    //      own a window its own rep also carries), so ownership
+    //      resolves on the rep relation and expands back in one
+    //      member join — duplication multiplies a map-only expansion,
+    //      never the (doc, hash) exchange (sf10's 100×-dup rehearsal:
+    //      the uncollapsed window shuffle was 50M rows; collapsed it
+    //      is 500k). At 100 TB: one text-keyed shuffle (shared with
+    //      t08/t12 via the session scope) + one shuffle of distinct
+    //      (rep, 8-byte hash) pairs; arrival order is a stable
+    //      column, so the score is incremental-friendly (new docs
+    //      can't change old docs' novelty). ----
     QuerySpec(
       "t50_ngram_novelty",
       (s, d) => {
         val nWin = (size(toks) - 4).cast("int")
-        val wins = Tables.documents(s, d)
-          .select(col("doc_id"),
+        val mapping = textDupMapping(s, d)
+        val wins = mapping.filter(col("doc_id") === col("rep"))
+          .select(col("rep"),
             explode(graft.functions.TextExprs
-              .ngramHashes(toks, 5, distinct = true)).as("wh"))
-        val own = min(col("doc_id")).over(
+              .ngramHashes(split(col("text"), " "), 5, distinct = true))
+              .as("wh"))
+        val own = min(col("rep")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("wh")))
         val scored = wins
           .withColumn("own", own)
-          .groupBy(col("doc_id"))
+          .groupBy(col("rep"))
           .agg(count(lit(1)).as("n_distinct_l"),
-            sum(when(col("own") === col("doc_id"), 1L).otherwise(0L))
+            sum(when(col("own") === col("rep"), 1L).otherwise(0L))
               .as("n_novel_l"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), greatest(nWin, lit(0)).as("n_windows"))
-          .join(scored, Seq("doc_id"), "left")
+        mapping
+          .select(col("doc_id"), col("rep"),
+            greatest(nWin, lit(0)).as("n_windows"))
+          .join(scored, Seq("rep"), "left")
           .select(col("doc_id"), col("n_windows"),
             coalesce(col("n_distinct_l"), lit(0L)).as("n_distinct_windows"),
-            coalesce(col("n_novel_l"), lit(0L)).as("n_novel_windows"))
+            // only the representative can own a window: every window
+            // of a non-rep member also lives in its rep's (identical)
+            // text, and rep < member in arrival order
+            coalesce(when(col("doc_id") === col("rep"), col("n_novel_l"))
+              .otherwise(lit(0L)), lit(0L)).as("n_novel_windows"))
           .withColumn("novelty_ratio",
             when(col("n_distinct_windows") > 0,
               col("n_novel_windows").cast("double") /

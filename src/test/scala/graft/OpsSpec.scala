@@ -2434,6 +2434,45 @@ class OpsSpec extends SparkSpec {
     assert(first._5 == 1.0, s"first doc ${first._1} must be all-novel")
   }
 
+  test("t50 collapse: duplicated corpus equals the uncollapsed definition") {
+    // the rep-level ownership rewrite must be invisible: on a corpus
+    // where every text appears 4 times at shifted ids, the registered
+    // query equals the per-doc window enumeration computed verbatim
+    val off = 100000L
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dup-novelty").toString
+    val docs = Tables.documents(spark, sf0001)
+    (0 to 3).map(k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * off)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val wins = all.select(col("doc_id"),
+      explode(graft.functions.TextExprs.ngramHashes(
+        split(col("text"), " "), 5, distinct = true)).as("wh"))
+    val own = min(col("doc_id")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("wh")))
+    val brute = all
+      .select(col("doc_id"),
+        greatest((size(split(col("text"), " ")) - 4).cast("int"), lit(0))
+          .as("n_windows"))
+      .join(wins.withColumn("own", own).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("own") === col("doc_id"), 1L).otherwise(0L))
+            .as("nn")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct_windows"),
+        coalesce(col("nn"), lit(0L)).as("n_novel_windows"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = SparkEntry.queries("t50_ngram_novelty")(spark, dir)
+      .select("doc_id", "n_windows", "n_distinct_windows",
+        "n_novel_windows")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == brute)
+  }
+
   test("s24: per-class budget is ceil(n/5) and ranks walk outward from the mean") {
     val got = SparkEntry.queries("s24_herding_coreset")(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
