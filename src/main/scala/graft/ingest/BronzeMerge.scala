@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Delta-SEMANTICS bronze table over plain parquet + a versioned
   * manifest, for environments without the Delta jars (this container
@@ -193,9 +194,17 @@ object BronzeMerge {
     * in the window rewrites history and the feed fails loudly rather
     * than replaying rewritten batches as inserts. At 100 TB this is
     * the incremental-downstream contract: consumers checkpoint a
-    * version number and read only the new batches' bytes. */
+    * version number and read only the new batches' bytes.
+    *
+    * `readSchema` pins the scan schema (parquet matches columns by
+    * name; columns a file lacks read as typed nulls). Pass it when
+    * the window may span a schema evolution: without it the inferred
+    * schema comes from ONE batch's footer, and columns introduced by
+    * a later batch in the same window would be dropped — with it,
+    * every batch's real values for the pinned columns surface. */
   def readChanges(spark: SparkSession, table: String,
-      fromVersion: Int, toVersion: Int): DataFrame = {
+      fromVersion: Int, toVersion: Int,
+      readSchema: Option[StructType] = None): DataFrame = {
     require(fromVersion < toVersion,
       s"need fromVersion < toVersion, got $fromVersion ≥ $toVersion")
     val before =
@@ -209,7 +218,10 @@ object BronzeMerge {
         "the append-only change feed cannot represent that window")
     val added = after.filterNot(before.toSet)
     if (added.isEmpty) snapshot(spark, table).filter(lit(false))
-    else spark.read.parquet(added.map(b => s"$table/$b"): _*)
+    else {
+      val reader = readSchema.fold(spark.read)(spark.read.schema)
+      reader.parquet(added.map(b => s"$table/$b"): _*)
+    }
   }
 
   /** Reclaim batches no longer referenced by the LATEST commit and

@@ -117,9 +117,13 @@ object DeltaLog {
     new java.net.URI(null, null, p, null).getRawPath
 
   /** Decode a logged `path` field to the on-disk relative path.
-    * Tolerates un-encoded paths (lenient external writers). */
+    * Tolerates un-encoded paths (lenient external writers) — both
+    * parse failures AND opaque parses (a first segment containing
+    * `:` makes URI read it as a scheme and getPath return null)
+    * fall back to the raw string. */
   private[graft] def decodePath(p: String): String =
-    scala.util.Try(new java.net.URI(p).getPath).toOption.getOrElse(p)
+    scala.util.Try(new java.net.URI(p).getPath).toOption
+      .flatMap(Option(_)).getOrElse(p)
 
   /** Highest delta version present in the log — JSON commits or a
     * checkpoint that outlives cleaned-up JSON; -1 when none. */
@@ -145,28 +149,41 @@ object DeltaLog {
     rawCheckpointPointer(f, table)
       .filter(v => f.exists(checkpointFile(table, v)))
 
+  /** True iff a replay anchored at checkpoint `cp` can reach `top`:
+    * every JSON tail version exists. ≤ checkpointInterval existence
+    * probes on a healthy log (the tail is read right after anyway). */
+  private def anchors(f: FileSystem, table: String, cp: Long,
+      top: Long): Boolean =
+    (cp + 1 to top).forall(v => f.exists(logFile(table, v)))
+
   /** Newest checkpoint usable for a replay through `top`. The pointer
     * is the O(1) fast path; when it is ahead of `top` (time travel
-    * below the latest checkpoint) or lagging a crash, fall back to
+    * below the latest checkpoint), lagging a crash, or REGRESSED by a
+    * stale concurrent writeCheckpoint (its advance-only guard is
+    * check-then-act, so a lost race can land an old version after
+    * cleanObsoleteLogs reclaimed the JSON above it), fall back to
     * LISTING the log dir for checkpoint files — what external Delta
-    * readers do — so an older retained checkpoint still anchors the
-    * replay. */
+    * readers do — so the newest checkpoint that still anchors an
+    * unbroken tail wins. The anchor probe is what makes a regressed
+    * pointer self-heal instead of stranding HEAD reads. */
   private def bestCheckpoint(f: FileSystem, table: String,
       top: Long): Option[Long] = {
-    lastCheckpoint(f, table).filter(_ <= top).orElse {
-      val dir = logDir(table)
-      if (!f.exists(dir)) None
-      else f.listStatus(dir).map(_.getPath.getName).toSeq
-        .filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
-        .map(_.stripSuffix(".checkpoint.parquet").toLong)
-        .filter(_ <= top)
-        .maxOption
-    }
+    lastCheckpoint(f, table).filter(_ <= top)
+      .filter(cp => anchors(f, table, cp, top))
+      .orElse {
+        val dir = logDir(table)
+        if (!f.exists(dir)) None
+        else f.listStatus(dir).map(_.getPath.getName).toSeq
+          .filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+          .map(_.stripSuffix(".checkpoint.parquet").toLong)
+          .filter(cp => cp <= top && anchors(f, table, cp, top))
+          .maxOption
+      }
   }
 
   /** The pointer's version as written, without checking the parquet
     * file exists — the advance-only guard needs the raw value. */
-  private def rawCheckpointPointer(f: FileSystem,
+  private[ingest] def rawCheckpointPointer(f: FileSystem,
       table: String): Option[Long] = {
     val ptr = new Path(logDir(table), "_last_checkpoint")
     if (!f.exists(ptr)) None
@@ -177,7 +194,7 @@ object DeltaLog {
     }
   }
 
-  private def readFully(f: FileSystem, p: Path): String = {
+  private[ingest] def readFully(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -246,14 +263,17 @@ object DeltaLog {
     }
     // pointer last: a crash before this line leaves a valid orphan
     // checkpoint that the next writeCheckpoint call re-points. The
-    // pointer is ADVANCE-ONLY: a stale or lagging caller must never
-    // regress it to an older checkpoint — if cleanObsoleteLogs
-    // already reclaimed the JSON at/below a newer checkpoint, a
-    // regressed pointer would strand state() on the missing tail.
-    // (A pointer whose parquet is missing is corrupt; overwriting it
-    // heals.) The swap is a writer-unique temp + atomic OVERWRITE
-    // rename (the BronzeMerge.flipPointer pattern): there is NO
-    // window where `_last_checkpoint` is absent or partial.
+    // advance-only check below is BEST-EFFORT (check-then-act): it
+    // narrows but cannot close the window where a lagging caller
+    // lands an older version over a newer pointer. Correctness does
+    // not rest on it — bestCheckpoint's anchor probe falls back to
+    // listing when a pointer's tail is broken, so a regressed
+    // pointer degrades a read to one extra listing, never strands
+    // it. (A pointer whose parquet is missing is corrupt;
+    // overwriting it heals.) The swap is a writer-unique temp +
+    // atomic OVERWRITE rename (the BronzeMerge.flipPointer pattern):
+    // there is NO window where `_last_checkpoint` is absent or
+    // partial.
     val newerExists = rawCheckpointPointer(f, table)
       .exists(cur => cur > v && f.exists(checkpointFile(table, cur)))
     if (!newerExists) {
@@ -536,15 +556,19 @@ object DeltaLog {
           added.foreach(a => lines += addJson(a))
           lines += commitInfoJson(v, "WRITE")
       }
-      writeVersion(spark, f, table, v, lines.toSeq)
-      // adopt the version's ACTUAL content — ours if the rename won,
-      // a concurrent syncer's otherwise. Trusting the locally
-      // computed diff here is the vacuum race: a laggard that found
+      val won = writeVersion(spark, f, table, v, lines.toSeq)
+      // adopt the version's ACTUAL content — ours if the rename won
+      // (the published bytes are exactly `lines`; no re-read), a
+      // concurrent syncer's otherwise. Trusting the locally computed
+      // diff on a LOST race is the vacuum race: a laggard that found
       // manifests vacuumed writes filler + a cumulative diff, and a
       // stale winner's later versions could omit removes for files
-      // the real log added. Replaying the published file keeps every
-      // syncer's running state equal to the log itself.
-      readFully(f, logFile(table, v)).linesIterator.filter(_.nonEmpty)
+      // the real log added. Replaying the published content keeps
+      // every syncer's running state equal to the log itself.
+      val published: Iterator[String] =
+        if (won) lines.iterator
+        else readFully(f, logFile(table, v)).linesIterator
+      published.filter(_.nonEmpty)
         .foreach { line =>
           val node = mapper.readTree(line)
           if (node.has("add")) {
@@ -634,19 +658,28 @@ object DeltaLog {
     if (f.exists(target)) return false
     val tmp = new Path(dir,
       f".tmp-$v%020d-${java.util.UUID.randomUUID()}.json")
-    val out = f.create(tmp, false)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    // create AND rename through the same FileContext: a FileSystem
+    // create on a ChecksumFileSystem (file://) would leave a `.crc`
+    // sidecar the FileContext rename does not move — one orphaned
+    // file per committed version, forever
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       dir.toUri, spark.sessionState.newHadoopConf())
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
     try {
       fc.rename(tmp, target) // Options.Rename.NONE: existing target fails
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.io.IOException if f.exists(target) =>
-        f.delete(tmp, false)
+        fc.delete(tmp, false) // lost race: winner's bytes stand
         false
+      case e: Throwable => // genuine failure: never leak the temp
+        scala.util.Try(fc.delete(tmp, false))
+        throw e
     }
   }
 }

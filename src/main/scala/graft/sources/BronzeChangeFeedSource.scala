@@ -3,7 +3,6 @@ package graft.sources
 import graft.ingest.BronzeMerge
 import org.apache.spark.sql.{DataFrame, GraftStreamingBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
@@ -39,10 +38,11 @@ final case class BronzeVersionOffset(version: Long) extends Offset {
   * DIRECTORIES the manifest diff names — O(changed batches) listing,
   * no table scan, no state; the per-batch read is the ordinary
   * pruned parquet scan of exactly the appended files. Schema is
-  * pinned at stream start (streaming requires a fixed schema);
-  * columns added by later bronze batches surface on restart, and
-  * rows from pre-evolution batches read the pinned columns as null
-  * (the mergeSchema read underneath).
+  * pinned at stream start (streaming requires a fixed schema) and
+  * passed down to the parquet scan; columns added by later bronze
+  * batches surface on restart, and rows from pre-evolution batches
+  * read the pinned columns as null (parquet's by-name matching
+  * under an explicit scan schema).
   */
 class BronzeChangeFeedSource(spark: SparkSession, table: String,
     pinned: StructType) extends Source {
@@ -67,16 +67,14 @@ class BronzeChangeFeedSource(spark: SparkSession, table: String,
       if (from >= to) // restart replay of an already-empty window
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
-      else BronzeMerge.readChanges(spark, table, from, to)
-    // align to the pinned schema: later-evolved extra columns are
-    // dropped until restart; pinned columns absent in this window's
-    // batches (pre-evolution files) read as typed nulls
-    val have = changes.columns.toSet
-    val aligned = changes.select(pinned.fields.toSeq.map { f =>
-      if (have.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
-    GraftStreamingBridge.asStreamingBatch(aligned, Some(this))
+      // the pinned schema rides the scan itself: parquet matches
+      // columns by name, so pre-evolution files read the pinned
+      // columns as typed nulls and later-evolved extras are dropped
+      // until restart — and a window spanning the evolution still
+      // surfaces the newer batches' real values (schema inference
+      // from one footer would silently null them)
+      else BronzeMerge.readChanges(spark, table, from, to, Some(pinned))
+    GraftStreamingBridge.asStreamingBatch(changes, Some(this))
   }
 
   override def stop(): Unit = ()

@@ -58,7 +58,7 @@ import graft.ingest.BronzeMerge
   * [[BronzeMerge.snapshotLatest]] (plain parquet scans of committed
   * batch dirs — already pushdown/pruning-friendly; a DSv2 read
   * surface would reimplement the parquet source to add nothing), and
-  * streaming reads on `format("graft-bronze-changes")`
+  * streaming reads on `format("bronze-cdf")`
   * ([[BronzeChangeFeedProvider]]).
   */
 class BronzeTableSource extends TableProvider with DataSourceRegister {

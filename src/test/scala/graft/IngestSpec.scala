@@ -943,4 +943,73 @@ class IngestSpec extends SparkSpec {
       .select("file_name").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("a.txt", "b.txt", "c.txt"))
   }
+
+  test("delta log: a regressed checkpoint pointer self-heals via listing") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-dlog-heal")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    def one(n: String) = Seq((n, n.length.toLong, ts(n.hashCode & 127),
+      Array[Byte](1))).toDF("file_name", "length", "modified", "content")
+    (1 to 12).foreach(i =>
+      BronzeMerge.mergeIngestDf(spark, one(f"p$i%02d.txt"), table))
+    val logDir = Paths.get(table, "_delta_log")
+    // a stale caller's old checkpoint parquet exists at v4; cleanup
+    // then reclaims the JSON at/below the real checkpoint v9
+    assert(DeltaLog.writeCheckpoint(spark, table, 4L))
+    DeltaLog.cleanObsoleteLogs(spark, table)
+    assert(!Files.exists(logDir.resolve("00000000000000000005.json")))
+    // simulate the advance-only guard's lost check-then-act race: the
+    // stale pointer lands AFTER cleanup. A replay anchored at 4 can
+    // no longer reach HEAD (JSON 5..9 reclaimed) — the anchor probe
+    // must reject the pointer and fall back to the listed v9.
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      "{\"version\":4}\n")
+    // the raw rewrite above bypasses the checksummed fs — drop the
+    // now-stale sidecar as the simulated stale writer would have
+    Files.deleteIfExists(logDir.resolve("._last_checkpoint.crc"))
+    assert(DeltaLog.read(spark, table).count() == 12,
+      "regressed pointer stranded the HEAD read")
+    assert(DeltaLog.state(spark, table)._1.size == 12)
+  }
+
+  test("delta log leaves no temp files or orphaned crc sidecars") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-dlog-tidy")
+      .resolve("bronze").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    def one(n: String) = Seq((n, n.length.toLong, ts(n.hashCode & 127),
+      Array[Byte](1))).toDF("file_name", "length", "modified", "content")
+    (1 to 12).foreach(i =>
+      BronzeMerge.mergeIngestDf(spark, one(f"p$i%02d.txt"), table))
+    DeltaLog.writeCheckpoint(spark, table, 11L)
+    val names = Files.list(Paths.get(table, "_delta_log")).iterator()
+    val all = scala.jdk.CollectionConverters.IteratorHasAsScala(names)
+      .asScala.map(_.getFileName.toString).toSeq
+    val tmps = all.filter(n => n.contains(".tmp-") || n.startsWith(".cp-tmp"))
+    assert(tmps.isEmpty, s"leaked temp artifacts: $tmps")
+    // a ChecksumFileSystem create + FileContext rename would leave
+    // one orphaned `..tmp-*.json.crc` PER COMMITTED VERSION — a crc
+    // sidecar is orphaned when the file it checksums is gone
+    val orphanCrc = all.filter(_.endsWith(".crc")).filterNot { n =>
+      all.contains(n.stripPrefix(".").stripSuffix(".crc"))
+    }
+    assert(orphanCrc.isEmpty, s"orphaned crc sidecars: $orphanCrc")
+  }
+
+  test("delta path codec: opaque and unencoded external paths fall back raw") {
+    import graft.ingest.DeltaLog
+    assert(DeltaLog.decodePath("a%20b/part-0001.parquet") ==
+      "a b/part-0001.parquet")
+    // a first segment containing ':' parses as an opaque URI whose
+    // getPath is null — the lenient fallback must return the raw
+    // path, not null
+    assert(DeltaLog.decodePath("part:0001.parquet") == "part:0001.parquet")
+    // an unencoded space fails URI parsing entirely — raw fallback
+    assert(DeltaLog.decodePath("a b/part.parquet") == "a b/part.parquet")
+    assert(DeltaLog.decodePath(
+      DeltaLog.encodePath("batch-1/x y.parquet")) == "batch-1/x y.parquet")
+  }
 }

@@ -1021,4 +1021,37 @@ class StreamsSpec extends SparkSpec {
     val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
     assert(msg != null && msg.contains("cannot represent"), msg)
   }
+
+  test("bronze change feed: a window spanning schema evolution keeps evolved values") {
+    import spark.implicits._
+    import graft.ingest.BronzeMerge
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft-cdf-evo")
+    val table = tmp.resolve("bronze").toString
+    val sink = tmp.resolve("sink").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def t(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    BronzeMerge.mergeIngestDf(spark,
+      Seq(("a.txt", 1L, t(1), Array[Byte](1)))
+        .toDF("file_name", "length", "modified", "content"), table)
+    BronzeMerge.mergeIngestDf(spark,
+      Seq(("b.txt", 2L, t(2), Array[Byte](2), "https://src/b"))
+        .toDF("file_name", "length", "modified", "content", "source_url"),
+      table)
+    // the stream starts AFTER the evolution, so its pinned schema has
+    // source_url, and the FIRST AvailableNow drain covers BOTH
+    // versions in one getBatch — a schema inferred from one batch's
+    // footer would silently null b.txt's source_url
+    val q = Streams.bronzeChangeFeed(spark, table)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.read.parquet(sink)
+      .select("file_name", "source_url").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map("a.txt" -> None, "b.txt" -> Some("https://src/b")))
+  }
 }
