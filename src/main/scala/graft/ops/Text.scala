@@ -3341,6 +3341,140 @@ object Text {
           THEN CAST(COALESCE(s.n_novel, 0) AS DOUBLE) / s.n_distinct
           ELSE 0.0 END AS novelty_ratio
       FROM documents d LEFT JOIN scored s USING (doc_id)
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // ---- RAG chunking: split every document into overlapping
+    //      64-token windows with stride 48 (16-token overlap) and
+    //      per-chunk provenance (doc_id, chunk ordinal, start token,
+    //      actual length) — the retrieval-corpus preparation step
+    //      that feeds s03/s16's vector indexes and t27's inverted
+    //      index. Chunk count and boundaries are pure integer math
+    //      ((n-17) div 48 windows past the first), so the oracle
+    //      hash-checks the chunker exactly. Scale shape: MAP-ONLY —
+    //      one scan, a per-row sequence+explode fan-out bounded by
+    //      n_tokens/48, no shuffle except the presentation sort; at
+    //      100 TB the chunker is embarrassingly parallel and the
+    //      output is written partition-local. ----
+    QuerySpec(
+      "t51_rag_chunks",
+      (s, d) => {
+        val W = 64
+        val S = 48
+        val n = size(toks)
+        val lastChunk = when(n <= W, lit(0))
+          .otherwise(expr(s"(size(split(text, ' ')) - ${W - S + 1}) div $S")
+            .cast("int"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("tk"),
+            explode(sequence(lit(0), lastChunk)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+            (col("chunk_id") * S).cast("int").as("start_token"),
+            size(slice(col("tk"), col("chunk_id") * S + 1, lit(W)))
+              .as("chunk_len"),
+            array_join(slice(col("tk"), col("chunk_id") * S + 1, lit(W)), " ")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+      c AS (
+        SELECT doc_id, tk,
+          unnest(generate_series(0,
+            CASE WHEN len(tk) <= 64 THEN 0
+                 ELSE (len(tk) - 17) // 48 END)) AS i
+        FROM t)
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        CAST(i * 48 AS INT) AS start_token,
+        CAST(len(tk[(i*48+1):(i*48+64)]) AS INT) AS chunk_len,
+        array_to_string(tk[(i*48+1):(i*48+64)], ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id""")),
+
+    // ---- DSIR-style domain affinity (Xie 2023's hashed-n-gram
+    //      importance reweighting, in the integer-exact comparison
+    //      form): tokens hash into 256 buckets (md5 prefix — both
+    //      engines digest identically); a token VOTES target-leaning
+    //      iff its bucket's add-one-smoothed probability under the
+    //      target domain (source 'src0') exceeds its probability
+    //      under the raw corpus — the cross-multiplied comparison
+    //      (ct+1)(Nr+B) > (cr+1)(Nt+B) runs in DECIMAL(38,0), exact
+    //      at any corpus size (int64 products overflow near 1e13
+    //      tokens), so even the boolean keep gate hash-matches. Per
+    //      doc: token count, target-leaning count, affinity ratio,
+    //      majority keep flag. Scale shape: the bucket stat tables
+    //      are ≤256 rows (map-side-combined aggregates off one token
+    //      scan) broadcast back; the only data-sized shuffle is the
+    //      per-doc vote rollup keyed by doc_id. The 100 TB form of
+    //      DSIR's sampler: score map-side, threshold without a
+    //      global sort. ----
+    QuerySpec(
+      "t52_domain_affinity",
+      (s, d) => {
+        val B = 256
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), explode(toks).as("t"))
+          .select(col("doc_id"), col("source"),
+            (conv(substring(md5(col("t")), 1, 4), 16, 10)
+              .cast("int") % B).as("b"))
+        // ONE stats pass over the token scan: per-bucket raw and
+        // target counts together (map-side combined to ≤256 rows per
+        // task), totals derived from the 256-row table — the scoring
+        // join below is then the only other token scan (two scans
+        // total; persisting 10⁹ hashed tokens to save the second
+        // would cost more memory than the md5 recompute)
+        val stats = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+        val totals = stats.agg(sum(col("cr")).as("nr"),
+          sum(col("ct")).as("nt"))
+        val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+        val lean = (col("ct") + 1L).cast(dec) *
+          (col("nr") + B).cast(dec) >
+          (col("cr") + 1L).cast(dec) * (col("nt") + B).cast(dec)
+        tok.join(broadcast(stats), Seq("b"))
+          .crossJoin(broadcast(totals))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(lean, 1L).otherwise(0L)).as("n_target_leaning"))
+          .withColumn("affinity",
+            col("n_target_leaning").cast("double") /
+              col("n_tokens").cast("double"))
+          .withColumn("keep", col("n_target_leaning") * 2 >= col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+        SELECT doc_id, source,
+          CAST(('0x' || substr(md5(t), 1, 4)) AS INT) % 256 AS b
+        FROM (SELECT doc_id, source, unnest(str_split(text, ' ')) AS t
+              FROM documents)),
+      raw AS (SELECT b, COUNT(1) AS cr FROM tok GROUP BY b),
+      tgt AS (SELECT b, COUNT(1) AS ct FROM tok
+              WHERE source = 'src0' GROUP BY b),
+      tot AS (SELECT COUNT(1) AS nr,
+          CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+            AS nt
+        FROM tok)
+      SELECT k.doc_id, COUNT(1) AS n_tokens,
+        CAST(SUM(CASE WHEN
+            CAST(COALESCE(g.ct, 0) + 1 AS DECIMAL(19,0)) *
+              CAST(o.nr + 256 AS DECIMAL(19,0)) >
+            CAST(r.cr + 1 AS DECIMAL(19,0)) *
+              CAST(o.nt + 256 AS DECIMAL(19,0))
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_target_leaning,
+        CAST(SUM(CASE WHEN
+            CAST(COALESCE(g.ct, 0) + 1 AS DECIMAL(19,0)) *
+              CAST(o.nr + 256 AS DECIMAL(19,0)) >
+            CAST(r.cr + 1 AS DECIMAL(19,0)) *
+              CAST(o.nt + 256 AS DECIMAL(19,0))
+          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE)
+          AS affinity,
+        (CAST(SUM(CASE WHEN
+            CAST(COALESCE(g.ct, 0) + 1 AS DECIMAL(19,0)) *
+              CAST(o.nr + 256 AS DECIMAL(19,0)) >
+            CAST(r.cr + 1 AS DECIMAL(19,0)) *
+              CAST(o.nt + 256 AS DECIMAL(19,0))
+          THEN 1 ELSE 0 END) AS BIGINT) * 2 >= COUNT(1)) AS keep
+      FROM tok k
+      LEFT JOIN tgt g USING (b)
+      JOIN raw r USING (b), tot o
+      GROUP BY k.doc_id ORDER BY k.doc_id"""))
   )
 }

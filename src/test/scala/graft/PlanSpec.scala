@@ -480,4 +480,28 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       p.take(800))
   }
+
+  test("t51: the chunker is map-only — explode, no data shuffle") {
+    val p = plan("t51_rag_chunks")
+    // one scan, a Generate fan-out, and the presentation sort's
+    // range exchange — NO hash exchange may appear (chunking is
+    // embarrassingly parallel)
+    assert(p.contains("Generate"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("t52: bucket stats broadcast; only the doc rollup shuffles") {
+    val p = plan("t52_domain_affinity")
+    // the ≤256-row stats table and the 1-row totals must reach the
+    // scoring scan as broadcasts; the per-doc vote rollup is the one
+    // hash exchange, with map-side partial aggregation
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(2000))
+  }
 }
