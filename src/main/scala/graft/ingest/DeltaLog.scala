@@ -233,6 +233,13 @@ object DeltaLog {
     val f = fs(spark, table)
     val target = checkpointFile(table, v)
     if (!f.exists(target)) {
+      // a retry for a version whose history cleanup already reclaimed
+      // (no anchoring checkpoint, no full JSON replay) cannot rebuild
+      // the snapshot — refuse gracefully instead of failing the
+      // replay mid-read
+      val reachable = bestCheckpoint(f, table, v).isDefined ||
+        anchors(f, table, -1L, v)
+      if (!reachable) return false
       val (filesDf, schemaOpt) = stateDf(spark, table, Some(v))
       val schema = schemaOpt.getOrElse(return false)
       val head = Seq(
@@ -305,9 +312,14 @@ object DeltaLog {
     * Delta's log-retention cleanup. With the default
     * [[DeltaLogConfig.retainVersions]] = 0 everything at or below the
     * checkpoint goes; a positive value keeps that many newest
-    * sub-checkpoint commits as a time-travel window. HEAD reads are
-    * unaffected either way (checkpoint + tail). Returns the deleted
-    * file names. */
+    * sub-checkpoint commits as a time-travel window. Checkpoint
+    * parquets BELOW the retention anchor are reclaimed too (as
+    * Delta's own cleanup does): every retained replay target anchors
+    * at the retention-anchor checkpoint or newer, so older
+    * checkpoints serve no read — without this, one parquet per
+    * [[DeltaLogConfig.checkpointInterval]] commits accumulates
+    * forever. HEAD reads are unaffected either way (checkpoint +
+    * tail). Returns the deleted file names. */
   def cleanObsoleteLogs(spark: SparkSession, table: String,
       cfg: DeltaLogConfig = DeltaLogConfig()): Seq[String] = {
     val f = fs(spark, table)
@@ -317,14 +329,23 @@ object DeltaLog {
         val horizon =
           if (cfg.retainVersions == 0) cp
           else bestCheckpoint(f, table, cp - cfg.retainVersions)
-            .getOrElse(-1L) // no anchor below the window: keep all JSON
-        f.listStatus(logDir(table)).map(_.getPath).toSeq
+            .getOrElse(-1L) // no anchor below the window: keep all
+        val doomed = f.listStatus(logDir(table)).map(_.getPath).toSeq
           .filter { p =>
-            p.getName.matches("\\d{20}\\.json") &&
-              p.getName.stripSuffix(".json").toLong <= horizon
+            val n = p.getName
+            (n.matches("\\d{20}\\.json") &&
+              n.stripSuffix(".json").toLong <= horizon) ||
+            (n.matches("\\d{20}\\.checkpoint\\.parquet") && horizon >= 0 &&
+              n.stripSuffix(".checkpoint.parquet").toLong < horizon)
           }
-          .sortBy(_.getName)
-          .map { p => f.delete(p, false); p.getName }
+        doomed.sortBy(_.getName).map { p =>
+          f.delete(p, false)
+          // a checksummed fs keeps a `.name.crc` sidecar — reclaim it
+          // with its file, never leave it orphaned
+          val crc = new Path(p.getParent, s".${p.getName}.crc")
+          if (f.exists(crc)) f.delete(crc, false)
+          p.getName
+        }
     }
   }
 

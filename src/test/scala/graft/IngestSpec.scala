@@ -874,10 +874,16 @@ class IngestSpec extends SparkSpec {
     assert(Files.readString(logDir.resolve("_last_checkpoint"))
       .contains("\"version\":9"),
       "pointer regressed to the stale caller's checkpoint")
-    // cleanup reclaims the JSON below v9 — exactly the state where a
+    // cleanup reclaims the JSON below v9 AND the stale v4 checkpoint
+    // (below the retention anchor) — exactly the state where a
     // regressed pointer would have stranded the table unreadable
     DeltaLog.cleanObsoleteLogs(spark, table)
-    assert(DeltaLog.writeCheckpoint(spark, table, 4L)) // idempotent retry
+    assert(!Files.exists(logDir.resolve(
+      "00000000000000000004.checkpoint.parquet")),
+      "cleanup must reclaim checkpoints below the retention anchor")
+    // a retry for the reclaimed version cannot rebuild its snapshot
+    // (history is gone) — it must refuse, not throw mid-replay
+    assert(!DeltaLog.writeCheckpoint(spark, table, 4L))
     assert(Files.readString(logDir.resolve("_last_checkpoint"))
       .contains("\"version\":9"),
       "pointer regressed to a pre-cleanup checkpoint")
@@ -955,15 +961,21 @@ class IngestSpec extends SparkSpec {
     (1 to 12).foreach(i =>
       BronzeMerge.mergeIngestDf(spark, one(f"p$i%02d.txt"), table))
     val logDir = Paths.get(table, "_delta_log")
-    // a stale caller's old checkpoint parquet exists at v4; cleanup
-    // then reclaims the JSON at/below the real checkpoint v9
+    // a lagging caller checkpoints v4; stash its parquet so we can
+    // replant it after cleanup — reproducing the lost race where the
+    // laggard's checkpoint + pointer land AFTER the cleanup pass
     assert(DeltaLog.writeCheckpoint(spark, table, 4L))
+    val cp4 = logDir.resolve("00000000000000000004.checkpoint.parquet")
+    val stash = Files.createTempDirectory("graft-cp-stash").resolve("cp4")
+    Files.copy(cp4, stash)
     DeltaLog.cleanObsoleteLogs(spark, table)
     assert(!Files.exists(logDir.resolve("00000000000000000005.json")))
-    // simulate the advance-only guard's lost check-then-act race: the
-    // stale pointer lands AFTER cleanup. A replay anchored at 4 can
-    // no longer reach HEAD (JSON 5..9 reclaimed) — the anchor probe
-    // must reject the pointer and fall back to the listed v9.
+    assert(!Files.exists(cp4))
+    // the laggard's artifacts land now: a VALID checkpoint parquet at
+    // v4 plus the regressed pointer. A replay anchored at 4 cannot
+    // reach HEAD (JSON 5..9 reclaimed) — the anchor probe must reject
+    // the pointer and fall back to the listed v9.
+    Files.copy(stash, cp4)
     Files.writeString(logDir.resolve("_last_checkpoint"),
       "{\"version\":4}\n")
     // the raw rewrite above bypasses the checksummed fs — drop the
