@@ -233,4 +233,73 @@ object Aggregators {
       ExpressionEncoder()
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
+
+  /** One candidate entering MMR: id, query relevance, embedding. */
+  final case class MmrCand(vec_id: Long, rel: Double, emb: Seq[Double])
+
+  /** One MMR-selected result at its selection rank. */
+  final case class MmrPick(rank: Int, vec_id: Long, mmr_score: Double)
+
+  /** Greedy Maximal Marginal Relevance re-ranking (Carbonell &
+    * Goldstein, SIGIR 1998) over a BOUNDED per-query candidate
+    * shortlist: pick argmax of `λ·rel − (1−λ)·max_{s∈selected}
+    * cos(c, s)` k times. The buffer is the shortlist itself (the
+    * caller feeds only the top-C candidates, so state is ≤C rows);
+    * merge is concatenation, and the greedy runs once in `finish` —
+    * O(k·C²) on ≤C=20 elements. DETERMINISM: selection order cannot
+    * depend on buffer arrival order — every argmax breaks score ties
+    * by ascending vec_id, and all float math mirrors the oracle's
+    * sequential folds exactly (dot/norm as left-to-right adds,
+    * cos = dot/(‖a‖·‖b‖)). The penalty weight `mu` is an EXPLICIT
+    * parameter, not `1.0 − lambda`: the oracle writes the literal
+    * `0.3`, which DuckDB parses as DECIMAL and converts to the
+    * nearest double — one ulp BELOW Scala's `1.0 - 0.7` — so both
+    * engines must start from the same literal. */
+  final class MmrSelect(k: Int, lambda: Double, mu: Double)
+      extends Aggregator[MmrCand, Seq[MmrCand], Seq[MmrPick]] {
+    override def zero: Seq[MmrCand] = Vector.empty
+    override def reduce(buf: Seq[MmrCand], c: MmrCand): Seq[MmrCand] =
+      buf :+ c
+    override def merge(a: Seq[MmrCand], b: Seq[MmrCand]): Seq[MmrCand] =
+      a ++ b
+    override def finish(buf: Seq[MmrCand]): Seq[MmrPick] = {
+      if (buf.isEmpty) return Seq.empty
+      val cands = buf.toArray
+      def dot(a: Seq[Double], b: Seq[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val norms = cands.map(c => math.sqrt(dot(c.emb, c.emb)))
+      def sim(i: Int, j: Int): Double =
+        dot(cands(i).emb, cands(j).emb) / (norms(i) * norms(j))
+      val selected = scala.collection.mutable.ArrayBuffer[Int]()
+      val picks = Vector.newBuilder[MmrPick]
+      var step = 1
+      while (step <= k && selected.length < cands.length) {
+        var best = -1; var bestScore = 0.0
+        var i = 0
+        while (i < cands.length) {
+          if (!selected.contains(i)) {
+            val pen =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(j => sim(i, j)).max
+            val score = lambda * cands(i).rel - mu * pen
+            if (best < 0 || score > bestScore ||
+                (score == bestScore &&
+                  cands(i).vec_id < cands(best).vec_id)) {
+              best = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        picks += MmrPick(step, cands(best).vec_id, bestScore)
+        selected += best
+        step += 1
+      }
+      picks.result()
+    }
+    override def bufferEncoder: Encoder[Seq[MmrCand]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[MmrPick]] = ExpressionEncoder()
+  }
 }

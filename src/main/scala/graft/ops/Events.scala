@@ -1355,6 +1355,64 @@ object Events {
         GROUP BY s.user_id, s.s_us)
       SELECT CAST((fp_us - s_us) // 86400000000 AS BIGINT) AS lag_days,
         COUNT(1) AS n_users
-      FROM fp GROUP BY 1 ORDER BY lag_days NULLS LAST"""))
+      FROM fp GROUP BY 1 ORDER BY lag_days NULLS LAST""")),
+
+    // ---- retention cohort matrix: users grouped by the week of
+    //      their FIRST event (cohort), and for each later week
+    //      offset, the fraction of the cohort still active — the
+    //      canonical product-analytics triangle (e29's growth
+    //      accounting says how many users move between states; this
+    //      says how long each acquisition wave survives). Weeks are
+    //      integer epoch-microsecond buckets (µs div week), so every
+    //      boundary is engine-agnostic and the matrix is hash-exact;
+    //      the start-of-week date is derived for readability. Scale:
+    //      one (user, week) distinct, then the user's first week as
+    //      a WINDOW MIN over the user partition (no self-join), and
+    //      a rollup bounded by cohorts × offsets; cohort sizes are
+    //      the offset-0 diagonal, joined back as a broadcast. ----
+    QuerySpec(
+      "e33_retention_cohorts",
+      (s, d) => {
+        val weekUs = 604800000000L
+        val activity = Tables.events(s, d)
+          .select(col("user_id"),
+            expr(s"unix_micros(ts) div $weekUs").as("wk"))
+          .distinct()
+        val wUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+        val cells = activity
+          .withColumn("cw", min(col("wk")).over(wUser))
+          .groupBy(col("cw"), (col("wk") - col("cw")).as("offset_weeks"))
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = cells.filter(col("offset_weeks") === 0)
+          .select(col("cw"), col("n_active").as("cohort_size"))
+        cells.join(broadcast(sizes), "cw")
+          .select(
+            expr("date_add(DATE'1970-01-01', cast(cw * 7 as int))")
+              .as("cohort_week"),
+            col("offset_weeks"), col("cohort_size"), col("n_active"),
+            (col("n_active").cast("double") /
+              col("cohort_size").cast("double")).as("retention"))
+          .orderBy("cohort_week", "offset_weeks")
+      },
+      Some("""WITH activity AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        FROM events),
+      firsts AS (
+        SELECT user_id, MIN(wk) AS cw FROM activity GROUP BY user_id),
+      cells AS (
+        SELECT f.cw, a.wk - f.cw AS offset_weeks, COUNT(1) AS n_active
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2),
+      sizes AS (
+        SELECT cw, n_active AS cohort_size FROM cells
+        WHERE offset_weeks = 0)
+      SELECT DATE '1970-01-01' + CAST(c.cw * 7 AS INT) AS cohort_week,
+        c.offset_weeks, z.cohort_size, c.n_active,
+        CAST(c.n_active AS DOUBLE) / CAST(z.cohort_size AS DOUBLE)
+          AS retention
+      FROM cells c JOIN sizes z USING (cw)
+      ORDER BY cohort_week, offset_weeks"""))
   )
 }
+

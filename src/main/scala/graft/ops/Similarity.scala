@@ -1767,6 +1767,190 @@ object Similarity {
         FROM scored)
       SELECT label, vec_id, d2, rk FROM r
       WHERE rk <= CAST(FLOOR((n + 4) / 5.0) AS BIGINT)
-      ORDER BY label, rk"""))
+      ORDER BY label, rk""")),
+    // ---- MMR diversity re-ranking (Carbonell & Goldstein, SIGIR
+    //      1998): per query, greedily select 8 of the top-20
+    //      cosine candidates maximizing λ·relevance − (1−λ)·max
+    //      similarity to the already-selected set (λ = 0.7) — the
+    //      standard redundancy-suppressing final stage of a
+    //      retrieval pipeline (the shortlist here is the s03 exact
+    //      top-C; at 100 TB it composes over the s16 coded shortlist
+    //      exactly as s20 does). The greedy runs in
+    //      [[graft.functions.Aggregators.MmrSelect]] — a typed
+    //      Aggregator whose state is the ≤20-row shortlist itself,
+    //      order-independent (ties break by vec_id; float math
+    //      mirrors the oracle folds bitwise). The ORACLE unrolls all
+    //      8 greedy steps as chained CTEs, so even this iterative
+    //      operator is hash-checked exactly. Scale shape: one
+    //      broadcast-queries scan for candidates, one 8-group
+    //      aggregate; nothing grows with the corpus but the scan. ----
+    QuerySpec(
+      "s25_mmr_rerank",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Aggregators.{MmrCand, MmrSelect}
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("rel"), col("vec_id"))
+        val cands = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("rel"),
+            vec(col("embedding")).as("emb"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+        val picked = cands
+          .select(col("qid"),
+            struct(col("vec_id"), col("rel"), col("emb")).as("c"))
+          .as[(Long, MmrCand)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new MmrSelect(8, 0.7, 0.3).toColumn.name("picks"))
+        picked.toDF("qid", "picks")
+          .select(col("qid"), explode(col("picks")).as("p"))
+          .select(col("qid"), col("p.rank").as("rank"),
+            col("p.vec_id").as("vec_id"),
+            col("p.mmr_score").as("mmr_score"))
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH c AS MATERIALIZED (
+  SELECT qid, vec_id, rel, embedding FROM (
+    SELECT q.vec_id AS qid, e.vec_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(list_zip(CAST(q.embedding AS DOUBLE[]),
+         CAST(e.embedding AS DOUBLE[])), p -> p[1] * p[2])),
+       (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)),
+       (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)),
+       (acc, x) -> acc + x))) AS rel,
+      e.embedding,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(list_zip(CAST(q.embedding AS DOUBLE[]),
+         CAST(e.embedding AS DOUBLE[])), p -> p[1] * p[2])),
+       (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)),
+       (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)),
+       (acc, x) -> acc + x))) DESC, e.vec_id) AS rk
+    FROM embeddings q JOIN embeddings e
+      ON q.vec_id < 8 AND e.vec_id <> q.vec_id) t
+  WHERE rk <= 20),
+sims AS MATERIALIZED (
+  SELECT a.qid, a.vec_id AS va, b.vec_id AS vb, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(list_zip(CAST(a.embedding AS DOUBLE[]),
+         CAST(b.embedding AS DOUBLE[])), p -> p[1] * p[2])),
+       (acc, x) -> acc + x) / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)),
+       (acc, x) -> acc + x)) * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)),
+       (acc, x) -> acc + x))) AS sim
+  FROM c a JOIN c b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+sel1 AS MATERIALIZED (
+  SELECT qid, vec_id, 0.7 * rel AS score, 1 AS rank FROM (
+    SELECT qid, vec_id, rel, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY rel DESC, vec_id) AS rk FROM c) t
+  WHERE rk = 1),
+prior2 AS MATERIALIZED (SELECT qid, vec_id FROM sel1),
+sel2 AS MATERIALIZED (
+  SELECT qid, vec_id, score, 2 AS rank FROM (
+    SELECT g.qid, g.vec_id, g.score, ROW_NUMBER() OVER (
+      PARTITION BY g.qid ORDER BY g.score DESC, g.vec_id) AS rk
+    FROM (
+      SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+      FROM c
+      JOIN sims s ON s.qid = c.qid AND s.va = c.vec_id
+      JOIN prior2 p ON p.qid = s.qid AND p.vec_id = s.vb
+      WHERE NOT EXISTS (SELECT 1 FROM prior2 x
+                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+      GROUP BY c.qid, c.vec_id, c.rel) g) t
+  WHERE rk = 1),
+prior3 AS MATERIALIZED (SELECT qid, vec_id FROM sel1 UNION ALL SELECT qid, vec_id FROM sel2),
+sel3 AS MATERIALIZED (
+  SELECT qid, vec_id, score, 3 AS rank FROM (
+    SELECT g.qid, g.vec_id, g.score, ROW_NUMBER() OVER (
+      PARTITION BY g.qid ORDER BY g.score DESC, g.vec_id) AS rk
+    FROM (
+      SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+      FROM c
+      JOIN sims s ON s.qid = c.qid AND s.va = c.vec_id
+      JOIN prior3 p ON p.qid = s.qid AND p.vec_id = s.vb
+      WHERE NOT EXISTS (SELECT 1 FROM prior3 x
+                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+      GROUP BY c.qid, c.vec_id, c.rel) g) t
+  WHERE rk = 1),
+prior4 AS MATERIALIZED (SELECT qid, vec_id FROM sel1 UNION ALL SELECT qid, vec_id FROM sel2 UNION ALL SELECT qid, vec_id FROM sel3),
+sel4 AS MATERIALIZED (
+  SELECT qid, vec_id, score, 4 AS rank FROM (
+    SELECT g.qid, g.vec_id, g.score, ROW_NUMBER() OVER (
+      PARTITION BY g.qid ORDER BY g.score DESC, g.vec_id) AS rk
+    FROM (
+      SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+      FROM c
+      JOIN sims s ON s.qid = c.qid AND s.va = c.vec_id
+      JOIN prior4 p ON p.qid = s.qid AND p.vec_id = s.vb
+      WHERE NOT EXISTS (SELECT 1 FROM prior4 x
+                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+      GROUP BY c.qid, c.vec_id, c.rel) g) t
+  WHERE rk = 1),
+prior5 AS MATERIALIZED (SELECT qid, vec_id FROM sel1 UNION ALL SELECT qid, vec_id FROM sel2 UNION ALL SELECT qid, vec_id FROM sel3 UNION ALL SELECT qid, vec_id FROM sel4),
+sel5 AS MATERIALIZED (
+  SELECT qid, vec_id, score, 5 AS rank FROM (
+    SELECT g.qid, g.vec_id, g.score, ROW_NUMBER() OVER (
+      PARTITION BY g.qid ORDER BY g.score DESC, g.vec_id) AS rk
+    FROM (
+      SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+      FROM c
+      JOIN sims s ON s.qid = c.qid AND s.va = c.vec_id
+      JOIN prior5 p ON p.qid = s.qid AND p.vec_id = s.vb
+      WHERE NOT EXISTS (SELECT 1 FROM prior5 x
+                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+      GROUP BY c.qid, c.vec_id, c.rel) g) t
+  WHERE rk = 1),
+prior6 AS MATERIALIZED (SELECT qid, vec_id FROM sel1 UNION ALL SELECT qid, vec_id FROM sel2 UNION ALL SELECT qid, vec_id FROM sel3 UNION ALL SELECT qid, vec_id FROM sel4 UNION ALL SELECT qid, vec_id FROM sel5),
+sel6 AS MATERIALIZED (
+  SELECT qid, vec_id, score, 6 AS rank FROM (
+    SELECT g.qid, g.vec_id, g.score, ROW_NUMBER() OVER (
+      PARTITION BY g.qid ORDER BY g.score DESC, g.vec_id) AS rk
+    FROM (
+      SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+      FROM c
+      JOIN sims s ON s.qid = c.qid AND s.va = c.vec_id
+      JOIN prior6 p ON p.qid = s.qid AND p.vec_id = s.vb
+      WHERE NOT EXISTS (SELECT 1 FROM prior6 x
+                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+      GROUP BY c.qid, c.vec_id, c.rel) g) t
+  WHERE rk = 1),
+prior7 AS MATERIALIZED (SELECT qid, vec_id FROM sel1 UNION ALL SELECT qid, vec_id FROM sel2 UNION ALL SELECT qid, vec_id FROM sel3 UNION ALL SELECT qid, vec_id FROM sel4 UNION ALL SELECT qid, vec_id FROM sel5 UNION ALL SELECT qid, vec_id FROM sel6),
+sel7 AS MATERIALIZED (
+  SELECT qid, vec_id, score, 7 AS rank FROM (
+    SELECT g.qid, g.vec_id, g.score, ROW_NUMBER() OVER (
+      PARTITION BY g.qid ORDER BY g.score DESC, g.vec_id) AS rk
+    FROM (
+      SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+      FROM c
+      JOIN sims s ON s.qid = c.qid AND s.va = c.vec_id
+      JOIN prior7 p ON p.qid = s.qid AND p.vec_id = s.vb
+      WHERE NOT EXISTS (SELECT 1 FROM prior7 x
+                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+      GROUP BY c.qid, c.vec_id, c.rel) g) t
+  WHERE rk = 1),
+prior8 AS MATERIALIZED (SELECT qid, vec_id FROM sel1 UNION ALL SELECT qid, vec_id FROM sel2 UNION ALL SELECT qid, vec_id FROM sel3 UNION ALL SELECT qid, vec_id FROM sel4 UNION ALL SELECT qid, vec_id FROM sel5 UNION ALL SELECT qid, vec_id FROM sel6 UNION ALL SELECT qid, vec_id FROM sel7),
+sel8 AS MATERIALIZED (
+  SELECT qid, vec_id, score, 8 AS rank FROM (
+    SELECT g.qid, g.vec_id, g.score, ROW_NUMBER() OVER (
+      PARTITION BY g.qid ORDER BY g.score DESC, g.vec_id) AS rk
+    FROM (
+      SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+      FROM c
+      JOIN sims s ON s.qid = c.qid AND s.va = c.vec_id
+      JOIN prior8 p ON p.qid = s.qid AND p.vec_id = s.vb
+      WHERE NOT EXISTS (SELECT 1 FROM prior8 x
+                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+      GROUP BY c.qid, c.vec_id, c.rel) g) t
+  WHERE rk = 1)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id, score AS mmr_score
+FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4 UNION ALL SELECT * FROM sel5 UNION ALL SELECT * FROM sel6 UNION ALL SELECT * FROM sel7 UNION ALL SELECT * FROM sel8) ORDER BY qid, rank"""))
   )
 }

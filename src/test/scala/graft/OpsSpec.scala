@@ -2518,4 +2518,40 @@ class OpsSpec extends SparkSpec {
     }.toSet
     assert(segs.toSet == wantIslands)
   }
+
+  test("s25: MMR greedy is order-independent and within-shortlist greedy-optimal") {
+    import graft.functions.Aggregators.{MmrCand, MmrSelect}
+    val rnd = new scala.util.Random(77)
+    val cands = (0 until 20).map { i =>
+      MmrCand(100 + i, rnd.nextDouble(),
+        Seq.fill(8)(rnd.nextDouble() - 0.5))
+    }
+    val mmr = new MmrSelect(8, 0.7, 0.3)
+    val base = mmr.finish(cands)
+    // buffer arrival order must not change the selection
+    (1 to 5).foreach { k =>
+      val perm = rnd.shuffle(cands)
+      assert(mmr.finish(perm) == base, s"permutation $k diverged")
+    }
+    // greedy contract: rank-1 is the max-relevance candidate, and at
+    // every step the recorded score is the max achievable over the
+    // remaining candidates given the selected set
+    val byId = cands.map(c => c.vec_id -> c).toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: MmrCand, b: MmrCand) =
+      dot(a.emb, b.emb) / (math.sqrt(dot(a.emb, a.emb)) *
+        math.sqrt(dot(b.emb, b.emb)))
+    assert(base.head.vec_id ==
+      cands.maxBy(c => (c.rel, -c.vec_id)).vec_id)
+    base.zipWithIndex.foreach { case (pick, i) =>
+      val sel = base.take(i).map(p => byId(p.vec_id))
+      val best = cands.filterNot(c => sel.exists(_.vec_id == c.vec_id))
+        .map { c =>
+          val pen = if (sel.isEmpty) 0.0 else sel.map(s => cos(c, s)).max
+          0.7 * c.rel - 0.3 * pen
+        }.max
+      assert(pick.mmr_score == best, s"rank ${i + 1} not greedy-max")
+    }
+  }
 }

@@ -504,4 +504,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       p.take(2000))
   }
+
+  test("s25: queries broadcast; the greedy is one object aggregate") {
+    val p = plan("s25_mmr_rerank")
+    // the 8-query side broadcasts over one corpus scan; the greedy
+    // itself is a typed-Aggregator object aggregate over the ≤20-row
+    // shortlists — never a join against the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("e33: first-week is a window min, not a self-join") {
+    val p = plan("e33_retention_cohorts")
+    // only the offset-0 diagonal joins back, and it broadcasts
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }
