@@ -744,7 +744,8 @@ object Similarity {
     * shortlist touches float vectors. */
   private[graft] def ivfPqSearch(s: SparkSession, modelDir: String,
       codedTable: DataFrame, corpus: DataFrame, m: Int = 8,
-      k: Int = 16, kCells: Int = 8, nprobe: Int = 4): DataFrame = {
+      k: Int = 16, kCells: Int = 8, nprobe: Int = 4,
+      finalK: Int = 5): DataFrame = {
     import s.implicits._
     val probes = queryProbes(s, modelDir, kCells, nprobe)
     val qdf = queryLuts(s, modelDir, m, k)
@@ -775,8 +776,30 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         cosine(col("qv"), col("embedding")).as("cos"))
       .withColumn("rk", row_number().over(wCos))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= finalK)
       .orderBy("qid", "rk")
+  }
+
+  /** Greedy MMR over a (qid, vec_id, rel, emb) candidate relation:
+    * group per query and run [[graft.functions.Aggregators.MmrSelect]]
+    * — shared tail of the exact (s25) and coded-shortlist (s26)
+    * registrations. */
+  private def mmrPick(s: SparkSession, cands: DataFrame, k: Int)
+      : DataFrame = {
+    import s.implicits._
+    import graft.functions.Aggregators.{MmrCand, MmrSelect}
+    cands
+      .select(col("qid"),
+        struct(col("vec_id"), col("rel"), col("emb")).as("c"))
+      .as[(Long, MmrCand)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new MmrSelect(k, 0.7, 0.3).toColumn.name("picks"))
+      .toDF("qid", "picks")
+      .select(col("qid"), explode(col("picks")).as("p"))
+      .select(col("qid"), col("p.rank").as("rank"),
+        col("p.vec_id").as("vec_id"),
+        col("p.mmr_score").as("mmr_score"))
+      .orderBy("qid", "rank")
   }
 
   /** (vec_id, codes) under the trained codebooks — one corpus scan,
@@ -1787,8 +1810,6 @@ object Similarity {
     QuerySpec(
       "s25_mmr_rerank",
       (s, d) => {
-        import s.implicits._
-        import graft.functions.Aggregators.{MmrCand, MmrSelect}
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") < QueryIds)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -1801,18 +1822,7 @@ object Similarity {
             vec(col("embedding")).as("emb"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 20)
-        val picked = cands
-          .select(col("qid"),
-            struct(col("vec_id"), col("rel"), col("emb")).as("c"))
-          .as[(Long, MmrCand)]
-          .groupByKey(_._1).mapValues(_._2)
-          .agg(new MmrSelect(8, 0.7, 0.3).toColumn.name("picks"))
-        picked.toDF("qid", "picks")
-          .select(col("qid"), explode(col("picks")).as("p"))
-          .select(col("qid"), col("p.rank").as("rank"),
-            col("p.vec_id").as("vec_id"),
-            col("p.mmr_score").as("mmr_score"))
-          .orderBy("qid", "rank")
+        mmrPick(s, cands, 8)
       },
       Some("""WITH c AS MATERIALIZED (
   SELECT qid, vec_id, rel, embedding FROM (
@@ -1951,6 +1961,32 @@ sel8 AS MATERIALIZED (
       GROUP BY c.qid, c.vec_id, c.rel) g) t
   WHERE rk = 1)
 SELECT qid, CAST(rank AS INT) AS rank, vec_id, score AS mmr_score
-FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4 UNION ALL SELECT * FROM sel5 UNION ALL SELECT * FROM sel6 UNION ALL SELECT * FROM sel7 UNION ALL SELECT * FROM sel8) ORDER BY qid, rank"""))
+FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4 UNION ALL SELECT * FROM sel5 UNION ALL SELECT * FROM sel6 UNION ALL SELECT * FROM sel7 UNION ALL SELECT * FROM sel8) ORDER BY qid, rank""")),
+
+    // ---- MMR over the CODED shortlist — the 100 TB twin of s25
+    //      (the s16→s20 composition pattern): candidates come from
+    //      the stored IVF-PQ table's ADC top-50 re-ranked to exact
+    //      cosine top-20, then the same [[mmrPick]] greedy runs on
+    //      them. Approximate shortlist → rows-only here; OpsSpec
+    //      pins the pick agreement against the exact s25 at the
+    //      oracle anchor. Scale shape: partition-pruned coded scan
+    //      (probed cells only), broadcast LUTs, one exact re-rank
+    //      join over ≤50·|queries| rows — nothing but the pruned
+    //      coded scan grows with the corpus. ----
+    QuerySpec(
+      "s26_mmr_coded",
+      (s, d) => {
+        val m = 8; val k = 16; val kCells = 8
+        val e = Tables.embeddings(s, d)
+        val short20 = ivfPqSearch(s, d,
+          s.read.parquet(codedCorpusPath(s, d, m, k, kCells)),
+          e, m, k, kCells, finalK = 20)
+        val cands = short20
+          .withColumnRenamed("cos", "rel")
+          .join(e.select(col("vec_id"), vec(col("embedding")).as("emb")),
+            "vec_id")
+        mmrPick(s, cands, 8)
+      },
+      None),
   )
 }

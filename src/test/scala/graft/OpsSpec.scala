@@ -2554,4 +2554,22 @@ class OpsSpec extends SparkSpec {
       assert(pick.mmr_score == best, s"rank ${i + 1} not greedy-max")
     }
   }
+
+  test("s26: coded-shortlist MMR agrees with the exact s25 above the floor") {
+    val exact = SparkEntry.queries("s25_mmr_rerank")(spark, sf0001)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val coded = SparkEntry.queries("s26_mmr_coded")(spark, sf0001)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.length == coded.length && exact.nonEmpty)
+    val byQ = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val agreements = coded.groupBy(_._1).map { case (q, picks) =>
+      picks.map(_._2).toSet.intersect(byQ(q)).size.toDouble / 8
+    }
+    val mean = agreements.sum / agreements.size
+    // ADC-shortlist recall bounds the pick agreement (~0.75 observed
+    // at sf0.001/sf0.01); 0.5 is the regression floor
+    assert(mean >= 0.5, s"mean pick agreement $mean below floor")
+  }
 }
