@@ -3475,6 +3475,210 @@ object Text {
       FROM tok k
       LEFT JOIN tgt g USING (b)
       JOIN raw r USING (b), tot o
-      GROUP BY k.doc_id ORDER BY k.doc_id"""))
+      GROUP BY k.doc_id ORDER BY k.doc_id""")),
+
+    // ---- CCNet-style perplexity bucketing (Wenzek 2020): train an
+    //      add-one-smoothed bigram LM on the REFERENCE domain only
+    //      (source 'src0' — CCNet's Wikipedia), score every document
+    //      by its mean smoothed bigram probability (the
+    //      transcendental-free stand-in for log-perplexity: same
+    //      curation role, but every probability is one correctly-
+    //      rounded division of integer counts and the per-doc mean is
+    //      the order-independent decimal `davg`, so the score — and
+    //      therefore the BUCKET — hash-matches the oracle), then cut
+    //      each language into head/middle/tail at tertile thresholds
+    //      derived from a deterministic md5 hash-sample (25% of
+    //      docs). Unseen mass is exact: pair unseen → n12=0, head
+    //      word unseen → n1=0, both smoothed by the same (k+1)/(n+V).
+    //      Scale shape: the model is one (w1,w2) partial-agg shuffle
+    //      bounded by reference vocabulary², broadcast back over one
+    //      bigram scan; the thresholds come from a SAMPLE (the 100 TB
+    //      knob — CCNet itself fixes thresholds from a held-out
+    //      slice), ranked per language with one shuffle of sample
+    //      rows only; the ≤|langs|-row threshold table broadcasts
+    //      onto the scored docs map-side. No global sort anywhere:
+    //      bucketing is a comparison against two scalars per
+    //      language. ----
+    QuerySpec(
+      "t53_perplexity_buckets",
+      (s, d) => {
+        val n = size(toks)
+        val biRows = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(when(n >= 2,
+              zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+                (a, b) => struct(a.as("w1"), b.as("w2"))))
+              .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+              .as("b"))
+          .select(col("doc_id"), col("source"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bi = Scoped.persist(biRows)
+        val ref = bi.filter(col("source") === "src0")
+        val c12 = ref.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("n12"))
+        val c1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+        val vocab = ref.agg(countDistinct(col("w2")).as("v"))
+        val perDoc = bi
+          .join(c12, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            ((coalesce(col("n12"), lit(0L)) + 1).cast("double") /
+              (coalesce(col("n1"), lit(0L)) + col("v")).cast("double"))
+              .as("p"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), davg(col("p")).as("score"))
+        val scored = Scoped.persist(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"))
+            .join(perDoc, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("lang"),
+              coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+              coalesce(col("score"), lit(0.0)).as("score")))
+        val wr = Window.partitionBy(col("lang"))
+          .orderBy(col("score"), col("doc_id"))
+        val ranked = scored
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("nl", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        val thr = ranked
+          .filter(col("rk") === expr("(nl + 2) div 3") ||
+            col("rk") === expr("(2 * nl + 2) div 3"))
+          .groupBy(col("lang"))
+          .agg(
+            min(when(col("rk") === expr("(nl + 2) div 3"), col("score")))
+              .as("t_lo"),
+            min(when(col("rk") === expr("(2 * nl + 2) div 3"), col("score")))
+              .as("t_hi"))
+        scored.join(broadcast(thr), Seq("lang"), "left")
+          .select(col("doc_id"), col("lang"), col("n_bigrams"), col("score"),
+            when(col("t_lo").isNull, "middle")
+              .when(col("score") <= col("t_lo"), "tail")
+              .when(col("score") <= col("t_hi"), "middle")
+              .otherwise("head").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+        SELECT doc_id, source, str_split(text, ' ') AS t FROM documents),
+      bi AS (
+        SELECT doc_id, source,
+          unnest(t[1:len(t) - 1]) AS w1,
+          unnest(t[2:len(t)]) AS w2
+        FROM toks WHERE len(t) >= 2),
+      ref AS (SELECT w1, w2 FROM bi WHERE source = 'src0'),
+      c12 AS (SELECT w1, w2, COUNT(1) AS n12 FROM ref GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(1) AS n1 FROM ref GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT w2) AS v FROM ref),
+      perdoc AS (
+        SELECT doc_id, COUNT(1) AS n_bigrams, ${davgSql("p")} AS score
+        FROM (
+          SELECT b.doc_id,
+            CAST(COALESCE(c12.n12, 0) + 1 AS DOUBLE) /
+              CAST(COALESCE(c1.n1, 0) + v.v AS DOUBLE) AS p
+          FROM bi b
+          LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+          LEFT JOIN c1 ON b.w1 = c1.w1
+          CROSS JOIN v) sc
+        GROUP BY doc_id),
+      scored AS (
+        SELECT d.doc_id, d.lang, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+          COALESCE(p.score, 0.0) AS score
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+      ranked AS (
+        SELECT lang, doc_id, score,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score, doc_id)
+            AS rk,
+          COUNT(1) OVER (PARTITION BY lang) AS nl
+        FROM scored
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+      thr AS (
+        SELECT lang,
+          MIN(CASE WHEN rk = (nl + 2) // 3 THEN score END) AS t_lo,
+          MIN(CASE WHEN rk = (2 * nl + 2) // 3 THEN score END) AS t_hi
+        FROM ranked
+        WHERE rk = (nl + 2) // 3 OR rk = (2 * nl + 2) // 3
+        GROUP BY lang)
+      SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.score,
+        CASE WHEN t.t_lo IS NULL THEN 'middle'
+             WHEN sc.score <= t.t_lo THEN 'tail'
+             WHEN sc.score <= t.t_hi THEN 'middle'
+             ELSE 'head' END AS bucket
+      FROM scored sc LEFT JOIN thr t USING (lang)
+      ORDER BY sc.doc_id""")),
+
+    // ---- benchmark decontamination (the GPT-3 appendix-C /
+    //      PaLM-style 13-gram overlap filter): the held-out eval
+    //      slice (t46's md5 'test' split — substr(md5(doc_id),1,1) >=
+    //      'e') defines a benchmark n-gram set; every TRAINING doc is
+    //      scored by how many of its distinct 13-gram windows appear
+    //      anywhere in the benchmark, and flagged contaminated on any
+    //      hit. Windows dedup ROW-LOCALLY in the fused [[TextExprs
+    //      .ngramHashes]] kernel (8-byte hashes, never window
+    //      strings, same contract as t43/t50). Scale shape: the
+    //      benchmark window set is BOUNDED BY THE BENCHMARK, not the
+    //      corpus — real eval suites are megabytes against a 100 TB
+    //      corpus — so it broadcasts and the whole decontamination
+    //      pass is map-side: one training-corpus scan, a broadcast
+    //      hash probe per window, one doc_id rollup. No corpus-sized
+    //      shuffle at any scale. ----
+    QuerySpec(
+      "t54_decontamination",
+      (s, d) => {
+        val isEval =
+          substring(md5(col("doc_id").cast("string")), 1, 1) >= "e"
+        val wins = Scoped.persist(
+          Tables.documents(s, d)
+            .select(col("doc_id"), isEval.as("is_eval"),
+              explode(graft.functions.TextExprs
+                .ngramHashes(toks, 13, distinct = true)).as("wh")))
+        val benchSet = wins.filter(col("is_eval"))
+          .select(col("wh")).distinct().withColumn("hit", lit(1))
+        val scored = wins.filter(!col("is_eval"))
+          .join(broadcast(benchSet), Seq("wh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct_l"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+              .as("n_hit_l"))
+        Tables.documents(s, d)
+          .filter(!isEval)
+          .select(col("doc_id"),
+            greatest((size(toks) - 12).cast("int"), lit(0))
+              .as("n_windows"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_distinct_l"), lit(0L)).as("n_distinct_windows"),
+            coalesce(col("n_hit_l"), lit(0L)).as("n_hit_windows"))
+          .withColumn("contaminated", col("n_hit_windows") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        SELECT doc_id, text,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' AS is_eval
+        FROM documents),
+      wins AS (
+        SELECT DISTINCT doc_id, is_eval,
+          array_to_string(toks[(i+1):(i+13)], ' ') AS win
+        FROM (
+          SELECT doc_id, is_eval, str_split(text, ' ') AS toks,
+            unnest(generate_series(0,
+              CAST(len(str_split(text, ' ')) AS INT) - 13)) AS i
+          FROM d
+          WHERE len(str_split(text, ' ')) >= 13) t),
+      ev AS (SELECT DISTINCT win FROM wins WHERE is_eval),
+      scored AS (
+        SELECT w.doc_id, COUNT(1) AS n_distinct,
+          CAST(SUM(CASE WHEN e.win IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit
+        FROM wins w LEFT JOIN ev e USING (win)
+        WHERE NOT w.is_eval
+        GROUP BY w.doc_id)
+      SELECT d.doc_id,
+        CAST(greatest(len(str_split(d.text, ' ')) - 12, 0) AS INT)
+          AS n_windows,
+        COALESCE(s.n_distinct, 0) AS n_distinct_windows,
+        COALESCE(s.n_hit, 0) AS n_hit_windows,
+        COALESCE(s.n_hit, 0) > 0 AS contaminated
+      FROM d LEFT JOIN scored s USING (doc_id)
+      WHERE NOT d.is_eval
+      ORDER BY d.doc_id"""))
   )
 }

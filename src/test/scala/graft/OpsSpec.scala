@@ -2473,6 +2473,62 @@ class OpsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("t53: buckets are ordered by score within a language") {
+    val got = SparkEntry.queries("t53_perplexity_buckets")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, _, nb, score, bucket) =>
+      assert(Set("head", "middle", "tail")(bucket), s"doc $id bucket")
+      assert(score >= 0.0 && score <= 1.0, s"doc $id score $score")
+      if (nb == 0) assert(score == 0.0, s"empty doc $id must score 0")
+    }
+    // the tertile cut is a total order: within a language every head
+    // doc outscores every middle doc, which outscores every tail doc
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._5).view.mapValues(_.map(_._4))
+      for {
+        hd <- byBucket.get("head"); md <- byBucket.get("middle")
+      } assert(hd.min > md.max, s"$lang head<=middle")
+      for {
+        md <- byBucket.get("middle"); tl <- byBucket.get("tail")
+      } assert(md.min > tl.max, s"$lang middle<=tail")
+      // all three buckets populated at fixture scale (100 docs/lang)
+      assert(byBucket.keySet == Set("head", "middle", "tail"),
+        s"$lang buckets ${byBucket.keySet}")
+    }
+  }
+
+  test("t54: a planted eval overlap is flagged; unique text stays clean") {
+    import spark.implicits._
+    def h(id: Long): Char = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+      m.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+    }
+    val ids = (1L to 50L)
+    val evalId = ids.find(h(_) >= 'e').get
+    val trainIds = ids.filter(h(_) < 'e')
+    val (dupId, cleanId) = (trainIds.head, trainIds(1))
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val unique = (1 to 20).map(i => s"only$i").mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-decontam").toString
+    Seq((evalId, shared), (dupId, shared), (cleanId, unique))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t54_decontamination")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // eval docs are excluded from the scored output
+    assert(!got.contains(evalId))
+    // 20 tokens -> 8 distinct 13-gram windows, all shared with eval
+    assert(got(dupId) == ((8, 8L, 8L, true)), got(dupId).toString)
+    assert(got(cleanId) == ((8, 8L, 0L, false)), got(cleanId).toString)
+  }
+
   test("s24: per-class budget is ceil(n/5) and ranks walk outward from the mean") {
     val got = SparkEntry.queries("s24_herding_coreset")(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),

@@ -505,6 +505,29 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("t53: threshold table broadcasts; no all-pairs anywhere") {
+    val p = plan("t53_perplexity_buckets")
+    // the ≤|langs|-row tertile thresholds and the 1-row vocab scalar
+    // must reach the scored docs as broadcasts; the LM join keys are
+    // vocabulary-bounded so nothing may degenerate to a cross product
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(2000))
+  }
+
+  test("t54: the benchmark window set probes as a broadcast") {
+    val p = plan("t54_decontamination")
+    // the eval-slice n-gram set is benchmark-bounded, so the
+    // training-corpus probe must be a broadcast hash join over the
+    // fused window kernel — never a corpus-sized shuffle or a
+    // string-window exchange
+    assert(p.contains("ngram_hashes"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("s25: queries broadcast; the greedy is one object aggregate") {
     val p = plan("s25_mmr_rerank")
     // the 8-query side broadcasts over one corpus scan; the greedy
