@@ -3679,6 +3679,68 @@ object Text {
         COALESCE(s.n_hit, 0) > 0 AS contaminated
       FROM d LEFT JOIN scored s USING (doc_id)
       WHERE NOT d.is_eval
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // ---- temperature-flattened mixture sampling (the mT5/UNIMAX
+    //      multilingual recipe): per-source sampling weights w_s ∝
+    //      n_s^τ at τ=0.5 — sqrt is the one power IEEE-754 requires
+    //      correctly rounded, so the whole weight computation is
+    //      engine-exact without a transcendental in sight (pow(x,
+    //      0.7) has no such guarantee; the sqrt temperature is the
+    //      hash-matchable point on the CCNet/mT5 τ grid). Target
+    //      volume = half the corpus; per-source keep probability
+    //      p_s = min(1, T·w_s/n_s); each doc draws its uniform
+    //      DETERMINISTICALLY from 6 md5 hex digits / 16^6 (an exact
+    //      power-of-two division — the draw is reproducible across
+    //      engines, reruns, and cluster sizes, which is what makes
+    //      the sample auditable). Σ√n runs through the decimal dsum
+    //      so the normalizer is order-independent. Scale shape: ONE
+    //      count aggregate to a |sources|-row table, scalar math on
+    //      ≤20 rows, broadcast back over a map-only scan — the
+    //      100 TB sampler never shuffles the corpus at all. ----
+    QuerySpec(
+      "t55_temperature_sampling",
+      (s, d) => {
+        val stats = Tables.documents(s, d)
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val tot = stats.agg(
+          dsum(sqrt(col("n"))).as("s_sqrt"),
+          sum(col("n")).as("total"))
+        val p = stats.crossJoin(broadcast(tot))
+          .withColumn("t2", expr("total div 2"))
+          .select(col("source"),
+            least(lit(1.0),
+              (col("t2").cast("double") * (sqrt(col("n")) / col("s_sqrt"))) /
+                col("n").cast("double")).as("p_keep"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("u",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+              .cast("double") / 16777216.0)
+          .join(broadcast(p), Seq("source"))
+          .select(col("doc_id"), col("source"), col("u"), col("p_keep"),
+            (col("u") < col("p_keep")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH stats AS (
+        SELECT source, COUNT(1) AS n FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(CAST(SUM(CAST(sqrt(n) AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) AS s_sqrt,
+          SUM(n) AS total
+        FROM stats),
+      p AS (
+        SELECT source,
+          least(1.0, (CAST(total // 2 AS DOUBLE) * (sqrt(n) / s_sqrt))
+            / CAST(n AS DOUBLE)) AS p_keep
+        FROM stats, tot)
+      SELECT doc_id, source, u, p_keep, (u < p_keep) AS keep
+      FROM (
+        SELECT d.doc_id, d.source,
+          CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+            AS INT) AS DOUBLE) / 16777216.0 AS u,
+          p.p_keep
+        FROM documents d JOIN p USING (source)) t
+      ORDER BY doc_id"""))
   )
 }

@@ -2529,6 +2529,34 @@ class OpsSpec extends SparkSpec {
     assert(got(cleanId) == ((8, 8L, 0L, false)), got(cleanId).toString)
   }
 
+  test("t55: temperature flattening caps big sources and hits the volume target") {
+    val rows = SparkEntry.queries("t55_temperature_sampling")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, u, p, keep) =>
+      assert(u >= 0.0 && u < 1.0, s"doc $id u=$u")
+      assert(p > 0.0 && p <= 1.0, s"doc $id p=$p")
+      assert(keep == (u < p), s"doc $id keep flag")
+    }
+    val bySource = rows.groupBy(_._2)
+      .map { case (src, rs) => (src, rs.length.toLong, rs.head._4) }
+      .toSeq
+    // τ=0.5 flattening: keep probability never increases with size
+    bySource.sortBy(_._2).sliding(2).foreach {
+      case Seq((_, n1, p1), (_, n2, p2)) =>
+        if (n1 < n2) assert(p1 >= p2, s"flattening order $n1/$n2")
+      case _ =>
+    }
+    // expected sampled volume equals the half-corpus target when no
+    // source saturates at p=1 (it can only fall below with caps)
+    val total = rows.length.toLong
+    val expected = bySource.map { case (_, n, p) => n * p }.sum
+    if (bySource.forall(_._3 < 1.0))
+      assert(math.abs(expected - total / 2) < 1e-6 * total, s"$expected")
+    else assert(expected <= total / 2 + 1e-6 * total, s"$expected")
+  }
+
   test("s24: per-class budget is ceil(n/5) and ranks walk outward from the mean") {
     val got = SparkEntry.queries("s24_herding_coreset")(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),

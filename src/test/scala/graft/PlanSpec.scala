@@ -528,6 +528,16 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("t55: the sampler is map-only over the corpus") {
+    val p = plan("t55_temperature_sampling")
+    // the |sources|-row probability table must reach the doc scan as
+    // a broadcast; the only aggregation is the bounded source-count
+    // rollup — the corpus itself is never sort-merge joined
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("s25: queries broadcast; the greedy is one object aggregate") {
     val p = plan("s25_mmr_rerank")
     // the 8-query side broadcasts over one corpus scan; the greedy
