@@ -1988,5 +1988,92 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
         mmrPick(s, cands, 8)
       },
       None),
+
+    // ---- embedding outlier filter (the curation pass that drops
+    //      off-manifold vectors before training — mislabeled images,
+    //      garbage text, encoder failures): per-label centroid via
+    //      the s02 sorted-fold anchor (see s02's note on why decimal
+    //      quantization can't cross engines on full-precision
+    //      doubles), each vector scored by its Euclidean distance to
+    //      its OWN label centroid (the per-row fold runs in fixed
+    //      index order — engine-exact, then one correctly-rounded
+    //      sqrt), flagged when it exceeds the label's p95 threshold
+    //      drawn from the deterministic 25% md5 sample (t53's
+    //      threshold machinery, pointed at the tail instead of
+    //      tertiles). Scale shape: the ≤|labels|-row centroid and
+    //      threshold tables broadcast over map-only scans; the
+    //      sample ranking shuffles sample rows only. The centroid's
+    //      per-(label,pos) sorted fold is the documented oracle
+    //      anchor (s02) — the 100 TB path swaps it for partial
+    //      per-dim sums once cross-engine hashing is off the table.
+    //      ----
+    QuerySpec(
+      "s27_embedding_outliers",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = e
+          .select(col("label"), posexplode(vec(col("embedding"))))
+          .groupBy(col("label"), col("pos"))
+          .agg(sort_array(collect_list(col("col"))).as("vs"))
+          .select(col("label"), col("pos"),
+            (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x) /
+              size(col("vs"))).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            p => p.getField("c")).as("cent"))
+        val scored = Scoped.persist(
+          e.join(broadcast(cents), Seq("label"))
+            .select(col("vec_id"), col("label"),
+              sqrt(aggregate(
+                zip_with(vec(col("embedding")), col("cent"),
+                  (a, b) => (a - b) * (a - b)),
+                lit(0.0), (acc, x) => acc + x)).as("dist")))
+        val wr = Window.partitionBy(col("label"))
+          .orderBy(col("dist"), col("vec_id"))
+        val thr = scored
+          .filter(substring(md5(col("vec_id").cast("string")), 1, 1) < "4")
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("nl",
+            count(lit(1)).over(Window.partitionBy(col("label"))))
+          .filter(col("rk") === expr("(19 * nl + 19) div 20"))
+          .groupBy(col("label")).agg(min(col("dist")).as("t_hi"))
+        scored.join(broadcast(thr), Seq("label"), "left")
+          .select(col("vec_id"), col("label"), col("dist"),
+            coalesce(col("dist") > col("t_hi"), lit(false))
+              .as("is_outlier"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH cent AS (
+        SELECT label, pos,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(v))),
+            (acc, x) -> acc + x) / COUNT(1) AS c
+        FROM (SELECT label, CAST(g.i - 1 AS INT) AS pos,
+                CAST(embedding[g.i] AS DOUBLE) AS v
+              FROM embeddings, generate_series(1, 64) AS g(i)) t
+        GROUP BY label, pos),
+      ca AS (SELECT label, list(c ORDER BY pos) AS cent
+             FROM cent GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, e.label,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list_zip(CAST(e.embedding AS DOUBLE[]),
+              ca.cent), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+            (acc, x) -> acc + x)) AS dist
+        FROM embeddings e JOIN ca USING (label)),
+      thr AS (
+        SELECT label, MIN(dist) AS t_hi FROM (
+          SELECT label, dist,
+            ROW_NUMBER() OVER (PARTITION BY label
+              ORDER BY dist, vec_id) AS rk,
+            COUNT(1) OVER (PARTITION BY label) AS nl
+          FROM scored
+          WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4') s
+        WHERE rk = (19 * nl + 19) // 20
+        GROUP BY label)
+      SELECT s.vec_id, s.label, s.dist,
+        COALESCE(s.dist > t.t_hi, false) AS is_outlier
+      FROM scored s LEFT JOIN thr t USING (label)
+      ORDER BY s.vec_id""")),
   )
 }

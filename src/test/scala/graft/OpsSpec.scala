@@ -2557,6 +2557,38 @@ class OpsSpec extends SparkSpec {
     else assert(expected <= total / 2 + 1e-6 * total, s"$expected")
   }
 
+  test("s27: outliers are exactly the per-label distance tail") {
+    val rows = SparkEntry.queries("s27_embedding_outliers")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (label, rs) =>
+      val (out, in) = rs.partition(_._4)
+      // p95 cut: a small tail, never the bulk
+      assert(out.length < rs.length / 4, s"label $label ${out.length}")
+      // the flag is a pure threshold on dist: every outlier is
+      // strictly farther than every inlier
+      if (out.nonEmpty) assert(out.map(_._3).min > in.map(_._3).max,
+        s"label $label not a clean cut")
+    }
+    // distance is against the label MEAN: recompute one label's
+    // centroid arithmetically and check a vector's score (1e-9: the
+    // registered sorted fold sums in a different order)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble)))
+    val lab = e.head._2
+    val members = e.filter(_._2 == lab)
+    val cent = members.map(_._3.toSeq).toSeq.transpose
+      .map(xs => xs.sum / xs.size)
+    val v = members.head
+    val want = math.sqrt(v._3.zip(cent).map { case (a, b) =>
+      (a - b) * (a - b) }.sum)
+    val got = rows.find(_._1 == v._1).get._3
+    assert(math.abs(got - want) < 1e-9, s"$got vs $want")
+  }
+
   test("s24: per-class budget is ceil(n/5) and ranks walk outward from the mean") {
     val got = SparkEntry.queries("s24_herding_coreset")(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),

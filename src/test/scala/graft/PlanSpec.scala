@@ -538,6 +538,15 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("s27: centroid and threshold tables broadcast over map-only scans") {
+    val p = plan("s27_embedding_outliers")
+    // ≤|labels|-row model tables must reach the vector scan as
+    // broadcasts; nothing corpus-sized may sort-merge or cross join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("s25: queries broadcast; the greedy is one object aggregate") {
     val p = plan("s25_mmr_rerank")
     // the 8-query side broadcasts over one corpus scan; the greedy
