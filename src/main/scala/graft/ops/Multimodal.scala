@@ -633,6 +633,105 @@ object Multimodal {
       (lit(4) + lit(2) * pmod(col("n_chars"), lit(3))).cast("int")
         .as("lsize"))
 
+  // ======================================================================
+  // Raw video: a minimal planar format ("GVID" header + per-frame
+  // grayscale planes), because no real container/codec library exists
+  // in a zero-egress container — but the BYTES are real: the decoder
+  // validates magic and length and walks frame planes, so a framing
+  // or plane-order slip corrupts every downstream feature.
+  // ======================================================================
+
+  /** One decoded video frame: exact-integer intensity sum and the sum
+    * of absolute pixel differences (SAD) against the PREVIOUS frame —
+    * the classic shot-boundary statistic. `sad_prev` is None for
+    * frame 0 (no predecessor). Both exact in Long: ≤ 255·w·h·nf. */
+  final case class VideoFrameRow(doc_id: Long, frame_id: Int, n_px: Int,
+      intensity: Long, sad_prev: Option[Long])
+
+  /** Encode a raw GVID payload: magic + LE int32 (w, h, nf, sceneLen)
+    * + nf frames of w×h grayscale bytes (row-major, y outer). Pixel
+    * formula carries a SCENE term — frames inside scene s = f/sceneLen
+    * share a base image, plus a small per-frame jitter (f mod 5), so
+    * within-scene SAD ≤ 4·w·h while cross-scene SAD ≥ 97·w·h (base
+    * steps by 101 mod 251 per scene: per-pixel |Δ| ∈ {101, 150} ∓ 4).
+    * The detector threshold 50·w·h splits the two bands exactly. */
+  private[graft] def encodeVideo(docId: Long, w: Int, h: Int,
+      nf: Int, sceneLen: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(20 + nf * w * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GVID".getBytes("US-ASCII"))
+      .putInt(w).putInt(h).putInt(nf).putInt(sceneLen)
+    var f = 0
+    while (f < nf) {
+      val scene = f / sceneLen
+      val jitter = f % 5
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = (docId * 19 + scene * 101 + x * 23 + y * 29) % 251
+          buf.put((base + jitter).toByte)
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** REAL GVID decode: validates magic, dims, and exact payload
+    * length, then walks frame planes computing per-frame intensity
+    * (Σv, exact Long) and SAD against the previous plane. Fails
+    * loudly on anything it does not understand — same contract as
+    * [[wavLayout]]/[[decodeBmp]]. */
+  private[graft] def decodeVideoFrames(docId: Long,
+      bs: Array[Byte]): Seq[VideoFrameRow] = {
+    def u8(i: Int): Int = bs(i) & 0xff
+    def i32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    require(bs.length >= 20 &&
+      new String(bs, 0, 4, "US-ASCII") == "GVID", "not a GVID payload")
+    val w = i32(4); val h = i32(8); val nf = i32(12); val sl = i32(16)
+    require(w > 0 && h > 0 && nf > 0 && sl > 0,
+      s"degenerate GVID dims ${w}x${h}x$nf/sl=$sl")
+    val nPx = w * h
+    require(bs.length == 20 + nf.toLong * nPx,
+      s"GVID length ${bs.length} != ${20 + nf.toLong * nPx}")
+    (0 until nf).map { f =>
+      val off = 20 + f * nPx
+      var sum = 0L; var sad = 0L
+      var i = 0
+      while (i < nPx) {
+        val v = u8(off + i)
+        sum += v
+        if (f > 0) sad += math.abs(v - u8(off - nPx + i))
+        i += 1
+      }
+      VideoFrameRow(docId, f, nPx, sum, if (f > 0) Some(sad) else None)
+    }
+  }
+
+  /** Per-doc video parameters from metadata (the bmpDims trick):
+    * small frames, clip lengths 20–50, scene lengths 3–8 — every doc
+    * gets multiple scenes and at least one within-scene jitter wrap. */
+  private def videoDims(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      (lit(4) + pmod(col("n_chars"), lit(5))).cast("int").as("w"),
+      (lit(3) + pmod(col("n_chars"), lit(3))).cast("int").as("h"),
+      (lit(20) + pmod(col("n_chars"), lit(31))).cast("int").as("nf"),
+      (lit(3) + pmod(col("n_chars"), lit(6))).cast("int").as("sl"))
+
+  /** Generated raw-video fixture column: (doc_id, payload binary)
+    * with real GVID bytes — the video twin of [[wavFixture]]. */
+  private[graft] def videoFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoDims(s, d).as[(Long, Int, Int, Int, Int)]
+      .map { case (id, w, h, nf, sl) =>
+        MediaRow(id, encodeVideo(id, w, h, nf, sl)) }
+      .toDF()
+  }
+
   /** Generated WAV fixture column: (doc_id, payload binary) with real
     * RIFF/PCM bytes — the audio twin of [[bmpFixture]]. */
   private[graft] def wavFixture(s: SparkSession, d: String): DataFrame = {
@@ -1430,6 +1529,93 @@ object Multimodal {
         start_frame, CAST(start_frame * 25 AS INT) AS start_sample,
         end_frame, n_frames, CAST(n_frames * 25 AS INT) AS n_samples,
         energy, peak
-      FROM seg ORDER BY doc_id, seg_id"""))
+      FROM seg ORDER BY doc_id, seg_id""")),
+
+    // ---- SHOT-BOUNDARY detection (scene detect): the video twin of
+    //      m16's VAD, over REAL raw-video bytes (GVID planes via the
+    //      same validate-then-walk decode discipline as m07/m12). The
+    //      decoder emits per-frame intensity and SAD-vs-previous —
+    //      SAD is computed INSIDE the per-doc decode, where
+    //      consecutive frames are adjacent bytes in one payload, so
+    //      no self-join or shuffle ever touches pixel data. A frame
+    //      is a CUT when SAD ≥ 50·n_px (the fixture's scene steps
+    //      guarantee within-scene SAD ≤ 4·n_px, cross-scene ≥ 97·n_px
+    //      — the threshold has provable margin, not tuned luck);
+    //      shot_id is the running sum of cuts. The oracle replays
+    //      pixel → SAD → cut → islands from the formula, so a plane
+    //      off-by-one, an abs-diff sign slip, or a boundary placed on
+    //      the wrong side hash-mismatches. Scale: map-only decode
+    //      fan-out (frames ≪ payload bytes), per-doc window + (doc,
+    //      shot) aggregate both partition by doc_id; frames-per-doc
+    //      is bounded by clip length. ----
+    QuerySpec(
+      "m17_scene_detect",
+      (s, d) => {
+        import s.implicits._
+        val frames = videoFixture(s, d).as[MediaRow]
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.flatMap(r =>
+              decodeVideoFrames(r.doc_id, r.payload)))
+          }.toDF()
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("frame_id"))
+        frames
+          .withColumn("cut",
+            when(col("frame_id") === 0 ||
+              col("sad_prev") >= lit(50L) * col("n_px"), 1).otherwise(0))
+          .withColumn("shot_id", sum(col("cut")).over(wDoc).cast("int"))
+          .groupBy(col("doc_id"), col("shot_id"))
+          .agg(min(col("frame_id")).as("start_frame"),
+            max(col("frame_id")).as("end_frame"),
+            count(lit(1)).cast("int").as("n_frames"),
+            sum(col("intensity")).as("intensity"),
+            max(col("n_px")).as("n_px"))
+          .select(col("doc_id"), col("shot_id"), col("start_frame"),
+            col("end_frame"), col("n_frames"), col("intensity"),
+            (col("intensity").cast("double") /
+              (col("n_frames") * col("n_px"))).as("mean_px"))
+          .orderBy("doc_id", "shot_id")
+      },
+      Some("""WITH dims AS (
+        SELECT doc_id, CAST(4 + (n_chars % 5) AS INT) AS w,
+               CAST(3 + (n_chars % 3) AS INT) AS h,
+               CAST(20 + (n_chars % 31) AS INT) AS nf,
+               CAST(3 + (n_chars % 6) AS INT) AS sl
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h, sl, f, x,
+          unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h, sl, f,
+                unnest(generate_series(0, w - 1)) AS x
+              FROM (SELECT doc_id, w, h, sl,
+                      unnest(generate_series(0, nf - 1)) AS f
+                    FROM dims) t) t2),
+      v AS (
+        SELECT doc_id, f, x, y, w * h AS n_px,
+          ((doc_id*19 + (f // sl)*101 + x*23 + y*29) % 251) + (f % 5) AS v
+        FROM px),
+      fr AS (
+        SELECT a.doc_id, a.f, MAX(a.n_px) AS n_px,
+          SUM(a.v) AS intensity, SUM(ABS(a.v - b.v)) AS sad
+        FROM v a LEFT JOIN v b
+          ON b.doc_id = a.doc_id AND b.f = a.f - 1
+         AND b.x = a.x AND b.y = a.y
+        GROUP BY a.doc_id, a.f),
+      cuts AS (
+        SELECT doc_id, f, n_px, intensity,
+          CASE WHEN f = 0 OR sad >= 50 * n_px THEN 1 ELSE 0 END AS cut
+        FROM fr),
+      sh AS (
+        SELECT doc_id, f, n_px, intensity,
+          SUM(cut) OVER (PARTITION BY doc_id ORDER BY f) AS shot_id
+        FROM cuts)
+      SELECT doc_id, CAST(shot_id AS INT) AS shot_id,
+        CAST(MIN(f) AS INT) AS start_frame,
+        CAST(MAX(f) AS INT) AS end_frame,
+        CAST(COUNT(1) AS INT) AS n_frames,
+        CAST(SUM(intensity) AS BIGINT) AS intensity,
+        CAST(SUM(intensity) AS DOUBLE) / (COUNT(1) * MAX(n_px)) AS mean_px
+      FROM sh GROUP BY doc_id, shot_id
+      ORDER BY doc_id, shot_id"""))
   )
 }

@@ -2635,6 +2635,47 @@ class OpsSpec extends SparkSpec {
     assert(segs.toSet == wantIslands)
   }
 
+  test("m17: shots are exactly the fixture's scenes") {
+    val shots = SparkEntry.queries("m17_scene_detect")(spark, sf0001)
+      .select("doc_id", "shot_id", "start_frame", "n_frames")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)))
+    assert(shots.nonEmpty)
+    // independent replay: decode the same payloads, re-derive cuts
+    // from the SAD band (the threshold's provable margin means the
+    // detected shots must equal the generator's scenes exactly)
+    val dims = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "cast(20 + n_chars % 31 as int) as nf",
+        "cast(3 + n_chars % 6 as int) as sl")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    shots.groupBy(_._1).foreach { case (id, ss) =>
+      val (nf, sl) = dims(id)
+      val wantShots = (nf + sl - 1) / sl
+      assert(ss.length == wantShots, s"doc $id shot count")
+      ss.sortBy(_._2).zipWithIndex.foreach { case ((_, sid, start, n), i) =>
+        assert(sid == i + 1, s"doc $id shot ids dense")
+        assert(start == i * sl, s"doc $id shot $sid start")
+        assert(n == math.min(sl, nf - start), s"doc $id shot $sid len")
+      }
+    }
+    // and the decoder itself round-trips the encoder's frame count +
+    // SAD bands: within-scene SAD <= 4*n_px, cross-scene >= 97*n_px
+    val media = Multimodal.videoFixture(spark, sf0001).limit(50)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    media.foreach { case (id, bytes) =>
+      val (nf, sl) = dims(id)
+      val frames = Multimodal.decodeVideoFrames(id, bytes)
+      assert(frames.length == nf, s"doc $id frame count")
+      frames.filter(_.frame_id > 0).foreach { f =>
+        val sad = f.sad_prev.get
+        if (f.frame_id % sl == 0)
+          assert(sad >= 97L * f.n_px, s"doc $id f=${f.frame_id} cross")
+        else assert(sad <= 4L * f.n_px, s"doc $id f=${f.frame_id} within")
+      }
+    }
+  }
+
   test("s25: MMR greedy is order-independent and within-shortlist greedy-optimal") {
     import graft.functions.Aggregators.{MmrCand, MmrSelect}
     val rnd = new scala.util.Random(77)
