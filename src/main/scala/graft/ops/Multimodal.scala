@@ -732,6 +732,66 @@ object Multimodal {
       .toDF()
   }
 
+  /** Voiced audio segments (m16's relation): one row per maximal
+    * ≥2-frame voiced run — (doc_id, seg_id, start_frame, end_frame,
+    * n_frames, energy, peak) — plus `na` = the doc's TOTAL analysis-
+    * frame count (the normalized-time denominator m18 aligns on; it
+    * rides the same doc-partitioned exchange as the island pass). */
+  private[graft] def audioSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = wavFixture(s, d).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.flatMap(r =>
+          decodeWavFrames(r.doc_id, r.payload, 25)))
+      }.toDF()
+    val wAll = Window.partitionBy(col("doc_id"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("start_frame"))
+    frames
+      .withColumn("na", (max(col("frame_id")).over(wAll) + 1).cast("int"))
+      .filter(col("energy") >= VadEnergyThreshold)
+      .withColumn("grp", col("frame_id") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame_id")).as("start_frame"),
+        max(col("frame_id")).as("end_frame"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("energy")).as("energy"),
+        max(col("max_abs")).as("peak"),
+        max(col("na")).as("na"))
+      .filter(col("n_frames") >= 2)
+      .withColumn("seg_id", row_number().over(wSeg))
+  }
+
+  /** Video shots (m17's relation): one row per detected shot —
+    * (doc_id, shot_id, start_frame, end_frame, n_frames, intensity,
+    * n_px) — plus `nv` = the doc's total frame count (m18's
+    * denominator). Same single doc-partitioned exchange. */
+  private[graft] def videoShots(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = videoFixture(s, d).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.flatMap(r =>
+          decodeVideoFrames(r.doc_id, r.payload)))
+      }.toDF()
+    val wAll = Window.partitionBy(col("doc_id"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+    frames
+      .withColumn("nv", (max(col("frame_id")).over(wAll) + 1).cast("int"))
+      .withColumn("cut",
+        when(col("frame_id") === 0 ||
+          col("sad_prev") >= lit(50L) * col("n_px"), 1).otherwise(0))
+      .withColumn("shot_id", sum(col("cut")).over(wDoc).cast("int"))
+      .groupBy(col("doc_id"), col("shot_id"))
+      .agg(min(col("frame_id")).as("start_frame"),
+        max(col("frame_id")).as("end_frame"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("intensity")).as("intensity"),
+        max(col("n_px")).as("n_px"),
+        max(col("nv")).as("nv"))
+  }
+
   /** Generated WAV fixture column: (doc_id, payload binary) with real
     * RIFF/PCM bytes — the audio twin of [[bmpFixture]]. */
   private[graft] def wavFixture(s: SparkSession, d: String): DataFrame = {
@@ -1468,34 +1528,13 @@ object Multimodal {
     //      than one clip's frames in a partition task. ----
     QuerySpec(
       "m16_audio_vad",
-      (s, d) => {
-        import s.implicits._
-        val frames = wavFixture(s, d).as[MediaRow]
-          .mapPartitions { rows =>
-            rows.grouped(64).flatMap(_.flatMap(r =>
-              decodeWavFrames(r.doc_id, r.payload, 25)))
-          }.toDF()
-        val wDoc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("frame_id"))
-        val wSeg = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("start_frame"))
-        frames.filter(col("energy") >= VadEnergyThreshold)
-          .withColumn("grp", col("frame_id") - row_number().over(wDoc))
-          .groupBy(col("doc_id"), col("grp"))
-          .agg(min(col("frame_id")).as("start_frame"),
-            max(col("frame_id")).as("end_frame"),
-            count(lit(1)).cast("int").as("n_frames"),
-            sum(col("energy")).as("energy"),
-            max(col("max_abs")).as("peak"))
-          .filter(col("n_frames") >= 2)
-          .withColumn("seg_id", row_number().over(wSeg))
-          .select(col("doc_id"), col("seg_id"), col("start_frame"),
-            (col("start_frame") * 25).as("start_sample"),
-            col("end_frame"), col("n_frames"),
-            (col("n_frames") * 25).as("n_samples"),
-            col("energy"), col("peak"))
-          .orderBy("doc_id", "seg_id")
-      },
+      (s, d) => audioSegments(s, d)
+        .select(col("doc_id"), col("seg_id"), col("start_frame"),
+          (col("start_frame") * 25).as("start_sample"),
+          col("end_frame"), col("n_frames"),
+          (col("n_frames") * 25).as("n_samples"),
+          col("energy"), col("peak"))
+        .orderBy("doc_id", "seg_id"),
       Some("""WITH dims AS (
         SELECT doc_id, CAST(50 + (n_chars % 211) AS INT) AS nf
         FROM documents),
@@ -1550,32 +1589,12 @@ object Multimodal {
     //      is bounded by clip length. ----
     QuerySpec(
       "m17_scene_detect",
-      (s, d) => {
-        import s.implicits._
-        val frames = videoFixture(s, d).as[MediaRow]
-          .mapPartitions { rows =>
-            rows.grouped(64).flatMap(_.flatMap(r =>
-              decodeVideoFrames(r.doc_id, r.payload)))
-          }.toDF()
-        val wDoc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("frame_id"))
-        frames
-          .withColumn("cut",
-            when(col("frame_id") === 0 ||
-              col("sad_prev") >= lit(50L) * col("n_px"), 1).otherwise(0))
-          .withColumn("shot_id", sum(col("cut")).over(wDoc).cast("int"))
-          .groupBy(col("doc_id"), col("shot_id"))
-          .agg(min(col("frame_id")).as("start_frame"),
-            max(col("frame_id")).as("end_frame"),
-            count(lit(1)).cast("int").as("n_frames"),
-            sum(col("intensity")).as("intensity"),
-            max(col("n_px")).as("n_px"))
-          .select(col("doc_id"), col("shot_id"), col("start_frame"),
-            col("end_frame"), col("n_frames"), col("intensity"),
-            (col("intensity").cast("double") /
-              (col("n_frames") * col("n_px"))).as("mean_px"))
-          .orderBy("doc_id", "shot_id")
-      },
+      (s, d) => videoShots(s, d)
+        .select(col("doc_id"), col("shot_id"), col("start_frame"),
+          col("end_frame"), col("n_frames"), col("intensity"),
+          (col("intensity").cast("double") /
+            (col("n_frames") * col("n_px"))).as("mean_px"))
+        .orderBy("doc_id", "shot_id"),
       Some("""WITH dims AS (
         SELECT doc_id, CAST(4 + (n_chars % 5) AS INT) AS w,
                CAST(3 + (n_chars % 3) AS INT) AS h,
@@ -1616,6 +1635,127 @@ object Multimodal {
         CAST(SUM(intensity) AS BIGINT) AS intensity,
         CAST(SUM(intensity) AS DOUBLE) / (COUNT(1) * MAX(n_px)) AS mean_px
       FROM sh GROUP BY doc_id, shot_id
-      ORDER BY doc_id, shot_id"""))
+      ORDER BY doc_id, shot_id""")),
+
+    // ---- A/V ALIGNMENT: interval-join m16's voiced audio segments
+    //      with m17's video shots on the NORMALIZED clip-time axis —
+    //      the alignment step that extracts speech-bearing clips
+    //      from a video corpus. The two tracks of one asset sample at
+    //      different rates (audio analysis frames vs video frames)
+    //      but span the same clip, so normalized position IS the
+    //      shared axis: audio frame f covers [f/na, (f+1)/na), shot
+    //      frame g covers [g/nv, (g+1)/nv). All comparisons are
+    //      cross-multiplied integers (a·nv vs g·na) and the overlap
+    //      is measured in exact 1/(na·nv) units — the only double is
+    //      one final division both engines compute from the same
+    //      integers, so the oracle hash-matches. Scale: both sides
+    //      are doc-partitioned aggregates of map-only decode
+    //      fan-outs; the join is an equi-join on doc_id with a
+    //      row-local interval predicate — per-doc sizes are bounded
+    //      by clip length, so no interval-join machinery (e11's
+    //      bucketing) is needed at any corpus size: the fan-out is
+    //      segments × shots PER DOC, never across docs. ----
+    QuerySpec(
+      "m18_av_align",
+      (s, d) => {
+        val segs = audioSegments(s, d)
+          .select(col("doc_id"), col("seg_id"),
+            col("start_frame").as("a_start"),
+            col("end_frame").as("a_end"), col("na"))
+        val shots = videoShots(s, d)
+          .select(col("doc_id"), col("shot_id"),
+            col("start_frame").as("v_start"),
+            col("end_frame").as("v_end"), col("nv"))
+        val ovStart = greatest(col("a_start") * col("nv"),
+          col("v_start") * col("na"))
+        val ovEnd = least((col("a_end") + 1) * col("nv"),
+          (col("v_end") + 1) * col("na"))
+        segs.join(shots, "doc_id")
+          .filter(ovEnd > ovStart)
+          .select(col("doc_id"), col("seg_id"), col("shot_id"),
+            col("a_start"), col("a_end"), col("v_start"), col("v_end"),
+            (ovEnd - ovStart).cast("long").as("ov_units"),
+            ((ovEnd - ovStart).cast("double") /
+              (col("na") * col("nv"))).as("ov_frac"))
+          .orderBy("doc_id", "seg_id", "shot_id")
+      },
+      Some("""WITH adims AS (
+        SELECT doc_id, CAST(50 + (n_chars % 211) AS INT) AS nfw
+        FROM documents),
+      ag AS (
+        SELECT doc_id, CAST(i // 25 AS INT) AS frame_id,
+          ((doc_id*31 + i*7) % 65536) - 32768 AS v
+        FROM (SELECT doc_id,
+                unnest(generate_series(0, (nfw // 25) * 25 - 1)) AS i
+              FROM adims) t),
+      af AS (
+        SELECT doc_id, frame_id, SUM(v * v) AS energy
+        FROM ag GROUP BY doc_id, frame_id),
+      voiced AS (
+        SELECT doc_id, frame_id,
+          frame_id - ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY frame_id) AS grp
+        FROM af WHERE energy >= 6710886400),
+      aseg AS (
+        SELECT doc_id, CAST(MIN(frame_id) AS INT) AS a_start,
+          CAST(MAX(frame_id) AS INT) AS a_end
+        FROM voiced GROUP BY doc_id, grp HAVING COUNT(1) >= 2),
+      segs AS (
+        SELECT s.doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY s.doc_id
+            ORDER BY a_start) AS INT) AS seg_id,
+          a_start, a_end, CAST(d.nfw // 25 AS INT) AS na
+        FROM aseg s JOIN adims d ON d.doc_id = s.doc_id),
+      vdims AS (
+        SELECT doc_id, CAST(4 + (n_chars % 5) AS INT) AS w,
+               CAST(3 + (n_chars % 3) AS INT) AS h,
+               CAST(20 + (n_chars % 31) AS INT) AS nf,
+               CAST(3 + (n_chars % 6) AS INT) AS sl
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h, sl, f, x,
+          unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h, sl, f,
+                unnest(generate_series(0, w - 1)) AS x
+              FROM (SELECT doc_id, w, h, sl,
+                      unnest(generate_series(0, nf - 1)) AS f
+                    FROM vdims) t) t2),
+      v AS (
+        SELECT doc_id, f, x, y, w * h AS n_px,
+          ((doc_id*19 + (f // sl)*101 + x*23 + y*29) % 251) + (f % 5) AS v
+        FROM px),
+      fr AS (
+        SELECT a.doc_id, a.f, MAX(a.n_px) AS n_px,
+          SUM(ABS(a.v - b.v)) AS sad
+        FROM v a LEFT JOIN v b
+          ON b.doc_id = a.doc_id AND b.f = a.f - 1
+         AND b.x = a.x AND b.y = a.y
+        GROUP BY a.doc_id, a.f),
+      cuts AS (
+        SELECT doc_id, f,
+          CASE WHEN f = 0 OR sad >= 50 * n_px THEN 1 ELSE 0 END AS cut
+        FROM fr),
+      sh AS (
+        SELECT doc_id, f,
+          SUM(cut) OVER (PARTITION BY doc_id ORDER BY f) AS shot_id
+        FROM cuts),
+      shots AS (
+        SELECT s.doc_id, CAST(s.shot_id AS INT) AS shot_id,
+          CAST(MIN(s.f) AS INT) AS v_start,
+          CAST(MAX(s.f) AS INT) AS v_end, MAX(d.nf) AS nv
+        FROM sh s JOIN vdims d ON d.doc_id = s.doc_id
+        GROUP BY s.doc_id, s.shot_id)
+      SELECT a.doc_id, a.seg_id, b.shot_id,
+        a.a_start, a.a_end, b.v_start, b.v_end,
+        CAST(LEAST((a.a_end + 1) * b.nv, (b.v_end + 1) * a.na)
+           - GREATEST(a.a_start * b.nv, b.v_start * a.na) AS BIGINT)
+          AS ov_units,
+        CAST(LEAST((a.a_end + 1) * b.nv, (b.v_end + 1) * a.na)
+           - GREATEST(a.a_start * b.nv, b.v_start * a.na) AS DOUBLE)
+          / (a.na * b.nv) AS ov_frac
+      FROM segs a JOIN shots b ON b.doc_id = a.doc_id
+      WHERE LEAST((a.a_end + 1) * b.nv, (b.v_end + 1) * a.na)
+          > GREATEST(a.a_start * b.nv, b.v_start * a.na)
+      ORDER BY a.doc_id, seg_id, shot_id"""))
   )
 }

@@ -2676,6 +2676,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m18: shots tile the clip, so each segment's overlaps sum to its span") {
+    val rows = SparkEntry.queries("m18_av_align")(spark, sf0001)
+      .select("doc_id", "seg_id", "shot_id", "a_start", "a_end",
+        "ov_units", "ov_frac")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    // na/nv denominators re-derived from the metadata formulas
+    val dims = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "cast((50 + n_chars % 211) / 25 as int) as na",
+        "cast(20 + n_chars % 31 as int) as nv")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    rows.foreach { case (id, _, _, _, _, ov, frac) =>
+      val (na, nv) = dims(id)
+      assert(ov > 0, s"doc $id non-positive overlap emitted")
+      assert(frac == ov.toDouble / (na.toLong * nv), s"doc $id frac")
+    }
+    // each (seg, shot) pair at most once; per-segment overlap units
+    // sum to exactly (a_end + 1 - a_start) * nv — full tiling
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((id, seg), rs) =>
+      val (_, nv) = dims(id)
+      assert(rs.map(_._3).distinct.length == rs.length,
+        s"doc $id seg $seg duplicate shot pair")
+      val span = (rs.head._5 + 1 - rs.head._4).toLong * nv
+      assert(rs.map(_._6).sum == span, s"doc $id seg $seg tiling")
+    }
+  }
+
   test("s25: MMR greedy is order-independent and within-shortlist greedy-optimal") {
     import graft.functions.Aggregators.{MmrCand, MmrSelect}
     val rnd = new scala.util.Random(77)
