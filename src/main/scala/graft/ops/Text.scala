@@ -148,6 +148,69 @@ object Text {
     Scoped.persist(Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles).as("s")))
 
+  /** Exact directed all-pairs containment ≥ 4/5 — t57's oracle. The
+    * threshold compares in integers (5·ni ≥ 4·na) on both sides. */
+  private def containmentPairsSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       sz AS (SELECT doc_id, COUNT(1) AS na FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS ni
+         FROM sh a JOIN sh b ON b.s = a.s AND b.doc_id <> a.doc_id
+         GROUP BY 1, 2)
+       SELECT da, db, CAST(na AS BIGINT) AS n_a,
+         CAST(ni AS BIGINT) AS n_inter,
+         CAST(ni AS DOUBLE) / na AS containment
+       FROM inter JOIN sz ON sz.doc_id = da
+       WHERE ni * 5 >= na * 4
+       ORDER BY da, db"""
+
+  /** Directed containment pairs at threshold num/den via the exact
+    * prefix filter (see the t57 registration for the theorem). Runs
+    * on rep-collapsed distinct texts; member expansion restores the
+    * doc-level relation, identical texts containing each other both
+    * ways. */
+  private def containmentPairs(s: SparkSession, d: String,
+      num: Int, den: Int): DataFrame = {
+    val mapping = textDupMapping(s, d)
+    val sh = Scoped.persist(mapping.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), explode(shingles).as("s")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // prefix size = na − ⌈num·na/den⌉ + 1, all-integer ceiling
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("s"))
+    val prefix = sh.join(dfreq, "s")
+      .withColumn("rk", row_number().over(wDoc))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <=
+        col("na") - floor((col("na") * num + den - 1) / den) + 1)
+      .select(col("doc_id").as("ra"), col("s"))
+    val cand = prefix.join(sh.toDF("rb", "s"), "s")
+      .filter(col("ra") =!= col("rb"))
+      .select("ra", "rb").distinct()
+    val inter = cand
+      .join(sh.toDF("ra", "s"), "ra")
+      .join(sh.toDF("rb", "s"), Seq("rb", "s"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("ni"))
+    val repPairs = inter.join(sizes.toDF("ra", "na"), "ra")
+      .filter(col("ni") * den >= col("na") * num)
+      .select(col("ra"), col("rb"), col("na"), col("ni"))
+    val members = mapping.select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(members.toDF("ra", "da"), "ra")
+      .join(members.toDF("rb", "db"), "rb")
+      .select(col("da"), col("db"), col("na"), col("ni"))
+    val intra = members.toDF("rep", "da")
+      .join(sizes.select(col("doc_id").as("rep"), col("na")), "rep")
+      .join(members.toDF("rep", "db"), "rep")
+      .filter(col("da") =!= col("db"))
+      .select(col("da"), col("db"), col("na"), col("na").as("ni"))
+    cross.unionByName(intra)
+      .select(col("da"), col("db"), col("na").cast("long").as("n_a"),
+        col("ni").cast("long").as("n_inter"),
+        (col("ni").cast("double") / col("na")).as("containment"))
+  }
+
   /** Routing anchor for t08:
     * at/below this corpus size the registered query runs the exact
     * all-pairs shingle join (the oracle anchor the driver hash-checks
@@ -2894,6 +2957,86 @@ object Text {
         SELECT * FROM big UNION ALL SELECT * FROM lb
         UNION ALL SELECT * FROM sp) u
       ORDER BY lang, source_out""")),
+
+    // ---- l-DIVERSITY audit, the gate k-anonymity alone misses: a
+    //      group can be large (k-anonymous) yet have every member
+    //      share one sensitive value, so membership still discloses
+    //      it. Quasi-identifier (lang, 100-char length band),
+    //      sensitive attribute = source; a releasable group needs
+    //      BOTH n ≥ k and ≥ l distinct sensitive values, and the
+    //      audit also reports each group's mode share (the
+    //      homogeneity-attack success rate). Scale: one groupBy of
+    //      (QI, source) partials — rows never shuffle — then a
+    //      QI-level rollup over the tiny distinct-combination
+    //      relation; max_by picks the mode with a deterministic
+    //      (count, source) tie-break. ----
+    QuerySpec(
+      "t56_l_diversity",
+      (s, d) => {
+        val k = 7
+        val l = 3
+        val g = Tables.documents(s, d)
+          .groupBy(col("lang"),
+            (floor(col("n_chars") / 100) * 100).cast("int").as("len_band"),
+            col("source"))
+          .agg(count(lit(1)).as("n"))
+        g.groupBy(col("lang"), col("len_band"))
+          .agg(sum(col("n")).as("n_docs"),
+            count(lit(1)).cast("int").as("n_sources"),
+            max(struct(col("n"), col("source"))).as("mode"))
+          .select(col("lang"), col("len_band"), col("n_docs"),
+            col("n_sources"),
+            col("mode.source").as("mode_source"),
+            (col("mode.n").cast("double") / col("n_docs"))
+              .as("mode_share"),
+            (col("n_docs") >= k && col("n_sources") >= l)
+              .as("releasable"))
+          .orderBy("lang", "len_band")
+      },
+      Some("""WITH g AS (
+        SELECT lang, CAST((n_chars // 100) * 100 AS INT) AS len_band,
+          source, COUNT(*) AS n
+        FROM documents GROUP BY lang, len_band, source),
+      a AS (
+        SELECT lang, len_band,
+          CAST(SUM(n) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS INT) AS n_sources
+        FROM g GROUP BY lang, len_band),
+      m AS (
+        SELECT lang, len_band, source AS mode_source, n AS mode_n,
+          ROW_NUMBER() OVER (PARTITION BY lang, len_band
+            ORDER BY n DESC, source DESC) AS rk
+        FROM g)
+      SELECT a.lang, a.len_band, n_docs, n_sources, m.mode_source,
+        CAST(m.mode_n AS DOUBLE) / n_docs AS mode_share,
+        n_docs >= 7 AND n_sources >= 3 AS releasable
+      FROM a JOIN m ON m.lang = a.lang AND m.len_band = a.len_band
+        AND m.rk = 1
+      ORDER BY a.lang, a.len_band""")),
+
+    // ---- directed CONTAINMENT pairs (quote / subset detection):
+    //      C(A→B) = |S(A)∩S(B)| / |S(A)| ≥ 0.8 over 3-gram shingle
+    //      sets — the asymmetric relation Jaccard misses (a short doc
+    //      quoted whole inside a long one scores low J but C = 1).
+    //      Candidates come from an EXACT PREFIX FILTER (SSJoin,
+    //      Chaudhuri et al. 2006), not LSH: order each doc's shingles
+    //      by global document frequency ascending, keep the first
+    //      na − ⌈θ·na⌉ + 1 — if C(A→B) ≥ θ then ≤ na − ⌈θ·na⌉ of A's
+    //      shingles miss B, so by pigeonhole a prefix shingle is in B.
+    //      100% recall by THEOREM (the oracle's exact all-pairs join
+    //      hash-matching at every SF re-proves it), precision 1 via
+    //      the integer verify 5·ni ≥ 4·na. Scale: bit-identical texts
+    //      collapse to reps first (the t08 lesson); df-ascending
+    //      prefixes mean the candidate join keys on each doc's RAREST
+    //      shingles, so posting lists in the join are short unless a
+    //      doc consists entirely of corpus-wide boilerplate — and
+    //      those docs are exactly what the t43 boilerplate gate
+    //      removes upstream. ----
+    QuerySpec(
+      "t57_containment_pairs",
+      (s, d) => containmentPairs(s, d, num = 4, den = 5)
+        .orderBy("da", "db"),
+      Some(containmentPairsSql)),
 
     // ---- tokenizer-vocabulary coverage: build the top-2000 token
     //      vocabulary from the TRAIN split (t26's leak-proof md5

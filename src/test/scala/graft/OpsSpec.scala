@@ -2705,6 +2705,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("t57: prefix-filtered containment equals brute force; directed") {
+    val got = SparkEntry.queries("t57_containment_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    // brute force over the string shingle sets, every ordered pair
+    val sets = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "text").collect().map { r =>
+        val t = r.getString(1).split(" ")
+        r.getLong(0) -> t.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      ni = (sa & sb).size if 5L * ni >= 4L * sa.size
+    } yield (a, b) -> (sa.size.toLong, ni.toLong,
+      ni.toDouble / sa.size)).toMap
+    assert(got == want)
+    // the relation is genuinely DIRECTED: the two directions of a
+    // pair score differently (containment normalizes by the source's
+    // set size — a symmetric metric like t08's Jaccard could not)
+    assert(got.exists { case ((a, b), (_, _, c)) =>
+      got.get((b, a)).exists(_._3 != c)
+    })
+  }
+
   test("s25: MMR greedy is order-independent and within-shortlist greedy-optimal") {
     import graft.functions.Aggregators.{MmrCand, MmrSelect}
     val rnd = new scala.util.Random(77)
