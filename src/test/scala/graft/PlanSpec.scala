@@ -481,6 +481,37 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("m17: decode is map-only; shots ride ONE doc-keyed exchange") {
+    val p = plan("m17_scene_detect")
+    // SAD is computed inside the per-doc decode (consecutive frames
+    // are adjacent bytes of one payload), so no self-join appears;
+    // the cut window and the (doc, shot) aggregate share one hash
+    // exchange on doc_id
+    assert(p.contains("MapPartitions"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(800))
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("m18: A/V align joins per-doc relations, never across docs") {
+    val p = plan("m18_av_align")
+    // both sides are doc-partitioned aggregates; the alignment is an
+    // equi-join on doc_id with a row-local interval predicate — no
+    // interval-join fallback to a nested-loop/cartesian plan
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("t57: the prefix filter keeps the containment join candidate-driven") {
+    val p = plan("t57_containment_pairs")
+    // candidates come from the prefix ⋈ postings equi-join and the
+    // verify re-joins postings on (rb, s) — every join keyed, no
+    // all-pairs fallback
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("t51: the chunker is map-only — explode, no data shuffle") {
     val p = plan("t51_rag_chunks")
     // one scan, a Generate fan-out, and the presentation sort's
