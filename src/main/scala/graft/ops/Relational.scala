@@ -1950,7 +1950,55 @@ object Relational {
             AS VARCHAR) AS DOUBLE)
           / CAST(CAST(MAX(trev) AS VARCHAR) AS DOUBLE)
           AS top_decile_share
-      FROM j"""))
+      FROM j""")),
+
+    // ---- DYNAMIC PARTITION PRUNING: the fact table is materialized
+    //      once per session PARTITIONED by ship month (the production
+    //      layout for a date-keyed 100 TB fact), and the query joins
+    //      it on that partition column against a dim derived from a
+    //      filtered orders scan — months known only at RUNTIME, so no
+    //      static predicate can prune. Catalyst inserts a
+    //      DynamicPruningSubquery reusing the broadcast: only the
+    //      ~3 matching month directories are ever listed or read, the
+    //      exact mechanism that turns a 100 TB scan into a 3-partition
+    //      read when the filter lives on the other side of a join
+    //      (PlanSpec pins `dynamicpruning` in the scan's partition
+    //      filters). ----
+    QuerySpec(
+      "q61_dpp_prune",
+      (s, d) => {
+        val path = dppMemo.getOrCompute(s, d) {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-dpp-").toString
+          Tables.lineitem(s, d)
+            .withColumn("l_ship_month",
+              date_format(col("l_shipdate"), "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("l_ship_month").parquet(out)
+          out
+        }
+        val fact = s.read.parquet(path)
+        val months = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1995-04-01 00:00:00"))
+          .select(date_format(col("o_orderdate"), "yyyy-MM")
+            .as("l_ship_month"))
+          .distinct()
+        fact.join(broadcast(months), "l_ship_month")
+          .groupBy(col("l_ship_month"))
+          .agg(count(lit(1)).as("n"), dsum(rev).as("revenue"))
+          .orderBy("l_ship_month")
+      },
+      Some(s"""SELECT strftime(l_shipdate, '%Y-%m') AS l_ship_month,
+        COUNT(1) AS n, ${dsumSql(revSql)} AS revenue
+      FROM lineitem
+      WHERE strftime(l_shipdate, '%Y-%m') IN (
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00')
+      GROUP BY 1 ORDER BY 1"""))
   )
 
   /** q53 oracle: the identical edge build + `k` damped iterations as
@@ -1999,4 +2047,6 @@ object Relational {
   private val orcMemo = new graft.SessionMemo[String, String]
   private val jsonMemo = new graft.SessionMemo[String, String]
   private val csvMemo = new graft.SessionMemo[String, String]
+  /** Month-partitioned lineitem copy for the DPP demonstration (q61). */
+  private val dppMemo = new graft.SessionMemo[String, String]
 }

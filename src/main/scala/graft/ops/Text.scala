@@ -3038,6 +3038,60 @@ object Text {
         .orderBy("da", "db"),
       Some(containmentPairsSql)),
 
+    // ---- COLLOCATION extraction (multiword expressions): top-20
+    //      bigrams by pointwise-mutual-information LIFT
+    //      n₁₂·N / (n₁·n₂) with a min-support gate (n₁₂ ≥ 5) — the
+    //      vocabulary-induction signal for merging "new york"-style
+    //      units before tokenizer training (t38's input in a real
+    //      pipeline). The lift is the PMI exponent, rank-equivalent
+    //      to PMI without the log: one division of exact integer
+    //      products, so both engines compute the identical double
+    //      and the top-20 cut hash-matches (ties break w1, w2).
+    //      Scale: ONE corpus-scale shuffle (the bigram count, t19's
+    //      shape); marginals and the total aggregate the already-
+    //      reduced vocab²-bounded count table, never the corpus;
+    //      top-k is TakeOrdered, never a global sort. ----
+    QuerySpec(
+      "t58_collocations",
+      (s, d) => {
+        val n = size(toks)
+        val bi = Tables.documents(s, d)
+          .select(explode(when(n >= 2,
+            zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c12 = Scoped.persist(
+          bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12")))
+        val tot = c12.agg(sum(col("n12")).as("nn"))
+        val left = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+        val right = c12.groupBy(col("w2")).agg(sum(col("n12")).as("n2"))
+        c12.filter(col("n12") >= 5)
+          .join(left, "w1").join(right, "w2")
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("n12"),
+            ((col("n12") * col("nn")).cast("double") /
+              (col("n1") * col("n2")).cast("double")).as("lift"))
+          .orderBy(desc("lift"), col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      bi AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks) x),
+      c12 AS (SELECT w1, w2, COUNT(1) AS n12 FROM bi GROUP BY 1, 2),
+      tot AS (SELECT SUM(n12) AS nn FROM c12),
+      l AS (SELECT w1, SUM(n12) AS n1 FROM c12 GROUP BY 1),
+      r AS (SELECT w2, SUM(n12) AS n2 FROM c12 GROUP BY 1)
+      SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+        CAST(n12 * nn AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS lift
+      FROM c12 JOIN l USING (w1) JOIN r USING (w2), tot
+      WHERE n12 >= 5
+      ORDER BY lift DESC, w1, w2 LIMIT 20""")),
+
     // ---- tokenizer-vocabulary coverage: build the top-2000 token
     //      vocabulary from the TRAIN split (t26's leak-proof md5
     //      assignment), then measure the out-of-vocabulary rate on

@@ -512,6 +512,24 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q61: dynamic partition pruning reaches the partitioned scan") {
+    val p = plan("q61_dpp_prune")
+    // the month dim is only known at runtime, so the fact scan's
+    // partition filter must carry a DynamicPruningExpression reusing
+    // the broadcast — the 100 TB mechanism that reads 3 directories
+    // instead of the whole fact
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("t58: marginals aggregate the reduced count table, one corpus shuffle") {
+    val p = plan("t58_collocations")
+    // top-k must be TakeOrdered (per-partition heaps), never a global
+    // sort; the 1-row total reaches the count table as a broadcast
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("t51: the chunker is map-only — explode, no data shuffle") {
     val p = plan("t51_rag_chunks")
     // one scan, a Generate fan-out, and the presentation sort's
