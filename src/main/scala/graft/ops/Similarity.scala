@@ -2075,5 +2075,102 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
         COALESCE(s.dist > t.t_hi, false) AS is_outlier
       FROM scored s LEFT JOIN thr t USING (label)
       ORDER BY s.vec_id""")),
+
+    // ---- CONTRASTIVE TRIPLET mining (anchor, positive, negative) —
+    //      the data-prep step of embedding-model training. Positive =
+    //      exact cosine top-1 (the s03 broadcast scan); negative =
+    //      a deterministic "random" draw: vectors hash into 64 md5
+    //      buckets, each bucket pre-selects its 2 smallest-md5
+    //      members via the partial-aggregable BottomKByHash (t34's
+    //      Aggregator — NO bucket ever windows its full membership),
+    //      and the anchor draws from bucket (own+7) mod 64 — provably
+    //      never its own bucket, so anchor ≠ negative by
+    //      construction; the rank-2 member stands in when rank 1
+    //      collides with the positive. Everything is md5/integer
+    //      deterministic and the cosines are the engine-exact fixed-
+    //      order folds, so the full triplet relation hash-matches.
+    //      Scale: the 128-row pool and the 8-row anchor set are the
+    //      only non-linear-scan state; both broadcast. ----
+    QuerySpec(
+      "s28_contrastive_triplets",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        def bkt(c: Column): Column =
+          pmod(conv(substring(md5(c.cast("string")), 1, 6), 16, 10)
+            .cast("long"), lit(64)).cast("int")
+        val bottom2 = new graft.functions.Aggregators.BottomKByHash(2)
+        val pool = e.select(bkt(col("vec_id")).as("bkt"),
+            md5(col("vec_id").cast("string")).as("h"), col("vec_id"))
+          .as[(Int, String, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(bottom2.toColumn.name("ids"))
+          .toDF("bkt", "ids")
+          .select(col("bkt"),
+            split(col("ids"), ",").getItem(0).cast("long").as("n1"),
+            split(col("ids"), ",").getItem(1).cast("long").as("n2"))
+        val q = e.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wQ = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        val pos = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qv"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(wQ))
+          .filter(col("rk") === 1)
+          .select(col("qid"), col("qv"), col("vec_id").as("pos_id"),
+            col("cos").as("pos_cos"),
+            pmod(bkt(col("qid")) + 7, lit(64)).cast("int").as("nbkt"))
+        val withNeg = pos
+          .join(broadcast(pool), pos("nbkt") === pool("bkt"), "left")
+          .select(col("qid"), col("qv"), col("pos_id"), col("pos_cos"),
+            when(col("n1") =!= col("pos_id"), col("n1"))
+              .otherwise(col("n2")).as("neg_id"))
+        broadcast(withNeg)
+          .join(e.select(col("vec_id").as("neg_id"),
+            col("embedding").as("nv")), "neg_id")
+          .select(col("qid"), col("pos_id"), col("pos_cos"),
+            col("neg_id"), cosine(col("qv"), col("nv")).as("neg_cos"),
+            (col("pos_cos") - cosine(col("qv"), col("nv"))).as("margin"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH b AS (
+        SELECT vec_id,
+          CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))
+            AS BIGINT) % 64 AS INT) AS bkt,
+          md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM embeddings),
+      pool AS (
+        SELECT bkt, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY h, vec_id) AS rk
+        FROM b),
+      pos AS (
+        SELECT qid, vec_id AS pos_id, cos AS pos_cos FROM (
+          SELECT q.vec_id AS qid, e.vec_id, ${cosineSql("q", "e")} AS cos,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS rk
+          FROM embeddings q JOIN embeddings e ON q.vec_id < $QueryIds
+            AND e.vec_id <> q.vec_id) t
+        WHERE rk = 1),
+      nb AS (
+        SELECT p.qid, p.pos_id, p.pos_cos,
+          CAST((CAST(CAST(('0x' || substr(md5(CAST(p.qid AS VARCHAR)),
+            1, 6)) AS BIGINT) % 64 AS INT) + 7) % 64 AS INT) AS nbkt
+        FROM pos p),
+      neg AS (
+        SELECT nb.qid, nb.pos_id, nb.pos_cos,
+          COALESCE(CASE WHEN p1.vec_id <> nb.pos_id
+            THEN p1.vec_id END, p2.vec_id) AS neg_id
+        FROM nb
+        LEFT JOIN pool p1 ON p1.bkt = nb.nbkt AND p1.rk = 1
+        LEFT JOIN pool p2 ON p2.bkt = nb.nbkt AND p2.rk = 2)
+      SELECT n.qid, n.pos_id, n.pos_cos, n.neg_id,
+        ${cosineSql("q", "e")} AS neg_cos,
+        n.pos_cos - ${cosineSql("q", "e")} AS margin
+      FROM neg n JOIN embeddings q ON q.vec_id = n.qid
+        JOIN embeddings e ON e.vec_id = n.neg_id
+      ORDER BY n.qid""")),
   )
 }

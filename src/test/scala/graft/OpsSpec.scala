@@ -2731,6 +2731,27 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("s28: triplets are well-formed and the margin is never negative") {
+    val rows = SparkEntry.queries("s28_contrastive_triplets")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    def bkt(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.take(6), 16) % 64).toInt
+    }
+    rows.foreach { case (q, pos, posCos, neg, negCos, margin) =>
+      assert(q != pos && q != neg && pos != neg, s"anchor $q ids")
+      // the positive is the GLOBAL cosine top-1, so no other vector
+      // — the negative included — can beat it
+      assert(margin >= 0.0 && margin == posCos - negCos, s"anchor $q")
+      // the negative draws from bucket (own + 7) mod 64
+      assert(bkt(neg) == (bkt(q) + 7) % 64, s"anchor $q bucket rule")
+    }
+  }
+
   test("s25: MMR greedy is order-independent and within-shortlist greedy-optimal") {
     import graft.functions.Aggregators.{MmrCand, MmrSelect}
     val rnd = new scala.util.Random(77)
