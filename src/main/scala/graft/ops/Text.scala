@@ -3092,6 +3092,73 @@ object Text {
       WHERE n12 >= 5
       ORDER BY lift DESC, w1, w2 LIMIT 20""")),
 
+    // ---- consistent PSEUDONYMIZATION: t16 scrubs PII to bare tags,
+    //      which destroys entity STRUCTURE (who-talked-to-whom,
+    //      repeated callers) that downstream analysis may legally
+    //      use. This replaces each entity with a STABLE pseudonym —
+    //      <EMAIL_xxxxxxxx> keyed by md5 of the entity — so the same
+    //      address maps to the same token corpus-wide without any
+    //      entity dictionary: hash-based pseudonyms make the whole
+    //      pass MAP-ONLY at any corpus size (a dense-rank dictionary
+    //      would window a 3-partition entity table — the skew trap).
+    //      Token-level matching (anchored regexes on whitespace
+    //      tokens) sidesteps substring-replacement hazards; the
+    //      fixture repeats entities across messages so the oracle
+    //      hash-match proves cross-document consistency. ----
+    QuerySpec(
+      "t59_pseudonymize",
+      (s, d) => {
+        import s.implicits._
+        val rows = Seq(
+          (1L, "alice@example.com pinged 555-123-4567 about the rollout"),
+          (2L, "bob@corp.io emailed alice@example.com from 10.0.0.1"),
+          (3L, "totally clean message"),
+          (4L, "call 555-123-4567 or 800-555-1212 for bob@corp.io"),
+          (5L, "eve@a.io met alice@example.com near 10.0.0.1"))
+          .toDF("msg_id", "raw")
+        val email = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+        val phone = "^\\d{3}-\\d{3}-\\d{4}$"
+        val ip = "^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"
+        def tag(t: Column): Column =
+          when(t.rlike(email), lit("EMAIL"))
+            .when(t.rlike(phone), lit("PHONE"))
+            .when(t.rlike(ip), lit("IP"))
+        def pseudoTok(t: Column): Column =
+          when(tag(t).isNotNull,
+            concat(lit("<"), tag(t), lit("_"),
+              substring(md5(t), 1, 8), lit(">"))).otherwise(t)
+        rows.select(col("msg_id"),
+          array_join(transform(split(col("raw"), " "), pseudoTok(_)), " ")
+            .as("clean"),
+          size(filter(split(col("raw"), " "),
+            t => tag(t).isNotNull)).as("n_pii"))
+          .orderBy("msg_id")
+      },
+      Some("""WITH m(msg_id, raw) AS (VALUES
+        (1, 'alice@example.com pinged 555-123-4567 about the rollout'),
+        (2, 'bob@corp.io emailed alice@example.com from 10.0.0.1'),
+        (3, 'totally clean message'),
+        (4, 'call 555-123-4567 or 800-555-1212 for bob@corp.io'),
+        (5, 'eve@a.io met alice@example.com near 10.0.0.1'))
+      SELECT CAST(msg_id AS BIGINT) AS msg_id,
+        array_to_string(list_transform(str_split(raw, ' '), t ->
+          CASE
+            WHEN regexp_matches(t,
+              '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$')
+              THEN '<EMAIL_' || substr(md5(t), 1, 8) || '>'
+            WHEN regexp_matches(t, '^\d{3}-\d{3}-\d{4}$')
+              THEN '<PHONE_' || substr(md5(t), 1, 8) || '>'
+            WHEN regexp_matches(t, '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$')
+              THEN '<IP_' || substr(md5(t), 1, 8) || '>'
+            ELSE t END), ' ') AS clean,
+        CAST(len(list_filter(str_split(raw, ' '), t ->
+          regexp_matches(t,
+            '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$')
+          OR regexp_matches(t, '^\d{3}-\d{3}-\d{4}$')
+          OR regexp_matches(t, '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$')))
+          AS INT) AS n_pii
+      FROM m ORDER BY msg_id""")),
+
     // ---- tokenizer-vocabulary coverage: build the top-2000 token
     //      vocabulary from the TRAIN split (t26's leak-proof md5
     //      assignment), then measure the out-of-vocabulary rate on
