@@ -2172,5 +2172,81 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
       FROM neg n JOIN embeddings q ON q.vec_id = n.qid
         JOIN embeddings e ON e.vec_id = n.neg_id
       ORDER BY n.qid""")),
+
+    // ---- BITEXT MINING (margin scoring, Artetxe & Schwenk 2019):
+    //      mine aligned pairs across two embedding spaces — label 0
+    //      as the source side, label 1 as the target — by the RATIO
+    //      margin: cos(x,y) normalized by the mean of each point's
+    //      k=4 neighborhood cosines, which cancels hubness (a vector
+    //      close to everything scores no better than its own
+    //      neighborhood average; raw-cosine mining drowns in hubs).
+    //      Keep each x's best-margin y when margin ≥ 1.0. The
+    //      neighborhood means ride the decimal davg hop, so margins
+    //      are engine-exact and the full mined relation hash-matches.
+    //      Scale: the cross-side pair stage here is the documented
+    //      EXACT-ANCHOR leg (both sides bounded at driver SFs, the
+    //      s04 convention); at 100 TB each side's candidate list
+    //      comes from the s16 coded shortlist — the margin algebra
+    //      downstream (two k-bounded aggregates + one join) is
+    //      unchanged, which is the part this query pins. ----
+    QuerySpec(
+      "s29_bitext_mining",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val xs = e.filter(col("label") === 0)
+          .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+        val ys = e.filter(col("label") === 1)
+          .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+        val pairs = Scoped.persist(xs.crossJoin(ys)
+          .select(col("xid"), col("yid"),
+            cosine(col("xv"), col("yv")).as("cos")))
+        val wX = Window.partitionBy(col("xid"))
+          .orderBy(desc("cos"), col("yid"))
+        val ax = pairs.withColumn("rk", row_number().over(wX))
+          .filter(col("rk") <= 4)
+          .groupBy(col("xid")).agg(davg(col("cos")).as("ax"))
+        val wY = Window.partitionBy(col("yid"))
+          .orderBy(desc("cos"), col("xid"))
+        val ay = pairs.withColumn("rk", row_number().over(wY))
+          .filter(col("rk") <= 4)
+          .groupBy(col("yid")).agg(davg(col("cos")).as("ay"))
+        val scored = pairs.join(ax, "xid").join(ay, "yid")
+          .select(col("xid"), col("yid"), col("cos"),
+            (col("cos") / ((col("ax") + col("ay")) / lit(2)))
+              .as("margin"))
+        val wBest = Window.partitionBy(col("xid"))
+          .orderBy(desc("margin"), col("yid"))
+        scored.withColumn("rk", row_number().over(wBest))
+          .filter(col("rk") === 1 && col("margin") >= 1.0)
+          .select(col("xid"), col("yid"), col("cos"), col("margin"))
+          .orderBy("xid")
+      },
+      Some(s"""WITH x AS (
+        SELECT vec_id AS xid, embedding FROM embeddings WHERE label = 0),
+      y AS (
+        SELECT vec_id AS yid, embedding FROM embeddings WHERE label = 1),
+      p AS (
+        SELECT x.xid, y.yid, ${cosineSql("x", "y")} AS cos
+        FROM x AS x, y AS y),
+      ax AS (
+        SELECT xid, ${davgSql("cos")} AS ax FROM (
+          SELECT xid, cos, ROW_NUMBER() OVER (PARTITION BY xid
+            ORDER BY cos DESC, yid) AS rk FROM p) t
+        WHERE rk <= 4 GROUP BY xid),
+      ay AS (
+        SELECT yid, ${davgSql("cos")} AS ay FROM (
+          SELECT yid, cos, ROW_NUMBER() OVER (PARTITION BY yid
+            ORDER BY cos DESC, xid) AS rk FROM p) t
+        WHERE rk <= 4 GROUP BY yid),
+      sc AS (
+        SELECT p.xid, p.yid, p.cos,
+          p.cos / ((ax.ax + ay.ay) / 2) AS margin
+        FROM p JOIN ax USING (xid) JOIN ay USING (yid)),
+      best AS (
+        SELECT xid, yid, cos, margin, ROW_NUMBER() OVER (
+          PARTITION BY xid ORDER BY margin DESC, yid) AS rk
+        FROM sc)
+      SELECT xid, yid, cos, margin FROM best
+      WHERE rk = 1 AND margin >= 1.0 ORDER BY xid""")),
   )
 }

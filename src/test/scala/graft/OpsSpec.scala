@@ -2752,6 +2752,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("s29: mining is margin-normalized, one best pair per source") {
+    val rows = SparkEntry.queries("s29_bitext_mining")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one per x")
+    assert(rows.forall(_._4 >= 1.0), "margin gate")
+    // the margin pick must genuinely differ from the raw-cosine pick
+    // for some anchor — otherwise the hubness normalization is inert
+    val e = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val xs = e.filter(_._3 == 0); val ys = e.filter(_._3 == 1)
+    val rawBest = xs.map { case (xid, xv, _) =>
+      xid -> ys.map { case (yid, yv, _) => (yid, cos(xv, yv)) }
+        .minBy { case (yid, c) => (-c, yid) }._1
+    }.toMap
+    assert(rows.exists { case (x, y, _, _) => rawBest(x) != y },
+      "margin pick never diverged from the raw-cosine pick")
+  }
+
   test("s25: MMR greedy is order-independent and within-shortlist greedy-optimal") {
     import graft.functions.Aggregators.{MmrCand, MmrSelect}
     val rnd = new scala.util.Random(77)
