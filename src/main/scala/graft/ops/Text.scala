@@ -331,6 +331,16 @@ object Text {
       Array.fill(63)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  // t60's calibration mixers: a PORTABLE signature family over the
+  // shingle-string polyHash (not the XXH64 production hashes, which
+  // DuckDB cannot replay) — its own seed, literals embedded in the
+  // oracle like t10's.
+  private val (calibA, calibB) = {
+    val rnd = new scala.util.Random(13)
+    (Array.fill(NumPerms)(1L + rnd.nextInt(Int.MaxValue - 1)),
+      Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
   /** BPE merge rounds trained by t38 (bounded driver loop: one 1-row
     * collect per round). */
   private val BpeRounds = 12
@@ -3158,6 +3168,74 @@ object Text {
           OR regexp_matches(t, '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$')))
           AS INT) AS n_pii
       FROM m ORDER BY msg_id""")),
+
+    // ---- MinHash CALIBRATION: for every true near-dup pair (t08's
+    //      relation), the 72-permutation signature-agreement estimate
+    //      of Jaccard next to the exact value — the observability
+    //      query that answers "are 72 permutations enough at our
+    //      threshold" from the production corpus instead of theory
+    //      (E[est] = J; at J = 0.8, σ = √(J(1−J)/72) ≈ 0.047). The
+    //      estimator runs on a PORTABLE polyHash signature family
+    //      (coefficients embedded in the oracle, the t10 discipline)
+    //      so DuckDB derives bit-identical signatures and the whole
+    //      relation hash-matches — est, abs_err included. Scale: the
+    //      signature is the map-only fused kernel; the agreement
+    //      count is a row-local zip over the joined pair — cost rides
+    //      the pair relation, not the corpus. ----
+    QuerySpec(
+      "t60_minhash_calibration",
+      (s, d) => {
+        val pairs = if (exactAnchor(s, d)) exactJaccardPairs(s, d, 0.8)
+          else lshJaccardPairs(s, d, 0.8)
+        val nT = size(toks)
+        val shStrs = array_distinct(
+          when(nT >= 3, transform(sequence(lit(1), nT - 2),
+            i => array_join(slice(toks, i, lit(3)), " ")))
+            .otherwise(array().cast("array<string>")))
+        val sigs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.TextExprs.minHashSig(
+              transform(shStrs,
+                t => graft.functions.TextExprs.polyHash(t)),
+              calibA.toSeq, calibB.toSeq, HashP).as("sig"))
+        val agree = aggregate(
+          zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+        pairs
+          .join(sigs.toDF("da", "sa"), "da")
+          .join(sigs.toDF("db", "sb"), "db")
+          .select(col("da"), col("db"), col("jaccard"),
+            agree.as("n_agree"))
+          .select(col("da"), col("db"), col("jaccard"), col("n_agree"),
+            (col("n_agree") / lit(72.0)).as("est"),
+            abs(col("n_agree") / lit(72.0) - col("jaccard"))
+              .as("abs_err"))
+          .orderBy("da", "db")
+      },
+      Some {
+        val minTerms = (0 until NumPerms).map(j =>
+          s"MIN((${calibA(j)}*th+${calibB(j)}) % $HashP) AS m$j")
+          .mkString(", ")
+        val agreeTerms = (0 until NumPerms).map(j =>
+          s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH hs AS (
+          SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(str_split(s, ''),
+              ch -> CAST(ascii(ch) AS BIGINT))),
+            (acc, ch) -> (acc*31+ch) % 1000000007) AS th
+          FROM ($shinglesSql) sh),
+        sig AS (SELECT doc_id, $minTerms FROM hs GROUP BY doc_id),
+        ag AS (
+          SELECT ex.da, ex.db, ex.jaccard,
+            CAST($agreeTerms AS INT) AS n_agree
+          FROM (${jaccardPairsSql(0.8)}) ex
+          JOIN sig a ON a.doc_id = ex.da
+          JOIN sig b ON b.doc_id = ex.db)
+        SELECT da, db, jaccard, n_agree, n_agree / 72.0 AS est,
+          ABS(n_agree / 72.0 - jaccard) AS abs_err
+        FROM ag ORDER BY da, db"""
+      }),
 
     // ---- tokenizer-vocabulary coverage: build the top-2000 token
     //      vocabulary from the TRAIN split (t26's leak-proof md5
