@@ -1412,7 +1412,55 @@ object Events {
         CAST(c.n_active AS DOUBLE) / CAST(z.cohort_size AS DOUBLE)
           AS retention
       FROM cells c JOIN sizes z USING (cw)
-      ORDER BY cohort_week, offset_weeks"""))
+      ORDER BY cohort_week, offset_weeks""")),
+
+    // ---- SKETCH REAGGREGATION: rolling 7-day distinct users from
+    //      MERGED daily HLL sketches (hll_sketch_agg → window
+    //      hll_union_agg → estimate) next to the exact WAU — the
+    //      pattern that makes distinct-counting tractable at 100 TB:
+    //      raw events are touched ONCE to build per-day sketches
+    //      (kilobytes each), and every derived window (7-day, 30-day,
+    //      arbitrary dashboards) is a UNION of sketches, where e26's
+    //      exact fan-out re-shuffles user ids per window width. The
+    //      union window rides the O(days) daily relation, not events.
+    //      HLL estimates are library-deterministic but not
+    //      SQL-replayable → rows-only registration; OpsSpec pins the
+    //      accuracy contract against the exact column instead
+    //      (lgConfigK=12 → σ ≈ 1.6%, asserted < 5%). ----
+    QuerySpec(
+      "e34_rolling_hll",
+      (s, d) => {
+        val pairs = graft.Scoped.persist(
+          Tables.events(s, d)
+            .select(to_date(col("ts")).as("day"), col("user_id"))
+            .distinct())
+        val daily = pairs.groupBy(col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count_distinct(col("user_id")).as("dau"))
+        // exact rolling WAU via e26's fan-out, for the side-by-side
+        val spine = pairs.select(col("day")).distinct()
+        val exact = pairs
+          .select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+          .select(date_add(col("day"), col("off")).as("day"),
+            col("user_id"))
+          .join(spine, Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(count_distinct(col("user_id")).as("wau_exact"))
+        // the day-level relation is O(days) — the 7-row frame union
+        // is driver-bounded however large the corpus underneath
+        val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+        daily
+          .withColumn("wau_est",
+            hll_sketch_estimate(hll_union_agg(col("sk")).over(w7)))
+          .join(exact, Seq("day"))
+          .select(col("day"), col("dau"), col("wau_exact"),
+            col("wau_est"),
+            (abs(col("wau_est") - col("wau_exact")).cast("double") /
+              col("wau_exact")).as("rel_err"))
+          .orderBy("day")
+      },
+      None)
   )
 }
 

@@ -2781,6 +2781,19 @@ class OpsSpec extends SparkSpec {
       "margin pick never diverged from the raw-cosine pick")
   }
 
+  test("e34: merged-sketch WAU stays within the HLL accuracy contract") {
+    val rows = SparkEntry.queries("e34_rolling_hll")(spark, sf0001)
+      .select("day", "wau_exact", "wau_est", "rel_err")
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, exact, est, err) =>
+      assert(err == math.abs(est - exact).toDouble / exact, s"$day err")
+      // lgConfigK=12 → σ ≈ 1.6%; 5% is > 3σ on every window
+      assert(err < 0.05, s"$day: est $est vs exact $exact (err $err)")
+    }
+  }
+
   test("s25: MMR greedy is order-independent and within-shortlist greedy-optimal") {
     import graft.functions.Aggregators.{MmrCand, MmrSelect}
     val rnd = new scala.util.Random(77)
