@@ -3237,6 +3237,78 @@ object Text {
         FROM ag ORDER BY da, db"""
       }),
 
+    // ---- cross-source DUPLICATION MATRIX: t08's near-dup pairs
+    //      attributed to (source, source) cells with a LIFT against
+    //      the independence expectation — the curation diagnostic
+    //      that answers "is src3 scraping src1" (off-diagonal spikes)
+    //      vs "does src2 re-post itself" (diagonal spikes). lift =
+    //      (n_pairs / total_pairs) / (possible_cell / possible_all),
+    //      all exact integer products until one final division.
+    //      Scale: rides the t08 pair relation (LSH-routed above the
+    //      anchor); the matrix is |sources|²-bounded, the doc→source
+    //      attribution is two joins against the slim (doc_id, source)
+    //      projection. ----
+    QuerySpec(
+      "t61_source_overlap",
+      (s, d) => {
+        val pairs = if (exactAnchor(s, d)) exactJaccardPairs(s, d, 0.8)
+          else lshJaccardPairs(s, d, 0.8)
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val attributed = pairs
+          .join(src.toDF("da", "s1"), "da")
+          .join(src.toDF("db", "s2"), "db")
+          .select(least(col("s1"), col("s2")).as("src_a"),
+            greatest(col("s1"), col("s2")).as("src_b"))
+        val cells = attributed.groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val tot = cells.agg(sum(col("n_pairs")).as("total_pairs"))
+        val sizes = src.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val allDocs = sizes.agg(sum(col("n")).as("nd"))
+        // possible pairs: n_a·n_b off-diagonal, C(n_a, 2) on it
+        val possible = sizes.toDF("src_a", "na")
+          .crossJoin(sizes.toDF("src_b", "nb"))
+          .filter(col("src_a") <= col("src_b"))
+          .select(col("src_a"), col("src_b"),
+            when(col("src_a") === col("src_b"),
+              (col("na") * (col("na") - 1) / 2).cast("long"))
+              .otherwise(col("na") * col("nb")).as("possible"))
+        cells.join(possible, Seq("src_a", "src_b"))
+          .crossJoin(broadcast(tot))
+          .crossJoin(broadcast(allDocs))
+          .select(col("src_a"), col("src_b"), col("n_pairs"),
+            col("possible"),
+            ((col("n_pairs") *
+              (col("nd") * (col("nd") - 1) / 2).cast("long"))
+              .cast("double") /
+              (col("total_pairs") * col("possible")).cast("double"))
+              .as("lift"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH ex AS (${jaccardPairsSql(0.8)}),
+      src AS (SELECT doc_id, source FROM documents),
+      att AS (
+        SELECT LEAST(a.source, b.source) AS src_a,
+          GREATEST(a.source, b.source) AS src_b
+        FROM ex JOIN src a ON a.doc_id = ex.da
+          JOIN src b ON b.doc_id = ex.db),
+      cells AS (
+        SELECT src_a, src_b, COUNT(1) AS n_pairs
+        FROM att GROUP BY 1, 2),
+      tot AS (SELECT SUM(n_pairs) AS total_pairs FROM cells),
+      sizes AS (SELECT source, COUNT(1) AS n FROM src GROUP BY 1),
+      nd AS (SELECT SUM(n) AS nd FROM sizes),
+      poss AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+          CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+               ELSE a.n * b.n END AS possible
+        FROM sizes a JOIN sizes b ON a.source <= b.source)
+      SELECT c.src_a, c.src_b, CAST(c.n_pairs AS BIGINT) AS n_pairs,
+        CAST(p.possible AS BIGINT) AS possible,
+        CAST(c.n_pairs * (nd.nd * (nd.nd - 1) // 2) AS DOUBLE) /
+          CAST(t.total_pairs * p.possible AS DOUBLE) AS lift
+      FROM cells c JOIN poss p USING (src_a, src_b), tot t, nd nd
+      ORDER BY src_a, src_b""")),
+
     // ---- tokenizer-vocabulary coverage: build the top-2000 token
     //      vocabulary from the TRAIN split (t26's leak-proof md5
     //      assignment), then measure the out-of-vocabulary rate on
