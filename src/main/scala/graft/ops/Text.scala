@@ -172,9 +172,17 @@ object Text {
   private def containmentPairs(s: SparkSession, d: String,
       num: Int, den: Int): DataFrame = {
     val mapping = textDupMapping(s, d)
-    val sh = Scoped.persist(mapping.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), explode(shingles).as("s")))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    // shingle ARRAYS persist once: the exploded rows feed df counts,
+    // prefixes, and candidate generation; the arrays verify candidate
+    // pairs via one array_intersect row per pair (the lshRepPairs
+    // shape) instead of re-exploding both sides' postings per pair
+    val docsSh = Scoped.persist(mapping
+      .filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0))
+    val sh = Scoped.persist(
+      docsSh.select(col("doc_id"), explode(col("sh")).as("s")))
+    val sizes = docsSh.select(col("doc_id"), size(col("sh")).as("na"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // prefix size = na − ⌈num·na/den⌉ + 1, all-integer ceiling
     val wDoc = Window.partitionBy(col("doc_id"))
@@ -188,11 +196,12 @@ object Text {
     val cand = prefix.join(sh.toDF("rb", "s"), "s")
       .filter(col("ra") =!= col("rb"))
       .select("ra", "rb").distinct()
-    val inter = cand
-      .join(sh.toDF("ra", "s"), "ra")
-      .join(sh.toDF("rb", "s"), Seq("rb", "s"))
-      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("ni"))
-    val repPairs = inter.join(sizes.toDF("ra", "na"), "ra")
+    val repPairs = cand
+      .join(docsSh.toDF("ra", "sha"), "ra")
+      .join(docsSh.toDF("rb", "shb"), "rb")
+      .select(col("ra"), col("rb"),
+        size(array_intersect(col("sha"), col("shb"))).as("ni"),
+        size(col("sha")).as("na"))
       .filter(col("ni") * den >= col("na") * num)
       .select(col("ra"), col("rb"), col("na"), col("ni"))
     val members = mapping.select(col("rep"), col("doc_id"))
@@ -708,6 +717,25 @@ object Text {
       docsSh.select(col("doc_id").as("rep")), thr)
   }
 
+  private val pairsMemo = new graft.SessionMemo[(String, Double), DataFrame]
+
+  /** Session-memoized doc-level near-dup pair relation (da, db,
+    * jaccard ≥ thr), routed exact/LSH by the anchor — t08, t60
+    * (calibration) and t61 (source matrix) share ONE pair computation
+    * per (dir, thr) instead of each re-running shingling + candidate
+    * generation + verify (~2.4 s each at sf0.1). The memoized frame
+    * is a LAZY localCheckpoint: the first consumer's action
+    * materializes the blocks, later consumers scan them — compute
+    * reuse, the [[dupLabelsMemo]] convention. Memory held is
+    * O(pairs) per (dir, thr) for the session; same corpus-immutable-
+    * within-a-session caveat as every directory-keyed memo. */
+  private[graft] def jaccardPairs(s: SparkSession, d: String,
+      thr: Double): DataFrame =
+    pairsMemo.getOrCompute(s, (d, thr)) {
+      (if (exactAnchor(s, d)) exactJaccardPairs(s, d, thr)
+       else lshJaccardPairs(s, d, thr)).localCheckpoint(false)
+    }
+
   /** The representative-level stage of [[lshJaccardPairs]]:
     * (dup mapping, shingled reps, verified rep pairs ≥ thr). Shared
     * with [[dupClusterLabels]], which clusters BEFORE the member
@@ -1207,10 +1235,7 @@ object Text {
     //      not a gate. ----
     QuerySpec(
       "t08_jaccard_pairs",
-      (s, d) =>
-        (if (exactAnchor(s, d)) exactJaccardPairs(s, d, 0.8)
-         else lshJaccardPairs(s, d, 0.8))
-          .orderBy("da", "db"),
+      (s, d) => jaccardPairs(s, d, 0.8).orderBy("da", "db"),
       Some(jaccardPairsSql(0.8))),
 
     // ---- MinHash + LSH near-dup: band-bucket candidates, exact
@@ -3185,8 +3210,7 @@ object Text {
     QuerySpec(
       "t60_minhash_calibration",
       (s, d) => {
-        val pairs = if (exactAnchor(s, d)) exactJaccardPairs(s, d, 0.8)
-          else lshJaccardPairs(s, d, 0.8)
+        val pairs = jaccardPairs(s, d, 0.8)
         val nT = size(toks)
         val shStrs = array_distinct(
           when(nT >= 3, transform(sequence(lit(1), nT - 2),
@@ -3251,8 +3275,7 @@ object Text {
     QuerySpec(
       "t61_source_overlap",
       (s, d) => {
-        val pairs = if (exactAnchor(s, d)) exactJaccardPairs(s, d, 0.8)
-          else lshJaccardPairs(s, d, 0.8)
+        val pairs = jaccardPairs(s, d, 0.8)
         val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
         val attributed = pairs
           .join(src.toDF("da", "s1"), "da")
