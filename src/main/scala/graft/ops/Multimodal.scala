@@ -712,6 +712,49 @@ object Multimodal {
     }
   }
 
+  final case class MotionTile(doc_id: Long, frame_id: Int, q: Int,
+      n_px_q: Int, sad: Long)
+
+  /** Per-QUADRANT SAD between consecutive frames — m17's shot
+    * statistic at region granularity (the static-region signal:
+    * subtitle/watermark areas stay flat while the scene moves).
+    * Quadrant q = (y ≥ ⌈h/2⌉)·2 + (x ≥ ⌈w/2⌉); same validate-then-
+    * walk decode as [[decodeVideoFrames]], emitted for f ≥ 1. */
+  private[graft] def decodeVideoMotion(docId: Long,
+      bs: Array[Byte]): Seq[MotionTile] = {
+    def u8(i: Int): Int = bs(i) & 0xff
+    def i32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    require(bs.length >= 20 &&
+      new String(bs, 0, 4, "US-ASCII") == "GVID", "not a GVID payload")
+    val w = i32(4); val h = i32(8); val nf = i32(12)
+    require(w > 0 && h > 0 && nf > 0, "degenerate GVID dims")
+    val nPx = w * h
+    require(bs.length == 20 + nf.toLong * nPx, "GVID length mismatch")
+    val xHalf = (w + 1) / 2
+    val yHalf = (h + 1) / 2
+    val nq = Array(
+      xHalf * yHalf, (w - xHalf) * yHalf,
+      xHalf * (h - yHalf), (w - xHalf) * (h - yHalf))
+    (1 until nf).flatMap { f =>
+      val off = 20 + f * nPx
+      val sad = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          val q = (if (y >= yHalf) 2 else 0) + (if (x >= xHalf) 1 else 0)
+          sad(q) += math.abs(u8(off + i) - u8(off - nPx + i))
+          x += 1
+        }
+        y += 1
+      }
+      (0 until 4).filter(nq(_) > 0)
+        .map(q => MotionTile(docId, f, q, nq(q), sad(q)))
+    }
+  }
+
   /** Per-doc video parameters from metadata (the bmpDims trick):
     * small frames, clip lengths 20–50, scene lengths 3–8 — every doc
     * gets multiple scenes and at least one within-scene jitter wrap. */
@@ -1756,6 +1799,63 @@ object Multimodal {
       FROM segs a JOIN shots b ON b.doc_id = a.doc_id
       WHERE LEAST((a.a_end + 1) * b.nv, (b.v_end + 1) * a.na)
           > GREATEST(a.a_start * b.nv, b.v_start * a.na)
-      ORDER BY a.doc_id, seg_id, shot_id"""))
+      ORDER BY a.doc_id, seg_id, shot_id""")),
+
+    // ---- MOTION MAP: per-quadrant SAD between consecutive frames —
+    //      m17's cut statistic at REGION granularity, the signal that
+    //      separates "scene moved" from "corner overlay stayed flat"
+    //      (watermark/subtitle detection bins on exactly this). The
+    //      fixture's uniform pixel formula makes each quadrant's
+    //      moving flag flip only at scene cuts (threshold 50·n_px_q,
+    //      m17's margin argument per quadrant), which the oracle
+    //      replays pixel-for-pixel. Scale: map-only decode fan-out
+    //      (4 rows per frame pair), quadrant sums computed inside the
+    //      decoder where both frames are adjacent bytes — pixels
+    //      never enter the dataflow. ----
+    QuerySpec(
+      "m19_motion_tiles",
+      (s, d) => {
+        import s.implicits._
+        videoFixture(s, d).as[MediaRow]
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.flatMap(r =>
+              decodeVideoMotion(r.doc_id, r.payload)))
+          }.toDF()
+          .select(col("doc_id"), col("frame_id"), col("q"),
+            col("n_px_q"), col("sad"),
+            (col("sad") >= lit(50L) * col("n_px_q")).as("moving"))
+          .orderBy("doc_id", "frame_id", "q")
+      },
+      Some("""WITH dims AS (
+        SELECT doc_id, CAST(4 + (n_chars % 5) AS INT) AS w,
+               CAST(3 + (n_chars % 3) AS INT) AS h,
+               CAST(20 + (n_chars % 31) AS INT) AS nf,
+               CAST(3 + (n_chars % 6) AS INT) AS sl
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h, sl, f, x,
+          unnest(generate_series(0, h - 1)) AS y
+        FROM (SELECT doc_id, w, h, sl, f,
+                unnest(generate_series(0, w - 1)) AS x
+              FROM (SELECT doc_id, w, h, sl,
+                      unnest(generate_series(0, nf - 1)) AS f
+                    FROM dims) t) t2),
+      v AS (
+        SELECT doc_id, f, x, y,
+          CASE WHEN y >= (h + 1) // 2 THEN 2 ELSE 0 END
+            + CASE WHEN x >= (w + 1) // 2 THEN 1 ELSE 0 END AS q,
+          ((doc_id*19 + (f // sl)*101 + x*23 + y*29) % 251) + (f % 5) AS v
+        FROM px),
+      sadq AS (
+        SELECT a.doc_id, a.f AS frame_id, a.q,
+          CAST(COUNT(1) AS INT) AS n_px_q,
+          CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS sad
+        FROM v a JOIN v b
+          ON b.doc_id = a.doc_id AND b.f = a.f - 1
+         AND b.x = a.x AND b.y = a.y
+        GROUP BY a.doc_id, a.f, a.q)
+      SELECT doc_id, frame_id, CAST(q AS INT) AS q, n_px_q, sad,
+        sad >= 50 * n_px_q AS moving
+      FROM sadq ORDER BY doc_id, frame_id, q"""))
   )
 }

@@ -2752,6 +2752,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m19: quadrant SADs partition the frame SAD exactly") {
+    val media = Multimodal.videoFixture(spark, sf0001).limit(40)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    media.foreach { case (id, bytes) =>
+      val frames = Multimodal.decodeVideoFrames(id, bytes)
+      val tiles = Multimodal.decodeVideoMotion(id, bytes)
+        .groupBy(_.frame_id)
+      frames.filter(_.frame_id > 0).foreach { f =>
+        val qs = tiles(f.frame_id)
+        assert(qs.map(_.n_px_q).sum == f.n_px, s"doc $id f=${f.frame_id} px")
+        assert(qs.map(_.sad).sum == f.sad_prev.get,
+          s"doc $id f=${f.frame_id} sad partition")
+      }
+    }
+  }
+
   test("s29: mining is margin-normalized, one best pair per source") {
     val rows = SparkEntry.queries("s29_bitext_mining")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
