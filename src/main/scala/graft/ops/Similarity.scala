@@ -2248,5 +2248,47 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
         FROM sc)
       SELECT xid, yid, cos, margin FROM best
       WHERE rk = 1 AND margin >= 1.0 ORDER BY xid""")),
+
+    // ---- CLUSTERING EVALUATION: purity and Rand index of the s08
+    //      k-means cells against the ground-truth labels — the eval
+    //      every clustering-based curation step (s06/s09 routing, s16
+    //      partitioning) should report before its cells are trusted.
+    //      Purity = Σ_c max_l n_cl / N; Rand index by exact pair
+    //      counting over the k×|labels| contingency (agreeing pairs /
+    //      C(N,2)) — integers until the final divisions. Cells come
+    //      from the learned float model → rows-only registration (the
+    //      s08 convention); OpsSpec pins the metric identities
+    //      against a driver-side recount. Scale: one corpus scan for
+    //      assignment (memoized model), then everything aggregates
+    //      the bounded contingency. ----
+    QuerySpec(
+      "s30_cluster_purity",
+      (s, d) => {
+        val (assigned, _) = kMeans(s, d)
+        val cont = assigned
+          .join(Tables.embeddings(s, d)
+            .select(col("vec_id"), col("label")), "vec_id")
+          .groupBy(col("cid"), col("label"))
+          .agg(count(lit(1)).as("nij"))
+        val perCell = cont.groupBy(col("cid"))
+          .agg(max(col("nij")).as("mx"), sum(col("nij")).as("nc"))
+        val perLabel = cont.groupBy(col("label"))
+          .agg(sum(col("nij")).as("nl"))
+        val a = cont.agg(sum(col("nij") * (col("nij") - 1) / 2)
+          .cast("long").as("a"),
+          sum(col("nij")).as("n"))
+        val sc = perCell.agg(sum(col("mx")).as("sum_mx"),
+          sum(col("nc") * (col("nc") - 1) / 2).cast("long").as("sc"),
+          count(lit(1)).cast("int").as("k_cells"))
+        val sl = perLabel.agg(
+          sum(col("nl") * (col("nl") - 1) / 2).cast("long").as("sl"))
+        val cn2 = (col("n") * (col("n") - 1) / 2).cast("long")
+        a.crossJoin(sc).crossJoin(sl)
+          .select(col("n"), col("k_cells"),
+            (col("sum_mx").cast("double") / col("n")).as("purity"),
+            ((cn2 - col("sc") - col("sl") + lit(2) * col("a"))
+              .cast("double") / cn2.cast("double")).as("rand_index"))
+      },
+      None),
   )
 }

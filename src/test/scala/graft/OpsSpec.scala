@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Multimodal, Parity, Text}
+import graft.ops.{Multimodal, Parity, Similarity, Text}
 import org.apache.spark.sql.functions._
 
 /** Operator-level checks at sf0.001 (the driver's smoke SF) — the
@@ -2750,6 +2750,32 @@ class OpsSpec extends SparkSpec {
       // the negative draws from bucket (own + 7) mod 64
       assert(bkt(neg) == (bkt(q) + 7) % 64, s"anchor $q bucket rule")
     }
+  }
+
+  test("s30: purity and Rand index match a driver-side recount") {
+    val row = SparkEntry.queries("s30_cluster_purity")(spark, sf0001)
+      .collect().head
+    val (n, k, purity, ri) = (row.getLong(0), row.getInt(1),
+      row.getDouble(2), row.getDouble(3))
+    val assigned = Similarity.kMeans(spark, sf0001)._1
+      .join(Tables.embeddings(spark, sf0001)
+        .selectExpr("vec_id", "label"), "vec_id")
+      .selectExpr("cid", "label").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(n == assigned.length)
+    val cont: Map[(Int, Int), Long] =
+      assigned.groupBy(identity).map { case (kk, v) => kk -> v.length.toLong }
+    assert(k == cont.keys.map(_._1).toSeq.distinct.length)
+    val wantPurity = cont.groupBy(_._1._1)
+      .map(_._2.values.max).sum.toDouble / n
+    assert(purity == wantPurity, s"purity $purity vs $wantPurity")
+    def c2(x: Long) = x * (x - 1) / 2
+    val a = cont.values.map(c2).sum
+    val sc = cont.groupBy(_._1._1).map(g => c2(g._2.values.sum)).sum
+    val sl = cont.groupBy(_._1._2).map(g => c2(g._2.values.sum)).sum
+    val cn2 = c2(n)
+    val wantRi = (cn2 - sc - sl + 2 * a).toDouble / cn2
+    assert(ri == wantRi, s"rand $ri vs $wantRi")
   }
 
   test("m19: quadrant SADs partition the frame SAD exactly") {
