@@ -179,6 +179,45 @@ object Streams {
       }
   }
 
+  /** Near-dup GATE at ingest: verified 3-gram-Jaccard matches of a
+    * streaming document feed against the STATIC corpus — the screen
+    * that quarantines incoming near-duplicates BEFORE they land in
+    * bronze (the streaming complement of t08: there both sides are
+    * the corpus; here one side arrives). Per micro-batch: the stream
+    * side derives the same 18-band MinHash keys as the batch path,
+    * candidates come from the stream-static band equi-join (Spark
+    * re-plans the static side per batch; at 100 TB the corpus band
+    * table is a bucketed catalog table so the join is shuffle-free
+    * on the static side), and the exact verify is one
+    * array_intersect per candidate. The only streaming state is the
+    * (doc_id, cid) dedup of candidate pairs — O(emitted matches),
+    * which for a gate is the interesting minority by construction.
+    * Emits (doc_id, cid, jaccard ≥ thr); the caller routes matched
+    * doc_ids to quarantine. */
+  def neardupMatches(docs: DataFrame, corpus: DataFrame,
+      thr: Double = 0.8): DataFrame = {
+    val corpusSh = corpus
+      .select(col("doc_id").as("cid"), graft.ops.Text.shingles.as("csh"))
+      .filter(size(col("csh")) > 0)
+    val corpusBands = graft.ops.Text.lshBandKeys(corpus)
+      .toDF("cid", "band", "bh")
+    val streamSh = docs
+      .select(col("doc_id"), graft.ops.Text.shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val streamBands = graft.ops.Text.lshBandKeys(docs)
+      .toDF("doc_id", "band", "bh")
+    val inter = size(array_intersect(col("sh"), col("csh")))
+    streamBands.join(corpusBands, Seq("band", "bh"))
+      .select("doc_id", "cid")
+      .dropDuplicates("doc_id", "cid")
+      .join(streamSh, "doc_id")
+      .join(corpusSh, "cid")
+      .select(col("doc_id"), col("cid"),
+        (inter.cast("double") /
+          (size(col("sh")) + size(col("csh")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= thr)
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks in the preceding hour — the streaming twin of the
     * batch range join (e11). Both sides carry watermarks and the join

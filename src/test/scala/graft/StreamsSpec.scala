@@ -155,6 +155,43 @@ class StreamsSpec extends SparkSpec {
     assert(!streamed.exists { case (a, b) => a == b })
   }
 
+  test("streaming near-dup gate vs a static corpus equals the batch join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = (1 to 40).map(i => s"g${i % 11}h$i").mkString(" ")
+    val edited = base.split(" ").updated(7, "EDITED").mkString(" ")
+    val far = (1 to 40).map(i => s"q${i * 13 % 19}r$i").mkString(" ")
+    val corpus = Seq(100L -> base, 101L -> far).toDF("doc_id", "text")
+    // incoming feed: a byte-identical dup, a near-dup, and a clean doc
+    val feed = Seq(1L -> base, 2L -> edited, 3L -> "totally new words only")
+    // batch twin: exact jaccard of every feed doc vs every corpus doc
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val want = (for {
+      (id, t) <- feed; (cid, ct) <- Seq(100L -> base, 101L -> far)
+      a = sh(t); b = sh(ct)
+      j = (a & b).size.toDouble / (a | b).size if j >= 0.8
+    } yield (id, cid)).toSet
+
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.neardupMatches(
+      ms.toDS.toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("ndgate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(feed.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(feed.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ndgate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(x => (x._1, x._2)).toSet == want)
+    assert(got.map(x => (x._1, x._2)).distinct.length == got.length)
+    // the identical doc matches at exactly 1.0; the clean doc never
+    assert(got.exists { case (a, c, j) => a == 1L && c == 100L && j == 1.0 })
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("streaming LSH bucket cap bounds state but still pairs against residents") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
