@@ -3332,6 +3332,47 @@ object Text {
       FROM cells c JOIN poss p USING (src_a, src_b), tot t, nd nd
       ORDER BY src_a, src_b""")),
 
+    // ---- per-doc DISPOSITION audit: the provenance record a
+    //      curation run publishes beside its output — every doc with
+    //      the FIRST gate that dropped it (dup → quality → short) or
+    //      kept = true, so any doc's absence from the training set is
+    //      explainable after the fact (t24 reports the funnel's
+    //      counts; this is the row-level trail auditors and data
+    //      cards need). Gates reuse the engine's own spellings: the
+    //      min-doc-id dup rule, the fused quality kernel at t24's 0.5
+    //      cut, a 30-token floor. One text-keyed window + a map-only
+    //      scan. ----
+    QuerySpec(
+      "t62_disposition_audit",
+      (s, d) => {
+        val w = Window.partitionBy(col("text"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            round(qualityExpr, 6).as("q"), size(toks).as("n_tokens"))
+          .withColumn("keep_id", min(col("doc_id")).over(w))
+        docs
+          .withColumn("dropped_by",
+            when(col("doc_id") =!= col("keep_id"), "dup")
+              .when(col("q") < 0.5, "quality")
+              .when(col("n_tokens") < 30, "short"))
+          .select(col("doc_id"), col("dropped_by").isNull.as("kept"),
+            col("dropped_by"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH q AS (
+        SELECT doc_id, $qualitySqlRounded AS q,
+          len(str_split(text, ' ')) AS n_tokens,
+          MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+        FROM documents)
+      SELECT doc_id,
+        (CASE WHEN doc_id <> keep_id THEN 'dup'
+              WHEN q < 0.5 THEN 'quality'
+              WHEN n_tokens < 30 THEN 'short' END) IS NULL AS kept,
+        CASE WHEN doc_id <> keep_id THEN 'dup'
+             WHEN q < 0.5 THEN 'quality'
+             WHEN n_tokens < 30 THEN 'short' END AS dropped_by
+      FROM q ORDER BY doc_id""")),
+
     // ---- tokenizer-vocabulary coverage: build the top-2000 token
     //      vocabulary from the TRAIN split (t26's leak-proof md5
     //      assignment), then measure the out-of-vocabulary rate on
