@@ -217,7 +217,16 @@ object BronzeMerge {
         s"${missing.mkString(",")} (compaction/delete) — " +
         "the append-only change feed cannot represent that window")
     val added = after.filterNot(before.toSet)
-    if (added.isEmpty) snapshot(spark, table).filter(lit(false))
+    // Empty windows exist (e.g. a span covering only a vacuum commit,
+    // which bumps the version without changing the batch set). The
+    // empty relation must still carry the PINNED schema: after a
+    // schema evolution, snapshot()'s current schema differs from the
+    // stream's pinned one and would hand the sink a mismatched batch.
+    if (added.isEmpty) readSchema match {
+      case Some(sc) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case None => snapshot(spark, table).filter(lit(false))
+    }
     else {
       val reader = readSchema.fold(spark.read)(spark.read.schema)
       reader.parquet(added.map(b => s"$table/$b"): _*)
@@ -383,16 +392,14 @@ object BronzeMerge {
             violated.map { case (n, c) => s"$n ($c rows)" }
               .mkString(", "))
       mergeIngestDf(spark, pinned, table)
-    } catch {
-      case t: Throwable =>
-        // release the checkpoint blocks promptly on the reject/failure
-        // path instead of waiting for ContextCleaner GC — the pinned
-        // plan is a LogicalRDD over the materialized blocks, and
-        // unpersisting that RDD is the only deterministic release
-        pinned.queryExecution.analyzed.collectFirst {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-        }.foreach(_.unpersist(blocking = false))
-        throw t
+    } finally {
+      // release the checkpoint blocks promptly on BOTH the success
+      // and the reject/failure path instead of waiting for
+      // ContextCleaner GC — the pinned plan is a LogicalRDD over the
+      // materialized blocks, and unpersisting that RDD is the only
+      // deterministic release (the written batch is on disk; nothing
+      // reads the blocks after the merge)
+      graft.Scoped.dropCheckpoint(pinned)
     }
   }
 

@@ -1447,12 +1447,24 @@ object Events {
           .join(spine, Seq("day"), "left_semi")
           .groupBy(col("day"))
           .agg(count_distinct(col("user_id")).as("wau_exact"))
-        // the day-level relation is O(days) — the 7-row frame union
-        // is driver-bounded however large the corpus underneath
-        val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
-        daily
-          .withColumn("wau_est",
-            hll_sketch_estimate(hll_union_agg(col("sk")).over(w7)))
+        // the day-level relation is O(days) — union each output day's
+        // TRUE calendar window [day-6, day] by fanning each daily
+        // sketch out to the ≤7 days it covers, mirroring the exact
+        // twin's fan-out. A rowsBetween(-6,0) frame over the daily
+        // relation would instead union the last 7 PRESENT days: on a
+        // corpus with gap days the two sides would disagree by window
+        // semantics, not HLL error, and the <5% contract could fail
+        // spuriously. 7·O(days) sketch rows stay trivially bounded.
+        val est = daily
+          .select(col("day"), col("sk"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .select(date_add(col("day"), col("off")).as("day"), col("sk"))
+          .join(spine, Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("wau_est"))
+        daily.select(col("day"), col("dau"))
+          .join(est, Seq("day"))
           .join(exact, Seq("day"))
           .select(col("day"), col("dau"), col("wau_exact"),
             col("wau_est"),

@@ -2274,15 +2274,18 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
           .agg(max(col("nij")).as("mx"), sum(col("nij")).as("nc"))
         val perLabel = cont.groupBy(col("label"))
           .agg(sum(col("nij")).as("nl"))
-        val a = cont.agg(sum(col("nij") * (col("nij") - 1) / 2)
-          .cast("long").as("a"),
+        // C(n,2) in exact long arithmetic: n·(n−1) is even, so a
+        // 1-bit shift IS the division — `/` would route through
+        // double and go inexact past 2^53 (~9.5e7 rows per cell),
+        // exactly the corpus sizes the 100 TB story claims.
+        def c2(c: Column): Column = shiftright(c * (c - 1), 1)
+        val a = cont.agg(sum(c2(col("nij"))).as("a"),
           sum(col("nij")).as("n"))
         val sc = perCell.agg(sum(col("mx")).as("sum_mx"),
-          sum(col("nc") * (col("nc") - 1) / 2).cast("long").as("sc"),
+          sum(c2(col("nc"))).as("sc"),
           count(lit(1)).cast("int").as("k_cells"))
-        val sl = perLabel.agg(
-          sum(col("nl") * (col("nl") - 1) / 2).cast("long").as("sl"))
-        val cn2 = (col("n") * (col("n") - 1) / 2).cast("long")
+        val sl = perLabel.agg(sum(c2(col("nl"))).as("sl"))
+        val cn2 = c2(col("n"))
         a.crossJoin(sc).crossJoin(sl)
           .select(col("n"), col("k_cells"),
             (col("sum_mx").cast("double") / col("n")).as("purity"),
@@ -2290,5 +2293,118 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
               .cast("double") / cn2.cast("double")).as("rand_index"))
       },
       None),
+
+    // ---- BITEXT MINING over the CODED shortlist — s29's registered
+    //      scale twin (the s25→s26 pattern, pushed further): s29's
+    //      margin algebra is exact-anchored on a label-0 × label-1
+    //      cartesian; this query replaces the cartesian with two
+    //      IVF-PQ shortlist passes over the stored coded table and
+    //      runs the IDENTICAL margin algebra downstream. Unlike
+    //      s26's driver-collected query LUTs (bounded by QueryIds),
+    //      here the query side is the WHOLE label-0 side: LUTs and
+    //      probe cells are computed AS COLUMNS (one map pass per
+    //      side, broadcast centroid/codebook literals — ≤ kCells·64 +
+    //      m·k·sub doubles), the probe explode equi-joins the coded
+    //      table on `cid` (partition-pruned on disk, co-partitioned
+    //      in the shuffle), the ADC fold runs in codegen
+    //      ([[graft.functions.VectorExprs.AdcScore]]), and only the
+    //      per-query top-`shortN` shortlist ever touches float
+    //      vectors. Neighborhood means (k=4, Artetxe & Schwenk 2019)
+    //      ride each side's own shortlist. Approximate shortlist →
+    //      rows-only registration; OpsSpec pins pick agreement
+    //      against the exact s29 on the anchor corpus. Scale: no
+    //      stage grows faster than |corpus|·nprobe/kCells code rows —
+    //      no cartesian leg anywhere. ----
+    QuerySpec(
+      "s31_bitext_coded",
+      (s, d) => {
+        val fwd = bitextShortlist(s, d, qLabel = 0, tLabel = 1)
+        val bwd = bitextShortlist(s, d, qLabel = 1, tLabel = 0)
+        val ax = fwd.filter(col("rk") <= 4)
+          .groupBy(col("qid").as("xid")).agg(davg(col("cos")).as("ax"))
+        val ay = bwd.filter(col("rk") <= 4)
+          .groupBy(col("qid").as("yid")).agg(davg(col("cos")).as("ay"))
+        val scored = fwd
+          .select(col("qid").as("xid"), col("tid").as("yid"), col("cos"))
+          .join(ax, "xid").join(ay, "yid")
+          .select(col("xid"), col("yid"), col("cos"),
+            (col("cos") / ((col("ax") + col("ay")) / lit(2)))
+              .as("margin"))
+        val wBest = Window.partitionBy(col("xid"))
+          .orderBy(desc("margin"), col("yid"))
+        scored.withColumn("rk", row_number().over(wBest))
+          .filter(col("rk") === 1 && col("margin") >= 1.0)
+          .select(col("xid"), col("yid"), col("cos"), col("margin"))
+          .orderBy("xid")
+      },
+      None),
   )
+
+  /** One direction of s31's mining: for every `qLabel` vector, the
+    * exact-cosine-reranked top-[[BitextShortN]] of its IVF-PQ
+    * candidates on the `tLabel` side. Returns
+    * (qid, tid, cos, rk) with rk ordered by (cos desc, tid).
+    * Everything up to the shortlist is map-side work + one cid
+    * equi-join; the label filter on the coded table is a vec_id join
+    * here because the test fixture's coded layout partitions only by
+    * cid — a production bitext table would add the side label as a
+    * second partition column and prune instead. */
+  private def bitextShortlist(s: SparkSession, d: String,
+      qLabel: Int, tLabel: Int, m: Int = 8, k: Int = 16,
+      kCells: Int = 8, nprobe: Int = 4): DataFrame = {
+    val sub = 64 / m
+    val (centroids, _) = kMeansModel(s, d, kCells)
+    val books = pqModel(s, d, m, k)
+    val centLit = typedLit(centroids.map(_._2))
+    val bookLit = typedLit(bookVals(books))
+    val e = Tables.embeddings(s, d)
+    val codedT = s.read.parquet(codedCorpusPath(s, d, m, k, kCells))
+      .join(e.filter(col("label") === tLabel).select(col("vec_id")),
+        "vec_id")
+    // per-row probe cells in RAW space (mirrors queryProbes' sort by
+    // (d², cid)) and per-row ADC LUT over the L2-NORMALIZED query
+    // (mirrors queryLuts: corpus codes are raw, so ADC ∝ cosine·|y|
+    // — rank-correct enough for a shortlist that is exact-reranked)
+    val qs = e.filter(col("label") === qLabel)
+      .select(col("vec_id").as("qid"), vec(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(aggregate(col("qv"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .withColumn("qn", when(col("nrm") > 0,
+        transform(col("qv"), x => x / col("nrm"))).otherwise(col("qv")))
+      .withColumn("lut", transform(bookLit, (bj, j) =>
+        transform(bj, bc => aggregate(
+          zip_with(slice(col("qn"), j * lit(sub) + 1, lit(sub)), bc,
+            (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))))
+      .withColumn("cid", explode(transform(
+        slice(array_sort(transform(centLit, (c, i) => struct(
+          aggregate(zip_with(col("qv"), c, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"),
+          i.as("cid")))), 1, nprobe),
+        p => p.getField("cid"))))
+      .select(col("qid"), col("lut"), col("cid"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(desc("adc"), col("vec_id"))
+    val short = codedT.join(qs, "cid")
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorExprs.adcScore(col("codes"), col("lut"))
+          .as("adc"))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= BitextShortN)
+    // exact rerank: float vectors only for shortlist rows
+    val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val tv = e.select(col("vec_id").as("tid"), col("embedding").as("te"))
+    val wCos = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos"), col("tid"))
+    short.select(col("qid"), col("vec_id").as("tid"))
+      .join(qv, "qid").join(tv, "tid")
+      .select(col("qid"), col("tid"),
+        cosine(col("qe"), col("te")).as("cos"))
+      .withColumn("rk", row_number().over(wCos))
+  }
+
+  /** s31's per-side ADC shortlist width: wide enough that the true
+    * best match and the k=4 neighborhood both survive the
+    * approximate stage with headroom. */
+  private val BitextShortN = 16
 }

@@ -645,14 +645,28 @@ object Text {
       // the count both decides convergence AND materializes the lazy
       // checkpoint — one job per generation total
       converged = next.filter(col("changed")).count() == 0
+      // generation g is DEAD the moment g+1's blocks exist: free it
+      // NOW instead of waiting for the context cleaner, which only
+      // fires on a driver GC. Round-10 forensics: per-generation
+      // blocks from the per-run CC callers (m10/s12/s15) accreted
+      // across bench rounds and showed up as monotone slowdowns in
+      // the allocation-heavy t-family (t09 1.51→2.19 s over three
+      // in-JVM rounds); explicit reclamation is deterministic.
+      Scoped.dropCheckpoint(labels)
       labels = next.select(col("doc_id"), col("lbl"))
       iters += 1
     }
+    Scoped.dropCheckpoint(edges)
     // a silently-unconverged result would under-merge components —
     // refuse loudly instead (cap 30 covers diameter ~2^30 with the
     // jump; nothing real gets here)
     require(converged, s"connectedComponents did not converge in $iters")
-    labels
+    // the FINAL generation's blocks back the returned labels: they
+    // must survive the caller's reads but not the query — release
+    // them with the query scope. Callers that outlive a query
+    // (session memos) re-checkpoint EAGERLY downstream, so their
+    // lineage never reaches back into these blocks.
+    Scoped.trackCheckpoint(labels)
   }
 
   /** Session-memoized near-dup cluster labels over the LSH pair
@@ -703,7 +717,14 @@ object Text {
       mapping.select(col("doc_id"), col("rep"))
         .join(eligible, "rep")
         .select(col("doc_id"), col("lbl"))
-        .localCheckpoint(false)
+        // EAGER, unlike the per-generation checkpoints: this value
+        // outlives the computing query (session memo), while the CC
+        // labels it reads are query-scoped (released by the harness).
+        // Materializing here pins the memo's OWN blocks before the
+        // upstream generation can be reclaimed; a lazy checkpoint
+        // whose first action ran in a LATER query would reach back
+        // into freed blocks.
+        .localCheckpoint()
     }
 
   /** Near-dup pairs via MinHash+LSH with exact verification — same
@@ -724,16 +745,18 @@ object Text {
     * (calibration) and t61 (source matrix) share ONE pair computation
     * per (dir, thr) instead of each re-running shingling + candidate
     * generation + verify (~2.4 s each at sf0.1). The memoized frame
-    * is a LAZY localCheckpoint: the first consumer's action
-    * materializes the blocks, later consumers scan them — compute
-    * reuse, the [[dupLabelsMemo]] convention. Memory held is
+    * is an EAGER localCheckpoint (materialized at compute, its inputs
+    * are query-scoped); consumers scan the blocks — compute reuse,
+    * the [[dupLabelsMemo]] convention. Memory held is
     * O(pairs) per (dir, thr) for the session; same corpus-immutable-
     * within-a-session caveat as every directory-keyed memo. */
   private[graft] def jaccardPairs(s: SparkSession, d: String,
       thr: Double): DataFrame =
     pairsMemo.getOrCompute(s, (d, thr)) {
+      // eager for the same lifetime reason as [[dupLabelsMemo]]: the
+      // memo outlives the query, its inputs (Scoped persists) do not.
       (if (exactAnchor(s, d)) exactJaccardPairs(s, d, thr)
-       else lshJaccardPairs(s, d, thr)).localCheckpoint(false)
+       else lshJaccardPairs(s, d, thr)).localCheckpoint()
     }
 
   /** The representative-level stage of [[lshJaccardPairs]]:
@@ -3293,7 +3316,11 @@ object Text {
           .filter(col("src_a") <= col("src_b"))
           .select(col("src_a"), col("src_b"),
             when(col("src_a") === col("src_b"),
-              (col("na") * (col("na") - 1) / 2).cast("long"))
+              // C(n,2) via 1-bit shift: n·(n−1) is even so the shift
+              // IS the halving, exact in long at any corpus size —
+              // `/ 2` routes through double and drifts past 2^53,
+              // where the oracle's integer `//` stays exact.
+              shiftright(col("na") * (col("na") - 1), 1))
               .otherwise(col("na") * col("nb")).as("possible"))
         cells.join(possible, Seq("src_a", "src_b"))
           .crossJoin(broadcast(tot))
@@ -3301,7 +3328,7 @@ object Text {
           .select(col("src_a"), col("src_b"), col("n_pairs"),
             col("possible"),
             ((col("n_pairs") *
-              (col("nd") * (col("nd") - 1) / 2).cast("long"))
+              shiftright(col("nd") * (col("nd") - 1), 1))
               .cast("double") /
               (col("total_pairs") * col("possible")).cast("double"))
               .as("lift"))

@@ -64,11 +64,44 @@ final case class QuerySpec(
 object Scoped {
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val trackedRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]()
 
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist()
     tracked.add(p)
     p
+  }
+
+  /** The checkpointed RDDs under `df`'s plan. `Dataset.unpersist`
+    * cannot reach these — `localCheckpoint` blocks live outside the
+    * CacheManager — so block release must go through the RDD handle
+    * inside the plan's [[org.apache.spark.sql.execution.LogicalRDD]]
+    * leaves. */
+  private def checkpointRdds(df: DataFrame)
+      : Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Immediately drop the `localCheckpoint` blocks under `df`. Only
+    * legal once nothing will read `df` again: a locally-checkpointed
+    * RDD has no lineage to recompute from, so a later action on it
+    * would fail — this is a free-the-dead-generation primitive, not a
+    * cache hint. */
+  def dropCheckpoint(df: DataFrame): Unit =
+    checkpointRdds(df).foreach(_.unpersist(blocking = false))
+
+  /** Register `df`'s checkpoint blocks for [[release]] at end of
+    * query — the per-run analogue of [[persist]] for relations whose
+    * lineage was truncated (`localCheckpoint`), which `unpersist` on
+    * the Dataset cannot free. After release the frame is DEAD (no
+    * lineage), so only track checkpoints that do not outlive their
+    * query; session-memoized checkpoints must NOT go through here. */
+  def trackCheckpoint(df: DataFrame): DataFrame = {
+    checkpointRdds(df).foreach(trackedRdds.add)
+    df
   }
 
   /** Drop every tracked cache (idempotent; non-blocking eviction). */
@@ -77,6 +110,11 @@ object Scoped {
     while (df != null) {
       df.unpersist(blocking = false)
       df = tracked.poll()
+    }
+    var rdd = trackedRdds.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      rdd = trackedRdds.poll()
     }
   }
 }

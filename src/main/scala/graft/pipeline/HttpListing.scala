@@ -157,12 +157,21 @@ object HttpListing {
     * [[graft.archive.Archive.HttpFileOps]]. */
   def graphTransport(tokenUrl: String, clientId: String,
       clientSecret: String,
-      scope: String = "https://graph.microsoft.com/.default")
+      scope: String = "https://graph.microsoft.com/.default",
+      permitsPerSec: Double = 0)
       : WriteTransport = {
     val creds = new OAuth2ClientCredentials(
       new HttpUrlConnectionTransport(), tokenUrl, clientId, clientSecret,
       scope)
-    new AuthRefreshTransport(new HttpUrlConnectionTransport(creds), creds)
+    // throttle below the 401-refresh wrapper so a refresh re-send
+    // spends a permit like any other request; permitsPerSec ≤ 0 =
+    // unthrottled (tests, single-threaded tools)
+    val api: WriteTransport =
+      if (permitsPerSec > 0)
+        new RateLimitedTransport(new HttpUrlConnectionTransport(creds),
+          ThrottleBudget.shared("graph-api", permitsPerSec))
+      else new HttpUrlConnectionTransport(creds)
+    new AuthRefreshTransport(api, creds)
   }
 
   /** 401 → invalidate → single retry, on any verb: an expired or
@@ -249,6 +258,82 @@ object HttpListing {
       send("POST", url, Some((body, contentType)))
     override def delete(url: String): HttpResponse =
       send("DELETE", url, None)
+  }
+
+  /** Cross-partition request throttle — a token bucket EVERY task in
+    * the JVM shares, so N parallel listing/fetch partitions present
+    * ONE request rate to the Graph endpoint instead of N uncoordinated
+    * ones. [[RetryPolicy]] reacts to a 429 after the fact; without a
+    * shared budget, 32 partitions that each behave politely still
+    * arrive as a 32× burst, Graph throttles ALL of them, and the
+    * retries re-synchronize into the next burst (coordinated 429
+    * storm). The bucket meters admission instead, so 429s become the
+    * exception path again.
+    *
+    * Scope: one JVM. In local mode that IS the whole pipeline; on a
+    * multi-executor cluster each executor JVM holds its own bucket,
+    * so callers size `permitsPerSec` as clusterBudget / numExecutors
+    * (the standard decomposition — a cluster-global bucket would put
+    * an RPC on every request's hot path for no extra safety: Graph
+    * throttles per app+tenant, and E × rate/E meets the same global
+    * ceiling).
+    *
+    * Mechanics: admission times form an arithmetic ladder spaced
+    * `1/permitsPerSec` apart; `acquire` claims the next rung under
+    * the lock and sleeps OUTSIDE it until the rung is due, so waiting
+    * callers don't serialize on the monitor. `clock`/`sleeper` are
+    * injected — HttpListingSpec drives a fake pair and asserts the
+    * granted schedule never exceeds the configured rate without ever
+    * sleeping for real. */
+  final class ThrottleBudget(
+      permitsPerSec: Double,
+      clock: () => Long = System.nanoTime,
+      sleeper: Long => Unit = ms => Thread.sleep(ms)) extends Serializable {
+    require(permitsPerSec > 0, s"need permitsPerSec > 0, got $permitsPerSec")
+    private val intervalNs = math.max(1L, (1e9 / permitsPerSec).toLong)
+    private var nextFreeNs = Long.MinValue
+
+    /** Block until a permit is due; returns the granted admission
+      * time (ns, `clock`'s domain) — observable for tests/metrics. */
+    def acquire(): Long = {
+      var grantedAt = 0L
+      val waitNs = this.synchronized {
+        val now = clock()
+        grantedAt = math.max(now, nextFreeNs)
+        nextFreeNs = grantedAt + intervalNs
+        grantedAt - now
+      }
+      if (waitNs > 0) sleeper((waitNs + 999999) / 1000000)
+      grantedAt
+    }
+  }
+
+  object ThrottleBudget {
+    private val registry =
+      new java.util.concurrent.ConcurrentHashMap[String, ThrottleBudget]()
+
+    /** The JVM-shared bucket for `name` (e.g. the Graph host) —
+      * executor tasks deserialize the same name and meet the same
+      * bucket. First caller's rate wins for the JVM's lifetime. */
+    def shared(name: String, permitsPerSec: Double): ThrottleBudget =
+      registry.computeIfAbsent(name, _ => new ThrottleBudget(permitsPerSec))
+  }
+
+  /** Transport wrapper that meters EVERY verb through a
+    * [[ThrottleBudget]] — wraps under [[AuthRefreshTransport]] (a 401
+    * re-send is one more request and must spend a permit too). */
+  final class RateLimitedTransport(inner: WriteTransport,
+      budget: ThrottleBudget) extends WriteTransport {
+    override def get(url: String): HttpResponse = {
+      budget.acquire(); inner.get(url)
+    }
+    override def post(url: String, body: String,
+        contentType: String): HttpResponse = {
+      budget.acquire(); inner.post(url, body, contentType)
+    }
+    override def delete(url: String): HttpResponse = {
+      budget.acquire(); inner.delete(url)
+    }
   }
 
   /** Retry 429/5xx with capped exponential backoff; honor

@@ -600,6 +600,37 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** One scheduled INCREMENTAL-DISCOVERY round (Graph delta query →
+    * staged catalog append): load the previous deltaLink, fetch only
+    * the items changed since it, append the live file rows to
+    * `stagingDir` as parquet, and persist the new deltaLink.
+    * Discovery cost is O(changes) — the fix for the reference's
+    * full-catalog re-list every run
+    * (`sharepoint_to_bronze_delta.py:72-77`).
+    *
+    * Ordering is data-then-checkpoint: a crash between the two
+    * re-fetches one change window on restart (at-least-once), which
+    * the downstream bronze MERGE dedupes — the same C4 contract as
+    * every other re-run in the pipeline. The staged rows feed any
+    * `Trigger.AvailableNow` consumer ([[streamMergeIngest]]-style):
+    * each scheduled run drains discovery AND the stream in one shot,
+    * so catalog freshness costs one delta round-trip plus the bytes
+    * that actually changed. Returns the landed items (deleted and
+    * folder tombstones excluded from staging but returned for audit).
+    */
+  def discoverIncrement(spark: SparkSession,
+      provider: graft.pipeline.DeltaListingProvider,
+      checkpoint: graft.pipeline.DeltaCheckpoint,
+      stagingDir: String): Seq[graft.pipeline.DeltaListing.DeltaItem] = {
+    import spark.implicits._
+    val result = provider.sync(checkpoint.load())
+    val live = result.items.filter(it => !it.deleted && it.mime != null)
+    if (live.nonEmpty)
+      live.toDF().write.mode("append").parquet(stagingDir)
+    checkpoint.save(result.deltaLink)
+    result.items
+  }
+
   /** Streaming ANN index maintenance — the always-on twin of
     * [[graft.ops.Similarity.appendToCodedCorpus]]: each micro-batch
     * of (vec_id, embedding) rows is encoded under the FROZEN

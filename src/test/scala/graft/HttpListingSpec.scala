@@ -369,4 +369,53 @@ class HttpListingSpec extends AnyFunSuite {
     assert(t.calls == Seq(url("F"), s"$base/p2", s"$base/p2"))
     assert(sleeps.toSeq == Seq(9L))
   }
+
+  test("ThrottleBudget: N concurrent partitions never exceed the configured rate") {
+    import HttpListing.ThrottleBudget
+    // fake clock advanced only by the fake sleeper — deterministic,
+    // no real sleeping; the admission-ladder invariant (consecutive
+    // grants ≥ 1/rate apart) is what keeps real partitions under the
+    // endpoint's budget
+    val clockNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val budget = new ThrottleBudget(permitsPerSec = 10,
+      clock = () => clockNs.get(),
+      sleeper = ms => { clockNs.addAndGet(ms * 1000000L); () })
+    val grants = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      (1 to 5).foreach(_ => grants.add(budget.acquire()))))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val ts = grants.asScala.map(_.longValue()).toSeq.sorted
+    assert(ts.size == 40)
+    // no 1-second window admits more than 10 requests: the i-th and
+    // (i+10)-th admissions are ≥ 1 s apart
+    ts.indices.dropRight(10).foreach { i =>
+      assert(ts(i + 10) - ts(i) >= 1000000000L,
+        s"grants $i..${i + 10} packed into <1s: ${ts(i)}..${ts(i + 10)}")
+    }
+    // and admissions are strictly spaced — never two in one interval
+    ts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b - a >= 100000000L, s"grants $a and $b closer than 1/rate")
+    }
+  }
+
+  test("RateLimitedTransport: every verb spends a permit; refresh re-sends pay too") {
+    import HttpListing.{RateLimitedTransport, ThrottleBudget, WriteTransport}
+    val clockNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    var permits = 0
+    val budget = new ThrottleBudget(1000,
+      clock = () => { permits += 1; clockNs.get() },
+      sleeper = ms => { clockNs.addAndGet(ms * 1000000L); () })
+    val inner = new WriteTransport {
+      override def get(url: String) = HttpResponse(200, "{}")
+      override def post(url: String, body: String, contentType: String) =
+        HttpResponse(200, "{}")
+      override def delete(url: String) = HttpResponse(204, "")
+    }
+    val limited = new RateLimitedTransport(inner, budget)
+    limited.get("u"); limited.post("u", "{}", "application/json")
+    limited.delete("u")
+    assert(permits == 3, s"expected one permit per verb, saw $permits")
+  }
 }

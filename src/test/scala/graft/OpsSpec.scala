@@ -2889,4 +2889,25 @@ class OpsSpec extends SparkSpec {
     // at sf0.001/sf0.01); 0.5 is the regression floor
     assert(mean >= 0.5, s"mean pick agreement $mean below floor")
   }
+
+  test("s31: coded-shortlist bitext mining agrees with the exact s29 on the anchor corpus") {
+    val exact = SparkEntry.queries("s29_bitext_mining")(spark, sf0001)
+      .select("xid", "yid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coded = SparkEntry.queries("s31_bitext_coded")(spark, sf0001)
+      .select("xid", "yid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty && coded.nonEmpty)
+    // pick agreement over the exact miner's x side: the coded twin
+    // should reproduce most (x → y) alignments; the shortfall is
+    // ADC-shortlist recall (nprobe 4/8 cells + top-16), the same
+    // approximation budget as s26's ~0.75
+    val agree = exact.count { case (x, y) => coded.get(x).contains(y) }
+      .toDouble / exact.size
+    assert(agree >= 0.5, s"pick agreement $agree below floor " +
+      s"(exact=${exact.size}, coded=${coded.size})")
+    // no cartesian leg: the twin's output stays per-x best-match
+    assert(coded.size <= exact.size * 2 + 8,
+      s"coded side mined ${coded.size} picks vs exact ${exact.size}")
+  }
 }

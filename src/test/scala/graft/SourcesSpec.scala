@@ -252,4 +252,80 @@ class SourcesSpec extends SparkSpec {
     assert(snap.filter(org.apache.spark.sql.functions
       .col("source_url").isNotNull).count() == 1)
   }
+
+  test("delta query: initial sync pages to a deltaLink; resync fetches only the changes") {
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    import graft.pipeline.HttpListing.{HttpResponse, Transport}
+    val base = "https://graph.example.test/drives/d1"
+    val page2 = s"$base/root/delta?skiptoken=p2"
+    val delta1 = s"$base/root/delta?token=T1"
+    val delta2 = s"$base/root/delta?token=T2"
+    def item(id: String, name: String, folder: String, size: Long) =
+      s"""{"id":"$id","name":"$name","size":$size,
+         |"file":{"mimeType":"text/plain"},
+         |"parentReference":{"path":"/drives/d1/root:/$folder"}}"""
+        .stripMargin.replace("\n", "")
+    val script = Map(
+      s"$base/root/delta" -> HttpResponse(200,
+        s"""{"value":[${item("i1", "a.txt", "in", 3)},
+           |{"id":"i9","name":"docs","folder":{"childCount":1},
+           |"parentReference":{"path":"/drives/d1/root:"}}],
+           |"@odata.nextLink":"$page2"}""".stripMargin.replace("\n", "")),
+      page2 -> HttpResponse(200,
+        s"""{"value":[${item("i2", "b.txt", "in", 5)}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", "")),
+      delta1 -> HttpResponse(200,
+        s"""{"value":[${item("i2", "b.txt", "in", 9)},
+           |{"id":"i1","name":"a.txt","deleted":{"state":"deleted"}}],
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")))
+    val calls = scala.collection.mutable.Buffer[String]()
+    val transport = new Transport {
+      override def get(url: String): HttpResponse = {
+        calls += url
+        script.getOrElse(url, fail(s"unexpected GET $url"))
+      }
+    }
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+
+    // initial sync: full catalog over two pages, folder surfaces with
+    // null mime, deltaLink captured from the FINAL page
+    val full = prov.sync(None)
+    assert(full.deltaLink == delta1)
+    assert(full.items.map(_.name) == Seq("a.txt", "docs", "b.txt"))
+    assert(full.items.filter(_.mime != null).map(_.name) ==
+      Seq("a.txt", "b.txt"))
+    assert(full.items.forall(!_.deleted))
+    assert(full.items.head.path == "/drives/d1/root:/in")
+
+    // incremental sync: ONLY the changed item + the tombstone come
+    // back, and the full-catalog URL is never hit again
+    val incr = prov.sync(Some(full.deltaLink))
+    assert(calls.count(_ == s"$base/root/delta") == 1,
+      "incremental sync must not re-list the catalog")
+    assert(incr.items.map(i => (i.name, i.deleted)) ==
+      Seq(("b.txt", false), ("a.txt", true)))
+    assert(incr.items.head.size == 9L)
+    assert(incr.deltaLink == delta2)
+
+    // checkpoint round-trip: absent → None; save → load returns it
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-deltackpt").toString
+    val ck = new DeltaCheckpoint(dir)
+    assert(ck.load().isEmpty)
+    ck.save(incr.deltaLink)
+    assert(ck.load().contains(delta2))
+  }
+
+  test("delta query: a sync ending without a deltaLink fails loudly") {
+    import graft.pipeline.DeltaListingProvider
+    import graft.pipeline.HttpListing.{HttpResponse, Transport}
+    val base = "https://graph.example.test/drives/d1"
+    val transport = new Transport {
+      override def get(url: String): HttpResponse =
+        HttpResponse(200, """{"value":[]}""")
+    }
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val e = intercept[RuntimeException](prov.sync(None))
+    assert(e.getMessage.contains("deltaLink"))
+  }
 }

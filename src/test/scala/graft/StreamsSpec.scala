@@ -1091,4 +1091,81 @@ class StreamsSpec extends SparkSpec {
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(rows == Map("a.txt" -> None, "b.txt" -> Some("https://src/b")))
   }
+
+  test("incremental discovery: round 2 stages only the delta; AvailableNow drains only the new rows") {
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    import graft.pipeline.HttpListing.{HttpResponse, Transport}
+    val base = "https://graph.example.test/drives/d2"
+    val delta1 = s"$base/root/delta?token=T1"
+    val delta2 = s"$base/root/delta?token=T2"
+    def item(id: String, name: String, size: Long) =
+      s"""{"id":"$id","name":"$name","size":$size,
+         |"file":{"mimeType":"text/plain"},
+         |"parentReference":{"path":"/drives/d2/root:/in"}}"""
+        .stripMargin.replace("\n", "")
+    val script = Map(
+      s"$base/root/delta" -> HttpResponse(200,
+        s"""{"value":[${item("i1", "a.txt", 3)},${item("i2", "b.txt", 5)}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", "")),
+      delta1 -> HttpResponse(200,
+        s"""{"value":[${item("i3", "c.txt", 7)}],
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")))
+    val calls = scala.collection.mutable.Buffer[String]()
+    val transport = new Transport {
+      override def get(url: String): HttpResponse = {
+        calls += url
+        script.getOrElse(url, throw new AssertionError(s"unexpected $url"))
+      }
+    }
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-discover").toString
+    val staging = s"$work/staging"
+    val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
+    val sink = s"$work/sink"
+    val sckpt = s"$work/stream-ckpt"
+
+    // the AvailableNow consumer over the staged catalog — its own
+    // streaming checkpoint makes each drain read only NEW files
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("mime",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("size",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("deleted",
+        org.apache.spark.sql.types.BooleanType)))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(staging)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", sckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    // round 1: initial sync stages the full catalog, drain lands it
+    val r1 = Streams.discoverIncrement(spark, prov, ck, staging)
+    assert(r1.map(_.name).sorted == Seq("a.txt", "b.txt"))
+    drain()
+    assert(spark.read.parquet(sink).count() == 2)
+
+    // round 2: the provider is asked ONLY for the delta (checkpointed
+    // deltaLink), the staging append carries only c.txt, and the
+    // drain's streaming checkpoint reads only the new file
+    val r2 = Streams.discoverIncrement(spark, prov, ck, staging)
+    assert(r2.map(_.name) == Seq("c.txt"))
+    assert(calls.count(_ == s"$base/root/delta") == 1,
+      "round 2 must ride the deltaLink, not the initial URL")
+    drain()
+    val names = spark.read.parquet(sink).select("name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("a.txt", "b.txt", "c.txt"))
+    assert(ck.load().contains(delta2))
+  }
 }
