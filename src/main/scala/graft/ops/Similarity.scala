@@ -57,6 +57,53 @@ object Similarity {
   private def cosineSql(a: String, b: String) =
     s"${dotSql(a, b)} / (${l2Sql(a)} * ${l2Sql(b)})"
 
+  /** The DuckDB replay of [[embDupMapping]] + [[lshCandidatePairs]]
+    * — a WITH-clause body (caller prepends `WITH `) ending in
+    * `scored(va, vb, cos)`: dup-collapse mapping, the portable
+    * sign-LSH signatures over representatives ([[radPlanes]]'s
+    * integer family re-derived from the SAME literals), Hamming-≤1
+    * multi-probe candidates, exact cosine. The plane dot replays
+    * Spark's fused kernel exactly: an index-ordered fold of ±xᵢ
+    * (DuckDB's 1-based lambda index i IS the Scala (i+1)), so the
+    * sign decisions — and therefore buckets, candidates and hashes —
+    * are engine-identical. [[BucketCap]] is deliberately absent: it
+    * is inert at every oracle SF (buckets ≈ N/256 ≪ 4096) and a
+    * binding cap WARNs via CapMetrics, so an oracle divergence here
+    * is a signal, not noise. */
+  private def lshCandSql(tables: Int = LshTables): String = {
+    val consts = planePairs(tables * 8).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+    s"""mapping AS (
+      SELECT vec_id, embedding,
+        MIN(vec_id) OVER (PARTITION BY embedding) AS rep
+      FROM embeddings),
+    reps AS (SELECT vec_id, embedding FROM mapping WHERE vec_id = rep),
+    pc(p, pa, pb) AS (VALUES $consts),
+    pdots AS (
+      SELECT r.vec_id, pc.p,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(CAST(r.embedding AS DOUBLE[]),
+            (x, i) -> x * CAST(1 - 2 * ((pc.pa * i + pc.pb)
+              % 2147483647 % 2) AS DOUBLE))),
+          (acc, x) -> acc + x) AS dt
+      FROM reps r, pc),
+    sigs AS (
+      SELECT vec_id, CAST(p // 8 AS INT) AS tbl,
+        CAST(SUM(CASE WHEN dt >= 0 THEN (1 << (p % 8))
+          ELSE 0 END) AS INT) AS sig
+      FROM pdots GROUP BY 1, 2),
+    flips(flip) AS (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)),
+    cand AS (
+      SELECT DISTINCT sa.vec_id AS va, sb.vec_id AS vb
+      FROM sigs sa CROSS JOIN flips f
+      JOIN sigs sb ON sb.tbl = sa.tbl AND sb.sig = xor(sa.sig, f.flip)
+        AND sa.vec_id < sb.vec_id),
+    scored AS (
+      SELECT c.va, c.vb, ${cosineSql("ea", "eb")} AS cos
+      FROM cand c JOIN reps ea ON ea.vec_id = c.va
+        JOIN reps eb ON eb.vec_id = c.vb)"""
+  }
+
   /** The fixed query set: first 8 vectors. Tiny → broadcast join. */
   private val QueryIds = 8
 
@@ -335,18 +382,44 @@ object Similarity {
     * s05's 2.1 s at sf0.1) paid on the full candidate multiset when
     * ≤ [[LshTables]]-fold duplication is removable later at a
     * fraction of the rows. */
+  /** Prefix-stable integer mixers behind the PORTABLE hyperplanes:
+    * pair p is drawn as one (a, b) unit from the fixed-seed stream,
+    * so the first `n` pairs are identical whatever `n` is requested —
+    * the recall-vs-cost sweep at T tables uses a strict prefix of the
+    * T=16 family, and the ORACLE literals embed the same integers. */
+  private[graft] def planePairs(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)((1L + rnd.nextInt(Int.MaxValue - 1),
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Rademacher ±1 hyperplanes from the integer family
+    * `sign(p, i) = 1 − 2·((a_p·(i+1) + b_p) mod P mod 2)`,
+    * P = 2³¹−1 — the t09 portable-hash discipline applied to
+    * sign-LSH: ±1 entries give the same random-hyperplane sketch
+    * guarantees as Gaussians (Achlioptas 2003, database-friendly
+    * random projections; Charikar 2002 sim-hash is sign-of-projection
+    * for ANY symmetric entry distribution), and an INTEGER recipe is
+    * something DuckDB can replay exactly — the plane dot becomes an
+    * index-ordered fold of ±xᵢ, bit-identical across engines, so s05
+    * and s23 graduate from rows-only to oracle hash-match.
+    * a_p·(i+1) < 2³¹·64 < 2³⁷ — no overflow in either engine. */
+  private[graft] def radPlanes(n: Int, dim: Int = 64): Seq[Seq[Double]] =
+    planePairs(n).map { case (a, b) =>
+      (1 to dim).map(i => (1L - 2L * ((a * i + b) % 2147483647L % 2L))
+        .toDouble)
+    }
+
   private[graft] def lshCandidatePairs(s: SparkSession, d: String,
       dedup: Boolean = true, tables: Int = LshTables,
       corpus: Option[DataFrame] = None): DataFrame = {
     val NBits = 8
-    // deterministic pseudo-random hyperplanes (fixed seed); `tables`
+    // deterministic PORTABLE hyperplanes ([[radPlanes]]); `tables`
     // is overridable so the recall-vs-cost sweep (OpsSpec / SCALE.md)
     // measures the same generator at different table counts — the
     // first `tables` tables of the fixed-seed sequence, so T=6 is a
     // strict prefix of T=12
-    val rnd = new scala.util.Random(42)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(tables * NBits)(Seq.fill(64)(rnd.nextGaussian()))
+    val planes: Seq[Seq[Double]] = radPlanes(tables * NBits)
     val e = corpus.getOrElse(Tables.embeddings(s, d))
     // all tables×8 plane dots fused into ONE expression over ONE
     // scan (the per-table union re-scanned the corpus per table,
@@ -914,7 +987,27 @@ object Similarity {
       "s23_neardup_pairs_lsh",
       (s, d) => neardupPairsCollapsed(s, d, 0.4)
         .orderBy("va", "vb"),
-      None),
+      // hash-matched since the portable-plane conversion: the oracle
+      // replays signatures, probes, verify and member expansion — so
+      // the check pins the ENTIRE scale path, not just its precision
+      Some(s"""WITH ${lshCandSql()},
+      edges AS (SELECT DISTINCT va, vb, cos FROM scored WHERE cos >= 0.4),
+      crossm AS (
+        SELECT LEAST(ma.vec_id, mb.vec_id) AS va,
+          GREATEST(ma.vec_id, mb.vec_id) AS vb, e.cos
+        FROM edges e JOIN mapping ma ON ma.rep = e.va
+          JOIN mapping mb ON mb.rep = e.vb),
+      selfc AS (SELECT r.vec_id AS rep, ${cosineSql("r", "r")} AS cos
+        FROM reps r),
+      intra AS (
+        SELECT ma.vec_id AS va, mb.vec_id AS vb, s.cos
+        FROM mapping ma JOIN mapping mb ON ma.rep = mb.rep
+          AND ma.vec_id < mb.vec_id
+        JOIN selfc s ON s.rep = ma.rep
+        WHERE s.cos >= 0.4)
+      SELECT va, vb, cos FROM
+        (SELECT * FROM crossm UNION ALL SELECT * FROM intra)
+      ORDER BY va, vb""")),
 
     // ---- random-hyperplane LSH: 12 tables x 8-bit signatures with
     //      MULTI-PROBE (Hamming-1 bucket probes, Lv et al. VLDB'07);
@@ -947,7 +1040,35 @@ object Similarity {
       // quadratically (sf1 rehearsal: 60× cost for 10× rows) while
       // changing no answer the expansion can't reconstruct.
       (s, d) => annTopPairsCollapsed(s, d, 100),
-      None),
+      // hash-matched since the portable-plane conversion. The oracle
+      // expands ALL distinct scored rep pairs where Spark cuts the
+      // candidate MULTISET at LshTables·k first — equivalent finals
+      // by the containment argument in [[annTopPairsCollapsed]]'s
+      // scaladoc (every distinct top-k pair survives the cut; added
+      // pairs rank below it), which this hash check now pins per SF.
+      Some(s"""WITH ${lshCandSql()},
+      reptop AS (SELECT DISTINCT va, vb, cos FROM scored),
+      members AS (
+        SELECT rep, vec_id FROM (
+          SELECT rep, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY rep ORDER BY vec_id) AS mrank
+          FROM mapping) t
+        WHERE mrank <= 101),
+      crossm AS (
+        SELECT LEAST(ma.vec_id, mb.vec_id) AS va,
+          GREATEST(ma.vec_id, mb.vec_id) AS vb, e.cos
+        FROM reptop e JOIN members ma ON ma.rep = e.va
+          JOIN members mb ON mb.rep = e.vb),
+      selfc AS (SELECT r.vec_id AS rep, ${cosineSql("r", "r")} AS cos
+        FROM reps r),
+      intra AS (
+        SELECT ma.vec_id AS va, mb.vec_id AS vb, s.cos
+        FROM members ma JOIN members mb ON ma.rep = mb.rep
+          AND ma.vec_id < mb.vec_id
+        JOIN selfc s ON s.rep = ma.rep)
+      SELECT va, vb, cos FROM
+        (SELECT * FROM crossm UNION ALL SELECT * FROM intra)
+      ORDER BY cos DESC, va, vb LIMIT 100""")),
 
     // ---- IVF-style partition-restricted top-3: search only the
     //      query's coarse partition (label ~ k-means cell id) ----
@@ -1335,7 +1456,31 @@ object Similarity {
     QuerySpec(
       "s15_semantic_dedup_lsh",
       (s, d) => semanticDedup(s, d, allPairs = false),
-      None),
+      // hash-matched since the portable-plane conversion (previously
+      // rows-only "by design"): with the oracle replaying the SAME
+      // LSH candidates, "LSH can drop an edge" is no longer a
+      // divergence between engines — both drop the same edges, and
+      // the recursive-CTE components over the surviving rep edges
+      // (the s12 oracle pattern, run at rep level + min-member
+      // relabel, mirroring [[semanticDedupLabels]]) land identically.
+      Some(s"""WITH RECURSIVE ${lshCandSql()},
+      repedges AS (SELECT va, vb FROM scored WHERE cos >= 0.4),
+      edges AS (SELECT va AS x, vb AS y FROM repedges
+                UNION ALL SELECT vb, va FROM repedges),
+      reach(x, y) AS (
+        SELECT x, y FROM edges
+        UNION
+        SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+      comp AS (SELECT x AS rep, LEAST(x, MIN(y)) AS comp
+               FROM reach GROUP BY x),
+      lab0 AS (
+        SELECT m.vec_id, COALESCE(c.comp, m.rep) AS comp0
+        FROM mapping m LEFT JOIN comp c ON c.rep = m.rep),
+      minm AS (SELECT comp0, MIN(vec_id) AS component
+               FROM lab0 GROUP BY comp0)
+      SELECT l.vec_id, mm.component, mm.component = l.vec_id AS keep
+      FROM lab0 l JOIN minm mm ON mm.comp0 = l.comp0
+      ORDER BY l.vec_id""")),
 
     // ---- IVF×PQ over the AT-REST coded table: s11 computes cells and
     //      codes inline each run; here the corpus is STORED the way
