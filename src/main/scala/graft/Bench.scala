@@ -78,8 +78,18 @@ object Bench {
       s"""{"metric":"queries","queries":$qs,"rounds":$roundsJson,"sf":"$sfDir"}"""
     val detail =
       s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}"""
+    // per-round totals + spread on the stdout total line: the driver's
+    // single recorded number vs the builder's median-of-3 diverge
+    // exactly when a regression is contested, and a self-diagnosing
+    // record ("round totals were 319/189/149") settles machine-noise
+    // questions without re-running anything
+    val roundTotals = rounds.map(_.map(_._2).sum)
+    val spread = s"""{"round_totals":[${roundTotals.map(t => f"$t%.2f")
+      .mkString(",")}],"max_over_min":${
+      if (roundTotals.min > 0) f"${roundTotals.max / roundTotals.min}%.3f"
+      else "null"}}"""
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failures":$failures,"spread":$spread,"sf":"$sfDir"}"""
     // sbt appends its own "[success] Total time…" after our stdout, so
     // the driver's last-line parse can't see the JSON — ALSO write the
     // total to a well-known small file it can read deterministically.

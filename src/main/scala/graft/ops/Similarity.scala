@@ -70,6 +70,52 @@ object Similarity {
     * is inert at every oracle SF (buckets ≈ N/256 ≪ 4096) and a
     * binding cap WARNs via CapMetrics, so an oracle divergence here
     * is a signal, not noise. */
+  /** Sequential Σ(vᵢ−cᵢ)² — the DuckDB twin of the [[nearest]] fold
+    * (same element order, so argmin decisions replay exactly). */
+  private def d2Sql(v: String, c: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(list_zip($v, $c), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+       (acc, x) -> acc + x)"""
+
+  /** The DuckDB replay of [[kMeansModel]] + the final [[kMeans]]
+    * assignment — a WITH-clause body ending in `assigned(vec_id,
+    * cid)`. Lloyd's iterations UNROLL as CTE pairs (a_i = argmin
+    * assignment under c_{i-1} with ties to the lowest cid, exactly
+    * the strict-< fold; c_i = per-(cid,pos) decimal-exact mean, the
+    * [[graft.ops.davg]] twin), which is only sound because the Spark
+    * side now updates centroids through davg: order-independent and
+    * engine-exact, so five chained float fixpoints land on the SAME
+    * model in both engines — the portable-hash discipline applied to
+    * a TRAINING LOOP rather than a hash family. */
+  private def kmeansAssignSql(k: Int = 8, iters: Int = 5): String = {
+    val init =
+      s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM ev WHERE vec_id < $k)"""
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY ${d2Sql("e.v", "c.c")}, c.cid) AS rk
+          FROM ev e CROSS JOIN $cents c) t
+        WHERE rk = 1)"""
+    def update(name: String, asg: String) =
+      s"""$name AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM (
+          SELECT a.cid, g.i AS pos, ${davgSql("e.v[g.i]")} AS m
+          FROM $asg a JOIN ev e USING (vec_id)
+          CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY a.cid, g.i) t
+        GROUP BY cid)"""
+    val steps = (1 to iters).flatMap { i =>
+      Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i"))
+    }
+    (Seq(init) ++ steps :+ assign("assigned", s"c$iters")).mkString(",\n")
+  }
+
   private def lshCandSql(tables: Int = LshTables): String = {
     val consts = planePairs(tables * 8).zipWithIndex
       .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
@@ -213,13 +259,22 @@ object Similarity {
           val best = nearest(centroids, col("v"))
           val assigned = e.select(col("vec_id"), col("v"),
             best.getField("cid").as("cid"), best.getField("d2").as("d2"))
+          // davg/dsum, not avg/sum: the decimal hop makes the centroid
+          // update ORDER-INDEPENDENT and engine-exact, so the whole
+          // trained model — and every query downstream of it (s08/s09/
+          // s30 oracles replay the unrolled iterations in SQL) — is
+          // bit-identical in Spark and DuckDB. The ≤1e-10 quantization
+          // per member is noise against k-means' own convergence tol.
           val agg = assigned
             .select(col("cid"), col("d2"), posexplode(col("v")))
             .groupBy(col("cid"), col("pos"))
-            .agg(avg(col("col")).as("m"), sum(col("d2")).as("sd2"),
+            .agg(davg(col("col")).as("m"), dsum(col("d2")).as("sd2"),
               count(lit(1)).as("n"))
           val rows = agg.collect() // k×dim rows — bounded by construction
-          inertia += rows.filter(_.getInt(1) == 0).map(_.getDouble(3)).sum
+          // cid-sorted driver fold: a Seq#sum in collect order would be
+          // one more engine-private float-order dependence
+          inertia += rows.filter(_.getInt(1) == 0).sortBy(_.getInt(0))
+            .map(_.getDouble(3)).sum
           centroids = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
             cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
           }.toSeq.sortBy(_._1)
@@ -1171,7 +1226,11 @@ object Similarity {
         assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
           .orderBy("cid")
       },
-      None),
+      // hash-matched since the davg centroid updates: the oracle
+      // replays the five unrolled Lloyd's iterations
+      Some(s"""WITH ${kmeansAssignSql()}
+      SELECT cid, COUNT(1) AS n FROM assigned
+      GROUP BY cid ORDER BY cid""")),
 
     // ---- IVF top-3 over the LEARNED quantizer: s06 with the fixture
     //      label swapped for real k-means cells, exactly the swap-in
@@ -1199,7 +1258,19 @@ object Similarity {
           .filter(col("rk") <= 3)
           .orderBy("qid", "rk")
       },
-      None),
+      // hash-matched since the davg centroid updates (model replayed
+      // by the unrolled-iteration CTE chain)
+      Some(s"""WITH ${kmeansAssignSql()},
+      wc AS (SELECT a.vec_id, a.cid, e.embedding
+        FROM assigned a JOIN embeddings e USING (vec_id)),
+      q AS (SELECT vec_id AS qid, cid AS qcid, embedding
+        FROM wc WHERE vec_id < $QueryIds)
+      SELECT qid, vec_id, cid, cos, rk FROM (
+        SELECT q.qid, w.vec_id, w.cid, ${cosineSql("q", "w")} AS cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY ${cosineSql("q", "w")} DESC, w.vec_id) AS INT) AS rk
+        FROM q JOIN wc w ON w.cid = q.qcid AND w.vec_id <> q.qid) t
+      WHERE rk <= 3 ORDER BY qid, rk""")),
 
     // ---- PQ + ADC shortlist + exact rerank, the production PQ query
     //      shape (Jégou et al. 2011): the corpus is scanned as 8-byte
@@ -2437,7 +2508,29 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
             ((cn2 - col("sc") - col("sl") + lit(2) * col("a"))
               .cast("double") / cn2.cast("double")).as("rand_index"))
       },
-      None),
+      // hash-matched since the davg centroid updates; the binomial
+      // terms use integer // on both sides (exact at any count)
+      Some(s"""WITH ${kmeansAssignSql()},
+      cont AS (
+        SELECT a.cid, e.label, COUNT(1) AS nij
+        FROM assigned a JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2),
+      percell AS (SELECT cid, MAX(nij) AS mx, SUM(nij) AS nc
+        FROM cont GROUP BY cid),
+      perlabel AS (SELECT label, SUM(nij) AS nl FROM cont GROUP BY label),
+      aa AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS a,
+        CAST(SUM(nij) AS BIGINT) AS n FROM cont),
+      scc AS (SELECT CAST(SUM(mx) AS BIGINT) AS sum_mx,
+        CAST(SUM(nc * (nc - 1) // 2) AS BIGINT) AS sc,
+        CAST(COUNT(1) AS INT) AS k_cells FROM percell),
+      sll AS (SELECT CAST(SUM(nl * (nl - 1) // 2) AS BIGINT) AS sl
+        FROM perlabel)
+      SELECT aa.n, scc.k_cells,
+        CAST(scc.sum_mx AS DOUBLE) / aa.n AS purity,
+        CAST((aa.n * (aa.n - 1) // 2) - scc.sc - sll.sl + 2 * aa.a
+          AS DOUBLE) / CAST(aa.n * (aa.n - 1) // 2 AS DOUBLE)
+          AS rand_index
+      FROM aa, scc, sll""")),
 
     // ---- BITEXT MINING over the CODED shortlist — s29's registered
     //      scale twin (the s25→s26 pattern, pushed further): s29's
