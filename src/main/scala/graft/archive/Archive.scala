@@ -174,7 +174,8 @@ object Archive {
         graft.pipeline.HttpListing.RetryPolicy(),
       sleeper: Long => Unit = Thread.sleep,
       archiveFolderOf: FileMeta => String =
-        f => s"${f.folder_name}/archive")
+        f => s"${f.folder_name}/archive",
+      chunkBytes: Int = 8 << 20)
       extends FileOps {
     import graft.pipeline.HttpListing
     import java.nio.file.{Files, Paths}
@@ -207,15 +208,21 @@ object Archive {
       s"$driveBaseUrl/root:/${segPath(f.folder_name)}/${seg(f.file_name)}"
 
     override def upload(f: FileMeta): Unit = {
-      val resp = HttpListing.getWithRetry(transport, policy, sleeper)(
-        s"${itemUrl(f)}:/content")
       val dest = Paths.get(bronzeRoot, f.lakehouse_folder,
         sanitize(f.file_name))
       Files.createDirectories(dest.getParent)
-      // write the transport's RAW bytes — xlsx/pdf payloads (the
-      // reference's typical downloads) are not UTF-8, and a
-      // String round-trip would corrupt them silently
-      Files.write(dest, resp.bytes)
+      // CHUNKED range fetch → streamed file write: per-task heap is
+      // O(chunkBytes) however large the blob — the fix for the
+      // whole-payload envelope the reference has at `:163-171` (and
+      // that a plain getWithRetry would keep, just executor-side).
+      // Raw bytes throughout: xlsx/pdf payloads are not UTF-8 and a
+      // String round-trip would corrupt them silently. Transports
+      // without real Range support fall back to one whole-body GET
+      // inside fetchTo (the 200 path) — old behavior, same bytes.
+      val out = Files.newOutputStream(dest)
+      try HttpListing.ChunkedTransfer.fetchTo(transport, policy,
+        sleeper)(s"${itemUrl(f)}:/content", out, chunkBytes)
+      finally out.close()
       ()
     }
 

@@ -47,6 +47,18 @@ object HttpListing {
     * ([[HttpUrlConnectionTransport]]), a scripted fake in tests. */
   trait Transport extends Serializable {
     def get(url: String): HttpResponse
+
+    /** GET `url` limited to bytes [start, endIncl] (inclusive, the
+      * HTTP Range convention) — the seam [[ChunkedTransfer]] streams
+      * large blobs through. Servers answer 206 with the slice (and a
+      * `Content-Range: bytes s-e/total`), or 200 with the WHOLE body
+      * when they ignore Range. The DEFAULT here is exactly that
+      * ignoring server (one plain GET, whole body), so scripted test
+      * transports and wrappers stay source-compatible and chunked
+      * callers degrade to the old single-fetch behavior; the real
+      * HTTP transport overrides with a Range header. */
+    def getRange(url: String, start: Long, endIncl: Long): HttpResponse =
+      get(url)
   }
 
   /** Write-side verbs — the reference's folder-ensure POST, `:/copy`
@@ -189,6 +201,9 @@ object HttpListing {
     }
     override def get(url: String): HttpResponse =
       refreshing(inner.get(url))
+    override def getRange(url: String, start: Long,
+        endIncl: Long): HttpResponse =
+      refreshing(inner.getRange(url, start, endIncl))
     override def post(url: String, body: String,
         contentType: String): HttpResponse =
       refreshing(inner.post(url, body, contentType))
@@ -209,10 +224,12 @@ object HttpListing {
   final class HttpUrlConnectionTransport(
       creds: CredentialProvider = CredentialProvider.Anonymous,
       connectTimeoutMs: Int = 15000,
-      readTimeoutMs: Int = 60000) extends WriteTransport {
+      readTimeoutMs: Int = 60000)
+      extends WriteTransport {
 
     private def send(method: String, url: String,
-        body: Option[(String, String)]): HttpResponse = {
+        body: Option[(String, String)],
+        extraHeaders: Map[String, String] = Map.empty): HttpResponse = {
       val conn = java.net.URI.create(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       try {
@@ -220,6 +237,8 @@ object HttpListing {
         conn.setConnectTimeout(connectTimeoutMs)
         conn.setReadTimeout(readTimeoutMs)
         conn.setRequestProperty("Accept", "application/json")
+        extraHeaders.foreach { case (k, v) =>
+          conn.setRequestProperty(k, v) }
         val tok = creds.token()
         if (tok != null && tok.nonEmpty)
           conn.setRequestProperty("Authorization", s"Bearer $tok")
@@ -253,11 +272,105 @@ object HttpListing {
     }
 
     override def get(url: String): HttpResponse = send("GET", url, None)
+    override def getRange(url: String, start: Long,
+        endIncl: Long): HttpResponse =
+      send("GET", url, None,
+        Map("Range" -> s"bytes=$start-$endIncl"))
     override def post(url: String, body: String,
         contentType: String): HttpResponse =
       send("POST", url, Some((body, contentType)))
     override def delete(url: String): HttpResponse =
       send("DELETE", url, None)
+  }
+
+  /** Streamed large-blob transfer: fetch a resource in
+    * `chunkBytes`-sized RANGE requests and hand each slice to `sink`
+    * as it arrives — per-task heap stays O(chunkBytes) however large
+    * the blob. This closes the whole-payload envelope SURVEY §4 flags
+    * in the reference (`sharepoint_to_bronze_delta.py:163-171`
+    * buffers each download entirely — in DRIVER memory there; our
+    * executor-side single-GET path was better placed but still
+    * materialized multi-GB bodies per task).
+    *
+    * Protocol: 206 responses advance by the returned slice; the total
+    * comes from `Content-Range: bytes s-e/total`. A 200 means the
+    * server ignored Range (tiny files, non-compliant servers) — the
+    * whole body is the transfer. Each chunk GET is an idempotent read
+    * and rides the full [[RetryPolicy]]; a mid-blob retry refetches
+    * only its chunk. */
+  object ChunkedTransfer {
+
+    private def contentRangeTotal(resp: HttpResponse): Option[Long] =
+      resp.headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("Content-Range") => v
+      }.flatMap { v =>
+        // "bytes s-e/total" (total may be "*" on exotic servers)
+        v.split('/') match {
+          case Array(_, t) => scala.util.Try(t.trim.toLong).toOption
+          case _ => None
+        }
+      }
+
+    /** Fetch `url` into `sink` chunk by chunk; returns total bytes
+      * written. Retries per-chunk via the policy; fails loudly on a
+      * non-2xx terminal status (C5/C6 semantics). */
+    def fetchTo(transport: Transport, policy: RetryPolicy,
+        sleeper: Long => Unit)(url: String,
+        sink: java.io.OutputStream,
+        chunkBytes: Int = 8 << 20): Long = {
+      require(chunkBytes > 0, s"chunkBytes must be positive: $chunkBytes")
+      var off = 0L
+      var total = -1L // unknown until the first Content-Range
+      var done = false
+      while (!done) {
+        val end = off + chunkBytes - 1
+        val resp = {
+          var attempt = 0
+          var r = transport.getRange(url, off, end)
+          while (policy.retryable(r.status) &&
+              attempt < policy.maxRetries) {
+            val retryAfter = r.headers.collectFirst {
+              case (k, v) if k.equalsIgnoreCase("Retry-After") => v
+            }.flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+            sleeper(policy.delayMs(attempt, retryAfter))
+            attempt += 1
+            r = transport.getRange(url, off, end)
+          }
+          r
+        }
+        resp.status match {
+          case 206 =>
+            val slice = resp.bytes
+            require(slice.length <= chunkBytes,
+              s"server returned ${slice.length} bytes for a " +
+                s"$chunkBytes-byte range — refusing the oversized slice")
+            sink.write(slice)
+            off += slice.length
+            total = contentRangeTotal(resp).getOrElse(total)
+            // a short or empty slice with no known total ends the
+            // transfer (the server has nothing past `off`)
+            done = (total >= 0 && off >= total) || slice.length == 0 ||
+              (total < 0 && slice.length < chunkBytes)
+          case 200 =>
+            // Range ignored: the body IS the whole resource; only
+            // legal on the first request (a mid-stream 200 would
+            // silently restart the payload — fail loudly instead)
+            require(off == 0,
+              s"server ignored Range mid-transfer at offset $off")
+            sink.write(resp.bytes)
+            off = resp.bytes.length.toLong
+            done = true
+          case 416 => // requested range not satisfiable: off == size
+            done = true
+          case s =>
+            throw new RuntimeException(
+              s"chunked GET $url failed at offset $off with $s" +
+                (if (policy.retryable(s))
+                  s" after ${policy.maxRetries} retries" else ""))
+        }
+      }
+      off
+    }
   }
 
   /** Cross-partition request throttle — a token bucket EVERY task in
@@ -326,6 +439,10 @@ object HttpListing {
       budget: ThrottleBudget) extends WriteTransport {
     override def get(url: String): HttpResponse = {
       budget.acquire(); inner.get(url)
+    }
+    override def getRange(url: String, start: Long,
+        endIncl: Long): HttpResponse = {
+      budget.acquire(); inner.getRange(url, start, endIncl)
     }
     override def post(url: String, body: String,
         contentType: String): HttpResponse = {

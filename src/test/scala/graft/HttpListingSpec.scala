@@ -400,6 +400,84 @@ class HttpListingSpec extends AnyFunSuite {
     }
   }
 
+  test("ChunkedTransfer: a 17 MiB blob streams in 1 MiB ranges — bounded slices, exact bytes") {
+    val chunk = 1 << 20
+    val size = 17L * chunk + 13
+    def byteAt(i: Long): Byte = ((i * 31 + (i >> 8) * 17 + 7) & 0xff).toByte
+    val ranges = mutable.Buffer[(Long, Long)]()
+    val t = new Transport {
+      override def get(url: String): HttpResponse =
+        fail("chunked path must go through getRange")
+      override def getRange(url: String, start: Long,
+          endIncl: Long): HttpResponse = {
+        ranges += ((start, endIncl))
+        if (start >= size) HttpResponse(416, "")
+        else {
+          val e = math.min(endIncl, size - 1)
+          val slice =
+            Array.tabulate((e - start + 1).toInt)(k => byteAt(start + k))
+          HttpResponse(206, "",
+            Map("Content-Range" -> s"bytes $start-$e/$size"),
+            bodyBytes = slice)
+        }
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val n = HttpListing.ChunkedTransfer.fetchTo(t, RetryPolicy(),
+      _ => ())("u", out, chunk)
+    assert(n == size)
+    val got = out.toByteArray
+    val expected = Array.tabulate(size.toInt)(k => byteAt(k.toLong))
+    assert(java.util.Arrays.equals(got, expected),
+      "reassembled bytes differ from the source")
+    // exactly ceil(size/chunk) requests, every served slice ≤ chunk —
+    // the per-task allocation bound the streamed path exists for
+    assert(ranges.size == 18, s"expected 18 range GETs, saw ${ranges.size}")
+    assert(ranges.forall { case (s, e) => e - s + 1 <= chunk })
+  }
+
+  test("ChunkedTransfer: a mid-blob 429 refetches only its chunk; Range-ignoring servers degrade to one GET") {
+    // 429 on the second chunk, then success
+    val chunk = 4
+    val payload = "ABCDEFGHIJ".getBytes
+    var hit429 = false
+    val calls = mutable.Buffer[(Long, Long)]()
+    val flaky = new Transport {
+      override def get(url: String): HttpResponse = fail("range path")
+      override def getRange(url: String, start: Long,
+          endIncl: Long): HttpResponse = {
+        calls += ((start, endIncl))
+        if (start == 4 && !hit429) { hit429 = true; HttpResponse(429, "") }
+        else {
+          val e = math.min(endIncl, payload.length - 1L)
+          HttpResponse(206, "",
+            Map("Content-Range" -> s"bytes $start-$e/${payload.length}"),
+            bodyBytes = java.util.Arrays.copyOfRange(
+              payload, start.toInt, e.toInt + 1))
+        }
+      }
+    }
+    fresh()
+    val out = new java.io.ByteArrayOutputStream()
+    HttpListing.ChunkedTransfer.fetchTo(flaky,
+      RetryPolicy(baseDelayMs = 7), sleeper)("u", out, chunk)
+    assert(out.toByteArray.sameElements(payload))
+    assert(sleeps.toSeq == Seq(7L)) // one backoff, for the one 429
+    assert(calls.count(_._1 == 0) == 1, "chunk 0 must not refetch")
+    assert(calls.count(_._1 == 4) == 2, "only chunk 1 retries")
+
+    // a transport with no real Range support (the Transport default:
+    // plain GET) serves the whole body once — old single-fetch shape
+    val whole = new Transport {
+      override def get(url: String): HttpResponse =
+        HttpResponse(200, "", bodyBytes = payload)
+    }
+    val out2 = new java.io.ByteArrayOutputStream()
+    val n2 = HttpListing.ChunkedTransfer.fetchTo(whole, RetryPolicy(),
+      _ => ())("u", out2, chunk)
+    assert(n2 == payload.length && out2.toByteArray.sameElements(payload))
+  }
+
   test("RateLimitedTransport: every verb spends a permit; refresh re-sends pay too") {
     import HttpListing.{RateLimitedTransport, ThrottleBudget, WriteTransport}
     val clockNs = new java.util.concurrent.atomic.AtomicLong(0L)
