@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-side scale rehearsal (SCALE.md): the s-family has
+  * oracle fixtures of ≤2k vectors — three orders of magnitude below
+  * anything interesting. This harness runs the SCALE PATHS (never the
+  * exact anchors) over the 500k×64 distinct-vector corpus
+  * `tools/make_embsf1.py` synthesizes (90% base / 8% planted
+  * near-dups at ~0.997 cosine / 2% exact dups) and reports the two
+  * numbers the paths are trusted for:
+  *
+  *  - **LSH catch rate**: of a 512-vector sample's brute-force best
+  *    matches at cos ≥ 0.9, the fraction the 22-bit × 16-table
+  *    Hamming-1 candidate generator catches. 22 bits because
+  *    occupancy is N/2^bits per table and candidate volume — which
+  *    the verify join multiplies by two embeddings — scales with it:
+  *    the [[graft.ops.Similarity.lshCandidatePairs]] `nBits` knob
+  *    doing its job (8-bit signatures at 500k would mean ~2k-resident
+  *    buckets and a quadratic candidate explosion; this harness is
+  *    WHY that knob exists).
+  *  - **IVF-PQ recall@5**: the stored coded table's s16-shaped search
+  *    against brute-force exact cosine for the query set.
+  *
+  * Run: `SPARK_GRAFT_EMB_DIR=/tmp/embsf1 sbt "runMain graft.EmbScale"`.
+  */
+object EmbScale {
+  private def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"EMBSCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_EMB_DIR", "/tmp/embsf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "24g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.Similarity
+
+    val e = Tables.embeddings(spark, d)
+    val n = e.count()
+    println(s"EMBSCALE corpus $d: $n vectors")
+
+    // ---- 1. LSH candidates at the right bit width ----
+    // nBits = 22 ⇒ 4.2M buckets/table, occupancy ~0.12 at 500k:
+    // ~44 random candidates per vector across 16 tables × 23 probe
+    // keys (≈11M verify pairs — each pair drags two 256-byte
+    // embeddings through the verify join, so CANDIDATE volume is the
+    // real cost driver; the first rehearsal at 18 bits produced ~580
+    // candidates/vector and spilled ~70 GB into the verify join
+    // before filling the disk). Recall at the 0.9 threshold:
+    // per-bit agreement p ≈ 0.857 ⇒ per-table (exact + Hamming-1)
+    // ≈ 0.147 ⇒ 16 tables ≈ 0.92 expected.
+    val cands = time("lsh_pairs_22bit") {
+      val p = Similarity.neardupEdges(spark, d, allPairs = false,
+        thresh = 0.9, nBits = 22)
+      graft.Scoped.persist(p)
+      println(s"EMBSCALE   verified pairs (cos ≥ 0.9): ${p.count()}")
+      p
+    }
+
+    // ---- 2. brute-force truth for a 512-vector sample ----
+    //      (sample × corpus, NOT corpus × corpus — the rehearsal
+    //      never runs a cartesian leg; 512 × 500k fused dots)
+    val truth = time("brute_truth_sample") {
+      val sample = e.filter(col("vec_id") % 977 === 0) // ~512 ids
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          graft.functions.VectorExprs.vecNorm(col("embedding")).as("nq"))
+      // argmax by AGGREGATION, not a window: the 512 × 500k scored
+      // relation never sorts — map-side partial max(struct) per qid,
+      // one tiny shuffle (the first cut windowed 256M rows and was
+      // the rehearsal's wall-clock, not the scoring)
+      val best = e.crossJoin(broadcast(sample))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          struct(
+            (graft.functions.VectorExprs.vecDot(col("qv"), col("embedding")) /
+              (col("nq") *
+                graft.functions.VectorExprs.vecNorm(col("embedding"))))
+              .as("cos"),
+            (-col("vec_id")).as("negid"),
+            col("vec_id").as("best")).as("cand"))
+        .groupBy(col("qid"))
+        .agg(max(col("cand")).as("b")) // max cos, ties → lowest vec_id
+        .select(col("qid"), col("b.best").as("best"),
+          col("b.cos").as("cos"))
+        .filter(col("cos") >= 0.9)
+      val t = graft.Scoped.persist(best)
+      println(s"EMBSCALE   sample best-matches at cos ≥ 0.9: ${t.count()}")
+      t
+    }
+
+    // catch rate: truth pair present in the verified LSH pair list
+    // (either orientation)
+    val caught = truth
+      .join(cands.select(
+          least(col("va"), col("vb")).as("qlo"),
+          greatest(col("va"), col("vb")).as("qhi")).distinct(),
+        least(col("qid"), col("best")) === col("qlo") &&
+          greatest(col("qid"), col("best")) === col("qhi"),
+        "left_semi")
+      .count()
+    val total = truth.count()
+    val rate = if (total == 0) 1.0 else caught.toDouble / total
+    println(f"EMBSCALE   LSH catch rate: $caught/$total = $rate%.4f")
+
+    // ---- 3. stored IVF-PQ: build once, query the s16 shape ----
+    // PRODUCTION parameters, not the ≤2k-fixture toys: k = 256
+    // codebook entries per subspace (8 bits/code — standard PQ; the
+    // fixtures' k = 16 is 4 bits, and the first rehearsal measured
+    // recall@5 = 0.20 with it at 500k — quantization cells too
+    // coarse to discriminate half a million vectors), kCells = 64
+    // coarse cells (~7.8k vectors each), nprobe = 8 (~12% of the
+    // corpus scanned as 8-byte codes per query).
+    val (m, k, kCells, nprobe) = (8, 256, 64, 8)
+    val coded = time("coded_table_build") {
+      val path = Similarity.codedCorpusPath(spark, d, m, k, kCells)
+      val df = spark.read.parquet(path)
+      println(s"EMBSCALE   coded rows: ${df.count()} at $path")
+      df
+    }
+    val s16 = time("ivfpq_stored_query") {
+      val r = Similarity.ivfPqSearch(spark, d, coded, e, m, k, kCells,
+        nprobe)
+      val rows = r.collect()
+      println(s"EMBSCALE   s16-shaped results: ${rows.length}")
+      rows.map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    val exact5 = time("brute_top5_queries") {
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // 8 qids × 500k = 4M rows: a window here is fine
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (graft.functions.VectorExprs.vecDot(col("qv"), col("embedding")) /
+            (graft.functions.VectorExprs.vecNorm(col("qv")) *
+              graft.functions.VectorExprs.vecNorm(col("embedding"))))
+            .as("cos"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid"))
+            .orderBy(desc("cos"), col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    val recall = s16.intersect(exact5).size.toDouble / exact5.size
+    println(f"EMBSCALE   IVF-PQ recall@5 vs brute: $recall%.4f")
+
+    Scoped.release()
+    spark.stop()
+  }
+}

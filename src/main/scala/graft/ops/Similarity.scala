@@ -89,13 +89,13 @@ object Similarity {
     * a TRAINING LOOP rather than a hash family. */
   private def kmeansAssignSql(k: Int = 8, iters: Int = 5): String = {
     val init =
-      s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      s"""ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings),
-      c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+      c0 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
           AS cid, v AS c
         FROM ev WHERE vec_id < $k)"""
     def assign(name: String, cents: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
         SELECT vec_id, cid FROM (
           SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
             PARTITION BY e.vec_id
@@ -103,7 +103,7 @@ object Similarity {
           FROM ev e CROSS JOIN $cents c) t
         WHERE rk = 1)"""
     def update(name: String, asg: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
         SELECT cid, list(m ORDER BY pos) AS c FROM (
           SELECT a.cid, g.i AS pos, ${davgSql("e.v[g.i]")} AS m
           FROM $asg a JOIN ev e USING (vec_id)
@@ -114,6 +114,173 @@ object Similarity {
       Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i"))
     }
     (Seq(init) ++ steps :+ assign("assigned", s"c$iters")).mkString(",\n")
+  }
+
+  /** The DuckDB replay of [[pqModel]] + the final per-subspace encode
+    * ([[graft.functions.VectorExprs.PqEncode]]) — a WITH-clause body
+    * ending in `pb$iters(sub, cid, c)` (the trained codebooks) and
+    * `pcodes(vec_id, sub, cid)` (every vector's per-subspace code).
+    * Same unrolled-fixpoint technique as [[kmeansAssignSql]], but per
+    * SUBSPACE: the normalized sub-vector relation `sv` is shared by
+    * every iteration, assignments are strict-< argmins in (d², cid)
+    * order, updates are davg per (sub, cid, pos) with EMPTY CELLS
+    * KEEPING their previous centroid (the Spark `upd.getOrElse(c,
+    * old)` branch — hence the LEFT JOIN + COALESCE). */
+  private def pqSql(m: Int = 8, k: Int = 16, iters: Int = 4): String = {
+    val sub = 64 / m
+    val init =
+      s"""pnrm AS MATERIALIZED (
+        SELECT vec_id, ${l2Sql("embeddings")} AS nrm FROM embeddings),
+      psv AS MATERIALIZED (
+        SELECT e.vec_id, CAST(g.mi AS INT) AS sub,
+          list_transform(
+            list_slice(CAST(e.embedding AS DOUBLE[]),
+              g.mi * $sub + 1, g.mi * $sub + $sub),
+            x -> CASE WHEN n.nrm > 0 THEN x / n.nrm
+                 ELSE CAST(0 AS DOUBLE) END) AS sv
+        FROM embeddings e JOIN pnrm n USING (vec_id)
+        CROSS JOIN generate_series(0, ${m - 1}) AS g(mi)),
+      pb0 AS MATERIALIZED (
+        SELECT sub, CAST(ROW_NUMBER() OVER (PARTITION BY sub
+          ORDER BY vec_id) - 1 AS INT) AS cid, sv AS c
+        FROM psv WHERE vec_id < $k)"""
+    def assign(name: String, books: String) =
+      s"""$name AS MATERIALIZED (
+        SELECT vec_id, sub, cid FROM (
+          SELECT s.vec_id, s.sub, b.cid, ROW_NUMBER() OVER (
+            PARTITION BY s.vec_id, s.sub
+            ORDER BY ${d2Sql("s.sv", "b.c")}, b.cid) AS rk
+          FROM psv s JOIN $books b ON b.sub = s.sub) t
+        WHERE rk = 1)"""
+    def update(name: String, asg: String, prev: String) =
+      s"""$name AS MATERIALIZED (
+        SELECT p.sub, p.cid, COALESCE(u.c, p.c) AS c
+        FROM $prev p LEFT JOIN (
+          SELECT sub, cid, list(mn ORDER BY pos) AS c FROM (
+            SELECT a.sub, a.cid, g.i AS pos, ${davgSql("s.sv[g.i]")} AS mn
+            FROM $asg a JOIN psv s
+              ON s.vec_id = a.vec_id AND s.sub = a.sub
+            CROSS JOIN generate_series(1, $sub) AS g(i)
+            GROUP BY a.sub, a.cid, g.i) t
+          GROUP BY sub, cid) u
+        ON u.sub = p.sub AND u.cid = p.cid)"""
+    val steps = (1 to iters).flatMap { i =>
+      Seq(assign(s"pa$i", s"pb${i - 1}"), update(s"pb$i", s"pa$i",
+        s"pb${i - 1}"))
+    }
+    (Seq(init) ++ steps :+ assign("pcodes", s"pb$iters"))
+      .mkString(",\n")
+  }
+
+  /** Query-side ADC scoring over [[pqSql]]'s relations — the DuckDB
+    * replay of [[queryLuts]] + [[graft.functions.VectorExprs
+    * .AdcScore]]: per-query normalized sub-vector · codebook-entry
+    * LUT values (ordered folds), summed across subspaces by an
+    * ORDERED list fold — a GROUP-BY SUM over doubles would be
+    * order-unstable and break the bit match. Ends in
+    * `adc(qid, vec_id, adc)` for vectors ≠ the query. */
+  private def adcSql(m: Int = 8, books: String = "pb4"): String = {
+    val sub = 64 / m
+    s"""qn AS MATERIALIZED (
+      SELECT vec_id AS qid,
+        CASE WHEN ${l2Sql("embeddings")} > 0 THEN
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> x / ${l2Sql("embeddings")})
+        ELSE CAST(embedding AS DOUBLE[]) END AS qv
+      FROM embeddings WHERE vec_id < $QueryIds),
+    plut AS MATERIALIZED (
+      SELECT q.qid, b.sub, b.cid,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list_zip(
+            list_slice(q.qv, b.sub * $sub + 1, b.sub * $sub + $sub),
+            b.c), p -> p[1] * p[2])),
+          (acc, x) -> acc + x) AS v
+      FROM qn q CROSS JOIN $books b),
+    adc AS MATERIALIZED (
+      SELECT t.qid, t.vec_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(t.v ORDER BY t.sub)), (acc, x) -> acc + x) AS adc
+      FROM (SELECT l.qid, p.vec_id, p.sub, l.v
+            FROM pcodes p JOIN plut l
+              ON l.sub = p.sub AND l.cid = p.cid) t
+      WHERE t.vec_id <> t.qid
+      GROUP BY t.qid, t.vec_id)"""
+  }
+
+  /** The full IVF×PQ oracle (s11 and the at-rest s16, which OpsSpec
+    * pins bit-equal): coarse model ([[kmeansAssignSql]] — `assigned`
+    * + the final `c$iters` centroids), PQ model + encode
+    * ([[pqSql]]), query LUTs + ADC ([[adcSql]]), per-query probe
+    * cells replaying [[queryProbes]]' (d², cid) sort in RAW space,
+    * ADC shortlist restricted to probed cells, exact-cosine rerank. */
+  private def ivfPqSql(nprobe: Int = 4, finalK: Int = 5,
+      kmIters: Int = 5): String =
+    s"""WITH ${kmeansAssignSql(iters = kmIters)},
+    ${pqSql()},
+    ${adcSql()},
+    qraw AS MATERIALIZED (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < $QueryIds),
+    probes AS MATERIALIZED (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid
+          ORDER BY ${d2Sql("q.qv", "c.c")}, c.cid) AS pk
+        FROM qraw q CROSS JOIN c$kmIters c) t
+      WHERE pk <= $nprobe),
+    short AS MATERIALIZED (
+      SELECT qid, vec_id FROM (
+        SELECT a.qid, a.vec_id, ROW_NUMBER() OVER (PARTITION BY a.qid
+          ORDER BY a.adc DESC, a.vec_id) AS ark
+        FROM adc a JOIN assigned g ON g.vec_id = a.vec_id
+        JOIN probes p ON p.qid = a.qid AND p.cid = g.cid) t
+      WHERE ark <= 50)
+    SELECT qid, vec_id, cos, rk FROM (
+      SELECT s.qid, s.vec_id, ${cosineSql("q", "e")} AS cos,
+        CAST(ROW_NUMBER() OVER (PARTITION BY s.qid
+          ORDER BY ${cosineSql("q", "e")} DESC, s.vec_id) AS INT) AS rk
+      FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN embeddings q ON q.vec_id = s.qid) t
+    WHERE rk <= $finalK ORDER BY qid, rk"""
+
+  /** Unrolled greedy-MMR rounds — the generated twin of the literal
+    * round chain in s25's oracle (same shape, same tie-breaks), over
+    * whatever candidate CTE the caller prepends: expects
+    * `c(qid, vec_id, rel, embedding)` and
+    * `sims(qid, va, vb, sim)` to exist, emits sel1..sel$k and the
+    * final (qid, rank, vec_id, mmr_score) projection. */
+  private def mmrRoundsSql(k: Int = 8, lam: Double = 0.7,
+      mu: Double = 0.3): String = {
+    val sel1 =
+      s"""sel1 AS MATERIALIZED (
+      SELECT qid, vec_id, $lam * rel AS score, 1 AS rank FROM (
+        SELECT qid, vec_id, rel, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY rel DESC, vec_id) AS rk FROM c) t
+      WHERE rk = 1)"""
+    val rounds = (2 to k).map { n =>
+      val priors = (1 until n)
+        .map(i => s"SELECT qid, vec_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""prior$n AS MATERIALIZED ($priors),
+      sel$n AS MATERIALIZED (
+        SELECT qid, vec_id, score, $n AS rank FROM (
+          SELECT g.qid, g.vec_id, g.score, ROW_NUMBER() OVER (
+            PARTITION BY g.qid ORDER BY g.score DESC, g.vec_id) AS rk
+          FROM (
+            SELECT c.qid, c.vec_id,
+              $lam * c.rel - $mu * MAX(s.sim) AS score
+            FROM c
+            JOIN sims s ON s.qid = c.qid AND s.va = c.vec_id
+            JOIN prior$n p ON p.qid = s.qid AND p.vec_id = s.vb
+            WHERE NOT EXISTS (SELECT 1 FROM prior$n x
+                              WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+            GROUP BY c.qid, c.vec_id, c.rel) g) t
+        WHERE rk = 1)"""
+    }
+    val all = (1 to k).map(i => s"SELECT * FROM sel$i")
+      .mkString(" UNION ALL ")
+    (Seq(sel1) ++ rounds).mkString(",\n") +
+      s"""
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id, score AS mmr_score
+      FROM ($all) ORDER BY qid, rank"""
   }
 
   private def lshCandSql(tables: Int = LshTables): String = {
@@ -354,10 +521,14 @@ object Similarity {
               .nearestCell(col("sv"), bookVals(Seq(book)).head)
               .getField("cid"))
           }
+          // davg, not avg — the same order-independent engine-exact
+          // discipline as [[kMeansModel]], so the PQ codebooks (and
+          // the s10/s11/s16 oracles that replay their training) land
+          // on identical doubles in Spark and DuckDB
           val agg = rows
             .select(col("sub"), cid.as("cid"), posexplode(col("sv")))
             .groupBy(col("sub"), col("cid"), col("pos"))
-            .agg(avg(col("col")).as("mn"))
+            .agg(davg(col("col")).as("mn"))
           val rws = agg.collect() // ≤ m·k·sub rows — bounded
           books = books.zipWithIndex.map { case (book, mi) =>
             val upd = rws.filter(_.getInt(0) == mi).groupBy(_.getInt(1))
@@ -467,8 +638,19 @@ object Similarity {
 
   private[graft] def lshCandidatePairs(s: SparkSession, d: String,
       dedup: Boolean = true, tables: Int = LshTables,
-      corpus: Option[DataFrame] = None): DataFrame = {
-    val NBits = 8
+      corpus: Option[DataFrame] = None, nBits: Int = 8): DataFrame = {
+    // `nBits` is THE corpus-size knob (the s05 scaladoc's "raise
+    // bits as the corpus grows", now an actual parameter): expected
+    // bucket occupancy is N/2^nBits per table and candidate volume
+    // grows with Σ|bucket|², so nBits must track log₂(N) — and a bit
+    // PAST it, because every candidate pays the verify join's two
+    // embedding fetches (the measured failure mode: 18 bits at 500k
+    // ⇒ ~580 candidates/vector ⇒ ~70 GB of verify spill; 22 bits ⇒
+    // ~44). 8 bits suits the ≤2k-vector oracle fixtures; the
+    // 500k-vector rehearsal (SCALE.md, graft.EmbScale) runs 22.
+    // Registered queries stay at 8 so their oracles pin one family.
+    require(nBits >= 1 && nBits <= 30, s"nBits out of range: $nBits")
+    val NBits = nBits
     // deterministic PORTABLE hyperplanes ([[radPlanes]]); `tables`
     // is overridable so the recall-vs-cost sweep (OpsSpec / SCALE.md)
     // measures the same generator at different table counts — the
@@ -538,7 +720,7 @@ object Similarity {
     * candidate multiset (the round-4/round-5 lesson). */
   private[graft] def neardupEdges(s: SparkSession, d: String,
       allPairs: Boolean, thresh: Double,
-      corpus: Option[DataFrame] = None): DataFrame = {
+      corpus: Option[DataFrame] = None, nBits: Int = 8): DataFrame = {
     val withVec = corpus.getOrElse(Tables.embeddings(s, d))
       .select(col("vec_id"),
         col("embedding"), l2(col("embedding")).as("nrm"))
@@ -550,7 +732,8 @@ object Similarity {
           (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
         .filter(col("cos") >= thresh)
     } else
-      lshCandidatePairs(s, d, dedup = false, corpus = corpus)
+      lshCandidatePairs(s, d, dedup = false, corpus = corpus,
+          nBits = nBits)
         .join(withVec.toDF("va", "ea", "na"), "va")
         .join(withVec.toDF("vb", "eb", "nb"), "vb")
         .select(col("va"), col("vb"),
@@ -1314,7 +1497,23 @@ object Similarity {
           .filter(col("rk") <= 5)
           .orderBy("qid", "rk")
       },
-      None),
+      // hash-matched since the davg codebook updates: the oracle
+      // replays the four unrolled per-subspace trainings, the encode,
+      // the LUT build, and the ADC fold (ordered across subspaces)
+      Some(s"""WITH ${pqSql()},
+      ${adcSql()},
+      short AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY adc DESC, vec_id) AS ark FROM adc) t
+        WHERE ark <= 50)
+      SELECT qid, vec_id, cos, rk FROM (
+        SELECT s.qid, s.vec_id, ${cosineSql("q", "e")} AS cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY s.qid
+            ORDER BY ${cosineSql("q", "e")} DESC, s.vec_id) AS INT) AS rk
+        FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+          JOIN embeddings q ON q.vec_id = s.qid) t
+      WHERE rk <= 5 ORDER BY qid, rk""")),
 
     // ---- IVF×PQ: the COMPOSED production ANN plan (s09's coarse
     //      restriction × s10's compressed scoring). Per query: find the
@@ -1376,7 +1575,10 @@ object Similarity {
           .filter(col("rk") <= 5)
           .orderBy("qid", "rk")
       },
-      None),
+      // hash-matched since the davg model updates: the oracle replays
+      // BOTH trainings (coarse k-means + per-subspace PQ), the
+      // encode, the probe selection and the cell-restricted ADC
+      Some(ivfPqSql())),
 
     // ---- semantic dedup (SemDeDup, Abbas et al. 2023): cluster
     //      embedding-cosine near-duplicates into connected components
@@ -1575,7 +1777,9 @@ object Similarity {
           s.read.parquet(codedCorpusPath(s, d, m, k, kCells)),
           Tables.embeddings(s, d), m, k, kCells)
       },
-      None),
+      // hash-matched: the stored layout must answer EXACTLY like the
+      // inline s11 (the OpsSpec bit-equality, now also oracle-pinned)
+      Some(ivfPqSql())),
 
     // ---- metadata-FILTERED vector search: top-5 cosine neighbors
     //      restricted to the query's own label — the "where category
@@ -2203,7 +2407,41 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
             "vec_id")
         mmrPick(s, cands, 8)
       },
-      None),
+      // hash-matched since the davg model updates: the coded
+      // shortlist replays via the shared IVF×PQ chains and the
+      // greedy rounds via the generated twin of s25's literal SQL
+      Some(s"""WITH ${kmeansAssignSql()},
+      ${pqSql()},
+      ${adcSql()},
+      qraw AS MATERIALIZED (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < $QueryIds),
+      probes AS MATERIALIZED (
+        SELECT qid, cid FROM (
+          SELECT q.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY ${d2Sql("q.qv", "c.c")}, c.cid) AS pk
+          FROM qraw q CROSS JOIN c5 c) t
+        WHERE pk <= 4),
+      short AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+          SELECT a.qid, a.vec_id, ROW_NUMBER() OVER (PARTITION BY a.qid
+            ORDER BY a.adc DESC, a.vec_id) AS ark
+          FROM adc a JOIN assigned g ON g.vec_id = a.vec_id
+          JOIN probes p ON p.qid = a.qid AND p.cid = g.cid) t
+        WHERE ark <= 50),
+      c AS MATERIALIZED (
+        SELECT qid, vec_id, cos AS rel, embedding FROM (
+          SELECT s.qid, s.vec_id, ${cosineSql("q", "e")} AS cos,
+            e.embedding,
+            ROW_NUMBER() OVER (PARTITION BY s.qid
+              ORDER BY ${cosineSql("q", "e")} DESC, s.vec_id) AS rk
+          FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN embeddings q ON q.vec_id = s.qid) t
+        WHERE rk <= 20),
+      sims AS MATERIALIZED (
+        SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+          ${cosineSql("a", "b")} AS sim
+        FROM c a JOIN c b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+      ${mmrRoundsSql(8)}""")),
 
     // ---- embedding outlier filter (the curation pass that drops
     //      off-manifold vectors before training — mislabeled images,
@@ -2575,8 +2813,85 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
           .select(col("xid"), col("yid"), col("cos"), col("margin"))
           .orderBy("xid")
       },
-      None),
+      // hash-matched since the davg model updates: both directions'
+      // coded shortlists replay through the shared k-means/PQ chains
+      // (per-row LUTs and probes are the same folds, just over a
+      // label side instead of the bounded query set), and the margin
+      // algebra is davg + double ops on both engines
+      Some(s"""WITH ${kmeansAssignSql()},
+      ${pqSql()},
+      ${bitextSideSql("f", qLabel = 0, tLabel = 1)},
+      ${bitextSideSql("b", qLabel = 1, tLabel = 0)},
+      ax AS (SELECT qid AS xid, ${davgSql("cos")} AS ax
+        FROM shf WHERE rk <= 4 GROUP BY qid),
+      ay AS (SELECT qid AS yid, ${davgSql("cos")} AS ay
+        FROM shb WHERE rk <= 4 GROUP BY qid),
+      sc AS (
+        SELECT f.qid AS xid, f.tid AS yid, f.cos,
+          f.cos / ((ax.ax + ay.ay) / 2) AS margin
+        FROM shf f JOIN ax ON ax.xid = f.qid JOIN ay ON ay.yid = f.tid)
+      SELECT xid, yid, cos, margin FROM (
+        SELECT xid, yid, cos, margin, ROW_NUMBER() OVER (
+          PARTITION BY xid ORDER BY margin DESC, yid) AS rk
+        FROM sc) t
+      WHERE rk = 1 AND margin >= 1.0 ORDER BY xid""")),
   )
+
+  /** One direction of the s31 oracle, suffixed `$sfx` to keep the two
+    * directions' CTE names distinct: normalized query side with
+    * per-row probes + LUTs (the same (d², cid) sort and ordered folds
+    * as [[bitextShortlist]]'s column expressions), cell-restricted
+    * ADC over `pcodes`/`assigned`, top-[[BitextShortN]] by ADC, exact
+    * rerank. Ends in `sh$sfx(qid, tid, cos, rk)`. */
+  private def bitextSideSql(sfx: String, qLabel: Int,
+      tLabel: Int): String = {
+    val sub = 8
+    s"""qn$sfx AS MATERIALIZED (
+      SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qv,
+        CASE WHEN n.nrm > 0 THEN
+          list_transform(CAST(e.embedding AS DOUBLE[]), x -> x / n.nrm)
+        ELSE CAST(e.embedding AS DOUBLE[]) END AS qnv
+      FROM embeddings e JOIN pnrm n USING (vec_id)
+      WHERE e.label = $qLabel),
+    pr$sfx AS MATERIALIZED (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid
+          ORDER BY ${d2Sql("q.qv", "c.c")}, c.cid) AS pk
+        FROM qn$sfx q CROSS JOIN c5 c) t
+      WHERE pk <= 4),
+    lut$sfx AS MATERIALIZED (
+      SELECT q.qid, b.sub, b.cid,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list_zip(
+            list_slice(q.qnv, b.sub * $sub + 1, b.sub * $sub + $sub),
+            b.c), p -> p[1] * p[2])),
+          (acc, x) -> acc + x) AS v
+      FROM qn$sfx q CROSS JOIN pb4 b),
+    adc$sfx AS MATERIALIZED (
+      SELECT qid, tid,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(v ORDER BY sub)), (acc, x) -> acc + x) AS adc
+      FROM (
+        SELECT q.qid, p.vec_id AS tid, p.sub, l.v
+        FROM pr$sfx q
+        JOIN assigned g ON g.cid = q.cid
+        JOIN embeddings te ON te.vec_id = g.vec_id
+          AND te.label = $tLabel
+        JOIN pcodes p ON p.vec_id = g.vec_id
+        JOIN lut$sfx l ON l.qid = q.qid AND l.sub = p.sub
+          AND l.cid = p.cid) t
+      GROUP BY qid, tid),
+    sh$sfx AS MATERIALIZED (
+      SELECT qid, tid, cos, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY cos DESC, tid) AS INT) AS rk FROM (
+        SELECT s.qid, s.tid, ${cosineSql("qe", "te")} AS cos FROM (
+          SELECT qid, tid FROM (
+            SELECT qid, tid, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY adc DESC, tid) AS ark FROM adc$sfx) t
+          WHERE ark <= $BitextShortN) s
+        JOIN embeddings qe ON qe.vec_id = s.qid
+        JOIN embeddings te ON te.vec_id = s.tid) t)"""
+  }
 
   /** One direction of s31's mining: for every `qLabel` vector, the
     * exact-cosine-reranked top-[[BitextShortN]] of its IVF-PQ
@@ -2644,5 +2959,9 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
   /** s31's per-side ADC shortlist width: wide enough that the true
     * best match and the k=4 neighborhood both survive the
     * approximate stage with headroom. */
-  private val BitextShortN = 16
+  // a DEF, not a val: the oracle strings in `specs` interpolate this
+  // during object INIT, and a val declared below `specs` would still
+  // read 0 there (the classic forward-reference footgun — it shipped
+  // one oracle with `ark <= 0` before becoming a def)
+  private def BitextShortN: Int = 16
 }
