@@ -53,7 +53,26 @@ object Profile {
         "t46_split_leakage", "m12_audio_frames", "q59_cumulative_distinct")
       case xs => xs
     }
-    if (names == Seq("t49parts")) {
+    if (names == Seq("t09parts")) {
+      // decomposition of t09's steady-state residual (round 11): the
+      // full pipeline vs its stages, each materialized in isolation
+      import graft.ops.Text
+      import org.apache.spark.sql.functions._
+      for (round <- 1 to 3) {
+        println(s"--- round $round ---")
+        time("dup_mapping")(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .withColumn("rep", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("text")))))
+        time("shingles_only")(Tables.documents(s, d)
+          .select(col("doc_id"), Text.shingles.as("sh"))
+          .filter(size(col("sh")) > 0))
+        time("band_keys")(Text.lshBandKeys(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))))
+        time("t09_full")(SparkEntry.queries("t09_minhash_lsh")(s, d))
+      }
+    } else if (names == Seq("t49parts")) {
       // decomposition of t49's sf10 warm residual
       import graft.ops.Text
       for (round <- 1 to 3) {

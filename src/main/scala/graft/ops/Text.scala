@@ -783,8 +783,14 @@ object Text {
     // ONE fused-codegen pass over sh (the declarative 72 ×
     // array_min(transform(...)) walked the array 72 times and was
     // 28% of the whole bench).
+    // no distinct on the band keys: [[lshBandKeysFromSh]] emits
+    // EXACTLY one row per (doc, band) by construction (one explode
+    // element per band), so a distinct here is a full 2-long+1-int
+    // shuffle and an exchange barrier for a provable no-op — at the
+    // rep-collapsed row counts the scheduling overhead of that extra
+    // stage was ~15% of t09's steady-state wall time
     val cands = lshBandCandidates(
-      lshBandKeysFromSh(docsSh).distinct(), bucketCap)
+      lshBandKeysFromSh(docsSh), bucketCap)
     val scored = cands.toDF("ra", "rb")
       .join(docsSh.toDF("ra", "sha"), "ra")
       .join(docsSh.toDF("rb", "shb"), "rb")
