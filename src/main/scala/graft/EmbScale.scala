@@ -49,6 +49,9 @@ object EmbScale {
     val n = e.count()
     println(s"EMBSCALE corpus $d: $n vectors")
 
+    // SPARK_GRAFT_SKIP_LSH=1 skips straight to the IVF-PQ half (the
+    // LSH stages don't depend on the PQ parameters being swept)
+    if (sys.env.get("SPARK_GRAFT_SKIP_LSH").isEmpty) {
     // ---- 1. LSH candidates at the right bit width ----
     // nBits = 22 ⇒ 4.2M buckets/table, occupancy ~0.12 at 500k:
     // ~44 random candidates per vector across 16 tables × 23 probe
@@ -111,6 +114,7 @@ object EmbScale {
     val total = truth.count()
     val rate = if (total == 0) 1.0 else caught.toDouble / total
     println(f"EMBSCALE   LSH catch rate: $caught/$total = $rate%.4f")
+    }
 
     // ---- 3. stored IVF-PQ: build once, query the s16 shape ----
     // PRODUCTION parameters, not the ≤2k-fixture toys: k = 256
@@ -120,7 +124,10 @@ object EmbScale {
     // coarse to discriminate half a million vectors), kCells = 64
     // coarse cells (~7.8k vectors each), nprobe = 8 (~12% of the
     // corpus scanned as 8-byte codes per query).
-    val (m, k, kCells, nprobe) = (8, 256, 64, 8)
+    // SPARK_GRAFT_PQ_M=16 doubles the code bytes (16 × 4-dim
+    // subspaces) for the recall-vs-bytes datapoint
+    val m = sys.env.getOrElse("SPARK_GRAFT_PQ_M", "8").toInt
+    val (k, kCells, nprobe) = (256, 64, 8)
     val coded = time("coded_table_build") {
       val path = Similarity.codedCorpusPath(spark, d, m, k, kCells)
       val df = spark.read.parquet(path)

@@ -614,4 +614,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("s31: coded bitext mining has NO cartesian leg — cid equi-joins only") {
+    // the whole point of the s29→s31 twin: the label-0 × label-1
+    // cross join is replaced by probe-exploded equi-joins on the
+    // coded table's cell id. A cartesian or nested-loop join
+    // anywhere in the plan means the scale path regressed to the
+    // anchor's shape.
+    val p = plan("s31_bitext_coded")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the ADC fold rides the codegen'd kernel, not an HOF fold
+    assert(p.contains("adc_score"), p.take(800))
+  }
+
+  test("s29 vs s31: the anchor IS the cartesian; the twin must never be") {
+    // documents (rather than hides) the anchor's shape: s29's exact
+    // leg is a deliberate cross join at oracle scale
+    val p29 = plan("s29_bitext_mining")
+    assert(p29.contains("CartesianProduct") ||
+      p29.contains("BroadcastNestedLoopJoin"), p29.take(800))
+  }
 }
