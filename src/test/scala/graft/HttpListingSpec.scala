@@ -478,6 +478,36 @@ class HttpListingSpec extends AnyFunSuite {
     assert(n2 == payload.length && out2.toByteArray.sameElements(payload))
   }
 
+  test("ChunkedTransfer: a mid-stream 200 fails loudly; shared budgets are one object per name") {
+    // a server that answers 206 for chunk 0 then forgets Range
+    // support would silently RESTART the payload if the 200 path
+    // accepted it mid-transfer — the require must trip instead
+    val payload = "ABCDEFGHIJ".getBytes
+    val t = new Transport {
+      override def get(url: String): HttpResponse = fail("range path")
+      override def getRange(url: String, start: Long,
+          endIncl: Long): HttpResponse =
+        if (start == 0)
+          HttpResponse(206, "",
+            Map("Content-Range" -> s"bytes 0-3/${payload.length}"),
+            bodyBytes = java.util.Arrays.copyOfRange(payload, 0, 4))
+        else HttpResponse(200, "", bodyBytes = payload)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val e = intercept[IllegalArgumentException] {
+      HttpListing.ChunkedTransfer.fetchTo(t, RetryPolicy(), _ => ())(
+        "u", out, 4)
+    }
+    assert(e.getMessage.contains("ignored Range mid-transfer"))
+
+    // the registry hands every caller of a name the SAME bucket —
+    // that identity IS the cross-partition guarantee
+    import HttpListing.ThrottleBudget
+    val a = ThrottleBudget.shared("spec-bucket", 5)
+    val b = ThrottleBudget.shared("spec-bucket", 500)
+    assert(a eq b, "same name must resolve to one shared bucket")
+  }
+
   test("RateLimitedTransport: every verb spends a permit; refresh re-sends pay too") {
     import HttpListing.{RateLimitedTransport, ThrottleBudget, WriteTransport}
     val clockNs = new java.util.concurrent.atomic.AtomicLong(0L)
