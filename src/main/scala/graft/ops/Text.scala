@@ -4252,6 +4252,136 @@ object Text {
             AS INT) AS DOUBLE) / 16777216.0 AS u,
           p.p_keep
         FROM documents d JOIN p USING (source)) t
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- DSIR data selection (Xie et al. 2023, "Data Selection via
+    //      Importance Resampling"): score every candidate document by
+    //      how much its hashed-bigram distribution looks like a TARGET
+    //      domain (here source `src0`, standing in for the curated
+    //      target corpus) versus the raw pool, then Gumbel-top-k
+    //      resample ∝ exp(weight). Features are word bigrams hashed
+    //      into B=1024 buckets via the portable 31-base polyHash (the
+    //      t06 recipe, so the oracle replays the exact bucket ids);
+    //      both bucket distributions get Laplace +1 smoothing, the
+    //      per-bucket log-ratio λ_b = ln p_t(b) − ln p_r(b) is rounded
+    //      once (ln is bitwise-identical across engines — t36/t48
+    //      established that), and the per-doc weight Σ c_b·λ_b runs
+    //      through the decimal dsum so it is order-independent. The
+    //      resampling draw is the DSIR Gumbel trick made auditable:
+    //      u from 12 md5 hex digits (+0.5, an exact power-of-two
+    //      division, so u ∈ (0,1) strictly), g = −ln(−ln u) rounded
+    //      once, selection key = w + g — a deterministic sample from
+    //      the softmax over weights, reproducible across engines,
+    //      reruns, and cluster sizes. Output is the selected top-200.
+    //      Scale shape: ONE corpus explode feeds two ≤B-row aggregates
+    //      (target/raw bucket histograms) and the per-doc bucket
+    //      counts (partial-agg, keyed by doc); λ is a broadcast
+    //      1024-row table; selection is TakeOrdered k — the corpus is
+    //      never globally sorted and no shuffle key is wider than
+    //      (doc_id, bucket). The smoothed ratio multiplies two int64s
+    //      before the double cast — exact while c·(n+B) < 2^53;
+    //      at true 100 TB token counts swap the product form for
+    //      ln(c_t+1) − ln(n_t+B) − ln(c_r+1) + ln(n_r+B), which
+    //      trades one rounding for unbounded range. ----
+    QuerySpec(
+      "t63_dsir_weights",
+      (s, d) => {
+        val tgt = "src0"
+        // bigram extraction guarded against <2-token docs: Spark's
+        // sequence(0, -1) would COUNT DOWN, not produce empty
+        val bg = when(size(toks) >= 2,
+          expr("""transform(sequence(0, size(split(text,' ')) - 2),
+            i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1]))"""))
+          .otherwise(array().cast("array<string>"))
+        val rows = Scoped.persist(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), explode(bg).as("bg"))
+          .select(col("doc_id"), col("source"),
+            (graft.functions.TextExprs.polyHash(col("bg")) % 1024).as("b")))
+        val ct = rows.filter(col("source") === tgt)
+          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        val cr = rows.filter(col("source") =!= tgt)
+          .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+        val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+        val nr = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+        // full 0..B-1 spine: buckets unseen on either side still need
+        // their smoothed λ — a candidate doc may hash into them
+        val lam = s.range(1024).select(col("id").as("b"))
+          .join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+          .select(col("b"),
+            round(log(
+              ((coalesce(col("ct"), lit(0L)) + 1) * (col("nr") + 1024))
+                .cast("double") /
+              ((coalesce(col("cr"), lit(0L)) + 1) * (col("nt") + 1024))
+                .cast("double")), 9).as("lam"))
+        val w = rows.filter(col("source") =!= tgt)
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+          .join(broadcast(lam), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(dsum(col("c").cast("double") * col("lam")).as("w"),
+            sum(col("c")).as("n_bigrams"))
+        val v = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":dsir"))), 1, 12), 16, 10).cast("double")
+        Tables.documents(s, d).filter(col("source") =!= tgt)
+          .select(col("doc_id"), col("source"))
+          .join(w, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("w"), lit(0.0)).as("w"),
+            round(-log(-log((v + 0.5) / 281474976710656.0)), 9).as("g"))
+          .withColumn("key", col("w") + col("g"))
+          .orderBy(desc("key"), col("doc_id")).limit(200)
+          .select(col("doc_id"), col("source"), col("n_bigrams"),
+            round(col("w"), 6).as("dsir_weight"),
+            round(col("key"), 6).as("sample_key"))
+      },
+      Some(s"""WITH bgr AS (
+        SELECT doc_id, source,
+          unnest(list_transform(
+            generate_series(1, greatest(len(str_split(text, ' ')) - 1, 0)),
+            i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]))
+            AS bg
+        FROM documents),
+      hb AS (
+        SELECT doc_id, source,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(str_split(bg, ''),
+              c -> CAST(ascii(c) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000007) % 1024 AS b
+        FROM bgr),
+      ct AS (SELECT b, COUNT(1) AS ct FROM hb WHERE source = 'src0'
+             GROUP BY b),
+      cr AS (SELECT b, COUNT(1) AS cr FROM hb WHERE source <> 'src0'
+             GROUP BY b),
+      nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM ct),
+      nr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS nr FROM cr),
+      lam AS (
+        SELECT sp.b,
+          ROUND(ln(CAST((COALESCE(ct.ct, 0) + 1) * (nr.nr + 1024) AS DOUBLE)
+            / CAST((COALESCE(cr.cr, 0) + 1) * (nt.nt + 1024) AS DOUBLE)), 9)
+            AS lam
+        FROM (SELECT unnest(generate_series(0, 1023)) AS b) sp
+        LEFT JOIN ct ON sp.b = ct.b
+        LEFT JOIN cr ON sp.b = cr.b, nt, nr),
+      dc AS (
+        SELECT doc_id, b, COUNT(1) AS c FROM hb WHERE source <> 'src0'
+        GROUP BY 1, 2),
+      w AS (
+        SELECT doc_id, ${dsumSql("CAST(c AS DOUBLE) * lam")} AS w,
+          CAST(SUM(c) AS BIGINT) AS n_bigrams
+        FROM dc JOIN lam USING (b) GROUP BY doc_id),
+      kd AS (
+        SELECT d.doc_id, d.source,
+          COALESCE(w.n_bigrams, 0) AS n_bigrams,
+          COALESCE(w.w, 0.0) AS w,
+          ROUND(-ln(-ln((CAST(CAST(('0x' ||
+            substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'), 1, 12))
+            AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0)), 9) AS g
+        FROM documents d LEFT JOIN w USING (doc_id)
+        WHERE d.source <> 'src0')
+      SELECT doc_id, source, n_bigrams,
+        ROUND(w, 6) AS dsir_weight,
+        ROUND(w + g, 6) AS sample_key
+      FROM kd ORDER BY w + g DESC, doc_id LIMIT 200"""))
   )
 }

@@ -2529,6 +2529,51 @@ class OpsSpec extends SparkSpec {
     assert(got(cleanId) == ((8, 8L, 0L, false)), got(cleanId).toString)
   }
 
+  test("t63: DSIR weights separate target-like from raw-like candidates") {
+    import spark.implicits._
+    // target source src0 writes "alpha beta gamma delta"; the raw pool
+    // (src1) mostly writes "zeta eta theta iota". A candidate that
+    // writes like the TARGET must carry a positive importance weight,
+    // one that writes like the RAW POOL a negative one — that sign
+    // split is the DSIR contract (log p_target − log p_raw).
+    val tgtText = "alpha beta gamma delta alpha beta gamma delta"
+    val rawText = "zeta eta theta iota zeta eta theta iota"
+    val docs =
+      (1L to 10L).map(i => (i, tgtText, "src0")) ++
+        Seq((100L, tgtText, "src1"), (101L, rawText, "src1")) ++
+        (102L to 111L).map(i => (i, rawText, "src1"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dsir").toString
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t63_dsir_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    Scoped.release()
+    // only candidates (never the target corpus) are scored/selected,
+    // and at fixture scale all 12 fit inside the top-200 cut
+    assert(got.size == 12, s"selected ${got.size}")
+    assert(got.keySet.forall(_ >= 100L), got.keySet.toString)
+    // n_bigrams counts adjacent pairs with multiplicity: 8 tokens -> 7
+    assert(got(100L)._2 == 7L, got(100L).toString)
+    val wTarget = got(100L)._3
+    val wRaw = got(101L)._3
+    assert(wTarget > 0.0, s"target-like weight $wTarget")
+    assert(wRaw < 0.0, s"raw-like weight $wRaw")
+    assert(wTarget > wRaw + 1.0, s"separation $wTarget vs $wRaw")
+    // sample_key − weight is exactly the Gumbel draw g = −ln(−ln u)
+    // with u from 48 md5 bits (+0.5), so it is bounded by the draw's
+    // theoretical range: g ∈ (−ln ln 2⁴⁹, ln 2⁴⁹) ≈ (−3.52, 34)
+    got.values.foreach { case (_, _, w, key) =>
+      val g = key - w
+      assert(g > -3.6 && g < 34.5, s"gumbel draw out of range: $g")
+    }
+  }
+
   test("t55: temperature flattening caps big sources and hits the volume target") {
     val rows = SparkEntry.queries("t55_temperature_sampling")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),

@@ -27,6 +27,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q03_shipping_priority").contains("TakeOrderedAndProject"))
   }
 
+  test("t63: λ table broadcasts, selection is top-k, no cartesian legs") {
+    val p = plan("t63_dsir_weights")
+    // the 1024-row log-ratio table joins the per-doc counts broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // top-200 selection is per-partition top-k, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    // the only cross joins are the 1-row nt/nr scalar broadcasts
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q04: semi-join stays a semi-join in the physical plan") {
     assert(plan("q04_order_priority").contains("LeftSemi"))
   }
