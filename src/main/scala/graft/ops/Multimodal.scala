@@ -475,6 +475,106 @@ object Multimodal {
       s0_ch0: Int,
       peak: Int)
 
+  /** One pitch estimate per doc: the lag in [minLag, maxLag] whose
+    * normalized autocorrelation over channel 0 is maximal, plus the
+    * raw NAC value (rounded only at the query's output edge). */
+  final case class PitchRow(
+      doc_id: Long,
+      sample_rate: Int,
+      n_frames: Int,
+      best_lag: Int,
+      nac: Double)
+
+  /** The m20 tone generator: same RIFF/PCM envelope as [[encodeWav]]
+    * (fmt, a LIST chunk forcing a true chunk walk, data) but the mono
+    * sample formula repeats EXACTLY every `period` frames:
+    * s_i = ((docId·31 + (i mod period)·97) mod 65536) − 32768. With
+    * 97·period < 65536 the residues (i mod period)·97 are distinct
+    * within one period, so `period` is the signal's FUNDAMENTAL —
+    * there is no smaller period for a detector to find. */
+  private[graft] def encodeWavTone(docId: Long, rate: Int, nf: Int,
+      period: Int): Array[Byte] = {
+    val dataSize = nf * 2
+    val total = 12 + 24 + (8 + 4) + 8 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                    // PCM
+      .putShort(1)                    // mono
+      .putInt(rate)
+      .putInt(rate * 2)               // byte rate
+      .putShort(2)                    // block align
+      .putShort(16)                   // bits per sample
+    buf.put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII"))
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nf) {
+      buf.putShort(
+        (((docId * 31 + (i % period) * 97) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Normalized autocorrelation pitch over channel 0, computed INSIDE
+    * the per-doc decode (samples never leave the task): for each lag
+    * L, NAC(L) = Σ s_i·s_{i+L} / √(Σ s_i² · Σ s_{i+L}²) over the
+    * overlap window — all three sums exact in Long (32 768² × nf ≪
+    * 2⁶³), the double cast/multiply/√/divide sequence identical in
+    * both engines. Argmax prefers the SMALLER lag on exact ties, the
+    * fundamental-over-octave convention. */
+  private[graft] def decodeWavPitch(docId: Long, bs: Array[Byte],
+      minLag: Int, maxLag: Int): PitchRow = {
+    val (rate, nch, dataOff, nFrames) = wavLayout(bs)
+    def i16(i: Int): Int =
+      ((bs(i) & 0xff) | ((bs(i + 1) & 0xff) << 8)).toShort.toInt
+    def ch0(f: Int): Int = i16(dataOff + f * nch * 2)
+    require(nFrames > maxLag, s"too few frames ($nFrames) for lag $maxLag")
+    var bestLag = -1
+    var bestNac = Double.NegativeInfinity
+    var lag = minLag
+    while (lag <= maxLag) {
+      var num = 0L; var d0 = 0L; var d1 = 0L
+      var i = 0
+      val n = nFrames - lag
+      while (i < n) {
+        val a = ch0(i); val b = ch0(i + lag)
+        num += a.toLong * b
+        d0 += a.toLong * a
+        d1 += b.toLong * b
+        i += 1
+      }
+      val nac = num.toDouble / math.sqrt(d0.toDouble * d1.toDouble)
+      if (nac > bestNac) { bestNac = nac; bestLag = lag }
+      lag += 1
+    }
+    PitchRow(docId, rate, nFrames, bestLag, bestNac)
+  }
+
+  /** Per-doc tone parameters: rate on the m07 grid, ≥150 frames (≥3
+    * full periods + every lag's overlap window), fundamental period
+    * 20–39 so the search range [16, 39] contains exactly ONE multiple
+    * of the period — no octave alias for argmax to tie on. */
+  private def toneDims(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(pmod(col("n_chars"), lit(3)) === 0, 8000)
+        .when(pmod(col("n_chars"), lit(3)) === 1, 16000)
+        .otherwise(44100).cast("int").as("rate"),
+      (lit(150) + pmod(col("n_chars"), lit(100))).cast("int").as("nf"),
+      (lit(20) + pmod(col("n_chars"), lit(20))).cast("int").as("period"))
+
+  /** Generated periodic-tone WAV fixture: (doc_id, payload). */
+  private[graft] def wavToneFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    toneDims(s, d).as[(Long, Int, Int, Int)]
+      .map { case (id, rate, nf, p) =>
+        MediaRow(id, encodeWavTone(id, rate, nf, p)) }
+      .toDF()
+  }
+
   /** Build a REAL RIFF/WAVE file (canonical 16-bit PCM): "RIFF" size
     * "WAVE", a 16-byte "fmt " chunk, an INFO "LIST" chunk (so decoders
     * must genuinely WALK chunks rather than assume data at offset 36),
@@ -1856,6 +1956,78 @@ object Multimodal {
         GROUP BY a.doc_id, a.f, a.q)
       SELECT doc_id, frame_id, CAST(q AS INT) AS q, n_px_q, sad,
         sad >= 50 * n_px_q AS moving
-      FROM sadq ORDER BY doc_id, frame_id, q"""))
+      FROM sadq ORDER BY doc_id, frame_id, q""")),
+
+    // ---- PITCH TRACKING: normalized-autocorrelation period detection
+    //      over a planted periodic tone — the fundamental-frequency
+    //      estimator (YIN/RAPT's core statistic) every speech/music
+    //      curation pipeline runs before prosody or melody features.
+    //      The fixture's sample formula repeats exactly every `period`
+    //      frames (distinct residues within a period ⇒ the fundamental
+    //      IS the planted period), the search range [16, 39] brackets
+    //      the planted 20–39 without room for an octave alias, and
+    //      argmax tie-breaks to the smaller lag. NAC's three sums are
+    //      exact Longs; the double √/divide sequence is IEEE-identical
+    //      in both engines, so the oracle — which replays samples from
+    //      the formula and re-runs the whole lag sweep in SQL —
+    //      hash-matches argmax, NAC value, and derived Hz. A decode
+    //      slip (offset, interleave, chunk walk) shifts every sample
+    //      and mismatches immediately. Scale: map-only — the lag sweep
+    //      runs INSIDE the per-doc decode where the samples are
+    //      adjacent bytes; one 5-column row per doc leaves the task,
+    //      PCM never enters the dataflow. ----
+    QuerySpec(
+      "m20_pitch_track",
+      (s, d) => {
+        import s.implicits._
+        wavToneFixture(s, d).as[MediaRow]
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.map(r =>
+              decodeWavPitch(r.doc_id, r.payload, 16, 39)))
+          }.toDF()
+          .select(col("doc_id"), col("sample_rate"), col("n_frames"),
+            col("best_lag"), round(col("nac"), 9).as("nac"),
+            round(col("sample_rate").cast("double") / col("best_lag"), 6)
+              .as("freq_hz"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+        SELECT doc_id,
+          CASE n_chars % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 44100 END AS rate,
+          CAST(150 + (n_chars % 100) AS INT) AS nf,
+          CAST(20 + (n_chars % 20) AS INT) AS p
+        FROM documents),
+      lags AS (
+        SELECT doc_id, rate, nf, p,
+          unnest(generate_series(16, 39)) AS lag
+        FROM dims),
+      vals AS (
+        SELECT doc_id, rate, nf, lag,
+          ((doc_id*31 + (i % p)*97) % 65536) - 32768 AS a,
+          ((doc_id*31 + ((i + lag) % p)*97) % 65536) - 32768 AS b
+        FROM (SELECT doc_id, rate, nf, p, lag,
+                unnest(generate_series(0, nf - lag - 1)) AS i
+              FROM lags) t),
+      acc AS (
+        SELECT doc_id, rate, nf, lag,
+          CAST(SUM(a*b) AS BIGINT) AS num,
+          CAST(SUM(a*a) AS BIGINT) AS d0,
+          CAST(SUM(b*b) AS BIGINT) AS d1
+        FROM vals GROUP BY 1, 2, 3, 4),
+      scored AS (
+        SELECT doc_id, rate, nf, lag,
+          CAST(num AS DOUBLE)
+            / sqrt(CAST(d0 AS DOUBLE) * CAST(d1 AS DOUBLE)) AS nac
+        FROM acc),
+      best AS (
+        SELECT doc_id, rate, nf, lag, nac,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY nac DESC, lag) AS rk
+        FROM scored)
+      SELECT doc_id, CAST(rate AS INT) AS sample_rate, nf AS n_frames,
+        CAST(lag AS INT) AS best_lag, ROUND(nac, 9) AS nac,
+        ROUND(CAST(rate AS DOUBLE) / lag, 6) AS freq_hz
+      FROM best WHERE rk = 1 ORDER BY doc_id"""))
   )
 }

@@ -2839,6 +2839,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m20: the detected lag IS the planted fundamental, NAC ≈ 1 there") {
+    val planted = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "CAST(20 + (n_chars % 20) AS INT) AS p")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("m20_pitch_track")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == planted.size, s"${rows.length} rows")
+    rows.foreach { case (id, rate, nf, lag, nac, hz) =>
+      // detection = ground truth, for every doc: the signal is exactly
+      // periodic at the planted lag, so NAC there is 1 up to the one
+      // √ rounding, and strictly higher than at any wrong lag
+      assert(lag == planted(id), s"doc $id detected $lag != ${planted(id)}")
+      assert(math.abs(nac - 1.0) < 1e-9, s"doc $id nac $nac")
+      assert(nf > lag, s"doc $id overlap")
+      assert(math.abs(hz - rate.toDouble / lag) < 1e-6, s"doc $id hz")
+    }
+    // the estimator is not degenerate: the planted periods span the
+    // whole 20–39 band at fixture scale
+    assert(rows.map(_._4).distinct.length > 10, "period diversity")
+  }
+
   test("s29: mining is margin-normalized, one best pair per source") {
     val rows = SparkEntry.queries("s29_bitext_mining")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
