@@ -2835,6 +2835,135 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
           PARTITION BY xid ORDER BY margin DESC, yid) AS rk
         FROM sc) t
       WHERE rk = 1 AND margin >= 1.0 ORDER BY xid""")),
+
+    // ---- IVF PROBE SWEEP: the recall-vs-cost curve OF the index —
+    //      for nprobe ∈ {1,2,4,8}, run the s09-style cell-restricted
+    //      exact search and measure (a) recall@5 against the brute
+    //      top-5 and (b) the fraction of the corpus scanned. This is
+    //      the operating-curve every ANN deployment reads before
+    //      picking its probe budget (Jégou 2011 §V evaluates IVFADC
+    //      exactly this way); at 100 TB the sweep is how you price
+    //      "one more probe" in I/O. nprobe=8 probes every cell, so
+    //      recall 1 at scan-fraction ~1 pins the curve's right edge
+    //      by construction. Everything downstream of the davg-exact
+    //      k-means is deterministic (cosines are IEEE-identical
+    //      ordered folds, ties break on vec_id, recall is an integer
+    //      count / 5, the averages ride davg), so the whole CURVE
+    //      hash-matches the oracle's unrolled replay. Scale: one
+    //      coarse-assignment scan (map-only fold), candidates =
+    //      corpus ⋈ broadcast(32-row probe table) — the sweep shares
+    //      one candidate relation instead of 4 searches; the brute
+    //      leg is the usual 8-query broadcast scan. ----
+    QuerySpec(
+      "s32_probe_recall",
+      (s, d) => {
+        import s.implicits._
+        val kCells = 8
+        val sweep = Seq(1, 2, 4, 8)
+        // full probe RANKING per query (nprobe = kCells), prefixes
+        // give every sweep point — driver-side, QueryIds × kCells
+        val ranked = queryProbes(s, d, kCells, kCells)
+        val qdf = broadcast(ranked.toSeq.flatMap { case (qid, cids) =>
+          sweep.map(np => (qid, np, cids.take(np)))
+        }.toDF("qid", "np", "probes"))
+        val (centroids, _) = kMeansModel(s, d, kCells)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val corpus = e.select(col("vec_id"), col("embedding"),
+          nearest(centroids, vec(col("embedding"))).getField("cid")
+            .as("cid"))
+        val qe = e.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val cand = corpus
+          .join(qdf, array_contains(col("probes"), col("cid")) &&
+            col("vec_id") =!= col("qid"))
+          .join(broadcast(qe), "qid")
+          .select(col("qid"), col("np"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+        val wIvf = Window.partitionBy(col("qid"), col("np"))
+          .orderBy(desc("cos"), col("vec_id"))
+        val ivfTop = cand.withColumn("rk", row_number().over(wIvf))
+          .filter(col("rk") <= 5).select(col("qid"), col("np"),
+            col("vec_id"))
+        val wEx = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        val exactTop = e.join(broadcast(qe), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(wEx))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        val nTot = e.agg(count(lit(1)).as("n"))
+        val perQ = cand.groupBy(col("qid"), col("np"))
+          .agg(count(lit(1)).as("ncand"))
+          .join(ivfTop.join(exactTop, Seq("qid", "vec_id"), "left")
+              .groupBy(col("qid"), col("np"))
+              .agg(sum(coalesce(col("hit"), lit(0))).as("hits")),
+            Seq("qid", "np"))
+          .crossJoin(broadcast(nTot))
+          .select(col("qid"), col("np"),
+            (col("hits").cast("double") / 5.0).as("recall"),
+            (col("ncand").cast("double") / col("n").cast("double"))
+              .as("frac"))
+        perQ.groupBy(col("np").as("nprobe"))
+          .agg(count(lit(1)).as("n_queries"),
+            davg(col("recall")).as("avg_recall_at5"),
+            davg(col("frac")).as("avg_scan_frac"))
+          .orderBy("nprobe")
+      },
+      // hash-matched since the davg centroid updates: the oracle
+      // replays the training, the probe ranking, all four
+      // cell-restricted searches and the brute baseline
+      Some(s"""WITH ${kmeansAssignSql()},
+      qraw AS MATERIALIZED (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < $QueryIds),
+      pr AS MATERIALIZED (
+        SELECT qid, cid, pk FROM (
+          SELECT q.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY ${d2Sql("q.qv", "c.c")}, c.cid) AS pk
+          FROM qraw q CROSS JOIN c5 c) t),
+      sw AS (SELECT unnest([1, 2, 4, 8]) AS np),
+      cand AS MATERIALIZED (
+        SELECT s.np, p.qid, g.vec_id, ${cosineSql("q", "e")} AS cos
+        FROM sw s
+        JOIN pr p ON p.pk <= s.np
+        JOIN assigned g ON g.cid = p.cid
+        JOIN embeddings e ON e.vec_id = g.vec_id AND e.vec_id <> p.qid
+        JOIN embeddings q ON q.vec_id = p.qid),
+      ivftop AS MATERIALIZED (
+        SELECT np, qid, vec_id FROM (
+          SELECT np, qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY np, qid ORDER BY cos DESC, vec_id) AS rk
+          FROM cand) t
+        WHERE rk <= 5),
+      extop AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+          SELECT q.vec_id AS qid, e.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS rk
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+          WHERE q.vec_id < $QueryIds) t
+        WHERE rk <= 5),
+      n AS (SELECT COUNT(1) AS n FROM embeddings),
+      perq AS (
+        SELECT c.np, c.qid,
+          CAST(COUNT(1) AS DOUBLE) / MAX(n.n) AS frac,
+          CAST(SUM(CASE WHEN x.vec_id IS NOT NULL
+                          AND i.vec_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall
+        FROM cand c
+        CROSS JOIN n
+        LEFT JOIN ivftop i
+          ON i.np = c.np AND i.qid = c.qid AND i.vec_id = c.vec_id
+        LEFT JOIN extop x
+          ON x.qid = c.qid AND x.vec_id = c.vec_id
+        GROUP BY c.np, c.qid)
+      SELECT CAST(np AS INT) AS nprobe,
+        COUNT(1) AS n_queries,
+        ${davgSql("recall")} AS avg_recall_at5,
+        ${davgSql("frac")} AS avg_scan_frac
+      FROM perq GROUP BY np ORDER BY nprobe""")),
   )
 
   /** One direction of the s31 oracle, suffixed `$sfx` to keep the two

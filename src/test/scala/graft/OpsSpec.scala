@@ -2861,6 +2861,28 @@ class OpsSpec extends SparkSpec {
     assert(rows.map(_._4).distinct.length > 10, "period diversity")
   }
 
+  test("s32: the probe curve is monotone and pinned at the full-scan edge") {
+    val rows = SparkEntry.queries("s32_probe_recall")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8), rows.mkString(","))
+    // more probes never hurt recall and never scan less
+    rows.sliding(2).foreach { case Array((_, _, r1, f1), (_, _, r2, f2)) =>
+      assert(r2 >= r1, s"recall monotone: $r1 -> $r2")
+      assert(f2 >= f1, s"scan monotone: $f1 -> $f2")
+    }
+    // probing all 8 cells IS the brute search: recall exactly 1, scan
+    // fraction exactly (N−1)/N (the query excludes itself)
+    val n = Tables.embeddings(spark, sf0001).count()
+    val (_, _, rAll, fAll) = rows.last
+    assert(rAll == 1.0, s"full-probe recall $rAll")
+    assert(math.abs(fAll - (n - 1).toDouble / n) < 1e-12, s"frac $fAll")
+    rows.foreach { case (np, nq, r, f) =>
+      assert(nq > 0 && r >= 0.0 && r <= 1.0 && f > 0.0 && f <= 1.0,
+        s"np=$np bounds")
+    }
+  }
+
   test("s29: mining is margin-normalized, one best pair per source") {
     val rows = SparkEntry.queries("s29_bitext_mining")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
