@@ -2028,6 +2028,63 @@ object Multimodal {
       SELECT doc_id, CAST(rate AS INT) AS sample_rate, nf AS n_frames,
         CAST(lag AS INT) AS best_lag, ROUND(nac, 9) AS nac,
         ROUND(CAST(rate AS DOUBLE) / lag, 6) AS freq_hz
-      FROM best WHERE rk = 1 ORDER BY doc_id"""))
+      FROM best WHERE rk = 1 ORDER BY doc_id""")),
+
+    // ---- CROSS-MODAL consistency audit: image dup-groups (m10's
+    //      Hamming ≤ 3 aHash components — lossless banding by
+    //      pigeonhole) crossed with TEXT identity. An image group
+    //      whose members carry >1 distinct caption is the
+    //      "same image, different text" signal (template/watermark
+    //      farms, caption spinning) that neither per-modality dedup
+    //      sees: image dedup keeps one copy per pixel cluster, text
+    //      dedup keeps every caption — the pair audit is what tells a
+    //      curator the modalities DISAGREE about duplication. Only
+    //      multi-member groups are reported; texts compare by md5 so
+    //      the shuffle carries 32-char keys, never document bodies.
+    //      Scale: m10's label table (O(images), int pairs) + one
+    //      md5-keyed aggregate — pixels stay inside the map-side
+    //      decode, exactly m10's shape plus one bounded rollup. ----
+    QuerySpec(
+      "m21_caption_reuse",
+      (s, d) => {
+        val labels = graft.ops.Text.connectedComponents(
+          ahashPairs(s, d, maxHam = 3).select(
+            col("doc_a").as("da"), col("doc_b").as("db")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("tk"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lbl"), col("doc_id")).as("group_id"), col("tk"))
+          .groupBy(col("group_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("tk")).as("n_texts"))
+          .filter(col("n_docs") >= 2)
+          .withColumn("caption_reuse", col("n_texts") > 1)
+          .orderBy("group_id")
+      },
+      Some(s"""WITH RECURSIVE $ahashWideCtes,
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+      edges AS (SELECT da AS a, db AS b FROM pairs
+                UNION ALL SELECT db, da FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labels AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS lbl
+        FROM reach GROUP BY a),
+      g AS (
+        SELECT COALESCE(l.lbl, d.doc_id) AS group_id,
+          md5(d.text) AS tk
+        FROM documents d LEFT JOIN labels l USING (doc_id))
+      SELECT group_id, COUNT(1) AS n_docs,
+        COUNT(DISTINCT tk) AS n_texts,
+        COUNT(DISTINCT tk) > 1 AS caption_reuse
+      FROM g GROUP BY group_id HAVING COUNT(1) >= 2
+      ORDER BY group_id"""))
   )
 }

@@ -2883,6 +2883,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m21: reported groups are exactly m10's multi-member components") {
+    val m10 = SparkEntry.queries("m10_ahash_groups")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    Scoped.release()
+    val expected = m10.groupBy(_._2).filter(_._2.length >= 2)
+      .map { case (g, ms) => g -> ms.length.toLong }
+    val got = SparkEntry.queries("m21_caption_reuse")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    Scoped.release()
+    assert(got.map(g => g._1 -> g._2).toMap == expected,
+      s"groups ${got.length} vs ${expected.size}")
+    got.foreach { case (g, nDocs, nTexts, reuse) =>
+      assert(nTexts >= 1 && nTexts <= nDocs, s"group $g counts")
+      assert(reuse == (nTexts > 1), s"group $g flag")
+    }
+  }
+
   test("s29: mining is margin-normalized, one best pair per source") {
     val rows = SparkEntry.queries("s29_bitext_mining")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
