@@ -759,6 +759,94 @@ object Text {
        else lshJaccardPairs(s, d, thr)).localCheckpoint()
     }
 
+  /** t63's hashed-bigram bucket rows (doc_id, source, b): word
+    * bigrams via the portable polyHash mod B=1024, guarded against
+    * <2-token docs (Spark's sequence(0, -1) would COUNT DOWN, not
+    * produce empty). Scope-persisted: the DSIR query reads it from
+    * three branches (target histogram, raw histogram, per-doc
+    * counts). */
+  private[graft] def dsirBucketRows(s: SparkSession, d: String): DataFrame = {
+    val bg = when(size(toks) >= 2,
+      expr("""transform(sequence(0, size(split(text,' ')) - 2),
+        i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1]))"""))
+      .otherwise(array().cast("array<string>"))
+    Scoped.persist(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(bg).as("bg"))
+      .select(col("doc_id"), col("source"),
+        (graft.functions.TextExprs.polyHash(col("bg")) % 1024).as("b")))
+  }
+
+  /** t63's per-bucket log-ratio table λ_b = ln p_target(b) − ln
+    * p_raw(b) (Laplace +1 both sides, rounded once at 9). Built over
+    * the full 0..B−1 spine: buckets unseen on either side still need
+    * their smoothed λ — a candidate doc may hash into them. */
+  private[graft] def dsirLambda(s: SparkSession, rows: DataFrame,
+      tgt: String): DataFrame = {
+    val ct = rows.filter(col("source") === tgt)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cr = rows.filter(col("source") =!= tgt)
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val nr = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    s.range(1024).select(col("id").as("b"))
+      .join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1) * (col("nr") + 1024))
+            .cast("double") /
+          ((coalesce(col("cr"), lit(0L)) + 1) * (col("nt") + 1024))
+            .cast("double")), 9).as("lam"))
+  }
+
+  private val dsirMemo = new graft.SessionMemo[(String, String), Array[Double]]
+
+  /** The trained λ table as a dense 1024-double array — the DSIR
+    * "model" a deployment ships to its gate (streaming twin:
+    * [[graft.streaming.Streams.dsirGate]]). Memoized like
+    * [[lrModel]]; the collect is B rows, bounded by construction. */
+  def dsirLambdaArray(s: SparkSession, d: String,
+      tgt: String = "src0"): Array[Double] =
+    dsirMemo.getOrCompute(s, (d, tgt)) {
+      val rows = dsirBucketRows(s, d)
+      val out = new Array[Double](1024)
+      dsirLambda(s, rows, tgt).collect()
+        .foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
+      rows.unpersist(blocking = false)
+      out
+    }
+
+  /** Row-local DSIR weight of one document under a trained λ array —
+    * bit-identical to t63's distributed dsum: per-bucket counts via
+    * the same polyHash buckets, each term c·λ_b pushed through the
+    * SAME decimal(·,10) HALF_UP hop Spark's double→decimal cast
+    * applies (BigDecimal.valueOf = the shortest-string conversion
+    * Spark's Decimal(double) uses), summed exactly, one correctly-
+    * rounded cast back. Order-independent, so a streaming gate scores
+    * every doc exactly as the batch query would. */
+  def dsirWeight(text: String, lam: Array[Double]): Double = {
+    val ts = text.split(" ", -1)
+    val counts = new java.util.HashMap[Int, Int]()
+    var i = 0
+    while (i < ts.length - 1) {
+      val b = (graft.functions.TextExprs.polyHash(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(ts(i) + " " + ts(i + 1)), 31L, 1000000007L)
+        % 1024L).toInt
+      counts.merge(b, 1, (a, x) => a + x)
+      i += 1
+    }
+    var acc = java.math.BigDecimal.ZERO
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      acc = acc.add(java.math.BigDecimal
+        .valueOf(e.getValue.toDouble * lam(e.getKey))
+        .setScale(10, java.math.RoundingMode.HALF_UP))
+    }
+    acc.doubleValue()
+  }
+
   /** The representative-level stage of [[lshJaccardPairs]]:
     * (dup mapping, shingled reps, verified rep pairs ≥ thr). Shared
     * with [[dupClusterLabels]], which clusters BEFORE the member
@@ -4287,33 +4375,8 @@ object Text {
       "t63_dsir_weights",
       (s, d) => {
         val tgt = "src0"
-        // bigram extraction guarded against <2-token docs: Spark's
-        // sequence(0, -1) would COUNT DOWN, not produce empty
-        val bg = when(size(toks) >= 2,
-          expr("""transform(sequence(0, size(split(text,' ')) - 2),
-            i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1]))"""))
-          .otherwise(array().cast("array<string>"))
-        val rows = Scoped.persist(Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), explode(bg).as("bg"))
-          .select(col("doc_id"), col("source"),
-            (graft.functions.TextExprs.polyHash(col("bg")) % 1024).as("b")))
-        val ct = rows.filter(col("source") === tgt)
-          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-        val cr = rows.filter(col("source") =!= tgt)
-          .groupBy(col("b")).agg(count(lit(1)).as("cr"))
-        val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
-        val nr = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
-        // full 0..B-1 spine: buckets unseen on either side still need
-        // their smoothed λ — a candidate doc may hash into them
-        val lam = s.range(1024).select(col("id").as("b"))
-          .join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
-          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
-          .select(col("b"),
-            round(log(
-              ((coalesce(col("ct"), lit(0L)) + 1) * (col("nr") + 1024))
-                .cast("double") /
-              ((coalesce(col("cr"), lit(0L)) + 1) * (col("nt") + 1024))
-                .cast("double")), 9).as("lam"))
+        val rows = dsirBucketRows(s, d)
+        val lam = dsirLambda(s, rows, tgt)
         val w = rows.filter(col("source") =!= tgt)
           .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
           .join(broadcast(lam), Seq("b"))

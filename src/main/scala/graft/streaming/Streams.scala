@@ -315,6 +315,27 @@ object Streams {
           exp(-graft.ops.Text.lrMarginExpr(w, nF)))).as("prob"))
       .withColumn("pred", when(col("prob") >= 0.5, 1).otherwise(0))
 
+  /** Batch-train / stream-apply for DSIR (t63): gate a live document
+    * stream with the corpus-trained per-bucket log-ratio table
+    * ([[graft.ops.Text.dsirLambdaArray]], a 1024-double model). The
+    * weight is [[graft.ops.Text.dsirWeight]] — a row-local fold that
+    * replays t63's decimal-exact sum bucket for bucket, so a doc
+    * scores bit-identically whether it arrives in a micro-batch or
+    * sits in the batch corpus. Map-only: no state store, no
+    * watermark, no join — the DSIR deployment shape (train offline,
+    * score documents as they arrive, keep those that look like the
+    * target domain). Docs stream needs (doc_id, text) columns. */
+  def dsirGate(docs: DataFrame, lam: Array[Double],
+      threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.ops.Text.dsirWeight(text, lam)) }
+      .toDF("doc_id", "dsir_weight")
+      .withColumn("keep", col("dsir_weight") >= threshold)
+  }
+
   // not `private`: the state encoder's generated code must reach it
   final case class ShardHH(shard: Int, version: Long,
       counters: Map[String, (Long, Long)])

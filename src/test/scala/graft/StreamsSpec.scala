@@ -629,6 +629,45 @@ class StreamsSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("DSIR gate scores a doc stream bit-identically to the batch t63 weights") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val lam = graft.ops.Text.dsirLambdaArray(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.dsirGate(ms.toDF.toDF("doc_id", "text"), lam, 0.0)
+      .writeStream.format("memory").queryName("dsir_gated")
+      .outputMode(OutputMode.Append()).start()
+    // two micro-batches — the boundary must not affect any weight
+    try {
+      ms.addData(docs.take(docs.length / 2): _*); q.processAllAvailable()
+      ms.addData(docs.drop(docs.length / 2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_gated").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(streamed.size == docs.length)
+    streamed.foreach { case (id, (w, keep)) =>
+      assert(keep == (w >= 0.0), s"doc $id flag")
+    }
+    // the registered t63 selection carries round(w, 6) for its
+    // top-200: every selected doc's streamed weight must round to the
+    // SAME value (the row-local decimal fold replays the distributed
+    // dsum exactly; rounding both to 6 removes only the display hop)
+    val batch = SparkEntry.queries("t63_dsir_weights")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    graft.Scoped.release()
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, w6) =>
+      val w = streamed(id)._1
+      val r6 = java.math.BigDecimal.valueOf(w)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r6 == w6, s"doc $id: stream ${w} -> $r6 vs batch $w6")
+    }
+  }
+
   test("corpus-trained classifier gates a doc stream; stream preds equal batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
