@@ -126,31 +126,32 @@ object Similarity {
     * order, updates are davg per (sub, cid, pos) with EMPTY CELLS
     * KEEPING their previous centroid (the Spark `upd.getOrElse(c,
     * old)` branch — hence the LEFT JOIN + COALESCE). */
-  private def pqSql(m: Int = 8, k: Int = 16, iters: Int = 4): String = {
+  private def pqSql(m: Int = 8, k: Int = 16, iters: Int = 4,
+      sfx: String = ""): String = {
     val sub = 64 / m
     val init =
-      s"""pnrm AS MATERIALIZED (
+      s"""pnrm$sfx AS MATERIALIZED (
         SELECT vec_id, ${l2Sql("embeddings")} AS nrm FROM embeddings),
-      psv AS MATERIALIZED (
+      psv$sfx AS MATERIALIZED (
         SELECT e.vec_id, CAST(g.mi AS INT) AS sub,
           list_transform(
             list_slice(CAST(e.embedding AS DOUBLE[]),
               g.mi * $sub + 1, g.mi * $sub + $sub),
             x -> CASE WHEN n.nrm > 0 THEN x / n.nrm
                  ELSE CAST(0 AS DOUBLE) END) AS sv
-        FROM embeddings e JOIN pnrm n USING (vec_id)
+        FROM embeddings e JOIN pnrm$sfx n USING (vec_id)
         CROSS JOIN generate_series(0, ${m - 1}) AS g(mi)),
-      pb0 AS MATERIALIZED (
+      pb0$sfx AS MATERIALIZED (
         SELECT sub, CAST(ROW_NUMBER() OVER (PARTITION BY sub
           ORDER BY vec_id) - 1 AS INT) AS cid, sv AS c
-        FROM psv WHERE vec_id < $k)"""
+        FROM psv$sfx WHERE vec_id < $k)"""
     def assign(name: String, books: String) =
       s"""$name AS MATERIALIZED (
         SELECT vec_id, sub, cid FROM (
           SELECT s.vec_id, s.sub, b.cid, ROW_NUMBER() OVER (
             PARTITION BY s.vec_id, s.sub
             ORDER BY ${d2Sql("s.sv", "b.c")}, b.cid) AS rk
-          FROM psv s JOIN $books b ON b.sub = s.sub) t
+          FROM psv$sfx s JOIN $books b ON b.sub = s.sub) t
         WHERE rk = 1)"""
     def update(name: String, asg: String, prev: String) =
       s"""$name AS MATERIALIZED (
@@ -158,17 +159,17 @@ object Similarity {
         FROM $prev p LEFT JOIN (
           SELECT sub, cid, list(mn ORDER BY pos) AS c FROM (
             SELECT a.sub, a.cid, g.i AS pos, ${davgSql("s.sv[g.i]")} AS mn
-            FROM $asg a JOIN psv s
+            FROM $asg a JOIN psv$sfx s
               ON s.vec_id = a.vec_id AND s.sub = a.sub
             CROSS JOIN generate_series(1, $sub) AS g(i)
             GROUP BY a.sub, a.cid, g.i) t
           GROUP BY sub, cid) u
         ON u.sub = p.sub AND u.cid = p.cid)"""
     val steps = (1 to iters).flatMap { i =>
-      Seq(assign(s"pa$i", s"pb${i - 1}"), update(s"pb$i", s"pa$i",
-        s"pb${i - 1}"))
+      Seq(assign(s"pa$i$sfx", s"pb${i - 1}$sfx"),
+        update(s"pb$i$sfx", s"pa$i$sfx", s"pb${i - 1}$sfx"))
     }
-    (Seq(init) ++ steps :+ assign("pcodes", s"pb$iters"))
+    (Seq(init) ++ steps :+ assign(s"pcodes$sfx", s"pb$iters$sfx"))
       .mkString(",\n")
   }
 
@@ -179,29 +180,30 @@ object Similarity {
     * ORDERED list fold — a GROUP-BY SUM over doubles would be
     * order-unstable and break the bit match. Ends in
     * `adc(qid, vec_id, adc)` for vectors ≠ the query. */
-  private def adcSql(m: Int = 8, books: String = "pb4"): String = {
+  private def adcSql(m: Int = 8, books: String = "pb4",
+      sfx: String = ""): String = {
     val sub = 64 / m
-    s"""qn AS MATERIALIZED (
+    s"""qn$sfx AS MATERIALIZED (
       SELECT vec_id AS qid,
         CASE WHEN ${l2Sql("embeddings")} > 0 THEN
           list_transform(CAST(embedding AS DOUBLE[]),
             x -> x / ${l2Sql("embeddings")})
         ELSE CAST(embedding AS DOUBLE[]) END AS qv
       FROM embeddings WHERE vec_id < $QueryIds),
-    plut AS MATERIALIZED (
+    plut$sfx AS MATERIALIZED (
       SELECT q.qid, b.sub, b.cid,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(list_zip(
             list_slice(q.qv, b.sub * $sub + 1, b.sub * $sub + $sub),
             b.c), p -> p[1] * p[2])),
           (acc, x) -> acc + x) AS v
-      FROM qn q CROSS JOIN $books b),
-    adc AS MATERIALIZED (
+      FROM qn$sfx q CROSS JOIN $books b),
+    adc$sfx AS MATERIALIZED (
       SELECT t.qid, t.vec_id,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list(t.v ORDER BY t.sub)), (acc, x) -> acc + x) AS adc
       FROM (SELECT l.qid, p.vec_id, p.sub, l.v
-            FROM pcodes p JOIN plut l
+            FROM pcodes$sfx p JOIN plut$sfx l
               ON l.sub = p.sub AND l.cid = p.cid) t
       WHERE t.vec_id <> t.qid
       GROUP BY t.qid, t.vec_id)"""
@@ -2964,6 +2966,118 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
         ${davgSql("recall")} AS avg_recall_at5,
         ${davgSql("frac")} AS avg_scan_frac
       FROM perq GROUP BY np ORDER BY nprobe""")),
+
+    // ---- PQ CODE-SIZE SWEEP: s32 priced probes; this prices BYTES —
+    //      train m ∈ {4, 8, 16} subspace quantizers (one stored byte
+    //      per subspace at k=16), run the full s10 ADC-shortlist +
+    //      exact-rerank search under each, and report recall@5 vs the
+    //      brute top-5. Together with s32 these are the two axes every
+    //      IVFADC deployment tunes (Jégou 2011 table III sweeps
+    //      exactly this m grid): probes buy I/O locality, code bytes
+    //      buy in-memory corpus size — at 100 TB the m=4→16 step is a
+    //      4× memory bill, and this query is the recall it buys.
+    //      Deterministic end-to-end on the davg-exact PQ trainings, so
+    //      all three curves hash-match the oracle's three unrolled
+    //      replays (suffixed CTE chains — the s31 discipline). Scale:
+    //      per m one codes scan × broadcast LUTs (the s10 shape);
+    //      the three searches share the brute leg. ----
+    QuerySpec(
+      "s33_code_sweep",
+      (s, d) => {
+        import s.implicits._
+        val k = 16
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val qe = e.filter(col("vec_id") < QueryIds)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wEx = Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))
+        val exactTop = e.join(broadcast(qe), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine(col("qv"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(wEx))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        val perM = Seq(4, 8, 16).map { m =>
+          val qdf = queryLuts(s, d, m, k).toDF("qid", "lut")
+          val wAdc = Window.partitionBy(col("qid"))
+            .orderBy(desc("adc"), col("vec_id"))
+          val shortlist = pqCodes(s, d, m, k).crossJoin(broadcast(qdf))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              graft.functions.VectorExprs
+                .adcScore(col("codes"), col("lut")).as("adc"))
+            .withColumn("ark", row_number().over(wAdc))
+            .filter(col("ark") <= 50)
+            .select(col("qid"), col("vec_id"))
+          val wCos = Window.partitionBy(col("qid"))
+            .orderBy(desc("cos"), col("vec_id"))
+          shortlist.join(e, "vec_id").join(broadcast(qe), "qid")
+            .select(col("qid"), col("vec_id"),
+              cosine(col("qv"), col("embedding")).as("cos"))
+            .withColumn("rk", row_number().over(wCos))
+            .filter(col("rk") <= 5)
+            .join(exactTop, Seq("qid", "vec_id"), "left")
+            .groupBy(col("qid"))
+            .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+            .select(lit(m).as("m_subspaces"), col("qid"),
+              (col("hits").cast("double") / 5.0).as("recall"))
+        }.reduce(_ unionByName _)
+        perM.groupBy(col("m_subspaces"))
+          .agg(count(lit(1)).as("n_queries"),
+            davg(col("recall")).as("avg_recall_at5"))
+          .select(col("m_subspaces"), col("m_subspaces").as("code_bytes"),
+            col("n_queries"), col("avg_recall_at5"))
+          .orderBy("m_subspaces")
+      },
+      // hash-matched since the davg model updates: three suffixed
+      // PQ-training + ADC replays against one shared brute baseline
+      Some {
+        def side(m: Int): String = {
+          val x = s"_$m"
+          s"""${pqSql(m, sfx = x)},
+          ${adcSql(m, books = s"pb4$x", sfx = x)},
+          sh$x AS MATERIALIZED (
+            SELECT qid, vec_id FROM (
+              SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY adc DESC, vec_id) AS ark
+              FROM adc$x) t
+            WHERE ark <= 50),
+          t5$x AS MATERIALIZED (
+            SELECT qid, vec_id FROM (
+              SELECT s.qid, s.vec_id,
+                ROW_NUMBER() OVER (PARTITION BY s.qid
+                  ORDER BY ${cosineSql("q", "e")} DESC, s.vec_id) AS rk
+              FROM sh$x s JOIN embeddings e ON e.vec_id = s.vec_id
+                JOIN embeddings q ON q.vec_id = s.qid) t
+            WHERE rk <= 5),
+          r$x AS (
+            SELECT $m AS m_subspaces, t.qid,
+              CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 5.0 AS recall
+            FROM t5$x t LEFT JOIN extop x
+              ON x.qid = t.qid AND x.vec_id = t.vec_id
+            GROUP BY t.qid)"""
+        }
+        s"""WITH extop AS MATERIALIZED (
+          SELECT qid, vec_id FROM (
+            SELECT q.vec_id AS qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id) AS rk
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < $QueryIds) t
+          WHERE rk <= 5),
+        ${side(4)},
+        ${side(8)},
+        ${side(16)},
+        u AS (SELECT * FROM r_4 UNION ALL SELECT * FROM r_8
+              UNION ALL SELECT * FROM r_16)
+        SELECT CAST(m_subspaces AS INT) AS m_subspaces,
+          CAST(m_subspaces AS INT) AS code_bytes,
+          COUNT(1) AS n_queries,
+          ${davgSql("recall")} AS avg_recall_at5
+        FROM u GROUP BY m_subspaces ORDER BY m_subspaces"""
+      }),
   )
 
   /** One direction of the s31 oracle, suffixed `$sfx` to keep the two

@@ -2901,6 +2901,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("s33: more code bytes never lose recall on the anchor corpus") {
+    val rows = SparkEntry.queries("s33_code_sweep")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(4, 8, 16), rows.mkString(","))
+    rows.foreach { case (m, bytes, nq, rec) =>
+      assert(bytes == m, s"m=$m bytes")
+      assert(nq > 0 && rec >= 0.0 && rec <= 1.0, s"m=$m bounds")
+    }
+    // finer quantization pays: the recall curve is non-decreasing in
+    // m on the anchor corpus (an empirical regression pin — PQ offers
+    // no theorem here, but a refactor that breaks the codebooks shows
+    // up as an inversion long before it breaks the oracle)
+    rows.sliding(2).foreach { case Array((_, _, _, r1), (_, _, _, r2)) =>
+      assert(r2 >= r1, s"recall monotone: $r1 -> $r2")
+    }
+  }
+
   test("s29: mining is margin-normalized, one best pair per source") {
     val rows = SparkEntry.queries("s29_bitext_mining")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
