@@ -224,6 +224,81 @@ object TextExprs {
     GraftSqlBridge.column(
       ShingleHashes(GraftSqlBridge.expression(c), n, seed))
 
+  /** Word-bigram polyHash buckets in ONE pass — the fused form of
+    * `transform(sequence(0, size(split(text,' ')) - 2), i ->
+    * poly_hash(concat(ts[i], ' ', ts[i+1])) % mod)`, whose
+    * higher-order-function form re-evaluates the split INSIDE the
+    * lambda per element (interpreted HOFs do no common-subexpression
+    * hoisting), making bigram extraction O(n²) per document. Same
+    * identity as [[shingleHashes(s:*]]: the bigram string (tokens j,
+    * j+1 re-joined with " ") IS the original char span from token j's
+    * first char to token j+1's last, so each bigram polyHashes in
+    * place — the emitted bucket is bit-identical to
+    * `poly_hash("w1 w2") % mod` (the value the DuckDB oracle
+    * replays), multiplicity preserved, order preserved. */
+  def bigramBuckets(s: UTF8String, mod: Long): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (str.charAt(i) == ' ') spaces += 1; i += 1 }
+    val nTokens = spaces + 1
+    if (nTokens < 2)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (str.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1
+    val out = new Array[Long](nTokens - 1)
+    var j = 0
+    while (j < nTokens - 1) {
+      val e = starts(j + 2) - 1 // exclusive end of the bigram span
+      var acc = 0L
+      var p = starts(j)
+      while (p < e) {
+        val cp = str.codePointAt(p)
+        acc = (acc * 31 + cp) % 1000000007L
+        p += Character.charCount(cp)
+      }
+      out(j) = acc % mod
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Column form of [[bigramBuckets(s:*]]: string → `array<long>` of
+    * per-bigram polyHash-mod-`mod` buckets (empty for <2 tokens). */
+  case class BigramBuckets(child: Expression, mod: Long)
+      extends UnaryExpression {
+    require(mod > 0, s"bigram_buckets: mod must be positive, got $mod")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"bigram_buckets expects a string input, got ${child.dataType.sql}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bigram_buckets"
+
+    override protected def nullSafeEval(a: Any): Any =
+      bigramBuckets(a.asInstanceOf[UTF8String], mod)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$.bigramBuckets(
+          $a, ${mod}L);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): BigramBuckets =
+      copy(child = c)
+  }
+
+  def bigramBuckets(c: Column, mod: Long): Column =
+    GraftSqlBridge.column(
+      BigramBuckets(GraftSqlBridge.expression(c), mod))
+
   /** Distinct character n-grams in one pass — the fused form of
     * `array_distinct(transform(sequence(1, length(text) - (n-1)),
     * i => substr(text, i, n)))`, which builds an index array, a

@@ -760,21 +760,19 @@ object Text {
     }
 
   /** t63's hashed-bigram bucket rows (doc_id, source, b): word
-    * bigrams via the portable polyHash mod B=1024, guarded against
-    * <2-token docs (Spark's sequence(0, -1) would COUNT DOWN, not
-    * produce empty). Scope-persisted: the DSIR query reads it from
-    * three branches (target histogram, raw histogram, per-doc
-    * counts). */
-  private[graft] def dsirBucketRows(s: SparkSession, d: String): DataFrame = {
-    val bg = when(size(toks) >= 2,
-      expr("""transform(sequence(0, size(split(text,' ')) - 2),
-        i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1]))"""))
-      .otherwise(array().cast("array<string>"))
+    * bigrams via the portable polyHash mod B=1024, computed by the
+    * fused single-pass [[graft.functions.TextExprs.BigramBuckets]]
+    * kernel (the declarative transform-over-split form re-evaluated
+    * the split per lambda element — O(n²) per doc, 4.4 s at sf0.1;
+    * the kernel hashes each bigram in place over the original char
+    * span, bit-identical values). Scope-persisted: the DSIR query
+    * reads it from three branches (target histogram, raw histogram,
+    * per-doc counts). */
+  private[graft] def dsirBucketRows(s: SparkSession, d: String): DataFrame =
     Scoped.persist(Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), explode(bg).as("bg"))
       .select(col("doc_id"), col("source"),
-        (graft.functions.TextExprs.polyHash(col("bg")) % 1024).as("b")))
-  }
+        explode(graft.functions.TextExprs.bigramBuckets(col("text"), 1024))
+          .as("b")))
 
   /** t63's per-bucket log-ratio table λ_b = ln p_target(b) − ln
     * p_raw(b) (Laplace +1 both sides, rounded once at 9). Built over
