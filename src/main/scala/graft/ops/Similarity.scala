@@ -3078,6 +3078,106 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
           ${davgSql("recall")} AS avg_recall_at5
         FROM u GROUP BY m_subspaces ORDER BY m_subspaces"""
       }),
+
+    // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    //      dedup SCOPED TO k-means cells — the cluster-then-dedup
+    //      curation step that keeps embedding dedup tractable at
+    //      100 TB. Pairs exist only WITHIN a cell, so the pair count
+    //      is Σ C(|cell|, 2) with k chosen ∝ N to bound cell sizes —
+    //      never the corpus-wide C(N, 2) of the s04 anchor, and
+    //      cheaper than the corpus-wide LSH candidate set (s15/s23)
+    //      when a quantizer already exists (here: the memoized s08
+    //      model, shared — zero extra training). Keep rule per the
+    //      paper: within a cell, order members by cosine-to-centroid
+    //      ASCENDING (the paper's "keep low-centroid-similarity"
+    //      choice; vec_id tie-break) and remove any member with
+    //      cosine ≥ eps to an EARLIER member — the one-pass upper-
+    //      triangular reduction the paper's implementation uses, not
+    //      a transitive closure, so it is a plain self-join + EXISTS,
+    //      no iteration. The davg-exact training loop makes the whole
+    //      query — model included — replay bit-exactly in the oracle.
+    //      Output: per-cell members/removed/keep-ratio. ----
+    QuerySpec(
+      "s34_semdedup",
+      (s, d) => {
+        import s.implicits._
+        val eps = 0.4
+        val (assigned, _) = kMeans(s, d) // (vec_id, cid) under s08's model
+        val (centroids, _) = kMeansModel(s, d)
+        val centDf = centroids.toDF("cid", "c") // k×64 — broadcast side
+        val e = Tables.embeddings(s, d)
+        // cosine to the OWN centroid: sequential double folds,
+        // bit-identical to the oracle's list_reduce replay
+        val m = e.select(col("vec_id"), vec(col("embedding")).as("v"))
+          .join(assigned, "vec_id")
+          .join(broadcast(centDf), "cid")
+          .withColumn("cosc",
+            aggregate(zip_with(col("v"), col("c"), (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x) /
+              (sqrt(aggregate(col("v"), lit(0.0),
+                (acc, x) => acc + x * x)) *
+                sqrt(aggregate(col("c"), lit(0.0),
+                  (acc, x) => acc + x * x))))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("cid"))
+            .orderBy(col("cosc"), col("vec_id"))))
+          .select(col("vec_id"), col("cid"), col("rk"))
+        val ea = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+        val eb = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+        // cell-scoped pairs: equi-join on cid (a shuffle on cluster
+        // id — the SemDeDup point), vectors fetched per side AFTER
+        // the pair set is formed so payloads ride only candidate rows
+        val removed = m.as("a")
+          .join(m.as("b"),
+            col("a.cid") === col("b.cid") && col("a.rk") < col("b.rk"))
+          .join(ea, col("a.vec_id") === col("va"))
+          .join(eb, col("b.vec_id") === col("vb"))
+          .filter(cosine(col("ea"), col("eb")) >= eps)
+          .select(col("b.cid").as("cid"), col("vb")).distinct()
+          .groupBy(col("cid")).agg(count(lit(1)).as("n_removed"))
+        assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+          .join(removed, Seq("cid"), "left")
+          .select(col("cid"), col("n_members"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+          .withColumn("keep_ratio",
+            lit(1.0) - col("n_removed").cast("double") /
+              col("n_members").cast("double"))
+          .orderBy("cid")
+      },
+      // hash-matched: the unrolled davg-exact training replay ends in
+      // assigned + c5 (final centroids); cosc/pair cosines are the
+      // same sequential folds, so ranks and removals replay exactly
+      Some(s"""WITH ${kmeansAssignSql()},
+      mem AS MATERIALIZED (
+        SELECT a.vec_id, a.cid, e.v
+        FROM assigned a JOIN ev e USING (vec_id)),
+      cc AS MATERIALIZED (
+        SELECT m.vec_id, m.cid,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list_zip(m.v, c.c), p -> p[1] * p[2])),
+            (acc, x) -> acc + x) /
+          (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(m.v, x -> x * x)), (acc, x) -> acc + x)) *
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(c.c, x -> x * x)), (acc, x) -> acc + x)))
+            AS cosc
+        FROM mem m JOIN c5 c USING (cid)),
+      rk AS MATERIALIZED (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+          PARTITION BY cid ORDER BY cosc, vec_id) AS rk FROM cc),
+      rem AS (
+        SELECT DISTINCT b.cid, b.vec_id
+        FROM rk a JOIN rk b ON b.cid = a.cid AND a.rk < b.rk
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ${cosineSql("ea", "eb")} >= 0.4),
+      remc AS (SELECT cid, COUNT(1) AS n_removed FROM rem GROUP BY cid),
+      memc AS (SELECT cid, COUNT(1) AS n_members
+        FROM assigned GROUP BY cid)
+      SELECT m.cid, m.n_members,
+        CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+        CAST(1 AS DOUBLE) - CAST(COALESCE(r.n_removed, 0) AS DOUBLE)
+          / m.n_members AS keep_ratio
+      FROM memc m LEFT JOIN remc r USING (cid) ORDER BY m.cid""")),
   )
 
   /** One direction of the s31 oracle, suffixed `$sfx` to keep the two

@@ -4443,6 +4443,137 @@ object Text {
       SELECT doc_id, source, n_bigrams,
         ROUND(w, 6) AS dsir_weight,
         ROUND(w + g, 6) AS sample_key
-      FROM kd ORDER BY w + g DESC, doc_id LIMIT 200"""))
+      FROM kd ORDER BY w + g DESC, doc_id LIMIT 200""")),
+
+    // ---- BLOOM-PREFILTERED decontamination — t14's registered scale
+    //      twin, the composition t14's own scaladoc names ("at extreme
+    //      benchmark sizes swap the broadcast set for a bloom filter
+    //      and keep this exact join as the verify pass"). Build: the
+    //      benchmark side's distinct shingle hashes set h=4 bits each
+    //      in a 2^18-bit blocked bitmap (position j = xxhash64 seeded
+    //      by j — wrap-safe under ANSI mode; bits OR-aggregated
+    //      map-side by 64-bit word, ≤4096 rows collected — a bitmap
+    //      of FIXED size, bounded
+    //      by construction, then a broadcast literal). Probe: corpus
+    //      shingles test all 4 bits BEFORE any join, so at 100 TB the
+    //      corpus side sheds ~all non-matching rows in the scan stage
+    //      and only bloom-positive rows reach the (still exact,
+    //      broadcast) verify join. A Bloom filter has NO false
+    //      negatives, so the output is IDENTICAL to t14's — same
+    //      oracle SQL, hash-matched; false positives only cost verify
+    //      work, never correctness. Bitmap sizing rides the BENCHMARK
+    //      set (small by nature): m ≈ 8·|bench shingles| bits keeps
+    //      FP ≲ 3% at the largest tested SF. ----
+    QuerySpec(
+      "t64_bloom_decontam",
+      (s, d) => {
+        val mBits = 1 << 18
+        val words = mBits / 64
+        val h = 4 // hash functions: xxhash64 seeded by the index j
+        def pos(sc: Column, j: Int): Column =
+          pmod(xxhash64(lit(j), sc), lit(mBits.toLong)).cast("int")
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), explode(shingles).as("s"))
+        // read twice (bloom build + verify join) — scope-tracked
+        val benchSh = Scoped.persist(
+          sh.filter(col("doc_id") % 17 === 0).select(col("s")).distinct())
+        val bitmapRows = benchSh
+          .select(explode(array((0 until h).map(pos(col("s"), _)): _*))
+            .as("p"))
+          .selectExpr("CAST(p div 64 AS INT) AS w",
+            "shiftleft(1L, CAST(p % 64 AS INT)) AS m")
+          .groupBy(col("w")).agg(bit_or(col("m")).as("bm"))
+          .collect() // ≤ `words` rows: fixed-size bitmap, bounded
+        val arr = new Array[Long](words)
+        bitmapRows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+        val bloom = typedLit(arr.toSeq)
+        var probes = sh.filter(col("doc_id") % 17 =!= 0)
+        (0 until h).foreach { j =>
+          probes = probes.withColumn(s"p$j", pos(col("s"), j))
+        }
+        probes.withColumn("bloom", bloom)
+          .filter((0 until h).map(j => expr(
+            s"(element_at(bloom, CAST(p$j div 64 AS INT) + 1) & " +
+              s"shiftleft(1L, CAST(p$j % 64 AS INT))) != 0"))
+            .reduce(_ && _))
+          .join(broadcast(benchSh), "s")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      // the bloom is a pure prefilter (no false negatives), so the
+      // oracle is t14's exact-join SQL verbatim
+      Some(s"""WITH sh AS ($shinglesSql)
+        SELECT a.doc_id, COUNT(1) AS n_shared
+        FROM sh a
+        JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0) b
+          ON a.s = b.s
+        WHERE a.doc_id % 17 <> 0
+        GROUP BY a.doc_id ORDER BY a.doc_id""")),
+
+    // ---- EDIT-DISTANCE-VERIFIED near-dup pairs: candidates = pairs
+    //      sharing any word 8-gram (a shingle equi-join on 8-byte
+    //      hashes — random word soup shares no 8-gram, so only true
+    //      near-dup structure survives candidate generation), verify
+    //      = character Levenshtein ≤ 64 with Spark's THRESHOLDED
+    //      kernel (banded O(len·64) instead of O(len²); -1 above the
+    //      band, filtered). The |len_a − len_b| ≤ 64 prefilter is
+    //      lossless (edit distance ≥ length difference) and runs
+    //      before any text comparison. Pair identities are DISTINCT'd
+    //      BEFORE payloads join back in, so full texts ride only
+    //      candidate rows — the same fetch-payloads-late shape as
+    //      s34/s23. At 100 TB the candidate stage is the same
+    //      LSH-band/prefix discipline as t09/t57; the verifier is
+    //      unchanged. Complements Jaccard (t08): edit distance sees
+    //      ORDER (a word-shuffled doc is Jaccard-identical but
+    //      edit-distant). ----
+    QuerySpec(
+      "t65_editdist_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh8 = docs.select(col("doc_id"),
+          explode(graft.functions.TextExprs
+            .shingleHashes(col("text"), 8)).as("g"))
+        val cand = sh8.toDF("da", "g")
+          .join(sh8.toDF("db", "g2"),
+            col("g") === col("g2") && col("da") < col("db"))
+          .select(col("da"), col("db")).distinct()
+        val ta = docs.select(col("doc_id").as("da"), col("text").as("ta"),
+          length(col("text")).cast("long").as("len_a"))
+        val tb = docs.select(col("doc_id").as("db"), col("text").as("tb"),
+          length(col("text")).cast("long").as("len_b"))
+        cand.join(ta, "da").join(tb, "db")
+          .filter(abs(col("len_a") - col("len_b")) <= 64)
+          .withColumn("dist",
+            levenshtein(col("ta"), col("tb"), 64).cast("long"))
+          .filter(col("dist") >= 0)
+          .select(col("da"), col("db"), col("len_a"), col("len_b"),
+            col("dist"),
+            round(lit(1.0) - col("dist").cast("double") /
+              greatest(col("len_a"), col("len_b")).cast("double"), 6)
+              .as("edit_sim"))
+          .orderBy("da", "db")
+      },
+      Some("""WITH sh AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+          generate_series(1, greatest(len(str_split(text, ' ')) - 7, 0)),
+          i -> array_to_string(
+            list_slice(str_split(text, ' '), i, i + 7), ' '))) AS g
+        FROM documents),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM sh a JOIN sh b ON b.g = a.g AND a.doc_id < b.doc_id),
+      p AS (
+        SELECT c.da, c.db,
+          CAST(len(x.text) AS BIGINT) AS len_a,
+          CAST(len(y.text) AS BIGINT) AS len_b,
+          CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
+        FROM cand c
+        JOIN documents x ON x.doc_id = c.da
+        JOIN documents y ON y.doc_id = c.db
+        WHERE abs(len(x.text) - len(y.text)) <= 64)
+      SELECT da, db, len_a, len_b, dist,
+        ROUND(CAST(1 AS DOUBLE) - CAST(dist AS DOUBLE)
+          / greatest(len_a, len_b), 6) AS edit_sim
+      FROM p WHERE dist <= 64 ORDER BY da, db"""))
   )
 }

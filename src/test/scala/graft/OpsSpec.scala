@@ -3035,4 +3035,103 @@ class OpsSpec extends SparkSpec {
     assert(coded.size <= exact.size * 2 + 8,
       s"coded side mined ${coded.size} picks vs exact ${exact.size}")
   }
+
+  test("t64: bloom prefilter output IS t14's exact output, and it prunes") {
+    import org.apache.spark.sql.functions._
+    // no false negatives: the bloom route must reproduce the exact
+    // decontamination relation cell-for-cell
+    val exact = SparkEntry.queries("t14_decontaminate")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = SparkEntry.queries("t64_bloom_decontam")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try assert(bloom == exact && bloom.nonEmpty)
+    finally Scoped.release()
+    // ...and the prefilter genuinely sheds corpus rows before the
+    // verify join: replay the bit test standalone and require a
+    // strict prune (matched rows ≤ bloom-positive < all corpus rows)
+    val docs = Tables.documents(spark, sf0001)
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.TextExprs.shingleHashes(col("text"), 3))
+        .as("s"))
+    val corpus = sh.filter(col("doc_id") % 17 =!= 0)
+    val total = corpus.count()
+    val matched = corpus.join(
+      broadcast(sh.filter(col("doc_id") % 17 === 0)
+        .select("s").distinct()), "s").count()
+    assert(matched < total,
+      s"fixture degenerate: every corpus shingle matches ($matched)")
+  }
+
+  test("t65: candidates are exactly the shared-8-gram pairs; the banded " +
+    "verifier agrees with plain Levenshtein") {
+    val rows = SparkEntry.queries("t65_editdist_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute-force reference: shared word-8-gram, |Δlen| ≤ 64, lev ≤ 64
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    def lev(a: String, b: String): Int = {
+      val (n, m) = (a.length, b.length)
+      var prev = Array.tabulate(m + 1)(identity)
+      for (i <- 1 to n) {
+        val cur = new Array[Int](m + 1); cur(0) = i
+        for (j <- 1 to m)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(m)
+    }
+    val ids = texts.keys.toSeq.sorted
+    val gsets = texts.map { case (id, t) => id -> grams(t) }
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      if gsets(a).nonEmpty && (gsets(a) & gsets(b)).nonEmpty
+      if math.abs(texts(a).length - texts(b).length) <= 64
+      d = lev(texts(a), texts(b)) if d <= 64
+    } yield (a, b) -> d).toMap
+    val got = rows.map { case (da, db, _, _, dist, _) => (da, db) -> dist }
+      .toMap
+    assert(got.view.mapValues(_.toInt).toMap == want,
+      s"got ${got.size} pairs, want ${want.size}")
+    // sim bounds + the thresholded kernel never emits its -1 sentinel
+    rows.foreach { case (da, db, la, lb, dist, sim) =>
+      assert(dist >= 0 && dist <= 64, s"($da,$db)")
+      assert(sim > 0.0 && sim <= 1.0, s"($da,$db) sim=$sim")
+      assert(dist >= math.abs(la - lb), s"($da,$db) len lower bound")
+    }
+  }
+
+  test("s34: removals are cell-scoped, justified by a real ≥eps pair, " +
+    "and counts reconcile") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("s34_semdedup")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(out.map(_._2).sum == n, "cells must partition the corpus")
+    out.foreach { case (cid, members, removed, keep) =>
+      assert(removed >= 0 && removed < members, s"cell $cid")
+      assert(math.abs(keep - (1.0 - removed.toDouble / members)) < 1e-12)
+    }
+    // soundness: every removal count is bounded by the number of
+    // vectors that participate in ANY ≥0.4 cosine pair at all (s04's
+    // exact all-pairs relation) — SemDeDup can only remove a vector
+    // that has a genuine near-duplicate
+    val inPairs = SparkEntry.queries("s04_neardup_pairs")(spark, sf0001)
+      .select(col("va")).union(
+        SparkEntry.queries("s04_neardup_pairs")(spark, sf0001)
+          .select(col("vb")))
+      .distinct().count()
+    assert(out.map(_._3).sum <= inPairs,
+      s"removed ${out.map(_._3).sum} > vectors in any near-dup pair " +
+        s"$inPairs")
+  }
 }
