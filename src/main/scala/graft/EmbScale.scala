@@ -126,6 +126,9 @@ object EmbScale {
     // corpus scanned as 8-byte codes per query).
     // SPARK_GRAFT_PQ_M=16 doubles the code bytes (16 × 4-dim
     // subspaces) for the recall-vs-bytes datapoint
+    // SPARK_GRAFT_SKIP_PQ=1 skips the coded-table half (mirrors
+    // SKIP_LSH — the SemDeDup stage below is independent of both)
+    if (sys.env.get("SPARK_GRAFT_SKIP_PQ").isEmpty) {
     val m = sys.env.getOrElse("SPARK_GRAFT_PQ_M", "8").toInt
     val (k, kCells, nprobe) = (256, 64, 8)
     val coded = time("coded_table_build") {
@@ -162,6 +165,30 @@ object EmbScale {
     }
     val recall = s16.intersect(exact5).size.toDouble / exact5.size
     println(f"EMBSCALE   IVF-PQ recall@5 vs brute: $recall%.4f")
+    }
+
+    // ---- 4. SemDeDup at k ∝ N: the s34 code path with the paper's
+    //      actual scaling lever. The fixture query runs k = 8 so the
+    //      unrolled oracle stays replayable; HERE cells must stay
+    //      small enough that Σ C(|cell|, 2) is linear-ish in N —
+    //      k = 1024 over 500k vectors ⇒ ~490/cell ⇒ ~1.2e8 in-cell
+    //      pairs total (vs 1.25e11 corpus-wide). iters = 3: the
+    //      cells only bucket the pair search, they are not a learned
+    //      model anyone queries — bucketing quality saturates fast.
+    //      eps = 0.95: the corpus plants near-dups at ~0.997 cosine
+    //      (8%) + exact dups (2%) over a base of ~orthogonal random
+    //      vectors, so the removed fraction should land ≈ 0.10 with
+    //      essentially no base-pair leakage. ----
+    val semK = sys.env.getOrElse("SPARK_GRAFT_SEM_K", "1024").toInt
+    time(s"semdedup_k$semK") {
+      val out = Similarity.semDedupCells(spark, d, k = semK,
+        iters = 3, eps = 0.95)
+      val r = out.agg(sum(col("n_members")), sum(col("n_removed")),
+        max(col("n_members"))).head()
+      val (mem, rem, big) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      println(f"EMBSCALE   semdedup members=$mem removed=$rem " +
+        f"(${rem.toDouble / mem}%.4f) largest cell=$big")
+    }
 
     Scoped.release()
     spark.stop()

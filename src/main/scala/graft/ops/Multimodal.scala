@@ -945,6 +945,61 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ResampleRow(doc_id: Long, src_rate: Int,
+      n_frames: Int, n_out: Long, out0: Int, mean_out: Double,
+      peak_out: Double)
+
+  /** Linear-interpolation resample of channel 0 to `dst` Hz, reduced
+    * to per-doc stats inside the decode. Output j sits at source
+    * offset j·src/dst: idx = ⌊j·src/dst⌋, rem = (j·src) mod dst, and
+    * the sample value is (v[idx]·(dst−rem) + v[idx+1]·rem) / dst.
+    * The NUMERATOR is exact in Long (|v|·dst ≤ 32768·8000, ×n_out ≪
+    * 2⁶³ summed), so mean and peak are single exact divisions — the
+    * m07 parity discipline applied to a resampler. rem > 0 implies
+    * idx + 1 ≤ nFrames − 1 (j is capped at (nf−1)·dst/src), so the
+    * interpolant never reads past the clip. */
+  private[graft] def decodeWavResample(docId: Long, bs: Array[Byte],
+      dst: Int = 8000): ResampleRow = {
+    val (rate, nch, dataOff, nFrames) = wavLayout(bs)
+    def i16(i: Int): Int =
+      ((bs(i) & 0xff) | ((bs(i + 1) & 0xff) << 8)).toShort.toInt
+    def ch0(f: Int): Int = i16(dataOff + f * nch * 2)
+    val nOut = ((nFrames - 1).toLong * dst / rate).toInt + 1
+    var sumNum = 0L
+    var peakNum = 0L
+    var j = 0
+    while (j < nOut) {
+      val num = j.toLong * rate
+      val idx = (num / dst).toInt
+      val rem = (num % dst).toInt
+      val a = ch0(idx).toLong
+      val n =
+        if (rem == 0) a * dst
+        else a * (dst - rem) + ch0(idx + 1).toLong * rem
+      sumNum += n
+      val an = math.abs(n)
+      if (an > peakNum) peakNum = an
+      j += 1
+    }
+    ResampleRow(docId, rate, nFrames, nOut.toLong, ch0(0),
+      sumNum.toDouble / (dst.toDouble * nOut),
+      peakNum.toDouble / dst)
+  }
+
+  /** Batched per-partition resample of a binary WAV column → per-doc
+    * stats; same vectorized-decode loop shape as
+    * [[decodeWavFeatures]]. */
+  def resampleWavFeatures(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map(r => decodeWavResample(r.doc_id, r.payload))
+        }
+      }.toDF()
+  }
+
   /** Batched per-partition decode of a binary WAV column → features;
     * same vectorized-decode loop shape as [[decodeBmpFeatures]]. */
   def decodeWavFeatures(spark: SparkSession, media: DataFrame,
@@ -2085,6 +2140,57 @@ object Multimodal {
         COUNT(DISTINCT tk) AS n_texts,
         COUNT(DISTINCT tk) > 1 AS caption_reuse
       FROM g GROUP BY group_id HAVING COUNT(1) >= 2
-      ORDER BY group_id"""))
+      ORDER BY group_id""")),
+
+    // ---- SAMPLE-RATE NORMALIZATION: resample every clip's channel 0
+    //      to a common 8 kHz grid by linear interpolation — the
+    //      standardize-before-featurize step an audio training
+    //      pipeline runs first (corpora arrive at 8k/16k/44.1k mixed;
+    //      every model wants ONE rate). All arithmetic that crosses
+    //      the engine boundary stays EXACT: output position j sits at
+    //      rational source offset j·src/8000, so the interpolated
+    //      value's NUMERATOR v[i]·(8000−rem) + v[i+1]·rem is an exact
+    //      Long (≤ 32768·8000), summed exactly; the only doubles are
+    //      the two final single divisions (mean, peak) — both single-
+    //      rounded identically in DuckDB's replay of the sample
+    //      formula. Resampling happens INSIDE the per-doc decode
+    //      (samples never leave the task — the m03/m19 discipline);
+    //      output is per-doc stats, not the waveform, so 100 TB of
+    //      audio shuffles a fixed few columns per clip. ----
+    QuerySpec(
+      "m22_audio_resample",
+      (s, d) => resampleWavFeatures(s, wavFixture(s, d)).orderBy("doc_id"),
+      Some("""WITH dims AS (
+        SELECT doc_id,
+          CASE n_chars % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 44100 END AS rate,
+          CAST(50 + (n_chars % 211) AS INT) AS nf
+        FROM documents),
+      j AS (SELECT doc_id, rate, nf,
+              unnest(generate_series(0, ((nf - 1) * 8000) // rate))
+                AS j
+            FROM dims),
+      x AS (SELECT doc_id, rate, nf,
+              (j * rate) // 8000 AS idx, (j * rate) % 8000 AS rem
+            FROM j),
+      v AS (SELECT doc_id, rate, nf, rem,
+              ((doc_id * 31 + idx * 7) % 65536) - 32768 AS v0,
+              ((doc_id * 31 + (idx + 1) * 7) % 65536) - 32768 AS v1
+            FROM x),
+      n AS (SELECT doc_id, rate, nf,
+              COUNT(1) AS n_out,
+              CAST(SUM(v0 * (8000 - rem) + v1 * rem) AS BIGINT)
+                AS sumnum,
+              CAST(MAX(ABS(v0 * (8000 - rem) + v1 * rem)) AS BIGINT)
+                AS peaknum
+            FROM v GROUP BY 1, 2, 3)
+      SELECT doc_id, CAST(rate AS INT) AS src_rate,
+        CAST(nf AS INT) AS n_frames,
+        CAST(n_out AS BIGINT) AS n_out,
+        CAST(((doc_id * 31) % 65536) - 32768 AS INT) AS out0,
+        CAST(sumnum AS DOUBLE)
+          / (CAST(8000 AS DOUBLE) * n_out) AS mean_out,
+        CAST(peaknum AS DOUBLE) / CAST(8000 AS DOUBLE) AS peak_out
+      FROM n ORDER BY doc_id"""))
   )
 }

@@ -464,6 +464,61 @@ object Similarity {
     (e.select(col("vec_id"), best.getField("cid").as("cid")), inertia)
   }
 
+  /** SemDeDup core (s34; Abbas et al. 2023): per-cell members /
+    * removed / keep-ratio under the (memoized) k-means model.
+    * Parameterized so the 500k-vector rehearsal ([[graft.EmbScale]])
+    * runs the SAME code path with k ∝ N — the paper's actual scaling
+    * lever — while the registered query keeps the s08 defaults its
+    * unrolled oracle replays. Keep rule: within a cell, members rank
+    * by cosine-to-centroid ASCENDING (vec_id tie-break); a member is
+    * removed iff some EARLIER member is ≥ `eps` cosine-similar. */
+  def semDedupCells(s: SparkSession, d: String, k: Int = 8,
+      iters: Int = 5, eps: Double = 0.4): DataFrame = {
+    import s.implicits._
+    val (assigned, _) = kMeans(s, d, k, iters)
+    val (centroids, _) = kMeansModel(s, d, k, iters)
+    val centDf = centroids.toDF("cid", "c") // k×64 — broadcast side
+    val e = Tables.embeddings(s, d)
+    // cosine to the OWN centroid: sequential double folds,
+    // bit-identical to the oracle's list_reduce replay
+    val m = e.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .join(assigned, "vec_id")
+      .join(broadcast(centDf), "cid")
+      .withColumn("cosc",
+        aggregate(zip_with(col("v"), col("c"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(col("v"), lit(0.0),
+            (acc, x) => acc + x * x)) *
+            sqrt(aggregate(col("c"), lit(0.0),
+              (acc, x) => acc + x * x))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cid"))
+        .orderBy(col("cosc"), col("vec_id"))))
+      .select(col("vec_id"), col("cid"), col("rk"), col("v"))
+    // cell-scoped pairs: equi-join on cid (a shuffle on cluster id —
+    // the SemDeDup point). Each side CARRIES its vector through that
+    // one shuffle: every member sits in ~|cell| pairs, so shuffling
+    // members-with-payload once (O(N·dim)) and forming pairs inside
+    // the cid partition beats fetching payloads onto the O(Σ|cell|²)
+    // pair relation afterwards — the pair rows themselves never
+    // shuffle (filter + distinct-survivors only).
+    val removed = m.select(col("cid"), col("rk").as("rka"),
+        col("v").as("va_v"))
+      .join(m.select(col("cid"), col("vec_id").as("vb"),
+        col("rk").as("rkb"), col("v").as("vb_v")), "cid")
+      .filter(col("rka") < col("rkb"))
+      .filter(cosine(col("va_v"), col("vb_v")) >= eps)
+      .select(col("cid"), col("vb")).distinct()
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_removed"))
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(removed, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("keep_ratio",
+        lit(1.0) - col("n_removed").cast("double") /
+          col("n_members").cast("double"))
+      .orderBy("cid")
+  }
+
   // ---------------------------------------------------------------
   // Product quantization (Jégou et al., "Product Quantization for
   // Nearest Neighbor Search", TPAMI 2011): split the 64-dim vector
@@ -3099,50 +3154,9 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
     //      Output: per-cell members/removed/keep-ratio. ----
     QuerySpec(
       "s34_semdedup",
-      (s, d) => {
-        import s.implicits._
-        val eps = 0.4
-        val (assigned, _) = kMeans(s, d) // (vec_id, cid) under s08's model
-        val (centroids, _) = kMeansModel(s, d)
-        val centDf = centroids.toDF("cid", "c") // k×64 — broadcast side
-        val e = Tables.embeddings(s, d)
-        // cosine to the OWN centroid: sequential double folds,
-        // bit-identical to the oracle's list_reduce replay
-        val m = e.select(col("vec_id"), vec(col("embedding")).as("v"))
-          .join(assigned, "vec_id")
-          .join(broadcast(centDf), "cid")
-          .withColumn("cosc",
-            aggregate(zip_with(col("v"), col("c"), (a, b) => a * b),
-              lit(0.0), (acc, x) => acc + x) /
-              (sqrt(aggregate(col("v"), lit(0.0),
-                (acc, x) => acc + x * x)) *
-                sqrt(aggregate(col("c"), lit(0.0),
-                  (acc, x) => acc + x * x))))
-          .withColumn("rk", row_number().over(Window.partitionBy(col("cid"))
-            .orderBy(col("cosc"), col("vec_id"))))
-          .select(col("vec_id"), col("cid"), col("rk"))
-        val ea = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
-        val eb = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-        // cell-scoped pairs: equi-join on cid (a shuffle on cluster
-        // id — the SemDeDup point), vectors fetched per side AFTER
-        // the pair set is formed so payloads ride only candidate rows
-        val removed = m.as("a")
-          .join(m.as("b"),
-            col("a.cid") === col("b.cid") && col("a.rk") < col("b.rk"))
-          .join(ea, col("a.vec_id") === col("va"))
-          .join(eb, col("b.vec_id") === col("vb"))
-          .filter(cosine(col("ea"), col("eb")) >= eps)
-          .select(col("b.cid").as("cid"), col("vb")).distinct()
-          .groupBy(col("cid")).agg(count(lit(1)).as("n_removed"))
-        assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
-          .join(removed, Seq("cid"), "left")
-          .select(col("cid"), col("n_members"),
-            coalesce(col("n_removed"), lit(0L)).as("n_removed"))
-          .withColumn("keep_ratio",
-            lit(1.0) - col("n_removed").cast("double") /
-              col("n_members").cast("double"))
-          .orderBy("cid")
-      },
+      // defaults (k=8, iters=5) so the shared memoized s08 model —
+      // and the unrolled oracle replay — line up
+      (s, d) => semDedupCells(s, d),
       // hash-matched: the unrolled davg-exact training replay ends in
       // assigned + c5 (final centroids); cosc/pair cosines are the
       // same sequential folds, so ranks and removals replay exactly

@@ -3134,4 +3134,34 @@ class OpsSpec extends SparkSpec {
       s"removed ${out.map(_._3).sum} > vectors in any near-dup pair " +
         s"$inPairs")
   }
+
+  test("m22: 8 kHz clips resample to identity vs m07; interpolation " +
+    "never exceeds the source peak") {
+    val rs = SparkEntry.queries("m22_audio_resample")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getDouble(5), r.getDouble(6)))).toMap
+    // m07: doc_id, n_bytes, sample_rate, n_channels, n_frames,
+    //      duration_sec, mean_ch0, mean_ch1, s0_ch0, peak
+    val wav = SparkEntry.queries("m07_wav_decode")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4),
+        r.getDouble(6), r.getInt(9)))).toMap
+    assert(rs.keySet == wav.keySet && rs.nonEmpty)
+    rs.foreach { case (id, (srcRate, nf, nOut, meanOut, peakOut)) =>
+      val (nch, nf7, mean0, peak) = wav(id)
+      assert(nf == nf7, s"doc $id frame count")
+      assert(nOut == (nf - 1).toLong * 8000 / srcRate + 1,
+        s"doc $id n_out")
+      if (srcRate == 8000) {
+        // src grid == dst grid: every rem is 0 → exact identity
+        assert(nOut == nf.toLong, s"doc $id identity length")
+        assert(meanOut == mean0, s"doc $id identity mean")
+        if (nch == 1)
+          assert(peakOut == peak.toDouble, s"doc $id identity peak")
+      }
+      // an interpolated sample is a convex combination of two
+      // neighbors, so the resampled peak can never exceed the
+      // clip peak (which for stereo also covers ch1)
+      assert(peakOut <= peak.toDouble + 1e-9, s"doc $id peak bound")
+    }
+  }
 }

@@ -645,4 +645,49 @@ class PlanSpec extends SparkSpec {
     assert(p29.contains("CartesianProduct") ||
       p29.contains("BroadcastNestedLoopJoin"), p29.take(800))
   }
+
+  test("s34: SemDeDup pairs form on cid equi-joins — never a cartesian") {
+    // the paper's whole claim: pair generation is CELL-scoped. A
+    // cartesian/nested-loop anywhere means the k ∝ N scaling story
+    // is fiction; the a.rk < b.rk half is a post-join filter on a
+    // cid-keyed join, not a join condition that degenerates.
+    val p = plan("s34_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("t64: the bloom bit test sits BELOW the verify join") {
+    val p = plan("t64_bloom_decontam")
+    // probe side: xxhash64 bit tests appear as a Filter on the scan
+    // side of the (broadcast) verify join, so at 100 TB the corpus
+    // sheds non-members before any join machinery
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("xxhash64"), p.take(1200))
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(p.indexOf("xxhash64", joinIdx) > joinIdx,
+      "bloom bit test must be on the probe side under the join")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("t65: candidates equi-join on shingle hashes; texts join back " +
+    "only after the pair set is distinct") {
+    val p = plan("t65_editdist_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the thresholded (banded) kernel, not plain levenshtein(l, r):
+    // the physical plan carries the threshold literal
+    assert(p.contains("levenshtein"), p.take(1200))
+    assert(p.contains("levenshtein(ta") || p.contains(", 64)"),
+      "expected the 3-arg thresholded levenshtein in the plan")
+  }
+
+  test("m22: the resampler is map-only — decode batches, no shuffle " +
+    "before the final sort") {
+    val p = plan("m22_audio_resample")
+    // one Exchange only: the orderBy's range partitioning. The
+    // decode+resample must not introduce a data shuffle of samples.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
