@@ -39,6 +39,15 @@ object EmbScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the 500k corpus is ONE ~130 MB parquet file: at the default
+      // 128 MB split it scans as 2 partitions and every pre-shuffle
+      // stage (k-means assignment, LSH signatures, PQ encode) runs
+      // 2-wide on a 32-thread session — the round-11 semdedup
+      // rehearsal measured 1.3 busy cores. 4 MB splits ⇒ ~32 scan
+      // tasks; on a real cluster the corpus arrives as many files
+      // and this knob is moot, which is WHY the single-file fixture
+      // needs it spelled out.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "24g")
       .getOrCreate()
@@ -180,6 +189,10 @@ object EmbScale {
     //      vectors, so the removed fraction should land ≈ 0.10 with
     //      essentially no base-pair leakage. ----
     val semK = sys.env.getOrElse("SPARK_GRAFT_SEM_K", "1024").toInt
+    time(s"semdedup_train_k$semK") {
+      // memoized: splits the training loop out of the stage below
+      Similarity.kMeansModel(spark, d, k = semK, iters = 3)
+    }
     time(s"semdedup_k$semK") {
       val out = Similarity.semDedupCells(spark, d, k = semK,
         iters = 3, eps = 0.95)

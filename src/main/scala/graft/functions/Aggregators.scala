@@ -31,6 +31,71 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Order-independent elementwise VECTOR mean with `davg` semantics,
+    * one buffer per group instead of one decimal row per ELEMENT.
+    *
+    * The k-means / PQ training loops need per-cluster centroid means
+    * that replay bit-exactly in the DuckDB oracle, which the davg
+    * discipline provides — but the original plan shape (posexplode
+    * the vector, hash-aggregate 64 × N rows into (cid, pos) groups
+    * with DECIMAL(38,10) sum buffers) profiled as the training
+    * bottleneck at 500k vectors: 32M exploded rows and a BigDecimal
+    * object add per element per row. This aggregator keeps the SAME
+    * numeric contract — each element quantizes through
+    * `BigDecimal.valueOf` (Spark's own double→decimal cast path,
+    * canonical-string based) at scale 10, sums exactly — but the sum
+    * lives in a primitive Long TICK array (1 tick = 10⁻¹⁰), so the
+    * hot loop is one quantization + one long add per element, the
+    * groups are k instead of k×dim, and nothing explodes. finish()
+    * reproduces `sum(decimal).cast(double) / count` exactly:
+    * BigDecimal(ticks, 10).doubleValue is the identical correctly-
+    * rounded conversion, divided by the count in double.
+    *
+    * Bounds: |Σ ticks| < 2⁶³ requires Σ|xᵢ| < 9.2 × 10⁸ per (group,
+    * element) — embeddings are O(1)-scaled, so ~10⁸ members per
+    * cluster before overflow; `longValueExact`/`Math.addExact` throw
+    * rather than wrap if a corpus ever crosses it. Buffer slot 0 is
+    * the member count; ragged input vectors are an error. */
+  object VecDavg extends Aggregator[Seq[Double], Array[Long], Seq[Double]] {
+    private val Scale = 10
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], v: Seq[Double]): Array[Long] = {
+      val b = if (buf.length != 0) buf else new Array[Long](v.length + 1)
+      require(b.length == v.length + 1,
+        s"vec_davg: ragged input (${v.length} vs ${b.length - 1})")
+      b(0) = Math.addExact(b(0), 1L)
+      var i = 0
+      while (i < v.length) {
+        val t = JBigDecimal.valueOf(v(i))
+          .setScale(Scale, RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        b(i + 1) = Math.addExact(b(i + 1), t)
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.length == 0) b
+      else if (b.length == 0) a
+      else {
+        require(a.length == b.length, "vec_davg: ragged merge")
+        var i = 0
+        while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+        a
+      }
+    override def finish(b: Array[Long]): Seq[Double] =
+      if (b.length == 0) Seq.empty
+      else {
+        val n = b(0).toDouble
+        (1 until b.length).map { i =>
+          new JBigDecimal(java.math.BigInteger.valueOf(b(i)), Scale)
+            .doubleValue / n
+        }
+      }
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
   /** One reported heavy hitter: Space-Saving guarantees
     * `n - err <= true count <= n`. */
   final case class HeavyHitter(term: String, n: Long, err: Long)

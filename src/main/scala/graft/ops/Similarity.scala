@@ -31,6 +31,11 @@ object Similarity {
   /** Exact double cast of the float embedding. */
   private def vec(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** davg-exact elementwise vector mean as one UDAF column
+    * ([[graft.functions.Aggregators.VecDavg]]). */
+  private lazy val vecDavg = udaf(graft.functions.Aggregators.VecDavg,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+
   /** Fused codegen'd dot product ([[graft.functions.VectorExprs]]);
     * bitwise-equal to the sequential `aggregate(zip_with(...))` fold
     * and to the DuckDB `list_reduce` oracle. */
@@ -434,19 +439,24 @@ object Similarity {
           // s30 oracles replay the unrolled iterations in SQL) — is
           // bit-identical in Spark and DuckDB. The ≤1e-10 quantization
           // per member is noise against k-means' own convergence tol.
-          val agg = assigned
-            .select(col("cid"), col("d2"), posexplode(col("v")))
-            .groupBy(col("cid"), col("pos"))
-            .agg(davg(col("col")).as("m"), dsum(col("d2")).as("sd2"),
+          // ONE aggregation pass, k groups: the elementwise davg-exact
+          // vector mean ([[graft.functions.Aggregators.VecDavg]] —
+          // same tick quantization, same correctly-rounded finish, so
+          // the unrolled SQL oracles replay it unchanged) replaces the
+          // original posexplode → (cid, pos) decimal hash-agg, which
+          // profiled as the training bottleneck at 500k vectors: 64·N
+          // exploded rows and a BigDecimal add per element, plus d2
+          // decimal-summed 64× per member with 63 results discarded.
+          val agg = assigned.groupBy(col("cid"))
+            .agg(vecDavg(col("v")).as("m"), dsum(col("d2")).as("sd2"),
               count(lit(1)).as("n"))
-          val rows = agg.collect() // k×dim rows — bounded by construction
+          val rows = agg.collect() // k rows — bounded by construction
           // cid-sorted driver fold: a Seq#sum in collect order would be
           // one more engine-private float-order dependence
-          inertia += rows.filter(_.getInt(1) == 0).sortBy(_.getInt(0))
-            .map(_.getDouble(3)).sum
-          centroids = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
-            cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          }.toSeq.sortBy(_._1)
+          val sorted = rows.sortBy(_.getInt(0))
+          inertia += sorted.map(_.getDouble(2)).sum
+          centroids = sorted.map(r =>
+            r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
         }
         (centroids, inertia.result())
       } finally e.unpersist(blocking = false)
@@ -578,19 +588,20 @@ object Similarity {
               .nearestCell(col("sv"), bookVals(Seq(book)).head)
               .getField("cid"))
           }
-          // davg, not avg — the same order-independent engine-exact
-          // discipline as [[kMeansModel]], so the PQ codebooks (and
-          // the s10/s11/s16 oracles that replay their training) land
-          // on identical doubles in Spark and DuckDB
+          // davg semantics, one VECTOR buffer per (sub, cid) — the
+          // same [[graft.functions.Aggregators.VecDavg]] swap as
+          // [[kMeansModel]]: identical tick quantization and finish,
+          // so the PQ codebooks (and the s10/s11/s16 oracles that
+          // replay their training) land on identical doubles in
+          // Spark and DuckDB, without exploding m·sub rows per vector
           val agg = rows
-            .select(col("sub"), cid.as("cid"), posexplode(col("sv")))
-            .groupBy(col("sub"), col("cid"), col("pos"))
-            .agg(davg(col("col")).as("mn"))
-          val rws = agg.collect() // ≤ m·k·sub rows — bounded
+            .select(col("sub"), cid.as("cid"), col("sv"))
+            .groupBy(col("sub"), col("cid"))
+            .agg(vecDavg(col("sv")).as("mn"))
+          val rws = agg.collect() // ≤ m·k rows — bounded
           books = books.zipWithIndex.map { case (book, mi) =>
-            val upd = rws.filter(_.getInt(0) == mi).groupBy(_.getInt(1))
-              .map { case (c, rs) =>
-                c -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+            val upd = rws.filter(_.getInt(0) == mi)
+              .map(r => r.getInt(1) -> r.getSeq[Double](2).toSeq).toMap
             book.map { case (c, old) => c -> upd.getOrElse(c, old) }
           }
         }
