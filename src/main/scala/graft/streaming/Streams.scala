@@ -218,6 +218,40 @@ object Streams {
       .filter(col("jaccard") >= thr)
   }
 
+  /** SemDeDup admission gate at ingest: the streaming complement of
+    * s34 ([[graft.ops.Similarity.semDedupCells]]). Arrivals assign to
+    * a cell under the FROZEN quantizer — the same fused NearestCell
+    * fold the batch path trains with — then screen with exact cosine
+    * against the cell's KEPT members. Emits one row per (arrival,
+    * kept) hit at cos ≥ eps: (vec_id, cid, kept_id, cos); the caller
+    * quarantines matched vec_ids and appends survivors to the keep
+    * table (and periodically re-runs the batch job to refresh model
+    * and keeps — the standard incremental-dedup contract: existing
+    * keeps are frozen, and arrivals do not dedup against each other
+    * until that refresh). Scale shape: assignment is per-row map
+    * work; the only join is STREAM-STATIC on cid, so with the keep
+    * table cid-partitioned/bucketed the static side never shuffles
+    * per micro-batch; the only streaming state is the output's
+    * (vec_id, kept_id) dedup — O(matches), the interesting minority
+    * for a gate by construction. */
+  def semDedupMatches(arrivals: DataFrame, kept: DataFrame,
+      centroids: Seq[Seq[Double]], eps: Double = 0.95): DataFrame = {
+    import graft.functions.VectorExprs
+    val asg = arrivals.select(col("vec_id"), col("embedding"),
+      VectorExprs.nearestCell(
+        transform(col("embedding"), x => x.cast("double")), centroids)
+        .getField("cid").as("cid"))
+    val keptCells = kept.select(col("vec_id").as("kept_id"), col("cid"),
+      col("embedding").as("ke"))
+    val cos = VectorExprs.vecDot(col("embedding"), col("ke")) /
+      (VectorExprs.vecNorm(col("embedding")) *
+        VectorExprs.vecNorm(col("ke")))
+    asg.join(keptCells, Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("kept_id"), cos.as("cos"))
+      .filter(col("cos") >= eps)
+      .dropDuplicates("vec_id", "kept_id")
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks in the preceding hour — the streaming twin of the
     * batch range join (e11). Both sides carry watermarks and the join

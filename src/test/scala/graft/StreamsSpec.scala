@@ -192,6 +192,58 @@ class StreamsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("streaming SemDeDup gate equals a driver-side batch screen " +
+    "across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val (centroids, _) = ops.Similarity.kMeansModel(spark, sf0001)
+    val (asg, _) = ops.Similarity.kMeans(spark, sf0001)
+    val embDf = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val emb = embDf.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cellOf = asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val keptIds = emb.keys.filter(_ % 2 == 0).toSet
+    val arrivalIds = emb.keys.filterNot(keptIds).toSeq.sorted
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // independent driver-side screen: same frozen model, same rule
+    val want = (for {
+      a <- arrivalIds; k <- keptIds
+      if cellOf(k) == cellOf(a) && cosine(emb(a), emb(k)) >= 0.4
+    } yield (a, k)).toSet
+    val keptDf = embDf.join(asg, "vec_id")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.semDedupMatches(
+      ms.toDS.toDF("vec_id", "embedding"), keptDf,
+      centroids.map(_._2), eps = 0.4)
+      .writeStream.format("memory").queryName("semgate")
+      .outputMode(OutputMode.Append()).start()
+    val (b1, b2) = arrivalIds.splitAt(arrivalIds.length / 2)
+    try {
+      ms.addData(b1.map(id => id -> emb(id).map(_.toFloat).toSeq): _*)
+      q.processAllAvailable()
+      ms.addData(b2.map(id => id -> emb(id).map(_.toFloat).toSeq): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("semgate").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == want, s"got ${got.size} matches, want ${want.size}")
+    assert(want.nonEmpty, "fixture degenerate: no ≥0.4 kept neighbor")
+    // the gate admits exactly the arrivals with no kept neighbor
+    val admitted = arrivalIds.toSet -- got.map(_._1)
+    admitted.foreach { a =>
+      assert(!keptIds.exists(k => cellOf(k) == cellOf(a) &&
+        cosine(emb(a), emb(k)) >= 0.4), s"arrival $a wrongly admitted")
+    }
+  }
+
   test("streaming LSH bucket cap bounds state but still pairs against residents") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
