@@ -48,6 +48,14 @@ object EmbScale {
       // and this knob is moot, which is WHY the single-file fixture
       // needs it spelled out.
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // VecDavg aggregates through ObjectHashAggregate, whose
+      // sort-based fallback triggers at 128 DISTINCT GROUPS by
+      // default — k = 1024 cells would demote the centroid update to
+      // a per-partition SORT of the full vector relation every
+      // iteration. 1024 groups × ~600-byte buffers is ~600 KB per
+      // task: hashing is the right mode at any k this harness runs.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "24g")
       .getOrCreate()

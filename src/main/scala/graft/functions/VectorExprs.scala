@@ -203,12 +203,12 @@ object VectorExprs {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
 
-  case class HyperplaneSigs(child: Expression, planes: Seq[Seq[Double]],
-      nBits: Int) extends UnaryExpression {
-    require(planes.nonEmpty && planes.length % nBits == 0,
-      "hyperplane_sigs: planes must be a multiple of nBits")
-    private val nTables = planes.length / nBits
-    private lazy val flat: Array[Double] = planes.flatten.toArray
+  /** Flat-array plane field for the same O(1) tree-compare reason as
+    * [[NearestCell]]. */
+  case class HyperplaneSigs(child: Expression, flat: Array[Double],
+      nTables: Int, nBits: Int) extends UnaryExpression {
+    require(nTables > 0 && nBits > 0 && flat.length % (nTables * nBits) == 0,
+      "hyperplane_sigs: flat planes must be nTables*nBits*dim")
     private def floatElems = child.dataType match {
       case ArrayType(FloatType, _) => true
       case _                       => false
@@ -254,14 +254,23 @@ object VectorExprs {
     // side, making EVERY candidate's distance null — the fold keeps
     // its init (MaxValue, -1); mirror that exactly
     if (n == dim) {
+      // hoist the vector out of ArrayData ONCE: the cell loop below
+      // reads it k times, and per-element getFloat/getDouble virtual
+      // dispatch × k × dim dominated the k = 1024 rehearsal profile —
+      // a primitive local keeps the hot loop pure double[] arithmetic
+      val v = new Array[Double](dim)
+      var j = 0
+      while (j < dim) {
+        v(j) = if (floatElems) a.getFloat(j).toDouble else a.getDouble(j)
+        j += 1
+      }
       var c = 0
       while (c < k) {
         val base = c * dim
         var acc = 0.0
         var i = 0
         while (i < dim) {
-          val v = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
-          val diff = v - flat(base + i)
+          val diff = v(i) - flat(base + i)
           acc += diff * diff
           i += 1
         }
@@ -280,14 +289,21 @@ object VectorExprs {
     * higher-order lambdas per row — measured as the dominant cost of
     * the IVF/PQ encode path (s08–s11). cid is the centroid's index:
     * callers guarantee cids are 0..k-1 in order. */
-  case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
+  /** Model values live in the expression as a FLAT PRIMITIVE ARRAY,
+    * not a Seq[Seq[Double]]: case-class equality/hashCode on an Array
+    * is by reference, so Catalyst's per-rule tree compares stay O(1)
+    * instead of walking k×dim boxed doubles — at k = 1024 the
+    * Seq-valued field made the DRIVER the k-means training bottleneck
+    * (every optimizer pass re-hashed a 65k-element structure; the
+    * 500k rehearsal ran one core busy). Reference equality is
+    * conservative: separately built identical models no longer
+    * dedupe, which costs nothing here (models are built once per
+    * session by the memoized trainers). */
+  case class NearestCell(child: Expression, flat: Array[Double],
+      k: Int, dim: Int)
       extends UnaryExpression {
-    require(centroids.nonEmpty &&
-      centroids.forall(_.length == centroids.head.length),
-      "nearest_cell: centroids must be non-empty and rectangular")
-    private val k = centroids.length
-    private val dim = centroids.head.length
-    private lazy val flat: Array[Double] = centroids.flatten.toArray
+    require(k > 0 && dim > 0 && flat.length == k * dim,
+      s"nearest_cell: flat model must be k*dim (${flat.length} vs $k*$dim)")
     private def floatElems = child.dataType match {
       case ArrayType(FloatType, _) => true
       case _                       => false
@@ -374,16 +390,13 @@ object VectorExprs {
     * mi+1), subVec(mi)))`: that form re-derives the norm and walks
     * interpreted lambdas per subspace per row. Normalization, element
     * order, and tie-breaks mirror the declarative twin bit for bit. */
-  case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
+  /** Flat-array model field for the same O(1) tree-compare reason as
+    * [[NearestCell]]. */
+  case class PqEncode(child: Expression, flat: Array[Double],
+      m: Int, k: Int, sub: Int)
       extends UnaryExpression {
-    require(books.nonEmpty && books.forall(_.length == books.head.length) &&
-      books.forall(_.forall(_.length == books.head.head.length)),
-      "pq_encode: books must be non-empty and rectangular (m × k × sub)")
-    private val m = books.length
-    private val k = books.head.length
-    private val sub = books.head.head.length
-    private lazy val flat: Array[Double] =
-      books.flatten.flatten.toArray
+    require(m > 0 && k > 0 && sub > 0 && flat.length == m * k * sub,
+      s"pq_encode: flat books must be m*k*sub (${flat.length})")
     private def floatElems = child.dataType match {
       case ArrayType(FloatType, _) => true
       case _                       => false
@@ -413,15 +426,30 @@ object VectorExprs {
 
   // ---- Column API ----
 
-  def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
-    GraftSqlBridge.column(NearestCell(GraftSqlBridge.expression(v), centroids))
+  def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty &&
+      centroids.forall(_.length == centroids.head.length),
+      "nearest_cell: centroids must be non-empty and rectangular")
+    GraftSqlBridge.column(NearestCell(GraftSqlBridge.expression(v),
+      centroids.flatten.toArray, centroids.length, centroids.head.length))
+  }
 
-  def pqEncode(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
-    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(emb), books))
+  def pqEncode(emb: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    require(books.nonEmpty && books.forall(_.length == books.head.length) &&
+      books.forall(_.forall(_.length == books.head.head.length)),
+      "pq_encode: books must be non-empty and rectangular (m × k × sub)")
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(emb),
+      books.flatten.flatten.toArray, books.length, books.head.length,
+      books.head.head.length))
+  }
 
-  def hyperplaneSigs(a: Column, planes: Seq[Seq[Double]], nBits: Int): Column =
-    GraftSqlBridge.column(HyperplaneSigs(
-      GraftSqlBridge.expression(a), planes, nBits))
+  def hyperplaneSigs(a: Column, planes: Seq[Seq[Double]], nBits: Int)
+      : Column = {
+    require(planes.nonEmpty && planes.length % nBits == 0,
+      "hyperplane_sigs: planes must be a multiple of nBits")
+    GraftSqlBridge.column(HyperplaneSigs(GraftSqlBridge.expression(a),
+      planes.flatten.toArray, planes.length / nBits, nBits))
+  }
 
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(VecDot(

@@ -489,18 +489,14 @@ object Similarity {
     val (centroids, _) = kMeansModel(s, d, k, iters)
     val centDf = centroids.toDF("cid", "c") // k×64 — broadcast side
     val e = Tables.embeddings(s, d)
-    // cosine to the OWN centroid: sequential double folds,
-    // bit-identical to the oracle's list_reduce replay
+    // cosine to the OWN centroid: fused codegen'd sequential folds
+    // ([[graft.functions.VectorExprs]] — bitwise-equal to the
+    // aggregate/zip_with HOF form and to the oracle's list_reduce)
     val m = e.select(col("vec_id"), vec(col("embedding")).as("v"))
       .join(assigned, "vec_id")
       .join(broadcast(centDf), "cid")
-      .withColumn("cosc",
-        aggregate(zip_with(col("v"), col("c"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x) /
-          (sqrt(aggregate(col("v"), lit(0.0),
-            (acc, x) => acc + x * x)) *
-            sqrt(aggregate(col("c"), lit(0.0),
-              (acc, x) => acc + x * x))))
+      .withColumn("cosc", dot(col("v"), col("c")) /
+        (l2(col("v")) * l2(col("c"))))
       .withColumn("rk", row_number().over(Window.partitionBy(col("cid"))
         .orderBy(col("cosc"), col("vec_id"))))
       .select(col("vec_id"), col("cid"), col("rk"), col("v"))

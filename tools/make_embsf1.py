@@ -50,6 +50,11 @@ tab = pa.table({
         pa.array(emb.reshape(-1), pa.float32()), DIM).cast(pa.list_(pa.float32())),
     "label": pa.array(label, pa.int32()),
 })
-pq.write_table(tab, DST / "embeddings.parquet")
+# row_group_size matters: pyarrow's default writes ONE giant row group,
+# and Spark can only parallelize a parquet SPLIT that contains a row-group
+# start — the round-11 rehearsal ran every pre-shuffle stage as a single
+# task (31 of 32 executor threads parked) until this was set. 16k rows
+# ≈ 4 MB per group ≈ the maxPartitionBytes the harness scans with.
+pq.write_table(tab, DST / "embeddings.parquet", row_group_size=16384)
 print(f"wrote {N} x {DIM} vectors -> {DST}/embeddings.parquet "
       f"({n_base} base / {n_near} near / {n_exact} exact)")
