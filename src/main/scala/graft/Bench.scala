@@ -57,7 +57,10 @@ object Bench {
     val Seq(r1, r2, r3) = rounds.map(_.toMap): @unchecked
     val results = rounds.head.map { case (n, _) =>
       n -> math.min(r1(n), math.min(r2(n), r3(n))) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) precision on the stdout map: full doubles cost
+    // ~17 chars/query and push the single line past the driver's tail
+    // window; the full-precision values live in the detail file.
+    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failures = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -76,8 +79,6 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailFile =
       s"""{"metric":"queries","queries":$qs,"rounds":$roundsJson,"sf":"$sfDir"}"""
-    val detail =
-      s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}"""
     // per-round totals + spread on the stdout total line: the driver's
     // single recorded number vs the builder's median-of-3 diverge
     // exactly when a regression is contested, and a self-diagnosing
@@ -88,8 +89,13 @@ object Bench {
       .mkString(",")}],"max_over_min":${
       if (roundTotals.min > 0) f"${roundTotals.max / roundTotals.min}%.3f"
       else "null"}}"""
+    // EXACTLY ONE JSON line on stdout, carrying metric+value+unit+
+    // queries+sf together — ten rounds of the driver recording
+    // `parsed: null` traced to two JSON lines (a queries-only map the
+    // driver rejects for lacking "value", then the total). One line,
+    // one parse.
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failures":$failures,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"failures":$failures,"spread":$spread,"sf":"$sfDir"}"""
     // sbt appends its own "[success] Total time…" after our stdout, so
     // the driver's last-line parse can't see the JSON — ALSO write the
     // total to a well-known small file it can read deterministically.
@@ -99,7 +105,6 @@ object Bench {
     writeFile("target/bench_detail.json", detailFile)
     writeFile("target/bench_total.json", totalLine)
     failed.foreach { case (n, msg) => System.err.println(s"[bench] FAILED $n: $msg") }
-    println(detail)
     println(totalLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

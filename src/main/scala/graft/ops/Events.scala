@@ -1472,7 +1472,74 @@ object Events {
               col("wau_exact")).as("rel_err"))
           .orderBy("day")
       },
-      None)
+      None),
+
+    // ---- event-time DISORDER audit — the measurement that sizes a
+    //      streaming watermark delay (`withWatermark`) BEFORE the
+    //      stream runs: per arrival-hour, how far behind the running
+    //      event-time high-water mark do events arrive, and how many
+    //      would a given delay have dropped? The fixture's events
+    //      arrive in event-time order, so arrival order is
+    //      reconstructed with a bounded DETERMINISTIC transport
+    //      jitter (a Knuth multiplicative hash of event_id, < 300 s —
+    //      portable integer arithmetic both engines replay exactly,
+    //      the t09 oracle discipline). All lateness arithmetic stays
+    //      in exact integer MICROSECONDS until the final division.
+    //      Scale: the only window partitions by arrival HOUR (730
+    //      partitions/month, events-per-hour bounded); no global
+    //      ordering anywhere — cross-hour disorder is invisible to
+    //      this frame, the documented approximation (jitter < 300 s
+    //      << 1 h keeps the boundary leakage marginal). ----
+    QuerySpec(
+      "e35_disorder_audit",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("arr_us", col("ts_us") +
+            (col("event_id") * lit(2654435761L)) % lit(2147483647L)
+              % lit(300L) * lit(1000000L))
+          .withColumn("hour",
+            timestamp_micros(col("arr_us") - pmod(col("arr_us"),
+              lit(3600000000L))))
+        val w = Window.partitionBy(col("hour"))
+          .orderBy(col("arr_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val late = ev.withColumn("wm_us", max(col("ts_us")).over(w))
+          .withColumn("late_us",
+            when(col("wm_us") > col("ts_us"),
+              col("wm_us") - col("ts_us")).otherwise(0L))
+        late.groupBy(col("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late_us") > 0, 1L).otherwise(0L))
+              .as("n_disordered"),
+            sum(when(col("late_us") > 60000000L, 1L).otherwise(0L))
+              .as("n_late_60s"),
+            (max(col("late_us")).cast("double") / 1000000.0)
+              .as("max_late_s"))
+          .orderBy("hour")
+      },
+      Some("""WITH ev AS (
+        SELECT event_id, epoch_us(ts) AS ts_us,
+          epoch_us(ts) + (event_id * 2654435761) % 2147483647 % 300
+            * 1000000 AS arr_us
+        FROM events),
+      hr AS (
+        SELECT *, make_timestamp(arr_us - arr_us % 3600000000) AS hour
+        FROM ev),
+      lt AS (
+        SELECT hour, ts_us,
+          GREATEST(COALESCE(MAX(ts_us) OVER (PARTITION BY hour
+            ORDER BY arr_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_us)
+            - ts_us, 0) AS late_us
+        FROM hr)
+      SELECT hour, CAST(COUNT(1) AS BIGINT) AS n_events,
+        CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_disordered,
+        CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_late_60s,
+        CAST(MAX(late_us) AS DOUBLE) / 1000000.0 AS max_late_s
+      FROM lt GROUP BY hour ORDER BY hour"""))
   )
 }
 

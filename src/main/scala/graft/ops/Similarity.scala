@@ -3199,6 +3199,155 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
         CAST(1 AS DOUBLE) - CAST(COALESCE(r.n_removed, 0) AS DOUBLE)
           / m.n_members AS keep_ratio
       FROM memc m LEFT JOIN remc r USING (cid) ORDER BY m.cid""")),
+
+    // ---- LSH BITS SWEEP: the third axis of the index-tuning family —
+    //      s32 priced IVF probes, s33 priced PQ bytes, this prices
+    //      HASH BITS: for b ∈ {4,6,8,10} signature bits per table,
+    //      candidate volume (pairs/vector) vs catch rate of the true
+    //      cos ≥ 0.4 pairs (exact-bucket collision, 12 tables — the
+    //      bucket-width axis isolated; multi-probe adds a constant
+    //      factor on top and is swept separately in OpsSpec). The
+    //      100 TB-shape trick: ONE bucket join at the COARSEST point
+    //      serves every sweep level — per colliding pair the number
+    //      of matched LOW bits (sig XOR sig's lowest set bit, an
+    //      exact integer: length(bin(x & −x)) − 1) classifies which
+    //      levels the pair survives, because an LSB-first b-bit
+    //      bucket key is a strict prefix of the 10-bit one. So the
+    //      sweep costs one join + one pair rollup, not four joins.
+    //      (In production you'd anchor the join at the coarsest bits
+    //      you'd actually deploy; the 4-bit anchor here matches the
+    //      ≤2k-vector fixtures.) Plane family: its own 12×10
+    //      fixed-seed prefix of [[radPlanes]] — bit-identical in
+    //      DuckDB, so the whole curve hash-matches. Runs on distinct-
+    //      vector reps (the s05 collapse; duplicate vectors inflate
+    //      every bucket quadratically and are caught by exact dedup
+    //      upstream). ----
+    QuerySpec(
+      "s35_lsh_sweep",
+      (s, d) => {
+        import s.implicits._
+        val T = 12; val MaxBits = 10
+        val planes = radPlanes(T * MaxBits)
+        val reps = Tables.embeddings(s, d)
+          .withColumn("rep", min(col("vec_id"))
+            .over(Window.partitionBy(col("embedding"))))
+          .filter(col("vec_id") === col("rep"))
+          .select(col("vec_id"), col("embedding"))
+        val sigs = Scoped.persist(reps.select(col("vec_id"),
+            posexplode(graft.functions.VectorExprs.hyperplaneSigs(
+              col("embedding"), planes, MaxBits)))
+          .toDF("vec_id", "tbl", "sig"))
+        // one equi-join on the 4-bit prefix key; lob = matched low
+        // bits of the full 10-bit signatures (exact integer algebra)
+        val a = sigs.select(col("vec_id").as("va"), col("tbl"),
+          col("sig").as("siga"), col("sig").bitwiseAND(lit(15)).as("k"))
+        val b = sigs.select(col("vec_id").as("vb"), col("tbl"),
+          col("sig").as("sigb"), col("sig").bitwiseAND(lit(15)).as("k"))
+        val x = col("siga").bitwiseXOR(col("sigb"))
+        val pairMb = a.join(b, Seq("tbl", "k"))
+          .filter(col("va") < col("vb"))
+          .select(col("va"), col("vb"),
+            when(x === 0, lit(MaxBits))
+              .otherwise(length(bin(x.bitwiseAND(-x).cast("long"))) - 1)
+              .as("lob"))
+          .groupBy(col("va"), col("vb"))
+          .agg(max(col("lob")).as("mb"))
+        val spine = broadcast(Seq(4, 6, 8, 10).toDF("bits"))
+        val candStats = pairMb.join(spine, col("mb") >= col("bits"))
+          .groupBy(col("bits")).agg(count(lit(1)).as("n_cand"))
+        val ea = reps.toDF("va", "ea")
+        val eb = reps.toDF("vb", "eb")
+        val truth = ea.join(eb, col("va") < col("vb"))
+          .select(col("va"), col("vb"),
+            cosine(col("ea"), col("eb")).as("cos"))
+          .filter(col("cos") >= 0.4)
+          .select(col("va"), col("vb"))
+        val catchStats = truth
+          .join(pairMb, Seq("va", "vb"), "left")
+          .crossJoin(spine)
+          .groupBy(col("bits"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("mb") >= col("bits"), 1L).otherwise(0L))
+              .as("caught"))
+        val nTot = reps.agg(count(lit(1)).as("nv"))
+        spine.join(candStats, Seq("bits"), "left")
+          .join(catchStats, Seq("bits"), "left")
+          .crossJoin(broadcast(nTot))
+          .select(col("bits"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            round(coalesce(col("n_cand"), lit(0L)).cast("double") /
+              col("nv").cast("double"), 6).as("cand_per_vec"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("caught"), lit(0L)).as("caught"),
+            when(coalesce(col("n_true"), lit(0L)) > 0,
+              round(col("caught").cast("double") /
+                col("n_true").cast("double"), 6)).as("catch_rate"))
+          .orderBy("bits")
+      },
+      Some {
+        val consts = planePairs(12 * 10).zipWithIndex
+          .map { case ((pa, pb), p) => s"($p, $pa, $pb)" }.mkString(", ")
+        s"""WITH mapping AS (
+        SELECT vec_id, embedding,
+          MIN(vec_id) OVER (PARTITION BY embedding) AS rep
+        FROM embeddings),
+      reps AS (SELECT vec_id, embedding FROM mapping WHERE vec_id = rep),
+      pc(p, pa, pb) AS (VALUES $consts),
+      pdots AS (
+        SELECT r.vec_id, pc.p,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(CAST(r.embedding AS DOUBLE[]),
+              (x, i) -> x * CAST(1 - 2 * ((pc.pa * i + pc.pb)
+                % 2147483647 % 2) AS DOUBLE))),
+            (acc, x) -> acc + x) AS dt
+        FROM reps r, pc),
+      sigs AS MATERIALIZED (
+        SELECT vec_id, CAST(p // 10 AS INT) AS tbl,
+          CAST(SUM(CASE WHEN dt >= 0 THEN (1 << (p % 10))
+            ELSE 0 END) AS INT) AS sig
+        FROM pdots GROUP BY 1, 2),
+      pairmb AS MATERIALIZED (
+        SELECT va, vb, MAX(lob) AS mb FROM (
+          SELECT sa.vec_id AS va, sb.vec_id AS vb,
+            CASE WHEN xor(sa.sig, sb.sig) = 0 THEN 10
+              ELSE length(bin(xor(sa.sig, sb.sig)
+                & -xor(sa.sig, sb.sig))) - 1 END AS lob
+          FROM sigs sa JOIN sigs sb ON sb.tbl = sa.tbl
+            AND (sb.sig & 15) = (sa.sig & 15)
+            AND sa.vec_id < sb.vec_id) t
+        GROUP BY 1, 2),
+      spine AS (SELECT unnest([4, 6, 8, 10]) AS bits),
+      cand AS (
+        SELECT bits, CAST(COUNT(1) AS BIGINT) AS n_cand
+        FROM pairmb JOIN spine ON mb >= bits GROUP BY 1),
+      truth AS MATERIALIZED (
+        SELECT ea.vec_id AS va, eb.vec_id AS vb
+        FROM reps ea JOIN reps eb ON ea.vec_id < eb.vec_id
+        WHERE ${cosineSql("ea", "eb")} >= 0.4),
+      ct AS (
+        SELECT bits, CAST(COUNT(1) AS BIGINT) AS n_true,
+          CAST(SUM(CASE WHEN p.mb >= s.bits THEN 1 ELSE 0 END)
+            AS BIGINT) AS caught
+        FROM truth t
+        LEFT JOIN pairmb p ON p.va = t.va AND p.vb = t.vb
+        CROSS JOIN spine s
+        GROUP BY 1),
+      n AS (SELECT CAST(COUNT(1) AS BIGINT) AS nv FROM reps)
+      SELECT s.bits,
+        COALESCE(c.n_cand, 0) AS n_cand,
+        ROUND(CAST(COALESCE(c.n_cand, 0) AS DOUBLE)
+          / CAST(n.nv AS DOUBLE), 6) AS cand_per_vec,
+        COALESCE(ct.n_true, 0) AS n_true,
+        COALESCE(ct.caught, 0) AS caught,
+        CASE WHEN COALESCE(ct.n_true, 0) > 0
+          THEN ROUND(CAST(ct.caught AS DOUBLE)
+            / CAST(ct.n_true AS DOUBLE), 6) END AS catch_rate
+      FROM spine s
+      LEFT JOIN cand c ON c.bits = s.bits
+      LEFT JOIN ct ON ct.bits = s.bits
+      CROSS JOIN n
+      ORDER BY s.bits"""
+      }),
   )
 
   /** One direction of the s31 oracle, suffixed `$sfx` to keep the two

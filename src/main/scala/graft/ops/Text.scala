@@ -4574,6 +4574,167 @@ object Text {
       SELECT da, db, len_a, len_b, dist,
         ROUND(CAST(1 AS DOUBLE) - CAST(dist AS DOUBLE)
           / greatest(len_a, len_b), 6) AS edit_sim
-      FROM p WHERE dist <= 64 ORDER BY da, db"""))
+      FROM p WHERE dist <= 64 ORDER BY da, db""")),
+
+    // ---- Zipf-law fit: per-source OLS of ln(freq) on ln(rank) over
+    //      the top-256 term ranks — the corpus-health check curation
+    //      stacks run on every source (natural text sits near slope
+    //      −1; template/boilerplate-heavy or synthetic sources bend
+    //      the curve and show up as |slope| and R² outliers; Zipf
+    //      1949, Piantadosi 2014 review). Parity discipline: ln() per
+    //      row is IEEE-deterministic, every SUM rides [[dsum]] (exact
+    //      decimal, order-independent — the t37 recipe), and all
+    //      post-aggregation arithmetic is scalar double ops on
+    //      identical operands in both engines, written with the SAME
+    //      parenthesization. Scale: the OLS runs on the (source ×
+    //      top-256) relation — 256 rows per source regardless of
+    //      corpus size; the rank window partitions by source over the
+    //      ALREADY-REDUCED (source, term, freq) count table (vocab-
+    //      bounded, t11's shape), never the corpus. ----
+    QuerySpec(
+      "t66_zipf_fit",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("source"), explode(toks).as("t"))
+          .groupBy(col("source"), col("t"))
+          .agg(count(lit(1)).as("f"))
+        val ranked = tf
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(desc("f"), col("t"))))
+          .filter(col("rk") <= 256)
+        val pts = ranked.select(col("source"),
+          log(col("rk").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+        val sums = pts.groupBy(col("source")).agg(
+          count(lit(1)).as("n_ranks"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("y") * col("y")).as("syy"))
+          .filter(col("n_ranks") >= 3)
+        val n = col("n_ranks").cast("double")
+        val covn = n * col("sxy") - col("sx") * col("sy")
+        val varxn = n * col("sxx") - col("sx") * col("sx")
+        val varyn = n * col("syy") - col("sy") * col("sy")
+        val slope = covn / varxn
+        sums.select(col("source"), col("n_ranks"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / n, 6).as("intercept"),
+          when(varyn =!= 0.0,
+            round(covn * covn / (varxn * varyn), 6)).as("r2"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tf AS (
+        SELECT source, t, COUNT(1) AS f
+        FROM (SELECT source, unnest(str_split(text, ' ')) AS t
+              FROM documents) u
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT source, f,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY f DESC, t)
+            AS rk
+        FROM tf),
+      pts AS (
+        SELECT source, ln(CAST(rk AS DOUBLE)) AS x,
+          ln(CAST(f AS DOUBLE)) AS y
+        FROM rk WHERE rk <= 256),
+      sums AS (
+        SELECT source, CAST(COUNT(1) AS BIGINT) AS n_ranks,
+          ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+          ${dsumSql("x * y")} AS sxy, ${dsumSql("x * x")} AS sxx,
+          ${dsumSql("y * y")} AS syy
+        FROM pts GROUP BY 1 HAVING COUNT(1) >= 3),
+      fit AS (
+        SELECT source, n_ranks, sx, sy,
+          n_ranks * sxy - sx * sy AS covn,
+          n_ranks * sxx - sx * sx AS varxn,
+          n_ranks * syy - sy * sy AS varyn
+        FROM sums)
+      SELECT source, n_ranks,
+        ROUND(covn / varxn, 6) AS slope,
+        ROUND((sy - (covn / varxn) * sx) / n_ranks, 6) AS intercept,
+        CASE WHEN varyn <> 0
+          THEN ROUND(covn * covn / (varxn * varyn), 6) END AS r2
+      FROM fit ORDER BY source""")),
+
+    // ---- Heaps-law vocabulary growth: per source, the V(N) curve —
+    //      distinct vocabulary V against tokens seen N over a doubling
+    //      doc-budget spine — plus the local log-log slope β between
+    //      consecutive points (Heaps 1978; sub-linear β ≈ 0.4–0.6 for
+    //      natural text, β → 0 for template spam, β → 1 for id-like
+    //      noise). The 100 TB shape is the important part: "vocabulary
+    //      within the first b docs" is NOT computed by b cumulative
+    //      DISTINCTs or a running window — each term contributes its
+    //      FIRST doc id (one term-keyed groupBy), and V(b) is then a
+    //      count of first_doc < b against the broadcast budget spine;
+    //      token totals ride the same broadcast range join on the thin
+    //      (source, doc_id, ntok) relation. The only window runs over
+    //      |sources| × |budgets| rows. ----
+    QuerySpec(
+      "t67_heaps_law",
+      (s, d) => {
+        import s.implicits._
+        val spine = broadcast(
+          Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
+            16384, 32768, 65536).toDF("budget"))
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(toks).cast("long").as("ntok"))
+        val growth = docs.join(spine, col("doc_id") < col("budget"))
+          .groupBy(col("source"), col("budget"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+        val firstDoc = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), explode(toks).as("t"))
+          .groupBy(col("source"), col("t"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        val vocab = firstDoc.join(spine, col("first_doc") < col("budget"))
+          .groupBy(col("source"), col("budget"))
+          .agg(count(lit(1)).as("vocab"))
+        val w = Window.partitionBy(col("source")).orderBy(col("budget"))
+        val pv = lag(col("vocab"), 1).over(w)
+        val pn = lag(col("n_tokens"), 1).over(w)
+        growth.join(vocab, Seq("source", "budget"))
+          .select(col("source"), col("budget"), col("n_docs"),
+            col("n_tokens"), col("vocab"),
+            when(pn.isNotNull && col("n_tokens") =!= pn,
+              round(log(col("vocab").cast("double") / pv.cast("double")) /
+                log(col("n_tokens").cast("double") / pn.cast("double")), 6))
+              .as("beta_local"))
+          .orderBy("source", "budget")
+      },
+      Some("""WITH spine AS (
+        SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+          8192, 16384, 32768, 65536]) AS budget),
+      docs AS (
+        SELECT source, doc_id,
+          CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
+        FROM documents),
+      growth AS (
+        SELECT source, budget, CAST(COUNT(1) AS BIGINT) AS n_docs,
+          CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM docs JOIN spine ON doc_id < budget GROUP BY 1, 2),
+      fdoc AS (
+        SELECT source, t, MIN(doc_id) AS first_doc
+        FROM (SELECT source, doc_id, unnest(str_split(text, ' ')) AS t
+              FROM documents) u
+        GROUP BY 1, 2),
+      vocab AS (
+        SELECT source, budget, CAST(COUNT(1) AS BIGINT) AS vocab
+        FROM fdoc JOIN spine ON first_doc < budget GROUP BY 1, 2),
+      curve AS (
+        SELECT g.source, g.budget, g.n_docs, g.n_tokens, v.vocab
+        FROM growth g
+        JOIN vocab v ON v.source = g.source AND v.budget = g.budget),
+      lagd AS (
+        SELECT *, LAG(vocab) OVER w AS pv, LAG(n_tokens) OVER w AS pn
+        FROM curve
+        WINDOW w AS (PARTITION BY source ORDER BY budget))
+      SELECT source, budget, n_docs, n_tokens, vocab,
+        CASE WHEN pn IS NOT NULL AND n_tokens <> pn
+          THEN ROUND(ln(CAST(vocab AS DOUBLE) / CAST(pv AS DOUBLE))
+            / ln(CAST(n_tokens AS DOUBLE) / CAST(pn AS DOUBLE)), 6)
+        END AS beta_local
+      FROM lagd ORDER BY source, budget"""))
   )
 }

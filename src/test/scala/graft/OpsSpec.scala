@@ -3164,4 +3164,96 @@ class OpsSpec extends SparkSpec {
       assert(peakOut <= peak.toDouble + 1e-9, s"doc $id peak bound")
     }
   }
+
+  test("t66: every source fits a negative Zipf slope with r2 in [0,1]") {
+    val rows = SparkEntry.queries("t66_zipf_fit")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, slope, r2) =>
+      assert(n >= 3 && n <= 256, s"$src n_ranks $n")
+      // rank-1 terms are at least as frequent as rank-256 terms, so
+      // the OLS line can only tilt down (exactly flat would need every
+      // top-256 frequency equal — not this fixture)
+      assert(slope < 0.0, s"$src slope $slope")
+      assert(r2.isNaN || (r2 >= 0.0 && r2 <= 1.0), s"$src r2 $r2")
+    }
+  }
+
+  test("t67: vocabulary and token counts grow monotonically in the " +
+      "doc budget and saturate at the full source") {
+    val rows = SparkEntry.queries("t67_heaps_law")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, d1, n1, v1), (_, _, d2, n2, v2)) =>
+          assert(d2 >= d1 && n2 >= n1 && v2 >= v1, s"$src monotone")
+        case _ => ()
+      }
+      sorted.foreach { case (_, _, d, n, v) =>
+        assert(v <= n, s"$src vocab $v > tokens $n") }
+      // the widest budget (65536) covers every doc of the source
+      assert(sorted.last._3 == docs(src), s"$src saturation")
+    }
+  }
+
+  test("e35: lateness is bounded by the planted jitter ceiling and " +
+      "counts nest") {
+    val rows = SparkEntry.queries("e35_disorder_audit")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._1).sum
+    assert(total == Tables.events(spark, sf0001).count(), s"total $total")
+    rows.foreach { case (n, dis, late60, maxLate) =>
+      assert(dis <= n && late60 <= dis, s"nesting $n/$dis/$late60")
+      // lateness ≤ 299 s by construction: an earlier arrival's event
+      // time ts' ≤ arr' ≤ arr = ts + jitter < ts + 300 s (events are
+      // event-time ordered before the planted transport jitter)
+      assert(maxLate < 300.0, s"max_late $maxLate")
+      assert(maxLate >= 0.0)
+    }
+  }
+
+  test("s35: the bits sweep is monotone and its finest point equals " +
+      "an independent full-signature join") {
+    val rows = SparkEntry.queries("s35_lsh_sweep")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    Scoped.release()
+    assert(rows.map(_._1).toSeq == Seq(4, 6, 8, 10), rows.mkString(","))
+    // narrower buckets only shed candidates — and with them catches
+    rows.sliding(2).foreach {
+      case Array((_, c1, _, g1), (_, c2, _, g2)) =>
+        assert(c2 <= c1, s"cand monotone $c1 -> $c2")
+        assert(g2 <= g1, s"caught monotone $g1 -> $g2")
+      case _ => ()
+    }
+    rows.foreach { case (b, cand, nTrue, caught) =>
+      assert(caught <= nTrue && caught <= cand, s"bits=$b nesting") }
+    // the lob-prefix classification at bits=10 IS the direct 10-bit
+    // bucket join (pins the one-join-serves-all-levels algebra)
+    val planes = Similarity.radPlanes(12 * 10)
+    val reps = Tables.embeddings(spark, sf0001)
+      .withColumn("rep", min(col("vec_id")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("embedding"))))
+      .filter(col("vec_id") === col("rep"))
+    val sigs = reps.select(col("vec_id"),
+        posexplode(graft.functions.VectorExprs.hyperplaneSigs(
+          col("embedding"), planes, 10)))
+      .toDF("vec_id", "tbl", "sig")
+    val direct = sigs.toDF("va", "tbl", "sig")
+      .join(sigs.toDF("vb", "tbl", "sig"), Seq("tbl", "sig"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct().count()
+    assert(rows.last._2 == direct, s"10-bit ${rows.last._2} vs $direct")
+  }
 }
