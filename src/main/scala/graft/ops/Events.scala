@@ -35,6 +35,18 @@ object Events {
 
   private val sessionGapUs = 30L * 60 * 1000000 // 30 min in micros
 
+  /** e35's planted transport jitter (µs): a Knuth multiplicative hash
+    * of event_id, < 300 s — the fixture's events are event-time
+    * ordered, so this is the deterministic stand-in for arrival
+    * disorder. Shared with the StreamsSpec watermark-parity test so
+    * the batch audit and the streaming drop check replay the SAME
+    * arrival sequence. Portable integer arithmetic (event_id ·
+    * 2654435761 < 2⁶³ at any fixture SF) that DuckDB replays
+    * literally. */
+  private[graft] def plantedJitterUs(eventId: Column): Column =
+    (eventId * lit(2654435761L)) % lit(2147483647L) % lit(300L) *
+      lit(1000000L)
+
   /** Sessionize: new session when the gap to the previous event of the
     * same user exceeds the gap parameter (classic lag + running-sum). */
   private def sessionized(df: org.apache.spark.sql.DataFrame) = {
@@ -1495,9 +1507,7 @@ object Events {
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
-          .withColumn("arr_us", col("ts_us") +
-            (col("event_id") * lit(2654435761L)) % lit(2147483647L)
-              % lit(300L) * lit(1000000L))
+          .withColumn("arr_us", col("ts_us") + plantedJitterUs(col("event_id")))
           .withColumn("hour",
             timestamp_micros(col("arr_us") - pmod(col("arr_us"),
               lit(3600000000L))))

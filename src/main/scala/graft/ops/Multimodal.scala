@@ -331,6 +331,73 @@ object Multimodal {
       (lit(8) + pmod(col("n_chars"), lit(17))).cast("int").as("w"),
       (lit(8) + pmod(col("n_chars") * 3, lit(13))).cast("int").as("h"))
 
+  /** Fixed-point 16-point DCT-II basis, rows u = 0..7: Cq(u)(i) =
+    * round(4096 · cos((2i+1)uπ/32)). Evaluated ONCE here (in Scala)
+    * and embedded as integer literals in the m23 oracle, so no cos()
+    * ever crosses an engine boundary — the whole pHash pipeline is
+    * exact integer arithmetic in both engines. Rows u ≥ 1 sum to
+    * exactly 0 even after rounding (cosine half-period symmetry
+    * survives per-element rounding), which makes the hash EXACTLY
+    * invariant under uniform brightness shifts — OpsSpec pins that
+    * as a theorem test, not a tolerance test. */
+  private[graft] val DctQ: Array[Array[Long]] =
+    Array.tabulate(8, 16)((u, i) =>
+      Math.round(4096.0 * math.cos((2 * i + 1) * u * math.Pi / 32)))
+
+  final case class PhashRow(doc_id: Long, width: Int, height: Int,
+      phash: Long)
+
+  /** REAL BMP decode → 64-bit perceptual hash (pHash, DCT flavor):
+    * decode pixels, nearest-neighbor resample to 16×16 gray (gray =
+    * r+g+b, no division), separable fixed-point [[DctQ]] transform to
+    * the 8×8 low-frequency block, threshold each AC coefficient
+    * against the median AC coefficient (the 32nd smallest of the 63 —
+    * exact integer selection), bit k−1 set iff coef k > median (DC
+    * carries no bit, so the hash is a non-negative 63-bit BIGINT —
+    * the t10 sign-bit discipline). Magnitudes stay well inside Long:
+    * |tmp| ≤ 16·4096·765 ≈ 5·10⁷, |coef| ≤ 16·4096·|tmp| ≈ 3.3·10¹². */
+  private[graft] def decodeBmpPhash(docId: Long, bs: Array[Byte]): PhashRow = {
+    def u8(i: Int): Int = bs(i) & 0xff
+    val (w, h, off, rowSize, topDown) = bmpLayout(bs)
+    // gray plane in image (top-down) row order
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = off + (if (topDown) y else h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        gray(y * w + x) = u8(base + 3 * x) + u8(base + 3 * x + 1) +
+          u8(base + 3 * x + 2)
+        x += 1
+      }
+      y += 1
+    }
+    // nearest-neighbor 16×16 resample: source (i·w/16, j·h/16)
+    val g16 = Array.tabulate(16, 16)((j, i) => gray((j * h / 16) * w + i * w / 16).toLong)
+    // separable DCT: rows first (over x), then columns (over y)
+    val tmp = Array.tabulate(8, 16) { (u, j) =>
+      var acc = 0L; var i = 0
+      while (i < 16) { acc += DctQ(u)(i) * g16(j)(i); i += 1 }
+      acc
+    }
+    val coef = Array.tabulate(8, 8) { (u, v) =>
+      var acc = 0L; var j = 0
+      while (j < 16) { acc += DctQ(v)(j) * tmp(u)(j); j += 1 }
+      acc
+    }
+    val ac = new Array[Long](63)
+    var k = 1
+    while (k < 64) { ac(k - 1) = coef(k / 8)(k % 8); k += 1 }
+    val med = ac.sorted.apply(31) // 32nd smallest of 63
+    var hash = 0L
+    k = 1
+    while (k < 64) {
+      if (coef(k / 8)(k % 8) > med) hash |= 1L << (k - 1)
+      k += 1
+    }
+    PhashRow(docId, w, h, hash)
+  }
+
   /** Resized-image features: the source dimensions from the header
     * plus the feature row of the nearest-neighbor downsample — the
     * thumbnail step of a vision pipeline, with the top-left pixel as
@@ -2191,6 +2258,81 @@ object Multimodal {
         CAST(sumnum AS DOUBLE)
           / (CAST(8000 AS DOUBLE) * n_out) AS mean_out,
         CAST(peaknum AS DOUBLE) / CAST(8000 AS DOUBLE) AS peak_out
-      FROM n ORDER BY doc_id"""))
+      FROM n ORDER BY doc_id""")),
+
+    // ---- DCT perceptual hash (pHash): the frequency-domain upgrade
+    //      of m09's block-mean aHash — decode, 16×16 nearest
+    //      resample, separable fixed-point DCT-II ([[DctQ]], integer
+    //      literals shared with the oracle so no libm cos crosses an
+    //      engine boundary), median-threshold the 63 low-frequency AC
+    //      coefficients. Classic robustness: uniform brightness
+    //      shifts move ONLY the DC terms (rounded basis rows u ≥ 1
+    //      sum to exactly 0), so the hash is bit-identical under
+    //      them — OpsSpec pins that exactly, plus positive contrast
+    //      scaling invariance of every threshold decision. Scale:
+    //      map-only per-image decode+DCT (a few thousand integer
+    //      multiplies each), pixels never leave the task — the same
+    //      decode-locality contract as m03/m09. ----
+    QuerySpec(
+      "m23_phash",
+      (s, d) => {
+        import s.implicits._
+        ahashDims(s, d).as[(Long, Int, Int)]
+          .mapPartitions { rows =>
+            rows.grouped(64).flatMap(_.map { case (id, w, h) =>
+              decodeBmpPhash(id, encodeBmp(id, w, h))
+            })
+          }.toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            col("phash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val dctVals = (for (u <- 0 until 8; i <- 0 until 16)
+          yield s"($u, $i, ${DctQ(u)(i)})").mkString(", ")
+        s"""WITH dims AS (
+        SELECT doc_id, CAST(8 + n_chars % 17 AS BIGINT) AS w,
+               CAST(8 + (n_chars * 3) % 13 AS BIGINT) AS h
+        FROM documents),
+      g16 AS (
+        SELECT doc_id, w, h, i, j,
+          ((j * h) // 16) AS sy, ((i * w) // 16) AS sx
+        FROM (SELECT doc_id, w, h, unnest(generate_series(0, 15)) AS i
+              FROM dims) a,
+          (SELECT unnest(generate_series(0, 15)) AS j) b),
+      gpx AS (
+        SELECT doc_id, i, j,
+          (doc_id*19 + sx*23 + sy*29) % 256
+            + (doc_id*11 + sx*13 + sy*17) % 256
+            + (doc_id*7 + sx*3 + sy*5) % 256 AS gray
+        FROM g16),
+      dct(u, i, c) AS (VALUES $dctVals),
+      tmp AS (
+        SELECT g.doc_id, du.u, g.j, SUM(du.c * g.gray) AS t
+        FROM gpx g JOIN dct du ON du.i = g.i
+        GROUP BY 1, 2, 3),
+      coef AS (
+        SELECT t.doc_id, t.u, dv.u AS v, SUM(dv.c * t.t) AS cf
+        FROM tmp t JOIN dct dv ON dv.i = t.j
+        GROUP BY 1, 2, 3),
+      med AS (
+        SELECT doc_id, cf AS med FROM (
+          SELECT doc_id, cf, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY cf) AS rn
+          FROM coef WHERE NOT (u = 0 AND v = 0)) t
+        WHERE rn = 32),
+      hash AS (
+        SELECT c.doc_id,
+          CAST(SUM(CASE WHEN c.cf > m.med
+            THEN CAST(1 AS BIGINT) << (c.u * 8 + c.v - 1)
+            ELSE 0 END) AS BIGINT) AS phash
+        FROM coef c JOIN med m USING (doc_id)
+        WHERE NOT (c.u = 0 AND c.v = 0)
+        GROUP BY 1)
+      SELECT d.doc_id, CAST(d.w AS INT) AS width,
+        CAST(d.h AS INT) AS height, h.phash
+      FROM dims d JOIN hash h USING (doc_id)
+      ORDER BY d.doc_id"""
+      })
   )
 }

@@ -3256,4 +3256,36 @@ class OpsSpec extends SparkSpec {
       .select("va", "vb").distinct().count()
     assert(rows.last._2 == direct, s"10-bit ${rows.last._2} vs $direct")
   }
+
+  test("m23: the DCT pHash is EXACTLY invariant under uniform " +
+      "brightness shifts (rounded AC basis rows sum to zero)") {
+    // hand-built 24bpp bottom-up BMP with arbitrary pixels — the
+    // fixture encoder only writes its fixed formula, and this theorem
+    // needs a +shift twin with no byte wraparound (values ≤ 200)
+    def bmp(w: Int, h: Int, px: (Int, Int, Int) => Int): Array[Byte] = {
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val buf = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+        .putInt(0).putInt(54).putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- h - 1 to 0 by -1) {
+        for (x <- 0 until w; c <- 0 until 3) buf.put(px(x, y, c).toByte)
+        for (_ <- 3 * w until rowSize) buf.put(0: Byte)
+      }
+      buf.array()
+    }
+    // the rounded u ≥ 1 DCT basis rows genuinely sum to 0 — the whole
+    // invariance argument rests on this integer identity
+    Multimodal.DctQ.drop(1).foreach(row => assert(row.sum == 0L))
+    for ((w, h) <- Seq((11, 9), (16, 16), (24, 13))) {
+      val base = (x: Int, y: Int, c: Int) => (x * 7 + y * 11 + c * 31) % 200
+      val p0 = Multimodal.decodeBmpPhash(1L, bmp(w, h, base))
+      val p7 = Multimodal.decodeBmpPhash(1L,
+        bmp(w, h, (x, y, c) => base(x, y, c) + 7))
+      assert(p0.phash == p7.phash, s"${w}x$h brightness shift")
+      assert(p0.phash != 0L, s"${w}x$h degenerate hash")
+    }
+  }
 }

@@ -1259,4 +1259,80 @@ class StreamsSpec extends SparkSpec {
     assert(names == Seq("a.txt", "b.txt", "c.txt"))
     assert(ck.load().contains(delta2))
   }
+
+  test("e35's disorder audit sizes the hourlyCounts watermark: the " +
+      "jitter-ceiling delay drops nothing, a 60 s delay drops exactly " +
+      "the batch-predicted rows") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // a DENSE synthetic stream (5 s cadence, 3 h) under e35's planted
+    // jitter EXPRESSION, replayed in arrival order. Density matters:
+    // the fixture events are minutes apart, so a ≤300 s jitter never
+    // reorders them across micro-batch boundaries and no delay would
+    // drop anything — the parity claim needs a stream whose disorder
+    // scale exceeds the batching granularity.
+    val baseUs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      .getTime * 1000L
+    val evs = spark.range(2160)
+      .select(
+        timestamp_micros(lit(baseUs) + col("id") * 5000000L).as("ts"),
+        (lit(baseUs) + col("id") * 5000000L +
+          graft.ops.Events.plantedJitterUs(col("id"))).as("arr_us"))
+      .orderBy("arr_us", "ts")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val chunks = evs.grouped(30).toSeq // 72 micro-batches
+    def tUs(t: Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    // Spark's drop rule for streaming aggregation: an input row is
+    // discarded iff its WINDOW has already been finalized — window
+    // end ≤ the watermark in force for the batch, where the watermark
+    // is (max event time over all PRIOR batches) − delay and advances
+    // only between micro-batches (late rows still advance it).
+    def predictDropped(delayUs: Long): Long = {
+      var maxTs = Long.MinValue
+      var drops = 0L
+      chunks.foreach { c =>
+        val wm = if (maxTs == Long.MinValue) Long.MinValue
+          else maxTs - delayUs
+        c.foreach { case (t, _) =>
+          val winEnd = Math.floorDiv(tUs(t), 3600000000L) *
+            3600000000L + 3600000000L
+          if (winEnd <= wm) drops += 1
+        }
+        maxTs = math.max(maxTs, c.map(p => tUs(p._1)).max)
+      }
+      drops
+    }
+    var qn = 0
+    def streamKept(delay: String): Long = {
+      qn += 1
+      val name = s"wmaudit$qn"
+      val ms = MemoryStream[Streams.Ev]
+      val q = Streams.hourlyCounts(ms.toDF, watermark = delay)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c =>
+          ms.addData(c.map { case (t, _) => Streams.Ev(1, t) }: _*)
+          q.processAllAvailable()
+        }
+        // far-future sentinel finalizes every real window; its own
+        // window never closes, so it is absent from append output
+        ms.addData(Streams.Ev(1, ts("2030-01-01 00:00:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).agg(org.apache.spark.sql.functions
+        .sum(col("n"))).collect()(0).getLong(0)
+    }
+    // delay = the e35 jitter ceiling (300 s): the audit's max_late_s
+    // bound proves NO event can be behind the watermark → zero drops
+    assert(predictDropped(300000000L) == 0L)
+    assert(streamKept("300 seconds") == evs.length.toLong)
+    // delay = 60 s: drops happen (the audit's n_late_60s says so) and
+    // the stream keeps exactly what the batch replay predicts
+    val predicted = predictDropped(60000000L)
+    assert(predicted > 0L, "fixture must plant >60s disorder")
+    assert(streamKept("60 seconds") == evs.length.toLong - predicted)
+  }
 }
