@@ -40,12 +40,14 @@ object Events {
     * ordered, so this is the deterministic stand-in for arrival
     * disorder. Shared with the StreamsSpec watermark-parity test so
     * the batch audit and the streaming drop check replay the SAME
-    * arrival sequence. Portable integer arithmetic (event_id ·
-    * 2654435761 < 2⁶³ at any fixture SF) that DuckDB replays
-    * literally. */
+    * arrival sequence. Portable integer arithmetic that DuckDB
+    * replays literally; the id reduces mod 2³¹−1 BEFORE the multiply
+    * so the product stays < 2⁶³ at ANY id scale (the sf1 rehearsal's
+    * 10⁹-offset copies overflowed the unreduced form) — an identity
+    * at every gate SF, where ids are < 2³¹. */
   private[graft] def plantedJitterUs(eventId: Column): Column =
-    (eventId * lit(2654435761L)) % lit(2147483647L) % lit(300L) *
-      lit(1000000L)
+    (pmod(eventId, lit(2147483647L)) * lit(2654435761L)) %
+      lit(2147483647L) % lit(300L) * lit(1000000L)
 
   /** Sessionize: new session when the gap to the previous event of the
     * same user exceeds the gap parameter (classic lag + running-sum). */
@@ -1530,8 +1532,8 @@ object Events {
       },
       Some("""WITH ev AS (
         SELECT event_id, epoch_us(ts) AS ts_us,
-          epoch_us(ts) + (event_id * 2654435761) % 2147483647 % 300
-            * 1000000 AS arr_us
+          epoch_us(ts) + ((event_id % 2147483647) * 2654435761)
+            % 2147483647 % 300 * 1000000 AS arr_us
         FROM events),
       hr AS (
         SELECT *, make_timestamp(arr_us - arr_us % 3600000000) AS hour
