@@ -4735,6 +4735,78 @@ object Text {
           THEN ROUND(ln(CAST(vocab AS DOUBLE) / CAST(pv AS DOUBLE))
             / ln(CAST(n_tokens AS DOUBLE) / CAST(pn AS DOUBLE)), 6)
         END AS beta_local
-      FROM lagd ORDER BY source, budget"""))
+      FROM lagd ORDER BY source, budget""")),
+
+    // ---- tokenizer FERTILITY report: per (source, lang), BPE tokens
+    //      per whitespace word and characters per token under the t38
+    //      trained merges — the tokenizer-equity audit multilingual
+    //      pipelines run before fixing a vocabulary (a language or
+    //      source whose fertility is 2× pays 2× the context budget
+    //      for the same text; cf. the fertility tables in the XLM-R /
+    //      BLOOM tokenizer analyses). Completes the BPE family: t38
+    //      trains, t40 applies per doc, t68 EVALUATES per corpus
+    //      slice. Same memoized model, so training runs once per
+    //      session across all three. Scale: one scan through the
+    //      fused bpeTokenCount kernel + a (source × lang)-bounded
+    //      rollup; integer sums, two final divisions. ----
+    QuerySpec(
+      "t68_bpe_fertility",
+      (s, d) => {
+        val nTok = graft.functions.TextExprs.bpeTokenCount(
+          col("text"), learnedMergePairs(s, d))
+        val nWords = size(filter(toks, w => length(w) > 0))
+        val nChars = length(translate(col("text"), " ", ""))
+        Tables.documents(s, d)
+          .select(col("source"), col("lang"),
+            nTok.cast("long").as("nt"), nWords.cast("long").as("nw"),
+            nChars.cast("long").as("nc"))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+            sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"))
+          .select(col("source"), col("lang"), col("n_docs"),
+            col("n_words"), col("n_tokens"),
+            round(col("n_tokens").cast("double") /
+              col("n_words").cast("double"), 6).as("fertility"),
+            round(col("n_chars").cast("double") /
+              col("n_tokens").cast("double"), 6).as("chars_per_token"))
+          .orderBy("source", "lang")
+      },
+      Some {
+        val sb = new StringBuilder
+        sb ++= bpeTrainCtes(BpeRounds)
+        sb ++= """,
+        d0 AS MATERIALIZED (
+          SELECT doc_id, text, ' ' || array_to_string(list_transform(
+              list_filter(str_split(text, ' '), w -> len(w) > 0),
+              w -> array_to_string(str_split(w, ''), ' ')), ' | ') || ' '
+            AS st
+          FROM documents)"""
+        for (r <- 1 to BpeRounds) {
+          sb ++= s""",
+        d$r AS MATERIALIZED (
+          SELECT doc_id, text,
+            replace(st, ' ' || b.l || ' ' || b.rgt || ' ',
+                    ' ' || b.l || b.rgt || ' ') AS st
+          FROM d${r - 1}, b$r b)"""
+        }
+        sb ++= s""",
+        per AS (
+          SELECT d.source, d.lang,
+            len(list_filter(str_split(trim(x.st), ' '), t -> t <> '|'))
+              AS nt,
+            len(list_filter(str_split(d.text, ' '), w -> len(w) > 0))
+              AS nw,
+            len(replace(d.text, ' ', '')) AS nc
+          FROM d$BpeRounds x JOIN documents d USING (doc_id))
+        SELECT source, lang, CAST(COUNT(1) AS BIGINT) AS n_docs,
+          CAST(SUM(nw) AS BIGINT) AS n_words,
+          CAST(SUM(nt) AS BIGINT) AS n_tokens,
+          ROUND(CAST(SUM(nt) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE), 6)
+            AS fertility,
+          ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE), 6)
+            AS chars_per_token
+        FROM per GROUP BY 1, 2 ORDER BY 1, 2"""
+        sb.toString
+      })
   )
 }

@@ -3288,4 +3288,26 @@ class OpsSpec extends SparkSpec {
       assert(p0.phash != 0L, s"${w}x$h degenerate hash")
     }
   }
+
+  test("t68: fertility slices tile t40's per-doc token counts and " +
+      "respect the >= 1 bounds") {
+    val t40Total = SparkEntry.queries("t40_bpe_tokenize")(spark, sf0001)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    Scoped.release()
+    val rows = SparkEntry.queries("t68_bpe_fertility")(spark, sf0001)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    Scoped.release()
+    assert(rows.nonEmpty)
+    // the (source, lang) rollup partitions the corpus: group token
+    // sums must tile the per-doc relation exactly
+    assert(rows.map(_._3).sum == t40Total, "token totals tile")
+    rows.foreach { case (nd, nw, nt, fert, cpt) =>
+      assert(nd > 0 && nw > 0 && nt > 0)
+      // merges act within words only, so every word is >= 1 token;
+      // every token carries >= 1 character
+      assert(fert >= 1.0, s"fertility $fert")
+      assert(cpt >= 1.0, s"chars/token $cpt")
+    }
+  }
 }
