@@ -252,6 +252,44 @@ object Streams {
       .dropDuplicates("vec_id", "kept_id")
   }
 
+  /** pHash admission gate at ingest — the MULTIMODAL member of the
+    * gate family (near-dup text, SemDeDup embeddings, now images):
+    * each arriving image decodes through the SAME fused integer-DCT
+    * pipeline as batch m23 ([[graft.ops.Multimodal.decodeBmpPhash]] —
+    * stream and batch hash bit-identically by construction), then
+    * screens against a STATIC corpus hash table via a 16-bit band
+    * equi-join (pigeonhole: Hamming ≤ 3 twins always share one of the
+    * 4 bands, so the banding is LOSSLESS at the default threshold —
+    * m09's discipline). Emits (doc_id, corpus_doc, hamming) per
+    * match; the caller quarantines matched arrivals. Scale shape: the
+    * decode+hash is per-row map work inside the task (pixels never
+    * reach the join), the join is stream-static on the band key so
+    * the corpus side can stay bucketed at rest, and the only
+    * streaming state is the output dedup — O(matches). */
+  def phashMatches(arrivals: Dataset[(Long, Array[Byte])],
+      corpus: DataFrame, maxHam: Int = 3): DataFrame = {
+    import arrivals.sparkSession.implicits._
+    val hashed = arrivals.map { case (id, bs) =>
+      val r = graft.ops.Multimodal.decodeBmpPhash(id, bs)
+      (r.doc_id, r.phash)
+    }.toDF("doc_id", "phash")
+    def banded(df: DataFrame, idCol: String, hashCol: String): DataFrame =
+      df.select(col(idCol), col(hashCol), posexplode(array(
+        (0 until 4).map(b => shiftright(col(hashCol), 16 * b)
+          .bitwiseAND(lit(0xffffL))): _*)))
+        .toDF(idCol, hashCol, "band", "bv")
+    val a = banded(hashed, "doc_id", "phash")
+    val c = banded(corpus.select(col("doc_id").as("corpus_doc"),
+      col("phash").as("cphash")), "corpus_doc", "cphash")
+    a.join(c, Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .withColumn("hamming",
+        bit_count(col("phash").bitwiseXOR(col("cphash"))).cast("int"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("doc_id"), col("corpus_doc"), col("hamming"))
+      .dropDuplicates("doc_id", "corpus_doc")
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks in the preceding hour — the streaming twin of the
     * batch range join (e11). Both sides carry watermarks and the join

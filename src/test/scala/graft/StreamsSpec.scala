@@ -1335,4 +1335,59 @@ class StreamsSpec extends SparkSpec {
     assert(predicted > 0L, "fixture must plant >60s disorder")
     assert(streamKept("60 seconds") == evs.length.toLong - predicted)
   }
+
+  test("streaming pHash gate matches brightness-shifted arrivals to " +
+      "their corpus twins, bit-for-bit with the batch hasher") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def bmp(id: Long, shift: Int): Array[Byte] = {
+      val (w, h) = (16, 16)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val buf = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+        .putInt(0).putInt(54).putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- h - 1 to 0 by -1) {
+        for (x <- 0 until w; c <- 0 until 3)
+          buf.put(((x * 7 + y * 11 + c * 31 + id.toInt * 13) % 200
+            + shift).toByte)
+        for (_ <- 3 * w until rowSize) buf.put(0: Byte)
+      }
+      buf.array()
+    }
+    val corpusHashes = (0L until 10L).map { id =>
+      val r = graft.ops.Multimodal.decodeBmpPhash(id, bmp(id, 0))
+      (r.doc_id, r.phash)
+    }
+    val corpus = corpusHashes.toDF("doc_id", "phash")
+    // arrivals: brightness+7 twins of corpus 2 and 5 (pHash-identical
+    // by the m23 theorem) plus one unrelated image
+    val arrivals = Seq(
+      (102L, bmp(2, 7)), (200L, bmp(77, 0)), (105L, bmp(5, 7)))
+    // brute batch expectation over full 63-bit Hamming
+    val expected = (for {
+      (aid, bs) <- arrivals
+      ah = graft.ops.Multimodal.decodeBmpPhash(aid, bs).phash
+      (cid, ch) <- corpusHashes
+      ham = java.lang.Long.bitCount(ah ^ ch)
+      if ham <= 3
+    } yield (aid, cid, ham)).toSet
+    assert(expected.contains((102L, 2L, 0)) &&
+      expected.contains((105L, 5L, 0)), "twins must plant matches")
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.phashMatches(ms.toDS, corpus)
+      .writeStream.format("memory").queryName("phashgate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(arrivals(0), arrivals(1))
+      q.processAllAvailable()
+      ms.addData(arrivals(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("phashgate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"streamed $got vs batch $expected")
+  }
 }
