@@ -92,6 +92,48 @@ object Profile {
         time("t49_full")(SparkEntry.queries(
           "t49_quality_survivorship")(s, d))
       }
+    } else if (names == Seq("t65parts")) {
+      // decomposition of t65's sf1 residual after the rep collapse
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      for (round <- 1 to 2) {
+        println(s"--- round $round ---")
+        val mappingDf = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .withColumn("rep",
+            min(col("doc_id")).over(Window.partitionBy(col("text"))))
+        time("mapping")(mappingDf)
+        val repsDf = mappingDf.filter(col("doc_id") === col("rep"))
+        time("sh8")(repsDf.select(col("doc_id"),
+          explode(graft.functions.TextExprs
+            .shingleHashes(col("text"), 8)).as("g")))
+        val sh8 = repsDf.select(col("doc_id"),
+          explode(graft.functions.TextExprs
+            .shingleHashes(col("text"), 8)).as("g"))
+        time("cand")(sh8.toDF("ra", "g")
+          .join(sh8.toDF("rb", "g2"),
+            col("g") === col("g2") && col("ra") < col("rb"))
+          .select(col("ra"), col("rb")).distinct())
+        val members = mappingDf.select(col("rep"), col("doc_id"))
+        time("intra")(members.toDF("rep", "ma")
+          .join(members.toDF("rep", "mb"), "rep")
+          .filter(col("ma") < col("mb"))
+          .join(sh8.select(col("doc_id").as("rep")).distinct(), "rep"))
+        val candDf = sh8.toDF("ra", "g")
+          .join(sh8.toDF("rb", "g2"),
+            col("g") === col("g2") && col("ra") < col("rb"))
+          .select(col("ra"), col("rb")).distinct()
+        val ta = repsDf.select(col("doc_id").as("ra"),
+          col("text").as("tta"), length(col("text")).cast("long").as("la"))
+        val tb = repsDf.select(col("doc_id").as("rb"),
+          col("text").as("ttb"), length(col("text")).cast("long").as("lb"))
+        time("verify")(candDf.join(ta, "ra").join(tb, "rb")
+          .filter(abs(col("la") - col("lb")) <= 64)
+          .withColumn("dist",
+            levenshtein(col("tta"), col("ttb"), 64).cast("long"))
+          .filter(col("dist") >= 0))
+        time("t65_full")(SparkEntry.queries("t65_editdist_pairs")(s, d))
+      }
     } else {
       for (round <- 1 to 3) {
         println(s"--- round $round ---")

@@ -4528,24 +4528,69 @@ object Text {
     //      edit-distant). ----
     QuerySpec(
       "t65_editdist_pairs",
+      // Exact-collapse FIRST, like every pair operator in this file
+      // (the first full-sf1 bench caught the uncollapsed form at
+      // 357 s — 300× the sf0.1 cost — because bit-identical copies
+      // share every 8-gram, so the candidate join and the Levenshtein
+      // verify both went quadratic in the duplication factor): the
+      // 8-gram candidate join and the banded verify run over DISTINCT
+      // texts only, then members expand back — identical texts have
+      // identical lengths and Levenshtein distances, so cross-group
+      // member pairs inherit the rep pair's row bit-for-bit and
+      // intra-group pairs sit at exactly dist 0 / sim 1.0, gated on
+      // the rep having ≥1 8-gram (a <8-token text is candidate to
+      // nothing, itself included — same relation as the uncollapsed
+      // join at every SF, which the unchanged oracle keeps pinning).
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val sh8 = docs.select(col("doc_id"),
+        val mapping = textDupMapping(s, d)
+        val reps = mapping.filter(col("doc_id") === col("rep"))
+        val sh8 = reps.select(col("doc_id"),
           explode(graft.functions.TextExprs
             .shingleHashes(col("text"), 8)).as("g"))
-        val cand = sh8.toDF("da", "g")
-          .join(sh8.toDF("db", "g2"),
-            col("g") === col("g2") && col("da") < col("db"))
-          .select(col("da"), col("db")).distinct()
-        val ta = docs.select(col("doc_id").as("da"), col("text").as("ta"),
-          length(col("text")).cast("long").as("len_a"))
-        val tb = docs.select(col("doc_id").as("db"), col("text").as("tb"),
-          length(col("text")).cast("long").as("len_b"))
-        cand.join(ta, "da").join(tb, "db")
-          .filter(abs(col("len_a") - col("len_b")) <= 64)
-          .withColumn("dist",
-            levenshtein(col("ta"), col("tb"), 64).cast("long"))
-          .filter(col("dist") >= 0)
+        val cand = sh8.toDF("ra", "g")
+          .join(sh8.toDF("rb", "g2"),
+            col("g") === col("g2") && col("ra") < col("rb"))
+          .select(col("ra"), col("rb")).distinct()
+        val ta = reps.select(col("doc_id").as("ra"), col("text").as("ta"),
+          length(col("text")).cast("long").as("la"))
+        val tb = reps.select(col("doc_id").as("rb"), col("text").as("tb"),
+          length(col("text")).cast("long").as("lb"))
+        // PERSIST BARRIER, not just a projection: without it Catalyst
+        // collapses this projection into the member-expansion joins
+        // below and the banded Levenshtein re-evaluates once per
+        // EXPANDED member pair (100× per rep pair in the 10-copy sf1
+        // regime — profiled at 33 s of a 35 s query). The barrier
+        // pins one distance per DISTINCT text pair; the expansion
+        // then reads 256 cached rows.
+        val repPairs = Scoped.persist(
+          cand.join(ta, "ra").join(tb, "rb")
+            .filter(abs(col("la") - col("lb")) <= 64)
+            .withColumn("dist",
+              levenshtein(col("ta"), col("tb"), 64).cast("long"))
+            .filter(col("dist") >= 0)
+            .select(col("ra"), col("rb"), col("la"), col("lb"),
+              col("dist")))
+        val members = mapping.select(col("rep"), col("doc_id"))
+        val cross = repPairs
+          .join(members.toDF("ra", "ma"), "ra")
+          .join(members.toDF("rb", "mb"), "rb")
+          .select(least(col("ma"), col("mb")).as("da"),
+            greatest(col("ma"), col("mb")).as("db"),
+            when(col("ma") < col("mb"), col("la")).otherwise(col("lb"))
+              .as("len_a"),
+            when(col("ma") < col("mb"), col("lb")).otherwise(col("la"))
+              .as("len_b"),
+            col("dist"))
+        val intra = members.toDF("rep", "ma")
+          .join(members.toDF("rep", "mb"), "rep")
+          .filter(col("ma") < col("mb"))
+          .join(sh8.select(col("doc_id").as("rep")).distinct(), "rep")
+          .join(reps.select(col("doc_id").as("rep"),
+            length(col("text")).cast("long").as("l")), "rep")
+          .select(col("ma").as("da"), col("mb").as("db"),
+            col("l").as("len_a"), col("l").as("len_b"),
+            lit(0L).as("dist"))
+        cross.unionByName(intra)
           .select(col("da"), col("db"), col("len_a"), col("len_b"),
             col("dist"),
             round(lit(1.0) - col("dist").cast("double") /

@@ -57,5 +57,13 @@ for name, keys in KEYED.items():
                 c = c.set_column(i, c.schema.field(col), shifted)
             copies.append(c)
         out = pa.concat_tables(copies)
-    pq.write_table(out, DST / f"{name}.parquet", version="2.6")
-    print(f"{name}: {len(t)} -> {len(out)} rows")
+    # Split into row groups so Spark can parallelize the scan: pyarrow's
+    # default single row group made every sf1 documents/events scan a
+    # 1-thread serial read (the same lesson make_embsf1.py learned at
+    # 500k vectors — a scan that cannot split is a serial program).
+    # ~64 groups per table, floor 4096 rows, keeps groups in the
+    # few-MB range the harness's maxPartitionBytes slices well.
+    rg = max(4096, len(out) // 64)
+    pq.write_table(out, DST / f"{name}.parquet", version="2.6",
+                   row_group_size=rg)
+    print(f"{name}: {len(t)} -> {len(out)} rows (rg={rg})")
