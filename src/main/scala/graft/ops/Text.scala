@@ -877,7 +877,13 @@ object Text {
     // stage was ~15% of t09's steady-state wall time
     val cands = lshBandCandidates(
       lshBandKeysFromSh(docsSh), bucketCap)
-    val scored = cands.toDF("ra", "rb")
+    // persist barrier on the VERIFIED rep pairs (the t65 lesson): the
+    // array_intersect verification is the expensive projection here,
+    // and downstream consumers re-execute this sub-plan — the member
+    // expansion joins read it per branch, and t09's orderBy runs a
+    // range-partitioner SAMPLING pass that executes the child twice.
+    // The barrier pins one verification per candidate rep pair.
+    val scored = Scoped.persist(cands.toDF("ra", "rb")
       .join(docsSh.toDF("ra", "sha"), "ra")
       .join(docsSh.toDF("rb", "shb"), "rb")
       .select(col("ra"), col("rb"),
@@ -886,7 +892,7 @@ object Text {
       .select(col("ra"), col("rb"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
           .as("jaccard"))
-      .filter(col("jaccard") >= thr)
+      .filter(col("jaccard") >= thr))
     (mapping, docsSh, scored)
   }
 
