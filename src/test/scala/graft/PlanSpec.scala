@@ -690,4 +690,48 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("t66/t67: corpus-sized relations never enter a window — the " +
+    "rank runs over the term-count table, the lag over the spine") {
+    val p66 = plan("t66_zipf_fit")
+    // the row_number window consumes the (source, term, freq)
+    // aggregate, so a HashAggregate must sit BELOW the Window node
+    val w66 = p66.indexOf("Window")
+    val agg66 = p66.lastIndexOf("HashAggregate")
+    assert(w66 >= 0 && agg66 > w66,
+      s"expected an aggregate below the rank window:\n${p66.take(1200)}")
+    assert(!p66.contains("CartesianProduct"))
+    val p67 = plan("t67_heaps_law")
+    // budgets arrive broadcast — the non-equi range join must be a
+    // BroadcastNestedLoopJoin against the 13-row spine, never a
+    // shuffled cartesian
+    assert(p67.contains("BroadcastNestedLoopJoin"), p67.take(800))
+    assert(!p67.contains("CartesianProduct"), p67.take(800))
+  }
+
+  test("s35: one bucket join serves the whole sweep — band-key " +
+    "equi-join, spine broadcast, no cartesian") {
+    val p = plan("s35_lsh_sweep")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the pair source is a SortMergeJoin/ShuffledHashJoin on
+    // (tbl, 4-bit key) — an equi-join, visible as join keys k#
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("m23: the pHash is map-only decode — no exchange before the " +
+    "final sort") {
+    val p = plan("m23_phash")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e35: the disorder window partitions by hour — no global " +
+    "single-partition window") {
+    val p = plan("e35_disorder_audit")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global window leaked:\n${p.take(1200)}")
+  }
 }
