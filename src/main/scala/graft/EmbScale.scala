@@ -66,6 +66,15 @@ object EmbScale {
     val n = e.count()
     println(s"EMBSCALE corpus $d: $n vectors")
 
+    // SPARK_GRAFT_SWEEP=1 turns each stage into ITS SWEEP (the s32/
+    // s33/s35 axes at 500k): bits ∈ {20,22,24} for the LSH catch
+    // rate, nprobe ∈ {1,2,4,8} over the stored coded table, PQ
+    // m ∈ {8,16} for the bytes axis, and semK ∈ {512,1024,2048} for
+    // s34's k ∝ N sizing. Default (unset) keeps the single-point
+    // rehearsal. No sweep point adds a cartesian leg — each is the
+    // same bucketed/coded plan at a different knob value.
+    val sweepMode = sys.env.contains("SPARK_GRAFT_SWEEP")
+
     // SPARK_GRAFT_SKIP_LSH=1 skips straight to the IVF-PQ half (the
     // LSH stages don't depend on the PQ parameters being swept)
     if (sys.env.get("SPARK_GRAFT_SKIP_LSH").isEmpty) {
@@ -79,14 +88,6 @@ object EmbScale {
     // before filling the disk). Recall at the 0.9 threshold:
     // per-bit agreement p ≈ 0.857 ⇒ per-table (exact + Hamming-1)
     // ≈ 0.147 ⇒ 16 tables ≈ 0.92 expected.
-    val cands = time("lsh_pairs_22bit") {
-      val p = Similarity.neardupEdges(spark, d, allPairs = false,
-        thresh = 0.9, nBits = 22)
-      graft.Scoped.persist(p)
-      println(s"EMBSCALE   verified pairs (cos ≥ 0.9): ${p.count()}")
-      p
-    }
-
     // ---- 2. brute-force truth for a 512-vector sample ----
     //      (sample × corpus, NOT corpus × corpus — the rehearsal
     //      never runs a cartesian leg; 512 × 500k fused dots)
@@ -118,19 +119,37 @@ object EmbScale {
       t
     }
 
-    // catch rate: truth pair present in the verified LSH pair list
-    // (either orientation)
-    val caught = truth
-      .join(cands.select(
-          least(col("va"), col("vb")).as("qlo"),
-          greatest(col("va"), col("vb")).as("qhi")).distinct(),
-        least(col("qid"), col("best")) === col("qlo") &&
-          greatest(col("qid"), col("best")) === col("qhi"),
-        "left_semi")
-      .count()
+    // ---- 1. LSH candidates — the s35 BITS axis at 500k ----
+    // catch rate per signature width against the SAME brute truth:
+    // the bucketed candidate plan at each width, never a cartesian.
+    // (22-bit single point by default; {20, 22, 24} under SWEEP —
+    // each width is a fresh signature+bucket join, so the sweep cost
+    // is linear in its points.)
     val total = truth.count()
-    val rate = if (total == 0) 1.0 else caught.toDouble / total
-    println(f"EMBSCALE   LSH catch rate: $caught/$total = $rate%.4f")
+    val bitSweep = if (sweepMode) Seq(20, 22, 24) else Seq(22)
+    for (nBits <- bitSweep) {
+      val cands = time(s"lsh_pairs_${nBits}bit") {
+        val p = Similarity.neardupEdges(spark, d, allPairs = false,
+          thresh = 0.9, nBits = nBits)
+        graft.Scoped.persist(p)
+        println(s"EMBSCALE   verified pairs (cos >= 0.9): ${p.count()}")
+        p
+      }
+      // catch rate: truth pair present in the verified LSH pair list
+      // (either orientation)
+      val caught = truth
+        .join(cands.select(
+            least(col("va"), col("vb")).as("qlo"),
+            greatest(col("va"), col("vb")).as("qhi")).distinct(),
+          least(col("qid"), col("best")) === col("qlo") &&
+            greatest(col("qid"), col("best")) === col("qhi"),
+          "left_semi")
+        .count()
+      val rate = if (total == 0) 1.0 else caught.toDouble / total
+      println(
+        f"EMBSCALE   LSH catch rate @${nBits}bit: $caught/$total = $rate%.4f")
+      cands.unpersist(blocking = false)
+    }
     }
 
     // ---- 3. stored IVF-PQ: build once, query the s16 shape ----
@@ -146,21 +165,7 @@ object EmbScale {
     // SPARK_GRAFT_SKIP_PQ=1 skips the coded-table half (mirrors
     // SKIP_LSH — the SemDeDup stage below is independent of both)
     if (sys.env.get("SPARK_GRAFT_SKIP_PQ").isEmpty) {
-    val m = sys.env.getOrElse("SPARK_GRAFT_PQ_M", "8").toInt
-    val (k, kCells, nprobe) = (256, 64, 8)
-    val coded = time("coded_table_build") {
-      val path = Similarity.codedCorpusPath(spark, d, m, k, kCells)
-      val df = spark.read.parquet(path)
-      println(s"EMBSCALE   coded rows: ${df.count()} at $path")
-      df
-    }
-    val s16 = time("ivfpq_stored_query") {
-      val r = Similarity.ivfPqSearch(spark, d, coded, e, m, k, kCells,
-        nprobe)
-      val rows = r.collect()
-      println(s"EMBSCALE   s16-shaped results: ${rows.length}")
-      rows.map(x => (x.getLong(0), x.getLong(1))).toSet
-    }
+    val (k, kCells) = (256, 64)
     val exact5 = time("brute_top5_queries") {
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -180,8 +185,34 @@ object EmbScale {
         .select(col("qid"), col("vec_id"))
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     }
-    val recall = s16.intersect(exact5).size.toDouble / exact5.size
-    println(f"EMBSCALE   IVF-PQ recall@5 vs brute: $recall%.4f")
+    // BYTES axis (s33 at 500k): m ∈ {8, 16} sub-spaces = 8 vs 16
+    // code bytes/vector; PROBES axis (s32 at 500k): nprobe ∈
+    // {1, 2, 4, 8} prefixes of the same probe ranking over ONE coded
+    // table. Single point (m = SPARK_GRAFT_PQ_M, nprobe = 8) unless
+    // sweeping.
+    val mSweep =
+      if (sweepMode) Seq(8, 16)
+      else Seq(sys.env.getOrElse("SPARK_GRAFT_PQ_M", "8").toInt)
+    for (m <- mSweep) {
+      val coded = time(s"coded_table_build_m$m") {
+        val path = Similarity.codedCorpusPath(spark, d, m, k, kCells)
+        val df = spark.read.parquet(path)
+        println(s"EMBSCALE   coded rows: ${df.count()} at $path")
+        df
+      }
+      val probeSweep = if (sweepMode) Seq(1, 2, 4, 8) else Seq(8)
+      for (nprobe <- probeSweep) {
+        val s16 = time(s"ivfpq_stored_query_m${m}_np$nprobe") {
+          val r = Similarity.ivfPqSearch(spark, d, coded, e, m, k, kCells,
+            nprobe)
+          val rows = r.collect()
+          rows.map(x => (x.getLong(0), x.getLong(1))).toSet
+        }
+        val recall = s16.intersect(exact5).size.toDouble / exact5.size
+        println(f"EMBSCALE   IVF-PQ recall@5 m=$m nprobe=$nprobe: " +
+          f"$recall%.4f")
+      }
+    }
     }
 
     // ---- 4. SemDeDup at k ∝ N: the s34 code path with the paper's
@@ -196,19 +227,28 @@ object EmbScale {
     //      (8%) + exact dups (2%) over a base of ~orthogonal random
     //      vectors, so the removed fraction should land ≈ 0.10 with
     //      essentially no base-pair leakage. ----
-    val semK = sys.env.getOrElse("SPARK_GRAFT_SEM_K", "1024").toInt
-    time(s"semdedup_train_k$semK") {
-      // memoized: splits the training loop out of the stage below
-      Similarity.kMeansModel(spark, d, k = semK, iters = 3)
-    }
-    time(s"semdedup_k$semK") {
-      val out = Similarity.semDedupCells(spark, d, k = semK,
-        iters = 3, eps = 0.95)
-      val r = out.agg(sum(col("n_members")), sum(col("n_removed")),
-        max(col("n_members"))).head()
-      val (mem, rem, big) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      println(f"EMBSCALE   semdedup members=$mem removed=$rem " +
-        f"(${rem.toDouble / mem}%.4f) largest cell=$big")
+    // k ∝ N sizing curve under SWEEP: halving/doubling k around the
+    // N/500 operating point shows the Σ C(|cell|, 2) lever directly
+    // (in-cell pair volume ~doubles at k/2, ~halves at 2k) while the
+    // removed fraction stays pinned at the planted 10% — the s34
+    // scaling argument as numbers, not prose.
+    val semKs =
+      if (sweepMode) Seq(512, 1024, 2048)
+      else Seq(sys.env.getOrElse("SPARK_GRAFT_SEM_K", "1024").toInt)
+    for (semK <- semKs) {
+      time(s"semdedup_train_k$semK") {
+        // memoized: splits the training loop out of the stage below
+        Similarity.kMeansModel(spark, d, k = semK, iters = 3)
+      }
+      time(s"semdedup_k$semK") {
+        val out = Similarity.semDedupCells(spark, d, k = semK,
+          iters = 3, eps = 0.95)
+        val r = out.agg(sum(col("n_members")), sum(col("n_removed")),
+          max(col("n_members"))).head()
+        val (mem, rem, big) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        println(f"EMBSCALE   semdedup k=$semK members=$mem removed=$rem " +
+          f"(${rem.toDouble / mem}%.4f) largest cell=$big")
+      }
     }
 
     Scoped.release()

@@ -53,13 +53,20 @@ object Relational {
         Tables.lineitem(s, d)
           .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
+          // 128-bit tick accumulators (dsum128 ≡ dsum bit-for-bit,
+          // ExprEquivSpec-pinned): six decimal-exact aggregates become
+          // six two-long carry buffers — one quantize + a few integer
+          // ops per row inside whole-stage codegen, instead of six
+          // BigDecimal constructs + adds. quantity / price / discount
+          // hit the integer / 2-decimal quantize fast path; only the
+          // computed rev / charge take the canonical string path.
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
-            dsum(rev).as("sum_disc_price"),
-            dsum(rev * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-            davg(col("l_quantity")).as("avg_qty"),
-            davg(col("l_discount")).as("avg_disc"),
+            dsum128(col("l_quantity")).as("sum_qty"),
+            dsum128(col("l_extendedprice")).as("sum_base_price"),
+            dsum128(rev).as("sum_disc_price"),
+            dsum128(rev * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            davg128(col("l_quantity")).as("avg_qty"),
+            davg128(col("l_discount")).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },

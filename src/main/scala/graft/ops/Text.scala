@@ -1764,14 +1764,23 @@ object Text {
         val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
         val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
         val vocab = bi.agg(countDistinct(col("w2")).as("v"))
+        // p is quantized to its davg tick count ONCE PER MODEL ROW
+        // (vocabulary²-bounded), not once per bigram INSTANCE: the
+        // per-doc mean is then a plain codegen'd sum(long) over the
+        // joined instances — the r11 regression was exactly the
+        // per-instance decimal work (one BigDecimal construct + add
+        // per bigram row). Σ ticks per doc ≤ n_bigrams × 10¹⁰ (p ≤ 1),
+        // inside the long-tick bound for any document length.
         val model = c12.join(c1, "w1").crossJoin(broadcast(vocab))
           .select(col("w1"), col("w2"), col("n12"),
-            ((col("n12") + 1).cast("double") /
-              (col("n1") + col("v")).cast("double")).as("p"))
+            graft.functions.TickExprs.decimalTicks(
+              (col("n12") + 1).cast("double") /
+                (col("n1") + col("v")).cast("double")).as("p_ticks"))
         bi.join(model, Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
-            davg(col("p")).as("avg_p"),
+            (graft.functions.TickExprs.ticksToDouble(sum(col("p_ticks"))) /
+              count(lit(1))).as("avg_p"),
             (sum(when(col("n12") <= 2, 1L).otherwise(0L)).cast("double") /
               count(lit(1))).as("rare_ratio"))
           .orderBy("doc_id")
@@ -4130,7 +4139,9 @@ object Text {
               (coalesce(col("n1"), lit(0L)) + col("v")).cast("double"))
               .as("p"))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), davg(col("p")).as("score"))
+          // long-tick davg (p ≤ 1, per-doc group — inside the bound):
+          // same bits, no per-instance decimal-sum work
+          .agg(count(lit(1)).as("n_bigrams"), davgT(col("p")).as("score"))
         val scored = Scoped.persist(
           Tables.documents(s, d).select(col("doc_id"), col("lang"))
             .join(perDoc, Seq("doc_id"), "left")
@@ -4717,11 +4728,13 @@ object Text {
     //      noise). The 100 TB shape is the important part: "vocabulary
     //      within the first b docs" is NOT computed by b cumulative
     //      DISTINCTs or a running window — each term contributes its
-    //      FIRST doc id (one term-keyed groupBy), and V(b) is then a
-    //      count of first_doc < b against the broadcast budget spine;
-    //      token totals ride the same broadcast range join on the thin
-    //      (source, doc_id, ntok) relation. The only window runs over
-    //      |sources| × |budgets| rows. ----
+    //      FIRST per-source rank (one term-keyed groupBy over the
+    //      ceiling-bounded in-budget docs), and V(b) is then a count
+    //      of first_rk ≤ b against the broadcast budget spine; token
+    //      totals ride the same broadcast range join on the thin
+    //      ranked relation. "First b docs" means per-SOURCE rank, not
+    //      raw doc_id (SF up-scaling offsets copied ids — a raw-id
+    //      prefix would freeze every budget onto the base copy). ----
     QuerySpec(
       "t67_heaps_law",
       (s, d) => {
@@ -4729,17 +4742,50 @@ object Text {
         val spine = broadcast(
           Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
             16384, 32768, 65536).toDF("budget"))
-        val docs = Tables.documents(s, d)
+        val maxBudget = 65536
+        // "first b docs" is the doc's RANK WITHIN ITS SOURCE (dense
+        // row order by doc_id), not the raw global doc_id: SF
+        // up-scaling offsets copied ids, so a raw `doc_id < budget`
+        // prefix silently pins every budget to the base copy and the
+        // growth curve stops describing the corpus. The rank is
+        // built the t32 two-level way, never a corpus-sized window:
+        // (1) per-(source, id-bucket) counts — one agg, no window;
+        // (2) bucket offsets — a window over the METADATA-sized
+        // bucket spine; (3) row_number only INSIDE buckets that can
+        // still reach the 65536-doc budget ceiling (off < max budget
+        // ⇒ ≤ 2 surviving buckets per source), so the doc-sized
+        // window is bounded by the ceiling, not the corpus — and so
+        // is the vocab explode below.
+        val allDocs = Tables.documents(s, d)
           .select(col("source"), col("doc_id"),
             size(toks).cast("long").as("ntok"))
-        val growth = docs.join(spine, col("doc_id") < col("budget"))
+          .withColumn("bkt", floor(col("doc_id") / maxBudget).cast("long"))
+        val offsets = allDocs.groupBy(col("source"), col("bkt"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum(col("bn")).over(
+            Window.partitionBy(col("source")).orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .filter(col("off") < maxBudget)
+          .select(col("source"), col("bkt"), col("off"))
+        val wb = Window.partitionBy(col("source"), col("bkt"))
+          .orderBy(col("doc_id"))
+        val ranked = allDocs.join(broadcast(offsets), Seq("source", "bkt"))
+          .withColumn("rk", col("off") + row_number().over(wb))
+          .filter(col("rk") <= maxBudget)
+          .select(col("source"), col("doc_id"), col("ntok"), col("rk"))
+        val docs = Scoped.persist(ranked)
+        val growth = docs.join(spine, col("rk") <= col("budget"))
           .groupBy(col("source"), col("budget"))
           .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+        // the rank table is ceiling-bounded (≤ 65536 × |sources|
+        // rows) — broadcast it so only in-budget docs are exploded
         val firstDoc = Tables.documents(s, d)
-          .select(col("source"), col("doc_id"), explode(toks).as("t"))
+          .join(broadcast(docs.select(col("source"), col("doc_id"),
+            col("rk"))), Seq("source", "doc_id"))
+          .select(col("source"), col("rk"), explode(toks).as("t"))
           .groupBy(col("source"), col("t"))
-          .agg(min(col("doc_id")).as("first_doc"))
-        val vocab = firstDoc.join(spine, col("first_doc") < col("budget"))
+          .agg(min(col("rk")).as("first_rk"))
+        val vocab = firstDoc.join(spine, col("first_rk") <= col("budget"))
           .groupBy(col("source"), col("budget"))
           .agg(count(lit(1)).as("vocab"))
         val w = Window.partitionBy(col("source")).orderBy(col("budget"))
@@ -4759,20 +4805,23 @@ object Text {
           8192, 16384, 32768, 65536]) AS budget),
       docs AS (
         SELECT source, doc_id,
-          CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
-        FROM documents),
+          CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        FROM documents
+        QUALIFY rk <= 65536),
       growth AS (
         SELECT source, budget, CAST(COUNT(1) AS BIGINT) AS n_docs,
           CAST(SUM(ntok) AS BIGINT) AS n_tokens
-        FROM docs JOIN spine ON doc_id < budget GROUP BY 1, 2),
+        FROM docs JOIN spine ON rk <= budget GROUP BY 1, 2),
       fdoc AS (
-        SELECT source, t, MIN(doc_id) AS first_doc
-        FROM (SELECT source, doc_id, unnest(str_split(text, ' ')) AS t
-              FROM documents) u
+        SELECT source, t, MIN(rk) AS first_rk
+        FROM (SELECT d.source, d.rk, unnest(str_split(x.text, ' ')) AS t
+              FROM documents x
+              JOIN docs d ON d.source = x.source AND d.doc_id = x.doc_id) u
         GROUP BY 1, 2),
       vocab AS (
         SELECT source, budget, CAST(COUNT(1) AS BIGINT) AS vocab
-        FROM fdoc JOIN spine ON first_doc < budget GROUP BY 1, 2),
+        FROM fdoc JOIN spine ON first_rk <= budget GROUP BY 1, 2),
       curve AS (
         SELECT g.source, g.budget, g.n_docs, g.n_tokens, v.vocab
         FROM growth g

@@ -36,6 +36,41 @@ package object ops {
   def davgSql(expr: String, precision: Int = 28, scale: Int = 10): String =
     s"(CAST(CAST(SUM(CAST($expr AS DECIMAL($precision,$scale))) AS VARCHAR) AS DOUBLE) / COUNT($expr))"
 
+  /** [[dsum]] on the long-TICK path ([[graft.functions.TickExprs]]):
+    * bit-identical result, but the per-row work is one quantization +
+    * one primitive long add inside whole-stage codegen instead of a
+    * BigDecimal construct + BigDecimal add. ONLY for columns whose
+    * per-group Σ|x| < 9.2 × 10⁸ by construction (probabilities,
+    * ratios, [0,1] scores over length-bounded groups) — the long
+    * accumulator wraps past that; unbounded-magnitude sums stay on
+    * [[dsum]]'s 38-digit decimal buffer. Oracle side is unchanged
+    * ([[dsumSql]] / [[davgSql]] — the contract is the same number).
+    */
+  def dsumT(c: Column): Column = {
+    import graft.functions.TickExprs
+    TickExprs.ticksToDouble(sum(TickExprs.decimalTicks(c)))
+  }
+
+  /** [[davg]] on the long-TICK path — see [[dsumT]] for the bound. */
+  def davgT(c: Column): Column = {
+    import graft.functions.TickExprs
+    TickExprs.ticksToDouble(sum(TickExprs.decimalTicks(c))) / count(c)
+  }
+
+  /** [[dsum]] on the 128-bit tick accumulator
+    * ([[graft.functions.TickExprs.Sum128Ticks]]): bit-identical result,
+    * no magnitude bound in practice (Σ|x| < 1.7 × 10²⁸ per group) —
+    * the drop-in for unbounded money/quantity sums where [[dsumT]]'s
+    * single-long accumulator would wrap. Declarative two-long carry
+    * buffer: whole-stage codegen, map-side partials. */
+  def dsum128(c: Column): Column = {
+    import graft.functions.TickExprs
+    TickExprs.sum128Ticks(c)
+  }
+
+  /** [[davg]] on the 128-bit tick accumulator — see [[dsum128]]. */
+  def davg128(c: Column): Column = dsum128(c) / count(c)
+
   /** Timestamp literal resolved in the session time zone (pinned UTC). */
   def ts(s: String): Column = to_timestamp(lit(s))
 }

@@ -264,8 +264,9 @@ object Streams {
     * match; the caller quarantines matched arrivals. Scale shape: the
     * decode+hash is per-row map work inside the task (pixels never
     * reach the join), the join is stream-static on the band key so
-    * the corpus side can stay bucketed at rest, and the only
-    * streaming state is the output dedup — O(matches). */
+    * the corpus side can stay bucketed at rest, and the gate keeps
+    * ZERO streaming state: multi-band duplicate hits collapse via a
+    * stateless lowest-matching-band filter, not a stateful dedup. */
   def phashMatches(arrivals: Dataset[(Long, Array[Byte])],
       corpus: DataFrame, maxHam: Int = 3): DataFrame = {
     import arrivals.sparkSession.implicits._
@@ -281,13 +282,25 @@ object Streams {
     val a = banded(hashed, "doc_id", "phash")
     val c = banded(corpus.select(col("doc_id").as("corpus_doc"),
       col("phash").as("cphash")), "corpus_doc", "cphash")
+    // a Hamming-≤3 pair can share up to 4 bands and would surface
+    // once per shared band; the dedup is STATELESS — keep the pair
+    // only at its LOWEST matching band, a pure function of the two
+    // hashes. (A streaming dropDuplicates here would accrete one
+    // state row per emitted pair for the lifetime of the query — a
+    // slow leak in an always-on admission gate; the band-canonical
+    // filter needs no state and no watermark.)
+    val bandMatch = (0 until 4).map(b =>
+      shiftright(col("phash"), 16 * b).bitwiseAND(lit(0xffffL)) ===
+        shiftright(col("cphash"), 16 * b).bitwiseAND(lit(0xffffL)))
+    val firstBand = when(bandMatch(0), 0).when(bandMatch(1), 1)
+      .when(bandMatch(2), 2).otherwise(3)
     a.join(c, Seq("band", "bv"))
       .filter(col("doc_id") =!= col("corpus_doc"))
       .withColumn("hamming",
         bit_count(col("phash").bitwiseXOR(col("cphash"))).cast("int"))
       .filter(col("hamming") <= maxHam)
+      .filter(col("band") === firstBand)
       .select(col("doc_id"), col("corpus_doc"), col("hamming"))
-      .dropDuplicates("doc_id", "corpus_doc")
   }
 
   /** Stream-stream interval join: each purchase matched to the same
@@ -710,16 +723,46 @@ object Streams {
     * so catalog freshness costs one delta round-trip plus the bytes
     * that actually changed. Returns the landed items (deleted and
     * folder tombstones excluded from staging but returned for audit).
+    *
+    * TOMBSTONE PROPAGATION: when `bronzeTable` is given, `deleted`
+    * facets are composed end-to-end into the bronze DELETE path —
+    * [[graft.ingest.BronzeMerge.deleteWhere]] on the tombstones'
+    * file names, which rewrites only the batches containing matches
+    * and emits the corresponding `_delta_log` remove actions
+    * ([[graft.ingest.DeltaLog]] sync). Without it an incremental sync
+    * that observes a source-side deletion would leave bronze diverged
+    * forever (the reference's only delete semantics is its
+    * archive-then-delete flow, `sharepoint_to_bronze_delta.py:229-230`
+    * — source deletions must reach the lakehouse). Ordering is
+    * delete-then-checkpoint: a crash in between replays the tombstone
+    * window on restart and the delete re-runs idempotently
+    * (at-least-once, no-op when nothing matches). Identity keys are
+    * retained by `deleteWhere`, so a redelivered blob of a deleted
+    * file CANNOT resurrect its rows — the same gate the reference's
+    * archive-success check guards its delete with (C3/C4). A
+    * tombstone arriving before the table's first commit (or for a
+    * never-ingested file) is a safe no-op.
     */
   def discoverIncrement(spark: SparkSession,
       provider: graft.pipeline.DeltaListingProvider,
       checkpoint: graft.pipeline.DeltaCheckpoint,
-      stagingDir: String): Seq[graft.pipeline.DeltaListing.DeltaItem] = {
+      stagingDir: String,
+      bronzeTable: Option[String] = None)
+      : Seq[graft.pipeline.DeltaListing.DeltaItem] = {
     import spark.implicits._
     val result = provider.sync(checkpoint.load())
     val live = result.items.filter(it => !it.deleted && it.mime != null)
     if (live.nonEmpty)
       live.toDF().write.mode("append").parquet(stagingDir)
+    val dead = result.items.filter(_.deleted).map(_.name).distinct
+    bronzeTable.foreach { table =>
+      // only a committed table can hold rows to remove; an empty or
+      // not-yet-created bronze makes every tombstone a no-op
+      if (dead.nonEmpty &&
+          graft.ingest.BronzeMerge.currentCommit(spark, table)._2.nonEmpty)
+        graft.ingest.BronzeMerge.deleteWhere(spark, table,
+          col("file_name").isin(dead: _*))
+    }
     checkpoint.save(result.deltaLink)
     result.items
   }

@@ -350,4 +350,90 @@ class ExprEquivSpec extends SparkSpec {
       graft.ops.Text.qualityExpr,
       graft.ops.Text.qualityExprDeclarative)
   }
+
+  // ---- TICK decimal paths (TickExprs): the scalar davg/dsum contract ----
+
+  /** Deterministic double corpus spanning the tick fast paths (integer,
+    * 2-decimal money) and the canonical fallback (ratios, full-precision
+    * products, negatives, tiny/huge magnitudes, values adversarial to a
+    * naive x*1e10 rounding).
+    */
+  private lazy val tickDoubles: Seq[(Int, java.lang.Double)] = {
+    val rnd = new scala.util.Random(1919)
+    val base: Seq[Double] = Seq(
+      0.0, -0.0, 1.0, -1.0, 0.1, -0.1, 0.5, -0.5, 1.5e-11, -1.5e-11,
+      0.05, 0.15, 0.25, 1e-10, 5e-11, -5e-11, 12345.67, -12345.67,
+      1.0 / 3.0, 2.0 / 7.0, 0.30000000005, 0.1 + 0.2, 99999999.99,
+      -99999999.99, 9.2e8 - 1, -(9.2e8 - 1), 123456789.123456789,
+      math.Pi, -math.E) ++
+      (1 to 200).map(_ => rnd.nextDouble()) ++ // ratios in [0,1)
+      (1 to 200).map(_ => rnd.nextInt(100000) / 100.0) ++ // money
+      (1 to 200).map(_ => rnd.nextInt(2000000).toDouble - 1e6) ++ // ints
+      (1 to 200).map(_ => (rnd.nextDouble() - 0.5) * 2e6) ++ // wide
+      (1 to 100).map(_ => rnd.nextInt(1000000).toDouble /
+        (rnd.nextInt(999999) + 1).toDouble) // integer ratios (t19 p's)
+    base.zipWithIndex.map { case (v, i) =>
+      (i % 7, java.lang.Double.valueOf(v)) } :+
+      ((3, null.asInstanceOf[java.lang.Double])) :+
+      ((8, null.asInstanceOf[java.lang.Double])) // all-null group 8
+  }
+
+  test("ticks-davg (long sum) == decimal davg, bitwise, incl null groups") {
+    // davgT's domain is the bounded-Σ|x| regime (probabilities/ratios
+    // over length-bounded groups — the t19 shape); within it the long
+    // tick sum must equal the decimal davg bit-for-bit. Outside it,
+    // ANSI sum(long) THROWS (ARITHMETIC_OVERFLOW) rather than wrap —
+    // a bound violation is loud, which the davg128 path exists to
+    // avoid; see the next test.
+    import TestSpark.spark.implicits._
+    val bounded = tickDoubles.filter { case (_, v) =>
+      v == null || math.abs(v.doubleValue) <= 1.0 }
+    val df = bounded.toDF("g", "x")
+    val bad = df.groupBy(col("g"))
+      .agg(graft.ops.davg(col("x")).as("d"), graft.ops.davgT(col("x")).as("t"))
+      .filter(not(col("d") <=> col("t")))
+    assert(bad.isEmpty, s"davgT drifted:\n${bad.take(5).mkString("\n")}")
+  }
+
+  test("128-bit tick dsum == decimal dsum, bitwise, incl carry traffic") {
+    import TestSpark.spark.implicits._
+    // magnitudes near the single-long ceiling force steady lo-word
+    // carries: each row's tick count is ~1e18, so the low word wraps
+    // every handful of rows and the carry path is exercised both in
+    // update and in partial-merge (the groupBy shuffles 32 partials)
+    val rnd = new scala.util.Random(128128)
+    val big = (1 to 4000).map(i =>
+      (i % 5, (rnd.nextDouble() - 0.5) * 1.8e8))
+    val df = big.toDF("g", "x").repartition(32)
+    val bad = df.groupBy(col("g"))
+      .agg(graft.ops.dsum(col("x")).as("d"), graft.ops.dsum128(col("x")).as("t"))
+      .filter(not(col("d") <=> col("t")))
+    assert(bad.isEmpty, s"dsum128 drifted:\n${bad.take(5).mkString("\n")}")
+    // and on the mixed fast-path/fallback corpus with nulls
+    val df2 = tickDoubles.toDF("g", "x")
+    val bad2 = df2.groupBy(col("g"))
+      .agg(graft.ops.davg(col("x")).as("d"), graft.ops.davg128(col("x")).as("t"))
+      .filter(not(col("d") <=> col("t")))
+    assert(bad2.isEmpty, s"davg128 drifted:\n${bad2.take(5).mkString("\n")}")
+  }
+
+  test("ticks fast paths == the canonical BigDecimal quantization, per value") {
+    // the integer / 2-decimal fast paths carry a paper proof
+    // (TickExprs.ticks scaladoc); this pins them against the canonical
+    // valueOf+setScale path — which is itself Spark's own cast-to-
+    // decimal value path — on every corpus value, at exact tick
+    // granularity (an aggregate-level check could hide a ±1-tick
+    // fast-path bug below double resolution at large magnitudes)
+    import TestSpark.spark.implicits._
+    val canonical = udf((x: Double) =>
+      java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact())
+    val df = tickDoubles.map(_._2).filter(_ != null).map(_.doubleValue).toDF("x")
+    val bad = df.select(col("x"),
+      graft.functions.TickExprs.decimalTicks(col("x")).as("t"),
+      canonical(col("x")).as("ref"))
+      .filter(not(col("t") <=> col("ref")))
+    assert(bad.isEmpty, s"ticks != canonical:\n${bad.take(5).mkString("\n")}")
+  }
 }

@@ -1260,6 +1260,94 @@ class StreamsSpec extends SparkSpec {
     assert(ck.load().contains(delta2))
   }
 
+  test("tombstone propagation: a delta-sync deletion reaches bronze as a " +
+      "logged remove, and redelivery cannot resurrect the row") {
+    import graft.ingest.{BronzeMerge, DeltaLog}
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    import graft.pipeline.HttpListing.{HttpResponse, Transport}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = "https://graph.example.test/drives/d3"
+    val delta1 = s"$base/root/delta?token=D1"
+    val delta2 = s"$base/root/delta?token=D2"
+    def item(id: String, name: String, size: Long) =
+      s"""{"id":"$id","name":"$name","size":$size,
+         |"file":{"mimeType":"text/plain"},
+         |"parentReference":{"path":"/drives/d3/root:/in"}}"""
+        .stripMargin.replace("\n", "")
+    // Graph tombstone: deleted facet, no file facet, id+name identity
+    def tomb(id: String, name: String) =
+      s"""{"id":"$id","name":"$name","deleted":{"state":"deleted"}}"""
+    val script = Map(
+      s"$base/root/delta" -> HttpResponse(200,
+        s"""{"value":[${item("i1", "a.txt", 3)},${item("i2", "b.txt", 5)}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", "")),
+      delta1 -> HttpResponse(200,
+        s"""{"value":[${tomb("i2", "b.txt")}],
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")))
+    val transport = new Transport {
+      override def get(url: String): HttpResponse =
+        script.getOrElse(url, throw new AssertionError(s"unexpected $url"))
+    }
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-tombstone").toString
+    val staging = s"$work/staging"
+    val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
+    val table = s"$work/bronze"
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // the blob-fetch stand-in: land whatever the sync staged
+    def ingestStaged(): Unit = {
+      val staged = spark.read.parquet(staging)
+        .select(col("name"), col("size")).collect()
+        .map(r => (r.getString(0), r.getLong(1), ts(1),
+          r.getString(0).getBytes("UTF-8")))
+        .toSeq.toDF("file_name", "length", "modified", "content")
+      BronzeMerge.mergeIngestDf(spark, staged, table)
+    }
+    def liveNames() = BronzeMerge.snapshotLatest(spark, table)
+      .select("file_name").collect().map(_.getString(0)).sorted.toSeq
+
+    // round 1: initial sync lands N = 2 files in bronze
+    Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
+    ingestStaged()
+    assert(liveNames() == Seq("a.txt", "b.txt"))
+
+    // round 2: the incremental sync sees ONE deletion — bronze must
+    // end at N − 1 live rows with nothing new staged
+    val r2 = Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
+    assert(r2.map(_.name) == Seq("b.txt") && r2.forall(_.deleted))
+    assert(liveNames() == Seq("a.txt"))
+
+    // the _delta_log mirror replays to the post-delete state and the
+    // deleting commit carries an explicit remove action
+    assert(DeltaLog.read(spark, table).select("file_name")
+      .collect().map(_.getString(0)).toSeq == Seq("a.txt"))
+    val logDir = java.nio.file.Paths.get(table, "_delta_log")
+    val lastLog = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(logDir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq
+        .sorted.last
+    }
+    assert(java.nio.file.Files.readString(logDir.resolve(lastLog))
+      .contains(""""remove""""), s"no remove action in $lastLog")
+
+    // redelivery of the deleted blob (same identity key) must be
+    // rejected by the retained keys — deletion cannot be undone by
+    // an at-least-once upstream replay
+    val redelivered = Seq(("b.txt", 5L, ts(1), "b.txt".getBytes("UTF-8")))
+      .toDF("file_name", "length", "modified", "content")
+    assert(BronzeMerge.mergeIngestDf(spark, redelivered, table) == 0L)
+    assert(liveNames() == Seq("a.txt"))
+
+    // and a replayed tombstone window (crash between delete and
+    // checkpoint save) re-runs as a no-op
+    val (verBefore, _) = BronzeMerge.currentCommit(spark, table)
+    val (verAfter, n) = BronzeMerge.deleteWhere(spark, table,
+      col("file_name").isin("b.txt"))
+    assert(verAfter == verBefore && n == 0L)
+  }
+
   test("e35's disorder audit sizes the hourlyCounts watermark: the " +
       "jitter-ceiling delay drops nothing, a 60 s delay drops exactly " +
       "the batch-predicted rows") {
@@ -1386,8 +1474,14 @@ class StreamsSpec extends SparkSpec {
       ms.addData(arrivals(2))
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.table("phashgate").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val gotRows = spark.table("phashgate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val got = gotRows.toSet
     assert(got == expected, s"streamed $got vs batch $expected")
+    // the stateless lowest-matching-band filter must emit each pair
+    // exactly ONCE even when twins share all 4 bands (identical
+    // hashes) — a multiset duplicate would hide inside the set compare
+    assert(gotRows.size == expected.size,
+      s"duplicate emissions: $gotRows")
   }
 }
