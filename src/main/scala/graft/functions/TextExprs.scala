@@ -759,6 +759,66 @@ object TextExprs {
     GraftSqlBridge.column(
       NgramHashes(GraftSqlBridge.expression(c), n, distinct))
 
+  /** Shared by interpreted eval and generated code: |a ∩ b| for two
+    * SORTED-DISTINCT long arrays by two-pointer merge — one linear
+    * walk, zero allocation. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { n += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** `size(array_intersect(a, b))` for SORTED-DISTINCT `array<long>`
+    * inputs (the [[ShingleHashes]] / [[NgramHashes]](distinct) output
+    * contract — both emit sorted distinct hashes by construction).
+    * The builtin allocates and probes a hash set per row; on the
+    * near-dup verify joins (t09/t57/t08's expansion, the streaming
+    * gate) that per-candidate-pair set build IS the verify stage's
+    * cost. This is the two-pointer merge instead: same count, pinned
+    * by ExprEquivSpec, O(|a| + |b|) with no allocation. Inputs that
+    * are NOT sorted-distinct are out of contract (the count would
+    * drift from array_intersect) — every caller feeds shingle arrays.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count expects (array<long>, array<long>), got $other")
+      }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_intersect_count"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$
+          .sortedIntersectCount($a, $b);
+      """)
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+  }
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Fused BPE tokenize-and-count (t40's hot path): the token count
     * after applying `merges` in order to a document's symbol state.
     * The declarative form materializes the spaced symbol STRING

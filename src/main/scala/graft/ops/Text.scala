@@ -200,7 +200,8 @@ object Text {
       .join(docsSh.toDF("ra", "sha"), "ra")
       .join(docsSh.toDF("rb", "shb"), "rb")
       .select(col("ra"), col("rb"),
-        size(array_intersect(col("sha"), col("shb"))).as("ni"),
+        graft.functions.TextExprs
+          .sortedIntersectCount(col("sha"), col("shb")).as("ni"),
         size(col("sha")).as("na"))
       .filter(col("ni") * den >= col("na") * num)
       .select(col("ra"), col("rb"), col("na"), col("ni"))
@@ -887,7 +888,8 @@ object Text {
       .join(docsSh.toDF("ra", "sha"), "ra")
       .join(docsSh.toDF("rb", "shb"), "rb")
       .select(col("ra"), col("rb"),
-        size(array_intersect(col("sha"), col("shb"))).as("ni"),
+        graft.functions.TextExprs
+          .sortedIntersectCount(col("sha"), col("shb")).as("ni"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .select(col("ra"), col("rb"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
@@ -2789,7 +2791,8 @@ object Text {
           .join(docsSh.select(col("doc_id").as("train_doc"),
             col("sh").as("shb")), "train_doc")
           .select(col("test_doc"), col("train_doc"),
-            size(array_intersect(col("sha"), col("shb"))).as("ni"),
+            graft.functions.TextExprs
+          .sortedIntersectCount(col("sha"), col("shb")).as("ni"),
             size(col("sha")).as("na"), size(col("shb")).as("nb"))
           .select(col("test_doc"), col("train_doc"),
             (col("ni").cast("double") /

@@ -206,7 +206,8 @@ object Streams {
       .filter(size(col("sh")) > 0)
     val streamBands = graft.ops.Text.lshBandKeys(docs)
       .toDF("doc_id", "band", "bh")
-    val inter = size(array_intersect(col("sh"), col("csh")))
+    val inter = graft.functions.TextExprs
+      .sortedIntersectCount(col("sh"), col("csh"))
     streamBands.join(corpusBands, Seq("band", "bh"))
       .select("doc_id", "cid")
       .dropDuplicates("doc_id", "cid")

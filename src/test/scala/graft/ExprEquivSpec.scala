@@ -351,6 +351,25 @@ class ExprEquivSpec extends SparkSpec {
       graft.ops.Text.qualityExprDeclarative)
   }
 
+  test("SortedIntersectCount == size(array_intersect) on shingle arrays") {
+    // contract inputs: sorted-distinct long arrays (the ShingleHashes
+    // output shape). Pin on every corpus pair shape that matters:
+    // empty × empty, empty × non-empty, disjoint, identical, partial
+    // overlap at both ends — built from REAL shingle arrays crossed
+    // against shifted/sliced variants of themselves.
+    val sh = TextExprs.shingleHashes(col("text"), 3)
+    val df = textDf.select(sh.as("a"),
+      // a deliberately different sorted-distinct array: the doc's
+      // 2-shingles (different hash stream, arbitrary overlap with a)
+      TextExprs.shingleHashes(col("text"), 2).as("b"))
+      .unionByName(textDf.select(sh.as("a"), sh.as("b"))) // identical
+      .unionByName(textDf.select(sh.as("a"),
+        slice(sh, lit(1), greatest(size(sh) / 2, lit(0))).as("b")))
+    assertAllEqual(df,
+      TextExprs.sortedIntersectCount(col("a"), col("b")),
+      size(array_intersect(col("a"), col("b"))))
+  }
+
   // ---- TICK decimal paths (TickExprs): the scalar davg/dsum contract ----
 
   /** Deterministic double corpus spanning the tick fast paths (integer,
