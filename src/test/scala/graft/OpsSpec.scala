@@ -1497,13 +1497,13 @@ class OpsSpec extends SparkSpec {
   test("classifier training converges and recovers the quality band") {
     graft.ops.Text.clearLrModels()
     val (w, losses, thr) = graft.ops.Text.lrModel(spark, sf0001)
-    assert(w.length == 259) // 256 hashed TF + bias + 2 surface stats
+    assert(w.length == 515) // 512 hashed TF + bias + 2 surface stats
     assert(losses.length == 40)
     assert(thr > 0 && thr < 1)
     // preconditioned GD + momentum on a convex loss: strictly improving
     losses.zip(losses.tail).foreach { case (a, b) =>
       assert(b < a + 1e-12, s"loss rose: $a -> $b") }
-    info(s"log-loss ${losses.head} -> ${losses.last}")
+    info(s"brier loss ${losses.head} -> ${losses.last}")
     val rows = SparkEntry.queries("t29_classifier_score")(spark, sf0001)
       .collect()
     val acc = rows.map(_.getInt(4)).sum.toDouble / rows.length

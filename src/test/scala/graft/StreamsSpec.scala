@@ -747,8 +747,13 @@ class StreamsSpec extends SparkSpec {
     val batch = SparkEntry.queries("t29_classifier_score")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3)))
       .toMap
-    streamed.foreach { case (id, (p, pred)) =>
-      assert(batch(id)._1 == p, s"doc $id: stream prob $p vs ${batch(id)._1}")
+    streamed.foreach { case (id, (m, pred)) =>
+      // batch t29 presents round(margin, 6); the gate emits the raw
+      // margin — quantize identically before comparing
+      val m6 = java.math.BigDecimal.valueOf(m)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      assert(batch(id)._1 == m6,
+        s"doc $id: stream margin $m6 vs ${batch(id)._1}")
       assert(batch(id)._2 == pred)
     }
   }
