@@ -98,8 +98,8 @@ object Events {
         Tables.events(s, d)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            dsum(col("value")).as("total_value"),
-            davg(col("value")).as("avg_value"),
+            dsum128(col("value")).as("total_value"),
+            davg128(col("value")).as("avg_value"),
             countDistinct(col("user_id")).as("n_users"))
           .orderBy("event_type")
       },
@@ -115,7 +115,7 @@ object Events {
       (s, d) => {
         Tables.events(s, d)
           .groupBy(window(col("ts"), "1 hour").as("w"))
-          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .agg(count(lit(1)).as("n"), dsum128(col("value")).as("total_value"))
           .select(col("w.start").as("hour_start"), col("n"), col("total_value"))
           .orderBy("hour_start")
       },
@@ -168,7 +168,7 @@ object Events {
           .withColumn("k", k)
           .groupBy(col("event_type"))
           .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
-            davg(col("k")).as("avg_k"),
+            davg128(col("k")).as("avg_k"),
             sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
           .orderBy("event_type")
       },
@@ -349,7 +349,7 @@ object Events {
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n"),
             min(col("p.k")).as("min_k"), max(col("p.k")).as("max_k"),
-            davg(col("p.k")).as("avg_k"))
+            davg128(col("p.k")).as("avg_k"))
           .orderBy("user_id")
       },
       Some(s"""SELECT user_id, COUNT(1) AS n, MIN(k) AS min_k,
@@ -575,7 +575,7 @@ object Events {
           .select(col("event_type"), to_date(col("ts")).as("day"),
             col("value"))
         val daily = sliced.groupBy(col("event_type"), col("day"))
-          .agg(davg(col("value")).as("day_avg"), count(lit(1)).as("n"))
+          .agg(davg128(col("value")).as("day_avg"), count(lit(1)).as("n"))
         val bounds = sliced.agg(min(col("day")).as("lo"),
           max(col("day")).as("hi"))
         val spine = sliced.select("event_type").distinct()
@@ -894,8 +894,8 @@ object Events {
             col("value"))
           .groupBy("channel")
           .agg(count(lit(1)).as("n_purchases"),
-            dsum(col("value")).as("revenue"),
-            davg(col("value")).as("avg_purchase"))
+            dsum128(col("value")).as("revenue"),
+            davg128(col("value")).as("avg_purchase"))
           .orderBy("channel")
       },
       Some(s"""WITH attrib AS (
@@ -1082,6 +1082,9 @@ object Events {
         // past Long.Max (a 5h gap is 2e10 µs → 4e20), and DuckDB's
         // BIGINT multiply would error on the same overflow
         val gapDec = col("gap_us").cast("decimal(19,0)")
+        // gap_us stays on the DECIMAL dsum: a single gap can exceed
+        // the tick quantizer's per-row long range (|x| < 9.2e8 ⇒
+        // gaps over ~15 min don't fit scale-10 ticks in one long)
         gaps.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_gaps"),
             (dsum(col("gap_us")) / count(lit(1)) / 1e6).as("avg_gap_s"),
@@ -1263,7 +1266,7 @@ object Events {
           .groupBy(weekday(col("ts")).as("dow"), hour(col("ts")).as("hr"))
           .agg(count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"),
-            dsum(col("value")).as("total_value"))
+            dsum128(col("value")).as("total_value"))
         val tot = cells.agg(sum(col("n_events")).as("tot"))
         cells.crossJoin(broadcast(tot))
           .select(col("dow"), col("hr"), col("n_events"), col("n_users"),

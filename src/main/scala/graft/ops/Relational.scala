@@ -114,7 +114,7 @@ object Relational {
           .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"),
             col("o_orderpriority"))
-          .agg(dsum(rev).as("revenue"))
+          .agg(dsum128(rev).as("revenue"))
           .orderBy(desc("revenue"), col("l_orderkey"))
           .limit(10)
       },
@@ -172,7 +172,7 @@ object Relational {
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(dsum(rev).as("revenue"))
+          .agg(dsum128(rev).as("revenue"))
           .orderBy(desc("revenue"), col("n_name"))
       },
       Some(s"""SELECT n_name, ${dsumSql(revSql)} AS revenue
@@ -197,7 +197,7 @@ object Relational {
             col("l_shipdate") < ts("1998-01-01 00:00:00") &&
             col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
             col("l_quantity") < 24.0)
-          .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          .agg(dsum128(col("l_extendedprice") * col("l_discount")).as("revenue"),
             count(lit(1)).as("n"))
       },
       Some(s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
@@ -307,7 +307,7 @@ object Relational {
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .rollup(col("r_name"), col("n_name"))
-          .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+          .agg(dsum128(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
           .select(coalesce(col("r_name"), lit("ALL")).as("region"),
             coalesce(col("n_name"), lit("ALL")).as("nation"),
             col("total"), col("n_orders"))
@@ -329,7 +329,7 @@ object Relational {
       (s, d) => {
         Tables.lineitem(s, d)
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .agg(count(lit(1)).as("n"), dsum128(col("l_quantity")).as("qty"))
           .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
             coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
             col("n"), col("qty"))
@@ -389,7 +389,7 @@ object Relational {
           .select(lit("low").as("band"), col("l_extendedprice"))
         hi.unionAll(lo)
           .groupBy(col("band"))
-          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+          .agg(count(lit(1)).as("n"), dsum128(col("l_extendedprice")).as("total"))
           .orderBy("band")
       },
       Some(s"""SELECT band, COUNT(1) AS n, ${dsumSql("l_extendedprice")} AS total
@@ -429,7 +429,7 @@ object Relational {
         c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(count(lit(1)).as("n_customers"),
-            davg(col("c_acctbal")).as("avg_bal"))
+            davg128(col("c_acctbal")).as("avg_bal"))
           .filter(col("n_customers") > 50)
           .orderBy("n_name")
       },
@@ -451,7 +451,7 @@ object Relational {
           .withColumn("bucket", bucket)
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"),
-            dsum(col("o_totalprice")).as("total"),
+            dsum128(col("o_totalprice")).as("total"),
             sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"))
           .orderBy("bucket")
       },
@@ -524,7 +524,7 @@ object Relational {
         val p = Tables.part(s, d)
         l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
           .groupBy(year(col("l_shipdate")).as("yr"), col("p_brand"))
-          .agg(dsum(rev).as("revenue"))
+          .agg(dsum128(rev).as("revenue"))
           .orderBy("yr", "p_brand")
       },
       Some(s"""SELECT CAST(YEAR(l_shipdate) AS INT) AS yr, p_brand,
@@ -573,7 +573,7 @@ object Relational {
       (s, d) => {
         val o = Tables.orders(s, d)
         val avgByCust = o.groupBy(col("o_custkey").as("k"))
-          .agg(davg(col("o_totalprice")).as("avg_price"))
+          .agg(davg128(col("o_totalprice")).as("avg_price"))
         o.join(avgByCust, col("o_custkey") === col("k"))
           .filter(col("o_totalprice") > col("avg_price") * 1.5)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -596,7 +596,7 @@ object Relational {
         Tables.orders(s, d)
           .groupBy(col("o_orderstatus"))
           .pivot("o_orderpriority", priorities)
-          .agg(dsum(col("o_totalprice")))
+          .agg(dsum128(col("o_totalprice")))
           .select(col("o_orderstatus") +:
             priorities.map(p => col(s"`$p`").as(p.takeRight(p.length - 2)
               .toLowerCase.replace(" ", "_"))): _*)
@@ -756,7 +756,7 @@ object Relational {
         val perLine = Tables.lineitem(s, d)
           .filter(col("l_orderkey") <= 100)
           .groupBy(col("l_orderkey"), col("l_linenumber"))
-          .agg(dsum(col("l_quantity")).as("qty"))
+          .agg(dsum128(col("l_quantity")).as("qty"))
         perLine
           .groupBy(col("l_orderkey"))
           .agg(map_from_entries(
@@ -810,7 +810,7 @@ object Relational {
         Tables.lineitem(s, d)
           .filter(pmod(col("l_orderkey"), lit(20)) === 0) // 5% of orders
           .agg(count(lit(1)).as("n"),
-            dsum(col("l_extendedprice")).as("sampled_revenue"),
+            dsum128(col("l_extendedprice")).as("sampled_revenue"),
             countDistinct(col("l_orderkey")).as("n_orders"))
       },
       Some(s"""SELECT COUNT(1) AS n,
@@ -959,7 +959,7 @@ object Relational {
         def spend(yr: Int) = o
           .filter(year(col("o_orderdate")) === yr)
           .groupBy(col("o_custkey").as(s"k$yr"))
-          .agg(dsum(col("o_totalprice")).as(s"spend_$yr"))
+          .agg(dsum128(col("o_totalprice")).as(s"spend_$yr"))
         spend(1997).join(spend(1998),
             col("k1997") === col("k1998"), "full_outer")
           .select(coalesce(col("k1997"), col("k1998")).as("custkey"),
@@ -1101,7 +1101,7 @@ object Relational {
           .cube(col("l_returnflag"), col("l_linestatus"))
           .agg(grouping_id().cast("long").as("gid"),
             count(lit(1)).as("n"),
-            dsum(col("l_extendedprice")).as("revenue"))
+            dsum128(col("l_extendedprice")).as("revenue"))
           .orderBy("gid", "l_returnflag", "l_linestatus")
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
@@ -1261,8 +1261,8 @@ object Relational {
             col("l_quantity") >= 25)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(rev).as("revenue"))
+            dsum128(col("l_quantity")).as("sum_qty"),
+            dsum128(rev).as("revenue"))
           .orderBy("l_returnflag")
       },
       Some(s"""SELECT l_returnflag, COUNT(1) AS n,
@@ -1297,8 +1297,8 @@ object Relational {
             col("l_discount") >= 0.05)
           .groupBy(col("l_linestatus"))
           .agg(count(lit(1)).as("n"),
-            dsum(col("l_extendedprice")).as("sum_price"),
-            dsum(rev).as("revenue"))
+            dsum128(col("l_extendedprice")).as("sum_price"),
+            dsum128(rev).as("revenue"))
           .orderBy("l_linestatus")
       },
       Some(s"""SELECT l_linestatus, COUNT(1) AS n,
@@ -1334,8 +1334,8 @@ object Relational {
           .filter(col("l_linestatus") === "F" && col("l_tax") >= 0.04)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            dsum(col("l_discount") * col("l_extendedprice")).as("disc_amt"),
-            dsum(rev).as("revenue"))
+            dsum128(col("l_discount") * col("l_extendedprice")).as("disc_amt"),
+            dsum128(rev).as("revenue"))
           .orderBy("l_returnflag")
       },
       Some(s"""SELECT l_returnflag, COUNT(1) AS n,
@@ -1379,7 +1379,7 @@ object Relational {
             case "str" => Seq(
               lit(null).cast("double").as(s"${c}__min"),
               lit(null).cast("double").as(s"${c}__max"),
-              davg(length(col(c))).as(s"${c}__len"))
+              davg128(length(col(c))).as(s"${c}__len"))
             case _ => Seq(
               lit(null).cast("double").as(s"${c}__min"),
               lit(null).cast("double").as(s"${c}__max"),
@@ -1466,8 +1466,8 @@ object Relational {
           .join(nat.select(col("n_nationkey").as("snk"),
             col("n_name").as("dst")), col("s_nationkey") === col("snk"))
           .groupBy(col("src"), col("dst"))
-          .agg(dsum(rev).as("w"))
-        val outW = edges.groupBy(col("src")).agg(dsum(col("w")).as("ow"))
+          .agg(dsum128(rev).as("w"))
+        val outW = edges.groupBy(col("src")).agg(dsum128(col("w")).as("ow"))
         // transition probabilities, normalized once — w and ow are
         // doubles (dsum's contract), so p is one IEEE double division,
         // identical in Spark and on the driver
@@ -1994,7 +1994,7 @@ object Relational {
           .distinct()
         fact.join(broadcast(months), "l_ship_month")
           .groupBy(col("l_ship_month"))
-          .agg(count(lit(1)).as("n"), dsum(rev).as("revenue"))
+          .agg(count(lit(1)).as("n"), dsum128(rev).as("revenue"))
           .orderBy("l_ship_month")
       },
       Some(s"""SELECT strftime(l_shipdate, '%Y-%m') AS l_ship_month,

@@ -448,7 +448,7 @@ object Similarity {
           // exploded rows and a BigDecimal add per element, plus d2
           // decimal-summed 64× per member with 63 results discarded.
           val agg = assigned.groupBy(col("cid"))
-            .agg(vecDavg(col("v")).as("m"), dsum(col("d2")).as("sd2"),
+            .agg(vecDavg(col("v")).as("m"), dsum128(col("d2")).as("sd2"),
               count(lit(1)).as("n"))
           val rows = agg.collect() // k rows — bounded by construction
           // cid-sorted driver fold: a Seq#sum in collect order would be
@@ -2722,12 +2722,12 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
           .orderBy(desc("cos"), col("yid"))
         val ax = pairs.withColumn("rk", row_number().over(wX))
           .filter(col("rk") <= 4)
-          .groupBy(col("xid")).agg(davg(col("cos")).as("ax"))
+          .groupBy(col("xid")).agg(davg128(col("cos")).as("ax"))
         val wY = Window.partitionBy(col("yid"))
           .orderBy(desc("cos"), col("xid"))
         val ay = pairs.withColumn("rk", row_number().over(wY))
           .filter(col("rk") <= 4)
-          .groupBy(col("yid")).agg(davg(col("cos")).as("ay"))
+          .groupBy(col("yid")).agg(davg128(col("cos")).as("ay"))
         val scored = pairs.join(ax, "xid").join(ay, "yid")
           .select(col("xid"), col("yid"), col("cos"),
             (col("cos") / ((col("ax") + col("ay")) / lit(2)))
@@ -2861,9 +2861,9 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
         val fwd = bitextShortlist(s, d, qLabel = 0, tLabel = 1)
         val bwd = bitextShortlist(s, d, qLabel = 1, tLabel = 0)
         val ax = fwd.filter(col("rk") <= 4)
-          .groupBy(col("qid").as("xid")).agg(davg(col("cos")).as("ax"))
+          .groupBy(col("qid").as("xid")).agg(davg128(col("cos")).as("ax"))
         val ay = bwd.filter(col("rk") <= 4)
-          .groupBy(col("qid").as("yid")).agg(davg(col("cos")).as("ay"))
+          .groupBy(col("qid").as("yid")).agg(davg128(col("cos")).as("ay"))
         val scored = fwd
           .select(col("qid").as("xid"), col("tid").as("yid"), col("cos"))
           .join(ax, "xid").join(ay, "yid")
@@ -2971,8 +2971,8 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
               .as("frac"))
         perQ.groupBy(col("np").as("nprobe"))
           .agg(count(lit(1)).as("n_queries"),
-            davg(col("recall")).as("avg_recall_at5"),
-            davg(col("frac")).as("avg_scan_frac"))
+            davg128(col("recall")).as("avg_recall_at5"),
+            davg128(col("frac")).as("avg_scan_frac"))
           .orderBy("nprobe")
       },
       // hash-matched since the davg centroid updates: the oracle
@@ -3087,7 +3087,7 @@ FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM se
         }.reduce(_ unionByName _)
         perM.groupBy(col("m_subspaces"))
           .agg(count(lit(1)).as("n_queries"),
-            davg(col("recall")).as("avg_recall_at5"))
+            davg128(col("recall")).as("avg_recall_at5"))
           .select(col("m_subspaces"), col("m_subspaces").as("code_bytes"),
             col("n_queries"), col("avg_recall_at5"))
           .orderBy("m_subspaces")

@@ -76,7 +76,7 @@ object Text {
             (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
           .as("w"))
       .groupBy(col("qid"), col("doc_id"))
-      .agg(dsum(col("w")).as("score"))
+      .agg(dsum128(col("w")).as("score"))
   }
 
   /** DuckDB twin of [[bm25Scores]] as a WITH-clause body ending in
@@ -1369,9 +1369,9 @@ object Text {
         Tables.documents(s, d)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
-            davg(col("n_chars").cast("double")).as("avg_n_chars"),
-            davg(length(col("text")).cast("double")).as("avg_text_len"),
-            davg(size(toks).cast("double")).as("avg_tokens"))
+            davg128(col("n_chars").cast("double")).as("avg_n_chars"),
+            davg128(length(col("text")).cast("double")).as("avg_text_len"),
+            davg128(size(toks).cast("double")).as("avg_tokens"))
           .orderBy("lang")
       },
       Some(s"""SELECT lang, COUNT(1) AS n_docs,
@@ -1643,7 +1643,7 @@ object Text {
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
-            round(davg(col("q")), 6).as("avg_quality"))
+            round(davg128(col("q")), 6).as("avg_quality"))
           .withColumn("retention",
             col("n_kept").cast("double") / col("n_docs").cast("double"))
           .orderBy("lang")
@@ -2136,7 +2136,7 @@ object Text {
         val fin = kept.groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"),
             sum(col("n_tokens").cast("long")).as("kept_tokens"),
-            round(davg(col("q")), 6).as("avg_quality"))
+            round(davg128(col("q")), 6).as("avg_quality"))
         total.join(pass, Seq("source"), "left")
           .join(fin, Seq("source"), "left")
           .select(col("source"), col("n_docs"),
@@ -2873,7 +2873,7 @@ object Text {
           .select(col("doc_id"), col("n"), col("k"),
             (-p * log2(p)).as("term"))
           .groupBy(col("doc_id"), col("n"), col("k"))
-          .agg(dsum(col("term")).as("ent"))
+          .agg(dsum128(col("term")).as("ent"))
           .select(col("doc_id"), col("n").as("n_chars"),
             col("k").cast("int").as("n_distinct"),
             round(col("ent"), 6).as("entropy_bits"),
@@ -3119,7 +3119,7 @@ object Text {
             least(floor(col("quality") * 10), lit(9.0)).cast("int"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n_docs"),
-            davg(col("quality")).as("avg_score"),
+            davg128(col("quality")).as("avg_score"),
             sum(col("is_long")).as("n_long"))
           .withColumn("long_rate",
             col("n_long").cast("double") / col("n_docs"))
@@ -3837,9 +3837,9 @@ object Text {
         comp.agg(sum(col("members")).as("n_docs"),
             count(lit(1)).as("n_components"),
             (sum(col("members")) - count(lit(1))).as("n_removed"),
-            round(dsum(col("best.q")) / count(lit(1)), 6)
+            round(dsum128(col("best.q")) / count(lit(1)), 6)
               .as("avg_best_quality"),
-            round(dsum(col("minid_q")) / count(lit(1)), 6)
+            round(dsum128(col("minid_q")) / count(lit(1)), 6)
               .as("avg_minid_quality"),
             sum(when(-col("best.negid") =!= col("component"), 1L)
               .otherwise(0L)).as("n_policy_differs"))
@@ -4463,7 +4463,7 @@ object Text {
         val stats = Tables.documents(s, d)
           .groupBy(col("source")).agg(count(lit(1)).as("n"))
         val tot = stats.agg(
-          dsum(sqrt(col("n"))).as("s_sqrt"),
+          dsum128(sqrt(col("n"))).as("s_sqrt"),
           sum(col("n")).as("total"))
         val p = stats.crossJoin(broadcast(tot))
           .withColumn("t2", expr("total div 2"))
@@ -4541,7 +4541,7 @@ object Text {
           .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
           .join(broadcast(lam), Seq("b"))
           .groupBy(col("doc_id"))
-          .agg(dsum(col("c").cast("double") * col("lam")).as("w"),
+          .agg(dsum128(col("c").cast("double") * col("lam")).as("w"),
             sum(col("c")).as("n_bigrams"))
         val v = conv(substring(md5(concat(col("doc_id").cast("string"),
           lit(":dsir"))), 1, 12), 16, 10).cast("double")
@@ -4815,10 +4815,10 @@ object Text {
           log(col("f").cast("double")).as("y"))
         val sums = pts.groupBy(col("source")).agg(
           count(lit(1)).as("n_ranks"),
-          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
-          dsum(col("x") * col("y")).as("sxy"),
-          dsum(col("x") * col("x")).as("sxx"),
-          dsum(col("y") * col("y")).as("syy"))
+          dsum128(col("x")).as("sx"), dsum128(col("y")).as("sy"),
+          dsum128(col("x") * col("y")).as("sxy"),
+          dsum128(col("x") * col("x")).as("sxx"),
+          dsum128(col("y") * col("y")).as("syy"))
           .filter(col("n_ranks") >= 3)
         val n = col("n_ranks").cast("double")
         val covn = n * col("sxy") - col("sx") * col("sy")

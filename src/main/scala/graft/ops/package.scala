@@ -48,24 +48,35 @@ package object ops {
     */
   def dsumT(c: Column): Column = {
     import graft.functions.TickExprs
-    TickExprs.ticksToDouble(sum(TickExprs.decimalTicks(c)))
+    // the cast-to-double is exact for the int/long columns davg/dsum
+    // accepted (|x| < 2^53), and a no-op for doubles
+    TickExprs.ticksToDouble(sum(TickExprs.decimalTicks(c.cast("double"))))
   }
 
   /** [[davg]] on the long-TICK path — see [[dsumT]] for the bound. */
   def davgT(c: Column): Column = {
     import graft.functions.TickExprs
-    TickExprs.ticksToDouble(sum(TickExprs.decimalTicks(c))) / count(c)
+    TickExprs.ticksToDouble(
+      sum(TickExprs.decimalTicks(c.cast("double")))) / count(c)
   }
 
   /** [[dsum]] on the 128-bit tick accumulator
     * ([[graft.functions.TickExprs.Sum128Ticks]]): bit-identical result,
-    * no magnitude bound in practice (Σ|x| < 1.7 × 10²⁸ per group) —
+    * no GROUP-TOTAL bound in practice (Σ|x| < 1.7 × 10²⁸ per group) —
     * the drop-in for unbounded money/quantity sums where [[dsumT]]'s
     * single-long accumulator would wrap. Declarative two-long carry
-    * buffer: whole-stage codegen, map-side partials. */
+    * buffer: whole-stage codegen, map-side partials.
+    *
+    * PER-ROW bound: each VALUE's tick count must itself fit a long —
+    * |x| < 9.2 × 10⁸ per row (DecimalTicks throws past it, loudly).
+    * Columns with larger single values (µs gaps over ~15 min, raw
+    * epoch micros) stay on [[dsum]]'s decimal cast, which has no
+    * per-row limit. */
   def dsum128(c: Column): Column = {
     import graft.functions.TickExprs
-    TickExprs.sum128Ticks(c)
+    // cast-to-double: exact for int/long inputs (|x| < 2^53), no-op
+    // for doubles — same acceptance as the decimal-cast path
+    TickExprs.sum128Ticks(c.cast("double"))
   }
 
   /** [[davg]] on the 128-bit tick accumulator — see [[dsum128]]. */
