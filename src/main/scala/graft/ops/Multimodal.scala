@@ -495,6 +495,23 @@ object Multimodal {
     * `maxHam ≤ 3` makes banding LOSSLESS by pigeonhole, so that
     * threshold yields the exact brute-force relation). Shared by m09
     * (the pair report) and m10 (the clustering decision). */
+  private val ahashLabelsMemo = new graft.SessionMemo[String, DataFrame]
+
+  /** Session-memoized aHash dup-cluster labels `(doc_id, lbl)` at the
+    * lossless Hamming ≤ 3 threshold: m10 (the grouping decision) and
+    * m21 (the caption-reuse audit) consume the IDENTICAL label
+    * relation, so they share one decode + band join + connected-
+    * components run per (session, dir) — the [[graft.ops.Text]]
+    * `dupLabelsMemo` convention. Eager localCheckpoint: the memo
+    * outlives the query; its Scoped persists do not. */
+  private def ahashLabels(s: SparkSession, d: String): DataFrame =
+    ahashLabelsMemo.getOrCompute(s, d) {
+      Text.connectedComponents(
+        ahashPairs(s, d, maxHam = 3).select(
+          col("doc_a").as("da"), col("doc_b").as("db")))
+        .localCheckpoint()
+    }
+
   private def ahashPairs(s: SparkSession, d: String, maxHam: Int): DataFrame = {
     import s.implicits._
     val hashes = ahashDims(s, d).as[(Long, Int, Int)]
@@ -1532,9 +1549,7 @@ object Multimodal {
     QuerySpec(
       "m10_ahash_groups",
       (s, d) => {
-        val labels = Text.connectedComponents(
-          ahashPairs(s, d, maxHam = 3).select(
-            col("doc_a").as("da"), col("doc_b").as("db")))
+        val labels = ahashLabels(s, d)
         Tables.documents(s, d).select(col("doc_id"))
           .join(labels, Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -2169,9 +2184,7 @@ object Multimodal {
     QuerySpec(
       "m21_caption_reuse",
       (s, d) => {
-        val labels = graft.ops.Text.connectedComponents(
-          ahashPairs(s, d, maxHam = 3).select(
-            col("doc_a").as("da"), col("doc_b").as("db")))
+        val labels = ahashLabels(s, d)
         Tables.documents(s, d)
           .select(col("doc_id"), md5(col("text")).as("tk"))
           .join(labels, Seq("doc_id"), "left")

@@ -4169,9 +4169,12 @@ object Text {
         val B = 256
         val tok = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), explode(toks).as("t"))
+          // bucket by the fused portable polyHash (t29's discipline) —
+          // the earlier md5-prefix bucket digested every token twice
+          // (two token scans) and the md5 was ~the whole query's cost
           .select(col("doc_id"), col("source"),
-            (conv(substring(md5(col("t")), 1, 4), 16, 10)
-              .cast("int") % B).as("b"))
+            (graft.functions.TextExprs.polyHash(col("t")) % B)
+              .cast("int").as("b"))
         // ONE stats pass over the token scan: per-bucket raw and
         // target counts together (map-side combined to ≤256 rows per
         // task), totals derived from the 256-row table — the scoring
@@ -4197,9 +4200,9 @@ object Text {
           .withColumn("keep", col("n_target_leaning") * 2 >= col("n_tokens"))
           .orderBy("doc_id")
       },
-      Some("""WITH tok AS (
+      Some(s"""WITH tok AS (
         SELECT doc_id, source,
-          CAST(('0x' || substr(md5(t), 1, 4)) AS INT) % 256 AS b
+          CAST(${polyHashSql("t")} % 256 AS INT) AS b
         FROM (SELECT doc_id, source, unnest(str_split(text, ' ')) AS t
               FROM documents)),
       raw AS (SELECT b, COUNT(1) AS cr FROM tok GROUP BY b),
