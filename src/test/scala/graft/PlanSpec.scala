@@ -707,6 +707,10 @@ class PlanSpec extends SparkSpec {
     // shuffled cartesian
     assert(p67.contains("BroadcastNestedLoopJoin"), p67.take(800))
     assert(!p67.contains("CartesianProduct"), p67.take(800))
+    // the round-12 per-source rank must stay two-level: every window
+    // (in-bucket row_number, bucket-offset prefix) is PARTITIONED —
+    // a SinglePartition exchange would mean a global rank crept in
+    assert(!p67.contains("Exchange SinglePartition"), p67.take(1200))
   }
 
   test("s35: one bucket join serves the whole sweep — band-key " +
