@@ -58,6 +58,7 @@ object Bench {
     // 3 (JIT/codegen warm-up) needs more samples to pin its floor;
     // the driver never sets it, so driver records stay min-of-3.
     val nRounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+    require(nRounds >= 1, s"SPARK_GRAFT_ROUNDS must be >= 1, got $nRounds")
     val rounds = Seq.fill(nRounds)(timeAll())
     val byName = rounds.map(_.toMap)
     val results = rounds.head.map { case (n, _) =>
@@ -68,9 +69,13 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // cap the stdout failure list: a catastrophic run (all 232 failing)
-    // must not re-inflate the line past the driver's tail window
+    // cap the STDOUT failure list: a catastrophic run (all 232
+    // failing) must not re-inflate the line past the driver's tail
+    // window. The file record keeps the full list — it is the
+    // not-tail-truncated forensics channel.
     val failures = failed.keys.take(8).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val failuresFull = failed.keys.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     // EVERY round's raw time ships alongside the min in the DETAIL FILE
     // only: the q31/q35 episode (round 2) needed a bespoke harness to
@@ -110,7 +115,7 @@ object Bench {
     // the full per-query map still ships via the well-known file for
     // builder forensics (bench_total.json is not tail-truncated)
     val totalFileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"failures":$failures,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"failures":$failuresFull,"spread":$spread,"sf":"$sfDir"}"""
     // sbt appends its own "[success] Total time…" after our stdout, so
     // the driver's last-line parse can't see the JSON — ALSO write the
     // total to a well-known small file it can read deterministically.

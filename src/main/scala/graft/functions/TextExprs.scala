@@ -779,8 +779,10 @@ object TextExprs {
   }
 
   /** `size(array_intersect(a, b))` for SORTED-DISTINCT `array<long>`
-    * inputs (the [[ShingleHashes]] / [[NgramHashes]](distinct) output
-    * contract — both emit sorted distinct hashes by construction).
+    * inputs — the [[ShingleHashes]] output contract (it sorts).
+    * NOTE: [[NgramHashes]] with distinct=true is NOT in contract: it
+    * deliberately emits hashes in FIRST-APPEARANCE order; feeding it
+    * here would silently undercount.
     * The builtin allocates and probes a hash set per row; on the
     * near-dup verify joins (t09/t57/t08's expansion, the streaming
     * gate) that per-candidate-pair set build IS the verify stage's

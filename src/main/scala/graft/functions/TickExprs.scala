@@ -4,7 +4,7 @@ import java.math.{BigInteger, RoundingMode, BigDecimal => JBigDecimal}
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BinaryExpression, BitwiseAnd, BitwiseNot, BitwiseOr, EqualTo, EvalMode, Expression, If, IsNull, Literal, NumericEvalContext, ShiftRight, ShiftRightUnsigned, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BinaryExpression, BitwiseXor, EqualTo, EvalMode, Expression, If, IsNull, LessThan, Literal, NumericEvalContext, ShiftRight, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -185,8 +185,8 @@ object TickExprs {
     * the decimal cast would, and integer tick addition at a common
     * scale IS decimal addition. The accumulator is two long buffer
     * slots forming a 128-bit two's-complement integer (`hi:lo`, lo
-    * unsigned): per row one wrapping 64-bit add plus the textbook
-    * carry-out recovery `((a&b) | ((a|b) & ~s)) >>> 63` — all plain
+    * unsigned): per row one wrapping 64-bit add plus the unsigned-
+    * overflow carry test `s <\u1d64 a` — all plain
     * integer catalyst nodes, so the aggregate stays DECLARATIVE:
     * whole-stage codegen, fixed-width UnsafeRow buffer, map-side
     * partials, no object-hash fallback. Capacity |Σ ticks| < 2¹²⁷ ⇒
@@ -218,11 +218,18 @@ object TickExprs {
     private val legacy = NumericEvalContext(EvalMode.LEGACY, true)
     private def wadd(a: Expression, b: Expression): Expression =
       Add(a, b, legacy)
-    /** carry-out of the unsigned 64-bit add `s = a + b`. */
-    private def carry(a: Expression, b: Expression, s: Expression): Expression =
-      ShiftRightUnsigned(
-        BitwiseOr(BitwiseAnd(a, b), BitwiseAnd(BitwiseOr(a, b), BitwiseNot(s))),
-        Literal(63))
+    /** carry-out of the unsigned 64-bit add with result `s` and
+      * operand `a`: carry ⟺ s <ᵤ a (the standard unsigned-overflow
+      * test — referencing only ONE operand and the result keeps the
+      * quantized-tick subtree's occurrence count minimal; codegen CSE
+      * collapses the repeats, but the interpreted fallback evaluates
+      * each occurrence, so fewer is structurally better). Unsigned
+      * compare = signed compare with the sign bit flipped. */
+    private def carry(a: Expression, s: Expression): Expression = {
+      val minBit = Literal(Long.MinValue)
+      If(LessThan(BitwiseXor(s, minBit), BitwiseXor(a, minBit)),
+        Literal(1L), Literal(0L))
+    }
 
     override lazy val initialValues: Seq[Expression] =
       Seq(Literal(0L), Literal(0L), Literal(0L))
@@ -230,7 +237,8 @@ object TickExprs {
     override lazy val updateExpressions: Seq[Expression] = {
       val t = DecimalTicks(child)
       val loNew = wadd(lo, t)
-      val hiNew = wadd(wadd(hi, ShiftRight(t, Literal(63))), carry(lo, t, loNew))
+      val hiNew = wadd(wadd(hi, ShiftRight(t, Literal(63))),
+        carry(lo, loNew))
       Seq(
         If(IsNull(child), hi, hiNew),
         If(IsNull(child), lo, loNew),
@@ -240,7 +248,7 @@ object TickExprs {
     override lazy val mergeExpressions: Seq[Expression] = {
       val loNew = wadd(lo.left, lo.right)
       Seq(
-        wadd(wadd(hi.left, hi.right), carry(lo.left, lo.right, loNew)),
+        wadd(wadd(hi.left, hi.right), carry(lo.left, loNew)),
         loNew,
         wadd(cnt.left, cnt.right))
     }

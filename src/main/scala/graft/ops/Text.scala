@@ -1238,7 +1238,7 @@ object Text {
     lrMemo.getOrCompute(s, (d, nF, iters, lr)) {
       // EVERY reduction below is the order-independent tick-exact sum
       // (dsum128 / davg128) and the link is the RATIONAL sigmoid
-      // σ(m) = 0.5 + m / (2·(1+|m|)) — no exp/log anywhere, so the
+      // σ(m) = 0.5 + 3m / (2·(1+|3m|)) — no exp/log anywhere, so the
       // entire 40-iteration training run is a deterministic function
       // of the corpus that DuckDB replays bit-for-bit (the t29 oracle
       // unrolls it; the m23 fixed-point-DCT discipline applied to GD).

@@ -726,8 +726,11 @@ object Streams {
     *
     * TOMBSTONE PROPAGATION: when `bronzeTable` is given, `deleted`
     * facets are composed end-to-end into the bronze DELETE path —
-    * [[graft.ingest.BronzeMerge.deleteWhere]] on the tombstones'
-    * file names, which rewrites only the batches containing matches
+    * tombstone ITEM IDS resolve through the staged catalog to the
+    * names this pipeline actually ingested (folder tombstones and
+    * never-ingested items are structural no-ops), then
+    * [[graft.ingest.BronzeMerge.deleteWhere]] on those names
+    * rewrites only the batches containing matches
     * and emits the corresponding `_delta_log` remove actions
     * ([[graft.ingest.DeltaLog]] sync). Without it an incremental sync
     * that observes a source-side deletion would leave bronze diverged
@@ -754,14 +757,33 @@ object Streams {
     val live = result.items.filter(it => !it.deleted && it.mime != null)
     if (live.nonEmpty)
       live.toDF().write.mode("append").parquet(stagingDir)
-    val dead = result.items.filter(_.deleted).map(_.name).distinct
+    // Tombstones resolve through the STAGED CATALOG BY ITEM ID, never
+    // by bare name: a Graph tombstone carries only id+name (no file
+    // facet), so a deleted FOLDER is indistinguishable from a deleted
+    // file by the tombstone alone — and a folder named like an
+    // ingested file (or a same-named item that was never ingested)
+    // must not delete unrelated bronze rows. Only file items ever
+    // reach staging (the mime filter above), so joining the tombstone
+    // ids against the staged (id, name) catalog yields exactly the
+    // names this pipeline ingested under those ids; everything else
+    // is a structural no-op.
+    val deadIds = result.items.filter(_.deleted).map(_.id).distinct
     bronzeTable.foreach { table =>
       // only a committed table can hold rows to remove; an empty or
-      // not-yet-created bronze makes every tombstone a no-op
-      if (dead.nonEmpty &&
-          graft.ingest.BronzeMerge.currentCommit(spark, table)._2.nonEmpty)
-        graft.ingest.BronzeMerge.deleteWhere(spark, table,
-          col("file_name").isin(dead: _*))
+      // not-yet-created bronze (or no staged catalog yet) makes every
+      // tombstone a no-op
+      if (deadIds.nonEmpty &&
+          graft.ingest.BronzeMerge.currentCommit(spark, table)._2.nonEmpty) {
+        val stagedDead =
+          try spark.read.parquet(stagingDir)
+            .filter(col("id").isin(deadIds: _*))
+            .select(col("name")).distinct()
+            .collect().map(_.getString(0)).toSeq // ≤ |tombstones| rows
+          catch { case _: org.apache.spark.sql.AnalysisException => Nil }
+        if (stagedDead.nonEmpty)
+          graft.ingest.BronzeMerge.deleteWhere(spark, table,
+            col("file_name").isin(stagedDead: _*))
+      }
     }
     checkpoint.save(result.deltaLink)
     result.items

@@ -1275,6 +1275,7 @@ class StreamsSpec extends SparkSpec {
     val base = "https://graph.example.test/drives/d3"
     val delta1 = s"$base/root/delta?token=D1"
     val delta2 = s"$base/root/delta?token=D2"
+    val delta3 = s"$base/root/delta?token=D3"
     def item(id: String, name: String, size: Long) =
       s"""{"id":"$id","name":"$name","size":$size,
          |"file":{"mimeType":"text/plain"},
@@ -1289,7 +1290,14 @@ class StreamsSpec extends SparkSpec {
            |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", "")),
       delta1 -> HttpResponse(200,
         s"""{"value":[${tomb("i2", "b.txt")}],
-           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")))
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")),
+      // round 3: a FOLDER named like the surviving ingested file is
+      // deleted (folder tombstones are indistinguishable from file
+      // tombstones — id+name only), plus a tombstone for an item this
+      // pipeline never ingested; neither may touch bronze
+      delta2 -> HttpResponse(200,
+        s"""{"value":[${tomb("folder9", "a.txt")},${tomb("i99", "z.txt")}],
+           |"@odata.deltaLink":"$delta3"}""".stripMargin.replace("\n", "")))
     val transport = new Transport {
       override def get(url: String): HttpResponse =
         script.getOrElse(url, throw new AssertionError(s"unexpected $url"))
@@ -1351,6 +1359,17 @@ class StreamsSpec extends SparkSpec {
     val (verAfter, n) = BronzeMerge.deleteWhere(spark, table,
       col("file_name").isin("b.txt"))
     assert(verAfter == verBefore && n == 0L)
+
+    // round 3: a deleted FOLDER whose name collides with the
+    // surviving ingested file, plus a never-ingested item's
+    // tombstone — tombstones resolve by STAGED ITEM ID, so neither
+    // deletes anything and a.txt survives
+    val r3 = Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
+    assert(r3.forall(_.deleted) && r3.map(_.name).sorted == Seq("a.txt", "z.txt"))
+    assert(liveNames() == Seq("a.txt"),
+      "a folder tombstone must not delete a same-named ingested file")
+    val (verFinal, _) = BronzeMerge.currentCommit(spark, table)
+    assert(verFinal == verBefore, "no bronze commit for no-op tombstones")
   }
 
   test("e35's disorder audit sizes the hourlyCounts watermark: the " +
