@@ -4278,18 +4278,38 @@ object Text {
           .agg(count(lit(1)).as("n12"))
         val c1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
         val vocab = ref.agg(countDistinct(col("w2")).as("v"))
+        // the t19 discipline: quantize p to its davg tick count ONCE
+        // PER MODEL ROW, never per bigram instance. Smoothing has
+        // three cases, each a bounded model: pair seen → (n12+1)/
+        // (n1+v) on the vocab²-bounded pair table; pair unseen but
+        // head seen → 1/(n1+v) on the vocab-bounded head table; head
+        // unseen → the single scalar 1/v. Per instance the work is
+        // then one coalesce + one codegen'd long add (Σ ticks per doc
+        // ≤ n_bigrams × 10¹⁰ — inside the long bound at any doc
+        // length). Values are bit-identical to the per-instance
+        // division: each case's expression is the same IEEE tree the
+        // coalesced form evaluated.
+        val tks = graft.functions.TickExprs
+        val pairModel = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"),
+            tks.decimalTicks((col("n12") + 1).cast("double") /
+              (col("n1") + col("v")).cast("double")).as("tp"))
+        val headModel = c1.crossJoin(broadcast(vocab))
+          .select(col("w1"),
+            tks.decimalTicks(lit(1.0) /
+              (col("n1") + col("v")).cast("double")).as("th"))
+        val unseen = broadcast(vocab.select(
+          tks.decimalTicks(lit(1.0) / col("v").cast("double")).as("tu")))
         val perDoc = bi
-          .join(c12, Seq("w1", "w2"), "left")
-          .join(c1, Seq("w1"), "left")
-          .crossJoin(broadcast(vocab))
+          .join(pairModel, Seq("w1", "w2"), "left")
+          .join(headModel, Seq("w1"), "left")
+          .crossJoin(unseen)
           .select(col("doc_id"),
-            ((coalesce(col("n12"), lit(0L)) + 1).cast("double") /
-              (coalesce(col("n1"), lit(0L)) + col("v")).cast("double"))
-              .as("p"))
+            coalesce(col("tp"), col("th"), col("tu")).as("t"))
           .groupBy(col("doc_id"))
-          // long-tick davg (p ≤ 1, per-doc group — inside the bound):
-          // same bits, no per-instance decimal-sum work
-          .agg(count(lit(1)).as("n_bigrams"), davgT(col("p")).as("score"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (tks.ticksToDouble(sum(col("t"))) / count(lit(1)))
+              .as("score"))
         val scored = Scoped.persist(
           Tables.documents(s, d).select(col("doc_id"), col("lang"))
             .join(perDoc, Seq("doc_id"), "left")
