@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through RAW instead of routing
+// them through sbt's logger: the driver parses ONE bare JSON line from
+// a ~2000-char stdout tail, and sbt's "[info] " decoration made the
+// bench record non-JSON (parsed:null) for 12 straight rounds even
+// after the line itself was shortened to fit the tail.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -299,6 +299,83 @@ object TextExprs {
     GraftSqlBridge.column(
       BigramBuckets(GraftSqlBridge.expression(c), mod))
 
+  /** Word n-gram polyHashes in ONE pass — [[bigramBuckets(s:*]]
+    * generalized to n, without the bucket reduction: the fused form
+    * of `transform(array_distinct(shingle strings), s ->
+    * poly_hash(s))` that t60's calibration signature fed through
+    * three materialized intermediates (token array, joined shingle
+    * strings, distinct pass). Same span identity as the other shingle
+    * kernels: the n-token shingle re-joined with " " IS the original
+    * char span, so each window polyHashes in place. Emits one hash
+    * per WINDOW (duplicates kept): every consumer is a MinHash-style
+    * min-reduction, for which min over the window multiset equals min
+    * over the distinct set — and the DuckDB twin (MIN over exploded
+    * DISTINCT shingle strings) agrees for the same reason. */
+  def ngramPolyHashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (str.charAt(i) == ' ') spaces += 1; i += 1 }
+    val nTokens = spaces + 1
+    if (nTokens < n)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (str.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1
+    val count = nTokens - n + 1
+    val out = new Array[Long](count)
+    var j = 0
+    while (j < count) {
+      val e = starts(j + n) - 1 // exclusive end of the shingle span
+      var acc = 0L
+      var p = starts(j)
+      while (p < e) {
+        val cp = str.codePointAt(p)
+        acc = (acc * 31 + cp) % 1000000007L
+        p += Character.charCount(cp)
+      }
+      out(j) = acc
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Column form of [[ngramPolyHashes(s:*]]: string → `array<long>`
+    * of per-window polyHash values (window order, duplicates kept,
+    * empty for <n tokens). */
+  case class NgramPolyHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"ngram_poly_hashes: n must be >= 1, got $n")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"ngram_poly_hashes expects a string input, got ${child.dataType.sql}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "ngram_poly_hashes"
+
+    override protected def nullSafeEval(a: Any): Any =
+      ngramPolyHashes(a.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$.ngramPolyHashes(
+          $a, $n);
+      """)
+
+    override protected def withNewChildInternal(c: Expression): NgramPolyHashes =
+      copy(child = c)
+  }
+
+  def ngramPolyHashes(c: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      NgramPolyHashes(GraftSqlBridge.expression(c), n))
+
   /** Distinct character n-grams in one pass — the fused form of
     * `array_distinct(transform(sequence(1, length(text) - (n-1)),
     * i => substr(text, i, n)))`, which builds an index array, a

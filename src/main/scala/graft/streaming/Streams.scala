@@ -267,7 +267,16 @@ object Streams {
     * reach the join), the join is stream-static on the band key so
     * the corpus side can stay bucketed at rest, and the gate keeps
     * ZERO streaming state: multi-band duplicate hits collapse via a
-    * stateless lowest-matching-band filter, not a stateful dedup. */
+    * stateless lowest-matching-band filter, not a stateful dedup.
+    *
+    * REDELIVERY CONTRACT (at-least-once): statelessness means no
+    * cross-micro-batch memory — an arrival REDELIVERED in a later
+    * batch (source replay, restart without exactly-once sink) re-emits
+    * its match pairs, where a stateful dropDuplicates would have
+    * suppressed them at the cost of one state row per pair forever.
+    * Quarantine consumers must therefore handle replayed pairs
+    * idempotently (keyed upsert / MERGE on (doc_id, corpus_doc), the
+    * [[graft.ingest.BronzeMerge]] discipline) rather than appending. */
   def phashMatches(arrivals: Dataset[(Long, Array[Byte])],
       corpus: DataFrame, maxHam: Int = 3): DataFrame = {
     import arrivals.sparkSession.implicits._
@@ -727,10 +736,15 @@ object Streams {
     * TOMBSTONE PROPAGATION: when `bronzeTable` is given, `deleted`
     * facets are composed end-to-end into the bronze DELETE path —
     * tombstone ITEM IDS resolve through the staged catalog to the
-    * names this pipeline actually ingested (folder tombstones and
-    * never-ingested items are structural no-ops), then
-    * [[graft.ingest.BronzeMerge.deleteWhere]] on those names
-    * rewrites only the batches containing matches
+    * (name, size) identities this pipeline actually ingested (folder
+    * tombstones and never-ingested items are structural no-ops;
+    * identities still claimed by a live staged item are skipped —
+    * see the resolution comment in the body), then
+    * [[graft.ingest.BronzeMerge.deleteWhere]] on
+    * (file_name, length) rewrites only the batches containing matches
+    * (the length qualifier assumes blob-parity ingest — staged size
+    * ≡ landed bytes, the [[streamMergeIngest]] shape; a transforming
+    * ingest must carry the item id into bronze instead)
     * and emits the corresponding `_delta_log` remove actions
     * ([[graft.ingest.DeltaLog]] sync). Without it an incremental sync
     * that observes a source-side deletion would leave bronze diverged
@@ -764,9 +778,24 @@ object Streams {
     // ingested file (or a same-named item that was never ingested)
     // must not delete unrelated bronze rows. Only file items ever
     // reach staging (the mime filter above), so joining the tombstone
-    // ids against the staged (id, name) catalog yields exactly the
-    // names this pipeline ingested under those ids; everything else
-    // is a structural no-op.
+    // ids against the staged (id, name, size) catalog yields exactly
+    // the identities this pipeline ingested under those ids;
+    // everything else is a structural no-op.
+    //
+    // The delete is qualified by the staged item's FULL bronze-visible
+    // identity (file_name AND length), not the bare name: bronze is
+    // name-keyed, so after a delete-then-recreate churn (the
+    // reference's archive/re-upload cycle) the old and new item share
+    // a name and only the length distinguishes their rows. And when a
+    // LIVE staged item still claims the same (name, size) — two
+    // same-named same-sized source files in different folders — the
+    // tombstone's rows are not attributable at all, so that identity
+    // is SKIPPED (conservative: under at-least-once semantics a
+    // retained row is recoverable history, a wrongly deleted one is
+    // data loss) and the merge-on-read view still resolves the name
+    // to the live item's newest row. Note the staged live row for a
+    // SAME-window re-create is appended above, before this resolution
+    // reads the catalog — the guard sees it.
     val deadIds = result.items.filter(_.deleted).map(_.id).distinct
     bronzeTable.foreach { table =>
       // only a committed table can hold rows to remove; an empty or
@@ -775,14 +804,23 @@ object Streams {
       if (deadIds.nonEmpty &&
           graft.ingest.BronzeMerge.currentCommit(spark, table)._2.nonEmpty) {
         val stagedDead =
-          try spark.read.parquet(stagingDir)
-            .filter(col("id").isin(deadIds: _*))
-            .select(col("name")).distinct()
-            .collect().map(_.getString(0)).toSeq // ≤ |tombstones| rows
-          catch { case _: org.apache.spark.sql.AnalysisException => Nil }
+          try {
+            val staged = spark.read.parquet(stagingDir)
+              .filter(col("size").isNotNull)
+              .select(col("id"), col("name"), col("size"))
+            val dead = staged.filter(col("id").isin(deadIds: _*))
+              .select(col("name"), col("size")).distinct()
+            val liveClaims = staged.filter(!col("id").isin(deadIds: _*))
+              .select(col("name"), col("size")).distinct()
+            dead.join(liveClaims, Seq("name", "size"), "left_anti")
+              .collect().map(r => (r.getString(0), r.getLong(1)))
+              .toSeq // ≤ |tombstones| rows
+          } catch { case _: org.apache.spark.sql.AnalysisException => Nil }
         if (stagedDead.nonEmpty)
           graft.ingest.BronzeMerge.deleteWhere(spark, table,
-            col("file_name").isin(stagedDead: _*))
+            stagedDead.map { case (n, sz) =>
+              col("file_name") === n && col("length") === sz
+            }.reduce(_ || _))
       }
     }
     checkpoint.save(result.deltaLink)

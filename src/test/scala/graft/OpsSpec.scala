@@ -939,8 +939,10 @@ class OpsSpec extends SparkSpec {
   }
 
   test("approx quantiles track the exact percentiles within accuracy") {
-    // q39's GK sketch at accuracy 1000 guarantees rank error ≤ n/1000;
-    // translate to a value-tolerance via the exact q22 twin's spread
+    // q39's GK sketch at accuracy 10000 guarantees rank error ≤
+    // n/10000; translate to a value-tolerance via the exact q22
+    // twin's spread (probes 0.49/0.895 sit within one value of the
+    // exact median/p90 on this integer-valued column)
     val exact = SparkEntry.queries("q22_quantity_median")(spark, sf0001)
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
@@ -1192,14 +1194,16 @@ class OpsSpec extends SparkSpec {
   }
 
   test("sketch error bounds: HLL within 3σ, approx_percentile within rank ε (all SFs)") {
-    // q23/e09 (HLL) and q39 (KLL-style quantiles) are no_oracle by
-    // design — the sketches are engine-specific — so pin what IS
-    // checkable: the PUBLISHED accuracy contracts against exact
-    // answers. approx_count_distinct's default rsd is 0.05 (σ of the
-    // HLL++ estimate); assert within 3σ. approx_percentile(…, 1000)
-    // guarantees rank error ≤ 1/1000; assert the returned value's
-    // exact-rank interval overlaps [q − ε, q + ε] with ε = 1/1000
-    // plus one discrete-rank step. Deterministic: both sketches are
+    // q23/e09 (HLL) are no_oracle by design — the sketches are
+    // engine-specific — so pin what IS checkable: the PUBLISHED
+    // accuracy contracts against exact answers.
+    // approx_count_distinct's default rsd is 0.05 (σ of the HLL++
+    // estimate); assert within 3σ. q39 is oracle-converted via the
+    // pinned rank regime, but the GK contract itself stays pinned
+    // here: approx_percentile(…, 10000) guarantees rank error ≤
+    // 1/10000; assert the returned value's exact-rank interval
+    // overlaps [q − ε, q + ε] with ε = 1/10000 plus one
+    // discrete-rank step. Deterministic: both sketches are
     // data-determined, so these are regression pins, not flaky
     // statistical tests.
     val rsd3 = 3 * 0.05
@@ -1234,10 +1238,10 @@ class OpsSpec extends SparkSpec {
           val rf = r.getString(0)
           val grp = li.filter(col("l_returnflag") === rf)
           val n = grp.count().toDouble
-          for ((q, v) <- Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2))) {
+          for ((q, v) <- Seq(0.49 -> r.getDouble(1), 0.895 -> r.getDouble(2))) {
             val below = grp.filter(col("l_quantity") < v).count() / n
             val atOrBelow = grp.filter(col("l_quantity") <= v).count() / n
-            val eps = 1.0 / 1000 + 1.0 / n
+            val eps = 1.0 / 10000 + 1.0 / n
             assert(below - eps <= q && q <= atOrBelow + eps,
               s"$dir q39 $rf q=$q v=$v rank in [$below, $atOrBelow]")
           }
@@ -2948,7 +2952,7 @@ class OpsSpec extends SparkSpec {
       "margin pick never diverged from the raw-cosine pick")
   }
 
-  test("e34: merged-sketch WAU stays within the HLL accuracy contract") {
+  test("e34: merged-sketch WAU is exact in the pinned coupon regime") {
     val rows = SparkEntry.queries("e34_rolling_hll")(spark, sf0001)
       .select("day", "wau_exact", "wau_est", "rel_err")
       .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2),
@@ -2956,9 +2960,62 @@ class OpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { case (day, exact, est, err) =>
       assert(err == math.abs(est - exact).toDouble / exact, s"$day err")
-      // lgConfigK=12 → σ ≈ 1.6%; 5% is > 3σ on every window
-      assert(err < 0.05, s"$day: est $est vs exact $exact (err $err)")
+      // cohort key (≤400 distinct) keeps every sketch and union in
+      // coupon mode — the estimate is the exact count, not a bound
+      assert(est == exact, s"$day: est $est vs exact $exact")
     }
+  }
+
+  test("e34: the 256-cohort key set is exact through the sketch AND union paths") {
+    // the regime's hash-dependent premises, checked on the FIXED key
+    // set itself (deterministic — not a per-corpus gamble): all 256
+    // possible cohorts, sketched directly AND merged through a 7-way
+    // union (the rolling window's exact shape), estimate exactly 256
+    // — so no two cohort values share a coupon and every SUBSET (any
+    // day, any window union) estimates exactly too
+    import spark.implicits._
+    val est = (0L until 256L).toDF("cohort")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("cohort"))))
+      .head().getLong(0)
+    assert(est == 256L, s"coupon collision in the cohort key set: $est")
+    val uest = (0L until 256L).map(i => (i, i % 7)).toDF("cohort", "g")
+      .groupBy("g").agg(hll_sketch_agg(col("cohort")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0)
+    assert(uest == 256L, s"union-path drift on the cohort key set: $uest")
+  }
+
+  test("e34: raw-user_id sketches hold the HLL accuracy contract at scale regime") {
+    // the ORIGINAL approximate contract, kept on the unbounded key the
+    // production pipeline would sketch: merged daily sketches over raw
+    // user_id estimate the exact weekly actives within 5% (lgConfigK=12
+    // → σ ≈ 1.6%; 5% > 3σ)
+    val pairs = graft.Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().persist()
+    try {
+      val est = pairs.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .select(col("day"), col("sk"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(date_add(col("day"), col("off")).as("day"), col("sk"))
+        .join(pairs.select(col("day")).distinct(), Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = pairs
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+        .join(pairs.select(col("day")).distinct(), Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(count_distinct(col("user_id")).as("exact"))
+      val rows = est.join(exact, Seq("day"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (e, x) =>
+        assert(math.abs(e - x).toDouble / x < 0.05, s"est $e vs exact $x")
+      }
+    } finally pairs.unpersist()
   }
 
   test("s25: MMR greedy is order-independent and within-shortlist greedy-optimal") {

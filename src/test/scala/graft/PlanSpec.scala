@@ -159,12 +159,28 @@ class PlanSpec extends SparkSpec {
       pAnchor.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("t09: fused shingle + minhash expressions appear in the plan") {
+  test("t09: fused shingle kernel in the plan; the sig pass rides the " +
+      "session-memoized band-key relation") {
     val p = plan("t09_minhash_lsh")
-    assert(p.contains("shingle_hashes") && p.contains("minhash_sig"))
-    // the declarative forms they replace must be gone
+    // the verify path shingles per query (fused kernel, never the
+    // declarative string forms)…
+    assert(p.contains("shingle_hashes"))
     assert(!p.contains("array_min(transform"))
     assert(!p.contains("array_join(slice"))
+    // …while the 72-perm signature pass lives in the session-memoized
+    // repBandKeys relation (ONE pass per dir, shared with t39): t09's
+    // own plan reads its materialized checkpoint instead of re-running
+    // minhash_sig — and gains no exchange doing so (the candidate
+    // window/join structure is unchanged downstream of the scan)
+    assert(!p.contains("minhash_sig"), "sig pass re-entered t09's plan")
+    assert(p.contains("ExistingRDD"), p.take(800))
+    // the memoized relation ITSELF is built by the fused kernels: its
+    // compute plan (pre-checkpoint) pins minhash_sig over the hashed
+    // shingles — asserted on a fresh un-memoized construction
+    val keysPlan = graft.ops.Text.repBandKeysPlanForSpec(spark, sf0001)
+    assert(keysPlan.contains("minhash_sig") &&
+      keysPlan.contains("shingle_hashes"), keysPlan.take(800))
+    Scoped.release() // the helper's scope-tracked mapping persist
   }
 
   test("t14: benchmark shingle set broadcasts; corpus side not shuffled") {

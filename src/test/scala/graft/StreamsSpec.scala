@@ -1372,6 +1372,102 @@ class StreamsSpec extends SparkSpec {
     assert(verFinal == verBefore, "no bronze commit for no-op tombstones")
   }
 
+  test("tombstone churn: one window carrying a delete AND a re-create of " +
+      "the same name (new item id) kills only the old rows; a live " +
+      "same-identity claimant blocks its tombstone") {
+    // the reference's archive/re-upload cycle, adversarially ordered:
+    // the SAME incremental window deletes f.txt (old id) and re-creates
+    // f.txt (new id, new size). Resolution is by staged item id with
+    // the delete qualified on (file_name, length), so exactly the old
+    // item's rows die and the re-created file lands untouched. A
+    // second pair pins the conservative guard: two live same-name
+    // SAME-SIZE items in different folders — deleting one must not
+    // destroy rows the survivor still resolves to, so that tombstone
+    // is a structural no-op.
+    import graft.ingest.BronzeMerge
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    import graft.pipeline.HttpListing.{HttpResponse, Transport}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = "https://graph.example.test/drives/d4"
+    val delta1 = s"$base/root/delta?token=E1"
+    val delta2 = s"$base/root/delta?token=E2"
+    def item(id: String, name: String, size: Long, dir: String = "in") =
+      s"""{"id":"$id","name":"$name","size":$size,
+         |"file":{"mimeType":"text/plain"},
+         |"parentReference":{"path":"/drives/d4/root:/$dir"}}"""
+        .stripMargin.replace("\n", "")
+    def tomb(id: String, name: String) =
+      s"""{"id":"$id","name":"$name","deleted":{"state":"deleted"}}"""
+    val script = Map(
+      s"$base/root/delta" -> HttpResponse(200,
+        s"""{"value":[${item("i1", "f.txt", 9)},
+           |${item("i5", "shared.txt", 7)},
+           |${item("i6", "shared.txt", 7, dir = "other")}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", "")),
+      // THE churn window: tombstone for the old f.txt id, the
+      // re-created f.txt under a NEW id (different size), and a
+      // tombstone for one of the two same-identity shared.txt items
+      delta1 -> HttpResponse(200,
+        s"""{"value":[${tomb("i1", "f.txt")},
+           |${item("i2", "f.txt", 12)},
+           |${tomb("i5", "shared.txt")}],
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")))
+    val transport = new Transport {
+      override def get(url: String): HttpResponse =
+        script.getOrElse(url, throw new AssertionError(s"unexpected $url"))
+    }
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-churn").toString
+    val staging = s"$work/staging"
+    val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
+    val table = s"$work/bronze"
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // blob-parity stand-in: content bytes == the Graph-listed size
+    // (the qualification's documented assumption). distinct(): the
+    // same-identity pair fetches byte-identical blobs — one landed
+    // row serves both (the merge dedupes across COMMITS; a drain
+    // dedupes its own batch)
+    def ingestStaged(round: Int): Unit = {
+      val staged = spark.read.parquet(staging)
+        .select(col("name"), col("size")).distinct().collect()
+        .map(r => (r.getString(0), r.getLong(1), ts(round),
+          Array.fill(r.getLong(1).toInt)('x'.toByte)))
+        .toSeq.toDF("file_name", "length", "modified", "content")
+      BronzeMerge.mergeIngestDf(spark, staged, table)
+    }
+    def rows() = BronzeMerge.snapshot(spark, table)
+      .select("file_name", "length").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+
+    // round 1: three files land (the same-identity shared.txt pair
+    // collapses to one bronze row under the (name, length, modified)
+    // merge key — one row serves both source items)
+    Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
+    ingestStaged(1)
+    assert(rows() == Seq(("f.txt", 9L), ("shared.txt", 7L)))
+
+    // round 2, BEFORE the drain lands the re-created blob: the churn
+    // window's delete has fired — the old (f.txt, 9) rows are gone,
+    // the blocked shared.txt tombstone deleted nothing
+    val r2 = Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
+    assert(r2.count(_.deleted) == 2 && r2.count(!_.deleted) == 1)
+    assert(rows() == Seq(("shared.txt", 7L)),
+      "exactly the old f.txt rows die; the live-claimed identity survives")
+
+    // the drain lands the re-created f.txt (new identity key) while
+    // the retained old key keeps blocking the replayed old blob —
+    // the staged catalog still carries i1's row and re-ingests it here
+    ingestStaged(1)
+    assert(rows() == Seq(("f.txt", 12L), ("shared.txt", 7L)),
+      "the re-created file survives its predecessor's tombstone")
+    // and the merge-on-read view resolves f.txt to the NEW generation
+    val latest = BronzeMerge.snapshotLatest(spark, table)
+      .filter(col("file_name") === "f.txt")
+      .select("length").collect().map(_.getLong(0)).toSeq
+    assert(latest == Seq(12L))
+  }
+
   test("e35's disorder audit sizes the hourlyCounts watermark: the " +
       "jitter-ceiling delay drops nothing, a 60 s delay drops exactly " +
       "the batch-predicted rows") {
