@@ -804,12 +804,12 @@ object Text {
     * the distinct set, which is also why the DuckDB twin's MIN over
     * exploded DISTINCT shingle strings agrees. Cached at rep (not
     * doc) granularity so the memo holds O(distinct texts × 72)
-    * longs, never O(corpus); [[calibSigs]] re-expands per query
-    * through the slim mapping — a join on two checkpoint scans, no
-    * recomputation. Same lifetime/cluster caveat as [[repBandKeys]]. */
+    * longs, never O(corpus); t60 keeps even its AGREEMENT compute at
+    * rep granularity and expands through [[dupMapSlim]]. Same
+    * lifetime/cluster caveat as [[repBandKeys]]. */
   private val calibSigMemo = new graft.SessionMemo[String, DataFrame]
-  private[graft] def calibSigs(s: SparkSession, d: String): DataFrame = {
-    val repSigs = calibSigMemo.getOrCompute(s, d) {
+  private[graft] def calibRepSigs(s: SparkSession, d: String): DataFrame =
+    calibSigMemo.getOrCompute(s, d) {
       textDupMapping(s, d).filter(col("doc_id") === col("rep"))
         .select(col("rep"),
           graft.functions.TextExprs.minHashSig(
@@ -817,9 +817,6 @@ object Text {
             calibA.toSeq, calibB.toSeq, HashP).as("sig"))
         .localCheckpoint()
     }
-    dupMapSlim(s, d).join(repSigs, "rep")
-      .select(col("doc_id"), col("sig"))
-  }
 
   /** Session-memoized doc-level near-dup pair relation (da, db,
     * jaccard ≥ thr), routed exact/LSH by the anchor — t08, t60
@@ -2997,43 +2994,54 @@ object Text {
       "t39_split_decontam",
       (s, d) => {
         val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-        // a doc's band keys ARE its duplicate representative's
-        // (identical text → identical shingle set → identical 72-perm
-        // signature), so each split's keys come from the session-
-        // memoized [[repBandKeys]] relation via the (doc, rep)
-        // mapping — the signature pass t09 already paid is not re-run
-        // here. The mapping carries the per-doc shingle arrays the
-        // verify stage needs (one shingle pass, read by both sides).
-        val docsSh = Scoped.persist(textDupMapping(s, d)
-          .select(col("doc_id"), col("rep"), shingles.as("sh"),
+        // The WHOLE pipeline runs at the duplicate-representative
+        // level and expands members last: a doc's band keys,
+        // shingle set, and therefore every pairwise jaccard ARE its
+        // representative's (identical text), so candidates come from
+        // the session-memoized [[repBandKeys]] relation restricted
+        // to reps with members in each split, verification touches
+        // only rep shingle arrays (one fused shingle pass over
+        // DISTINCT texts, not the corpus), and the member expansion
+        // joins ship 8-byte ids — the wide arrays never ride the
+        // copy-quadratic cross-split pair relation. An intra-rep
+        // cross-split pair (the same text leaked verbatim) surfaces
+        // as the (r, r) band self-match with jaccard exactly 1.
+        val m = dupMapSlim(s, d)
+          .select(col("doc_id"), col("rep"),
             when(h < "c", "train").when(h < "e", "validation")
               .otherwise("test").as("split"))
-          .filter(size(col("sh")) > 0))
         val keys = repBandKeys(s, d)
-        val testB = docsSh.filter(col("split") === "test")
-          .select(col("doc_id").as("test_doc"), col("rep"))
-          .join(keys.toDF("rep", "band", "bh"), "rep")
-          .select("test_doc", "band", "bh")
-        val trainB = docsSh.filter(col("split") === "train")
-          .select(col("doc_id").as("train_doc"), col("rep"))
-          .join(keys.toDF("rep", "band", "bh"), "rep")
-          .select("train_doc", "band", "bh")
-        val cands = testB
-          .join(trainB, Seq("band", "bh"))
-          .select("test_doc", "train_doc").distinct()
-        cands
-          .join(docsSh.select(col("doc_id").as("test_doc"),
-            col("sh").as("sha")), "test_doc")
-          .join(docsSh.select(col("doc_id").as("train_doc"),
-            col("sh").as("shb")), "train_doc")
-          .select(col("test_doc"), col("train_doc"),
+        val testB = keys.toDF("ra", "band", "bh")
+          .join(m.filter(col("split") === "test")
+            .select(col("rep").as("ra")).distinct(), "ra")
+        val trainB = keys.toDF("rb", "band", "bh")
+          .join(m.filter(col("split") === "train")
+            .select(col("rep").as("rb")).distinct(), "rb")
+        val repCands = testB.join(trainB, Seq("band", "bh"))
+          .select("ra", "rb").distinct()
+        val repSh = Scoped.persist(textDupMapping(s, d)
+          .filter(col("doc_id") === col("rep"))
+          .select(col("rep"), shingles.as("sh"))
+          .filter(size(col("sh")) > 0))
+        val repPairs = repCands
+          .join(repSh.toDF("ra", "sha"), "ra")
+          .join(repSh.toDF("rb", "shb"), "rb")
+          .select(col("ra"), col("rb"),
             graft.functions.TextExprs
-          .sortedIntersectCount(col("sha"), col("shb")).as("ni"),
+              .sortedIntersectCount(col("sha"), col("shb")).as("ni"),
             size(col("sha")).as("na"), size(col("shb")).as("nb"))
-          .select(col("test_doc"), col("train_doc"),
+          .select(col("ra"), col("rb"),
             (col("ni").cast("double") /
               (col("na") + col("nb") - col("ni"))).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
+        repPairs
+          .join(m.filter(col("split") === "test")
+            .select(col("rep").as("ra"), col("doc_id").as("test_doc")),
+            "ra")
+          .join(m.filter(col("split") === "train")
+            .select(col("rep").as("rb"), col("doc_id").as("train_doc")),
+            "rb")
+          .select(col("test_doc"), col("train_doc"), col("jaccard"))
           .orderBy("test_doc", "train_doc")
       },
       Some(s"""WITH sp AS (
@@ -3573,26 +3581,43 @@ object Text {
     //      (coefficients embedded in the oracle, the t10 discipline)
     //      so DuckDB derives bit-identical signatures and the whole
     //      relation hash-matches — est, abs_err included. Scale: the
-    //      signature is the map-only fused kernel; the agreement
-    //      count is a row-local zip over the joined pair — cost rides
-    //      the pair relation, not the corpus. ----
+    //      signature is the session-memoized rep-level fused-kernel
+    //      pass; agreement is computed once per REP pair and
+    //      broadcast onto the doc-pair expansion, so the wide sig
+    //      arrays never ride the copy-quadratic pair relation — cost
+    //      rides the OUTPUT rows, like t09. ----
     QuerySpec(
       "t60_minhash_calibration",
       (s, d) => {
         val pairs = jaccardPairs(s, d, 0.8)
-        // session-memoized, rep-collapsed, fused-kernel signatures —
-        // see [[calibSigs]]; bit-identical to the inline
-        // string-shingle + polyHash form this replaced
-        val sigs = calibSigs(s, d)
+        // Signature agreement is computed at the REP level and
+        // expanded, never per doc pair: a duplicate's signature is
+        // bit-identical to its representative's, so n_agree is a
+        // function of the (rep_a, rep_b) pair alone — and in the
+        // duplicate-heavy regime the doc-pair relation is quadratic
+        // in copy count (25M rows at the 100-copy sf10 rehearsal)
+        // while the rep-pair relation stays corpus-sized. The wide
+        // 72-long sig arrays therefore join only the TINY rep-pair
+        // relation; the 25M-row expansion joins ship 8-byte rep ids
+        // and a 4-byte count (broadcast at these sizes). Values are
+        // bit-identical to the per-doc join this replaced.
+        val m = dupMapSlim(s, d)
+        val repSigs = calibRepSigs(s, d)
         val agree = aggregate(
           zip_with(col("sa"), col("sb"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v)
-        pairs
-          .join(sigs.toDF("da", "sa"), "da")
-          .join(sigs.toDF("db", "sb"), "db")
-          .select(col("da"), col("db"), col("jaccard"),
-            agree.as("n_agree"))
+        // persist barrier: prs feeds BOTH the rep-pair distinct and
+        // the final expansion join — without it the (copy-quadratic)
+        // pair relation and its two mapping joins execute twice
+        val prs = Scoped.persist(pairs
+          .join(m.toDF("da", "ra"), "da")
+          .join(m.toDF("db", "rb"), "db"))
+        val repAgree = prs.select(col("ra"), col("rb")).distinct()
+          .join(repSigs.toDF("ra", "sa"), "ra")
+          .join(repSigs.toDF("rb", "sb"), "rb")
+          .select(col("ra"), col("rb"), agree.as("n_agree"))
+        prs.join(broadcast(repAgree), Seq("ra", "rb"))
           .select(col("da"), col("db"), col("jaccard"), col("n_agree"),
             (col("n_agree") / lit(72.0)).as("est"),
             abs(col("n_agree") / lit(72.0) - col("jaccard"))
