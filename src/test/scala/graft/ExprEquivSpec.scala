@@ -58,6 +58,43 @@ class ExprEquivSpec extends SparkSpec {
         i => xxhash64(array_join(slice(toks, i, lit(n)), " "))))))
   }
 
+  test("NgramPolyHashes == transform(poly_hash(array_join(slice))) per window") {
+    val n = 3
+    val toks = split(col("text"), " ")
+    val nW = size(toks) - (n - 1)
+    val idx = when(nW >= 1, sequence(lit(1), nW))
+      .otherwise(array().cast("array<int>"))
+    // window order, duplicates kept — the kernel's contract (its
+    // consumers are min-reductions, where multiset ≡ set)
+    assertAllEqual(textDf,
+      TextExprs.ngramPolyHashes(col("text"), n),
+      transform(idx,
+        i => TextExprs.polyHash(array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  test("MinHashSig over NgramPolyHashes == the t60 declarative " +
+      "string-shingle signature (distinct strings, then polyHash)") {
+    // the consumer-level identity the rep-level t60 rewrite rests on:
+    // min over the window MULTISET equals min over the DISTINCT set,
+    // so the kernel (duplicates kept) feeds minHashSig bit-identically
+    // to the array_distinct string form the oracle replays
+    val P = 2147483647L
+    val rnd = new scala.util.Random(29)
+    val a = Seq.fill(8)(1L + rnd.nextInt(Int.MaxValue - 1))
+    val b = Seq.fill(8)(rnd.nextInt(Int.MaxValue).toLong)
+    val toks = split(col("text"), " ")
+    val nT = size(toks)
+    val shStrs = array_distinct(
+      when(nT >= 3, transform(sequence(lit(1), nT - 2),
+        i => array_join(slice(toks, i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>")))
+    assertAllEqual(textDf,
+      TextExprs.minHashSig(
+        TextExprs.ngramPolyHashes(col("text"), 3), a, b, P),
+      TextExprs.minHashSig(
+        transform(shStrs, t => TextExprs.polyHash(t)), a, b, P))
+  }
+
   test("MinHashSig == k x array_min over the universal hash family") {
     val P = 2147483647L
     val rnd = new scala.util.Random(13)
