@@ -758,26 +758,30 @@ object Text {
   private val repBandKeysMemo = new graft.SessionMemo[String, DataFrame]
   private[graft] def repBandKeys(s: SparkSession, d: String): DataFrame =
     repBandKeysMemo.getOrCompute(s, d) {
-      val mapping = textDupMapping(s, d)
-      val docsSh = mapping.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id"), shingles.as("sh"))
-        .filter(size(col("sh")) > 0)
-      lshBandKeysFromSh(docsSh).localCheckpoint()
+      buildRepBandKeys(s, d).localCheckpoint()
     }
 
-  /** The un-memoized [[repBandKeys]] construction's physical plan —
-    * spec hook: the memo VALUE is a checkpoint scan, so PlanSpec pins
-    * the fused kernels (shingle_hashes → minhash_sig) on the plan
-    * that BUILDS the relation, here. Registers a scope-tracked
-    * persist (textDupMapping); the caller releases. */
-  private[graft] def repBandKeysPlanForSpec(s: SparkSession,
-      d: String): String = {
+  /** The (un-memoized, un-checkpointed) construction behind
+    * [[repBandKeys]] — ONE builder shared with the PlanSpec hook so
+    * the pinned plan can never drift from the plan the memo
+    * executes. */
+  private def buildRepBandKeys(s: SparkSession, d: String): DataFrame = {
     val mapping = textDupMapping(s, d)
     val docsSh = mapping.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
-    lshBandKeysFromSh(docsSh).queryExecution.executedPlan.toString
+    lshBandKeysFromSh(docsSh)
   }
+
+  /** The un-memoized [[repBandKeys]] construction's physical plan —
+    * spec hook: the memo VALUE is a checkpoint scan, so PlanSpec pins
+    * the fused kernels (shingle_hashes → minhash_sig) on the plan
+    * that BUILDS the relation — [[buildRepBandKeys]], the same
+    * builder the memo checkpoints. Registers a scope-tracked persist
+    * (textDupMapping); the caller releases. */
+  private[graft] def repBandKeysPlanForSpec(s: SparkSession,
+      d: String): String =
+    buildRepBandKeys(s, d).queryExecution.executedPlan.toString
 
   /** Session-memoized slim duplicate mapping `(doc_id, rep)` — the
     * text column dropped, so the cached footprint is two longs per

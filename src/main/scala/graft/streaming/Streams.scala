@@ -783,11 +783,13 @@ object Streams {
     // everything else is a structural no-op.
     //
     // The delete is qualified by the staged item's FULL bronze-visible
-    // identity (file_name AND length), not the bare name: bronze is
-    // name-keyed, so after a delete-then-recreate churn (the
+    // identity (file_name AND length when the catalog recorded a
+    // size; bare name when it did not — a Graph item without a size
+    // facet must still be deletable), not the bare name alone: bronze
+    // is name-keyed, so after a delete-then-recreate churn (the
     // reference's archive/re-upload cycle) the old and new item share
     // a name and only the length distinguishes their rows. And when a
-    // LIVE staged item still claims the same (name, size) — two
+    // LIVE staged item still claims the same identity — two
     // same-named same-sized source files in different folders — the
     // tombstone's rows are not attributable at all, so that identity
     // is SKIPPED (conservative: under at-least-once semantics a
@@ -796,33 +798,97 @@ object Streams {
     // to the live item's newest row. Note the staged live row for a
     // SAME-window re-create is appended above, before this resolution
     // reads the catalog — the guard sees it.
+    //
+    // "Live" accounts for HISTORY, not just this window: the staging
+    // catalog is append-only, so a claimant is live only if its id
+    // was never tombstoned — this window's deadIds OR any prior
+    // window's, which persist in the `<stagingDir>_tombstones`
+    // sidecar (appended below, before the checkpoint, so a crash
+    // replays the window and re-appends the same ids — a harmless
+    // set-union). Without the sidecar, a file deleted and later
+    // re-created byte-identically (same name AND size, new id) could
+    // never be deleted again: its predecessor's stale catalog row
+    // would block the identity as a phantom live claim forever.
+    // KNOWN EDGE: an item RESTORED under its original id stays in the
+    // sidecar, so its claims no longer block same-identity tombstones
+    // of other items — acceptable for the reference's cycle (uploads
+    // mint fresh ids); pipelines that restore ids should carry the
+    // item id into bronze and delete by id instead.
     val deadIds = result.items.filter(_.deleted).map(_.id).distinct
+    val tombSidecar = s"${stagingDir.stripSuffix("/")}_tombstones"
     bronzeTable.foreach { table =>
       // only a committed table can hold rows to remove; an empty or
       // not-yet-created bronze (or no staged catalog yet) makes every
       // tombstone a no-op
       if (deadIds.nonEmpty &&
           graft.ingest.BronzeMerge.currentCommit(spark, table)._2.nonEmpty) {
-        val stagedDead =
-          try {
-            val staged = spark.read.parquet(stagingDir)
-              .filter(col("size").isNotNull)
-              .select(col("id"), col("name"), col("size"))
-            val dead = staged.filter(col("id").isin(deadIds: _*))
-              .select(col("name"), col("size")).distinct()
-            val liveClaims = staged.filter(!col("id").isin(deadIds: _*))
-              .select(col("name"), col("size")).distinct()
-            dead.join(liveClaims, Seq("name", "size"), "left_anti")
-              .collect().map(r => (r.getString(0), r.getLong(1)))
-              .toSeq // ≤ |tombstones| rows
-          } catch { case _: org.apache.spark.sql.AnalysisException => Nil }
-        if (stagedDead.nonEmpty)
-          graft.ingest.BronzeMerge.deleteWhere(spark, table,
-            stagedDead.map { case (n, sz) =>
-              col("file_name") === n && col("length") === sz
-            }.reduce(_ || _))
+        // only the READS are exception-guarded (a missing directory is
+        // a legitimate state: nothing staged yet / no tombstone ever)
+        // — an analysis error in the claims logic itself must fail
+        // loudly, not silently skip a delete
+        val stagedOpt =
+          try Some(spark.read.parquet(stagingDir)
+            .select(col("id"), col("name"), col("size")))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val priorDead =
+          try spark.read.parquet(tombSidecar)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            Seq.empty[String].toDF("id") }
+        val stagedDead = stagedOpt.map { staged =>
+          // disambiguated column names — dead and liveClaims share
+          // the staged lineage, so a qualified self-join would trip
+          // Spark's ambiguous-self-join detection
+          val dead = staged.filter(col("id").isin(deadIds: _*))
+            .select(col("name").as("dn"), col("size").as("dsz"))
+            .distinct()
+          val liveClaims = staged
+            .filter(!col("id").isin(deadIds: _*))
+            .join(priorDead, Seq("id"), "left_anti")
+            .select(col("name").as("cn"), col("size").as("csz"))
+            .distinct()
+          // null-size handling is CONSERVATIVE in both directions:
+          // a sized tombstone is blocked by a same-name claimant
+          // whose size matches OR is unknown (an unsized live item
+          // might occupy exactly those bytes); an unsized tombstone
+          // deletes by bare name, so ANY same-name claimant blocks
+          val sizedOk = dead.filter(col("dsz").isNotNull)
+            .join(liveClaims,
+              col("dn") === col("cn") &&
+                (col("csz").isNull || col("csz") === col("dsz")),
+              "left_anti")
+          val unsizedOk = dead.filter(col("dsz").isNull)
+            .join(liveClaims, col("dn") === col("cn"), "left_anti")
+          sizedOk.unionAll(unsizedOk)
+            .collect().map(r =>
+              (r.getString(0),
+                if (r.isNullAt(1)) None else Some(r.getLong(1))))
+            .toSeq // ≤ |tombstones| rows
+        }.getOrElse(Nil)
+        if (stagedDead.nonEmpty) {
+          // ONE flat hashed In per qualification shape — never a
+          // per-identity Or chain, whose depth is the tombstone count
+          // (a deleted source folder can carry thousands) and whose
+          // nested analysis would be the scaling hazard here
+          val sized = stagedDead.collect { case (n, Some(sz)) =>
+            s"$n $sz" }
+          val unsized = stagedDead.collect { case (n, None) => n }
+          val keyed = concat_ws(" ",
+            col("file_name"), col("length").cast("string"))
+          val pred = Seq(
+            if (sized.nonEmpty) Some(keyed.isin(sized: _*)) else None,
+            if (unsized.nonEmpty)
+              Some(col("file_name").isin(unsized: _*)) else None
+          ).flatten.reduce(_ || _)
+          graft.ingest.BronzeMerge.deleteWhere(spark, table, pred)
+        }
       }
     }
+    // record this window's tombstoned ids for future windows' claim
+    // resolution (append-only set; duplicates from crash replay are
+    // harmless). Written whether or not a bronze table is attached,
+    // so attaching one later still sees the full history.
+    if (deadIds.nonEmpty)
+      deadIds.toDF("id").write.mode("append").parquet(tombSidecar)
     checkpoint.save(result.deltaLink)
     result.items
   }

@@ -1392,6 +1392,8 @@ class StreamsSpec extends SparkSpec {
     val base = "https://graph.example.test/drives/d4"
     val delta1 = s"$base/root/delta?token=E1"
     val delta2 = s"$base/root/delta?token=E2"
+    val delta3 = s"$base/root/delta?token=E3"
+    val delta4 = s"$base/root/delta?token=E4"
     def item(id: String, name: String, size: Long, dir: String = "in") =
       s"""{"id":"$id","name":"$name","size":$size,
          |"file":{"mimeType":"text/plain"},
@@ -1412,7 +1414,19 @@ class StreamsSpec extends SparkSpec {
         s"""{"value":[${tomb("i1", "f.txt")},
            |${item("i2", "f.txt", 12)},
            |${tomb("i5", "shared.txt")}],
-           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")))
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")),
+      // a SECOND churn generation, byte-identical this time: i2 dies
+      // and i3 re-creates the same (name, size) in one window…
+      delta2 -> HttpResponse(200,
+        s"""{"value":[${tomb("i2", "f.txt")},
+           |${item("i3", "f.txt", 12)}],
+           |"@odata.deltaLink":"$delta3"}""".stripMargin.replace("\n", "")),
+      // …and later i3 dies too. Only the tombstone SIDECAR lets this
+      // last delete land: i1's and i2's stale catalog rows must not
+      // count as live claims on (f.txt, ·) forever.
+      delta3 -> HttpResponse(200,
+        s"""{"value":[${tomb("i3", "f.txt")}],
+           |"@odata.deltaLink":"$delta4"}""".stripMargin.replace("\n", "")))
     val transport = new Transport {
       override def get(url: String): HttpResponse =
         script.getOrElse(url, throw new AssertionError(s"unexpected $url"))
@@ -1466,6 +1480,21 @@ class StreamsSpec extends SparkSpec {
       .filter(col("file_name") === "f.txt")
       .select("length").collect().map(_.getLong(0)).toSeq
     assert(latest == Seq(12L))
+
+    // second churn generation, BYTE-IDENTICAL: i2 dies and i3
+    // re-creates the same (name, size) in the same window — the live
+    // claim makes the tombstone unattributable, so nothing is deleted
+    // (conservative) and i3 is served by the identical retained row
+    Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
+    ingestStaged(1)
+    assert(rows() == Seq(("f.txt", 12L), ("shared.txt", 7L)))
+
+    // final window: i3 dies with NO live claimant left. Only the
+    // tombstone sidecar lets this delete land — i1's and i2's stale
+    // append-only catalog rows are tombstoned history, not claims
+    Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
+    assert(rows() == Seq(("shared.txt", 7L)),
+      "stale catalog rows of previously-tombstoned ids blocked the delete")
   }
 
   test("e35's disorder audit sizes the hourlyCounts watermark: the " +
