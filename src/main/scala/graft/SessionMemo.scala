@@ -28,6 +28,16 @@ private[graft] final class SessionMemo[K, V] {
   def getOrCompute(s: SparkSession, key: K)(compute: => V): V =
     memoFor(s).computeIfAbsent(key, _ => compute)
 
+  /** [[getOrCompute]] with a liveness check: a cached value that no
+    * longer validates is REPLACED by a fresh compute instead of being
+    * served stale — the invalidate-and-recompute hook [[SpillMemo]]
+    * builds on (a spill file swept from disk must recompute, not fail
+    * every later consumer). */
+  def getOrComputeValid(s: SparkSession, key: K)(valid: V => Boolean)
+      (compute: => V): V =
+    memoFor(s).compute(key, (_, cur) =>
+      if (cur != null && valid(cur)) cur else compute)
+
   def clear(): Unit = bySession.synchronized(bySession.clear())
 
   def sessionCount: Int = bySession.synchronized(bySession.size)

@@ -14,8 +14,15 @@ import org.apache.spark.sql.types.StructType
   * matter for its at-least-once re-runs (SURVEY C4):
   *
   *  - **Idempotent MERGE on file identity**: a file is keyed by
-  *    (file_name, length, modified); re-running the same ingest
-  *    anti-joins against the committed key set and appends nothing.
+  *    (file_name, length, modified) — plus `source_item_id` when the
+  *    ingest carries one (the reference's Graph drive-item id,
+  *    `sharepoint_to_bronze_delta.py:87-109`, which both fetches and
+  *    DELETEs by id); re-running the same ingest anti-joins against
+  *    the committed key set and appends nothing. With the id in the
+  *    key, a deleted item's retained key blocks redelivery of THAT
+  *    item's blob, while a byte-identical RE-CREATE under a fresh id
+  *    is a new identity and lands — the delete-then-recreate churn
+  *    the name+size key could not tell apart.
   *  - **Snapshot isolation**: readers see only batch directories named
   *    by the latest commit record, so a crashed half-written batch is
   *    invisible until its commit lands (the `_delta_log` idea, one
@@ -39,6 +46,27 @@ import org.apache.spark.sql.types.StructType
 object BronzeMerge {
 
   private val KeyCols = Seq("file_name", "length", "modified")
+
+  /** Optional source-identity column: the upstream item id (Graph
+    * drive-item id in the reference). When an ingest DataFrame
+    * carries it, it joins the merge key and rides into the data
+    * batches, making row-level deletes id-addressable
+    * ([[deleteWhere]] on `source_item_id` /
+    * [[deleteMatchingKeys]]). */
+  val IdCol = "source_item_id"
+
+  /** Committed identity keys across `batches`, normalized to a fixed
+    * 4-column shape: legacy id-less batches surface a null
+    * `source_item_id` (parquet matches by name; `mergeSchema` unions
+    * the footers so an id-carrying batch next to a legacy one still
+    * reads both ids and nulls). */
+  private def committedKeys(spark: SparkSession, table: String,
+      batches: Seq[String]): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(batches.map(b => s"$table/_keys/$b"): _*)
+    if (raw.columns.contains(IdCol)) raw
+    else raw.withColumn(IdCol, lit(null).cast("string"))
+  }
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
@@ -125,7 +153,11 @@ object BronzeMerge {
     val (ver, batches) = currentCommit(spark, table)
     require(batches.nonEmpty, "nothing to compact")
     val batchName = freshBatchName(f, table, f"batch-${ver + 1}%08d")
-    val snap = spark.read.parquet(batches.map(b => s"$table/$b"): _*)
+    // mergeSchema on both reads: a table that gained `source_item_id`
+    // mid-life mixes key/data shapes, and a single-footer inference
+    // would silently drop the id column from the compacted batch
+    val snap = spark.read.option("mergeSchema", "true")
+      .parquet(batches.map(b => s"$table/$b"): _*)
     val clustered = clusterBy match {
       case Nil => snap.coalesce(nFiles)
       case Seq(c) => snap.repartitionByRange(nFiles, col(c))
@@ -140,7 +172,7 @@ object BronzeMerge {
         "clusterBy supports 1 (linear) or 2 (z-order) columns")
     }
     clustered.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$batchName")
-    spark.read.parquet(batches.map(b => s"$table/_keys/$b"): _*)
+    committedKeys(spark, table, batches)
       .distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$table/_keys/$batchName")
     commit(f, table, ver + 1, Seq(batchName))
@@ -159,19 +191,62 @@ object BronzeMerge {
     * redelivery cannot resurrect deleted rows. Returns (new version,
     * rows deleted); no-op (current version, 0) when nothing matches. */
   def deleteWhere(spark: SparkSession, table: String,
-      pred: org.apache.spark.sql.Column): (Int, Long) = {
+      pred: org.apache.spark.sql.Column): (Int, Long) =
+    copyOnWrite(spark, table) { df =>
+      // a predicate may reference columns a PRE-EVOLUTION batch never
+      // wrote (e.g. `source_item_id` on a batch committed before the
+      // table carried ids): those read as null — no row of that batch
+      // can match, same as parquet's own schema-evolution read
+      val missing = org.apache.spark.sql.GraftSqlBridge.expression(pred)
+        .references.map(_.name).toSeq
+        .distinct.filterNot(c => df.columns.contains(c))
+      val dfN = missing.foldLeft(df)((d, c) =>
+        d.withColumn(c, lit(null).cast("string")))
+      // SQL DELETE semantics: only a TRUE predicate deletes — a null
+      // predicate row must SURVIVE the rewrite, not vanish from both
+      // the match count and the survivor set
+      (dfN.filter(pred), dfN.filter(not(coalesce(pred, lit(false))))
+        .select(df.columns.map(col): _*))
+    }
+
+  /** Join-based row-level DELETE — [[deleteWhere]] for MASS
+    * tombstones: rows whose `joinCols` tuple appears in `keys` are
+    * removed. The dead keys stay a DataFrame end-to-end (anti-join,
+    * never a literal `isin` list), so a deleted source FOLDER
+    * carrying millions of tombstones costs one broadcast/shuffle
+    * join per touched batch instead of a million-term expression
+    * tree. Null-keyed rows and batches lacking a join column never
+    * match (they predate the keyed schema). Returns (new version,
+    * rows deleted) like [[deleteWhere]]. */
+  def deleteMatchingKeys(spark: SparkSession, table: String,
+      keys: DataFrame, joinCols: Seq[String]): (Int, Long) = {
+    val dead = keys.select(joinCols.map(col): _*).distinct().persist()
+    try copyOnWrite(spark, table) { df =>
+      if (!joinCols.forall(df.columns.contains))
+        (df.limit(0), df)
+      else (df.join(dead, joinCols, "left_semi"),
+        df.join(dead, joinCols, "left_anti"))
+    } finally { dead.unpersist(); () }
+  }
+
+  /** Copy-on-write core shared by the delete entry points: `split`
+    * maps a committed batch to (matching rows, surviving rows);
+    * batches with no matches keep their name and bytes. */
+  private def copyOnWrite(spark: SparkSession, table: String)(
+      split: DataFrame => (DataFrame, DataFrame)): (Int, Long) = {
     val f = fs(spark, table)
     val (ver, batches) = currentCommit(spark, table)
     require(batches.nonEmpty, "empty bronze table")
     var deleted = 0L
     val newBatches = batches.zipWithIndex.map { case (b, i) =>
       val df = spark.read.parquet(s"$table/$b")
-      val n = df.filter(pred).count()
+      val (matches, survivors) = split(df)
+      val n = matches.count()
       if (n == 0) b
       else {
         deleted += n
         val rewritten = freshBatchName(f, table, f"batch-${ver + 1}%08d-cow$i")
-        df.filter(!pred).write
+        survivors.write
           .mode(SaveMode.ErrorIfExists).parquet(s"$table/$rewritten")
         // keys carry over verbatim: deletion must not reopen ingest
         spark.read.parquet(s"$table/_keys/$b").write
@@ -319,11 +394,23 @@ object BronzeMerge {
     val f = fs(spark, table)
     val (ver, batches) = currentCommit(spark, table)
     onSnapshotRead()
+    val hasId = src.columns.contains(IdCol)
     val fresh =
       if (batches.isEmpty) src
-      else src.join(
-        spark.read.parquet(batches.map(b => s"$table/_keys/$b"): _*),
-        KeyCols, "left_anti")
+      else {
+        val keys = committedKeys(spark, table, batches)
+        // the base identity must match; then a committed LEGACY key
+        // (null id — written before the table carried ids) blocks any
+        // same-identity row exactly as the pre-id contract did, while
+        // an id-carrying key blocks only ITS OWN item: a byte-identical
+        // re-create under a fresh id is a new identity and lands.
+        // <=> (null-safe) so an id-less src row never matches an
+        // id-carrying key by null propagation.
+        val cond = KeyCols.map(c => src(c) === keys(c)).reduce(_ && _) &&
+          (keys(IdCol).isNull ||
+            (if (hasId) src(IdCol) <=> keys(IdCol) else lit(false)))
+        src.join(keys, cond, "left_anti")
+      }
     // collision-free attempt name: a crash between data-write and
     // commit leaves an orphan under the deterministic name, and the
     // RETRY (e.g. a restarted streaming micro-batch) must not trip
@@ -335,7 +422,8 @@ object BronzeMerge {
     // row count from parquet footers — metadata-only, no content reread
     val appended = spark.read.parquet(dataPath).count()
     if (appended == 0) { f.delete(new Path(dataPath), true); return 0L }
-    spark.read.parquet(dataPath).select(KeyCols.map(col): _*)
+    val keyCols = if (hasId) IdCol +: KeyCols else KeyCols
+    spark.read.parquet(dataPath).select(keyCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$table/_keys/$batchName")
     onBeforeCommit()
     commit(f, table, ver + 1, batches :+ batchName)

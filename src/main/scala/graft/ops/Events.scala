@@ -1441,7 +1441,12 @@ object Events {
     //      exact fan-out re-shuffles user ids per window width. The
     //      union window rides the O(days) daily relation, not events.
     //      EXACT REGIME pinned for the oracle (e20's playbook): the
-    //      sketched key is the user COHORT (user_id % 256), so every
+    //      sketched key is the user COHORT (pmod(user_id, 256) —
+    //      non-negative for ANY id sign, and the oracle mirrors it
+    //      as ((user_id % 256) + 256) % 256 since DuckDB's % follows
+    //      the dividend's sign; the sign alignment also keeps the
+    //      distinct-cohort bound at 256, never 511, so the coupon-
+    //      regime premise holds for signed ids too), so every
     //      window's distinct count ≤ 256 — inside the lgConfigK=12
     //      sketch's EXACT coupon regime, measured on this library:
     //      sketch-estimate and 7-way-union-estimate both return the
@@ -1506,7 +1511,8 @@ object Events {
       // the pinned coupon regime makes est ≡ exact, so the oracle is
       // the plain exact rollup — same shape as e26's, on the cohort key
       Some("""WITH pairs AS (
-        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id % 256 AS cohort
+        SELECT DISTINCT CAST(ts AS DATE) AS day,
+          ((user_id % 256) + 256) % 256 AS cohort
         FROM events),
       spine AS (SELECT DISTINCT day FROM pairs),
       wk AS (

@@ -495,31 +495,22 @@ object Multimodal {
     * `maxHam ≤ 3` makes banding LOSSLESS by pigeonhole, so that
     * threshold yields the exact brute-force relation). Shared by m09
     * (the pair report) and m10 (the clustering decision). */
-  private val ahashLabelsMemo = new graft.SessionMemo[String, DataFrame]
+  private val ahashLabelsMemo = new graft.SpillMemo[String]
 
   /** Session-memoized aHash dup-cluster labels `(doc_id, lbl)` at the
     * lossless Hamming ≤ 3 threshold: m10 (the grouping decision) and
     * m21 (the caption-reuse audit) consume the IDENTICAL label
     * relation, so they share one decode + band join + connected-
     * components run per (session, dir) — the [[graft.ops.Text]]
-    * `dupLabelsMemo` convention. Eager localCheckpoint: the memo
-    * outlives the query; its Scoped persists do not.
-    * KNOWN TRADE (applies to every localCheckpoint-backed session
-    * memo here and in [[graft.ops.Text]]/[[graft.ops.Similarity]]):
-    * checkpoint blocks have no lineage to recompute from, so on a
-    * MULTI-EXECUTOR cluster losing a holder (decommission, dynamic
-    * deallocation) fails later readers unrecoverably, and the blocks
-    * live until the session drops. local[*] is immune (one JVM;
-    * MEMORY_AND_DISK eviction spills, never loses). A cluster
-    * deployment swaps in reliable checkpoints (setCheckpointDir +
-    * .checkpoint(), durable storage) at these same truncation points
-    * — the [[graft.ingest.BronzeMerge.mergeIngestChecked]] rule. */
+    * `dupLabelsMemo` convention. Parquet-spilled ([[graft.SpillMemo]])
+    * — executor-loss-proof and invalidate-and-recompute on a swept
+    * spill, eager at compute so the memo outlives its query-scoped
+    * inputs. */
   private def ahashLabels(s: SparkSession, d: String): DataFrame =
     ahashLabelsMemo.getOrCompute(s, d) {
       Text.connectedComponents(
         ahashPairs(s, d, maxHam = 3).select(
           col("doc_a").as("da"), col("doc_b").as("db")))
-        .localCheckpoint()
     }
 
   private def ahashPairs(s: SparkSession, d: String, maxHam: Int): DataFrame = {

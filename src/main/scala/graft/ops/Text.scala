@@ -665,8 +665,8 @@ object Text {
     // the FINAL generation's blocks back the returned labels: they
     // must survive the caller's reads but not the query — release
     // them with the query scope. Callers that outlive a query
-    // (session memos) re-checkpoint EAGERLY downstream, so their
-    // lineage never reaches back into these blocks.
+    // (session memos) spill EAGERLY downstream (SpillMemo parquet),
+    // so their lineage never reaches back into these blocks.
     Scoped.trackCheckpoint(labels)
   }
 
@@ -675,17 +675,14 @@ object Text {
     * future survivorship/rewrite policy — share ONE
     * LSH + connected-components computation per session instead of
     * each re-running the full pair pipeline (~2 s each at sf0.1).
-    * Reuse is COMPUTE reuse, not merely plan reuse: the CC output is
-    * already a projection over per-generation `localCheckpoint`
-    * blocks, so the memoized DataFrame is a leaf scan. Memory held is
+    * Reuse is COMPUTE reuse, not merely plan reuse: the value is a
+    * parquet-spilled leaf scan ([[graft.SpillMemo]]). Spill held is
     * O(labels) = O(docs that appear in a pair) per (dir, thr) for the
     * session's lifetime — the same bounded-model trade as the coded
     * ANN tables ([[graft.ops.Similarity]] `codedMemo`). Like every
-    * SessionMemo over a directory key, the cache assumes the corpus
-    * at `d` is immutable within a session (the same caveat as
-    * `sizeMemo`). */
-  private val dupLabelsMemo =
-    new graft.SessionMemo[(String, Double), DataFrame]
+    * directory-keyed memo, the cache assumes the corpus at `d` is
+    * immutable within a session (the same caveat as `sizeMemo`). */
+  private val dupLabelsMemo = new graft.SpillMemo[(String, Double)]
 
   private[graft] def dupClusterLabels(s: SparkSession, d: String,
       thr: Double): DataFrame =
@@ -718,14 +715,11 @@ object Text {
       mapping.select(col("doc_id"), col("rep"))
         .join(eligible, "rep")
         .select(col("doc_id"), col("lbl"))
-        // EAGER, unlike the per-generation checkpoints: this value
-        // outlives the computing query (session memo), while the CC
-        // labels it reads are query-scoped (released by the harness).
-        // Materializing here pins the memo's OWN blocks before the
-        // upstream generation can be reclaimed; a lazy checkpoint
-        // whose first action ran in a LATER query would reach back
-        // into freed blocks.
-        .localCheckpoint()
+      // the SpillMemo materializes this EAGERLY at compute (parquet
+      // spill): the memo outlives the computing query while the CC
+      // labels it reads are query-scoped (released by the harness) —
+      // a lazy value first acted on in a LATER query would reach
+      // back into freed blocks.
     }
 
   /** Near-dup pairs via MinHash+LSH with exact verification — same
@@ -739,7 +733,7 @@ object Text {
       docsSh.select(col("doc_id").as("rep")), thr)
   }
 
-  private val pairsMemo = new graft.SessionMemo[(String, Double), DataFrame]
+  private val pairsMemo = new graft.SpillMemo[(String, Double)]
 
   /** Session-memoized rep-level LSH band keys `(rep, band, bh)` over
     * the shingled duplicate representatives — the 72-perm MinHash
@@ -747,18 +741,15 @@ object Text {
     * clustering rides t09's pairs), and t39 (cross-split candidates:
     * a doc's band keys ARE its rep's, since identical text gives an
     * identical shingle set and signature). One sig pass per (session,
-    * dir) instead of one per query. Eager localCheckpoint, the
-    * [[jaccardPairs]] convention: materialized at compute because the
-    * inputs are query-scoped persists; consumers scan the blocks.
-    * Size is O(shingled reps × 18 bands) — three longs per row.
-    * CLUSTER CAVEAT (the ahash-memo advisory applies here too):
-    * localCheckpoint blocks are not lineage-recoverable; a multi-
-    * executor deployment with block eviction would use a reliable
-    * checkpoint (durable storage) at this same truncation point. */
-  private val repBandKeysMemo = new graft.SessionMemo[String, DataFrame]
+    * dir) instead of one per query. Parquet-spilled
+    * ([[graft.SpillMemo]]): eager at compute because the inputs are
+    * query-scoped persists; consumers run a plain file scan, any
+    * executor can read it, and a swept spill recomputes. Size is
+    * O(shingled reps × 18 bands) — three longs per row. */
+  private val repBandKeysMemo = new graft.SpillMemo[String]
   private[graft] def repBandKeys(s: SparkSession, d: String): DataFrame =
     repBandKeysMemo.getOrCompute(s, d) {
-      buildRepBandKeys(s, d).localCheckpoint()
+      buildRepBandKeys(s, d)
     }
 
   /** The (un-memoized, un-checkpointed) construction behind
@@ -774,7 +765,7 @@ object Text {
   }
 
   /** The un-memoized [[repBandKeys]] construction's physical plan —
-    * spec hook: the memo VALUE is a checkpoint scan, so PlanSpec pins
+    * spec hook: the memo VALUE is a spill-file scan, so PlanSpec pins
     * the fused kernels (shingle_hashes → minhash_sig) on the plan
     * that BUILDS the relation — [[buildRepBandKeys]], the same
     * builder the memo checkpoints. Registers a scope-tracked persist
@@ -787,13 +778,12 @@ object Text {
     * text column dropped, so the cached footprint is two longs per
     * doc (the full [[textDupMapping]] stays query-scoped: caching
     * corpus TEXT for a session would be cache-the-data, not
-    * cache-the-model). Same eager-checkpoint lifetime and cluster
-    * caveat as [[repBandKeys]]. */
-  private val dupMapSlimMemo = new graft.SessionMemo[String, DataFrame]
+    * cache-the-model). Same spill-backed lifetime as
+    * [[repBandKeys]]. */
+  private val dupMapSlimMemo = new graft.SpillMemo[String]
   private[graft] def dupMapSlim(s: SparkSession, d: String): DataFrame =
     dupMapSlimMemo.getOrCompute(s, d) {
       textDupMapping(s, d).select(col("doc_id"), col("rep"))
-        .localCheckpoint()
     }
 
   /** Session-memoized t60 calibration signatures at the REP level —
@@ -810,8 +800,8 @@ object Text {
     * doc) granularity so the memo holds O(distinct texts × 72)
     * longs, never O(corpus); t60 keeps even its AGREEMENT compute at
     * rep granularity and expands through [[dupMapSlim]]. Same
-    * lifetime/cluster caveat as [[repBandKeys]]. */
-  private val calibSigMemo = new graft.SessionMemo[String, DataFrame]
+    * spill-backed lifetime as [[repBandKeys]]. */
+  private val calibSigMemo = new graft.SpillMemo[String]
   private[graft] def calibRepSigs(s: SparkSession, d: String): DataFrame =
     calibSigMemo.getOrCompute(s, d) {
       textDupMapping(s, d).filter(col("doc_id") === col("rep"))
@@ -819,7 +809,6 @@ object Text {
           graft.functions.TextExprs.minHashSig(
             graft.functions.TextExprs.ngramPolyHashes(col("text"), 3),
             calibA.toSeq, calibB.toSeq, HashP).as("sig"))
-        .localCheckpoint()
     }
 
   /** Session-memoized doc-level near-dup pair relation (da, db,
@@ -827,18 +816,16 @@ object Text {
     * (calibration) and t61 (source matrix) share ONE pair computation
     * per (dir, thr) instead of each re-running shingling + candidate
     * generation + verify (~2.4 s each at sf0.1). The memoized frame
-    * is an EAGER localCheckpoint (materialized at compute, its inputs
-    * are query-scoped); consumers scan the blocks — compute reuse,
-    * the [[dupLabelsMemo]] convention. Memory held is
+    * is an EAGER parquet spill ([[graft.SpillMemo]] — materialized at
+    * compute, its inputs are query-scoped); consumers scan the spill
+    * — compute reuse, the [[dupLabelsMemo]] convention. Spill held is
     * O(pairs) per (dir, thr) for the session; same corpus-immutable-
     * within-a-session caveat as every directory-keyed memo. */
   private[graft] def jaccardPairs(s: SparkSession, d: String,
       thr: Double): DataFrame =
     pairsMemo.getOrCompute(s, (d, thr)) {
-      // eager for the same lifetime reason as [[dupLabelsMemo]]: the
-      // memo outlives the query, its inputs (Scoped persists) do not.
-      (if (exactAnchor(s, d)) exactJaccardPairs(s, d, thr)
-       else lshJaccardPairs(s, d, thr)).localCheckpoint()
+      if (exactAnchor(s, d)) exactJaccardPairs(s, d, thr)
+      else lshJaccardPairs(s, d, thr)
     }
 
   /** t63's hashed-bigram bucket rows (doc_id, source, b): word
@@ -3621,7 +3608,12 @@ object Text {
           .join(repSigs.toDF("ra", "sa"), "ra")
           .join(repSigs.toDF("rb", "sb"), "rb")
           .select(col("ra"), col("rb"), agree.as("n_agree"))
-        prs.join(broadcast(repAgree), Seq("ra", "rb"))
+        // no forced broadcast: repAgree is rep-pair-sized (tiny at
+        // bench SFs) but a duplicate-light 100 TB corpus approaches
+        // corpus-sized rep pairs, where a mandatory hint turns into a
+        // driver OOM instead of a shuffle join — AQE sees the real
+        // post-shuffle size and picks broadcast exactly when it fits
+        prs.join(repAgree, Seq("ra", "rb"))
           .select(col("da"), col("db"), col("jaccard"), col("n_agree"),
             (col("n_agree") / lit(72.0)).as("est"),
             abs(col("n_agree") / lit(72.0) - col("jaccard"))

@@ -681,7 +681,15 @@ object Streams {
     * uninterrupted run's table. `onBeforeCommit` (forwarded to
     * `mergeIngestDf`) and `onBatchDone` (after a micro-batch's merge
     * returns) are the fault-injection seams StreamsSpec drives those
-    * two crash points through; production callers leave the defaults. */
+    * two crash points through; production callers leave the defaults.
+    *
+    * NOTE a plain file directory carries no source item id, so rows
+    * landed here are id-LESS (legacy identity): fine for ingest and
+    * re-run idempotence, but [[discoverIncrement]]'s id-keyed
+    * tombstone deletes cannot address them — a catalog-driven drain
+    * that must observe source deletions should land blobs WITH the
+    * staged `id` as `source_item_id` (see the tombstone doc on
+    * [[discoverIncrement]]). */
   def streamMergeIngest(spark: SparkSession, srcDir: String,
       table: String, checkpoint: String,
       onBeforeCommit: () => Unit = () => (),
@@ -734,31 +742,38 @@ object Streams {
     * folder tombstones excluded from staging but returned for audit).
     *
     * TOMBSTONE PROPAGATION: when `bronzeTable` is given, `deleted`
-    * facets are composed end-to-end into the bronze DELETE path —
-    * tombstone ITEM IDS resolve through the staged catalog to the
-    * (name, size) identities this pipeline actually ingested (folder
-    * tombstones and never-ingested items are structural no-ops;
-    * identities still claimed by a live staged item are skipped —
-    * see the resolution comment in the body), then
-    * [[graft.ingest.BronzeMerge.deleteWhere]] on
-    * (file_name, length) rewrites only the batches containing matches
-    * (the length qualifier assumes blob-parity ingest — staged size
-    * ≡ landed bytes, the [[streamMergeIngest]] shape; a transforming
-    * ingest must carry the item id into bronze instead)
-    * and emits the corresponding `_delta_log` remove actions
-    * ([[graft.ingest.DeltaLog]] sync). Without it an incremental sync
-    * that observes a source-side deletion would leave bronze diverged
-    * forever (the reference's only delete semantics is its
+    * facets are composed end-to-end into the bronze DELETE path,
+    * keyed on the SOURCE ITEM ID — the same identity the reference's
+    * own delete is scoped to (`sharepoint_to_bronze_delta.py:105-109`
+    * DELETEs a specific drive item by id). The blob-fetch drain must
+    * therefore carry the staged catalog's `id` into bronze as
+    * [[graft.ingest.BronzeMerge.IdCol]] (`source_item_id`); a Graph
+    * tombstone carries only id+name, and the id is the ONLY key that
+    * distinguishes a deleted file from a deleted folder with the same
+    * name, from a never-ingested item, and from a live same-name
+    * same-size file in another folder — each of those is a structural
+    * no-op here (no bronze row carries the dead id), with no
+    * staged-catalog resolution or claim bookkeeping needed. Small
+    * windows delete via one flat hashed In on the id
+    * ([[graft.ingest.BronzeMerge.deleteWhere]]); a window past
+    * [[MassTombstoneThreshold]] (a deleted source FOLDER can carry
+    * millions of tombstones) keeps the dead ids a DataFrame and
+    * deletes by anti-join ([[graft.ingest.BronzeMerge
+    * .deleteMatchingKeys]]) — never a million-literal expression.
+    * Without this path an incremental sync that observes a
+    * source-side deletion would leave bronze diverged forever
+    * (the reference's only delete semantics is its
     * archive-then-delete flow, `sharepoint_to_bronze_delta.py:229-230`
     * — source deletions must reach the lakehouse). Ordering is
     * delete-then-checkpoint: a crash in between replays the tombstone
     * window on restart and the delete re-runs idempotently
-    * (at-least-once, no-op when nothing matches). Identity keys are
-    * retained by `deleteWhere`, so a redelivered blob of a deleted
-    * file CANNOT resurrect its rows — the same gate the reference's
-    * archive-success check guards its delete with (C3/C4). A
-    * tombstone arriving before the table's first commit (or for a
-    * never-ingested file) is a safe no-op.
+    * (at-least-once, no-op when nothing matches). The id-qualified
+    * identity key is retained by `deleteWhere`, so a redelivered blob
+    * of the DELETED item cannot resurrect its rows — while a
+    * byte-identical re-create under a fresh id is a new identity and
+    * lands (C3/C4). A tombstone arriving before the table's first
+    * commit (or against a legacy id-less bronze, whose batches
+    * predate `source_item_id`) is a safe no-op.
     */
   def discoverIncrement(spark: SparkSession,
       provider: graft.pipeline.DeltaListingProvider,
@@ -771,127 +786,49 @@ object Streams {
     val live = result.items.filter(it => !it.deleted && it.mime != null)
     if (live.nonEmpty)
       live.toDF().write.mode("append").parquet(stagingDir)
-    // Tombstones resolve through the STAGED CATALOG BY ITEM ID, never
-    // by bare name: a Graph tombstone carries only id+name (no file
-    // facet), so a deleted FOLDER is indistinguishable from a deleted
-    // file by the tombstone alone — and a folder named like an
-    // ingested file (or a same-named item that was never ingested)
-    // must not delete unrelated bronze rows. Only file items ever
-    // reach staging (the mime filter above), so joining the tombstone
-    // ids against the staged (id, name, size) catalog yields exactly
-    // the identities this pipeline ingested under those ids;
-    // everything else is a structural no-op.
-    //
-    // The delete is qualified by the staged item's FULL bronze-visible
-    // identity (file_name AND length when the catalog recorded a
-    // size; bare name when it did not — a Graph item without a size
-    // facet must still be deletable), not the bare name alone: bronze
-    // is name-keyed, so after a delete-then-recreate churn (the
-    // reference's archive/re-upload cycle) the old and new item share
-    // a name and only the length distinguishes their rows. And when a
-    // LIVE staged item still claims the same identity — two
-    // same-named same-sized source files in different folders — the
-    // tombstone's rows are not attributable at all, so that identity
-    // is SKIPPED (conservative: under at-least-once semantics a
-    // retained row is recoverable history, a wrongly deleted one is
-    // data loss) and the merge-on-read view still resolves the name
-    // to the live item's newest row. Note the staged live row for a
-    // SAME-window re-create is appended above, before this resolution
-    // reads the catalog — the guard sees it.
-    //
-    // "Live" accounts for HISTORY, not just this window: the staging
-    // catalog is append-only, so a claimant is live only if its id
-    // was never tombstoned — this window's deadIds OR any prior
-    // window's, which persist in the `<stagingDir>_tombstones`
-    // sidecar (appended below, before the checkpoint, so a crash
-    // replays the window and re-appends the same ids — a harmless
-    // set-union). Without the sidecar, a file deleted and later
-    // re-created byte-identically (same name AND size, new id) could
-    // never be deleted again: its predecessor's stale catalog row
-    // would block the identity as a phantom live claim forever.
-    // KNOWN EDGE: an item RESTORED under its original id stays in the
-    // sidecar, so its claims no longer block same-identity tombstones
-    // of other items — acceptable for the reference's cycle (uploads
-    // mint fresh ids); pipelines that restore ids should carry the
-    // item id into bronze and delete by id instead.
+    // Tombstones delete BY SOURCE ITEM ID — the identity the Graph
+    // tombstone actually carries and the identity the reference's own
+    // DELETE is scoped to. Bronze rows carry `source_item_id`
+    // (BronzeMerge.IdCol, landed by the id-carrying drain), so the
+    // delete is a direct key match: a deleted FOLDER named like an
+    // ingested file, a never-ingested item, and a live same-name
+    // same-size file in another folder all miss by construction —
+    // no staged-catalog claims join, no tombstone-history sidecar,
+    // no name+size attribution heuristic. (Those existed only to
+    // compensate for id-less bronze rows; against a LEGACY table
+    // whose batches predate the id column every tombstone is a safe
+    // no-op — deleteWhere reads the missing column as null.)
     val deadIds = result.items.filter(_.deleted).map(_.id).distinct
-    val tombSidecar = s"${stagingDir.stripSuffix("/")}_tombstones"
     bronzeTable.foreach { table =>
       // only a committed table can hold rows to remove; an empty or
-      // not-yet-created bronze (or no staged catalog yet) makes every
-      // tombstone a no-op
+      // not-yet-created bronze makes every tombstone a no-op
       if (deadIds.nonEmpty &&
           graft.ingest.BronzeMerge.currentCommit(spark, table)._2.nonEmpty) {
-        // only the READS are exception-guarded (a missing directory is
-        // a legitimate state: nothing staged yet / no tombstone ever)
-        // — an analysis error in the claims logic itself must fail
-        // loudly, not silently skip a delete
-        val stagedOpt =
-          try Some(spark.read.parquet(stagingDir)
-            .select(col("id"), col("name"), col("size")))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val priorDead =
-          try spark.read.parquet(tombSidecar)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            Seq.empty[String].toDF("id") }
-        val stagedDead = stagedOpt.map { staged =>
-          // disambiguated column names — dead and liveClaims share
-          // the staged lineage, so a qualified self-join would trip
-          // Spark's ambiguous-self-join detection
-          val dead = staged.filter(col("id").isin(deadIds: _*))
-            .select(col("name").as("dn"), col("size").as("dsz"))
-            .distinct()
-          val liveClaims = staged
-            .filter(!col("id").isin(deadIds: _*))
-            .join(priorDead, Seq("id"), "left_anti")
-            .select(col("name").as("cn"), col("size").as("csz"))
-            .distinct()
-          // null-size handling is CONSERVATIVE in both directions:
-          // a sized tombstone is blocked by a same-name claimant
-          // whose size matches OR is unknown (an unsized live item
-          // might occupy exactly those bytes); an unsized tombstone
-          // deletes by bare name, so ANY same-name claimant blocks
-          val sizedOk = dead.filter(col("dsz").isNotNull)
-            .join(liveClaims,
-              col("dn") === col("cn") &&
-                (col("csz").isNull || col("csz") === col("dsz")),
-              "left_anti")
-          val unsizedOk = dead.filter(col("dsz").isNull)
-            .join(liveClaims, col("dn") === col("cn"), "left_anti")
-          sizedOk.unionAll(unsizedOk)
-            .collect().map(r =>
-              (r.getString(0),
-                if (r.isNullAt(1)) None else Some(r.getLong(1))))
-            .toSeq // ≤ |tombstones| rows
-        }.getOrElse(Nil)
-        if (stagedDead.nonEmpty) {
-          // ONE flat hashed In per qualification shape — never a
-          // per-identity Or chain, whose depth is the tombstone count
-          // (a deleted source folder can carry thousands) and whose
-          // nested analysis would be the scaling hazard here
-          val sized = stagedDead.collect { case (n, Some(sz)) =>
-            s"$n $sz" }
-          val unsized = stagedDead.collect { case (n, None) => n }
-          val keyed = concat_ws(" ",
-            col("file_name"), col("length").cast("string"))
-          val pred = Seq(
-            if (sized.nonEmpty) Some(keyed.isin(sized: _*)) else None,
-            if (unsized.nonEmpty)
-              Some(col("file_name").isin(unsized: _*)) else None
-          ).flatten.reduce(_ || _)
-          graft.ingest.BronzeMerge.deleteWhere(spark, table, pred)
-        }
+        val idCol = col(graft.ingest.BronzeMerge.IdCol)
+        if (deadIds.size <= MassTombstoneThreshold)
+          // ONE flat hashed In — never a per-id Or chain whose
+          // analysis depth is the tombstone count
+          graft.ingest.BronzeMerge.deleteWhere(spark, table,
+            idCol.isin(deadIds: _*))
+        else
+          // a deleted source folder can carry millions of
+          // tombstones: keep them a DataFrame and anti-join — no
+          // O(tombstones)-literal expression tree. (The ids are
+          // already driver-resident — the listing provider returns
+          // the window as a Seq — so toDF adds no new driver copy.)
+          graft.ingest.BronzeMerge.deleteMatchingKeys(spark, table,
+            deadIds.toDF(graft.ingest.BronzeMerge.IdCol),
+            Seq(graft.ingest.BronzeMerge.IdCol))
       }
     }
-    // record this window's tombstoned ids for future windows' claim
-    // resolution (append-only set; duplicates from crash replay are
-    // harmless). Written whether or not a bronze table is attached,
-    // so attaching one later still sees the full history.
-    if (deadIds.nonEmpty)
-      deadIds.toDF("id").write.mode("append").parquet(tombSidecar)
     checkpoint.save(result.deltaLink)
     result.items
   }
+
+  /** Tombstone-window size above which [[discoverIncrement]] switches
+    * from a literal-In delete predicate to the DataFrame anti-join
+    * ([[graft.ingest.BronzeMerge.deleteMatchingKeys]]). */
+  val MassTombstoneThreshold = 1000
 
   /** Streaming ANN index maintenance — the always-on twin of
     * [[graft.ops.Similarity.appendToCodedCorpus]]: each micro-batch

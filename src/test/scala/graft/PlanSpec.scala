@@ -169,13 +169,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("array_join(slice"))
     // …while the 72-perm signature pass lives in the session-memoized
     // repBandKeys relation (ONE pass per dir, shared with t39): t09's
-    // own plan reads its materialized checkpoint instead of re-running
-    // minhash_sig — and gains no exchange doing so (the candidate
-    // window/join structure is unchanged downstream of the scan)
+    // own plan reads its parquet SPILL (SpillMemo — a plain FileScan
+    // any executor can re-read, recomputable if swept) instead of
+    // re-running minhash_sig — and gains no exchange doing so (the
+    // candidate window/join structure is unchanged downstream)
     assert(!p.contains("minhash_sig"), "sig pass re-entered t09's plan")
-    assert(p.contains("ExistingRDD"), p.take(800))
+    assert(p.contains("graft-spill-"), p.take(800))
     // the memoized relation ITSELF is built by the fused kernels: its
-    // compute plan (pre-checkpoint) pins minhash_sig over the hashed
+    // compute plan (pre-spill) pins minhash_sig over the hashed
     // shingles — asserted on a fresh un-memoized construction
     val keysPlan = graft.ops.Text.repBandKeysPlanForSpec(spark, sf0001)
     assert(keysPlan.contains("minhash_sig") &&

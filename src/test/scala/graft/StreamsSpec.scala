@@ -1308,13 +1308,16 @@ class StreamsSpec extends SparkSpec {
     val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
     val table = s"$work/bronze"
     def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
-    // the blob-fetch stand-in: land whatever the sync staged
+    // the blob-fetch stand-in: land whatever the sync staged,
+    // CARRYING the staged item id into bronze (the id-keyed delete
+    // contract — the drain fetched the blob by id, so it knows it)
     def ingestStaged(): Unit = {
       val staged = spark.read.parquet(staging)
-        .select(col("name"), col("size")).collect()
-        .map(r => (r.getString(0), r.getLong(1), ts(1),
-          r.getString(0).getBytes("UTF-8")))
-        .toSeq.toDF("file_name", "length", "modified", "content")
+        .select(col("id"), col("name"), col("size")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), ts(1),
+          r.getString(1).getBytes("UTF-8")))
+        .toSeq.toDF("source_item_id", "file_name", "length",
+          "modified", "content")
       BronzeMerge.mergeIngestDf(spark, staged, table)
     }
     def liveNames() = BronzeMerge.snapshotLatest(spark, table)
@@ -1345,11 +1348,13 @@ class StreamsSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(logDir.resolve(lastLog))
       .contains(""""remove""""), s"no remove action in $lastLog")
 
-    // redelivery of the deleted blob (same identity key) must be
-    // rejected by the retained keys — deletion cannot be undone by
-    // an at-least-once upstream replay
-    val redelivered = Seq(("b.txt", 5L, ts(1), "b.txt".getBytes("UTF-8")))
-      .toDF("file_name", "length", "modified", "content")
+    // redelivery of the deleted ITEM's blob (same id, same identity
+    // key) must be rejected by the retained keys — deletion cannot be
+    // undone by an at-least-once upstream replay
+    val redelivered = Seq(("i2", "b.txt", 5L, ts(1),
+      "b.txt".getBytes("UTF-8")))
+      .toDF("source_item_id", "file_name", "length", "modified",
+        "content")
     assert(BronzeMerge.mergeIngestDf(spark, redelivered, table) == 0L)
     assert(liveNames() == Seq("a.txt"))
 
@@ -1357,13 +1362,14 @@ class StreamsSpec extends SparkSpec {
     // checkpoint save) re-runs as a no-op
     val (verBefore, _) = BronzeMerge.currentCommit(spark, table)
     val (verAfter, n) = BronzeMerge.deleteWhere(spark, table,
-      col("file_name").isin("b.txt"))
+      col(BronzeMerge.IdCol).isin("i2"))
     assert(verAfter == verBefore && n == 0L)
 
     // round 3: a deleted FOLDER whose name collides with the
     // surviving ingested file, plus a never-ingested item's
-    // tombstone — tombstones resolve by STAGED ITEM ID, so neither
-    // deletes anything and a.txt survives
+    // tombstone — deletes are keyed on the bronze rows' OWN
+    // source_item_id, so neither dead id matches a row and a.txt
+    // survives
     val r3 = Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
     assert(r3.forall(_.deleted) && r3.map(_.name).sorted == Seq("a.txt", "z.txt"))
     assert(liveNames() == Seq("a.txt"),
@@ -1373,17 +1379,21 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("tombstone churn: one window carrying a delete AND a re-create of " +
-      "the same name (new item id) kills only the old rows; a live " +
-      "same-identity claimant blocks its tombstone") {
+      "the same name (new item id) kills only the old item's rows; two " +
+      "same-name SAME-SIZE files in different folders delete independently") {
     // the reference's archive/re-upload cycle, adversarially ordered:
     // the SAME incremental window deletes f.txt (old id) and re-creates
-    // f.txt (new id, new size). Resolution is by staged item id with
-    // the delete qualified on (file_name, length), so exactly the old
-    // item's rows die and the re-created file lands untouched. A
-    // second pair pins the conservative guard: two live same-name
-    // SAME-SIZE items in different folders — deleting one must not
-    // destroy rows the survivor still resolves to, so that tombstone
-    // is a structural no-op.
+    // f.txt (new id, new size). Bronze rows carry source_item_id and
+    // deletes key on it, so exactly the old item's rows die and the
+    // re-created file lands untouched. A second pair pins the case the
+    // old name+size heuristic could never attribute: two live
+    // same-name SAME-SIZE items in different folders — deleting one
+    // kills exactly ITS rows while the other folder's file survives
+    // (previously a permanently BLOCKED delete; now a direct key
+    // match). A byte-identical same-window re-create then pins that
+    // the retained id-qualified key blocks only the DEAD item's blob
+    // redelivery, not the fresh id's identical bytes — no tombstone
+    // sidecar, no claims bookkeeping.
     import graft.ingest.BronzeMerge
     import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
     import graft.pipeline.HttpListing.{HttpResponse, Transport}
@@ -1409,7 +1419,7 @@ class StreamsSpec extends SparkSpec {
            |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", "")),
       // THE churn window: tombstone for the old f.txt id, the
       // re-created f.txt under a NEW id (different size), and a
-      // tombstone for one of the two same-identity shared.txt items
+      // tombstone for ONE of the two same-name same-size items
       delta1 -> HttpResponse(200,
         s"""{"value":[${tomb("i1", "f.txt")},
            |${item("i2", "f.txt", 12)},
@@ -1421,9 +1431,8 @@ class StreamsSpec extends SparkSpec {
         s"""{"value":[${tomb("i2", "f.txt")},
            |${item("i3", "f.txt", 12)}],
            |"@odata.deltaLink":"$delta3"}""".stripMargin.replace("\n", "")),
-      // …and later i3 dies too. Only the tombstone SIDECAR lets this
-      // last delete land: i1's and i2's stale catalog rows must not
-      // count as live claims on (f.txt, ·) forever.
+      // …and later i3 dies too. Under id-keyed deletes this needs no
+      // history bookkeeping at all: i3's row carries i3's id.
       delta3 -> HttpResponse(200,
         s"""{"value":[${tomb("i3", "f.txt")}],
            |"@odata.deltaLink":"$delta4"}""".stripMargin.replace("\n", "")))
@@ -1437,43 +1446,46 @@ class StreamsSpec extends SparkSpec {
     val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
     val table = s"$work/bronze"
     def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
-    // blob-parity stand-in: content bytes == the Graph-listed size
-    // (the qualification's documented assumption). distinct(): the
-    // same-identity pair fetches byte-identical blobs — one landed
-    // row serves both (the merge dedupes across COMMITS; a drain
-    // dedupes its own batch)
+    // blob-parity stand-in carrying the staged item id into bronze
+    // (the id-keyed delete contract). distinct(): the append-only
+    // staging catalog re-offers prior windows' rows on every drain —
+    // the retained id-qualified keys make those re-offers no-ops.
     def ingestStaged(round: Int): Unit = {
       val staged = spark.read.parquet(staging)
-        .select(col("name"), col("size")).distinct().collect()
-        .map(r => (r.getString(0), r.getLong(1), ts(round),
-          Array.fill(r.getLong(1).toInt)('x'.toByte)))
-        .toSeq.toDF("file_name", "length", "modified", "content")
+        .select(col("id"), col("name"), col("size")).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), ts(round),
+          Array.fill(r.getLong(2).toInt)('x'.toByte)))
+        .toSeq.toDF("source_item_id", "file_name", "length",
+          "modified", "content")
       BronzeMerge.mergeIngestDf(spark, staged, table)
     }
     def rows() = BronzeMerge.snapshot(spark, table)
-      .select("file_name", "length").collect()
-      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      .select("source_item_id", "file_name", "length").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
 
-    // round 1: three files land (the same-identity shared.txt pair
-    // collapses to one bronze row under the (name, length, modified)
-    // merge key — one row serves both source items)
+    // round 1: three files land as three rows — the same-name
+    // same-size pair stays TWO rows because the merge key carries
+    // the source item id
     Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
     ingestStaged(1)
-    assert(rows() == Seq(("f.txt", 9L), ("shared.txt", 7L)))
+    assert(rows() == Seq(("i1", "f.txt", 9L), ("i5", "shared.txt", 7L),
+      ("i6", "shared.txt", 7L)))
 
     // round 2, BEFORE the drain lands the re-created blob: the churn
-    // window's delete has fired — the old (f.txt, 9) rows are gone,
-    // the blocked shared.txt tombstone deleted nothing
+    // window's deletes have fired — i1's rows AND i5's rows are gone,
+    // and i6's same-name same-size rows in the other folder are
+    // untouched (the case the name+size heuristic had to skip)
     val r2 = Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
     assert(r2.count(_.deleted) == 2 && r2.count(!_.deleted) == 1)
-    assert(rows() == Seq(("shared.txt", 7L)),
-      "exactly the old f.txt rows die; the live-claimed identity survives")
+    assert(rows() == Seq(("i6", "shared.txt", 7L)),
+      "exactly the dead ids' rows die; the other folder's twin survives")
 
-    // the drain lands the re-created f.txt (new identity key) while
-    // the retained old key keeps blocking the replayed old blob —
-    // the staged catalog still carries i1's row and re-ingests it here
+    // the drain lands the re-created f.txt (new id ⇒ new identity
+    // key) while the retained id-qualified keys keep blocking the
+    // replayed i1/i5 blobs the append-only catalog still offers
     ingestStaged(1)
-    assert(rows() == Seq(("f.txt", 12L), ("shared.txt", 7L)),
+    assert(rows() == Seq(("i2", "f.txt", 12L), ("i6", "shared.txt", 7L)),
       "the re-created file survives its predecessor's tombstone")
     // and the merge-on-read view resolves f.txt to the NEW generation
     val latest = BronzeMerge.snapshotLatest(spark, table)
@@ -1482,19 +1494,91 @@ class StreamsSpec extends SparkSpec {
     assert(latest == Seq(12L))
 
     // second churn generation, BYTE-IDENTICAL: i2 dies and i3
-    // re-creates the same (name, size) in the same window — the live
-    // claim makes the tombstone unattributable, so nothing is deleted
-    // (conservative) and i3 is served by the identical retained row
+    // re-creates the same (name, size) in the same window — i2's row
+    // dies on its id, and i3's identical bytes land as a NEW identity
+    // (the retained key blocks only the DEAD item's redelivery)
     Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
     ingestStaged(1)
-    assert(rows() == Seq(("f.txt", 12L), ("shared.txt", 7L)))
+    assert(rows() == Seq(("i3", "f.txt", 12L), ("i6", "shared.txt", 7L)),
+      "a byte-identical re-create lands under its fresh id")
 
-    // final window: i3 dies with NO live claimant left. Only the
-    // tombstone sidecar lets this delete land — i1's and i2's stale
-    // append-only catalog rows are tombstoned history, not claims
+    // final window: i3 dies — a direct key match, no history
+    // bookkeeping needed for generations of same-identity churn
     Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
-    assert(rows() == Seq(("shared.txt", 7L)),
-      "stale catalog rows of previously-tombstoned ids blocked the delete")
+    assert(rows() == Seq(("i6", "shared.txt", 7L)))
+  }
+
+  test("mass tombstones: a 100k-tombstone window (deleted source folder) " +
+      "deletes via the keys-DataFrame anti-join, never a literal " +
+      "predicate, and exactly the ingested dead ids' rows die") {
+    // the scale shape VERDICT r13 flagged: a deleted source FOLDER can
+    // tombstone every item under it in ONE delta window. Past
+    // MassTombstoneThreshold the dead ids must stay a DataFrame and
+    // the delete must be an anti-join — a 100k-term isin would build a
+    // 100k-literal expression tree (and r12's per-identity Or chain
+    // before it overflowed the analyzer). Bounded driver memory here
+    // means: the ids arrive as the listing's Seq (provider contract)
+    // and are never expanded into an expression or per-id plan nodes.
+    import graft.ingest.BronzeMerge
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    import graft.pipeline.HttpListing.{HttpResponse, Transport}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = "https://graph.example.test/drives/d5"
+    val delta1 = s"$base/root/delta?token=M1"
+    val delta2 = s"$base/root/delta?token=M2"
+    def item(id: String, name: String, size: Long) =
+      s"""{"id":"$id","name":"$name","size":$size,""" +
+        """"file":{"mimeType":"text/plain"},""" +
+        """"parentReference":{"path":"/drives/d5/root:/folder"}}"""
+    def tomb(id: String) =
+      s"""{"id":"$id","name":"x","deleted":{"state":"deleted"}}"""
+    val nIngested = 300
+    val nDeadIngested = 150 // d0..d149 die, d150..d299 survive
+    val nTombs = 100000 // d0..d149 + 99_850 never-ingested ids
+    val initial = (0 until nIngested)
+      .map(i => item(s"d$i", s"file$i.txt", i + 1)).mkString(",")
+    val tombs = ((0 until nDeadIngested).map(i => s"d$i") ++
+      (0 until (nTombs - nDeadIngested)).map(i => s"z$i"))
+      .map(tomb).mkString(",")
+    val script = Map(
+      s"$base/root/delta" -> HttpResponse(200,
+        s"""{"value":[$initial],"@odata.deltaLink":"$delta1"}"""),
+      delta1 -> HttpResponse(200,
+        s"""{"value":[$tombs],"@odata.deltaLink":"$delta2"}"""))
+    val transport = new Transport {
+      override def get(url: String): HttpResponse =
+        script.getOrElse(url, throw new AssertionError(s"unexpected $url"))
+    }
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-mass-tomb").toString
+    val staging = s"$work/staging"
+    val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
+    val table = s"$work/bronze"
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+
+    Streams.discoverIncrement(spark, prov, ck, staging, Some(table))
+    val staged = spark.read.parquet(staging)
+      .select(col("id"), col("name"), col("size")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), ts0,
+        Array.fill(r.getLong(2).toInt)('x'.toByte)))
+      .toSeq.toDF("source_item_id", "file_name", "length",
+        "modified", "content")
+    assert(BronzeMerge.mergeIngestDf(spark, staged, table) == nIngested)
+
+    val dead = Streams.discoverIncrement(spark, prov, ck, staging,
+      Some(table))
+    assert(dead.size == nTombs && dead.forall(_.deleted))
+    assert(dead.size > Streams.MassTombstoneThreshold,
+      "the window must exercise the anti-join path")
+    val survivors = BronzeMerge.snapshot(spark, table)
+      .select("source_item_id").collect().map(_.getString(0)).toSet
+    assert(survivors.size == nIngested - nDeadIngested)
+    assert((0 until nDeadIngested).forall(i => !survivors.contains(s"d$i")),
+      "every ingested dead id's rows are gone")
+    assert((nDeadIngested until nIngested)
+      .forall(i => survivors.contains(s"d$i")),
+      "no survivor was collaterally deleted")
   }
 
   test("e35's disorder audit sizes the hourlyCounts watermark: the " +
@@ -1632,5 +1716,60 @@ class StreamsSpec extends SparkSpec {
     // hashes) — a multiset duplicate would hide inside the set compare
     assert(gotRows.size == expected.size,
       s"duplicate emissions: $gotRows")
+  }
+
+  test("pHash gate redelivery contract: a replayed arrival re-emits " +
+      "exactly its own pairs once per delivery — duplicates are bounded " +
+      "to re-delivered batches, never amplified") {
+    // the documented REDELIVERY CONTRACT on Streams.phashMatches: the
+    // gate is stateless (no cross-batch dedup state accreting one row
+    // per pair forever), so an at-least-once source replaying an
+    // arrival re-emits its matches — and ONLY its matches, exactly
+    // once per delivery. Quarantine consumers upsert on
+    // (doc_id, corpus_doc) (the BronzeMerge discipline), so bounded
+    // re-emission is absorbed; what must never happen is emission
+    // growth beyond the delivery count (state-leak or cross-product).
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def bmp(id: Long, shift: Int): Array[Byte] = {
+      val (w, h) = (16, 16)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val buf = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+        .putInt(0).putInt(54).putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- h - 1 to 0 by -1) {
+        for (x <- 0 until w; c <- 0 until 3)
+          buf.put(((x * 7 + y * 11 + c * 31 + id.toInt * 13) % 200
+            + shift).toByte)
+        for (_ <- 3 * w until rowSize) buf.put(0: Byte)
+      }
+      buf.array()
+    }
+    val corpus = (0L until 6L).map { id =>
+      val r = graft.ops.Multimodal.decodeBmpPhash(id, bmp(id, 0))
+      (r.doc_id, r.phash)
+    }.toDF("doc_id", "phash")
+    val twin3 = (103L, bmp(3, 7)) // matches corpus 3
+    val twin4 = (104L, bmp(4, 7)) // matches corpus 4
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.phashMatches(ms.toDS, corpus)
+      .writeStream.format("memory").queryName("phashreplay")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(twin3, twin4) // delivery 1: both
+      q.processAllAvailable()
+      ms.addData(twin3) // delivery 2: twin3 REPLAYED
+      q.processAllAvailable()
+      ms.addData(twin3) // delivery 3: twin3 replayed again
+      q.processAllAvailable()
+    } finally q.stop()
+    val byPair = spark.table("phashreplay").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(byPair == Map((103L, 3L) -> 3, (104L, 4L) -> 1),
+      s"emissions must equal delivery counts exactly, got $byPair")
   }
 }
