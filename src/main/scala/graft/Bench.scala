@@ -50,7 +50,7 @@ object Bench {
         "t60_minhash_calibration", "t63_dsir_weights",
         "m10_ahash_groups", "m15_bronze_media",
         "s06_ivf_partitioned", "s10_pq_adc_knn", "s12_semantic_dedup",
-        "s16_ivfpq_stored",
+        "s15_semantic_dedup_lsh", "s16_ivfpq_stored", "s33_code_sweep",
         "q49_orc_source", "q50_json_source", "q51_csv_source",
         "q61_dpp_prune")
       prime.foreach { n =>
