@@ -774,18 +774,34 @@ object Streams {
     * lands (C3/C4). A tombstone arriving before the table's first
     * commit (or against a legacy id-less bronze, whose batches
     * predate `source_item_id`) is a safe no-op.
+    *
+    * `drain` is the blob-landing hook, invoked with the WINDOW's
+    * items after staging and BEFORE the tombstone delete and the
+    * checkpoint save ([[drainWindow]] is the production
+    * implementation; [[syncToBronze]] wires it). The ordering makes
+    * the whole window at-least-once as a unit: a crash anywhere
+    * before the checkpoint replays stage + drain + delete, each of
+    * which is idempotent (append-dedup / merge / keyed no-op) — a
+    * drain placed AFTER the checkpoint would instead strand a
+    * staged-but-never-landed window on the crash path. Drain runs
+    * before delete so a same-window delete+re-create lands the new
+    * generation before the old one's id-scoped delete fires (order
+    * is immaterial for correctness under id keys, but this way the
+    * merge-on-read view never observes an empty name mid-window).
     */
   def discoverIncrement(spark: SparkSession,
       provider: graft.pipeline.DeltaListingProvider,
       checkpoint: graft.pipeline.DeltaCheckpoint,
       stagingDir: String,
-      bronzeTable: Option[String] = None)
+      bronzeTable: Option[String] = None,
+      drain: Seq[graft.pipeline.DeltaListing.DeltaItem] => Unit = _ => ())
       : Seq[graft.pipeline.DeltaListing.DeltaItem] = {
     import spark.implicits._
     val result = provider.sync(checkpoint.load())
     val live = result.items.filter(it => !it.deleted && it.mime != null)
     if (live.nonEmpty)
       live.toDF().write.mode("append").parquet(stagingDir)
+    drain(result.items)
     // Tombstones delete BY SOURCE ITEM ID — the identity the Graph
     // tombstone actually carries and the identity the reference's own
     // DELETE is scoped to. Bronze rows carry `source_item_id`
@@ -829,6 +845,87 @@ object Streams {
     * from a literal-In delete predicate to the DataFrame anti-join
     * ([[graft.ingest.BronzeMerge.deleteMatchingKeys]]). */
   val MassTombstoneThreshold = 1000
+
+  /** Land one discovery window's live blobs into bronze BY ITEM ID —
+    * the production drain the id-keyed tombstone contract assumes
+    * (the specs' driver-side stand-ins model it). Each live file item
+    * fetches `<driveBaseUrl>/items/<id>/content` — the reference's
+    * own download identity (`sharepoint_to_bronze_delta.py:163-176`
+    * downloads by drive item) — EXECUTOR-SIDE through the chunked
+    * range-GET ([[graft.pipeline.HttpListing.ChunkedTransfer]]:
+    * O(chunkBytes) transfer slices, per-chunk retry; the assembled
+    * row is O(file), the floor for a content-column store), then
+    * lands `(source_item_id, file_name, length, modified, content)`
+    * through the idempotent merge. Bandwidth is O(window), never
+    * O(catalog): callers hand the CHANGED items, so an unchanged
+    * 100 TB corpus costs one delta round-trip plus only the bytes
+    * that moved. Re-drains of a replayed window re-fetch but re-land
+    * nothing (the id-qualified keys dedupe — at-least-once fetch,
+    * exactly-once rows, C4). `length` is the FETCHED byte count
+    * (authoritative over the listing's size facet); `modified`
+    * defaults to a fixed epoch so replays key identically — carry
+    * the item's real change stamp when the caller tracks one.
+    * Returns appended rows. */
+  def drainWindow(spark: SparkSession,
+      transport: graft.pipeline.HttpListing.Transport,
+      driveBaseUrl: String,
+      items: Seq[graft.pipeline.DeltaListing.DeltaItem],
+      table: String,
+      policy: graft.pipeline.HttpListing.RetryPolicy =
+        graft.pipeline.HttpListing.RetryPolicy(),
+      chunkBytes: Int = 8 << 20,
+      modified: java.sql.Timestamp = new java.sql.Timestamp(0L)): Long = {
+    import spark.implicits._
+    // one fetch per distinct item id: an item updated twice in one
+    // window lists twice but has ONE current content
+    val meta = items.filter(it => !it.deleted && it.mime != null)
+      .map(it => (it.id, it.name)).distinct
+    if (meta.isEmpty) return 0L
+    val slots = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, meta.size))
+    val fetched = spark.createDataset(meta)
+      .repartition(slots) // spread fetch I/O across executor slots
+      .mapPartitions { rows =>
+        rows.map { case (id, name) =>
+          val buf = new java.io.ByteArrayOutputStream()
+          graft.pipeline.HttpListing.ChunkedTransfer.fetchTo(
+            transport, policy, (ms: Long) => Thread.sleep(ms))(
+            s"$driveBaseUrl/items/$id/content", buf, chunkBytes)
+          val bytes = buf.toByteArray
+          (id, name, bytes.length.toLong, bytes)
+        }
+      }
+      .toDF("source_item_id", "file_name", "length", "content")
+      .select(col("source_item_id"), col("file_name"), col("length"),
+        lit(modified).as("modified"), col("content"))
+    graft.ingest.BronzeMerge.mergeIngestDf(spark, fetched, table)
+  }
+
+  /** The reference's whole sync loop in one call
+    * (`sharepoint_to_bronze_delta.py:237-277`, incremental form):
+    * delta-discover the changed window, stage the catalog, land the
+    * changed blobs by id ([[drainWindow]]), propagate tombstones as
+    * id-keyed bronze deletes, then checkpoint — each leg idempotent,
+    * so the scheduled re-run IS the crash recovery. Returns the
+    * window's items. */
+  def syncToBronze(spark: SparkSession,
+      provider: graft.pipeline.DeltaListingProvider,
+      checkpoint: graft.pipeline.DeltaCheckpoint,
+      stagingDir: String,
+      transport: graft.pipeline.HttpListing.Transport,
+      driveBaseUrl: String,
+      table: String,
+      policy: graft.pipeline.HttpListing.RetryPolicy =
+        graft.pipeline.HttpListing.RetryPolicy(),
+      chunkBytes: Int = 8 << 20,
+      modified: java.sql.Timestamp = new java.sql.Timestamp(0L))
+      : Seq[graft.pipeline.DeltaListing.DeltaItem] =
+    discoverIncrement(spark, provider, checkpoint, stagingDir,
+      Some(table), drain = items => {
+        drainWindow(spark, transport, driveBaseUrl, items, table,
+          policy, chunkBytes, modified)
+        ()
+      })
 
   /** Streaming ANN index maintenance — the always-on twin of
     * [[graft.ops.Similarity.appendToCodedCorpus]]: each micro-batch

@@ -1581,6 +1581,80 @@ class StreamsSpec extends SparkSpec {
       "no survivor was collaterally deleted")
   }
 
+  test("syncToBronze: the full incremental loop — changed blobs land by " +
+      "id executor-side, an update re-lands, the tombstone deletes, and " +
+      "a replayed drain is a no-op") {
+    // the reference's whole sync (`sharepoint_to_bronze_delta.py:
+    // 237-277`) as ONE call: delta window → staged catalog → blob
+    // fetch BY ITEM ID (/items/<id>/content, chunked range-GET on
+    // executors) → id-carrying merge → id-keyed tombstone delete →
+    // checkpoint. The scripted transport serves generation-dependent
+    // content so the update window proves the drain fetches CURRENT
+    // bytes and keys the row off the fetched length.
+    import graft.ingest.BronzeMerge
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    import graft.pipeline.HttpListing.{HttpResponse, Transport}
+    import org.apache.spark.sql.functions.col
+    val base = "https://graph.example.test/drives/d6"
+    val delta1 = s"$base/root/delta?token=S1"
+    val delta2 = s"$base/root/delta?token=S2"
+    def item(id: String, name: String, size: Long) =
+      s"""{"id":"$id","name":"$name","size":$size,""" +
+        """"file":{"mimeType":"text/plain"},""" +
+        """"parentReference":{"path":"/drives/d6/root:/in"}}"""
+    def tomb(id: String, name: String) =
+      s"""{"id":"$id","name":"$name","deleted":{"state":"deleted"}}"""
+    // top-level class + module-held generation flag: the transport
+    // serializes into executor fetch tasks, so it must not capture
+    // the (non-serializable) suite as $outer
+    SyncGen.n = 1
+    val transport = new SyncScriptTransport(base, Map(
+      s"$base/root/delta" ->
+        s"""{"value":[${item("i1", "a.txt", 3)},
+           |${item("i2", "b.txt", 5)}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", ""),
+      delta1 ->
+        s"""{"value":[${item("i1", "a.txt", 6)},${tomb("i2", "b.txt")}],
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")))
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-sync").toString
+    val staging = s"$work/staging"
+    val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
+    val table = s"$work/bronze"
+    def rows() = BronzeMerge.snapshot(spark, table)
+      .select("source_item_id", "file_name", "length", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8"))).sorted.toSeq
+
+    // window 1: both files land with their ids, content = real bytes
+    val w1 = Streams.syncToBronze(spark, prov, ck, staging, transport,
+      base, table)
+    assert(w1.size == 2 && w1.forall(!_.deleted))
+    assert(rows() == Seq(("i1", "a.txt", 3L, "aaa"),
+      ("i2", "b.txt", 5L, "bbbbb")))
+
+    // window 2: i1's content changed upstream; the drain fetches the
+    // CURRENT bytes (new generation lands beside the old — both are
+    // history under the merge key) and i2's tombstone deletes its rows
+    SyncGen.n = 2
+    val w2 = Streams.syncToBronze(spark, prov, ck, staging, transport,
+      base, table)
+    assert(w2.count(_.deleted) == 1 && w2.count(!_.deleted) == 1)
+    assert(rows() == Seq(("i1", "a.txt", 3L, "aaa"),
+      ("i1", "a.txt", 6L, "aaaaaa")))
+    // merge-on-read resolves a.txt to the updated generation
+    val latest = BronzeMerge.snapshotLatest(spark, table)
+      .select("file_name", "length").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(latest == Seq(("a.txt", 6L)))
+
+    // crash replay of window 2's drain (restart between drain and
+    // checkpoint): re-fetches, re-lands NOTHING — at-least-once fetch,
+    // exactly-once rows
+    assert(Streams.drainWindow(spark, transport, base, w2, table) == 0L)
+    assert(rows().size == 2)
+  }
+
   test("e35's disorder audit sizes the hourlyCounts watermark: the " +
       "jitter-ceiling delay drops nothing, a 60 s delay drops exactly " +
       "the batch-predicted rows") {
@@ -1771,5 +1845,30 @@ class StreamsSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length).toMap
     assert(byPair == Map((103L, 3L) -> 3, (104L, 4L) -> 1),
       s"emissions must equal delivery counts exactly, got $byPair")
+  }
+}
+
+/** Which content generation the sync test's scripted server is
+  * serving. A module value, NOT test-local state: [[SyncScriptTransport]]
+  * serializes into executor fetch tasks, and in local mode the
+  * deserialized copy resolves back to this singleton (readResolve),
+  * so the driver's generation flip is visible to every task. */
+private object SyncGen { @volatile var n = 1 }
+
+/** Scripted transport for the end-to-end sync test, top-level so
+  * serializing it captures no suite `$outer`. Delta listing URLs come
+  * from the fixed script; item content is generation-dependent via
+  * [[SyncGen]] (i1's bytes change between windows). */
+private class SyncScriptTransport(base: String,
+    script: Map[String, String])
+    extends graft.pipeline.HttpListing.Transport {
+  import graft.pipeline.HttpListing.HttpResponse
+  override def get(url: String): HttpResponse = url match {
+    case u if script.contains(u) => HttpResponse(200, script(u))
+    case u if u == s"$base/items/i1/content" =>
+      HttpResponse(200, if (SyncGen.n == 1) "aaa" else "aaaaaa")
+    case u if u == s"$base/items/i2/content" =>
+      HttpResponse(200, "bbbbb")
+    case u => throw new AssertionError(s"unexpected $u")
   }
 }
