@@ -70,9 +70,24 @@ final class DeltaListingProvider(
   private def initialUrl: String = s"$baseUrl/root/delta"
 
   def sync(checkpoint: Option[String]): DeltaResult = {
+    val out = Seq.newBuilder[DeltaItem]
+    val link = syncPages(checkpoint)(page => { out ++= page; () })
+    DeltaResult(out.result(), link)
+  }
+
+  /** Page-STREAMING sync: `onPage` receives each page's items as it
+    * arrives and nothing accumulates here — driver memory is O(page)
+    * however large the change window (a deleted million-item folder
+    * tombstones every descendant in ONE window; [[sync]] would
+    * materialize them all, and is kept as the convenience collector
+    * over this). Returns the final deltaLink. Pages are delivered in
+    * protocol order; a thrown `onPage` aborts the walk mid-window
+    * with no deltaLink advanced — the caller's next run replays the
+    * window from its checkpoint (the C4 at-least-once contract). */
+  def syncPages(checkpoint: Option[String])(
+      onPage: Seq[DeltaItem] => Unit): String = {
     val get = HttpListing.getWithRetry(transport, policy, sleeper) _
     val mapper = new ObjectMapper()
-    val out = Seq.newBuilder[DeltaItem]
     var next: Option[String] = Some(checkpoint.getOrElse(initialUrl))
     var delta: Option[String] = None
     var pages = 0
@@ -82,18 +97,20 @@ final class DeltaListingProvider(
       val root = mapper.readTree(get(next.get).body)
       val items = Option(root.get("value")).map(_.elements())
         .getOrElse(java.util.Collections.emptyIterator[JsonNode]())
-      items.forEachRemaining(it => out += parseItem(it))
+      val page = Seq.newBuilder[DeltaItem]
+      items.forEachRemaining(it => page += parseItem(it))
+      onPage(page.result())
       next = Option(root.get("@odata.nextLink")).map(_.asText())
       // the deltaLink appears ONLY on the final page; keep the last
       // one seen so a (protocol-violating) early link doesn't win
       Option(root.get("@odata.deltaLink")).map(_.asText())
         .foreach(d => delta = Some(d))
     }
-    DeltaResult(out.result(), delta.getOrElse(
+    delta.getOrElse(
       // a sync round without a checkpoint to resume from cannot be
       // silently treated as incremental-from-nothing — fail loud
       throw new RuntimeException(
-        s"delta sync under $baseUrl ended without @odata.deltaLink")))
+        s"delta sync under $baseUrl ended without @odata.deltaLink"))
   }
 
   private def parseItem(it: JsonNode): DeltaItem = {

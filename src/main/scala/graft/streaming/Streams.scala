@@ -881,10 +881,33 @@ object Streams {
     val meta = items.filter(it => !it.deleted && it.mime != null)
       .map(it => (it.id, it.name)).distinct
     if (meta.isEmpty) return 0L
-    val slots = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, meta.size))
-    val fetched = spark.createDataset(meta)
-      .repartition(slots) // spread fetch I/O across executor slots
+    drainItems(spark, transport, driveBaseUrl,
+      spark.createDataset(meta).toDF("source_item_id", "file_name"),
+      table, policy, chunkBytes, modified)
+  }
+
+  /** [[drainWindow]]'s relation-driven core: `meta` is any
+    * `(source_item_id, file_name)` DataFrame — a window Seq lifted by
+    * the wrapper, or the window-slice relation the PAGED discovery
+    * writes ([[discoverIncrementPaged]]), which never existed as a
+    * driver collection at all. Fetch is executor-side per partition;
+    * duplicates are collapsed here so every id fetches once. */
+  def drainItems(spark: SparkSession,
+      transport: graft.pipeline.HttpListing.Transport,
+      driveBaseUrl: String,
+      meta: DataFrame,
+      table: String,
+      policy: graft.pipeline.HttpListing.RetryPolicy =
+        graft.pipeline.HttpListing.RetryPolicy(),
+      chunkBytes: Int = 8 << 20,
+      modified: java.sql.Timestamp = new java.sql.Timestamp(0L)): Long = {
+    import spark.implicits._
+    val fetched = meta
+      .select(col("source_item_id"), col("file_name")).distinct()
+      // spread fetch I/O across executor slots (AQE re-coalesces the
+      // distinct's output, so small windows don't fan into hundreds
+      // of empty fetch tasks)
+      .as[(String, String)]
       .mapPartitions { rows =>
         rows.map { case (id, name) =>
           val buf = new java.io.ByteArrayOutputStream()
@@ -923,6 +946,89 @@ object Streams {
     discoverIncrement(spark, provider, checkpoint, stagingDir,
       Some(table), drain = items => {
         drainWindow(spark, transport, driveBaseUrl, items, table,
+          policy, chunkBytes, modified)
+        ()
+      })
+
+  /** [[discoverIncrement]] at O(page) driver memory — the variant for
+    * windows that should never exist as one driver collection (a
+    * deleted million-item folder tombstones every descendant in ONE
+    * delta window; [[sync]]'s Seq was the last driver-side
+    * O(window) bound SCALE.md r14 names). Pages stream straight from
+    * the provider ([[graft.pipeline.DeltaListingProvider.syncPages]]):
+    * each page's live rows append to the staging catalog AND to a
+    * window-scoped `<staging>_window/live` slice, each page's
+    * tombstoned ids append to `<staging>_window/dead` — so the drain
+    * consumes a RELATION of this window's items and the delete is
+    * ALWAYS the anti-join form over the dead relation
+    * ([[graft.ingest.BronzeMerge.deleteMatchingKeys]]); no threshold,
+    * no literal predicate, no driver list. The window dirs are reset
+    * at window start, so a crash-replayed window (checkpoint not yet
+    * advanced) rebuilds them identically; per-page appends mean
+    * O(pages) small files per window, read exactly once each by the
+    * drain/delete and gone at the next window. Returns
+    * (live rows staged, tombstones observed). */
+  def discoverIncrementPaged(spark: SparkSession,
+      provider: graft.pipeline.DeltaListingProvider,
+      checkpoint: graft.pipeline.DeltaCheckpoint,
+      stagingDir: String,
+      bronzeTable: Option[String] = None,
+      drain: DataFrame => Unit = _ => ()): (Long, Long) = {
+    import spark.implicits._
+    val windowDir = s"${stagingDir.stripSuffix("/")}_window"
+    val liveDir = s"$windowDir/live"
+    val deadDir = s"$windowDir/dead"
+    val wPath = new org.apache.hadoop.fs.Path(windowDir)
+    val fsW = wPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fsW.delete(wPath, true) // window-scoped: replays rebuild it
+    var nLive = 0L
+    var nDead = 0L
+    val link = provider.syncPages(checkpoint.load()) { page =>
+      val live = page.filter(it => !it.deleted && it.mime != null)
+      if (live.nonEmpty) {
+        live.toDF().write.mode("append").parquet(stagingDir)
+        live.map(it => (it.id, it.name))
+          .toDF("source_item_id", "file_name")
+          .write.mode("append").parquet(liveDir)
+      }
+      val dead = page.filter(_.deleted).map(_.id)
+      if (dead.nonEmpty)
+        dead.toDF(graft.ingest.BronzeMerge.IdCol)
+          .write.mode("append").parquet(deadDir)
+      nLive += live.size
+      nDead += dead.size
+    }
+    if (nLive > 0) drain(spark.read.parquet(liveDir))
+    bronzeTable.foreach { table =>
+      if (nDead > 0 &&
+          graft.ingest.BronzeMerge.currentCommit(spark, table)._2.nonEmpty)
+        graft.ingest.BronzeMerge.deleteMatchingKeys(spark, table,
+          spark.read.parquet(deadDir),
+          Seq(graft.ingest.BronzeMerge.IdCol))
+    }
+    checkpoint.save(link)
+    (nLive, nDead)
+  }
+
+  /** [[syncToBronze]] at O(page) driver memory: paged discovery with
+    * the relation-driven drain ([[drainItems]]) wired in — the
+    * composition for sources whose change windows can be arbitrarily
+    * large. Returns (live rows staged, tombstones observed). */
+  def syncToBronzePaged(spark: SparkSession,
+      provider: graft.pipeline.DeltaListingProvider,
+      checkpoint: graft.pipeline.DeltaCheckpoint,
+      stagingDir: String,
+      transport: graft.pipeline.HttpListing.Transport,
+      driveBaseUrl: String,
+      table: String,
+      policy: graft.pipeline.HttpListing.RetryPolicy =
+        graft.pipeline.HttpListing.RetryPolicy(),
+      chunkBytes: Int = 8 << 20,
+      modified: java.sql.Timestamp = new java.sql.Timestamp(0L))
+      : (Long, Long) =
+    discoverIncrementPaged(spark, provider, checkpoint, stagingDir,
+      Some(table), drain = rel => {
+        drainItems(spark, transport, driveBaseUrl, rel, table,
           policy, chunkBytes, modified)
         ()
       })

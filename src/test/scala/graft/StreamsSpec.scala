@@ -1655,6 +1655,83 @@ class StreamsSpec extends SparkSpec {
     assert(rows().size == 2)
   }
 
+  test("syncToBronzePaged: a multi-page window streams page-by-page — " +
+      "the window never exists as a driver Seq, the drain consumes the " +
+      "window relation, and the delete is always the anti-join form") {
+    // the O(page) driver-memory variant: pages land in the staging
+    // catalog and a window-scoped (live, dead) pair of relations as
+    // they arrive; the drain and the tombstone delete then run over
+    // RELATIONS — no threshold, no literal predicate, no driver list
+    // of the window (the last O(window) driver bound SCALE.md names).
+    import graft.ingest.BronzeMerge
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    import org.apache.spark.sql.functions.col
+    val base = "https://graph.example.test/drives/d7"
+    val delta1 = s"$base/root/delta?token=P1"
+    val delta2 = s"$base/root/delta?token=P2"
+    def item(id: String, name: String, size: Long) =
+      s"""{"id":"$id","name":"$name","size":$size,""" +
+        """"file":{"mimeType":"text/plain"},""" +
+        """"parentReference":{"path":"/drives/d7/root:/in"}}"""
+    def tomb(id: String, name: String) =
+      s"""{"id":"$id","name":"$name","deleted":{"state":"deleted"}}"""
+    val transport = new PagedScriptTransport(Map(
+      // window 1, page 1 → nextLink → page 2 → deltaLink
+      s"$base/root/delta" ->
+        s"""{"value":[${item("i1", "a.txt", 3)},${item("i2", "b.txt", 5)}],
+           |"@odata.nextLink":"$base/root/delta?page=2"}"""
+          .stripMargin.replace("\n", ""),
+      s"$base/root/delta?page=2" ->
+        s"""{"value":[${item("i3", "c.txt", 4)}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", ""),
+      // window 2: a tombstone page, then a new-file page
+      delta1 ->
+        s"""{"value":[${tomb("i1", "a.txt")}],
+           |"@odata.nextLink":"$base/root/delta?page=4"}"""
+          .stripMargin.replace("\n", ""),
+      s"$base/root/delta?page=4" ->
+        s"""{"value":[${item("i4", "d.txt", 2)}],
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")),
+      Map(
+        s"$base/items/i1/content" -> "aaa",
+        s"$base/items/i2/content" -> "bbbbb",
+        s"$base/items/i3/content" -> "cccc",
+        s"$base/items/i4/content" -> "dd"))
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-paged").toString
+    val staging = s"$work/staging"
+    val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
+    val table = s"$work/bronze"
+    def rows() = BronzeMerge.snapshot(spark, table)
+      .select("source_item_id", "file_name", "length").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+
+    // window 1: two pages, three files — all land with their ids
+    val (l1, d1) = Streams.syncToBronzePaged(spark, prov, ck, staging,
+      transport, base, table)
+    assert((l1, d1) == (3L, 0L))
+    assert(rows() == Seq(("i1", "a.txt", 3L), ("i2", "b.txt", 5L),
+      ("i3", "c.txt", 4L)))
+    // the window slice holds exactly this window's (id, name) rows
+    assert(spark.read.parquet(s"${staging}_window/live").count() == 3)
+
+    // window 2: i1's tombstone page + i4's new-file page. The delete
+    // runs as the anti-join over the dead relation (no threshold
+    // branch exists on this path) and exactly i1's rows die.
+    val (l2, d2) = Streams.syncToBronzePaged(spark, prov, ck, staging,
+      transport, base, table)
+    assert((l2, d2) == (1L, 1L))
+    assert(rows() == Seq(("i2", "b.txt", 5L), ("i3", "c.txt", 4L),
+      ("i4", "d.txt", 2L)))
+    // window dirs were reset: the slice now holds ONLY window 2
+    assert(spark.read.parquet(s"${staging}_window/live").count() == 1)
+    assert(spark.read.parquet(s"${staging}_window/dead")
+      .collect().map(_.getString(0)).toSeq == Seq("i1"))
+    // the append-only staging catalog accumulated all four lives
+    assert(spark.read.parquet(staging).select("id").distinct().count() == 4)
+  }
+
   test("e35's disorder audit sizes the hourlyCounts watermark: the " +
       "jitter-ceiling delay drops nothing, a 60 s delay drops exactly " +
       "the batch-predicted rows") {
@@ -1854,6 +1931,18 @@ class StreamsSpec extends SparkSpec {
   * deserialized copy resolves back to this singleton (readResolve),
   * so the driver's generation flip is visible to every task. */
 private object SyncGen { @volatile var n = 1 }
+
+/** Fully-scripted transport (listing pages + item content), top-level
+  * so serializing it into executor fetch tasks captures no suite
+  * `$outer`. */
+private class PagedScriptTransport(script: Map[String, String],
+    content: Map[String, String])
+    extends graft.pipeline.HttpListing.Transport {
+  import graft.pipeline.HttpListing.HttpResponse
+  override def get(url: String): HttpResponse =
+    script.get(url).orElse(content.get(url)).map(HttpResponse(200, _))
+      .getOrElse(throw new AssertionError(s"unexpected $url"))
+}
 
 /** Scripted transport for the end-to-end sync test, top-level so
   * serializing it captures no suite `$outer`. Delta listing URLs come
