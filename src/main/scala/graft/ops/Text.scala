@@ -171,6 +171,33 @@ object Text {
     * ways. */
   private def containmentPairs(s: SparkSession, d: String,
       num: Int, den: Int): DataFrame = {
+    val (mapping, sizes, repPairs) = containmentRepCore(s, d, num, den)
+    val members = mapping.select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(members.toDF("ra", "da"), "ra")
+      .join(members.toDF("rb", "db"), "rb")
+      .select(col("da"), col("db"), col("na"), col("ni"))
+    val intra = members.toDF("rep", "da")
+      .join(sizes.select(col("doc_id").as("rep"), col("na")), "rep")
+      .join(members.toDF("rep", "db"), "rep")
+      .filter(col("da") =!= col("db"))
+      .select(col("da"), col("db"), col("na"), col("na").as("ni"))
+    cross.unionByName(intra)
+      .select(col("da"), col("db"), col("na").cast("long").as("n_a"),
+        col("ni").cast("long").as("n_inter"),
+        (col("ni").cast("double") / col("na")).as("containment"))
+  }
+
+  /** The prefix-filter core shared by t57 and t69: returns (dup
+    * mapping, rep sizes, verified rep-level directed pairs
+    * (ra, rb, na, ni)). Callers decorate the REP pairs (scalars
+    * only) and member-expand last — the copy-quadratic doc-level
+    * relation must never carry arrays or ride extra joins (the t60
+    * lesson, re-learned when t69's first cut joined its sketch
+    * overlay onto the EXPANDED relation and cost 3.4× the exact
+    * operator at sf10). */
+  private def containmentRepCore(s: SparkSession, d: String,
+      num: Int, den: Int): (DataFrame, DataFrame, DataFrame) = {
     val mapping = textDupMapping(s, d)
     // shingle ARRAYS persist once: the exploded rows feed df counts,
     // prefixes, and candidate generation; the arrays verify candidate
@@ -205,20 +232,7 @@ object Text {
         size(col("sha")).as("na"))
       .filter(col("ni") * den >= col("na") * num)
       .select(col("ra"), col("rb"), col("na"), col("ni"))
-    val members = mapping.select(col("rep"), col("doc_id"))
-    val cross = repPairs
-      .join(members.toDF("ra", "da"), "ra")
-      .join(members.toDF("rb", "db"), "rb")
-      .select(col("da"), col("db"), col("na"), col("ni"))
-    val intra = members.toDF("rep", "da")
-      .join(sizes.select(col("doc_id").as("rep"), col("na")), "rep")
-      .join(members.toDF("rep", "db"), "rep")
-      .filter(col("da") =!= col("db"))
-      .select(col("da"), col("db"), col("na"), col("na").as("ni"))
-    cross.unionByName(intra)
-      .select(col("da"), col("db"), col("na").cast("long").as("n_a"),
-        col("ni").cast("long").as("n_inter"),
-        (col("ni").cast("double") / col("na")).as("containment"))
+    (mapping, sizes, repPairs)
   }
 
   /** Routing anchor for t08:
@@ -5183,6 +5197,100 @@ object Text {
             AS chars_per_token
         FROM per GROUP BY 1, 2 ORDER BY 1, 2"""
         sb.toString
-      })
+      }),
+
+    // ---- BOTTOM-K CONTAINMENT estimator (sketched quote detection):
+    //      t57's exact directed containment C(A→B) = |S(A)∩S(B)|/|S(A)|
+    //      priced as a SKETCH — sig(A) = the k=32 smallest distinct
+    //      portable shingle hashes, est = |sig(A) ∩ TH(B)| / |sig(A)|,
+    //      a uniform without-replacement membership sample of A's set
+    //      (Cohen & Kaplan 2007's bottom-k discipline; Broder 1997 for
+    //      the min-wise view). At 100 TB the full shingle sets never
+    //      ship to the pair stage: a doc is 32 longs on the A side and
+    //      its sorted hash set on the probe side, and the sorted-array
+    //      intersect is the same [[graft.functions.TextExprs
+    //      .SortedIntersectCount]] kernel t57 verifies with.
+    //      DETERMINISTIC end to end on the t60 playbook: the hash is
+    //      the portable 31-poly over shingle strings (the fused
+    //      NgramPolyHashes kernel, ExprEquivSpec bit-equality), the
+    //      oracle replays sig + membership + the same divisions, and
+    //      rows hash-match — the estimator's ERROR column is thereby
+    //      an oracle-checked calibration table, not a 3σ contract.
+    //      Pairs come from the exact anchor (t57's prefix filter), so
+    //      this measures estimator quality ON the decision set the
+    //      exact operator emits; est and exact agree at 1.0 on every
+    //      identical-text (intra-rep) pair by construction. Rep
+    //      granularity throughout: sigs and hash sets live per
+    //      distinct text, pairs expand through the dup mapping last
+    //      (the t60 lesson). ----
+    QuerySpec(
+      "t69_bottomk_containment",
+      (s, d) => {
+        val kBot = 32
+        val (mapping, sizes, repPairs) = containmentRepCore(s, d, 4, 5)
+        val repTh = Scoped.persist(
+          textDupMapping(s, d).filter(col("doc_id") === col("rep"))
+            .select(col("rep"),
+              array_sort(array_distinct(graft.functions.TextExprs
+                .ngramPolyHashes(col("text"), 3))).as("ths"))
+            .filter(size(col("ths")) > 0))
+        val sig = repTh.select(col("rep"),
+          slice(col("ths"), 1, kBot).as("sg"))
+        // decorate at REP level (arrays stay here), expand with
+        // SCALARS only — the containmentRepCore discipline
+        val repEst = repPairs
+          .join(sig.toDF("ra", "sg"), "ra")
+          .join(repTh.toDF("rb", "thb"), "rb")
+          .select(col("ra"), col("rb"), col("na"), col("ni"),
+            graft.functions.TextExprs
+              .sortedIntersectCount(col("sg"), col("thb")).as("hit"),
+            size(col("sg")).as("k_eff"))
+        val members = mapping.select(col("rep"), col("doc_id"))
+        val cross = repEst
+          .join(members.toDF("ra", "da"), "ra")
+          .join(members.toDF("rb", "db"), "rb")
+          .select(col("da"), col("db"), col("na"), col("ni"),
+            col("hit"), col("k_eff"))
+        // intra-rep pairs: identical text, sig(A) ⊆ TH(A) — the
+        // sample hits in full and est is exactly 1.0
+        val intra = members.toDF("rep", "da")
+          .join(sizes.select(col("doc_id").as("rep"), col("na")), "rep")
+          .join(sig.select(col("rep"), size(col("sg")).as("k_eff")),
+            "rep")
+          .join(members.toDF("rep", "db"), "rep")
+          .filter(col("da") =!= col("db"))
+          .select(col("da"), col("db"), col("na"),
+            col("na").as("ni"), col("k_eff").as("hit"), col("k_eff"))
+        cross.unionByName(intra)
+          .select(col("da"), col("db"),
+            col("na").cast("long").as("n_a"),
+            (col("ni").cast("double") / col("na")).as("containment"),
+            (col("hit").cast("double") / col("k_eff")).as("est"),
+            abs(col("hit").cast("double") / col("k_eff") -
+              col("ni").cast("double") / col("na")).as("abs_err"))
+          .orderBy("da", "db")
+      },
+      Some(s"""WITH hs AS (
+        SELECT DISTINCT doc_id, list_reduce(list_prepend(
+          CAST(0 AS BIGINT), list_transform(str_split(s, ''),
+            ch -> CAST(ascii(ch) AS BIGINT))),
+          (acc, ch) -> (acc*31+ch) % 1000000007) AS th
+        FROM ($shinglesSql) sh),
+      ths AS (SELECT doc_id, list_sort(list(th)) AS l
+              FROM hs GROUP BY doc_id),
+      sig AS (SELECT doc_id, list_slice(l, 1, 32) AS sg FROM ths),
+      ex AS ($containmentPairsSql),
+      hit AS (
+        SELECT e.da, e.db,
+          len(list_filter(s.sg, x -> list_contains(t.l, x))) AS hit,
+          len(s.sg) AS k_eff
+        FROM ex e
+        JOIN sig s ON s.doc_id = e.da
+        JOIN ths t ON t.doc_id = e.db)
+      SELECT e.da, e.db, e.n_a, e.containment,
+        CAST(h.hit AS DOUBLE) / h.k_eff AS est,
+        ABS(CAST(h.hit AS DOUBLE) / h.k_eff - e.containment) AS abs_err
+      FROM ex e JOIN hit h ON h.da = e.da AND h.db = e.db
+      ORDER BY e.da, e.db"""))
   )
 }

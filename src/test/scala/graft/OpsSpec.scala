@@ -2780,6 +2780,36 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("t69: bottom-k containment estimates ride t57's exact pair set; " +
+      "the estimator is an unbiased membership sample with bounded error") {
+    val exact = SparkEntry.queries("t57_containment_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Scoped.release()
+    val est = SparkEntry.queries("t69_bottomk_containment")(spark, sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    Scoped.release()
+    assert(est.nonEmpty)
+    // same decision set: t69 prices the pairs the exact operator
+    // emits, one row per directed pair
+    assert(est.map(_._1).toSet == exact && est.length == exact.size)
+    est.foreach { case ((a, b), (c, e, err)) =>
+      assert(e >= 0.0 && e <= 1.0, s"($a,$b) est $e out of range")
+      assert(math.abs(e - c) == err, s"($a,$b) abs_err mismatch")
+      // k=32 without-replacement membership sample of a set whose
+      // true containment is ≥ 0.8 on every emitted pair: the
+      // hypergeometric tail keeps the estimate far from zero — a
+      // loose but meaningful sanity bound (exact rows hash-match the
+      // oracle, so this guards the ESTIMATOR's shape, not values)
+      assert(e >= 0.5, s"($a,$b) est $e implausibly low for c=$c")
+    }
+    // identical texts (intra-rep pairs) must estimate exactly 1.0:
+    // sig(A) ⊆ TH(A) by construction
+    val ones = est.filter(_._2._1 == 1.0)
+    assert(ones.nonEmpty && ones.forall(_._2._2 == 1.0),
+      "a fully-contained pair must sample at 1.0")
+  }
+
   test("s28: triplets are well-formed and the margin is never negative") {
     val rows = SparkEntry.queries("s28_contrastive_triplets")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),

@@ -1732,6 +1732,65 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(staging).select("id").distinct().count() == 4)
   }
 
+  test("sync fault injection: a failed blob fetch aborts the window " +
+      "BEFORE the checkpoint advances, and the retry replays it to the " +
+      "uninterrupted result") {
+    // C3/C4 on the drain path: the drain hook runs before
+    // checkpoint.save, so a terminal fetch error (here a 500 the
+    // retry policy exhausts) fails the whole sync call, the deltaLink
+    // stays un-advanced, and the next scheduled run re-syncs the SAME
+    // window — landing exactly what the uninterrupted run would have.
+    import graft.ingest.BronzeMerge
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    val base = "https://graph.example.test/drives/d8"
+    val delta1 = s"$base/root/delta?token=F1"
+    def item(id: String, name: String, size: Long) =
+      s"""{"id":"$id","name":"$name","size":$size,""" +
+        """"file":{"mimeType":"text/plain"},""" +
+        """"parentReference":{"path":"/drives/d8/root:/in"}}"""
+    val script = Map(
+      s"$base/root/delta" ->
+        s"""{"value":[${item("i1", "a.txt", 3)},${item("i2", "b.txt", 5)}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", ""))
+    val content = Map(
+      s"$base/items/i1/content" -> "aaa",
+      s"$base/items/i2/content" -> "bbbbb")
+    FetchOutage.broken = true // i2's content GET returns terminal 500s
+    val transport = new OutageScriptTransport(script, content,
+      s"$base/items/i2/content")
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-sync-fault").toString
+    val staging = s"$work/staging"
+    val ckDir = s"$work/delta-ckpt"
+    val table = s"$work/bronze"
+
+    // attempt 1: the drain dies on i2's fetch; the sync call fails
+    // loudly and the checkpoint records NOTHING
+    intercept[Exception] {
+      Streams.syncToBronze(spark, new DeltaListingProvider(base,
+        transport, sleeper = _ => ()), new DeltaCheckpoint(ckDir),
+        staging, transport, base, table,
+        policy = graft.pipeline.HttpListing.RetryPolicy(maxRetries = 1,
+          baseDelayMs = 0))
+    }
+    assert(new DeltaCheckpoint(ckDir).load().isEmpty,
+      "a failed window must not advance the deltaLink")
+
+    // the outage ends; the scheduled re-run replays the SAME window
+    // (sync(None) — the checkpoint never moved) and converges on the
+    // uninterrupted result, with i1's possibly-landed rows deduped by
+    // the id-qualified merge keys
+    FetchOutage.broken = false
+    val w = Streams.syncToBronze(spark, prov, new DeltaCheckpoint(ckDir),
+      staging, transport, base, table)
+    assert(w.size == 2)
+    assert(new DeltaCheckpoint(ckDir).load().contains(delta1))
+    val rows = BronzeMerge.snapshot(spark, table)
+      .select("source_item_id", "file_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq(("i1", "a.txt"), ("i2", "b.txt")))
+  }
+
   test("e35's disorder audit sizes the hourlyCounts watermark: the " +
       "jitter-ceiling delay drops nothing, a 60 s delay drops exactly " +
       "the batch-predicted rows") {
@@ -1942,6 +2001,23 @@ private class PagedScriptTransport(script: Map[String, String],
   override def get(url: String): HttpResponse =
     script.get(url).orElse(content.get(url)).map(HttpResponse(200, _))
       .getOrElse(throw new AssertionError(s"unexpected $url"))
+}
+
+/** Module-held outage switch for the fault-injection sync test (the
+  * [[SyncGen]] pattern: a singleton resolves to the live JVM value in
+  * executor tasks, so the driver's flip is visible everywhere). */
+private object FetchOutage { @volatile var broken = false }
+
+/** [[PagedScriptTransport]] whose `outageUrl` serves terminal 500s
+  * while [[FetchOutage.broken]] holds. */
+private class OutageScriptTransport(script: Map[String, String],
+    content: Map[String, String], outageUrl: String)
+    extends PagedScriptTransport(script, content) {
+  import graft.pipeline.HttpListing.HttpResponse
+  override def get(url: String): HttpResponse =
+    if (url == outageUrl && FetchOutage.broken)
+      HttpResponse(500, "storage backend unavailable")
+    else super.get(url)
 }
 
 /** Scripted transport for the end-to-end sync test, top-level so
