@@ -190,6 +190,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("t69: sketch decoration stays at rep level — the sorted-array " +
+      "intersect never rides the member-expansion joins") {
+    val p = plan("t69_bottomk_containment")
+    // the estimator's kernel evaluates once per REP pair…
+    assert(p.contains("sorted_intersect_count"))
+    // …and the doc-level expansion ships only scalars: every join
+    // PROJECT above the intersect carries hit/k_eff, never the sg/
+    // thb arrays (the containmentRepCore discipline — the first cut
+    // joined arrays onto the copy-quadratic relation, 3.4× at sf10).
+    // Structural proxy pins: no cartesian anywhere, and exactly one
+    // Union (cross + intra expansion, the t57 shape).
+    assert(!p.contains("CartesianProduct"))
+    assert("Union".r.findAllIn(p).size == 1)
+    // the fused portable-hash kernel builds the signatures in-plan
+    // (memoized relations aside, the sketch is never a string form)
+    assert(p.contains("ngram_poly_hashes") || p.contains("graft-spill-"),
+      p.take(600))
+  }
+
   test("s05: fused hyperplane signatures, one corpus scan") {
     val p = plan("s05_ann_lsh")
     assert(p.contains("hyperplane_sigs"))
