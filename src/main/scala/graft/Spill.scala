@@ -27,13 +27,23 @@ object Spill {
   private val counter = new java.util.concurrent.atomic.AtomicLong()
   private val rootMemo = new SessionMemo[String, String]
 
-  /** Session spill root: `graft.spill.dir` when configured (durable /
-    * shared storage on a real cluster), else one JVM-temp directory
-    * per session. */
+  /** Session spill root: a UNIQUE per-session subdirectory under
+    * `graft.spill.dir` when configured (durable / shared storage on a
+    * real cluster), else one JVM-temp directory per session. The
+    * subdirectory is keyed by applicationId + a fresh UUID because the
+    * rel-counter below resets per JVM: a restarted driver (or a second
+    * concurrent one) pointed at the same durable dir would otherwise
+    * collide with the previous run's `rel-1…` paths and fail the first
+    * memoized write on ErrorIfExists. */
   private[graft] def root(s: SparkSession): String =
     rootMemo.getOrCompute(s, "root") {
-      s.conf.getOption("graft.spill.dir").getOrElse(
-        java.nio.file.Files.createTempDirectory("graft-spill-").toString)
+      s.conf.getOption("graft.spill.dir") match {
+        case Some(base) =>
+          s"${base.stripSuffix("/")}/${s.sparkContext.applicationId}-" +
+            java.util.UUID.randomUUID().toString.take(8)
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft-spill-").toString
+      }
     }
 
   /** Materialize `df` to a fresh spill path; returns (path, scan).
@@ -50,13 +60,23 @@ object Spill {
     (path, s.read.parquet(path).persist())
   }
 
-  /** True iff the spill path still exists (its _SUCCESS-marked
-    * directory; a half-deleted dir reads as dead and recomputes). */
+  /** True iff the spill path still holds its data: the _SUCCESS
+    * marker when present, else at least one parquet part file —
+    * deployments that disable success markers
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`) must
+    * not recompute-and-respill on every access (a leak of one spill
+    * dir per read). A half-deleted dir (no marker, no parts) still
+    * reads as dead and recomputes. */
   private[graft] def alive(s: SparkSession, path: String): Boolean =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+      fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) || {
+        fs.exists(p) && fs.listStatus(p).exists { st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.getName.startsWith(".")
+        }
+      }
     } catch { case _: Throwable => false }
 }
 

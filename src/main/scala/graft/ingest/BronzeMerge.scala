@@ -229,6 +229,80 @@ object BronzeMerge {
     } finally { dead.unpersist(); () }
   }
 
+  /** True iff any committed batch's identity keys carry [[IdCol]] —
+    * i.e. id-keyed row deletes CAN match something. False on a legacy
+    * table whose every batch predates source ids (see
+    * [[backfillIds]]). Footer-only check: reads key-file schemas,
+    * never data bytes. */
+  def carriesIds(spark: SparkSession, table: String): Boolean = {
+    val (_, batches) = currentCommit(spark, table)
+    batches.nonEmpty &&
+      spark.read.option("mergeSchema", "true")
+        .parquet(batches.map(b => s"$table/_keys/$b"): _*)
+        .columns.contains(IdCol)
+  }
+
+  /** MIGRATION: backfill [[IdCol]] onto a LEGACY bronze table whose
+    * batches predate source ids, from a `mapping` relation carrying
+    * (`source_item_id`, joinCols…) — typically the staged catalog's
+    * (`id`, `name`, `size`) projected to (`source_item_id`,
+    * `file_name`, `length`). Round 14 made tombstone deletes
+    * exclusively id-keyed (and deleted the name+size fallback), so an
+    * UPGRADED pipeline pointed at a pre-upgrade table silently stops
+    * propagating source deletions — the sync paths warn loudly
+    * exactly then, and this one-shot rewrite is the fix the warning
+    * names. Batches already carrying the column keep their bytes
+    * untouched; id-less batches are rewritten once with the joined id
+    * (null where the mapping has no entry — those rows remain
+    * undeletable by id, counted out of the returned fill count). The
+    * mapping must be FUNCTIONAL on the join key (one id per key):
+    * ambiguity fails loudly rather than guessing — the same
+    * reasoning that deleted the name+size delete heuristic. Old
+    * versions still time-travel to the id-less data until [[vacuum]].
+    * Returns (new version, rows filled); no-op (current version, 0)
+    * when every batch already carries ids. */
+  def backfillIds(spark: SparkSession, table: String, mapping: DataFrame,
+      joinCols: Seq[String] = Seq("file_name", "length")): (Int, Long) = {
+    val f = fs(spark, table)
+    val (ver, batches) = currentCommit(spark, table)
+    require(batches.nonEmpty, "empty bronze table")
+    val map = mapping.select((IdCol +: joinCols).map(col): _*)
+      .distinct().persist()
+    try {
+      val dup = map.groupBy(joinCols.map(col): _*)
+        .agg(countDistinct(col(IdCol)).as("n"))
+        .filter(col("n") > 1).count()
+      require(dup == 0, s"mapping is ambiguous on " +
+        s"(${joinCols.mkString(",")}) for $dup key(s) — refusing to " +
+        "guess source ids")
+      var filled = 0L
+      val newBatches = batches.zipWithIndex.map { case (b, i) =>
+        val df = spark.read.parquet(s"$table/$b")
+        if (df.columns.contains(IdCol)) b
+        else {
+          val joined = df.join(map, joinCols, "left")
+            .select((df.columns :+ IdCol).map(col): _*)
+          val rewritten =
+            freshBatchName(f, table, f"batch-${ver + 1}%08d-bf$i")
+          joined.write.mode(SaveMode.ErrorIfExists)
+            .parquet(s"$table/$rewritten")
+          val landed = spark.read.parquet(s"$table/$rewritten")
+          filled += landed.filter(col(IdCol).isNotNull).count()
+          landed.select((IdCol +: KeyCols).map(col): _*).distinct()
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$table/_keys/$rewritten")
+          rewritten
+        }
+      }
+      if (newBatches == batches) (ver, 0L)
+      else {
+        commit(f, table, ver + 1, newBatches)
+        DeltaLog.sync(spark, table)
+        (ver + 1, filled)
+      }
+    } finally { map.unpersist(); () }
+  }
+
   /** Copy-on-write core shared by the delete entry points: `split`
     * maps a committed batch to (matching rows, surviving rows);
     * batches with no matches keep their name and bytes. */
@@ -399,16 +473,20 @@ object BronzeMerge {
       if (batches.isEmpty) src
       else {
         val keys = committedKeys(spark, table, batches)
-        // the base identity must match; then a committed LEGACY key
-        // (null id — written before the table carried ids) blocks any
-        // same-identity row exactly as the pre-id contract did, while
-        // an id-carrying key blocks only ITS OWN item: a byte-identical
-        // re-create under a fresh id is a new identity and lands.
-        // <=> (null-safe) so an id-less src row never matches an
-        // id-carrying key by null propagation.
+        // the base identity must match; then an ID-CARRYING src row is
+        // blocked by a committed LEGACY key (null id — written before
+        // the table carried ids, exactly the pre-id contract) or by
+        // ITS OWN item's key (<=>, null-safe), while a byte-identical
+        // re-create under a fresh id is a new identity and lands. An
+        // ID-LESS src row cannot distinguish item identities at all,
+        // so the bare (name, length, modified) key blocks it REGARDLESS
+        // of the committed key's id — the pre-id contract again; any
+        // weaker rule re-appends duplicates the moment a table built
+        // by the id-less path gains ids (streamMergeIngest next to the
+        // id-carrying drain, or a [[backfillIds]] migration).
         val cond = KeyCols.map(c => src(c) === keys(c)).reduce(_ && _) &&
-          (keys(IdCol).isNull ||
-            (if (hasId) src(IdCol) <=> keys(IdCol) else lit(false)))
+          (if (hasId) keys(IdCol).isNull || (src(IdCol) <=> keys(IdCol))
+           else lit(true))
         src.join(keys, cond, "left_anti")
       }
     // collision-free attempt name: a crash between data-write and

@@ -39,13 +39,22 @@ object DeltaListing {
     * least `id` and `name`); consumers drop or tombstone-propagate
     * them instead of re-fetching. Folders surface with a null mime
     * (the P1 file-facet filter drops them downstream, same as the
-    * children listing). */
+    * children listing). `modified` is the item's
+    * `lastModifiedDateTime` — the REAL change stamp the drain keys
+    * bronze rows with (an in-place update whose byte length is
+    * unchanged is distinguishable ONLY by this stamp; without it the
+    * (id, name, length, modified) merge key would silently drop the
+    * new generation and `snapshotLatest`'s desc(modified) tie-break
+    * could not prefer it). Null when the payload omits it (some
+    * tombstones); consumers fall back to a fixed epoch so replays
+    * still key identically. */
   final case class DeltaItem(
       id: String,
       path: String,
       name: String,
       mime: String,
       size: java.lang.Long,
+      modified: java.sql.Timestamp,
       deleted: Boolean)
 
   /** A drained delta round: every changed item since the previous
@@ -129,6 +138,13 @@ final class DeltaListingProvider(
           Option(it.get("size"))
             .map(n => java.lang.Long.valueOf(n.asLong())).orNull
         else null,
+      // ISO-8601 instant ("2024-01-01T12:00:00Z", optional fractional
+      // seconds) — Graph's documented driveItem stamp format; an
+      // unparseable or absent stamp degrades to null rather than
+      // failing the page (a tombstone's stamp is irrelevant anyway)
+      modified = Option(it.get("lastModifiedDateTime")).map(_.asText())
+        .flatMap(s => scala.util.Try(java.sql.Timestamp.from(
+          java.time.Instant.parse(s))).toOption).orNull,
       deleted = it.has("deleted"))
   }
 }

@@ -724,8 +724,8 @@ object Streams {
   }
 
   /** One scheduled INCREMENTAL-DISCOVERY round (Graph delta query →
-    * staged catalog append): load the previous deltaLink, fetch only
-    * the items changed since it, append the live file rows to
+    * staged catalog write): load the previous deltaLink, fetch only
+    * the items changed since it, land the live file rows in
     * `stagingDir` as parquet, and persist the new deltaLink.
     * Discovery cost is O(changes) — the fix for the reference's
     * full-catalog re-list every run
@@ -734,7 +734,18 @@ object Streams {
     * Ordering is data-then-checkpoint: a crash between the two
     * re-fetches one change window on restart (at-least-once), which
     * the downstream bronze MERGE dedupes — the same C4 contract as
-    * every other re-run in the pipeline. The staged rows feed any
+    * every other re-run in the pipeline. The staged catalog itself is
+    * WINDOW-IDEMPOTENT, not merely append-only: each window's rows
+    * land under `stagingDir/window=<tag>` where the tag derives from
+    * the window's own identity (the deltaLink the window synced FROM
+    * — a replayed window is by definition the same token), written
+    * with overwrite. A crash-replayed window therefore rewrites its
+    * own partition instead of double-appending the catalog — exactly
+    * one row per (id, window) however many times the window replays —
+    * and a multi-year catalog compacts per-partition (rewrite old
+    * `window=` dirs, never the live one; SCALE.md). Readers see one
+    * logical dataset: `spark.read.parquet(stagingDir)` partition-
+    * discovers the window column. The staged rows feed any
     * `Trigger.AvailableNow` consumer ([[streamMergeIngest]]-style):
     * each scheduled run drains discovery AND the stream in one shot,
     * so catalog freshness costs one delta round-trip plus the bytes
@@ -797,10 +808,13 @@ object Streams {
       drain: Seq[graft.pipeline.DeltaListing.DeltaItem] => Unit = _ => ())
       : Seq[graft.pipeline.DeltaListing.DeltaItem] = {
     import spark.implicits._
-    val result = provider.sync(checkpoint.load())
+    val fromToken = checkpoint.load()
+    val result = provider.sync(fromToken)
     val live = result.items.filter(it => !it.deleted && it.mime != null)
     if (live.nonEmpty)
-      live.toDF().write.mode("append").parquet(stagingDir)
+      live.toDF().write.mode("overwrite")
+        .parquet(s"${stagingDir.stripSuffix("/")}/window=" +
+          stagingWindowTag(fromToken))
     drain(result.items)
     // Tombstones delete BY SOURCE ITEM ID — the identity the Graph
     // tombstone actually carries and the identity the reference's own
@@ -820,21 +834,37 @@ object Streams {
       // not-yet-created bronze makes every tombstone a no-op
       if (deadIds.nonEmpty &&
           graft.ingest.BronzeMerge.currentCommit(spark, table)._2.nonEmpty) {
-        val idCol = col(graft.ingest.BronzeMerge.IdCol)
-        if (deadIds.size <= MassTombstoneThreshold)
-          // ONE flat hashed In — never a per-id Or chain whose
-          // analysis depth is the tombstone count
-          graft.ingest.BronzeMerge.deleteWhere(spark, table,
-            idCol.isin(deadIds: _*))
-        else
-          // a deleted source folder can carry millions of
-          // tombstones: keep them a DataFrame and anti-join — no
-          // O(tombstones)-literal expression tree. (The ids are
-          // already driver-resident — the listing provider returns
-          // the window as a Seq — so toDF adds no new driver copy.)
-          graft.ingest.BronzeMerge.deleteMatchingKeys(spark, table,
-            deadIds.toDF(graft.ingest.BronzeMerge.IdCol),
-            Seq(graft.ingest.BronzeMerge.IdCol))
+        if (!graft.ingest.BronzeMerge.carriesIds(spark, table))
+          // LEGACY TABLE (every batch predates source_item_id): an
+          // id-keyed delete is a structural no-op, so source
+          // deletions would silently stop propagating and bronze
+          // would diverge forever. Warn LOUDLY and skip the
+          // guaranteed-no-op table scan; the operator runs
+          // BronzeMerge.backfillIds (mapping from the staged
+          // catalog) once, after which deletes flow again.
+          log.warn(s"tombstone window (${deadIds.size} ids) against " +
+            s"id-less bronze table $table: every batch predates " +
+            "source_item_id, so id-keyed deletes CANNOT match — " +
+            "bronze will diverge from the source until " +
+            "BronzeMerge.backfillIds migrates the table")
+        else {
+          val idCol = col(graft.ingest.BronzeMerge.IdCol)
+          if (deadIds.size <= MassTombstoneThreshold)
+            // ONE flat hashed In — never a per-id Or chain whose
+            // analysis depth is the tombstone count
+            graft.ingest.BronzeMerge.deleteWhere(spark, table,
+              idCol.isin(deadIds: _*))
+          else
+            // a deleted source folder can carry millions of
+            // tombstones: keep them a DataFrame and anti-join — no
+            // O(tombstones)-literal expression tree. (The ids are
+            // already driver-resident — the listing provider returns
+            // the window as a Seq — so toDF adds no new driver copy.)
+            graft.ingest.BronzeMerge.deleteMatchingKeys(spark, table,
+              deadIds.toDF(graft.ingest.BronzeMerge.IdCol),
+              Seq(graft.ingest.BronzeMerge.IdCol))
+          ()
+        }
       }
     }
     checkpoint.save(result.deltaLink)
@@ -846,6 +876,38 @@ object Streams {
     * ([[graft.ingest.BronzeMerge.deleteMatchingKeys]]). */
   val MassTombstoneThreshold = 1000
 
+  private val log =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.Streams")
+
+  /** Window tag for the idempotent staged catalog: a stable digest of
+    * the deltaLink the window synced FROM (absent = the initial full
+    * sync) — a replayed window is BY DEFINITION the same from-token,
+    * so its staging write overwrites its own `window=` partition
+    * instead of appending a duplicate copy. Prefixed non-numeric so
+    * partition discovery always infers a string column. */
+  private[graft] def stagingWindowTag(fromToken: Option[String]): String =
+    "w" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(fromToken.getOrElse("").getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** One drain item whose blob fetch failed, PARKED instead of
+    * wedging the window — the engine-side form of the reference's
+    * per-file error isolation (C2, `sharepoint_to_bronze_delta.py:
+    * 213-219`: download/upload failure → log + skip + continue).
+    * Carries everything a later window needs to retry the fetch
+    * (identity, name, stamp, listed size) plus the captured error. */
+  final case class QuarantinedItem(
+      source_item_id: String,
+      file_name: String,
+      modified: java.sql.Timestamp,
+      size: java.lang.Long,
+      error: String)
+
+  /** A drain's outcome: rows appended to bronze plus the items whose
+    * fetch failed (always empty when failure isolation is off — a
+    * failure then aborts the window instead). */
+  final case class DrainResult(appended: Long, failed: Seq[QuarantinedItem])
+
   /** Land one discovery window's live blobs into bronze BY ITEM ID —
     * the production drain the id-keyed tombstone contract assumes
     * (the specs' driver-side stand-ins model it). Each live file item
@@ -854,18 +916,21 @@ object Streams {
     * downloads by drive item) — EXECUTOR-SIDE through the chunked
     * range-GET ([[graft.pipeline.HttpListing.ChunkedTransfer]]:
     * O(chunkBytes) transfer slices, per-chunk retry; the assembled
-    * row is O(file), the floor for a content-column store), then
-    * lands `(source_item_id, file_name, length, modified, content)`
+    * row is O(file), the floor for a content-column store — see
+    * `filesZone` for blobs that must never be rows), then lands
+    * `(source_item_id, file_name, length, modified, content)`
     * through the idempotent merge. Bandwidth is O(window), never
     * O(catalog): callers hand the CHANGED items, so an unchanged
     * 100 TB corpus costs one delta round-trip plus only the bytes
     * that moved. Re-drains of a replayed window re-fetch but re-land
     * nothing (the id-qualified keys dedupe — at-least-once fetch,
     * exactly-once rows, C4). `length` is the FETCHED byte count
-    * (authoritative over the listing's size facet); `modified`
-    * defaults to a fixed epoch so replays key identically — carry
-    * the item's real change stamp when the caller tracks one.
-    * Returns appended rows. */
+    * (authoritative over the listing's size facet); `modified` is
+    * each item's REAL change stamp ([[graft.pipeline.DeltaListing
+    * .DeltaItem]].modified — replays key identically because the
+    * stamp comes from the listing, not a clock), with the fixed-epoch
+    * parameter as the fallback for stamp-less payloads. Returns
+    * appended rows. */
   def drainWindow(spark: SparkSession,
       transport: graft.pipeline.HttpListing.Transport,
       driveBaseUrl: String,
@@ -874,24 +939,40 @@ object Streams {
       policy: graft.pipeline.HttpListing.RetryPolicy =
         graft.pipeline.HttpListing.RetryPolicy(),
       chunkBytes: Int = 8 << 20,
-      modified: java.sql.Timestamp = new java.sql.Timestamp(0L)): Long = {
+      modified: java.sql.Timestamp = new java.sql.Timestamp(0L),
+      filesZone: Option[String] = None,
+      largeBlobBytes: Long = Long.MaxValue): Long = {
     import spark.implicits._
-    // one fetch per distinct item id: an item updated twice in one
-    // window lists twice but has ONE current content
-    val meta = items.filter(it => !it.deleted && it.mime != null)
-      .map(it => (it.id, it.name)).distinct
+    val meta = windowMeta(items, modified)
     if (meta.isEmpty) return 0L
     drainItems(spark, transport, driveBaseUrl,
-      spark.createDataset(meta).toDF("source_item_id", "file_name"),
-      table, policy, chunkBytes, modified)
+      spark.createDataset(meta)
+        .toDF("source_item_id", "file_name", "modified", "size"),
+      table, policy, chunkBytes, modified, filesZone, largeBlobBytes)
   }
 
+  /** A window Seq's live items as drain-meta tuples
+    * (id, name, stamp-or-fallback, listed size). */
+  private def windowMeta(items: Seq[graft.pipeline.DeltaListing.DeltaItem],
+      fallback: java.sql.Timestamp)
+      : Seq[(String, String, java.sql.Timestamp, Option[Long])] =
+    items.filter(it => !it.deleted && it.mime != null)
+      .map(it => (it.id, it.name,
+        Option(it.modified).getOrElse(fallback),
+        Option(it.size).map(_.toLong))).distinct
+
   /** [[drainWindow]]'s relation-driven core: `meta` is any
-    * `(source_item_id, file_name)` DataFrame — a window Seq lifted by
-    * the wrapper, or the window-slice relation the PAGED discovery
-    * writes ([[discoverIncrementPaged]]), which never existed as a
-    * driver collection at all. Fetch is executor-side per partition;
-    * duplicates are collapsed here so every id fetches once. */
+    * `(source_item_id, file_name[, modified][, size])` DataFrame — a
+    * window Seq lifted by the wrapper, or the window-slice relation
+    * the PAGED discovery writes ([[discoverIncrementPaged]]), which
+    * never existed as a driver collection at all (missing columns
+    * default to the fallback stamp / unknown size). Fetch is
+    * executor-side per partition; duplicates are collapsed so every
+    * id fetches once, keeping the LATEST stamp (an item updated twice
+    * in one window has one current content, keyed off the newest
+    * generation). A fetch failure aborts the window (fail-loud →
+    * checkpoint never advances → replay-to-success); for per-item
+    * isolation use [[drainItemsIsolated]]. */
   def drainItems(spark: SparkSession,
       transport: graft.pipeline.HttpListing.Transport,
       driveBaseUrl: String,
@@ -900,28 +981,174 @@ object Streams {
       policy: graft.pipeline.HttpListing.RetryPolicy =
         graft.pipeline.HttpListing.RetryPolicy(),
       chunkBytes: Int = 8 << 20,
-      modified: java.sql.Timestamp = new java.sql.Timestamp(0L)): Long = {
+      modified: java.sql.Timestamp = new java.sql.Timestamp(0L),
+      filesZone: Option[String] = None,
+      largeBlobBytes: Long = Long.MaxValue): Long =
+    drainCore(spark, transport, driveBaseUrl, meta, table, policy,
+      chunkBytes, modified, filesZone, largeBlobBytes,
+      isolate = false).appended
+
+  /** [[drainItems]] with the reference's PER-FILE error isolation
+    * (C2): each item's fetch error is captured INSIDE the fetch
+    * partition instead of failing the task, the good items land, and
+    * the failures come back as [[QuarantinedItem]]s for the caller to
+    * park and retry — one permanently dead item (the routine 404 from
+    * a delete between list and fetch, a forever-5xx corrupt blob) can
+    * no longer freeze the deltaLink and wedge all future ingestion.
+    * Failure capture rides a collection accumulator: O(failures)
+    * driver memory (poison items are the exception path by design —
+    * a systemic outage is better served by the fail-loud
+    * [[drainItems]], whose replay-to-success the fault-injection spec
+    * pins), deduped by id because task retries can double-report. */
+  def drainItemsIsolated(spark: SparkSession,
+      transport: graft.pipeline.HttpListing.Transport,
+      driveBaseUrl: String,
+      meta: DataFrame,
+      table: String,
+      policy: graft.pipeline.HttpListing.RetryPolicy =
+        graft.pipeline.HttpListing.RetryPolicy(),
+      chunkBytes: Int = 8 << 20,
+      modified: java.sql.Timestamp = new java.sql.Timestamp(0L),
+      filesZone: Option[String] = None,
+      largeBlobBytes: Long = Long.MaxValue): DrainResult =
+    drainCore(spark, transport, driveBaseUrl, meta, table, policy,
+      chunkBytes, modified, filesZone, largeBlobBytes, isolate = true)
+
+  /** Shared fetch-and-merge core. SIZE-THRESHOLD ROUTER (`filesZone`):
+    * items whose LISTED size reaches `largeBlobBytes` stream chunk by
+    * chunk straight to `<filesZone>/<id>` through the Hadoop
+    * FileSystem — O(chunkBytes) peak heap, never a `ByteArrayOutput
+    * Stream` and never a content column (whose `Array[Byte]` ceiling
+    * is 2 GiB) — and bronze lands a PATH-REFERENCE row (`content` null,
+    * `content_path` set, `length` = streamed byte count). This is the
+    * reference's own big-file semantics: K1 streams files into the
+    * lakehouse Files area (`sharepoint_to_bronze_delta.py:173-176`
+    * via `mssparkutils.fs.cp`) rather than a table row. The zone
+    * write is overwrite-idempotent (a replayed window rewrites the
+    * same bytes at the same path); the id-keyed tombstone path also
+    * removes the zone file ([[syncToBronze]]/[[syncToBronzePaged]]).
+    * The single fetch pass feeds the merge AND the failure capture —
+    * content bytes are never fetched twice and never pinned. */
+  private def drainCore(spark: SparkSession,
+      transport: graft.pipeline.HttpListing.Transport,
+      driveBaseUrl: String,
+      meta: DataFrame,
+      table: String,
+      policy: graft.pipeline.HttpListing.RetryPolicy,
+      chunkBytes: Int,
+      modified: java.sql.Timestamp,
+      filesZone: Option[String],
+      largeBlobBytes: Long,
+      isolate: Boolean): DrainResult = {
     import spark.implicits._
-    val fetched = meta
-      .select(col("source_item_id"), col("file_name")).distinct()
-      // spread fetch I/O across executor slots (AQE re-coalesces the
-      // distinct's output, so small windows don't fan into hundreds
-      // of empty fetch tasks)
-      .as[(String, String)]
+    val withMod =
+      if (meta.columns.contains("modified")) meta
+      else meta.withColumn("modified", lit(modified))
+    val withSize =
+      if (withMod.columns.contains("size")) withMod
+      else withMod.withColumn("size", lit(null).cast("long"))
+    // one fetch per id, newest stamp wins (struct max orders on
+    // `modified` first); AQE re-coalesces the aggregate's output so
+    // small windows don't fan into hundreds of empty fetch tasks
+    val one = withSize
+      .select(col("source_item_id"), col("file_name"),
+        coalesce(col("modified"), lit(modified)).as("modified"),
+        col("size").cast("long").as("size"))
+      .groupBy(col("source_item_id"))
+      .agg(max(struct(col("modified"), col("file_name"), col("size")))
+        .as("m"))
+      .select(col("source_item_id"), col("m.file_name").as("file_name"),
+        col("m.modified").as("modified"), col("m.size").as("size"))
+    val failAcc = spark.sparkContext
+      .collectionAccumulator[QuarantinedItem]("graft.drain.quarantine")
+    val zone = filesZone.orNull
+    val confBc =
+      if (filesZone.isDefined)
+        spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+      else null
+    val fetched = one
+      .as[(String, String, java.sql.Timestamp, Option[Long])]
       .mapPartitions { rows =>
-        rows.map { case (id, name) =>
-          val buf = new java.io.ByteArrayOutputStream()
-          graft.pipeline.HttpListing.ChunkedTransfer.fetchTo(
-            transport, policy, (ms: Long) => Thread.sleep(ms))(
-            s"$driveBaseUrl/items/$id/content", buf, chunkBytes)
-          val bytes = buf.toByteArray
-          (id, name, bytes.length.toLong, bytes)
+        rows.flatMap { case (id, name, mod, size) =>
+          val url = s"$driveBaseUrl/items/$id/content"
+          try {
+            if (zone != null && size.exists(_ >= largeBlobBytes)) {
+              // large blob: stream to the Files zone, land a
+              // path-reference row — O(chunkBytes) peak heap
+              val dest = new org.apache.hadoop.fs.Path(zone, id)
+              val fsz = dest.getFileSystem(confBc.value.value)
+              val out = fsz.create(dest, true)
+              val n =
+                try graft.pipeline.HttpListing.ChunkedTransfer.fetchTo(
+                  transport, policy, (ms: Long) => Thread.sleep(ms))(
+                  url, out, chunkBytes)
+                finally out.close()
+              Some((id, name, n, mod, null: Array[Byte],
+                dest.toString))
+            } else {
+              val buf = new java.io.ByteArrayOutputStream()
+              graft.pipeline.HttpListing.ChunkedTransfer.fetchTo(
+                transport, policy, (ms: Long) => Thread.sleep(ms))(
+                url, buf, chunkBytes)
+              val bytes = buf.toByteArray
+              Some((id, name, bytes.length.toLong, mod, bytes,
+                null: String))
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) if isolate =>
+              failAcc.add(QuarantinedItem(id, name, mod,
+                size.map(java.lang.Long.valueOf).orNull,
+                (e.getClass.getSimpleName + ": " +
+                  String.valueOf(e.getMessage)).take(512)))
+              None
+          }
         }
       }
-      .toDF("source_item_id", "file_name", "length", "content")
-      .select(col("source_item_id"), col("file_name"), col("length"),
-        lit(modified).as("modified"), col("content"))
-    graft.ingest.BronzeMerge.mergeIngestDf(spark, fetched, table)
+      .toDF("source_item_id", "file_name", "length", "modified",
+        "content", "content_path")
+    // keep the exact legacy 5-column shape unless the zone is in play
+    // (schema evolution on a mixed table is opt-in via mergeSchema)
+    val landed =
+      if (filesZone.isDefined) fetched else fetched.drop("content_path")
+    val appended = graft.ingest.BronzeMerge.mergeIngestDf(spark, landed,
+      table)
+    val failed =
+      if (!isolate) Seq.empty[QuarantinedItem]
+      else {
+        import scala.jdk.CollectionConverters._
+        failAcc.value.asScala.toSeq
+          .groupBy(_.source_item_id).values.map(_.head)
+          .toSeq.sortBy(_.source_item_id)
+      }
+    DrainResult(appended, failed)
+  }
+
+  /** The parked-failure relation at `dir` (empty when absent). */
+  private[graft] def readQuarantine(spark: SparkSession,
+      dir: String): Seq[QuarantinedItem] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsq = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fsq.exists(p)) Seq.empty
+    else spark.read.parquet(dir).as[QuarantinedItem].collect().toSeq
+  }
+
+  /** Overwrite the quarantine relation with the CURRENT failure set —
+    * state, not a log: every window retries everything quarantined,
+    * so post-window failures are the complete parked set and the
+    * overwrite is idempotent under window replay (the write happens
+    * before the checkpoint, so a crash replays and rewrites it). An
+    * empty set deletes the directory. */
+  private[graft] def writeQuarantine(spark: SparkSession, dir: String,
+      items: Seq[QuarantinedItem]): Unit = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsq = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (items.isEmpty) { fsq.delete(p, true); () }
+    else spark.createDataset(items).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   /** The reference's whole sync loop in one call
@@ -930,7 +1157,29 @@ object Streams {
     * changed blobs by id ([[drainWindow]]), propagate tombstones as
     * id-keyed bronze deletes, then checkpoint — each leg idempotent,
     * so the scheduled re-run IS the crash recovery. Returns the
-    * window's items. */
+    * window's items.
+    *
+    * FAILURE MODES, chosen per `quarantineDir`:
+    *  - `None` (default): fail-loud. Any item's terminal fetch error
+    *    aborts the window before the checkpoint advances; the next
+    *    scheduled run replays it (the fault-injection spec pins
+    *    this). Right for transient outages — wrong for a POISON item
+    *    (routine 404 from a delete between list and fetch, a
+    *    forever-5xx blob), which freezes the deltaLink for good.
+    *  - `Some(dir)`: the reference's own C2 skip-and-continue
+    *    (`sharepoint_to_bronze_delta.py:213-219`). Failed items are
+    *    captured per item ([[drainItemsIsolated]]), parked in the
+    *    quarantine relation at `dir`, and the WINDOW COMMITS; every
+    *    later window retries the whole parked set (shrinking it on
+    *    success, or when the item is tombstoned upstream) alongside
+    *    its own items. The quarantine write precedes the checkpoint,
+    *    so crash-replays rewrite it idempotently.
+    *
+    * `filesZone`: enables the large-blob router — items whose listed
+    * size reaches `largeBlobBytes` stream to `<filesZone>/<id>`
+    * instead of a content column ([[drainCore]] scaladoc), and a
+    * TOMBSTONED id's zone file is deleted here alongside its bronze
+    * rows (before the checkpoint, so a crash replays the cleanup). */
   def syncToBronze(spark: SparkSession,
       provider: graft.pipeline.DeltaListingProvider,
       checkpoint: graft.pipeline.DeltaCheckpoint,
@@ -941,13 +1190,61 @@ object Streams {
       policy: graft.pipeline.HttpListing.RetryPolicy =
         graft.pipeline.HttpListing.RetryPolicy(),
       chunkBytes: Int = 8 << 20,
-      modified: java.sql.Timestamp = new java.sql.Timestamp(0L))
+      modified: java.sql.Timestamp = new java.sql.Timestamp(0L),
+      quarantineDir: Option[String] = None,
+      filesZone: Option[String] = None,
+      largeBlobBytes: Long = Long.MaxValue)
       : Seq[graft.pipeline.DeltaListing.DeltaItem] =
     discoverIncrement(spark, provider, checkpoint, stagingDir,
       Some(table), drain = items => {
-        drainWindow(spark, transport, driveBaseUrl, items, table,
-          policy, chunkBytes, modified)
-        ()
+        import spark.implicits._
+        val live = windowMeta(items, modified)
+        val deadIds = items.filter(_.deleted).map(_.id).toSet
+        quarantineDir match {
+          case None =>
+            if (live.nonEmpty) {
+              drainItems(spark, transport, driveBaseUrl,
+                spark.createDataset(live)
+                  .toDF("source_item_id", "file_name", "modified", "size"),
+                table, policy, chunkBytes, modified, filesZone,
+                largeBlobBytes)
+              ()
+            }
+          case Some(qdir) =>
+            val liveIds = live.map(_._1).toSet
+            // retry everything parked that this window neither
+            // tombstoned (dead upstream — fetching it would 404
+            // forever) nor re-listed (the window's own fresher entry
+            // supersedes the parked one)
+            val retry = readQuarantine(spark, qdir).filterNot(q =>
+              deadIds.contains(q.source_item_id) ||
+                liveIds.contains(q.source_item_id))
+            val metaAll = live ++ retry.map(q => (q.source_item_id,
+              q.file_name, Option(q.modified).getOrElse(modified),
+              Option(q.size).map(_.toLong)))
+            val failed =
+              if (metaAll.isEmpty) Seq.empty[QuarantinedItem]
+              else drainItemsIsolated(spark, transport, driveBaseUrl,
+                spark.createDataset(metaAll)
+                  .toDF("source_item_id", "file_name", "modified", "size"),
+                table, policy, chunkBytes, modified, filesZone,
+                largeBlobBytes).failed
+            if (failed.nonEmpty)
+              log.warn(s"drain quarantined ${failed.size} item(s) " +
+                s"(window committed; retried next window): " +
+                failed.take(5).map(q =>
+                  s"${q.source_item_id}=${q.error}").mkString("; "))
+            writeQuarantine(spark, qdir,
+              failed.filterNot(q => deadIds.contains(q.source_item_id)))
+        }
+        filesZone.foreach { zone =>
+          if (deadIds.nonEmpty) {
+            val zp = new org.apache.hadoop.fs.Path(zone)
+            val fsz = zp.getFileSystem(spark.sessionState.newHadoopConf())
+            deadIds.foreach(id =>
+              fsz.delete(new org.apache.hadoop.fs.Path(zp, id), false))
+          }
+        }
       })
 
   /** [[discoverIncrement]] at O(page) driver memory — the variant for
@@ -966,29 +1263,46 @@ object Streams {
     * at window start, so a crash-replayed window (checkpoint not yet
     * advanced) rebuilds them identically; per-page appends mean
     * O(pages) small files per window, read exactly once each by the
-    * drain/delete and gone at the next window. Returns
+    * drain/delete and gone at the next window. The staged catalog
+    * itself is WINDOW-IDEMPOTENT like [[discoverIncrement]]'s: pages
+    * append into `stagingDir/window=<tag>` (tag = digest of the
+    * window's from-token), which is reset with the window dirs, so a
+    * replayed window rebuilds its own partition instead of
+    * double-appending the catalog. `drain` ALWAYS runs (a
+    * quarantine-retrying drain has work even in an empty window) and
+    * receives BOTH window relations: the live `(source_item_id,
+    * file_name, modified, size)` slice and the dead-ids relation —
+    * empty typed relations when the window carried none. Returns
     * (live rows staged, tombstones observed). */
   def discoverIncrementPaged(spark: SparkSession,
       provider: graft.pipeline.DeltaListingProvider,
       checkpoint: graft.pipeline.DeltaCheckpoint,
       stagingDir: String,
       bronzeTable: Option[String] = None,
-      drain: DataFrame => Unit = _ => ()): (Long, Long) = {
+      drain: (DataFrame, DataFrame) => Unit = (_, _) => ()): (Long, Long) = {
     import spark.implicits._
+    val fromToken = checkpoint.load()
+    val stagingWindowDir = s"${stagingDir.stripSuffix("/")}/window=" +
+      stagingWindowTag(fromToken)
     val windowDir = s"${stagingDir.stripSuffix("/")}_window"
     val liveDir = s"$windowDir/live"
     val deadDir = s"$windowDir/dead"
-    val wPath = new org.apache.hadoop.fs.Path(windowDir)
-    val fsW = wPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fsW.delete(wPath, true) // window-scoped: replays rebuild it
+    val fsW = new org.apache.hadoop.fs.Path(windowDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // window-scoped: replays rebuild both (the staging partition is
+    // THIS window's — resetting it is what makes the catalog
+    // window-idempotent instead of append-only-forever)
+    fsW.delete(new org.apache.hadoop.fs.Path(windowDir), true)
+    fsW.delete(new org.apache.hadoop.fs.Path(stagingWindowDir), true)
     var nLive = 0L
     var nDead = 0L
-    val link = provider.syncPages(checkpoint.load()) { page =>
+    val link = provider.syncPages(fromToken) { page =>
       val live = page.filter(it => !it.deleted && it.mime != null)
       if (live.nonEmpty) {
-        live.toDF().write.mode("append").parquet(stagingDir)
-        live.map(it => (it.id, it.name))
-          .toDF("source_item_id", "file_name")
+        live.toDF().write.mode("append").parquet(stagingWindowDir)
+        live.map(it => (it.id, it.name, it.modified,
+            Option(it.size).map(_.toLong)))
+          .toDF("source_item_id", "file_name", "modified", "size")
           .write.mode("append").parquet(liveDir)
       }
       val dead = page.filter(_.deleted).map(_.id)
@@ -998,13 +1312,32 @@ object Streams {
       nLive += live.size
       nDead += dead.size
     }
-    if (nLive > 0) drain(spark.read.parquet(liveDir))
+    val liveRel =
+      if (nLive > 0) spark.read.parquet(liveDir)
+      else spark.createDataset(
+          Seq.empty[(String, String, java.sql.Timestamp, Option[Long])])
+        .toDF("source_item_id", "file_name", "modified", "size")
+    val deadRel =
+      if (nDead > 0) spark.read.parquet(deadDir)
+      else spark.createDataset(Seq.empty[String])
+        .toDF(graft.ingest.BronzeMerge.IdCol)
+    drain(liveRel, deadRel)
     bronzeTable.foreach { table =>
       if (nDead > 0 &&
-          graft.ingest.BronzeMerge.currentCommit(spark, table)._2.nonEmpty)
-        graft.ingest.BronzeMerge.deleteMatchingKeys(spark, table,
-          spark.read.parquet(deadDir),
-          Seq(graft.ingest.BronzeMerge.IdCol))
+          graft.ingest.BronzeMerge.currentCommit(spark, table)._2.nonEmpty) {
+        if (!graft.ingest.BronzeMerge.carriesIds(spark, table))
+          log.warn(s"tombstone window ($nDead ids) against id-less " +
+            s"bronze table $table: every batch predates " +
+            "source_item_id, so id-keyed deletes CANNOT match — " +
+            "bronze will diverge from the source until " +
+            "BronzeMerge.backfillIds migrates the table")
+        else {
+          graft.ingest.BronzeMerge.deleteMatchingKeys(spark, table,
+            spark.read.parquet(deadDir),
+            Seq(graft.ingest.BronzeMerge.IdCol))
+          ()
+        }
+      }
     }
     checkpoint.save(link)
     (nLive, nDead)
@@ -1013,7 +1346,13 @@ object Streams {
   /** [[syncToBronze]] at O(page) driver memory: paged discovery with
     * the relation-driven drain ([[drainItems]]) wired in — the
     * composition for sources whose change windows can be arbitrarily
-    * large. Returns (live rows staged, tombstones observed). */
+    * large. Same `quarantineDir`/`filesZone`/`largeBlobBytes`
+    * semantics as [[syncToBronze]]; here the parked set is reconciled
+    * against the window's DEAD RELATION by anti-join (the tombstone
+    * side can be O(window) — only the quarantine itself, O(failures),
+    * is ever driver-resident) and zone-file cleanup runs executor-
+    * side over the dead relation. Returns (live rows staged,
+    * tombstones observed). */
   def syncToBronzePaged(spark: SparkSession,
       provider: graft.pipeline.DeltaListingProvider,
       checkpoint: graft.pipeline.DeltaCheckpoint,
@@ -1024,13 +1363,59 @@ object Streams {
       policy: graft.pipeline.HttpListing.RetryPolicy =
         graft.pipeline.HttpListing.RetryPolicy(),
       chunkBytes: Int = 8 << 20,
-      modified: java.sql.Timestamp = new java.sql.Timestamp(0L))
+      modified: java.sql.Timestamp = new java.sql.Timestamp(0L),
+      quarantineDir: Option[String] = None,
+      filesZone: Option[String] = None,
+      largeBlobBytes: Long = Long.MaxValue)
       : (Long, Long) =
     discoverIncrementPaged(spark, provider, checkpoint, stagingDir,
-      Some(table), drain = rel => {
-        drainItems(spark, transport, driveBaseUrl, rel, table,
-          policy, chunkBytes, modified)
-        ()
+      Some(table), drain = (liveRel, deadRel) => {
+        import spark.implicits._
+        quarantineDir match {
+          case None =>
+            if (!liveRel.isEmpty) {
+              drainItems(spark, transport, driveBaseUrl, liveRel, table,
+                policy, chunkBytes, modified, filesZone, largeBlobBytes)
+              ()
+            }
+          case Some(qdir) =>
+            val prior = readQuarantine(spark, qdir)
+            if (prior.nonEmpty || !liveRel.isEmpty) {
+              // parked set minus tombstoned minus re-listed, by
+              // anti-join — the dead side stays a relation
+              val retryDf = spark.createDataset(prior).toDF()
+                .join(deadRel, Seq("source_item_id"), "left_anti")
+                .join(liveRel.select("source_item_id"),
+                  Seq("source_item_id"), "left_anti")
+                .select(col("source_item_id"), col("file_name"),
+                  col("modified"), col("size"))
+              val metaAll = liveRel.select(col("source_item_id"),
+                  col("file_name"), col("modified"), col("size"))
+                .unionByName(retryDf)
+              val r = drainItemsIsolated(spark, transport, driveBaseUrl,
+                metaAll, table, policy, chunkBytes, modified, filesZone,
+                largeBlobBytes)
+              if (r.failed.nonEmpty)
+                log.warn(s"drain quarantined ${r.failed.size} item(s) " +
+                  "(window committed; retried next window)")
+              val kept = spark.createDataset(r.failed).toDF()
+                .join(deadRel, Seq("source_item_id"), "left_anti")
+                .as[QuarantinedItem].collect().toSeq
+              writeQuarantine(spark, qdir, kept)
+            }
+        }
+        filesZone.foreach { zone =>
+          val confBc = spark.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()))
+          deadRel.select(col(graft.ingest.BronzeMerge.IdCol)).as[String]
+            .foreachPartition { (ids: Iterator[String]) =>
+              val zp = new org.apache.hadoop.fs.Path(zone)
+              val fsz = zp.getFileSystem(confBc.value.value)
+              ids.foreach(id =>
+                fsz.delete(new org.apache.hadoop.fs.Path(zp, id), false))
+            }
+        }
       })
 
   /** Streaming ANN index maintenance — the always-on twin of

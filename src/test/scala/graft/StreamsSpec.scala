@@ -1791,6 +1791,350 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Seq(("i1", "a.txt"), ("i2", "b.txt")))
   }
 
+  test("drain quarantine: a PERMANENTLY failing blob is parked, the " +
+      "window commits and the deltaLink advances, later windows keep " +
+      "retrying it, and when the outage ends it lands — the reference's " +
+      "per-file skip-and-continue (C2)") {
+    // round-14's fault-injection spec pins the DEFAULT (fail-loud)
+    // mode: a fetch error freezes the checkpoint for replay-to-
+    // success. That inverts the reference's C2 for a POISON item —
+    // one forever-failing blob wedges ingestion for good. With
+    // quarantineDir set, the failure is captured INSIDE the fetch
+    // partition, parked, and the window commits; every later window
+    // retries the parked set alongside its own items.
+    import graft.ingest.BronzeMerge
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    val base = "https://graph.example.test/drives/d9"
+    val delta1 = s"$base/root/delta?token=QA1"
+    val delta2 = s"$base/root/delta?token=QA2"
+    val delta3 = s"$base/root/delta?token=QA3"
+    def item(id: String, name: String, size: Long) =
+      s"""{"id":"$id","name":"$name","size":$size,""" +
+        """"file":{"mimeType":"text/plain"},""" +
+        """"parentReference":{"path":"/drives/d9/root:/in"}}"""
+    val script = Map(
+      s"$base/root/delta" ->
+        s"""{"value":[${item("i1", "a.txt", 3)},${item("i2", "b.txt", 5)}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", ""),
+      delta1 ->
+        s"""{"value":[${item("i3", "c.txt", 4)}],
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", ""),
+      delta2 ->
+        s"""{"value":[],"@odata.deltaLink":"$delta3"}""")
+    val content = Map(
+      s"$base/items/i1/content" -> "aaa",
+      s"$base/items/i2/content" -> "bbbbb",
+      s"$base/items/i3/content" -> "cccc")
+    val transport = new OutageScriptTransport(script, content,
+      s"$base/items/i2/content")
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-quarantine").toString
+    val staging = s"$work/staging"
+    val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
+    val table = s"$work/bronze"
+    val qdir = s"$work/quarantine"
+    val policy = graft.pipeline.HttpListing.RetryPolicy(maxRetries = 1,
+      baseDelayMs = 0)
+    def ids() = BronzeMerge.snapshot(spark, table)
+      .select("source_item_id").collect().map(_.getString(0)).toSeq.sorted
+
+    // window 1: i2's GET serves terminal 500s — i1 lands, i2 is
+    // PARKED, and the window still commits
+    FetchOutage.broken = true
+    Streams.syncToBronze(spark, prov, ck, staging, transport, base,
+      table, policy = policy, quarantineDir = Some(qdir))
+    assert(ck.load().contains(delta1),
+      "the window must commit despite the poison item")
+    assert(ids() == Seq("i1"))
+    val parked = Streams.readQuarantine(spark, qdir)
+    assert(parked.map(_.source_item_id) == Seq("i2"))
+    assert(parked.head.file_name == "b.txt" &&
+      parked.head.error.contains("500"))
+
+    // window 2, outage STILL on: i3 lands, i2 was retried and stays
+    // parked, the deltaLink keeps advancing — no livelock
+    Streams.syncToBronze(spark, prov, ck, staging, transport, base,
+      table, policy = policy, quarantineDir = Some(qdir))
+    assert(ck.load().contains(delta2))
+    assert(ids() == Seq("i1", "i3"))
+    assert(Streams.readQuarantine(spark, qdir)
+      .map(_.source_item_id) == Seq("i2"))
+
+    // window 3 is EMPTY upstream, but the retry loop still drains the
+    // parked set: the outage has ended, i2 lands, quarantine empties
+    FetchOutage.broken = false
+    Streams.syncToBronze(spark, prov, ck, staging, transport, base,
+      table, policy = policy, quarantineDir = Some(qdir))
+    assert(ck.load().contains(delta3))
+    assert(ids() == Seq("i1", "i2", "i3"))
+    assert(Streams.readQuarantine(spark, qdir).isEmpty)
+  }
+
+  test("delta change stamps ride into bronze: lastModifiedDateTime lands " +
+      "as `modified`, a same-length in-place update lands as a NEW " +
+      "generation and wins the merge-on-read view, and a replayed drain " +
+      "re-lands nothing") {
+    // the r14 gap: drainWindow keyed every row with modified=epoch(0),
+    // so an update whose byte LENGTH is unchanged was invisible to the
+    // (id, name, length, modified) merge key — silently dropped — and
+    // snapshotLatest could not prefer the newer generation. The stamp
+    // now rides DeltaItem end-to-end; replays still key identically
+    // because it comes from the LISTING, not a clock.
+    import graft.ingest.BronzeMerge
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    val base = "https://graph.example.test/drives/d10"
+    val delta1 = s"$base/root/delta?token=ST1"
+    val delta2 = s"$base/root/delta?token=ST2"
+    val t1 = "2024-01-05T10:00:00Z"
+    val t2 = "2024-02-06T11:30:00Z"
+    def item(id: String, name: String, size: Long, stamp: String) =
+      s"""{"id":"$id","name":"$name","size":$size,""" +
+        s""""lastModifiedDateTime":"$stamp",""" +
+        """"file":{"mimeType":"text/plain"},""" +
+        """"parentReference":{"path":"/drives/d10/root:/in"}}"""
+    StampGen.n = 1
+    val transport = new StampScriptTransport(base, Map(
+      s"$base/root/delta" ->
+        s"""{"value":[${item("i1", "a.txt", 3, t1)}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", ""),
+      delta1 ->
+        s"""{"value":[${item("i1", "a.txt", 3, t2)}],
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")))
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-stamp").toString
+    val staging = s"$work/staging"
+    val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
+    val table = s"$work/bronze"
+    def stampOf(s: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+    // window 1: the REAL stamp lands, not an epoch placeholder
+    Streams.syncToBronze(spark, prov, ck, staging, transport, base, table)
+    val r1 = BronzeMerge.snapshot(spark, table)
+      .select("modified", "content").collect()
+    assert(r1.map(_.getTimestamp(0)).toSeq == Seq(stampOf(t1)))
+    assert(new String(r1.head.getAs[Array[Byte]](1), "UTF-8") == "aaa")
+
+    // window 2: same id, same name, SAME LENGTH — only the stamp (and
+    // bytes) changed. The new generation must land beside the old and
+    // win the merge-on-read view.
+    StampGen.n = 2
+    val w2 = Streams.syncToBronze(spark, prov, ck, staging, transport,
+      base, table)
+    assert(BronzeMerge.snapshot(spark, table).count() == 2,
+      "a same-length update must land as a new generation, not vanish")
+    val latest = BronzeMerge.snapshotLatest(spark, table)
+      .select("modified", "content").collect()
+    assert(latest.map(_.getTimestamp(0)).toSeq == Seq(stampOf(t2)))
+    assert(new String(latest.head.getAs[Array[Byte]](1), "UTF-8") == "bbb")
+
+    // crash-replay of window 2's drain: the stamp comes from the
+    // listing, so the replayed row keys IDENTICALLY and re-lands
+    // nothing
+    assert(Streams.drainWindow(spark, transport, base, w2, table) == 0L)
+    assert(BronzeMerge.snapshot(spark, table).count() == 2)
+  }
+
+  test("window-idempotent staging: a window replayed after a crash " +
+      "between staging and checkpoint rewrites its own window= partition " +
+      "— exactly one staged row per (id, window), never a double-append") {
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    import org.apache.spark.sql.functions.{col, countDistinct, max}
+    val base = "https://graph.example.test/drives/d11"
+    val delta1 = s"$base/root/delta?token=WI1"
+    val delta2 = s"$base/root/delta?token=WI2"
+    def item(id: String, name: String, size: Long) =
+      s"""{"id":"$id","name":"$name","size":$size,""" +
+        """"file":{"mimeType":"text/plain"},""" +
+        """"parentReference":{"path":"/drives/d11/root:/in"}}"""
+    val transport = new PagedScriptTransport(Map(
+      s"$base/root/delta" ->
+        s"""{"value":[${item("i1", "a.txt", 3)},${item("i2", "b.txt", 5)}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", ""),
+      delta1 ->
+        s"""{"value":[${item("i3", "c.txt", 4)}],
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", "")),
+      Map.empty)
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-idem-staging").toString
+    val staging = s"$work/staging"
+    val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
+
+    // attempt 1 CRASHES after the staging write (the drain hook is the
+    // post-staging, pre-checkpoint point): rows are staged, the
+    // checkpoint never advances
+    intercept[RuntimeException] {
+      Streams.discoverIncrement(spark, prov, ck, staging,
+        drain = _ => throw new RuntimeException("crash before checkpoint"))
+    }
+    assert(ck.load().isEmpty)
+    assert(spark.read.parquet(staging).count() == 2,
+      "the crashed attempt staged its window")
+
+    // the replay OVERWRITES the same window partition — the r14
+    // staging catalog would hold 4 rows here (append-only double-land)
+    Streams.discoverIncrement(spark, prov, ck, staging)
+    val afterReplay = spark.read.parquet(staging)
+    assert(afterReplay.count() == 2,
+      "a replayed window must rewrite its own partition, not append")
+    assert(afterReplay.select(countDistinct(col("window")))
+      .head().getLong(0) == 1)
+
+    // window 2 lands in its OWN partition; per-(id, window) uniqueness
+    // holds across the catalog
+    Streams.discoverIncrement(spark, prov, ck, staging)
+    val cat = spark.read.parquet(staging)
+    assert(cat.count() == 3)
+    assert(cat.select(countDistinct(col("window"))).head().getLong(0) == 2)
+    assert(cat.groupBy(col("id"), col("window")).count()
+      .agg(max(col("count"))).head().getLong(0) == 1L)
+  }
+
+  test("large-blob router: a blob past the threshold streams chunk by " +
+      "chunk to the Files zone (no slice ever exceeds chunkBytes, no " +
+      "whole-body buffer), bronze lands a path-reference row, and the " +
+      "id's tombstone removes the zone file with the rows") {
+    // reference K1 streams big files into the lakehouse Files area
+    // (`sharepoint_to_bronze_delta.py:173-176`); the content-column
+    // route is O(file) heap with a 2 GiB Array[Byte] ceiling. The
+    // router sends listed-size ≥ threshold items straight to the zone
+    // through the chunked range-GET — per-task heap O(chunkBytes).
+    import graft.ingest.BronzeMerge
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    import org.apache.spark.sql.functions.col
+    val base = "https://graph.example.test/drives/d12"
+    val delta1 = s"$base/root/delta?token=LB1"
+    val delta2 = s"$base/root/delta?token=LB2"
+    val blobSize = 100000
+    val chunk = 16384
+    def item(id: String, name: String, size: Long) =
+      s"""{"id":"$id","name":"$name","size":$size,""" +
+        """"file":{"mimeType":"application/octet-stream"},""" +
+        """"parentReference":{"path":"/drives/d12/root:/in"}}"""
+    def tomb(id: String, name: String) =
+      s"""{"id":"$id","name":"$name","deleted":{"state":"deleted"}}"""
+    val transport = new RangeBlobTransport(Map(
+      s"$base/root/delta" ->
+        s"""{"value":[${item("i1", "small.txt", 3)},
+           |${item("i2", "big.bin", blobSize)}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", ""),
+      delta1 ->
+        s"""{"value":[${tomb("i2", "big.bin")}],
+           |"@odata.deltaLink":"$delta2"}""".stripMargin.replace("\n", ""),
+      s"$base/items/i1/content" -> "aaa"),
+      s"$base/items/i2/content", blobSize)
+    val prov = new DeltaListingProvider(base, transport, sleeper = _ => ())
+    val work = Files.createTempDirectory("graft-bigblob").toString
+    val staging = s"$work/staging"
+    val ck = new DeltaCheckpoint(s"$work/delta-ckpt")
+    val table = s"$work/bronze"
+    val zone = s"$work/files"
+    RangeStats.reset()
+
+    Streams.syncToBronze(spark, prov, ck, staging, transport, base,
+      table, chunkBytes = chunk, filesZone = Some(zone),
+      largeBlobBytes = 10000)
+    val rows = BronzeMerge.snapshot(spark, table)
+      .select("source_item_id", "length", "content", "content_path")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Array[Byte]](2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    // small item: inline content, no path; big item: PATH-REFERENCE
+    // row — null content, zone path, streamed byte count as length
+    assert(rows.map(_._1) == Seq("i1", "i2"))
+    assert(new String(rows(0)._3, "UTF-8") == "aaa" && rows(0)._4 == null)
+    assert(rows(1)._3 == null && rows(1)._2 == blobSize.toLong &&
+      rows(1)._4.endsWith("/i2"))
+    // the zone file holds exactly the blob's bytes
+    val zf = new java.io.File(s"$zone/i2")
+    assert(zf.isFile && zf.length() == blobSize.toLong)
+    val bytes = java.nio.file.Files.readAllBytes(zf.toPath)
+    assert(bytes(0) == RangeStats.blobByte(0) &&
+      bytes(blobSize - 1) == RangeStats.blobByte(blobSize - 1L))
+    // O(chunk) evidence: the server never returned a slice past
+    // chunkBytes and the whole-body GET was never used for the blob —
+    // the transfer was ceil(size/chunk) range slices
+    assert(RangeStats.maxSlice <= chunk,
+      s"slice ${RangeStats.maxSlice} exceeds chunk $chunk")
+    assert(RangeStats.wholeBodyGets == 0,
+      "the blob must never be fetched as one body")
+    assert(RangeStats.rangeCalls.get() >=
+      (blobSize + chunk - 1) / chunk)
+
+    // window 2: i2's tombstone deletes the bronze rows AND the zone
+    // file (gated delete semantics extended to the Files zone)
+    Streams.syncToBronze(spark, prov, ck, staging, transport, base,
+      table, chunkBytes = chunk, filesZone = Some(zone),
+      largeBlobBytes = 10000)
+    assert(BronzeMerge.snapshot(spark, table)
+      .filter(col("source_item_id") === "i2").count() == 0)
+    assert(!zf.exists, "the tombstone must remove the zone file")
+  }
+
+  test("backfillIds migrates a legacy id-less bronze table: tombstones " +
+      "against it are a loud no-op, the backfill joins ids from the " +
+      "staged catalog, and the SAME tombstone window then deletes") {
+    // the upgrade hazard ADVICE names: round-14 deletes are
+    // exclusively id-keyed, so a table built by the pre-id release
+    // silently stops propagating source deletions. The sync path now
+    // warns loudly and skips the guaranteed-no-op scan; backfillIds
+    // is the one-shot migration that re-arms deletes.
+    import graft.ingest.BronzeMerge
+    import graft.pipeline.{DeltaCheckpoint, DeltaListingProvider}
+    import spark.implicits._
+    val base = "https://graph.example.test/drives/d13"
+    val delta1 = s"$base/root/delta?token=BF1"
+    def tomb(id: String, name: String) =
+      s"""{"id":"$id","name":"$name","deleted":{"state":"deleted"}}"""
+    val transport = new PagedScriptTransport(Map(
+      s"$base/root/delta" ->
+        s"""{"value":[${tomb("i1", "a.txt")}],
+           |"@odata.deltaLink":"$delta1"}""".stripMargin.replace("\n", "")),
+      Map.empty)
+    val work = Files.createTempDirectory("graft-backfill").toString
+    val table = s"$work/bronze"
+    val ts0 = new java.sql.Timestamp(0L)
+    // a LEGACY table: two files landed without source ids
+    BronzeMerge.mergeIngestDf(spark,
+      Seq(("a.txt", 3L, ts0, "aaa".getBytes("UTF-8")),
+        ("b.txt", 5L, ts0, "bbbbb".getBytes("UTF-8")))
+        .toDF("file_name", "length", "modified", "content"), table)
+    assert(!BronzeMerge.carriesIds(spark, table))
+
+    // tombstone window vs the legacy table: loud no-op, nothing dies
+    Streams.discoverIncrement(spark,
+      new DeltaListingProvider(base, transport, sleeper = _ => ()),
+      new DeltaCheckpoint(s"$work/ck1"), s"$work/staging", Some(table))
+    assert(BronzeMerge.snapshot(spark, table).count() == 2)
+
+    // migrate: ids from the staged catalog's (id, name, size) shape
+    val mapping = Seq(("i1", "a.txt", 3L), ("i2", "b.txt", 5L))
+      .toDF("source_item_id", "file_name", "length")
+    val (v, filled) = BronzeMerge.backfillIds(spark, table, mapping)
+    assert(filled == 2L && BronzeMerge.carriesIds(spark, table))
+    // idempotent: a second run touches nothing
+    assert(BronzeMerge.backfillIds(spark, table, mapping) == (v, 0L))
+    // identity keys survived the rewrite: the same files still dedupe
+    assert(BronzeMerge.mergeIngestDf(spark,
+      Seq(("a.txt", 3L, ts0, "aaa".getBytes("UTF-8")))
+        .toDF("file_name", "length", "modified", "content"), table) == 0L)
+
+    // the SAME tombstone window from a fresh checkpoint now deletes
+    Streams.discoverIncrement(spark,
+      new DeltaListingProvider(base, transport, sleeper = _ => ()),
+      new DeltaCheckpoint(s"$work/ck2"), s"$work/staging", Some(table))
+    val left = BronzeMerge.snapshot(spark, table)
+      .select("file_name").collect().map(_.getString(0)).toSeq
+    assert(left == Seq("b.txt"),
+      "the backfilled id must make the tombstone match")
+    // an ambiguous mapping fails loudly instead of guessing
+    val dup = Seq(("x1", "c.txt", 7L), ("x2", "c.txt", 7L))
+      .toDF("source_item_id", "file_name", "length")
+    intercept[IllegalArgumentException] {
+      BronzeMerge.backfillIds(spark, table, dup)
+    }
+  }
+
   test("e35's disorder audit sizes the hourlyCounts watermark: the " +
       "jitter-ceiling delay drops nothing, a 60 s delay drops exactly " +
       "the batch-predicted rows") {
@@ -2018,6 +2362,70 @@ private class OutageScriptTransport(script: Map[String, String],
     if (url == outageUrl && FetchOutage.broken)
       HttpResponse(500, "storage backend unavailable")
     else super.get(url)
+}
+
+/** Content generation for the stamp test's scripted server (the
+  * [[SyncGen]] pattern — module value, visible to executor tasks). */
+private object StampGen { @volatile var n = 1 }
+
+/** Scripted transport for the change-stamp test: listing URLs from
+  * the script, i1's content generation-dependent via [[StampGen]]
+  * with the SAME byte length both generations (the case the merge
+  * key can only split on the stamp). */
+private class StampScriptTransport(base: String,
+    script: Map[String, String])
+    extends graft.pipeline.HttpListing.Transport {
+  import graft.pipeline.HttpListing.HttpResponse
+  override def get(url: String): HttpResponse = url match {
+    case u if script.contains(u) => HttpResponse(200, script(u))
+    case u if u == s"$base/items/i1/content" =>
+      HttpResponse(200, if (StampGen.n == 1) "aaa" else "bbb")
+    case u => throw new AssertionError(s"unexpected $u")
+  }
+}
+
+/** Shared counters for the large-blob router test (module-held so
+  * executor tasks update the live JVM values in local mode). */
+private object RangeStats {
+  @volatile var maxSlice = 0
+  @volatile var wholeBodyGets = 0
+  val rangeCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = {
+    maxSlice = 0; wholeBodyGets = 0; rangeCalls.set(0)
+  }
+  /** Deterministic blob byte at offset `i` — generator and verifier
+    * share this formula. */
+  def blobByte(i: Long): Byte = ((i * 31 + 7) % 251).toByte
+}
+
+/** Scripted transport whose `blobUrl` is a `blobSize`-byte resource
+  * served ONLY through Range slices (206 + Content-Range), recording
+  * the largest slice ever returned and any whole-body GET — the
+  * O(chunk) evidence the router test asserts on. */
+private class RangeBlobTransport(script: Map[String, String],
+    blobUrl: String, blobSize: Int)
+    extends graft.pipeline.HttpListing.Transport {
+  import graft.pipeline.HttpListing.HttpResponse
+  override def get(url: String): HttpResponse =
+    if (url == blobUrl) {
+      RangeStats.wholeBodyGets += 1
+      HttpResponse(200, null, Map.empty,
+        Array.tabulate(blobSize)(i => RangeStats.blobByte(i.toLong)))
+    } else script.get(url).map(HttpResponse(200, _))
+      .getOrElse(throw new AssertionError(s"unexpected $url"))
+  override def getRange(url: String, start: Long,
+      endIncl: Long): HttpResponse =
+    if (url != blobUrl) get(url)
+    else if (start >= blobSize) HttpResponse(416, "")
+    else {
+      RangeStats.rangeCalls.incrementAndGet()
+      val end = math.min(endIncl, blobSize - 1L)
+      val slice = Array.tabulate((end - start + 1).toInt)(i =>
+        RangeStats.blobByte(start + i))
+      RangeStats.maxSlice = math.max(RangeStats.maxSlice, slice.length)
+      HttpResponse(206, null,
+        Map("Content-Range" -> s"bytes $start-$end/$blobSize"), slice)
+    }
 }
 
 /** Scripted transport for the end-to-end sync test, top-level so
