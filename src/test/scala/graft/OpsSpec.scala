@@ -2950,6 +2950,46 @@ class OpsSpec extends SparkSpec {
     assert(after == before, "recomputed labels are value-identical")
   }
 
+  test("spill roots are session-unique under a shared durable dir, and " +
+      "liveness survives a deleted _SUCCESS marker") {
+    // ADVICE r14: rel-<counter> paths reset per JVM, so a restarted
+    // (or second concurrent) driver pointed at the same durable
+    // graft.spill.dir collided with the previous run's rel-1… dirs
+    // and ErrorIfExists failed the first memoized write. The root is
+    // now a per-session unique subdirectory. And alive() required a
+    // _SUCCESS marker, so marker-disabled deployments recomputed and
+    // re-spilled on EVERY access — part-file presence is now the
+    // fallback.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-spill-shared").toString
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    s1.conf.set("graft.spill.dir", base)
+    s2.conf.set("graft.spill.dir", base)
+    val (r1, r2) = (Spill.root(s1), Spill.root(s2))
+    assert(r1 != r2, "two sessions over one durable dir must not share " +
+      "a root (their rel counters both start at the same value)")
+    assert(r1.startsWith(base) && r2.startsWith(base))
+    // a spill written under s1 stays alive after its _SUCCESS marker
+    // is deliberately removed (markers-disabled deployments)…
+    import s1.implicits._
+    val (path, scan) = Spill.write(Seq(1L, 2L, 3L).toDF("v"))
+    assert(Spill.alive(s1, path))
+    val marker = new java.io.File(path, "_SUCCESS")
+    assert(marker.isFile && marker.delete())
+    assert(Spill.alive(s1, path),
+      "part files present: the spill must still read as alive")
+    assert(scan.count() == 3)
+    scan.unpersist()
+    // …while a fully swept directory still reads dead
+    def nuke(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(nuke)
+      f.delete(); ()
+    }
+    nuke(new java.io.File(path))
+    assert(!Spill.alive(s1, path))
+  }
+
   test("m21: reported groups are exactly m10's multi-member components") {
     val m10 = SparkEntry.queries("m10_ahash_groups")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
