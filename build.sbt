@@ -33,4 +33,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // GC selector (builder-side experiments; empty = JVM default G1)
+) ++ sys.env.get("SPARK_GRAFT_GC").toSeq.flatMap(_.split(" ").toSeq)

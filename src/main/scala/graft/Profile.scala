@@ -134,6 +134,53 @@ object Profile {
           .filter(col("dist") >= 0))
         time("t65_full")(SparkEntry.queries("t65_editdist_pairs")(s, d))
       }
+    } else if (names == Seq("s12parts")) {
+      // decomposition of s12's sf0.1 residual (round 15): all-pairs
+      // edge build vs the CC iteration vs the final expand
+      import graft.ops.{Similarity, Text}
+      for (round <- 1 to 3) {
+        println(s"--- round $round ---")
+        val edges = Similarity.neardupEdges(s, d, allPairs = true, 0.4)
+          .select(col("va").as("da"), col("vb").as("db"))
+        time("edges_allpairs")(edges)
+        time("cc_only")(Text.connectedComponents(edges))
+        time("s12_full")(SparkEntry.queries("s12_semantic_dedup")(s, d))
+      }
+    } else if (names == Seq("q52parts")) {
+      // decomposition of q52: plain aggregate vs the 11-way exact-NDV
+      // Expand aggregate
+      import org.apache.spark.sql.functions._
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      for (round <- 1 to 3) {
+        println(s"--- round $round ---")
+        val li = Tables.lineitem(s, d)
+        time("agg_minmax")(li.agg(count(lit(1)).as("n"),
+          cols.flatMap(c => Seq(min(col(c)).as(s"${c}_mn"),
+            max(col(c)).as(s"${c}_mx"))): _*))
+        time("agg_ndv11")(li.agg(
+          countDistinct(col(cols.head)).as("d0"),
+          cols.tail.map(c => countDistinct(col(c)).as(s"d_$c")): _*))
+        time("agg_ndv1_comment")(li.agg(
+          countDistinct(col("l_orderkey")).as("d0")))
+        time("q52_full")(SparkEntry.queries("q52_column_profile")(s, d))
+      }
+    } else if (names == Seq("q16parts")) {
+      import org.apache.spark.sql.functions._
+      for (round <- 1 to 3) {
+        println(s"--- round $round ---")
+        val l = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        time("join_count")(l.join(broadcast(p),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand")).agg(count(lit(1)).as("n")))
+        time("join_1ndv")(l.join(broadcast(p),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(countDistinct(col("l_suppkey")).as("n_suppliers")))
+        time("q16_full")(SparkEntry.queries("q16_distinct_parts")(s, d))
+      }
     } else {
       for (round <- 1 to 3) {
         println(s"--- round $round ---")

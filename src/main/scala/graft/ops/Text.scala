@@ -592,17 +592,61 @@ object Text {
         col("bk.bh").as("bh"))
   }
 
+  /** Pointer-jump rounds per CC generation. A jump contracts
+    * label-pointer chains (lbl := lbl(lbl)); measured at sf0.1 (r15,
+    * s12's 920-edge cosine graph) EXTRA jumps buy nothing — 1, 2, 3
+    * and 4 jumps all converge in the same generation count, because
+    * on randomly-id'd threshold graphs the min propagates along
+    * EDGES (each node's label is usually already a local minimum
+    * whose own label is itself), so hops, not jumps, are the
+    * binding resource. One jump stays: it is what keeps worst-case
+    * convergence O(log diameter) on adversarial id layouts (long
+    * monotone chains) for one cheap label-side self-join.
+    * Builder-side override for forensics; the driver never sets it. */
+  private val CcJumps: Int =
+    sys.env.get("SPARK_GRAFT_CC_JUMPS").map(_.toInt).getOrElse(1)
+
+  /** Edge-hop rounds per CC generation. The min label travels one
+    * edge per hop; chaining [[CcHops]] hops inside one generation
+    * moves it that many edges per SCHEDULED generation, dividing the
+    * generation count (and with it the per-generation fixed costs:
+    * job scheduling, checkpoint materialization, the convergence
+    * action — the dominant CC cost at every bench SF) while keeping
+    * the total join work identical. At 100 TB the trade is explicit:
+    * k hops per generation join the edge relation k times between
+    * checkpoints, but the generation count — and the number of
+    * label-table materializations — drops by the same k.
+    * Builder-side override for forensics; the driver never sets it. */
+  private val CcHops: Int =
+    sys.env.get("SPARK_GRAFT_CC_HOPS").map(_.toInt).getOrElse(3)
+
   /** Min-label propagation to fixpoint over an undirected edge list
     * `(da, db)` — the connected-components engine shared by t12
     * (shingle near-dup clustering) and s12 (embedding semantic dedup,
     * [[Similarity]]). Returns `(doc_id, lbl)` for every node appearing
-    * in an edge; lbl = the component's minimum node id. Per iteration:
-    * one edge⨝label join + a min-agg; the `changed` flag rides the
-    * propagation pass so convergence needs no second join. Each
-    * generation is persisted and the previous one dropped immediately
-    * — at 100 TB the label table is O(corpus) and 20 pinned
-    * generations would not fit; that unpersist point is also where a
-    * cluster run would checkpoint to truncate lineage. */
+    * in an edge; lbl = the component's minimum node id. Per
+    * generation: [[CcHops]] edge⨝label hop joins (each a min-agg) +
+    * [[CcJumps]] pointer jumps. Three r15 structural choices (each behavior-
+    * preserving — the fixpoint is the unique per-component minimum
+    * either way):
+    *  - SELF-LOOPS ride the edge relation, so the hop's min covers
+    *    the node's own label and the old per-generation labels⨝hop
+    *    "stepped" join is gone (one fewer shuffle join per
+    *    generation; self-loop multiplicity is harmless under min);
+    *  - the edge relation is hash-partitioned on the hop key (`db`)
+    *    BEFORE its one-time checkpoint, and the checkpoint preserves
+    *    that partitioning, so generations re-shuffle only the label
+    *    table — the corpus-sized edge relation crosses the network
+    *    once per CC run, not once per generation (guide §2.4);
+    *  - convergence is the MONOTONE LABEL SUM: labels only ever
+    *    decrease, so Σlbl (exact decimal, no overflow) is strictly
+    *    decreasing until the fixpoint, and the 1-row agg that reads
+    *    it is the same action that materializes the generation's
+    *    lazy checkpoint — no `changed` column, no prev-vs-next join.
+    * Each generation is checkpointed and the previous one dropped
+    * immediately — at 100 TB the label table is O(corpus) and 20
+    * pinned generations would not fit; that unpersist point is also
+    * where a cluster run would checkpoint to truncate lineage. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     // localCheckpoint, not persist: a persisted edge relation caches
     // its BLOCKS but keeps its logical plan, and every generation's
@@ -612,54 +656,72 @@ object Text {
     // time at sf0.1 (9.1 s → 1.5 s for the same 805 edges when the
     // lineage is truncated to a leaf scan). Lazy: the init groupBy
     // materializes it on the first action.
-    val edges = pairs
+    val sym = pairs
       .unionAll(pairs.select(col("db").as("da"), col("da").as("db")))
+    // self-loops (da, da): under the hop's min-agg they contribute the
+    // node's OWN label, replacing the old stepped join; duplicates
+    // (one per incident edge) are free under min, so no distinct pass
+    val edges = sym
+      .unionAll(sym.select(col("da"), col("da").as("db")))
+      .repartition(col("db"))
       .localCheckpoint(false)
-    // Each generation is a LAZY localCheckpoint, not a mere persist:
-    // `next` references `labels` twice (directly and through viaNbr),
-    // so without lineage truncation the logical plan DOUBLES per
-    // iteration — on a deep graph (s12's cosine chains take ~15
-    // generations at sf0.1 vs t12's 2–3) the analyzer itself runs out
-    // of driver heap long before any data does. Checkpointing pins
-    // each generation's blocks and starts the next plan from scratch;
-    // dropped generations are reclaimed by the context cleaner (a
-    // cluster run at 100 TB would use reliable checkpoints here —
-    // same truncation point, durable storage). LAZY because every
-    // generation is immediately materialized by its convergence
-    // count() — an eager checkpoint would run a SECOND job per
-    // generation just to write the same blocks (measured ~25% of CC
-    // wall time at sf0.1 across t12/s12/s15).
+    // init: min over the closed neighborhood (self-loops included) =
+    // least(own id, min neighbor id) in one agg
     var labels = edges.groupBy(col("da").as("doc_id"))
-      .agg(min(col("db")).as("nbr_min"))
-      .select(col("doc_id"),
-        least(col("doc_id"), col("nbr_min")).as("lbl"))
+      .agg(min(col("db")).as("lbl"))
       .localCheckpoint(false)
-    var converged = false
+    // monotone-sum convergence state: labels only decrease, so the
+    // exact decimal sum is strictly decreasing until the fixpoint
+    // (node ids < 2^63, count ≤ 2^63 ⇒ Σ < 10^38: decimal-exact)
+    def labelSum(df: DataFrame): (Option[java.math.BigDecimal], Long) = {
+      val r = df.agg(
+        sum(col("lbl").cast(org.apache.spark.sql.types
+          .DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("n")).head()
+      (Option(r.getDecimal(0)), r.getLong(1))
+    }
+    // the init agg both materializes the lazy checkpoints (edges +
+    // labels) and seeds the convergence sum
+    var prevSum = labelSum(labels)
+    var converged = prevSum._2 == 0L // empty graph: already done
     var iters = 0
     while (!converged && iters < 30) {
-      // one hop through the edges: min label among neighbors
-      val viaNbr = edges.toDF("doc_id", "nbr")
-        .join(labels.toDF("nbr", "nbr_lbl"), "nbr")
-        .groupBy(col("doc_id")).agg(min(col("nbr_lbl")).as("prop"))
-      val stepped = labels.join(viaNbr, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("prop"), col("lbl"))).as("mid"))
-      // POINTER JUMP (label contraction): also adopt the label OF the
-      // label. Edge hops alone converge in O(component diameter)
-      // sequential generations — a 30-node cosine chain is 30 shuffled
-      // jobs; with the jump each generation roughly squares the
-      // reachable distance, so convergence is O(log diameter). The
-      // `changed` flag rides the same pass (vs `prev`), no extra join.
-      val jump = stepped
-        .select(col("doc_id").as("jmid"), col("mid").as("jlbl"))
-      val jumped = least(col("mid"), coalesce(col("jlbl"), col("mid")))
-      val next = stepped.join(jump, col("mid") === col("jmid"), "left")
-        .select(col("doc_id"), jumped.as("lbl"),
-          (jumped < col("prev")).as("changed"))
-        .localCheckpoint(false)
-      // the count both decides convergence AND materializes the lazy
-      // checkpoint — one job per generation total
-      converged = next.filter(col("changed")).count() == 0
+      // Each generation is a LAZY localCheckpoint, not a mere persist:
+      // the hop+jump plan references `labels` several times, so
+      // without lineage truncation the logical plan MULTIPLIES per
+      // iteration and the analyzer runs out of driver heap long
+      // before any data does. LAZY because every generation is
+      // immediately materialized by its convergence agg — an eager
+      // checkpoint would run a SECOND job per generation just to
+      // write the same blocks (measured ~25% of CC wall time at
+      // sf0.1 across t12/s12/s15).
+      // CcHops hops through the edges: per hop, min label over the
+      // closed neighborhood (self-loops carry the node's own label)
+      var cur = labels
+      for (_ <- 1 to CcHops) {
+        cur = edges
+          .join(cur.select(col("doc_id").as("db"),
+            col("lbl").as("nlbl")), "db")
+          .groupBy(col("da"))
+          .agg(min(col("nlbl")).as("lbl"))
+          .select(col("da").as("doc_id"), col("lbl"))
+      }
+      // POINTER JUMPS (label contraction): adopt the label OF the
+      // label, CcJumps times. Edge hops alone converge in
+      // O(component diameter) sequential generations; each jump
+      // roughly squares the reachable distance.
+      for (_ <- 1 to CcJumps) {
+        val j = cur.select(col("doc_id").as("jid"), col("lbl").as("jlbl"))
+        cur = cur.join(j, col("lbl") === col("jid"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+      }
+      val next = cur.localCheckpoint(false)
+      // the 1-row sum agg both decides convergence AND materializes
+      // the lazy checkpoint — one job per generation total
+      val curSum = labelSum(next)
+      converged = curSum == prevSum
+      prevSum = curSum
       // generation g is DEAD the moment g+1's blocks exist: free it
       // NOW instead of waiting for the context cleaner, which only
       // fires on a driver GC. Round-10 forensics: per-generation
@@ -668,13 +730,15 @@ object Text {
       // the allocation-heavy t-family (t09 1.51→2.19 s over three
       // in-JVM rounds); explicit reclamation is deterministic.
       Scoped.dropCheckpoint(labels)
-      labels = next.select(col("doc_id"), col("lbl"))
+      labels = next
       iters += 1
     }
     Scoped.dropCheckpoint(edges)
     // a silently-unconverged result would under-merge components —
     // refuse loudly instead (cap 30 covers diameter ~2^30 with the
-    // jump; nothing real gets here)
+    // jumps; nothing real gets here)
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged in $iters generations")
     require(converged, s"connectedComponents did not converge in $iters")
     // the FINAL generation's blocks back the returned labels: they
     // must survive the caller's reads but not the query — release
